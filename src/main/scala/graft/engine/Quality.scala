@@ -1,0 +1,57 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality / repair operators (SURVEY.md §2 — A9, P7, J3/J9, P21-P26):
+  * null profiling and removal, and the date-corruption diagnostic + repair
+  * pattern (docs/fix_gridveg_dates.md, src/fix_gridveg_dates.py:109-116).
+  */
+object Quality {
+
+  /** A9: per-column null counts — one row, one `null_<col>` column each. */
+  def nullProfile(df: DataFrame): DataFrame =
+    df.select(df.columns.toSeq.map(c =>
+      count(when(col(c).isNull, 1)).as(s"null_$c")): _*)
+
+  /** P7: rows where ANY of the given columns (default: all) is null. */
+  def anyNullRows(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val cs = if (cols.isEmpty) df.columns.toSeq else cols
+    df.filter(cs.map(col(_).isNull).reduce(_ || _))
+  }
+
+  /** The fix_*_na_rows repair: drop rows with nulls in required columns. */
+  def dropNullRows(df: DataFrame, requiredCols: Seq[String]): DataFrame =
+    df.filter(requiredCols.map(col(_).isNotNull).reduce(_ && _))
+
+  /** J3/J9 join-update: for rows matching `corrupt`, replace `dateCol` with
+    * the source-of-truth date from `meta` (joined on `key`) and re-derive
+    * `yearCol`; all other rows pass through untouched. The UPDATE…FROM of
+    * docs/fix_gridveg_dates.md:45-52 as a declarative projection +
+    * overwrite. `meta` is expected to be a dimension → broadcast.
+    */
+  def repairDatesFrom(facts: DataFrame, meta: DataFrame, key: String,
+                      dateCol: String, yearCol: String,
+                      corrupt: Column): DataFrame = {
+    val m = broadcast(meta.select(col(key), col(dateCol).as("__fix_date")))
+    val fixed = when(corrupt, col("__fix_date")).otherwise(col(dateCol))
+    facts.join(m, Seq(key), "left")
+      .withColumn(dateCol, fixed)
+      .withColumn(yearCol, year(col(dateCol)))
+      .drop("__fix_date")
+  }
+
+  /** The diagnostic CASE-status + COUNT OVER (PARTITION BY status) report
+    * (src/analyze_gridveg_dates_pattern.py:68-90): attach a status class and
+    * its population size to each row, sorted by a custom collation.
+    */
+  def statusReport(df: DataFrame, status: Column,
+                   collation: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("status", status)
+      .withColumn("status_count",
+        count(lit(1)).over(Window.partitionBy(col("status"))))
+      .withColumn("__ord", collation)
+      .orderBy(col("__ord")).drop("__ord")
+  }
+}

@@ -24,6 +24,8 @@ object Td {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer division — `/` is double division in Spark and loses
+      // precision beyond 2^53 (epoch-nanos are ~1.7e18)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

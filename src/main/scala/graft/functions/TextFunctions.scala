@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: tokenization,
+  * token statistics, language identification, quality scoring, and
+  * fingerprinting. All pure Catalyst expressions — codegen-eligible string
+  * functions plus higher-order array functions — so they run distributed
+  * with no UDF boundary at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization after lowercasing and punctuation strip.
+    * Empty / all-whitespace text yields an empty array (not `[""]`).
+    */
+  def tokens(text: Column): Column = {
+    val cleaned = trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "))
+    when(cleaned === "", array().cast("array<string>"))
+      .otherwise(split(cleaned, " "))
+  }
+
+  /** Token count on raw whitespace splitting (BPE-ish proxy: whitespace
+    * pieces; a subword factor can be layered on top).
+    */
+  def tokenCount(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) === 0, lit(0L)).otherwise(size(split(t, "\\s+")).cast("long"))
+  }
+
+  /** Stopword profiles for the five corpus languages. Tiny bounded lists —
+    * they inline into the plan as literals.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "of", "to", "in", "and", "is", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "mit", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Per-language stopword hit count over a token array. */
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(stopwords(lang))))
+
+  /** N-gram-heuristic language id: argmax of stopword-profile hits, "und"
+    * (undetermined) when no profile matches at all. Deterministic tie-break
+    * by language code order.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = stopwords.keys.toSeq.sorted.map(l =>
+      struct(stopwordHits(toks, l).as("hits"), lit(l).as("lang")))
+    // array_max on struct = lexicographic (hits, lang); ties pick the later
+    // language code deterministically.
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
+  }
+
+  /** Heuristic quality score in [0,1]: blend of length band, punctuation
+    * ratio, stopword ratio and mean token length — the standard cheap
+    * pre-filters of an LLM data pipeline.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val toks = tokens(text)
+    val nToks = size(toks).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\-]", "")).cast("double")
+    val punctRatio = when(nChars === 0, 1.0).otherwise(punct / nChars)
+    val stopRatio = when(nToks === 0, 0.0)
+      .otherwise(stopwordHits(toks, "en").cast("double") / nToks)
+    val meanTokLen = when(nToks === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0.0), (acc, t) => acc + length(t)) / nToks)
+    val lenScore = least(nChars / 200.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio * 5)
+    val stopScore = least(stopRatio * 4, lit(1.0))
+    val tokLenScore = when(meanTokLen.between(3.0, 8.0), 1.0).otherwise(0.5)
+    round(lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + tokLenScore * 0.2, 6)
+  }
+
+  /** Word k-shingles (k consecutive tokens joined by a space). Texts with
+    * fewer than k tokens yield a single shingle of the whole text so every
+    * document lands in some bucket.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-lite): murmur3 hash of
+    * each k-shingle, keep the `keep` smallest hashes as the document's
+    * signature set. Two documents sharing most fingerprints are near-dups;
+    * the signature is tiny and join-able at corpus scale.
+    */
+  def fingerprints(text: Column, k: Int = 5, keep: Int = 8): Column =
+    slice(array_sort(array_distinct(transform(shingles(text, k), s => hash(s)))),
+      1, keep)
+}

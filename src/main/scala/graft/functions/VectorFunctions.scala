@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from Spark's
+  * higher-order functions (`zip_with` / `aggregate`) so the whole computation
+  * stays inside Catalyst — no UDF serialization, no Python boundary, and the
+  * fold order is deterministic (left-to-right) which keeps results
+  * reproducible across partitionings at any scale.
+  */
+object VectorFunctions {
+
+  /** Dot product in double precision (floats are upcast element-wise). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 norm. */
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+
+  /** Cosine similarity; 0.0 when either vector is all-zero (never NaN, so
+    * downstream filters/rankings stay total-ordered).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = sqrt(norm2(a)) * sqrt(norm2(b))
+    when(n === 0.0, 0.0).otherwise(d / n)
+  }
+
+  /** Signed-random-projection bucket id: `nbits` seeded hyperplanes, one bit
+    * per sign(dot(v, r_i)). Deterministic across runs (fixed seed) — the LSH
+    * family behind [[graft.operators.Similarity]] bucketed ANN and
+    * embedding near-dup detection. Hyperplane literals are baked into the
+    * plan (nbits × dim doubles), so executors evaluate them with zero
+    * broadcast or shuffle.
+    */
+  def srpBucket(v: Column, dim: Int, nbits: Int, seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nbits, dim)(rng.nextGaussian())
+    val bitCols = planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(v, planeCol) >= 0.0, lit(1 << i)).otherwise(lit(0))
+    }
+    bitCols.reduce(_ + _)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Every transform here takes a plain DataFrame so the SAME code path runs
+  * in batch (Td events) and streaming (`readStream`) — Spark's unified
+  * model. Watermarks bound state so the aggregations run indefinitely on a
+  * real cluster.
+  */
+object EventPipelines {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(nEvents: Long, startUs: Long, lastUs: Long)
+  case class Session(user_id: Long, n_events: Long, start_us: Long,
+                     end_us: Long)
+
+  /** Tumbling-window counts + sums per event type, watermarked for
+    * streaming state cleanup. */
+  def windowedStats(events: DataFrame, window_ : String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window event rate (5-minute windows every minute). */
+  def slidingRate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
+  /** Custom stateful sessionization with flatMapGroupsWithState: a session
+    * closes after `gapSeconds` of user inactivity (processing-time timeout
+    * flushes stragglers). The streaming twin of the batch lag/cumsum
+    * sessionize query.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+                (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+
+    def flush(userId: Long, st: SessionState): Session =
+      Session(userId, st.nEvents, st.startUs, st.lastUs)
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, timeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(userId, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val closed = scala.collection.mutable.ListBuffer.empty[Session]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              if (st == null) st = SessionState(1, us, us)
+              else if (us - st.lastUs > gapUs) {
+                closed += flush(userId, st)
+                st = SessionState(1, us, us)
+              } else st = SessionState(st.nEvents + 1, st.startUs, us)
+            }
+            if (st != null) {
+              state.update(st)
+              if (useTimeout) state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,84 @@
+package graft.engine
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** FIXTURES.md §2 fixtures 3-6: incremental append, nullable-int coercion,
+  * date parsing pivot, regex validation — plus warehouse round-trips. */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nullable-int coercion: '', 'NA', '7', '8.0' → null, null, 7, 8") {
+    val df = Seq("", "NA", "7", "8.0", "x2").toDF("raw")
+      .select(Ingest.coerceInt($"raw").as("v"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(got.toSeq == Seq(None, None, Some(7), Some(8), None))
+  }
+
+  test("date parse m/d/yy pivots 00-68 into 20xx") {
+    val got = Seq("6/25/13", "1/2/24").toDF("d")
+      .select(Ingest.parseDate($"d").cast("string").as("p"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("2013-06-25", "2024-01-02"))
+  }
+
+  test("survey_sequence: 2011/2012 → '2011-12', else str(year)") {
+    val got = Seq(2011, 2012, 2013, 2025).toDF("year")
+      .select(Ingest.surveySequence($"year").as("s")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("2011-12", "2011-12", "2013", "2025"))
+  }
+
+  test("regex validation flags bad transect points") {
+    val df = Seq("N1", "W12", "X3", "E99").toDF("transect_point")
+    val bad = Validation.regexViolations(df, "transect_point", "^[NSEW]\\d{1,2}$")
+    assert(bad.collect().map(_.getString(0)).toSeq == Seq("X3"))
+  }
+
+  test("incremental append: {A,B} + {B,C} appends {C}, reports dup {B}, idempotent") {
+    val root = Files.createTempDirectory("wh").toString
+    val wh = new Warehouse(spark, root)
+    wh.overwrite(Seq(("A", 1), ("B", 2)).toDF("survey_ID", "v"), "t")
+    val incoming = Seq(("B", 2), ("C", 3)).toDF("survey_ID", "v")
+
+    val r1 = Ingest.incrementalAppend(wh, "t", incoming, Seq("survey_ID"))
+    assert(r1.appended == 1 && r1.duplicates == 1 && r1.totalAfter == 3)
+    assert(r1.reconciled)
+
+    val r2 = Ingest.incrementalAppend(wh, "t", incoming, Seq("survey_ID"))
+    assert(r2.appended == 0 && r2.duplicates == 2 && r2.totalAfter == 3)
+
+    // backup was taken and is restorable
+    val backups = wh.listTables() // _backups excluded from catalog
+    assert(!backups.contains("_backups"))
+  }
+
+  test("rename + reorder handles FileMaker-style column names") {
+    val df = Seq(("u1", 5)).toDF("Survey Data::__kp_Survey", "Survey Data::_kf_Site")
+    val out = Ingest.renameColumns(df,
+      Seq("Survey Data::__kp_Survey" -> "survey_ID",
+        "Survey Data::_kf_Site" -> "grid_point"))
+    assert(out.columns.toSeq == Seq("survey_ID", "grid_point"))
+  }
+
+  test("schemaDiff catches missing/extra/mismatched columns") {
+    val diff = Validation.schemaDiff(Schemas.surveyMetadata,
+      Schemas.additionalSpecies)
+    assert(diff.exists(_.contains("missing column: surveyor")))
+    assert(diff.exists(_.contains("unexpected column: key_plant_species")))
+  }
+
+  test("warehouse CSV round-trip with latin-1 and date format") {
+    val root = Files.createTempDirectory("whcsv").toString
+    val csvDir = s"$root/in"
+    Files.createDirectories(java.nio.file.Paths.get(csvDir))
+    Files.writeString(java.nio.file.Paths.get(s"$csvDir/d.csv"),
+      "survey_ID,grid_point,year,date,survey_sequence,surveyor\n" +
+        "s1,10,2013,6/25/13,2013,J Doe\n")
+    val wh = new Warehouse(spark, root)
+    val df = wh.readCsv(csvDir + "/d.csv", Schemas.surveyMetadata)
+    val row = df.head()
+    assert(row.getAs[String]("survey_ID") == "s1")
+    assert(row.getAs[java.sql.Date]("date").toString == "2013-06-25")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** FIXTURES.md §2 fixture 4: date-corruption repair; null profiling. */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  test("repairDatesFrom fixes only corrupt rows, re-derives year") {
+    val facts = Seq(
+      ("s1", d("2031-08-16"), 2031), // corrupt: future date
+      ("s2", d("2023-06-01"), 2023), // fine
+      ("s3", d("2025-05-11"), 2025)  // corrupt
+    ).toDF("survey_ID", "date", "year")
+    val meta = Seq(
+      ("s1", d("2016-08-31")), ("s2", d("2023-06-01")), ("s3", d("2011-05-05"))
+    ).toDF("survey_ID", "date")
+
+    val out = Quality.repairDatesFrom(facts, meta, "survey_ID", "date", "year",
+      corrupt = col("date") > lit(d("2024-12-31")))
+    val byId = out.collect().map(r =>
+      r.getAs[String]("survey_ID") ->
+        (r.getAs[java.sql.Date]("date").toString, r.getAs[Int]("year"))).toMap
+    assert(byId("s1") == ("2016-08-31", 2016))
+    assert(byId("s2") == ("2023-06-01", 2023)) // untouched
+    assert(byId("s3") == ("2011-05-05", 2011))
+  }
+
+  test("null profile and dropNullRows") {
+    val df = Seq((Some("a"), Some(1)), (None, Some(2)), (Some("c"), None))
+      .toDF("k", "v")
+    val prof = Quality.nullProfile(df).head()
+    assert(prof.getAs[Long]("null_k") == 1 && prof.getAs[Long]("null_v") == 1)
+    assert(Quality.anyNullRows(df).count() == 2)
+    assert(Quality.dropNullRows(df, Seq("k", "v")).count() == 1)
+  }
+
+  test("statusReport attaches class population and custom sort") {
+    val df = Seq(d("2031-01-01"), d("2020-01-01"), d("2030-01-01"))
+      .toDF("date")
+    val status = when($"date" > lit(d("2024-12-31")), "Future Date")
+      .otherwise("Match")
+    val coll = when(col("status") === "Future Date", 1).otherwise(2)
+    val out = Quality.statusReport(df, status, coll).collect()
+    assert(out(0).getAs[String]("status") == "Future Date")
+    assert(out(0).getAs[Long]("status_count") == 2)
+    assert(out(2).getAs[String]("status") == "Match")
+  }
+}

