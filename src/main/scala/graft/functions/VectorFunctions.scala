@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product in double precision (floats are upcast element-wise). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product in double precision (floats are upcast element-wise).
+    * Backed by the scalar [[DotProductExpr]] — a tight JVM loop instead of
+    * per-element higher-order-function interpretation; same left-to-right
+    * summation order, so results are identical.
+    */
+  def dot(a: Column, b: Column): Column = SignatureExpressions.dotF(a, b)
 
   /** Squared L2 norm. */
   def norm2(a: Column): Column =

@@ -22,25 +22,27 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Deterministic (a*h + b) mod p permutation family for MinHash. */
-  private val MersennePrime = 2147483647L
-  private def hashParams(n: Int, seed: Long): Array[(Long, Long)] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(n)((1 + rng.nextInt(Int.MaxValue - 1).toLong,
-      rng.nextInt(Int.MaxValue).toLong))
-  }
-
-  /** MinHash signature column (`array<bigint>` of length numHashes) over
-    * word k-shingles. */
-  def minHashSignature(text: Column, k: Int = 3, numHashes: Int = 64,
-                       seed: Long = 42L): Column = {
-    val shingleHashes = array_distinct(
-      transform(TextFunctions.shingles(text, k), s => hash(s).cast("long")))
-    val sig = hashParams(numHashes, seed).map { case (a, b) =>
-      array_min(transform(shingleHashes, h => pmod(lit(a) * h + lit(b),
-        lit(MersennePrime))))
-    }
-    array(sig.toIndexedSeq: _*)
+  /** MinHash signatures as a DataFrame (id, sig: array<bigint>).
+    *
+    * One scalar [[graft.functions.MinHashSignatureExpr]] per row over the
+    * shingle-hash array: the tokenize→shingle→hash pipeline is evaluated
+    * once per document and the numHashes×|shingles| min-loop runs as tight
+    * JVM code (the 64-separate-aggregates / nested-HOF formulations both
+    * re-evaluate the pipeline per hash function and blow up whole-stage
+    * codegen). The repartition restores parallelism when documents arrive
+    * as a few big files — and is the shape a 1000-executor cluster wants.
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, numHashes: Int = 64,
+                        seed: Long = 42L): DataFrame = {
+    import graft.functions.SignatureExpressions
+    // explicit partition count: this stage is CPU-bound per row, and AQE's
+    // size-based coalescing would collapse a small-bytes shuffle to one
+    // task (observed: 1 task × 8.8 s); REPARTITION_BY_NUM is exempt
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id"),
+        SignatureExpressions.minhashFromText(col(textCol), k, numHashes, seed)
+          .as("sig"))
   }
 
   /** MinHash + LSH near-duplicate pairs.
@@ -55,13 +57,19 @@ object Dedup {
                  rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val nBands = numHashes / rowsPerBand
-    val sigd = df.select(col(idCol).as("id"),
-      minHashSignature(col(textCol), k, numHashes, seed).as("sig"))
-    // explode into (band, bandKey) — bandKey hashes the band's slice
-    val banded = sigd.select($bandCols(nBands, rowsPerBand): _*)
-      .withColumn("band", explode(col("bands")))
-      .select(col("id"), col("sig"), col("band.b").as("b"),
-        col("band.key").as("key"))
+    val sigd = minHashSignatures(df, idCol, textCol, k, numHashes, seed)
+    // explode a LITERAL band-index array, then derive each band key from the
+    // materialized sig column. Exploding an array of per-band structs looks
+    // natural but is a trap: InferFiltersFromGenerate adds `size(bands) > 0`
+    // and pushdown inlines the whole signature pipeline into that filter —
+    // nBands× per row, below the exchange (observed in the sf0.1 plan).
+    // A literal index array constant-folds the inferred filter away.
+    val banded = sigd
+      .select(col("id"), col("sig"),
+        explode(lit((0 until nBands).toArray)).as("b"))
+      .select(col("id"), col("sig"), col("b"),
+        hash(slice(col("sig"), col("b") * rowsPerBand + 1, lit(rowsPerBand)))
+          .as("key"))
     val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("b"), col("key"))
     val bb = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
@@ -69,33 +77,20 @@ object Dedup {
     val cand = a.join(bb, Seq("b", "key")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b").distinct()
     cand.select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-          (x === y).cast("int")), v => v === 1)).cast("double") / numHashes)
-          .as("est_jaccard"))
+        graft.functions.SignatureExpressions
+          .sigAgreement(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
-  private def $bandCols(nBands: Int, rowsPerBand: Int) = Seq(
-    col("id"), col("sig"),
-    array((0 until nBands).map(b => struct(lit(b).as("b"),
-      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("key"))): _*)
-      .as("bands"))
-
-  /** 64-bit SimHash per document, computed with explode + 64 partial-agg
-    * sums (map-side combine keeps the shuffle at one row per doc).
-    */
+  /** 64-bit SimHash per document: one scalar [[graft.functions.SimHashExpr]]
+    * over the token array — single pass, no explode, no shuffle. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-        explode_outer(TextFunctions.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(col("tok").isNull, 0)
-        .when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"s$i"))
-    val summed = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val bits = (0 until 64).map(i =>
-      when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-    summed.select(col("id"), bits.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+    import graft.functions.SignatureExpressions
+    // explicit count for the same AQE-coalescing reason as minHashSignatures
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id"),
+        SignatureExpressions.simhash64(
+          TextFunctions.tokens(col(textCol))).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, using
@@ -105,12 +100,13 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sh = simHash(df, idCol, textCol)
-    val banded = sh.select(col("id"), col("simhash"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("b"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*))
-          .as("band"))
-      .select(col("id"), col("simhash"), col("band.b").as("b"),
-        col("band.key").as("key"))
+    // literal index explode for the same InferFiltersFromGenerate reason as
+    // in minHashLSH
+    val banded = sh
+      .select(col("id"), col("simhash"),
+        explode(lit((0 until 4).toArray)).as("b"))
+      .select(col("id"), col("simhash"), col("b"),
+        expr("shiftright(simhash, b * 16)").bitwiseAND(0xFFFFL).as("key"))
     val a = banded.select(col("id").as("id_a"), col("simhash").as("sh_a"),
       col("b"), col("key"))
     val bb = banded.select(col("id").as("id_b"), col("simhash").as("sh_b"),
@@ -128,10 +124,24 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.3, k: Int = 3): DataFrame = {
+    // the candidate set is tiny but its plan embeds the whole LSH pipeline,
+    // and it is referenced three times below (semi-join prune + two pair
+    // joins) — an EAGER localCheckpoint materializes it exactly once
+    // (a lazy one would still recompute the lineage per reference inside
+    // the single downstream job)
     val cand = minHashLSH(df, idCol, textCol, threshold = 0.2, k = k)
-      .select("id_a", "id_b")
-    val sh = df.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.shingles(col(textCol), k)).as("sh"))
+      .select("id_a", "id_b").localCheckpoint(true)
+    // only candidate ids pay for exact shingle sets (semi-join prune);
+    // semi-join first so shingling runs on the pruned set, repartitioned
+    // because shingling is CPU-bound (AQE would coalesce to one task)
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val sh = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(candIds, Seq("id"), "left_semi")
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id"),
+        graft.functions.SignatureExpressions.wordShingles(col("__text"), k)
+          .as("sh"))
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

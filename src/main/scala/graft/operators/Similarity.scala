@@ -41,13 +41,20 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int = 5, nbits: Int = 8,
               tables: Int = 4): DataFrame = {
+    // materialize the per-table bucket ids in one projection, then explode a
+    // LITERAL table-index array and pick the bucket with element_at —
+    // exploding an array of (table, bucket) structs would let
+    // InferFiltersFromGenerate push a filter containing every srpBucket
+    // dot-product pipeline below the scan (evaluated tables× per row)
     def bucketed(df: DataFrame, idAs: String, vAs: String) =
       df.select(col(idCol).as(idAs), col(vecCol).as(vAs),
-          explode(array((0 until tables).map(t => struct(lit(t).as("t"),
-            VectorFunctions.srpBucket(col(vecCol), dim, nbits, seed = 42L + t)
-              .as("bucket"))): _*)).as("tb"))
-        .select(col(idAs), col(vAs), col("tb.t").as("t"),
-          col("tb.bucket").as("bucket"))
+          array((0 until tables).map(t =>
+            VectorFunctions.srpBucket(col(vecCol), dim, nbits, seed = 42L + t)): _*)
+            .as("buckets"))
+        .select(col(idAs), col(vAs), col("buckets"),
+          explode(lit((0 until tables).toArray)).as("t"))
+        .select(col(idAs), col(vAs), col("t"),
+          element_at(col("buckets"), col("t") + 1).as("bucket"))
     val c = bucketed(corpus, "neighbor_id", "cv")
     val q = bucketed(queries, "query_id", "qv")
     val cand = c.join(broadcast(q), Seq("t", "bucket"))
