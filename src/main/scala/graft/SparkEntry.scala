@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{Td, Wrangle}
-import graft.queries.{CoreQueries, ScaleQueries}
+import graft.queries.{CoreQueries, ExtendedQueries, ScaleQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -33,10 +33,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ ScaleQueries.queries
+    CoreQueries.queries ++ ScaleQueries.queries ++ ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ ScaleQueries.oracleSql
+    CoreQueries.oracleSql ++ ScaleQueries.oracleSql ++ ExtendedQueries.oracleSql
 }
