@@ -95,6 +95,6 @@ object TextFunctions {
     * the signature is tiny and join-able at corpus scale.
     */
   def fingerprints(text: Column, k: Int = 5, keep: Int = 8): Column =
-    slice(array_sort(array_distinct(transform(shingles(text, k), s => hash(s)))),
-      1, keep)
+    slice(array_sort(array_distinct(transform(
+      SignatureExpressions.wordShingles(text, k), s => hash(s)))), 1, keep)
 }

@@ -70,13 +70,17 @@ object Dedup {
       .select(col("id"), col("sig"), col("b"),
         hash(slice(col("sig"), col("b") * rowsPerBand + 1, lit(rowsPerBand)))
           .as("key"))
-    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("b"), col("key"))
-    val bb = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("b"), col("key"))
+    // the band self-join and pair-dedup carry only (id, b, key) — a pair
+    // colliding in many bands would otherwise shuffle its two 64-long
+    // signatures once per band; signatures are re-attached after distinct
+    val a = banded.select(col("id").as("id_a"), col("b"), col("key"))
+    val bb = banded.select(col("id").as("id_b"), col("b"), col("key"))
     val cand = a.join(bb, Seq("b", "key")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
-    cand.select(col("id_a"), col("id_b"),
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sigd.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigd.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
         graft.functions.SignatureExpressions
           .sigAgreement(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)

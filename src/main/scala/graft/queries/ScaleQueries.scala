@@ -73,19 +73,27 @@ object ScaleQueries {
     }),
 
     // ── language id heuristic vs labeled lang (rows-only) ──
+    // (heavy per-row text analysis: explicit repartition because documents
+    // arrive as one file and AQE won't split a CPU-bound single partition)
     "q38_lang_id" -> ((s, dir) =>
-      Td(s, dir, "documents").select(col("doc_id"), col("lang"),
-        TextFunctions.langId(col("text")).as("lang_pred"))),
+      Td(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred"))),
 
     // ── composite quality score (rows-only) ──
     "q39_quality_score" -> ((s, dir) =>
-      Td(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.qualityScore(col("text")).as("quality"))),
+      Td(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))),
 
     // ── rolling-hash fingerprints (rows-only) ──
     "q40_fingerprints" -> ((s, dir) =>
-      Td(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.fingerprints(col("text")).as("fp"))
+      Td(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          TextFunctions.fingerprints(col("text")).as("fp"))
         .select(col("doc_id"), concat_ws(",", col("fp")).as("fp_join"))),
 
     // ── tumbling-window event aggregation (batch shape of the streaming
