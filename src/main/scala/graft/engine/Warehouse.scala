@@ -51,6 +51,15 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .map(_.getName).sorted
   }
 
+  /** SQL surface: register every table as a temp view so `spark.sql`
+    * queries run against the warehouse by name (the BigQuery-SQL entry
+    * point of the reference, S5/S8 — views also appear in
+    * `spark.catalog.listTables`). */
+  def registerAll(): Unit =
+    listTables().foreach(t => read(t).createOrReplaceTempView(t))
+
+  def sql(query: String): DataFrame = spark.sql(query)
+
   /** S1-S4: CSV scan with declared schema; `encoding` covers the
     * latin-1 fallback sources. */
   def readCsv(path: String, schema: StructType,

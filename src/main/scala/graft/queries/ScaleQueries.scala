@@ -108,6 +108,11 @@ object ScaleQueries {
           col("n"), col("sum_value"))
     }),
 
+    // ── sliding-window event rate (streaming twin; rows-only — each event
+    //    lands in 5 overlapping windows, not ANSI-SQL-expressible cleanly) ──
+    "q48_event_sliding" -> ((s, dir) =>
+      graft.streaming.EventPipelines.slidingRate(Td(s, dir, "events"))),
+
     // ── sessionization via lag/cumsum windows (SQL-checked) ──
     "q42_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window

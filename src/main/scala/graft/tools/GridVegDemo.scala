@@ -55,6 +55,13 @@ object GridVegDemo {
     val gc = GridVegPipelines.groundCover(ground, codes,
       wh.read("gridVeg_survey_metadata"))
     gc.show(10, truncate = false)
+
+    // SQL surface over the warehouse catalog
+    wh.registerAll()
+    val n = wh.sql(
+      "SELECT count(*) AS n FROM gridVeg_survey_metadata WHERE year = 2023")
+      .head().getAs[Long]("n")
+    println(s"[demo] sql-over-catalog surveys_2023=$n tables=${wh.listTables().mkString(",")}")
     wh.exportCsv(gc, s"$root/out_groundcover")
     val exported = spark.read.option("header", "true")
       .csv(s"$root/out_groundcover").count()

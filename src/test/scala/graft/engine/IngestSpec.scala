@@ -53,6 +53,17 @@ class IngestSpec extends SparkSpec {
     assert(!backups.contains("_backups"))
   }
 
+  test("warehouse SQL surface: registerAll + spark.sql over table names") {
+    val root = java.nio.file.Files.createTempDirectory("whsql").toString
+    val wh = new Warehouse(spark, root)
+    wh.overwrite(Seq(("s1", 2023), ("s2", 2024)).toDF("survey_ID", "year"), "meta")
+    wh.registerAll()
+    assert(spark.catalog.tableExists("meta"))
+    val got = wh.sql("SELECT count(*) AS n FROM meta WHERE year > 2023")
+      .head().getAs[Long]("n")
+    assert(got == 1L)
+  }
+
   test("rename + reorder handles FileMaker-style column names") {
     val df = Seq(("u1", 5)).toDF("Survey Data::__kp_Survey", "Survey Data::_kf_Site")
     val out = Ingest.renameColumns(df,
