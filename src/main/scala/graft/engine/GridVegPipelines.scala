@@ -70,16 +70,24 @@ object GridVegPipelines {
   /** Species richness wrangle: union point-intercept detections with
     * supplemental observations (constant detection_type tags), drop
     * duplicate (survey, species) keys from the supplemental side ONLY,
-    * drop null species keys, join location metadata, filter years.
+    * then filter years and null species keys.
+    *
+    * Reference-faithful shape (gridVeg_species_richness_WRANGLE.ipynb):
+    * ALL foliar rows enter the union — there is NO intercepts_pct filter
+    * (the notebook's bind takes every point-intercept detection row), and
+    * the final output has NO location join (the notebook downloads
+    * location_position_classification but never joins it). Species 360 =
+    * "NV" (no vegetation) is excluded from the intercept side only
+    * (notebook cell: `filter(key_plant_species != 360)`).
+    *
+    * @param locationMeta opt-in extension: when given, left-join habitat
+    *        columns on grid_point (NOT part of the reference output).
     */
   def speciesRichness(foliarCover: DataFrame, additionalSpecies: DataFrame,
-                      locationMeta: DataFrame, minYear: Int = 2022,
-                      excludeSpecies: Int = 360): DataFrame = {
-    // species 360 = "NV" (no vegetation) is not a detection
-    // (gridVeg_species_richness_WRANGLE.ipynb:690)
+                      minYear: Int = 2022, excludeSpecies: Int = 360,
+                      locationMeta: Option[DataFrame] = None): DataFrame = {
     val fromIntercepts = foliarCover
-      .filter(col("intercepts_pct") > 0.0 &&
-        col("key_plant_species") =!= excludeSpecies)
+      .filter(col("key_plant_species") =!= excludeSpecies)
       .select(col("survey_ID"), col("grid_point"), col("year"),
         col("key_plant_species"))
       .withColumn("detection_type", lit("point_intercept"))
@@ -88,10 +96,10 @@ object GridVegPipelines {
       .select(col("survey_ID"), col("grid_point"), col("year"),
         col("key_plant_species"))
       .withColumn("detection_type", lit("supplemental_obs"))
-    Wrangle.unionPreferPrimary(fromIntercepts, fromSupplemental,
+    val unioned = Wrangle.unionPreferPrimary(fromIntercepts, fromSupplemental,
         Seq("survey_ID", "key_plant_species"))
-      .filter(col("key_plant_species").isNotNull)
-      .join(broadcast(locationMeta), Seq("grid_point"), "left")
-      .filter(col("year") > minYear)
+      .filter(col("year") > minYear && col("key_plant_species").isNotNull)
+    locationMeta.fold(unioned)(loc =>
+      unioned.join(broadcast(loc), Seq("grid_point"), "left"))
   }
 }

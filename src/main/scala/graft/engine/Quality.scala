@@ -34,10 +34,15 @@ object Quality {
                       dateCol: String, yearCol: String,
                       corrupt: Column): DataFrame = {
     val m = broadcast(meta.select(col(key), col(dateCol).as("__fix_date")))
-    val fixed = when(corrupt, col("__fix_date")).otherwise(col(dateCol))
+    // UPDATE…FROM semantics: only rows that are corrupt AND have a metadata
+    // match change; a corrupt row with no match keeps its original values
+    // (the reference's inner-join UPDATE never touches it)
+    val repaired = corrupt && col("__fix_date").isNotNull
     facts.join(m, Seq(key), "left")
-      .withColumn(dateCol, fixed)
-      .withColumn(yearCol, year(col(dateCol)))
+      .withColumn(yearCol,
+        when(repaired, year(col("__fix_date"))).otherwise(col(yearCol)))
+      .withColumn(dateCol,
+        when(repaired, col("__fix_date")).otherwise(col(dateCol)))
       .drop("__fix_date")
   }
 

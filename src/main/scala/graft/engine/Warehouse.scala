@@ -1,9 +1,12 @@
 package graft.engine
 
+import java.nio.charset.{CharacterCodingException, CodingErrorAction, StandardCharsets}
 import java.time.format.DateTimeFormatter
 import java.time.{ZoneOffset, ZonedDateTime}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType, StructType}
 
 /** Table registry over a parquet directory tree — the Spark stand-in for
   * the reference's BigQuery dataset (SURVEY.md §1.1): named tables,
@@ -12,14 +15,23 @@ import org.apache.spark.sql.types.StructType
   * src/point_intercepts_update.py:378-400), and CSV import/export at the
   * edges.
   *
+  * All catalog operations go through the Hadoop FileSystem API, so the
+  * same code works whether `root` is a local path, `file:`, `hdfs://` or
+  * an object store — the 100 TB deployment never touches `java.io.File`.
+  *
   * Layout: `<root>/<table>/` parquet dir per table;
   * `<root>/_backups/<table>/<utc-timestamp>/` per backup.
   */
 final class Warehouse(val spark: SparkSession, val root: String) {
   private def dir(name: String) = s"$root/$name"
 
-  def exists(name: String): Boolean =
-    new java.io.File(dir(name)).exists()
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  def exists(name: String): Boolean = {
+    val p = new Path(dir(name))
+    fs(p).exists(p)
+  }
 
   def read(name: String): DataFrame = spark.read.parquet(dir(name))
 
@@ -45,10 +57,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   /** S8: catalog listing (INFORMATION_SCHEMA.TABLES analogue). */
   def listTables(): Seq[String] = {
-    val f = new java.io.File(root)
-    Option(f.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(x => x.isDirectory && !x.getName.startsWith("_"))
-      .map(_.getName).sorted
+    val p = new Path(root)
+    val f = fs(p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).sorted
   }
 
   /** SQL surface: register every table as a temp view so `spark.sql`
@@ -61,7 +75,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def sql(query: String): DataFrame = spark.sql(query)
 
   /** S1-S4: CSV scan with declared schema; `encoding` covers the
-    * latin-1 fallback sources. */
+    * latin-1 sources. */
   def readCsv(path: String, schema: StructType,
               encoding: String = "UTF-8",
               dateFormat: String = "M/d/yy"): DataFrame =
@@ -72,9 +86,76 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .schema(schema)
       .csv(path)
 
-  /** S15: single-file CSV export (the wrangle outputs are small summary
-    * tables; coalesce(1) matches the reference's one-file write_csv). */
-  def exportCsv(df: DataFrame, path: String): Unit =
-    df.coalesce(1).write.option("header", "true")
+  /** S3: charset-fallback scan — try utf-8, fall back to latin-1, the
+    * reference's `except UnicodeDecodeError` pattern
+    * (notebooks/append_gridVeg_groundCover_intercepts.ipynb: utf-8 read,
+    * latin-1 retry). The sniff strictly decodes a bounded prefix of each
+    * file driver-side (latin-1 itself can never fail — every byte is
+    * valid — so the choice must be made by testing utf-8).
+    */
+  def readCsvWithFallback(path: String, schema: StructType,
+                          dateFormat: String = "M/d/yy"): DataFrame = {
+    val enc = if (decodesAsUtf8(path)) "UTF-8" else "ISO-8859-1"
+    readCsv(path, schema, enc, dateFormat)
+  }
+
+  private def decodesAsUtf8(path: String, sampleBytes: Int = 1 << 20): Boolean = {
+    val p = new Path(path)
+    val f = fs(p)
+    val files =
+      if (f.getFileStatus(p).isDirectory)
+        f.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+      else Seq(p)
+    files.forall { file =>
+      val in = f.open(file)
+      try {
+        val buf = new Array[Byte](sampleBytes)
+        var off = 0
+        var n = 0
+        while (off < sampleBytes && { n = in.read(buf, off, sampleBytes - off); n > 0 })
+          off += n
+        // a truncated sample may split a multi-byte sequence at the cut —
+        // drop up to 3 trailing continuation bytes before strict decode
+        var len = off
+        if (off == sampleBytes) {
+          var drop = 0
+          while (drop < 3 && len > 0 && (buf(len - 1) & 0xC0) == 0x80) {
+            len -= 1; drop += 1
+          }
+          if (len > 0 && (buf(len - 1) & 0x80) != 0 && (buf(len - 1) & 0xC0) != 0x80)
+            len -= 1
+        }
+        val dec = StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(CodingErrorAction.REPORT)
+          .onUnmappableCharacter(CodingErrorAction.REPORT)
+        try { dec.decode(java.nio.ByteBuffer.wrap(buf, 0, len)); true }
+        catch { case _: CharacterCodingException => false }
+      } finally in.close()
+    }
+  }
+
+  /** S15 + S12/P27: single-file CSV export with the reference's load-path
+    * formatting — whole-valued doubles render as ints ("8", not "8.0") and
+    * nulls as "" (update_gridVeg_point_intercepts.ipynb int-stringify +
+    * fillna("") before load). The wrangle outputs are small summary
+    * tables; coalesce(1) matches the reference's one-file write_csv. */
+  def exportCsv(df: DataFrame, path: String): Unit = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case DoubleType | FloatType =>
+          val c = col(f.name).cast(DoubleType)
+          when(c.isNull, lit(null).cast("string"))
+            .when(c === floor(c) && c.between(-1e15, 1e15),
+              c.cast("long").cast("string"))
+            .otherwise(c.cast("string"))
+            .as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*).coalesce(1).write
+      .option("header", "true")
+      .option("nullValue", "")
+      .option("emptyValue", "")
       .mode(SaveMode.Overwrite).csv(path)
+  }
 }

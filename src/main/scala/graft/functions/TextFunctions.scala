@@ -89,12 +89,15 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** Rolling-hash document fingerprint (winnowing-lite): murmur3 hash of
-    * each k-shingle, keep the `keep` smallest hashes as the document's
-    * signature set. Two documents sharing most fingerprints are near-dups;
-    * the signature is tiny and join-able at corpus scale.
+  /** Rolling-hash document fingerprint (winnowing-lite): hash each
+    * k-shingle, keep the `keep` smallest hashes as the document's signature
+    * set. Two documents sharing most fingerprints are near-dups; the
+    * signature is tiny and join-able at corpus scale. The hash is an md5
+    * prefix (not murmur3) so the signature is reproducible by any engine —
+    * the correctness oracle recomputes it in DuckDB byte-for-byte.
     */
   def fingerprints(text: Column, k: Int = 5, keep: Int = 8): Column =
     slice(array_sort(array_distinct(transform(
-      SignatureExpressions.wordShingles(text, k), s => hash(s)))), 1, keep)
+      SignatureExpressions.wordShingles(text, k),
+      s => substring(md5(s), 1, 8)))), 1, keep)
 }

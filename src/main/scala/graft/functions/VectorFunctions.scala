@@ -34,17 +34,10 @@ object VectorFunctions {
   /** Signed-random-projection bucket id: `nbits` seeded hyperplanes, one bit
     * per sign(dot(v, r_i)). Deterministic across runs (fixed seed) — the LSH
     * family behind [[graft.operators.Similarity]] bucketed ANN and
-    * embedding near-dup detection. Hyperplane literals are baked into the
-    * plan (nbits × dim doubles), so executors evaluate them with zero
-    * broadcast or shuffle.
+    * embedding near-dup detection. Backed by the scalar [[SrpBucketExpr]]
+    * with the plane matrix baked in: all nbits dots run as one tight JVM
+    * loop per row, with zero broadcast or shuffle.
     */
-  def srpBucket(v: Column, dim: Int, nbits: Int, seed: Long = 42L): Column = {
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(nbits, dim)(rng.nextGaussian())
-    val bitCols = planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit): _*)
-      when(dot(v, planeCol) >= 0.0, lit(1 << i)).otherwise(lit(0))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def srpBucket(v: Column, dim: Int, nbits: Int, seed: Long = 42L): Column =
+    SignatureExpressions.srpBucket(v, dim, nbits, seed)
 }

@@ -103,6 +103,11 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // pigeonhole over 4 bands of 16 bits guarantees recall only for
+    // distance <= 3; a larger radius would silently return a partial set
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simHashPairs: 4-band blocking guarantees recall only for " +
+        s"maxHamming <= 3, got $maxHamming")
     val sh = simHash(df, idCol, textCol)
     // literal index explode for the same InferFiltersFromGenerate reason as
     // in minHashLSH
@@ -157,11 +162,17 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: SRP-LSH bucketing then exact cosine ≥
-    * threshold within buckets. */
+    * threshold within buckets. The bucketed projection is repartitioned
+    * (CPU-bound stage; AQE would coalesce one parquet file to one task) and
+    * materialized ONCE with an eager localCheckpoint — a plain self-join
+    * would re-evaluate the whole scan+bucket pipeline on both sides. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                        threshold: Double = 0.95, nbits: Int = 12): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFunctions.srpBucket(col(vecCol), dim, nbits).as("bucket"))
+    val b = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        VectorFunctions.srpBucket(col(vecCol), dim, nbits).as("bucket"))
+      .localCheckpoint(true)
     val l = b.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
     val r = b.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))

@@ -113,6 +113,68 @@ object ScaleQueries {
     "q48_event_sliding" -> ((s, dir) =>
       graft.streaming.EventPipelines.slidingRate(Td(s, dir, "events"))),
 
+    // ── multimodal payload profile: binary columns synthesized
+    //    deterministically from documents (the sandbox has no codec libs;
+    //    the metadata-only profile pass needs none) ──
+    "q49_payload_profile" -> ((s, dir) => {
+      val media = Td(s, dir, "documents").select(
+        col("doc_id").as("asset_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        when(col("doc_id") % 17 === 0, lit(null).cast("binary"))
+          .otherwise(encode(col("text"), "UTF-8")).as("payload"))
+      graft.multimodal.Multimodal.payloadProfile(media)
+    }),
+
+    // ── planted-duplicate recall gates: exact copies (id + PLANT_OFFSET)
+    //    are injected, and the LSH pipelines must surface precisely the
+    //    original↔copy pairs — identical inputs collide in every band, so
+    //    recall on them is deterministic and the expected pair set is plain
+    //    SQL over the base table (the round bar for the signature family) ──
+    "q50_minhash_planted" -> ((s, dir) => {
+      val docs = Td(s, dir, "documents").select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.minHashLSH(docs.unionByName(copies), "doc_id", "text",
+          threshold = 0.9)
+        .filter(col("id_b") - col("id_a") === 1000000L)
+        .select("id_a", "id_b", "est_jaccard")
+    }),
+
+    "q51_simhash_planted" -> ((s, dir) => {
+      val docs = Td(s, dir, "documents").select("doc_id", "text")
+      val copies = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.simHashPairs(docs.unionByName(copies), "doc_id", "text",
+          maxHamming = 3)
+        .filter(col("id_b") - col("id_a") === 1000000L)
+        .select("id_a", "id_b", "hamming")
+    }),
+
+    // ── embedding near-dup recall on planted copies: NO id filtering —
+    //    the base corpus has no pairs above threshold (max cosine ≈ 0.51),
+    //    so the output must be exactly the planted pairs ──
+    "q52_embed_planted" -> ((s, dir) => {
+      val emb = Td(s, dir, "embeddings").select("vec_id", "embedding")
+      val copies = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDup(emb.unionByName(copies), "vec_id", "embedding",
+          dim = 64, threshold = 0.95)
+        .select("id_a", "id_b")
+    }),
+
+    // ── LSH ANN recall on planted probes: each probe is an exact copy of a
+    //    corpus vector, so its top-1 neighbor is forced ──
+    "q53_knn_planted" -> ((s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Similarity.lshTopK(emb, probes, "vec_id", "embedding", dim = 64, k = 1)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+    }),
+
     // ── sessionization via lag/cumsum windows (SQL-checked) ──
     "q42_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -133,7 +195,155 @@ object ScaleQueries {
     })
   )
 
+  /** DuckDB analogue of [[graft.functions.TextFunctions.tokens]] /
+    * [[graft.functions.ShinglesExpr]] tokenization: lowercase, split on
+    * non-alphanumeric runs, drop empties. */
+  private val tokSql =
+    """list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+      |             x -> x <> '')""".stripMargin
+
+  /** DuckDB word-k-shingle set over `toks` (distinct, whole text when the
+    * document is shorter than k tokens). */
+  private def shinglesSql(k: Int): String =
+    s"""CASE WHEN len(toks) < $k THEN [array_to_string(toks, ' ')]
+       |     ELSE list_distinct([array_to_string(toks[i:i+${k - 1}], ' ')
+       |                         for i in range(1, len(toks) - ${k - 2})])
+       |END""".stripMargin
+
+  private val stopSql: Map[String, String] =
+    graft.functions.TextFunctions.stopwords.map { case (lang, ws) =>
+      lang -> ws.map(w => s"'$w'").mkString("[", ",", "]")
+    }
+
   val oracleSql: Map[String, String] = Map(
+    "q32_ngram_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM tok),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |          AS jaccard
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3""".stripMargin,
+
+    "q33_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       list_cosine_similarity(a.v, b.v) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+
+    "q34_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |        list_cosine_similarity(qv, cv) AS cosine
+        |      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "q38_lang_id" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $tokSql AS toks FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  len(list_filter(toks, t -> list_contains(${stopSql("de")}, t))) AS h_de,
+         |  len(list_filter(toks, t -> list_contains(${stopSql("en")}, t))) AS h_en,
+         |  len(list_filter(toks, t -> list_contains(${stopSql("es")}, t))) AS h_es,
+         |  len(list_filter(toks, t -> list_contains(${stopSql("fr")}, t))) AS h_fr,
+         |  len(list_filter(toks, t -> list_contains(${stopSql("zh")}, t))) AS h_zh
+         |  FROM tok)
+         |SELECT doc_id, lang,
+         |  CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+         |       WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+         |       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+         |       WHEN h_es = greatest(h_de, h_en, h_es) THEN 'es'
+         |       WHEN h_en = greatest(h_de, h_en) THEN 'en'
+         |       ELSE 'de' END AS lang_pred
+         |FROM h""".stripMargin,
+
+    "q39_quality_score" ->
+      s"""WITH tok AS (SELECT doc_id, text, $tokSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  CAST(len(toks) AS DOUBLE) AS n_toks,
+         |  CAST(length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g'))
+         |    AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(toks, t -> list_contains(${stopSql("en")}, t)))
+         |    AS DOUBLE) AS hits_en,
+         |  list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+         |    AS tok_len_sum
+         |  FROM tok),
+         |s AS (SELECT doc_id,
+         |  least(n_chars / 200.0, 1.0) AS len_score,
+         |  greatest(0.0, 1.0 - (CASE WHEN n_chars = 0 THEN 1.0
+         |    ELSE punct / n_chars END) * 5) AS punct_score,
+         |  least((CASE WHEN n_toks = 0 THEN 0.0
+         |    ELSE hits_en / n_toks END) * 4, 1.0) AS stop_score,
+         |  CASE WHEN (CASE WHEN n_toks = 0 THEN 0.0
+         |    ELSE coalesce(tok_len_sum, 0.0) / n_toks END) BETWEEN 3.0 AND 8.0
+         |    THEN 1.0 ELSE 0.5 END AS tok_len_score
+         |  FROM m)
+         |SELECT doc_id,
+         |  round(len_score * 0.3 + punct_score * 0.3 + stop_score * 0.2 +
+         |        tok_len_score * 0.2, 6) AS quality
+         |FROM s""".stripMargin,
+
+    "q40_fingerprints" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql(5)} AS s FROM tok)
+         |SELECT doc_id,
+         |  array_to_string(
+         |    list_sort(list_distinct(
+         |      list_transform(s, x -> substr(md5(x), 1, 8))))[1:8],
+         |    ',') AS fp_join
+         |FROM sh""".stripMargin,
+
+    "q48_event_sliding" ->
+      """SELECT date_trunc('minute', CAST(ts AS TIMESTAMP))
+        |         - k * INTERVAL 1 MINUTE AS win_start,
+        |       COUNT(*) AS n
+        |FROM events CROSS JOIN UNNEST([0, 1, 2, 3, 4]) AS t(k)
+        |GROUP BY 1""".stripMargin,
+
+    "q49_payload_profile" ->
+      """WITH media AS (
+        |  SELECT doc_id AS asset_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    CASE WHEN doc_id % 17 = 0 THEN NULL
+        |         ELSE encode(text) END AS payload
+        |  FROM documents)
+        |SELECT media_type, COUNT(*) AS n_assets,
+        |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(octet_length(payload)) AS DOUBLE) / COUNT(payload)
+        |    AS avg_bytes,
+        |  COUNT(*) FILTER (payload IS NULL) AS n_null_payloads
+        |FROM media GROUP BY media_type""".stripMargin,
+
+    "q50_minhash_planted" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |       CAST(1.0 AS DOUBLE) AS est_jaccard
+        |FROM documents WHERE doc_id % 20 = 0""".stripMargin,
+
+    "q51_simhash_planted" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+        |       CAST(0 AS INT) AS hamming
+        |FROM documents WHERE doc_id % 20 = 0""".stripMargin,
+
+    "q52_embed_planted" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+
+    "q53_knn_planted" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+
     "q29_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -70,23 +70,51 @@ class GridVegPipelinesSpec extends SparkSpec {
     assert(s1per.getAs[Double]("detection_rate") == 12.5)
   }
 
-  test("speciesRichness: union, supplemental-only dedup, location join") {
+  test("speciesRichness: union, supplemental-only dedup, reference shape") {
     val addSpec = Seq(
       ("s1", 10, d("2023-06-01"), 2023, Some(101)), // dup with point-intercept → dropped
       ("s1", 10, d("2023-06-01"), 2023, Some(103)), // unique supplemental → kept
       ("s1", 10, d("2023-06-01"), 2023, None)       // null species → dropped
     ).toDF("survey_ID", "grid_point", "date", "year", "key_plant_species")
-    val loc = Seq((10, "floodplain")).toDF("grid_point", "habitat")
 
-    val out = GridVegPipelines.speciesRichness(foliar, addSpec, loc)
+    val out = GridVegPipelines.speciesRichness(foliar, addSpec)
+    // reference output columns: no location join (the notebook downloads
+    // the location table but the final bind never joins it)
+    assert(out.columns.toSeq == Seq("survey_ID", "grid_point", "year",
+      "key_plant_species", "detection_type"))
     val s1 = out.filter($"survey_ID" === "s1").collect()
     val bySpecies = s1.groupBy(_.getAs[Int]("key_plant_species"))
     // dup key (s1,101): supplemental copy dropped, point-intercept kept
     assert(bySpecies(101).length == 1 &&
       bySpecies(101).head.getAs[String]("detection_type") == "point_intercept")
     assert(bySpecies(103).head.getAs[String]("detection_type") == "supplemental_obs")
-    assert(s1.forall(_.getAs[String]("habitat") == "floodplain"))
     // richness for s1: {101, 102, 103} (null species row dropped)
     assert(s1.length == 3)
+  }
+
+  test("speciesRichness: ALL foliar rows enter the union (no pct filter)") {
+    // the notebook's bind cell unions every point-intercept row —
+    // 28,083 + 13,662 → 42,121-shaped, with no intercepts_pct > 0 filter;
+    // a zero-pct detection row must survive into the output
+    val foliarZero = foliar.union(Seq(
+      ("s1", 10, 2023, 104, "ELGL", "native", "perennial", "graminoid", 0.0)
+    ).toDF(foliar.columns: _*))
+    val addSpec = Seq.empty[(String, Int, Int, Option[Int])]
+      .toDF("survey_ID", "grid_point", "year", "key_plant_species")
+    val out = GridVegPipelines.speciesRichness(foliarZero, addSpec)
+    val s1 = out.filter($"survey_ID" === "s1").collect()
+    // {101, 102, 104} — zero-pct row kept, NV (360) still excluded
+    assert(s1.map(_.getAs[Int]("key_plant_species")).sorted.toSeq ==
+      Seq(101, 102, 104))
+  }
+
+  test("speciesRichness: opt-in location join extension") {
+    val addSpec = Seq(("s1", 10, d("2023-06-01"), 2023, Some(103)))
+      .toDF("survey_ID", "grid_point", "date", "year", "key_plant_species")
+    val loc = Seq((10, "floodplain")).toDF("grid_point", "habitat")
+    val out = GridVegPipelines.speciesRichness(foliar, addSpec,
+      locationMeta = Some(loc))
+    val s1 = out.filter($"survey_ID" === "s1").collect()
+    assert(s1.nonEmpty && s1.forall(_.getAs[String]("habitat") == "floodplain"))
   }
 }
