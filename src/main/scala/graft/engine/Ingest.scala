@@ -54,6 +54,22 @@ object Ingest {
       incoming.join(existingKeys, keys, "left_semi"))
   }
 
+  /** S16: the whole incremental-append computation — key split, duplicate
+    * report, reconciliation preview — with NO mutation: no backup, no
+    * append (the reference's preview-before-load pattern,
+    * src/additional_species_update.py:139-183: full transform + validation
+    * + summary, write commented out). The report is exactly what
+    * [[incrementalAppend]] would produce for the same inputs. */
+  def dryRun(wh: Warehouse, table: String, incoming: DataFrame,
+             keys: Seq[String]): AppendReport = {
+    val existing = wh.read(table)
+    val nExisting = existing.count()
+    val nIncoming = incoming.count()
+    val (newRows, dupRows) = splitNewVsDuplicate(incoming, existing, keys)
+    val nNew = newRows.count()
+    AppendReport(nIncoming, nExisting, nNew, dupRows.count(), nExisting + nNew)
+  }
+
   /** The whole §3.1 pipeline tail: anti-join append with backup and
     * row-count reconciliation. Idempotent: a second run with the same
     * incoming batch appends 0 rows. */

@@ -46,6 +46,40 @@ object Quality {
       .drop("__fix_date")
   }
 
+  /** The complete cross-table date-diagnostic report of
+    * src/analyze_gridveg_dates_pattern.py:32-91 as ONE composed pipeline:
+    * DISTINCT (key, date) projections of four tables, a 3-way left join
+    * onto the fact side, the Future-Date / Date-Mismatch / Match CASE
+    * (nulls fall through to 'Match', matching BigQuery CASE semantics),
+    * a COUNT OVER (PARTITION BY status) population size, and the custom
+    * status collation + date sort.
+    *
+    * The three date sides are DISTINCT-projected dimensions of the fact
+    * key — at scale they shuffle once on the key (or broadcast when small),
+    * and the status window partitions on 3 values, so each status count is
+    * a partial-aggregated exchange, not a sort of the whole fact table.
+    */
+  def dateDiagnostics(facts: DataFrame, meta: DataFrame, intercepts: DataFrame,
+                      ground: DataFrame, key: String, dateCol: String,
+                      futureCutoff: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dd(df: DataFrame, as: String) =
+      df.select(col(key), col(dateCol).as(as)).distinct()
+    val joined = dd(facts, "species_date")
+      .join(dd(meta, "metadata_date"), Seq(key), "left")
+      .join(dd(intercepts, "intercept_date"), Seq(key), "left")
+      .join(dd(ground, "ground_date"), Seq(key), "left")
+    val status = when(col("species_date") > lit(futureCutoff), "Future Date")
+      .when(col("species_date") =!= col("metadata_date"), "Date Mismatch")
+      .otherwise("Match")
+    val collation = when(col("status") === "Future Date", 1)
+      .when(col("status") === "Date Mismatch", 2).otherwise(3)
+    joined.withColumn("status", status)
+      .withColumn("category_count",
+        count(lit(1)).over(Window.partitionBy(col("status"))))
+      .orderBy(collation, col("species_date"))
+  }
+
   /** The diagnostic CASE-status + COUNT OVER (PARTITION BY status) report
     * (src/analyze_gridveg_dates_pattern.py:68-90): attach a status class and
     * its population size to each row, sorted by a custom collation.

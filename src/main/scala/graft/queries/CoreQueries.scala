@@ -296,6 +296,25 @@ object CoreQueries {
           ($"n".cast("double") * 100) /
             sum($"n").over(Window.partitionBy(lit(1))).cast("double"))
         .select($"o_orderstatus", $"n", $"pct_of_total")
+    }),
+
+    // ── the composed date-diagnostic pipeline (J2+W1+P25+O2 together;
+    //    src/analyze_gridveg_dates_pattern.py:32-91): orders play the fact
+    //    side; lineitem line numbers 1-3 play the three dimension date
+    //    sides, so orders with < 3 lines exercise the null-join branches ──
+    "q54_date_diagnostics" -> ((s, dir) => {
+      import s.implicits._
+      val li = Td(s, dir, "lineitem")
+        .select($"l_orderkey".as("survey_ID"), $"l_shipdate".as("date"),
+          $"l_linenumber")
+      val facts = Td(s, dir, "orders")
+        .select($"o_orderkey".as("survey_ID"), $"o_orderdate".as("date"))
+      graft.engine.Quality.dateDiagnostics(
+        facts,
+        li.filter($"l_linenumber" === 1),
+        li.filter($"l_linenumber" === 2),
+        li.filter($"l_linenumber" === 3),
+        key = "survey_ID", dateCol = "date", futureCutoff = "1997-12-31")
     })
   )
 
@@ -498,6 +517,31 @@ object CoreQueries {
     "q28_status_report" ->
       """SELECT o_orderstatus, n,
         | (CAST(n AS DOUBLE) * 100) / CAST(SUM(n) OVER () AS DOUBLE) AS pct_of_total
-        |FROM (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus) t""".stripMargin
+        |FROM (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus) t""".stripMargin,
+
+    "q54_date_diagnostics" ->
+      """WITH a AS (SELECT DISTINCT o_orderkey AS "survey_ID",
+        |                  o_orderdate AS species_date FROM orders),
+        |m AS (SELECT DISTINCT l_orderkey AS "survey_ID",
+        |      l_shipdate AS metadata_date FROM lineitem WHERE l_linenumber = 1),
+        |p AS (SELECT DISTINCT l_orderkey AS "survey_ID",
+        |      l_shipdate AS intercept_date FROM lineitem WHERE l_linenumber = 2),
+        |g AS (SELECT DISTINCT l_orderkey AS "survey_ID",
+        |      l_shipdate AS ground_date FROM lineitem WHERE l_linenumber = 3)
+        |SELECT a."survey_ID", a.species_date, m.metadata_date,
+        |       p.intercept_date, g.ground_date,
+        |  CASE WHEN a.species_date > TIMESTAMP '1997-12-31 00:00:00'
+        |         THEN 'Future Date'
+        |       WHEN a.species_date != m.metadata_date THEN 'Date Mismatch'
+        |       ELSE 'Match' END AS status,
+        |  COUNT(*) OVER (PARTITION BY
+        |    CASE WHEN a.species_date > TIMESTAMP '1997-12-31 00:00:00'
+        |           THEN 'Future Date'
+        |         WHEN a.species_date != m.metadata_date THEN 'Date Mismatch'
+        |         ELSE 'Match' END) AS category_count
+        |FROM a
+        |LEFT JOIN m USING ("survey_ID")
+        |LEFT JOIN p USING ("survey_ID")
+        |LEFT JOIN g USING ("survey_ID")""".stripMargin
   )
 }

@@ -79,6 +79,59 @@ class IngestSpec extends SparkSpec {
     assert(diff.exists(_.contains("unexpected column: key_plant_species")))
   }
 
+  test("dryRun reports what incrementalAppend would do, without mutating") {
+    val root = Files.createTempDirectory("whdry").toString
+    val wh = new Warehouse(spark, root)
+    wh.overwrite(Seq(("A", 1), ("B", 2)).toDF("survey_ID", "v"), "t")
+    val incoming = Seq(("B", 2), ("C", 3), ("D", 4)).toDF("survey_ID", "v")
+
+    val preview = Ingest.dryRun(wh, "t", incoming, Seq("survey_ID"))
+    assert(preview.incoming == 3 && preview.appended == 2 &&
+      preview.duplicates == 1 && preview.totalAfter == 4)
+    assert(preview.reconciled)
+    // nothing written: table still has 2 rows, no backups dir created
+    assert(wh.read("t").count() == 2)
+    assert(!new java.io.File(s"$root/_backups").exists())
+
+    // the real append then produces exactly the previewed report
+    val real = Ingest.incrementalAppend(wh, "t", incoming, Seq("survey_ID"))
+    assert(real.appended == preview.appended &&
+      real.duplicates == preview.duplicates &&
+      real.totalAfter == preview.totalAfter)
+  }
+
+  test("charset fallback: clean utf-8 kept, invalid utf-8 re-read as latin-1") {
+    val root = Files.createTempDirectory("whenc").toString
+    val wh = new Warehouse(spark, root)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    // utf-8 file: é is two bytes (0xC3 0xA9)
+    Files.write(java.nio.file.Paths.get(s"$root/u.csv"),
+      "name\nrosé\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // latin-1 file: é is one byte (0xE9) — invalid as utf-8
+    Files.write(java.nio.file.Paths.get(s"$root/l.csv"),
+      "name\nrosé\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(wh.readCsvWithFallback(s"$root/u.csv", schema)
+      .head().getString(0) == "rosé")
+    assert(wh.readCsvWithFallback(s"$root/l.csv", schema)
+      .head().getString(0) == "rosé")
+  }
+
+  test("exportCsv: whole doubles render as ints, nulls as empty string") {
+    val root = Files.createTempDirectory("whexp").toString
+    val wh = new Warehouse(spark, root)
+    val df = Seq((1, Some(8.0), Some("x")), (2, Some(2.5), None),
+      (3, None: Option[Double], Some("z")))
+      .toDF("id", "pct", "tag")
+    wh.exportCsv(df, s"$root/out")
+    val lines = new java.io.File(s"$root/out").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toList)
+      .sorted.toSeq
+    assert(lines == Seq("1,8,x", "2,2.5,", "3,,z", "id,pct,tag"))
+  }
+
   test("warehouse CSV round-trip with latin-1 and date format") {
     val root = Files.createTempDirectory("whcsv").toString
     val csvDir = s"$root/in"

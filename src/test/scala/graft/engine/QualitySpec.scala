@@ -29,6 +29,43 @@ class QualitySpec extends SparkSpec {
     assert(byId("s3") == ("2011-05-05", 2011))
   }
 
+  test("repairDatesFrom leaves corrupt rows with no metadata match untouched") {
+    val facts = Seq(
+      ("s1", d("2031-08-16"), 2031), // corrupt, matched → repaired
+      ("s9", d("2030-01-01"), 2030)  // corrupt, NO metadata row → untouched
+    ).toDF("survey_ID", "date", "year")
+    val meta = Seq(("s1", d("2016-08-31"))).toDF("survey_ID", "date")
+    val out = Quality.repairDatesFrom(facts, meta, "survey_ID", "date", "year",
+      corrupt = col("date") > lit(d("2024-12-31")))
+    val byId = out.collect().map(r =>
+      r.getAs[String]("survey_ID") ->
+        (r.getAs[java.sql.Date]("date").toString, r.getAs[Int]("year"))).toMap
+    assert(byId("s1") == ("2016-08-31", 2016))
+    assert(byId("s9") == ("2030-01-01", 2030)) // UPDATE…FROM never saw it
+  }
+
+  test("dateDiagnostics: status classes, populations, collation order") {
+    val facts = Seq(("s1", d("2031-01-01")), ("s2", d("2023-06-02")),
+      ("s3", d("2023-07-01")), ("s4", d("2023-08-01"))
+    ).toDF("survey_ID", "date")
+    val meta = Seq(("s1", d("2016-08-31")), ("s2", d("2023-06-01")),
+      ("s3", d("2023-07-01"))).toDF("survey_ID", "date")
+    val other = Seq(("s1", d("2016-08-31"))).toDF("survey_ID", "date")
+
+    val out = Quality.dateDiagnostics(facts, meta, other, other,
+      key = "survey_ID", dateCol = "date", futureCutoff = "2024-12-31")
+    val rows = out.collect()
+    val byId = rows.map(r => r.getAs[String]("survey_ID") ->
+      (r.getAs[String]("status"), r.getAs[Long]("category_count"))).toMap
+    assert(byId("s1") == ("Future Date", 1L))
+    assert(byId("s2") == ("Date Mismatch", 1L))
+    assert(byId("s3") == ("Match", 2L))  // equal dates
+    assert(byId("s4") == ("Match", 2L))  // null metadata falls through
+    // collation: Future Date first, Match family last
+    assert(rows.head.getAs[String]("status") == "Future Date")
+    assert(rows.last.getAs[String]("status") == "Match")
+  }
+
   test("null profile and dropNullRows") {
     val df = Seq((Some("a"), Some(1)), (None, Some(2)), (Some("c"), None))
       .toDF("k", "v")
