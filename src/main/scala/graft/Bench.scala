@@ -18,6 +18,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm JVM/codegen/parquet paths so the alphabetically-first query
+    // isn't charged several seconds of session startup
+    try {
+      spark.range(1000).selectExpr("sum(id) AS s")
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.functions._
+
+/** SQL surface for the engine's custom Catalyst expressions: registers
+  * each one as a native SQL function, so `spark.sql` users get the same
+  * scalar signature operators as the DataFrame API — the
+  * `SparkSessionExtensions` integration tier of the operator ladder.
+  *
+  * Activate per session via config
+  * `spark.sql.extensions=graft.GraftExtensions`, or on an already-running
+  * session with [[GraftFunctions.register]].
+  *
+  * {{{
+  *   SELECT minhash_from_text(text, 3, 64, 42) FROM documents
+  *   SELECT srp_bucket(embedding, 64, 12)      FROM embeddings
+  *   SELECT sig_agreement(a.sig, b.sig), dot_f(a.v, b.v), simhash64(toks)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  /** Shape/seed parameters must be foldable — they are baked into the
+    * expression (plane matrices, hash coefficients) at plan time. */
+  private def intArg(e: Expression, fn: String, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument <$name> must be an integer literal")
+  }
+
+  private def longArg(e: Expression, fn: String, name: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument <$name> must be an integer literal")
+  }
+
+  private def fn(name: String, usage: String)(
+      builder: Seq[Expression] => Expression)
+    : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    // usage is kept for the source reader; ExpressionInfo's richer
+    // constructors validate doc formats we don't need
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", null, name),
+      builder)
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+
+    fn("minhash_from_text",
+      "minhash_from_text(text[, k, num_hashes, seed]) - MinHash signature " +
+        "(array<bigint>) of the word-k-shingle set of text.") {
+      case Seq(t) => MinHashFromTextExpr(t, 3, 64, 42L)
+      case Seq(t, k) => MinHashFromTextExpr(t,
+        intArg(k, "minhash_from_text", "k"), 64, 42L)
+      case Seq(t, k, n) => MinHashFromTextExpr(t,
+        intArg(k, "minhash_from_text", "k"),
+        intArg(n, "minhash_from_text", "num_hashes"), 42L)
+      case Seq(t, k, n, s) => MinHashFromTextExpr(t,
+        intArg(k, "minhash_from_text", "k"),
+        intArg(n, "minhash_from_text", "num_hashes"),
+        longArg(s, "minhash_from_text", "seed"))
+      case args => throw new IllegalArgumentException(
+        s"minhash_from_text expects 1-4 arguments, got ${args.length}")
+    },
+
+    fn("word_shingles",
+      "word_shingles(text[, k]) - distinct word k-shingles of text.") {
+      case Seq(t) => ShinglesExpr(t, 3)
+      case Seq(t, k) => ShinglesExpr(t, intArg(k, "word_shingles", "k"))
+      case args => throw new IllegalArgumentException(
+        s"word_shingles expects 1-2 arguments, got ${args.length}")
+    },
+
+    fn("simhash64",
+      "simhash64(tokens) - 64-bit SimHash of a string array.") {
+      case Seq(t) => SimHashExpr(t)
+      case args => throw new IllegalArgumentException(
+        s"simhash64 expects 1 argument, got ${args.length}")
+    },
+
+    fn("sig_agreement",
+      "sig_agreement(sig_a, sig_b) - fraction of agreeing positions of two " +
+        "equal-length bigint-array signatures (MinHash Jaccard estimator).") {
+      case Seq(a, b) => SigAgreementExpr(a, b)
+      case args => throw new IllegalArgumentException(
+        s"sig_agreement expects 2 arguments, got ${args.length}")
+    },
+
+    fn("dot_f",
+      "dot_f(a, b) - dot product of two numeric arrays in double precision.") {
+      case Seq(a, b) => DotProductExpr(a, b)
+      case args => throw new IllegalArgumentException(
+        s"dot_f expects 2 arguments, got ${args.length}")
+    },
+
+    fn("srp_bucket",
+      "srp_bucket(vec, dim, nbits[, seed]) - signed-random-projection LSH " +
+        "bucket id of an embedding.") {
+      case Seq(v, d, n) => SrpBucketExpr(v, intArg(d, "srp_bucket", "dim"),
+        intArg(n, "srp_bucket", "nbits"), 42L)
+      case Seq(v, d, n, s) => SrpBucketExpr(v, intArg(d, "srp_bucket", "dim"),
+        intArg(n, "srp_bucket", "nbits"), longArg(s, "srp_bucket", "seed"))
+      case args => throw new IllegalArgumentException(
+        s"srp_bucket expects 3-4 arguments, got ${args.length}")
+    }
+  )
+
+  /** Register every function on an already-running session (the extensions
+    * path only applies at session construction). */
+  def register(spark: SparkSession): Unit = all.foreach {
+    case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

@@ -65,6 +65,25 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n"),
           countDistinct(size($"embedding")).as("n_dims_distinct"),
           min($"vec_id").as("min_id"), max($"vec_id").as("max_id"))
+    }),
+
+    // ── A10 describe/summary: per-group count/mean/stddev/min/max with the
+    //    engine-deterministic stddev (exact decimal sums of x and x², one
+    //    double evaluation at the end — the engines' native STDDEV
+    //    accumulates in float order and would never hash-match) ──
+    "q55_summary_stats" -> ((s, dir) => {
+      import s.implicits._
+      val x = $"o_totalprice".cast(D)
+      val n = count(lit(1))
+      val sx = sum(x).cast("double")
+      val sxx = sum(x * x).cast("double")
+      Td(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(n.as("n"),
+          (sx / n).as("mean_price"),
+          sqrt((sxx - sx * sx / n) / (n - lit(1))).as("std_price"),
+          min($"o_totalprice").as("min_price"),
+          max($"o_totalprice").as("max_price"))
     })
   )
 
@@ -99,6 +118,20 @@ object ExtendedQueries {
       """SELECT label, COUNT(*) AS n,
         | COUNT(DISTINCT len(embedding)) AS n_dims_distinct,
         | min(vec_id) AS min_id, max(vec_id) AS max_id
-        |FROM embeddings GROUP BY label""".stripMargin
+        |FROM embeddings GROUP BY label""".stripMargin,
+
+    "q55_summary_stats" ->
+      """WITH t AS (SELECT o_orderstatus, o_totalprice,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS x FROM orders),
+        |a AS (SELECT o_orderstatus, COUNT(*) AS n,
+        |        CAST(SUM(x) AS DOUBLE) AS sx,
+        |        CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |        min(o_totalprice) AS min_price,
+        |        max(o_totalprice) AS max_price
+        |      FROM t GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n, sx / n AS mean_price,
+        |       sqrt((sxx - sx * sx / n) / (n - 1)) AS std_price,
+        |       min_price, max_price
+        |FROM a""".stripMargin
   )
 }

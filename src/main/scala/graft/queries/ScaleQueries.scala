@@ -175,6 +175,16 @@ object ScaleQueries {
         .select("query_id", "neighbor_id")
     }),
 
+    // ── streaming exact-dedup batch twin: planted full-row duplicate
+    //    events must collapse back to the base table (the copies are
+    //    byte-identical, so which row survives is immaterial) ──
+    "q56_stream_dedup" -> ((s, dir) => {
+      val ev = Td(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val planted = ev.filter(col("event_id") % 50 === 0)
+      graft.streaming.EventPipelines.dedupEvents(ev.unionByName(planted))
+    }),
+
     // ── sessionization via lag/cumsum windows (SQL-checked) ──
     "q42_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -343,6 +353,11 @@ object ScaleQueries {
     "q53_knn_planted" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+
+    "q56_stream_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+        |       value
+        |FROM events""".stripMargin,
 
     "q29_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies

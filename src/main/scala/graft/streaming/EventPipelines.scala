@@ -40,6 +40,21 @@ object EventPipelines {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("n"))
 
+  /** Streaming exact dedup: drops rows whose key reappears within the
+    * watermark horizon — the streaming twin of [[graft.operators.Dedup]]
+    * exact dedup for an append-only event stream. State is bounded: keys
+    * older than the watermark expire, so the operator runs indefinitely at
+    * any volume. Spark rejects dropDuplicatesWithinWatermark on batch
+    * plans, so the batch path of the same API is a plain key dedup — one
+    * entry point serves both modes, like the other pipelines here.
+    */
+  def dedupEvents(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+                  watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
   /** Custom stateful sessionization with flatMapGroupsWithState: a session
     * closes after `gapSeconds` of user inactivity (processing-time timeout
     * flushes stragglers). The streaming twin of the batch lag/cumsum

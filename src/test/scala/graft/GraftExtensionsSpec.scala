@@ -1,0 +1,63 @@
+package graft
+
+import graft.SparkSpec
+import graft.functions.{SignatureExpressions, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+/** The SQL function surface must agree exactly with the Column API — both
+  * routes build the same Catalyst expressions. */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text about spark engines")
+  ).toDF("id", "text")
+
+  test("minhash_from_text / word_shingles / simhash64 via SQL match the Column API") {
+    docs.createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT id, minhash_from_text(text, 3, 64, 42) AS sig,
+        |       word_shingles(text, 3) AS sh,
+        |       simhash64(split(lower(text), ' ')) AS sim
+        |FROM docs_sql""".stripMargin)
+    val viaCol = docs.select($"id",
+      SignatureExpressions.minhashFromText($"text", 3, 64, 42L).as("sig"),
+      SignatureExpressions.wordShingles($"text", 3).as("sh"),
+      SignatureExpressions.simhash64(split(lower($"text"), " ")).as("sim"))
+    assert(viaSql.collect().map(_.toSeq).toSet ==
+      viaCol.collect().map(_.toSeq).toSet)
+  }
+
+  test("sig_agreement + dot_f + srp_bucket via SQL match the Column API") {
+    val vecs = Seq((1L, Array(1.0f, 0.0f, 2.0f)), (2L, Array(0.5f, 1.0f, -1.0f)))
+      .toDF("id", "v")
+    vecs.createOrReplaceTempView("vecs_sql")
+    val viaSql = spark.sql(
+      """SELECT a.id AS ia, b.id AS ib,
+        |       dot_f(a.v, b.v) AS d,
+        |       srp_bucket(a.v, 3, 8) AS bucket,
+        |       sig_agreement(minhash_from_text('a b c', 3, 16, 1),
+        |                     minhash_from_text('a b c', 3, 16, 1)) AS agree
+        |FROM vecs_sql a JOIN vecs_sql b ON a.id < b.id""".stripMargin)
+    val row = viaSql.head()
+    assert(row.getAs[Double]("d") == (1.0 * 0.5 + 0.0 * 1.0 + 2.0 * -1.0))
+    assert(row.getAs[Double]("agree") == 1.0)
+    val colBucket = vecs.filter($"id" === 1)
+      .select(VectorFunctions.srpBucket($"v", 3, 8).as("b"))
+      .head().getAs[Int]("b")
+    assert(row.getAs[Int]("bucket") == colBucket)
+  }
+
+  test("non-literal shape parameters are rejected with a clear error") {
+    docs.createOrReplaceTempView("docs_sql2")
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_from_text(text, id, 64, 42) FROM docs_sql2")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}

@@ -37,6 +37,24 @@ class EventPipelinesSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming dedup drops re-deliveries within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(sample)
+    stream.addData(Seq(sample(0), sample(2))) // re-delivered duplicates
+    val q = EventPipelines.dedupEvents(stream.toDF(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dd_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L)) // each event exactly once
+    // batch twin: same call deduplicates a plain DataFrame
+    val batch = EventPipelines.dedupEvents((sample ++ sample).toDF())
+    assert(batch.count() == 5)
+  }
+
   test("stateful sessionize closes sessions on gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
