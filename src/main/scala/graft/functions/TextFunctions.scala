@@ -77,6 +77,26 @@ object TextFunctions {
     round(lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + tokLenScore * 0.2, 6)
   }
 
+  /** Text normalization for dedup/training prep: lowercase, control chars
+    * → space, whitespace runs collapsed, trimmed. Pure codegen'd string
+    * functions; the character classes are ASCII-defined in both Java and
+    * RE2 regex dialects, so oracles can recompute it byte-for-byte.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\p{Cntrl}]", " "), "\\s+", " "))
+
+  /** PII masking: email addresses → [EMAIL], phone-shaped digit runs →
+    * [PHONE]. Patterns avoid lookaround/backreferences so they behave
+    * identically under Java's backtracking and RE2's leftmost-longest
+    * matching (Spark, DuckDB, Flink all agree).
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+    regexp_replace(regexp_replace(text, email, "[EMAIL]"), phone, "[PHONE]")
+  }
+
   /** Word k-shingles (k consecutive tokens joined by a space). Texts with
     * fewer than k tokens yield a single shingle of the whole text so every
     * document lands in some bucket.

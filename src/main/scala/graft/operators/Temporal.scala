@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively, composed from shuffle-once
+  * primitives (the "(a) compose existing ops" tier — no custom physical
+  * plan needed, and Catalyst keeps optimizing around them).
+  */
+object Temporal {
+
+  /** As-of join: for every left row, attach the value columns of the most
+    * recent right row with the same key and `rightTime <= leftTime`
+    * (inclusive). Left rows with no prior right row get nulls.
+    *
+    * Implementation is the union-window trick: tag sides, union, and run
+    * `last(value, ignoreNulls)` over a (key)-partitioned window ordered by
+    * (time, side) — right rows sort before left rows at equal timestamps,
+    * which gives the inclusive bound. ONE shuffle on the key (the same
+    * exchange a plain equi-join would pay) and no range explosion, so it
+    * scales to arbitrarily large fact/quote tables; per-key state is a
+    * sort, which Spark spills if a key is enormous.
+    *
+    * Right (key, time) pairs should be unique (pre-aggregate otherwise);
+    * with duplicates the attached values follow the window order within
+    * the tie, which is nondeterministic.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+               valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "asofJoin: valueCols must be non-empty")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(valueCols.contains),
+      s"asofJoin: value columns ${valueCols.mkString(",")} collide with left")
+    // align schemas: left rows carry null values, right rows carry null
+    // left-payload; __side orders right (0) before left (1) at equal time
+    val l = left.withColumn("__side", lit(1))
+      .withColumns(valueCols.map(c => c -> lit(null)).toMap)
+    val r0 = right.select((Seq(key, time) ++ valueCols).map(col): _*)
+      .withColumn("__side", lit(0))
+    val r = leftCols.filterNot(Seq(key, time).contains)
+      .foldLeft(r0)((df, c) => df.withColumn(c, lit(null)))
+      .select(l.columns.map(col).toSeq: _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(l.unionByName(r))((df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
+  /** Range join: all (point, interval) pairs with
+    * `start <= point <= end` (inclusive), without an equi key.
+    *
+    * A naive formulation is a broadcast-nested-loop / cartesian — the
+    * classic scale-killer. This one bins time into `binSeconds` buckets:
+    * each point maps to ONE bin, each interval explodes to the bins it
+    * covers, and the join becomes an equi-join on the bin id followed by
+    * the exact range filter. Shuffle volume ∝ rows × (interval span /
+    * binSeconds); pick binSeconds near the typical interval length.
+    * Intervals must satisfy start <= end (rows violating it are dropped).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+                startCol: String, endCol: String,
+                binSeconds: Long = 600L): DataFrame = {
+    require(binSeconds > 0, "rangeJoin: binSeconds must be positive")
+    def binOf(c: Column): Column = floor(unix_seconds(c) / binSeconds)
+    val p = points.withColumn("__bin", binOf(col(pointCol)))
+    val iv = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("__bin",
+        explode(sequence(binOf(col(startCol)), binOf(col(endCol)))))
+    p.join(iv, Seq("__bin"))
+      .filter(col(pointCol).between(col(startCol), col(endCol)))
+      .drop("__bin")
+  }
+}

@@ -84,6 +84,34 @@ object ExtendedQueries {
           sqrt((sxx - sx * sx / n) / (n - lit(1))).as("std_price"),
           min($"o_totalprice").as("min_price"),
           max($"o_totalprice").as("max_price"))
+    }),
+
+    // ── as-of join: each shipment picks up the supplier's most recent
+    //    prior quote (union-window formulation, one key shuffle) ──
+    "q57_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = Td(s, dir, "lineitem")
+      val quotes = li.filter($"l_linenumber" === 1)
+        .groupBy($"l_suppkey", $"l_shipdate")
+        .agg(max($"l_extendedprice").as("quote_price"))
+      val shipments = li.filter($"l_linenumber" > 1)
+        .select($"l_orderkey", $"l_linenumber", $"l_suppkey", $"l_shipdate")
+      graft.operators.Temporal.asofJoin(shipments, quotes,
+        key = "l_suppkey", time = "l_shipdate", valueCols = Seq("quote_price"))
+    }),
+
+    // ── range join without an equi key: events falling into 10-minute
+    //    intervals, binned to an equi-join instead of a cartesian ──
+    "q58_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Td(s, dir, "events").select($"event_id", $"ts")
+      val intervals = ev.filter($"event_id" % 100 === 0)
+        .select($"event_id".as("interval_id"), $"ts".as("start_ts"),
+          ($"ts" + expr("INTERVAL 10 MINUTES")).as("end_ts"))
+      graft.operators.Temporal.rangeJoin(ev, intervals,
+          pointCol = "ts", startCol = "start_ts", endCol = "end_ts",
+          binSeconds = 600L)
+        .select($"interval_id", $"event_id")
     })
   )
 
@@ -132,6 +160,28 @@ object ExtendedQueries {
         |SELECT o_orderstatus, n, sx / n AS mean_price,
         |       sqrt((sxx - sx * sx / n) / (n - 1)) AS std_price,
         |       min_price, max_price
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    "q57_asof_join" ->
+      """WITH quotes AS (
+        |  SELECT l_suppkey, l_shipdate AS qts,
+        |         max(l_extendedprice) AS quote_price
+        |  FROM lineitem WHERE l_linenumber = 1 GROUP BY 1, 2),
+        |ship AS (
+        |  SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate
+        |  FROM lineitem WHERE l_linenumber > 1)
+        |SELECT s.l_orderkey, s.l_linenumber, s.l_suppkey, s.l_shipdate,
+        |       q.quote_price
+        |FROM ship s ASOF LEFT JOIN quotes q
+        |  ON s.l_suppkey = q.l_suppkey AND s.l_shipdate >= q.qts""".stripMargin,
+
+    "q58_range_join" ->
+      """WITH iv AS (
+        |  SELECT event_id AS interval_id, CAST(ts AS TIMESTAMP) AS start_ts,
+        |         CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS end_ts
+        |  FROM events WHERE event_id % 100 = 0)
+        |SELECT iv.interval_id, e.event_id
+        |FROM events e JOIN iv
+        |  ON CAST(e.ts AS TIMESTAMP) BETWEEN iv.start_ts AND iv.end_ts""".stripMargin
   )
 }

@@ -175,6 +175,15 @@ object ScaleQueries {
         .select("query_id", "neighbor_id")
     }),
 
+    // ── text normalization + PII redaction (emails/phones injected
+    //    deterministically so the masking path actually fires) ──
+    "q59_text_clean" -> ((s, dir) =>
+      Td(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.normalize(col("text")).as("norm_text"),
+        TextFunctions.redactPii(concat(col("text"), lit(" user"),
+          col("doc_id").cast("string"), lit("@mail.example.org tel +1 406-555-0123")))
+          .as("redacted"))),
+
     // ── streaming exact-dedup batch twin: planted full-row duplicate
     //    events must collapse back to the base table (the copies are
     //    byte-identical, so which row survives is immaterial) ──
@@ -358,6 +367,17 @@ object ScaleQueries {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
         |       value
         |FROM events""".stripMargin,
+
+    "q59_text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+        |  regexp_replace(regexp_replace(
+        |    text || ' user' || CAST(doc_id AS VARCHAR)
+        |         || '@mail.example.org tel +1 406-555-0123',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+?[0-9][0-9()\-\s]{6,}[0-9]', '[PHONE]', 'g') AS redacted
+        |FROM documents""".stripMargin,
 
     "q29_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -1,0 +1,76 @@
+package graft.operators
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin attaches the most recent prior value, inclusive on ties") {
+    val quotes = Seq(
+      ("sup1", ts("2024-01-01 10:00:00"), 100.0),
+      ("sup1", ts("2024-01-01 12:00:00"), 120.0),
+      ("sup2", ts("2024-01-01 11:00:00"), 50.0)
+    ).toDF("k", "t", "price")
+    val ships = Seq(
+      (1L, "sup1", ts("2024-01-01 09:00:00")), // before any quote → null
+      (2L, "sup1", ts("2024-01-01 10:00:00")), // tie → inclusive, 100
+      (3L, "sup1", ts("2024-01-01 11:30:00")), // between → 100
+      (4L, "sup1", ts("2024-01-01 13:00:00")), // after both → 120
+      (5L, "sup2", ts("2024-01-01 12:00:00")), // other key → 50
+      (6L, "sup3", ts("2024-01-01 12:00:00"))  // unknown key → null
+    ).toDF("id", "k", "t")
+
+    val out = Temporal.asofJoin(ships, quotes, "k", "t", Seq("price"))
+    assert(out.columns.toSeq == Seq("id", "k", "t", "price"))
+    val byId = out.collect().map(r => r.getAs[Long]("id") ->
+      Option(r.getAs[java.lang.Double]("price")).map(_.toDouble)).toMap
+    assert(byId == Map(1L -> None, 2L -> Some(100.0), 3L -> Some(100.0),
+      4L -> Some(120.0), 5L -> Some(50.0), 6L -> None))
+  }
+
+  test("asofJoin matches DuckDB-style semantics on a dense fixture") {
+    // brute-force oracle: per left row, max right time <= left time
+    val quotes = (0 until 40).map(i =>
+      ("k" + i % 3, ts(f"2024-01-01 ${i % 24}%02d:${(i * 7) % 60}%02d:00"), i * 1.0))
+      .distinct.toDF("k", "t", "v")
+      .groupBy("k", "t").agg(max("v").as("v"))
+    val left = (0 until 60).map(i =>
+      (i.toLong, "k" + i % 4, ts(f"2024-01-01 ${(i * 5) % 24}%02d:${(i * 11) % 60}%02d:30")))
+      .toDF("id", "k", "t")
+    val out = Temporal.asofJoin(left, quotes, "k", "t", Seq("v")).collect()
+      .map(r => (r.getAs[Long]("id"),
+        Option(r.getAs[java.lang.Double]("v")).map(_.toDouble))).toMap
+    val q = quotes.collect().map(r =>
+      (r.getAs[String]("k"), r.getAs[Timestamp]("t"), r.getAs[Double]("v")))
+    val l = left.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("k"), r.getAs[Timestamp]("t")))
+    val expected = l.map { case (id, k, t) =>
+      val cand = q.filter(x => x._1 == k && !x._2.after(t))
+      id -> (if (cand.isEmpty) None
+             else Some(cand.maxBy(x => (x._2.getTime, x._3))._3))
+    }.toMap
+    assert(out == expected)
+    assert(expected.values.exists(_.nonEmpty))
+  }
+
+  test("rangeJoin equals the naive between-filter join") {
+    val points = (0 until 200).map(i =>
+      (i.toLong, ts(f"2024-01-01 ${i % 24}%02d:${(i * 13) % 60}%02d:00")))
+      .toDF("pid", "pt")
+    val intervals = (0 until 20).map(i =>
+      (i.toLong, ts(f"2024-01-01 ${i % 24}%02d:00:00"),
+        ts(f"2024-01-01 ${(i % 24)}%02d:${30 + i}%02d:00")))
+      .toDF("iid", "s", "e")
+    val fast = Temporal.rangeJoin(points, intervals, "pt", "s", "e",
+        binSeconds = 600L)
+      .select("iid", "pid").collect().map(_.toSeq).toSet
+    val naive = points.join(intervals, col("pt").between(col("s"), col("e")))
+      .select("iid", "pid").collect().map(_.toSeq).toSet
+    assert(fast == naive)
+    assert(naive.nonEmpty)
+  }
+}
