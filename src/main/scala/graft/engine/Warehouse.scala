@@ -45,6 +45,30 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def overwrite(df: DataFrame, name: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(dir(name))
 
+  /** Scale extension: bucketed table write. Rows are pre-shuffled into
+    * `numBuckets` files per bucket key and sorted within buckets, so every
+    * later join/aggregation on that key skips its exchange entirely — the
+    * standard Spark answer to "co-locate the big fact tables once, join
+    * them forever". Bucket metadata needs the session catalog, so this
+    * registers an external table at the warehouse path via saveAsTable
+    * (plain `read(name)` still works on the files).
+    */
+  def overwriteBucketed(df: DataFrame, name: String, bucketKeys: Seq[String],
+                        numBuckets: Int): Unit = {
+    require(bucketKeys.nonEmpty && numBuckets > 0)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", dir(name))
+      .bucketBy(numBuckets, bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(bucketKeys.head, bucketKeys.tail: _*)
+      .format("parquet")
+      .saveAsTable(name)
+  }
+
+  /** Read a bucketed table WITH its bucket metadata (bucket-aware joins
+    * need the catalog entry; `read` sees only the parquet files). */
+  def readBucketed(name: String): DataFrame = spark.table(name)
+
   /** S14: timestamped backup of a table before mutation; returns the
     * backup path (restore = read(backupPath) + overwrite). */
   def backup(name: String): String = {

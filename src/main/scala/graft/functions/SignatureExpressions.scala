@@ -269,6 +269,57 @@ case class SrpBucketExpr(child: Expression, dim: Int, nbits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** IVF coarse-quantizer cells: `nlist` seeded Gaussian centroid directions
+  * baked into the expression; returns the `nearest` cell ids ranked by
+  * dot(v, c_i) descending (ties break to the lower cell id). `nearest = 1`
+  * assigns corpus vectors to their cell; probes ask for several cells
+  * (multi-probe search). Deterministic — no iterative k-means, so the
+  * quantizer needs no training pass over 100 TB and any two runs agree.
+  */
+case class IvfCellsExpr(child: Expression, dim: Int, nlist: Int,
+                        nearest: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(nearest >= 1 && nearest <= nlist)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_cells"
+
+  @transient private lazy val centroids: Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nlist, dim)(rng.nextGaussian())
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val v: Array[Double] =
+      child.dataType.asInstanceOf[ArrayType].elementType match {
+        case DoubleType => a.toDoubleArray()
+        case FloatType =>
+          val f = a.toFloatArray()
+          val d = new Array[Double](f.length)
+          var i = 0
+          while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+          d
+        case other => throw new IllegalArgumentException(s"ivf_cells: $other")
+      }
+    val dots = new Array[Double](nlist)
+    var i = 0
+    while (i < nlist) {
+      val c = centroids(i)
+      val n = math.min(v.length, c.length)
+      var d = 0.0
+      var j = 0
+      while (j < n) { d += v(j) * c(j); j += 1 }
+      dots(i) = d
+      i += 1
+    }
+    // selection of the top `nearest` cells by (dot desc, id asc)
+    val order = (0 until nlist).sortBy(i => (-dots(i), i)).take(nearest)
+    new GenericArrayData(order.map(Int.box).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Dot product of two float vectors in double precision — the hot inner
   * loop of cosine scoring without per-element HOF interpretation. */
 case class DotProductExpr(left: Expression, right: Expression)
@@ -332,4 +383,8 @@ object SignatureExpressions {
 
   def srpBucket(v: Column, dim: Int, nbits: Int, seed: Long = 42L): Column =
     toCol(SrpBucketExpr(toExpr(v), dim, nbits, seed))
+
+  def ivfCells(v: Column, dim: Int, nlist: Int, nearest: Int = 1,
+               seed: Long = 42L): Column =
+    toCol(IvfCellsExpr(toExpr(v), dim, nlist, nearest, seed))
 }

@@ -32,6 +32,34 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN: the corpus is coarse-quantized into `nlist` spherical
+    * cells (seeded random centroid directions — deterministic, no k-means
+    * training pass); each query scores only the corpus vectors in its
+    * `nprobe` nearest cells. Complement to [[lshTopK]]: IVF probes a few
+    * big cells (good when the corpus clusters), SRP-LSH intersects many
+    * small buckets (good for near-exact matches). Candidate generation is
+    * an equi-join on the cell id; the corpus is never broadcast.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int = 5, nlist: Int = 64,
+              nprobe: Int = 8): DataFrame = {
+    import graft.functions.SignatureExpressions
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      element_at(SignatureExpressions.ivfCells(col(vecCol), dim, nlist, 1), 1)
+        .as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        SignatureExpressions.ivfCells(col(vecCol), dim, nlist, nprobe)
+          .as("cells"))
+      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: only corpus vectors sharing the query's SRP bucket
     * (in any of `tables` independent hash tables) are scored. Recall is
     * tunable via `tables`/`nbits`; each table adds one cheap integer

@@ -175,6 +175,32 @@ object ScaleQueries {
         .select("query_id", "neighbor_id")
     }),
 
+    // ── sequence packing flow-conservation: every doc packed exactly once,
+    //    token mass preserved, pack budget respected (the per-pack layout
+    //    depends on hash partitioning, so the oracle checks the invariants
+    //    that hold under ANY partitioning) ──
+    "q60_seq_packing" -> ((s, dir) => {
+      val docs = Td(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing
+        .packSequences(docs, "doc_id", "n_tokens", maxTokens = 2048L,
+          numPartitions = 8)
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("total_tokens")).as("sum_tokens"),
+          (max(col("total_tokens")) <= 2048L).as("bound_ok"))
+    }),
+
+    // ── IVF ANN recall on planted probes (same contract as q53 for LSH) ──
+    "q61_knn_ivf_planted" -> ((s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Similarity.ivfTopK(emb, probes, "vec_id", "embedding", dim = 64,
+          k = 1, nlist = 64, nprobe = 8)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+    }),
+
     // ── text normalization + PII redaction (emails/phones injected
     //    deterministically so the masking path actually fires) ──
     "q59_text_clean" -> ((s, dir) =>
@@ -367,6 +393,20 @@ object ScaleQueries {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
         |       value
         |FROM events""".stripMargin,
+
+    "q60_seq_packing" ->
+      """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |                  AS BIGINT) END AS n_tokens
+        |           FROM documents)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |       true AS bound_ok
+        |FROM t""".stripMargin,
+
+    "q61_knn_ivf_planted" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
 
     "q59_text_clean" ->
       """SELECT doc_id,

@@ -132,6 +132,29 @@ class IngestSpec extends SparkSpec {
     assert(lines == Seq("1,8,x", "2,2.5,", "3,,z", "id,pct,tag"))
   }
 
+  test("bucketed tables join without an exchange on the bucket key") {
+    val root = Files.createTempDirectory("whbkt").toString
+    val wh = new Warehouse(spark, root)
+    val facts = (1L to 1000L).map(i => (i % 100, i * 1.0)).toDF("k", "x")
+    val dims = (0L until 100L).map(i => (i, s"label$i")).toDF("k", "label")
+    wh.overwriteBucketed(facts, "bkt_facts", Seq("k"), numBuckets = 4)
+    wh.overwriteBucketed(dims, "bkt_dims", Seq("k"), numBuckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = wh.readBucketed("bkt_facts")
+        .join(wh.readBucketed("bkt_dims"), Seq("k"))
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n${plan.take(2000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS bkt_dims")
+    }
+  }
+
   test("warehouse CSV round-trip with latin-1 and date format") {
     val root = Files.createTempDirectory("whcsv").toString
     val csvDir = s"$root/in"

@@ -52,6 +52,39 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.forall { case (q, n, c) => n == q + 100L && c > 0.999 })
   }
 
+  test("IVF ANN always recalls planted same-direction neighbors") {
+    val rng = new scala.util.Random(7)
+    def vec() = Array.fill(32)(rng.nextGaussian().toFloat)
+    val corpus = (100L to 400L).map(i => (i, vec()))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    // exact copies: identical vector → identical top cell → must be found
+    val probes = corpus.take(6).map { case (i, v) => (i - 100L, v) }
+      .toDF("vec_id", "embedding")
+    val hits = Similarity.ivfTopK(corpusDf, probes, "vec_id", "embedding",
+        dim = 32, k = 1, nlist = 16, nprobe = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    assert(hits.length == 6)
+    assert(hits.forall { case (q, n, c) => n == q + 100L && c > 0.999999 })
+  }
+
+  test("IVF ANN on sf0.001 embeddings: bounded candidates, decent recall") {
+    val emb = graft.engine.Td(spark, sf001, "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing half the cells must recover at least half the true top-5 on
+    // uniform vectors (the worst case for any space partitioner)
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 16, nprobe = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+    assert(approx.size <= 8 * 5)
+  }
+
   test("LSH ANN on sf0.001 embeddings: prunes candidates, decent recall") {
     val emb = graft.engine.Td(spark, sf001, "embeddings")
     val queries = emb.filter($"vec_id" < 8)
