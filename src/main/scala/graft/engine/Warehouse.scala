@@ -69,6 +69,50 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * need the catalog entry; `read` sees only the parquet files). */
   def readBucketed(name: String): DataFrame = spark.table(name)
 
+  /** Two-phase write: materialize `df` under `_staging/<name>` and return
+    * the staged path. Replacing a table with a plan derived from the same
+    * table (merge, compact) MUST stage first — Spark would otherwise
+    * delete the files while the lazy plan still needs to read them — and
+    * staging through the filesystem keeps executors from ever holding the
+    * table in memory, unlike cache/checkpoint. */
+  private def stageWrite(df: DataFrame, name: String): String = {
+    val tmp = s"$root/_staging/$name"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    tmp
+  }
+
+  private def dropStaging(name: String): Unit = {
+    val p = new Path(s"$root/_staging/$name")
+    fs(p).delete(p, true)
+  }
+
+  /** MERGE/upsert: rows of `updates` replace same-key existing rows, new
+    * keys are added, everything else is kept. The reference's
+    * UPDATE…FROM + append cycle as one atomic-ish table replace (backup
+    * is taken first, so the pre-merge state is always restorable). */
+  def merge(table: String, updates: DataFrame, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty)
+    val existing = read(table)
+    val cols = existing.columns.map(col).toSeq
+    val merged = existing
+      .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(updates.select(cols: _*))
+    backup(table)
+    val tmp = stageWrite(merged, table)
+    overwrite(spark.read.parquet(tmp), table)
+    dropStaging(table)
+  }
+
+  /** Compaction: rewrite a table into `numFiles` files — the answer to
+    * the small-files problem that incremental appends accumulate (every
+    * append adds a file; scans degrade once file count ≫ cores). */
+  def compact(table: String, numFiles: Int = 1): Unit = {
+    require(numFiles > 0)
+    val tmp = stageWrite(read(table).repartition(numFiles), table)
+    overwrite(spark.read.parquet(tmp), table)
+    dropStaging(table)
+  }
+
   /** S14: timestamped backup of a table before mutation; returns the
     * backup path (restore = read(backupPath) + overwrite). */
   def backup(name: String): String = {

@@ -220,6 +220,16 @@ object ScaleQueries {
       graft.streaming.EventPipelines.dedupEvents(ev.unionByName(planted))
     }),
 
+    // ── stream-stream join batch twin: click → purchase attribution
+    //    within a 30-minute horizon ──
+    "q62_stream_join" -> ((s, dir) => {
+      val ev = Td(s, dir, "events")
+      graft.streaming.EventPipelines.correlate(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        horizonMinutes = 30)
+    }),
+
     // ── sessionization via lag/cumsum windows (SQL-checked) ──
     "q42_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -393,6 +403,16 @@ object ScaleQueries {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
         |       value
         |FROM events""".stripMargin,
+
+    "q62_stream_join" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |       CAST(a.ts AS TIMESTAMP) AS a_ts, CAST(b.ts AS TIMESTAMP) AS b_ts
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+        | AND CAST(b.ts AS TIMESTAMP) <=
+        |     CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE""".stripMargin,
 
     "q60_seq_packing" ->
       """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0

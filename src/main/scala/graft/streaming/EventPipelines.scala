@@ -55,6 +55,28 @@ object EventPipelines {
         .dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  /** Watermarked stream-stream join: pair each `a` event with the `b`
+    * events of the same user arriving within `horizonMinutes` AFTER it
+    * (inclusive bounds). The time-range predicate is part of the join
+    * condition, which is what lets Spark expire state on both sides —
+    * without it a stream-stream join buffers forever. The same call works
+    * on batch frames (watermarks are no-ops there), which is how the
+    * oracle-checked batch twin runs.
+    */
+  def correlate(a: DataFrame, b: DataFrame, horizonMinutes: Int = 30,
+                watermark: String = "1 hour"): DataFrame = {
+    val l = a.select(col("user_id"), col("event_id").as("a_id"),
+      col("ts").as("a_ts")).withWatermark("a_ts", watermark)
+    val r = b.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+      col("ts").as("b_ts")).withWatermark("b_ts", watermark)
+    l.join(r,
+        col("user_id") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("user_id"), col("a_id"), col("b_id"), col("a_ts"),
+        col("b_ts"))
+  }
+
   /** Custom stateful sessionization with flatMapGroupsWithState: a session
     * closes after `gapSeconds` of user inactivity (processing-time timeout
     * flushes stragglers). The streaming twin of the batch lag/cumsum

@@ -132,6 +132,34 @@ class IngestSpec extends SparkSpec {
     assert(lines == Seq("1,8,x", "2,2.5,", "3,,z", "id,pct,tag"))
   }
 
+  test("merge upserts matching keys, keeps the rest, appends new keys") {
+    val root = Files.createTempDirectory("whmrg").toString
+    val wh = new Warehouse(spark, root)
+    wh.overwrite(Seq(("A", 1), ("B", 2), ("C", 3)).toDF("survey_ID", "v"), "t")
+    wh.merge("t", Seq(("B", 20), ("D", 40)).toDF("survey_ID", "v"),
+      Seq("survey_ID"))
+    val got = wh.read("t").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("A" -> 1, "B" -> 20, "C" -> 3, "D" -> 40))
+    // staging cleaned up, backup taken
+    assert(!wh.exists("_staging/t"))
+    assert(wh.exists("_backups/t"))
+  }
+
+  test("compact collapses an appended table to one file, same rows") {
+    val root = Files.createTempDirectory("whcpt").toString
+    val wh = new Warehouse(spark, root)
+    wh.overwrite(Seq(("A", 1)).toDF("survey_ID", "v"), "t")
+    (2 to 9).foreach(i =>
+      wh.append(Seq((s"K$i", i)).toDF("survey_ID", "v"), "t"))
+    def nFiles = new java.io.File(s"$root/t").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 9)
+    wh.compact("t", numFiles = 1)
+    assert(nFiles == 1)
+    assert(wh.read("t").count() == 9)
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val root = Files.createTempDirectory("whbkt").toString
     val wh = new Warehouse(spark, root)

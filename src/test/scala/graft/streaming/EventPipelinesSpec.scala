@@ -55,6 +55,30 @@ class EventPipelinesSpec extends SparkSpec {
     assert(batch.count() == 5)
   }
 
+  test("stream-stream correlate matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val clickRows = Seq(Event(1, ts(0), 1, "click", 0),
+      Event(2, ts(5), 2, "click", 0))
+    val buyRows = Seq(Event(10, ts(10), 1, "purchase", 9.0), // within 30 min
+      Event(11, ts(50), 1, "purchase", 3.0),                 // outside
+      Event(12, ts(4), 2, "purchase", 1.0))                  // before click
+    clicks.addData(clickRows)
+    buys.addData(buyRows)
+    val q = EventPipelines.correlate(clicks.toDF(), buys.toDF(), 30)
+      .writeStream.format("memory").queryName("corr_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("corr_out")
+      .select("user_id", "a_id", "b_id").collect().map(_.toSeq).toSet
+    val batch = EventPipelines.correlate(clickRows.toDF(), buyRows.toDF(), 30)
+      .select("user_id", "a_id", "b_id").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch == Set(Seq(1L, 1L, 10L))) // only the in-horizon pair
+  }
+
   test("stateful sessionize closes sessions on gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
