@@ -161,6 +161,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair list — the step that turns
+    * verified pairs into duplicate GROUPS (each doc labeled with the min
+    * id of its component, the canonical representative).
+    *
+    * Hash-min label propagation: every node repeatedly adopts the minimum
+    * label among itself and its neighbors until fixpoint. Iterations =
+    * graph diameter, which for near-dup graphs is tiny (dup clusters are
+    * near-cliques); each iteration is one shuffle on the edge key, and
+    * eager localCheckpoints cut the lineage so plan size stays constant.
+    * Deterministic: labels are pure min-folds, independent of
+    * partitioning. (If components with huge diameters ever appear, swap
+    * in the large-star/small-star variant — same API.)
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val minNbr = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("nl")).as("mn"))
+      val updated = labels.join(minNbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding near-dup pairs: SRP-LSH bucketing then exact cosine ≥
     * threshold within buckets. The bucketed projection is repartitioned
     * (CPU-bound stage; AQE would coalesce one parquet file to one task) and

@@ -113,6 +113,15 @@ object ScaleQueries {
     "q48_event_sliding" -> ((s, dir) =>
       graft.streaming.EventPipelines.slidingRate(Td(s, dir, "events"))),
 
+    // ── the full dedup endgame: LSH candidates → exact-Jaccard verify →
+    //    connected components → (doc, canonical group) labels ──
+    "q63_dup_groups" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccard(Td(s, dir, "documents"), "doc_id",
+        "text", threshold = 0.3)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("label").as("group_id"))
+    }),
+
     // ── multimodal payload profile: binary columns synthesized
     //    deterministically from documents (the sandbox has no codec libs;
     //    the metadata-only profile pass needs none) ──
@@ -280,6 +289,22 @@ object ScaleQueries {
          |          AS jaccard
          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3""".stripMargin,
+
+    "q63_dup_groups" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM tok),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |          AS jaccard
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach AS (SELECT a, b FROM edges
+         |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS group_id
+         |FROM reach GROUP BY a""".stripMargin,
 
     "q33_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

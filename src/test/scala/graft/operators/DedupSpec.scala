@@ -22,6 +22,25 @@ class DedupSpec extends SparkSpec {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("connectedComponents labels chains, triangles, and isolated pairs") {
+    // components: {1,2,3,4} (chain + extra edge), {10,11,12} (triangle),
+    // {20,21} (isolated pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2)") {
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 13 && got.values.forall(_ == 0L))
+  }
+
   test("minhash LSH finds the near-dup pair and not unrelated pairs") {
     val pairs = Dedup.minHashLSH(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
