@@ -69,6 +69,42 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * need the catalog entry; `read` sees only the parquet files). */
   def readBucketed(name: String): DataFrame = spark.table(name)
 
+  /** Scale extension: hive-style partitioned write. Scans that filter on
+    * a partition column read only the matching directories (partition
+    * pruning — the first lever against a 100 TB scan; `.explain` shows
+    * the predicate under `PartitionFilters`). Choose low-cardinality
+    * columns (year, date, source): every distinct tuple becomes a
+    * directory. */
+  def overwritePartitioned(df: DataFrame, name: String,
+                           partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty)
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(dir(name))
+  }
+
+  /** Streaming CSV source: watch a directory for new files, parse with
+    * the declared schema — the continuously-running twin of [[readCsv]].
+    * Compose with [[streamingAppend]] for an always-on ingest pipeline. */
+  def readCsvStream(path: String, schema: StructType,
+                    dateFormat: String = "M/d/yy"): DataFrame =
+    spark.readStream
+      .option("header", "true")
+      .option("dateFormat", dateFormat)
+      .schema(schema)
+      .csv(path)
+
+  /** Streaming append sink: exactly-once parquet appends into a warehouse
+    * table, checkpointed so a restarted query resumes where it left off —
+    * the streaming twin of [[append]]. */
+  def streamingAppend(source: DataFrame, name: String,
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    source.writeStream
+      .format("parquet")
+      .option("path", dir(name))
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** Two-phase write: materialize `df` under `_staging/<name>` and return
     * the staged path. Replacing a table with a plan derived from the same
     * table (merge, compact) MUST stage first — Spark would otherwise

@@ -183,6 +183,48 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("partitioned table prunes partitions on the filter column") {
+    val root = Files.createTempDirectory("whpart").toString
+    val wh = new Warehouse(spark, root)
+    val df = (1 to 300).map(i => (i.toLong, 2021 + i % 3, i * 1.0))
+      .toDF("id", "year", "v")
+    wh.overwritePartitioned(df, "t", Seq("year"))
+    // one directory per year value
+    val dirs = new java.io.File(s"$root/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("year=2021", "year=2022", "year=2023"))
+    val filtered = wh.read("t").filter($"year" === 2022)
+    assert(filtered.count() == 100)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("2022"),
+      s"partition pruning missing:\n${plan.take(1500)}")
+  }
+
+  test("streaming CSV ingest appends each new file exactly once") {
+    val root = Files.createTempDirectory("whstream").toString
+    val in = s"$root/incoming"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val wh = new Warehouse(spark, root)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("survey_ID",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("grid_point",
+        org.apache.spark.sql.types.IntegerType)))
+    Files.writeString(java.nio.file.Paths.get(s"$in/a.csv"),
+      "survey_ID,grid_point\ns1,10\ns2,20\n")
+    val q = wh.streamingAppend(wh.readCsvStream(in, schema), "t",
+      s"$root/_chk")
+    q.processAllAvailable()
+    assert(wh.read("t").count() == 2)
+    Files.writeString(java.nio.file.Paths.get(s"$in/b.csv"),
+      "survey_ID,grid_point\ns3,30\n")
+    q.processAllAvailable()
+    q.stop()
+    assert(wh.read("t").count() == 3)
+    assert(wh.read("t").select("survey_ID").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("s1", "s2", "s3"))
+  }
+
   test("warehouse CSV round-trip with latin-1 and date format") {
     val root = Files.createTempDirectory("whcsv").toString
     val csvDir = s"$root/in"
