@@ -315,6 +315,30 @@ object CoreQueries {
         li.filter($"l_linenumber" === 2),
         li.filter($"l_linenumber" === 3),
         key = "survey_ID", dateCol = "date", futureCutoff = "1997-12-31")
+    }),
+
+    // ── DD/MM date-swap detector + COUNTIF summary
+    //    (src/investigate_further_gridveg_dates.py: compare day/month
+    //    extracts of the fact date against the metadata date, classify
+    //    aligned / swapped / no-metadata, then conditional-count rollup) ──
+    "q64_date_swap" -> ((s, dir) => {
+      import s.implicits._
+      val facts = Td(s, dir, "orders")
+        .select($"o_orderkey".as("k"), $"o_orderdate".as("fact_date"))
+      val meta = Td(s, dir, "lineitem").filter($"l_linenumber" === 1)
+        .select($"l_orderkey".as("k"), $"l_shipdate".as("meta_date"))
+      facts.join(meta, Seq("k"), "left")
+        .withColumn("pattern",
+          when($"meta_date".isNull, "no_metadata")
+            .when(dayofmonth($"fact_date") === dayofmonth($"meta_date") &&
+              month($"fact_date") === month($"meta_date"), "aligned")
+            .when(dayofmonth($"fact_date") === month($"meta_date") &&
+              month($"fact_date") === dayofmonth($"meta_date"), "swapped")
+            .otherwise("other"))
+        .groupBy($"pattern")
+        .agg(count(lit(1)).as("n"),
+          count(when(year($"fact_date") === year($"meta_date"), 1))
+            .as("n_same_year"))
     })
   )
 
@@ -542,6 +566,25 @@ object CoreQueries {
         |FROM a
         |LEFT JOIN m USING ("survey_ID")
         |LEFT JOIN p USING ("survey_ID")
-        |LEFT JOIN g USING ("survey_ID")""".stripMargin
+        |LEFT JOIN g USING ("survey_ID")""".stripMargin,
+
+    "q64_date_swap" ->
+      """WITH facts AS (SELECT o_orderkey AS k, o_orderdate AS fact_date
+        |               FROM orders),
+        |meta AS (SELECT l_orderkey AS k, l_shipdate AS meta_date
+        |         FROM lineitem WHERE l_linenumber = 1),
+        |t AS (
+        |  SELECT fact_date, meta_date,
+        |    CASE WHEN meta_date IS NULL THEN 'no_metadata'
+        |         WHEN day(fact_date) = day(meta_date)
+        |          AND month(fact_date) = month(meta_date) THEN 'aligned'
+        |         WHEN day(fact_date) = month(meta_date)
+        |          AND month(fact_date) = day(meta_date) THEN 'swapped'
+        |         ELSE 'other' END AS pattern
+        |  FROM facts LEFT JOIN meta USING (k))
+        |SELECT pattern, COUNT(*) AS n,
+        |       COUNT(CASE WHEN year(fact_date) = year(meta_date)
+        |                  THEN 1 END) AS n_same_year
+        |FROM t GROUP BY pattern""".stripMargin
   )
 }
