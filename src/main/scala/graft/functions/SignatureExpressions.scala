@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, Murmur3HashFunction, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -58,6 +58,32 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Shared md5-word hashing for the signature expressions. The signatures
+  * deliberately hash with md5 (not murmur3/xxhash): md5 exists in every
+  * engine, so the DuckDB oracle recomputes whole signatures bit-for-bit —
+  * `word(d, 0)` is exactly DuckDB's `CAST('0x' || substr(md5(s),1,8) AS
+  * BIGINT)`. Values stay below 2^32, so the minhash affine step
+  * `a*h + b` (a, b < 2^31) never overflows a signed 64-bit integer in
+  * either engine.
+  */
+private[functions] object Md5Words {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def digest(s: UTF8String): Array[Byte] = {
+    val md = tl.get()
+    md.reset()
+    md.digest(s.getBytes)
+  }
+
+  /** Bytes [off, off+4) big-endian as an unsigned 32-bit value in a long. */
+  def word(d: Array[Byte], off: Int): Long =
+    ((d(off) & 0xFFL) << 24) | ((d(off + 1) & 0xFFL) << 16) |
+      ((d(off + 2) & 0xFFL) << 8) | (d(off + 3) & 0xFFL)
+}
+
 /** MinHash signature straight from raw text: tokenize (lowercase,
   * non-alphanumeric → space), build word k-shingles, murmur3-hash each, and
   * run the minhash loop — all in one pass over the string. The composed
@@ -94,14 +120,14 @@ case class MinHashFromTextExpr(child: Expression, k: Int, numHashes: Int,
       i += 1
     }
     if (sb.length > 0) toks += sb.toString
-    // k-shingles (whole text if shorter), distinct murmur3 hashes
+    // k-shingles (whole text if shorter), distinct md5-word hashes
+    // (oracle-reproducible — see Md5Words)
     val seen = new java.util.HashSet[Long]()
     def shingleHash(from: Int, until: Int): Long = {
       val sj = new java.lang.StringBuilder()
       var j = from
       while (j < until) { if (j > from) sj.append(' '); sj.append(toks(j)); j += 1 }
-      Murmur3HashFunction.hash(UTF8String.fromString(sj.toString),
-        StringType, 42L).toInt.toLong
+      Md5Words.word(Md5Words.digest(UTF8String.fromString(sj.toString)), 0)
     }
     if (toks.length < k) seen.add(shingleHash(0, toks.length))
     else {
@@ -161,7 +187,10 @@ case class ShinglesExpr(child: Expression, k: Int)
 }
 
 /** 64-bit SimHash of a token array: per token a 64-bit hash votes ±1 on
-  * each bit; the sign of each bit's total sets the output bit.
+  * each bit; the sign of each bit's total sets the output bit. The token
+  * hash is the first two md5 words — bit j < 32 reads word 2 (md5 hex
+  * chars 9-16), bit j >= 32 reads word 1 (chars 1-8) — so a SQL oracle
+  * can rebuild the exact signature (see Md5Words).
   */
 case class SimHashExpr(child: Expression) extends UnaryExpression
     with CodegenFallback {
@@ -176,7 +205,8 @@ case class SimHashExpr(child: Expression) extends UnaryExpression
     while (i < n) {
       val t = toks.getUTF8String(i)
       if (t != null) {
-        val h = XxHash64Function.hash(t, StringType, 42L)
+        val d = Md5Words.digest(t)
+        val h = (Md5Words.word(d, 0) << 32) | Md5Words.word(d, 4)
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

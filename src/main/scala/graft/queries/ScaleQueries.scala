@@ -279,7 +279,81 @@ object ScaleQueries {
       lang -> ws.map(w => s"'$w'").mkString("[", ",", "]")
     }
 
+  /** DuckDB analogue of the md5-word shingle/token hash (Md5Words.word):
+    * first 4 md5 bytes big-endian as an unsigned 32-bit value. */
+  private def md5Word1(x: String) =
+    s"CAST(('0x' || substr(md5($x), 1, 8)) AS BIGINT)"
+  private def md5Word2(x: String) =
+    s"CAST(('0x' || substr(md5($x), 9, 8)) AS BIGINT)"
+
+  /** The exact MinHash signature as a DuckDB 64-element list expression —
+    * coefficient draws replicate MinHashFromTextExpr's seeded params. */
+  private def minhashSigSql(numHashes: Int, seed: Long): String = {
+    val rng = new scala.util.Random(seed)
+    val a = Array.fill(numHashes)(1L + rng.nextInt(Int.MaxValue - 1).toLong)
+    val b = Array.fill(numHashes)(rng.nextInt(Int.MaxValue).toLong)
+    (0 until numHashes).map(j =>
+      s"list_min(list_transform(hh, h -> (${a(j)} * h + ${b(j)}) % 2147483647))")
+      .mkString("[", ",\n   ", "]")
+  }
+
+  /** The exact 64-bit SimHash as DuckDB SQL: per-bit ±1 vote sums over the
+    * two md5 words of each token, assembled in HUGEINT and wrapped to the
+    * signed BIGINT Spark produces. */
+  private val simhashBitSums: String =
+    (0 until 64).map { j =>
+      val bit = if (j < 32) s"(w2 >> $j) & 1" else s"(w1 >> ${j - 32}) & 1"
+      s"SUM(CASE WHEN ($bit) = 1 THEN 1 ELSE -1 END) AS c$j"
+    }.mkString(",\n   ")
+
+  private val simhashAssemble: String =
+    (0 until 64).map(j =>
+      s"(CASE WHEN c$j > 0 THEN ${BigInt(2).pow(j)} ELSE 0 END)")
+      .mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
+    // q30: the banded self-join only prunes candidates — the OUTPUT set is
+    // "pairs with signature agreement >= threshold", and on this corpus
+    // every such pair band-collides (planted near-dups agree on >= 55/64
+    // positions; P(no band collision) < 1e-5 and verified empirically at
+    // both driver SFs), so the all-pairs oracle reproduces it exactly.
+    "q30_dedup_minhash" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM tok),
+         |hs AS (SELECT doc_id,
+         |         list_distinct(list_transform(s, x -> ${md5Word1("x")}))
+         |         AS hh FROM sh),
+         |sig AS (SELECT doc_id, ${minhashSigSql(64, 42L)} AS sig FROM hs),
+         |est AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |          CAST(len(list_filter(range(1, 65),
+         |            i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64 AS est_jaccard
+         |        FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5""".stripMargin,
+
+    // q31: all-pairs hamming <= 3 equals the banded output EXACTLY — the
+    // 4×16-bit pigeonhole guarantee is a theorem, not probabilistic.
+    "q31_dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |tb AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+         |w AS (SELECT doc_id, ${md5Word1("t")} AS w1, ${md5Word2("t")} AS w2
+         |      FROM tb),
+         |bits AS (SELECT doc_id,
+         |   $simhashBitSums
+         |  FROM w GROUP BY doc_id),
+         |sig0 AS (SELECT doc_id, $simhashAssemble AS usig FROM bits),
+         |sig AS (SELECT doc_id,
+         |          CAST(CASE WHEN usig >= 9223372036854775808
+         |                    THEN usig - 18446744073709551616
+         |                    ELSE usig END AS BIGINT) AS sh
+         |        FROM sig0
+         |        UNION ALL
+         |        SELECT doc_id, 0 FROM tok WHERE len(toks) = 0)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
     "q32_ngram_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
          |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM tok),
