@@ -297,6 +297,23 @@ object ScaleQueries {
       .mkString("[", ",\n   ", "]")
   }
 
+  /** The exact SRP bucket id as a DuckDB expression over `vExpr` (a
+    * DOUBLE[] column): plane literals replicate SrpBucketExpr's seeded
+    * Gaussian draws; the unrolled left-associated sum reproduces the
+    * expression's left-to-right double accumulation bit-for-bit
+    * (Double.toString round-trips to the identical double in any
+    * correct parser). */
+  private def srpBucketSql(vExpr: String, dim: Int, nbits: Int,
+                           seed: Long): String = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nbits, dim)(rng.nextGaussian())
+    (0 until nbits).map { i =>
+      val dot = (0 until dim)
+        .map(j => s"$vExpr[${j + 1}] * (${planes(i)(j)})").mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   /** The exact 64-bit SimHash as DuckDB SQL: per-bit ±1 vote sums over the
     * two md5 words of each token, assembled in HUGEINT and wrapped to the
     * signed BIGINT Spark produces. */
@@ -353,6 +370,35 @@ object ScaleQueries {
          |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
+    // q35: the SRP buckets (4 tables × 8 bits) are rebuilt in SQL from the
+    // interpolated plane literals, so the candidate set — and therefore
+    // the approximate top-k itself — is recomputed exactly.
+    "q35_knn_lsh" -> {
+      val unions = (0 until 4).map(t =>
+        s"""SELECT vec_id AS neighbor_id, v AS cv, $t AS t,
+           |  ${srpBucketSql("v", 64, 8, 42L + t)} AS bucket FROM e""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |c AS (
+         |$unions),
+         |q AS (SELECT neighbor_id AS query_id, t, bucket FROM c
+         |      WHERE neighbor_id < 8),
+         |cand AS (SELECT DISTINCT q.query_id, c.neighbor_id
+         |         FROM q JOIN c ON q.t = c.t AND q.bucket = c.bucket
+         |         WHERE q.query_id <> c.neighbor_id),
+         |s AS (SELECT query_id, neighbor_id,
+         |        list_cosine_similarity(qe.v, ce.v) AS cosine
+         |      FROM cand
+         |      JOIN e qe ON qe.vec_id = query_id
+         |      JOIN e ce ON ce.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         |      FROM s)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin
+    },
 
     "q32_ngram_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
