@@ -159,6 +159,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     out
   }
 
+  /** Restore a table from a path produced by [[backup]] — the other half
+    * of the reference's extract-table safety net. The backup lives in a
+    * different directory, so a direct overwrite is safe (no self-read). */
+  def restore(name: String, backupPath: String): Unit =
+    overwrite(spark.read.parquet(backupPath), name)
+
   /** S8: catalog listing (INFORMATION_SCHEMA.TABLES analogue). */
   def listTables(): Seq[String] = {
     val p = new Path(root)

@@ -132,6 +132,17 @@ class IngestSpec extends SparkSpec {
     assert(lines == Seq("1,8,x", "2,2.5,", "3,,z", "id,pct,tag"))
   }
 
+  test("backup + restore round-trips the pre-mutation table state") {
+    val root = Files.createTempDirectory("whrst").toString
+    val wh = new Warehouse(spark, root)
+    wh.overwrite(Seq(("A", 1), ("B", 2)).toDF("survey_ID", "v"), "t")
+    val bak = wh.backup("t")
+    wh.overwrite(Seq(("X", 99)).toDF("survey_ID", "v"), "t") // bad mutation
+    wh.restore("t", bak)
+    assert(wh.read("t").collect().map(r => r.getString(0) -> r.getInt(1))
+      .toMap == Map("A" -> 1, "B" -> 2))
+  }
+
   test("merge upserts matching keys, keeps the rest, appends new keys") {
     val root = Files.createTempDirectory("whmrg").toString
     val wh = new Warehouse(spark, root)
