@@ -201,6 +201,23 @@ object Dedup {
     labels
   }
 
+  /** The dedup endpoint: drop every document that is a near-duplicate of
+    * a lower-id document, keeping one canonical representative per
+    * duplicate group. Composes the whole path — LSH candidates → exact
+    * Jaccard verify → connected components → anti-join — and returns the
+    * cleaned corpus with original columns. The anti-join ships only the
+    * (tiny) non-canonical id set against the corpus; nothing here
+    * broadcasts or collects the documents themselves.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.5, k: Int = 3): DataFrame = {
+    val pairs = ngramJaccard(df, idCol, textCol, threshold, k)
+    val dropIds = connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup pairs: SRP-LSH bucketing then exact cosine ≥
     * threshold within buckets. The bucketed projection is repartitioned
     * (CPU-bound stage; AQE would coalesce one parquet file to one task) and

@@ -122,6 +122,14 @@ object ScaleQueries {
         .select(col("id").as("doc_id"), col("label").as("group_id"))
     }),
 
+    // ── the cleaned corpus itself: near-duplicates removed, one canonical
+    //    doc per group (what a training pipeline actually consumes) ──
+    "q65_dedup_corpus" -> ((s, dir) =>
+      Dedup.dropNearDuplicates(
+          Td(s, dir, "documents").select("doc_id", "text", "lang", "n_chars"),
+          "doc_id", "text", threshold = 0.3)
+        .select("doc_id", "lang", "n_chars")),
+
     // ── multimodal payload profile: binary columns synthesized
     //    deterministically from documents (the sandbox has no codec libs;
     //    the metadata-only profile pass needs none) ──
@@ -409,6 +417,24 @@ object ScaleQueries {
          |          AS jaccard
          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3""".stripMargin,
+
+    "q65_dedup_corpus" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM tok),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |          AS jaccard
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach AS (SELECT a, b FROM edges
+         |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |drops AS (SELECT a AS doc_id FROM reach
+         |          GROUP BY a HAVING least(a, min(b)) <> a)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
 
     "q63_dup_groups" ->
       s"""WITH RECURSIVE tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
