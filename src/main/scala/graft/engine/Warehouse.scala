@@ -1,6 +1,6 @@
 package graft.engine
 
-import java.nio.charset.{CharacterCodingException, CodingErrorAction, StandardCharsets}
+import java.nio.charset.{CodingErrorAction, StandardCharsets}
 import java.time.format.DateTimeFormatter
 import java.time.{ZoneOffset, ZonedDateTime}
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -209,7 +209,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     readCsv(path, schema, enc, dateFormat)
   }
 
-  private def decodesAsUtf8(path: String, sampleBytes: Int = 1 << 20): Boolean = {
+  /** Strictly decode EVERY byte of every file as utf-8 (the reference's
+    * except-UnicodeDecodeError checks whole files — a lone latin-1 byte
+    * megabytes in must still trigger the fallback). Chunked streaming
+    * decode: constant memory, multi-byte sequences split across chunk
+    * boundaries carry over via the CharsetDecoder's incremental API. */
+  private def decodesAsUtf8(path: String): Boolean = {
     val p = new Path(path)
     val f = fs(p)
     val files =
@@ -219,27 +224,31 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     files.forall { file =>
       val in = f.open(file)
       try {
-        val buf = new Array[Byte](sampleBytes)
-        var off = 0
-        var n = 0
-        while (off < sampleBytes && { n = in.read(buf, off, sampleBytes - off); n > 0 })
-          off += n
-        // a truncated sample may split a multi-byte sequence at the cut —
-        // drop up to 3 trailing continuation bytes before strict decode
-        var len = off
-        if (off == sampleBytes) {
-          var drop = 0
-          while (drop < 3 && len > 0 && (buf(len - 1) & 0xC0) == 0x80) {
-            len -= 1; drop += 1
-          }
-          if (len > 0 && (buf(len - 1) & 0x80) != 0 && (buf(len - 1) & 0xC0) != 0x80)
-            len -= 1
-        }
         val dec = StandardCharsets.UTF_8.newDecoder()
           .onMalformedInput(CodingErrorAction.REPORT)
           .onUnmappableCharacter(CodingErrorAction.REPORT)
-        try { dec.decode(java.nio.ByteBuffer.wrap(buf, 0, len)); true }
-        catch { case _: CharacterCodingException => false }
+        val inBuf = java.nio.ByteBuffer.allocate(64 * 1024)
+        val outBuf = java.nio.CharBuffer.allocate(64 * 1024)
+        val chunk = new Array[Byte](32 * 1024)
+        var ok = true
+        var eof = false
+        while (ok && !eof) {
+          val n = in.read(chunk)
+          if (n < 0) eof = true else inBuf.put(chunk, 0, n)
+          inBuf.flip()
+          var res = dec.decode(inBuf, outBuf, eof)
+          while (ok && (res.isOverflow || res.isError)) {
+            if (res.isError) ok = false
+            else { outBuf.clear(); res = dec.decode(inBuf, outBuf, eof) }
+          }
+          if (ok && eof) {
+            outBuf.clear()
+            if (dec.flush(outBuf).isError) ok = false
+          }
+          inBuf.compact()
+          outBuf.clear()
+        }
+        ok
       } finally in.close()
     }
   }
@@ -253,11 +262,15 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val cols = df.schema.fields.map { f =>
       f.dataType match {
         case DoubleType | FloatType =>
-          val c = col(f.name).cast(DoubleType)
-          when(c.isNull, lit(null).cast("string"))
-            .when(c === floor(c) && c.between(-1e15, 1e15),
-              c.cast("long").cast("string"))
-            .otherwise(c.cast("string"))
+          // the whole-value test runs in double (exact for both types) but
+          // the fractional fallback stringifies the ORIGINAL column —
+          // widening a float first would print double noise ("0.1" →
+          // "0.10000000149011612")
+          val d = col(f.name).cast(DoubleType)
+          when(col(f.name).isNull, lit(null).cast("string"))
+            .when(d === floor(d) && d.between(-1e15, 1e15),
+              d.cast("long").cast("string"))
+            .otherwise(col(f.name).cast("string"))
             .as(f.name)
         case _ => col(f.name)
       }

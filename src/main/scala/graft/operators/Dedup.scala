@@ -198,6 +198,12 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // a silent partial result would give wrong group ids downstream
+    // (dropNearDuplicates would keep several "canonical" docs per group)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIter iterations — " +
+        "component diameter exceeds maxIter; raise it (or switch to the " +
+        "large-star/small-star variant for pathological graphs)")
     labels
   }
 

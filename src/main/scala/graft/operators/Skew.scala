@@ -22,6 +22,14 @@ object Skew {
                  saltOn: String, saltFactor: Int = 8,
                  joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltedJoin: saltFactor must be positive")
+    // right/full outer would emit every unmatched dim row saltFactor times
+    // (one per replica) — only fact-preserving join types are result-
+    // identical under salting
+    val ok = Set("inner", "left", "leftouter", "left_outer", "cross",
+      "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti")
+    require(ok.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched dim " +
+        "rows across salt replicas; use inner/left/semi/anti")
     val salted = facts.withColumn("__salt",
       pmod(xxhash64(col(saltOn)), lit(saltFactor.toLong)))
     val replicated = dim.withColumn("__salt",

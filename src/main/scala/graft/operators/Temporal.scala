@@ -33,10 +33,14 @@ object Temporal {
     require(!leftCols.exists(valueCols.contains),
       s"asofJoin: value columns ${valueCols.mkString(",")} collide with left")
     // align schemas: left rows carry null values, right rows carry null
-    // left-payload; __side orders right (0) before left (1) at equal time
+    // left-payload; __side orders right (0) before left (1) at equal time.
+    // Null-time right rows must match NOTHING (rightTime <= leftTime is
+    // never true for null) — unfiltered they'd sort nulls-first and leak
+    // their values into every left row with no real prior match.
     val l = left.withColumn("__side", lit(1))
       .withColumns(valueCols.map(c => c -> lit(null)).toMap)
     val r0 = right.select((Seq(key, time) ++ valueCols).map(col): _*)
+      .filter(col(time).isNotNull)
       .withColumn("__side", lit(0))
     val r = leftCols.filterNot(Seq(key, time).contains)
       .foldLeft(r0)((df, c) => df.withColumn(c, lit(null)))

@@ -195,7 +195,9 @@ object ScaleQueries {
     // ── sequence packing flow-conservation: every doc packed exactly once,
     //    token mass preserved, pack budget respected (the per-pack layout
     //    depends on hash partitioning, so the oracle checks the invariants
-    //    that hold under ANY partitioning) ──
+    //    that hold under ANY partitioning; a pack exceeds the budget iff
+    //    some single document does — the packer's singleton contract —
+    //    which is how the oracle recomputes bound_ok) ──
     "q60_seq_packing" -> ((s, dir) => {
       val docs = Td(s, dir, "documents").select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"))
@@ -592,7 +594,7 @@ object ScaleQueries {
         |           FROM documents)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-        |       true AS bound_ok
+        |       (max(n_tokens) <= 2048) AS bound_ok
         |FROM t""".stripMargin,
 
     "q61_knn_ivf_planted" ->

@@ -132,6 +132,37 @@ class IngestSpec extends SparkSpec {
     assert(lines == Seq("1,8,x", "2,2.5,", "3,,z", "id,pct,tag"))
   }
 
+  test("exportCsv: fractional floats keep their float string form") {
+    val root = Files.createTempDirectory("whexpf").toString
+    val wh = new Warehouse(spark, root)
+    val df = Seq((1, 0.1f), (2, 4.0f)).toDF("id", "f")
+    wh.exportCsv(df, s"$root/out")
+    val lines = new java.io.File(s"$root/out").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toList)
+      .sorted.toSeq
+    // 0.1f must NOT widen to "0.10000000149011612"; 4.0f renders as "4"
+    assert(lines == Seq("1,0.1", "2,4", "id,f"))
+  }
+
+  test("charset fallback triggers on a latin-1 byte deep in a large file") {
+    val root = Files.createTempDirectory("whencbig").toString
+    val wh = new Warehouse(spark, root)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    // ~2 MB of clean ASCII rows, then one latin-1 é (0xE9) near the end —
+    // a prefix-only sniff would misread this file as utf-8
+    val sb = new StringBuilder("name\n")
+    (1 to 150000).foreach(i => sb.append(s"row$i\n"))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write("rosé\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    Files.write(java.nio.file.Paths.get(s"$root/big.csv"), out.toByteArray)
+    val got = wh.readCsvWithFallback(s"$root/big.csv", schema)
+    assert(got.filter($"name" === "rosé").count() == 1)
+  }
+
   test("backup + restore round-trips the pre-mutation table state") {
     val root = Files.createTempDirectory("whrst").toString
     val wh = new Warehouse(spark, root)

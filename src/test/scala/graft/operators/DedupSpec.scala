@@ -41,6 +41,14 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 13 && got.values.forall(_ == 0L))
   }
 
+  test("connectedComponents refuses to return a non-converged labeling") {
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 3)
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("minhash LSH finds the near-dup pair and not unrelated pairs") {
     val pairs = Dedup.minHashLSH(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -26,5 +26,11 @@ class SkewSpec extends SparkSpec {
     val saltedLeft = Skew.saltedJoin(facts, dim, Seq("k"), "row_id", 8, "left")
       .collect().map(_.toSeq).toSet
     assert(saltedLeft == plainLeft)
+
+    // right/full would replicate unmatched dim rows — must be rejected
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(facts, dim, Seq("k"), "row_id", 8, "full")
+    }
+    assert(e.getMessage.contains("joinType"))
   }
 }

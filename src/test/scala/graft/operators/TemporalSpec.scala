@@ -32,6 +32,21 @@ class TemporalSpec extends SparkSpec {
       4L -> Some(120.0), 5L -> Some(50.0), 6L -> None))
   }
 
+  test("asofJoin: null-time right rows match nothing (ASOF semantics)") {
+    val quotes = Seq(
+      ("sup1", null.asInstanceOf[Timestamp], 99.0), // must never attach
+      ("sup1", ts("2024-01-01 10:00:00"), 120.0)
+    ).toDF("k", "t", "price")
+    val ships = Seq(
+      (1L, "sup1", ts("2024-01-01 09:00:00")), // before any real quote
+      (2L, "sup1", ts("2024-01-01 11:00:00"))
+    ).toDF("id", "k", "t")
+    val byId = Temporal.asofJoin(ships, quotes, "k", "t", Seq("price"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Double]("price")).map(_.toDouble)).toMap
+    assert(byId == Map(1L -> None, 2L -> Some(120.0)))
+  }
+
   test("asofJoin matches DuckDB-style semantics on a dense fixture") {
     // brute-force oracle: per left row, max right time <= left time
     val quotes = (0 until 40).map(i =>
