@@ -62,12 +62,19 @@ object Ingest {
     * [[incrementalAppend]] would produce for the same inputs. */
   def dryRun(wh: Warehouse, table: String, incoming: DataFrame,
              keys: Seq[String]): AppendReport = {
-    val existing = wh.read(table)
-    val nExisting = existing.count()
-    val nIncoming = incoming.count()
-    val (newRows, dupRows) = splitNewVsDuplicate(incoming, existing, keys)
-    val nNew = newRows.count()
-    AppendReport(nIncoming, nExisting, nNew, dupRows.count(), nExisting + nNew)
+    // the incoming batch is typically a CSV+transform pipeline and is
+    // consumed by three actions (count + both key-split branches) — cache
+    // it so the preview costs one pass, not three
+    val in = incoming.cache()
+    try {
+      val existing = wh.read(table)
+      val nExisting = existing.count()
+      val nIncoming = in.count()
+      val (newRows, dupRows) = splitNewVsDuplicate(in, existing, keys)
+      val nNew = newRows.count()
+      AppendReport(nIncoming, nExisting, nNew, dupRows.count(),
+        nExisting + nNew)
+    } finally in.unpersist()
   }
 
   /** The whole §3.1 pipeline tail: anti-join append with backup and

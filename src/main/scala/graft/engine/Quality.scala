@@ -36,14 +36,18 @@ object Quality {
     val m = broadcast(meta.select(col(key), col(dateCol).as("__fix_date")))
     // UPDATE…FROM semantics: only rows that are corrupt AND have a metadata
     // match change; a corrupt row with no match keeps its original values
-    // (the reference's inner-join UPDATE never touches it)
-    val repaired = corrupt && col("__fix_date").isNotNull
+    // (the reference's inner-join UPDATE never touches it). The predicate
+    // is MATERIALIZED once against the original columns — re-evaluating it
+    // per withColumn would resolve against already-updated columns (a
+    // year-based predicate would repair year, then see itself false and
+    // skip the date).
     facts.join(m, Seq(key), "left")
+      .withColumn("__repaired", corrupt && col("__fix_date").isNotNull)
       .withColumn(yearCol,
-        when(repaired, year(col("__fix_date"))).otherwise(col(yearCol)))
+        when(col("__repaired"), year(col("__fix_date"))).otherwise(col(yearCol)))
       .withColumn(dateCol,
-        when(repaired, col("__fix_date")).otherwise(col(dateCol)))
-      .drop("__fix_date")
+        when(col("__repaired"), col("__fix_date")).otherwise(col(dateCol)))
+      .drop("__fix_date", "__repaired")
   }
 
   /** The complete cross-table date-diagnostic report of

@@ -199,9 +199,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** S3: charset-fallback scan — try utf-8, fall back to latin-1, the
     * reference's `except UnicodeDecodeError` pattern
     * (notebooks/append_gridVeg_groundCover_intercepts.ipynb: utf-8 read,
-    * latin-1 retry). The sniff strictly decodes a bounded prefix of each
-    * file driver-side (latin-1 itself can never fail — every byte is
-    * valid — so the choice must be made by testing utf-8).
+    * latin-1 retry). The sniff streams EVERY byte of each file through a
+    * strict decoder driver-side, like the reference's whole-file decode
+    * (latin-1 itself can never fail — every byte is valid — so the choice
+    * must be made by testing utf-8). That is one extra serial pass over
+    * the CSVs: fine for the reference's export files; for huge
+    * machine-generated feeds, declare the encoding via [[readCsv]]
+    * instead.
     */
   def readCsvWithFallback(path: String, schema: StructType,
                           dateFormat: String = "M/d/yy"): DataFrame = {

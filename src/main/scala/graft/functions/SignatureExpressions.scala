@@ -84,6 +84,39 @@ private[functions] object Md5Words {
       ((d(off + 2) & 0xFFL) << 8) | (d(off + 3) & 0xFFL)
 }
 
+/** Tokenization shared by the text-signature expressions, defined to match
+  * the regex `[^\p{L}\p{N}]+` split that the SQL oracles (and
+  * TextFunctions.tokens) use, exactly:
+  *  - Locale.ROOT lowercase (a default-locale toLowerCase would turn "I"
+  *    into "ı" under -Duser.language=tr and diverge from every engine);
+  *  - code-point iteration (surrogate pairs stay whole);
+  *  - \p{N} = Nd ∪ Nl ∪ No (Character.isLetterOrDigit would drop No
+  *    characters like '²' that the regex keeps).
+  */
+private[functions] object Tokenize {
+  private def keep(cp: Int): Boolean =
+    Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+
+  def tokens(raw: String): scala.collection.mutable.ArrayBuffer[String] = {
+    val s = raw.toLowerCase(java.util.Locale.ROOT)
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (keep(cp)) sb.appendCodePoint(cp)
+      else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) toks += sb.toString
+    toks
+  }
+}
+
 /** MinHash signature straight from raw text: tokenize (lowercase,
   * non-alphanumeric → space), build word k-shingles, murmur3-hash each, and
   * run the minhash loop — all in one pass over the string. The composed
@@ -108,18 +141,7 @@ case class MinHashFromTextExpr(child: Expression, k: Int, numHashes: Int,
 
   override def nullSafeEval(input: Any): Any = {
     val (pa, pb) = params
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
-    // tokenize: runs of letters/digits
-    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
-    val sb = new java.lang.StringBuilder()
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (Character.isLetterOrDigit(c)) sb.append(c)
-      else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
-      i += 1
-    }
-    if (sb.length > 0) toks += sb.toString
+    val toks = Tokenize.tokens(input.asInstanceOf[UTF8String].toString)
     // k-shingles (whole text if shorter), distinct md5-word hashes
     // (oracle-reproducible — see Md5Words)
     val seen = new java.util.HashSet[Long]()
@@ -160,17 +182,7 @@ case class ShinglesExpr(child: Expression, k: Int)
   override def prettyName: String = "word_shingles"
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
-    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
-    val sb = new java.lang.StringBuilder()
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (Character.isLetterOrDigit(c)) sb.append(c)
-      else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
-      i += 1
-    }
-    if (sb.length > 0) toks += sb.toString
+    val toks = Tokenize.tokens(input.asInstanceOf[UTF8String].toString)
     val out = new java.util.LinkedHashSet[UTF8String]()
     if (toks.length < k) out.add(UTF8String.fromString(toks.mkString(" ")))
     else {
@@ -342,9 +354,24 @@ case class IvfCellsExpr(child: Expression, dim: Int, nlist: Int,
       dots(i) = d
       i += 1
     }
-    // selection of the top `nearest` cells by (dot desc, id asc)
-    val order = (0 until nlist).sortBy(i => (-dots(i), i)).take(nearest)
-    new GenericArrayData(order.map(Int.box).toArray[Any])
+    // partial selection of the top `nearest` cells by (dot desc, id asc)
+    // — a repeated argmax scan, no sort, no boxing in the common
+    // nearest=1 corpus-assignment path
+    val out = new Array[Any](nearest)
+    val taken = new Array[Boolean](nlist)
+    var r = 0
+    while (r < nearest) {
+      var best = -1
+      var i = 0
+      while (i < nlist) {
+        if (!taken(i) && (best < 0 || dots(i) > dots(best))) best = i
+        i += 1
+      }
+      taken(best) = true
+      out(r) = Int.box(best)
+      r += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

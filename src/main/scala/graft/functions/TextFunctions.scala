@@ -87,13 +87,15 @@ object TextFunctions {
       regexp_replace(lower(text), "[\\p{Cntrl}]", " "), "\\s+", " "))
 
   /** PII masking: email addresses → [EMAIL], phone-shaped digit runs →
-    * [PHONE]. Patterns avoid lookaround/backreferences so they behave
-    * identically under Java's backtracking and RE2's leftmost-longest
-    * matching (Spark, DuckDB, Flink all agree).
+    * [PHONE]. Patterns avoid lookaround/backreferences AND shorthand
+    * classes whose definitions differ between dialects (Java's \s includes
+    * vertical tab, RE2's does not — spelled out explicitly instead), so
+    * they behave identically under Java's backtracking and RE2's
+    * leftmost-longest matching (Spark, DuckDB, Flink all agree).
     */
   def redactPii(text: Column): Column = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+    val phone = "\\+?[0-9][0-9()\\- \\t\\n\\x0B\\f\\r]{6,}[0-9]"
     regexp_replace(regexp_replace(text, email, "[EMAIL]"), phone, "[PHONE]")
   }
 

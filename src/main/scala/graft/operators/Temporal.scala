@@ -34,13 +34,16 @@ object Temporal {
       s"asofJoin: value columns ${valueCols.mkString(",")} collide with left")
     // align schemas: left rows carry null values, right rows carry null
     // left-payload; __side orders right (0) before left (1) at equal time.
-    // Null-time right rows must match NOTHING (rightTime <= leftTime is
-    // never true for null) — unfiltered they'd sort nulls-first and leak
-    // their values into every left row with no real prior match.
+    // Right rows with a null time OR null key must match NOTHING (the join
+    // predicate `r.key = l.key AND r.time <= l.time` is never true for
+    // null) — unfiltered they'd sort nulls-first and leak into left rows
+    // with no real prior match. Left null-key/null-time rows land in a
+    // partition/prefix with no surviving right rows and get nulls, which
+    // matches join semantics.
     val l = left.withColumn("__side", lit(1))
       .withColumns(valueCols.map(c => c -> lit(null)).toMap)
     val r0 = right.select((Seq(key, time) ++ valueCols).map(col): _*)
-      .filter(col(time).isNotNull)
+      .filter(col(time).isNotNull && col(key).isNotNull)
       .withColumn("__side", lit(0))
     val r = leftCols.filterNot(Seq(key, time).contains)
       .foldLeft(r0)((df, c) => df.withColumn(c, lit(null)))
@@ -48,10 +51,17 @@ object Temporal {
     val w = Window.partitionBy(col(key))
       .orderBy(col(time), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    valueCols.foldLeft(l.unionByName(r))((df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    // the attached row is the most recent right ROW, not the most recent
+    // non-null field: values ride in one struct that is non-null exactly
+    // for right rows, so a null value on the latest quote stays null
+    // instead of falling back to a stale older quote
+    val packed = when(col("__side") === 0, struct(valueCols.map(col): _*))
+    val joined = l.unionByName(r)
+      .withColumn("__pack", last(packed, ignoreNulls = true).over(w))
+    valueCols.foldLeft(joined)((df, c) =>
+        df.withColumn(c, col("__pack").getField(c)))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .drop("__side", "__pack")
   }
 
   /** Range join: all (point, interval) pairs with

@@ -29,7 +29,13 @@ object ScaleQueries {
       Dedup.simHashPairs(Td(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)),
 
-    // ── exact n-gram Jaccard over LSH candidates (rows-only) ──
+    // ── exact n-gram Jaccard over LSH candidates. Oracle note (also for
+    //    q63/q65, which build on this): the all-pairs oracle assumes LSH
+    //    candidate recall is total at the output threshold — true here
+    //    because every corpus pair at/above 0.3 true-Jaccard is a planted
+    //    near-dup at >= 0.90 (P(band miss) < 3e-6, verified empirically at
+    //    both driver SFs); a corpus with mid-similarity pairs would need a
+    //    higher-recall candidate stage (more bands / lower rowsPerBand) ──
     "q32_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Td(s, dir, "documents"), "doc_id", "text",
         threshold = 0.3)),
@@ -230,13 +236,16 @@ object ScaleQueries {
           .as("redacted"))),
 
     // ── streaming exact-dedup batch twin: planted full-row duplicate
-    //    events must collapse back to the base table (the copies are
-    //    byte-identical, so which row survives is immaterial) ──
+    //    events must collapse back to the base table. Dedup runs on ALL
+    //    columns (the plants are byte-identical rows), so the contract
+    //    holds even if the generator ever reused an event_id with a
+    //    different payload ──
     "q56_stream_dedup" -> ((s, dir) => {
-      val ev = Td(s, dir, "events")
-        .select("event_id", "ts", "user_id", "event_type", "value")
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+      val ev = Td(s, dir, "events").select(cols.map(col): _*)
       val planted = ev.filter(col("event_id") % 50 === 0)
-      graft.streaming.EventPipelines.dedupEvents(ev.unionByName(planted))
+      graft.streaming.EventPipelines.dedupEvents(ev.unionByName(planted),
+        keys = cols)
     }),
 
     // ── stream-stream join batch twin: click → purchase attribution
@@ -609,7 +618,8 @@ object ScaleQueries {
         |    text || ' user' || CAST(doc_id AS VARCHAR)
         |         || '@mail.example.org tel +1 406-555-0123',
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '\+?[0-9][0-9()\-\s]{6,}[0-9]', '[PHONE]', 'g') AS redacted
+        |    '\+?[0-9][0-9()\- \t\n\x0B\f\r]{6,}[0-9]', '[PHONE]', 'g')
+        |    AS redacted
         |FROM documents""".stripMargin,
 
     "q29_dedup_exact" ->

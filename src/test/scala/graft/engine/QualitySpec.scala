@@ -44,6 +44,19 @@ class QualitySpec extends SparkSpec {
     assert(byId("s9") == ("2030-01-01", 2030)) // UPDATE…FROM never saw it
   }
 
+  test("repairDatesFrom: a year-based corruption predicate repairs both columns") {
+    // the predicate must be evaluated ONCE against the original columns —
+    // if it re-resolved after the year update it would see itself false
+    // and leave the date corrupt (half-repair)
+    val facts = Seq(("s1", d("2031-08-16"), 2031)).toDF("survey_ID", "date", "year")
+    val meta = Seq(("s1", d("2016-08-31"))).toDF("survey_ID", "date")
+    val out = Quality.repairDatesFrom(facts, meta, "survey_ID", "date", "year",
+      corrupt = col("year") > 2025)
+    val r = out.head()
+    assert(r.getAs[java.sql.Date]("date").toString == "2016-08-31")
+    assert(r.getAs[Int]("year") == 2016)
+  }
+
   test("dateDiagnostics: status classes, populations, collation order") {
     val facts = Seq(("s1", d("2031-01-01")), ("s2", d("2023-06-02")),
       ("s3", d("2023-07-01")), ("s4", d("2023-08-01"))

@@ -47,6 +47,24 @@ class TemporalSpec extends SparkSpec {
     assert(byId == Map(1L -> None, 2L -> Some(120.0)))
   }
 
+  test("asofJoin: null keys never match; null value on latest quote stays null") {
+    val quotes = Seq(
+      (null.asInstanceOf[String], ts("2024-01-01 08:00:00"), Some(7.0)),
+      ("sup1", ts("2024-01-01 09:00:00"), Some(5.0)),
+      ("sup1", ts("2024-01-01 10:00:00"), None) // latest quote value is null
+    ).toDF("k", "t", "price")
+    val ships = Seq(
+      (1L, null.asInstanceOf[String], ts("2024-01-01 12:00:00")), // null key
+      (2L, "sup1", ts("2024-01-01 11:00:00"))  // latest prior has null value
+    ).toDF("id", "k", "t")
+    val byId = Temporal.asofJoin(ships, quotes, "k", "t", Seq("price"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Double]("price")).map(_.toDouble)).toMap
+    // null-key ship matches nothing (ON equality semantics); the sup1 ship
+    // attaches the most recent ROW (10:00, null) — not the stale 5.0
+    assert(byId == Map(1L -> None, 2L -> None))
+  }
+
   test("asofJoin matches DuckDB-style semantics on a dense fixture") {
     // brute-force oracle: per left row, max right time <= left time
     val quotes = (0 until 40).map(i =>
