@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-level repetition statistics — the cheap "is this document mostly
+  * copy-paste of itself" filters (duplicate n-gram fraction, most-common
+  * token share) that LLM data pipelines run before any expensive dedup.
+  */
+object CorpusStats {
+
+  /** Per-document repetition profile:
+    *
+    *  - `n_tokens` — token count;
+    *  - `dup_gram_frac` — fraction of word k-grams that are repeats of an
+    *    earlier k-gram in the same document (0 when fewer than k tokens);
+    *  - `top_token_frac` — share of tokens taken by the single most
+    *    frequent token.
+    *
+    * Shape at scale: the k-gram fraction is a per-row array expression (no
+    * shuffle); the top-token share explodes tokens and aggregates twice —
+    * (id, token) then (id) — both with map-side partial aggregation, keyed
+    * by the document id so the shuffle is as wide as the corpus, never a
+    * hot key. An O(tokens × distinct) higher-order-function formulation
+    * would avoid the shuffle but runs interpreted per row — measured
+    * slower and unbounded in document length, so the explode wins.
+    */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 2): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val grams = transform(sequence(lit(0), col("__n") - k),
+      i => concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))
+    val perDoc = base
+      .withColumn("__grams",
+        when(col("__n") >= k, grams).otherwise(array().cast("array<string>")))
+      .select(col(idCol), col("__n"),
+        when(size(col("__grams")) <= 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            size(array_distinct(col("__grams"))).cast("double") /
+              size(col("__grams")).cast("double"), 6))
+          .as("dup_gram_frac"))
+    val top = base
+      .select(col(idCol), explode(col("__toks")).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max(col("__c")).as("__top"))
+    perDoc.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("__n").cast("long").as("n_tokens"),
+        col("dup_gram_frac"),
+        when(col("__n") === 0, lit(0.0))
+          .otherwise(round(col("__top").cast("double") /
+            col("__n").cast("double"), 6))
+          .as("top_token_frac"))
+  }
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-reproducible sampling and corpus-mixture selection
+  * for training-data pipelines: Bernoulli sampling, train/val/test splits,
+  * stratified rates, deterministic shuffle, and per-source token-budget
+  * fills.
+  *
+  * Everything keys off an md5-derived hash of (salt, id) — not `rand()`
+  * and not a JVM-private hash — for two reasons that matter at 100 TB:
+  *
+  *  - reruns, task retries and speculative duplicates see the SAME sample
+  *    (`rand()` re-draws per attempt, silently breaking exactly-once
+  *    membership under recomputation);
+  *  - any other engine (a DuckDB auditor, a Python QA notebook) can
+  *    recompute membership byte-for-byte from the row alone:
+  *    `CAST('0x'||substr(md5(salt||'|'||id),1,8) AS BIGINT)`.
+  *
+  * Sampling, split assignment and stratified rates are pure map-side
+  * projections — ZERO shuffles, codegen'd md5 over each row. The
+  * token-budget fill adds one tiny aggregate plus one bounded window (see
+  * [[takeTokenBudget]]).
+  */
+object Sampling {
+
+  /** First 4 md5 bytes of `"salt|id"` as an unsigned 32-bit value —
+    * uniform on [0, 2³²), deterministic, engine-neutral. */
+  def hashWord(id: Column, salt: String): Column =
+    conv(substring(md5(concat_ws("|", lit(salt), id.cast("string"))), 1, 8),
+      16, 10).cast("long")
+
+  /** Deterministic bucket in [0, buckets). */
+  def hashBucket(id: Column, salt: String, buckets: Int): Column =
+    hashWord(id, salt) % buckets
+
+  /** Fraction resolution: rates are exact multiples of 1e-6, so the
+    * bucket-vs-threshold comparison is integer-exact in every engine (a
+    * raw `fraction * buckets` double literal could round differently). */
+  val Resolution = 1000000
+
+  private def thresholdOf(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0,1], got $fraction")
+    math.round(fraction * Resolution)
+  }
+
+  /** Bernoulli sample at `fraction`, deterministic in (salt, id). Samples
+    * are NESTED across fractions under one salt: sample(0.1) is a subset
+    * of sample(0.5), which makes scale-up experiments comparable. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 salt: String = "graft"): DataFrame =
+    df.filter(hashBucket(col(idCol), salt, Resolution) < thresholdOf(fraction))
+
+  /** Assign every row a named split ("train"/"val"/"test"/…) by cumulative
+    * weight thresholds over the hash bucket. Adds a `split` column; weights
+    * must sum to 1. Membership is stable under corpus growth: a document's
+    * split never changes when other documents are added or removed. */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                salt: String = "graft"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-6,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val b = hashBucket(col(idCol), salt, Resolution)
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(thresholdOf)
+    // nested when: first split's bound is checked outermost; the final
+    // split is the otherwise-branch so every bucket lands somewhere even
+    // if rounding leaves a 1e-6 gap
+    val assigned = splits.map(_._1).zip(bounds).dropRight(1).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, (name, ub)) =>
+        when(b < ub, name).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /** Per-stratum Bernoulli sample: stratum s keeps `fractions(s)` of its
+    * rows (`defaultFraction` for unlisted strata). The rate map inlines as
+    * a literal CASE chain — no join, still map-side only; suits the usual
+    * "down-sample web, keep all books" mixture shaping. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double = 0.0,
+                           salt: String = "graft"): DataFrame = {
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(thresholdOf(defaultFraction)): Column) {
+        case (acc, (k, f)) =>
+          when(col(strataCol) === k, thresholdOf(f)).otherwise(acc)
+      }
+    df.filter(hashBucket(col(idCol), salt, Resolution) < threshold)
+  }
+
+  /** Deterministic global shuffle for training order: sort by (hash, id).
+    * Spark executes this as a range-partitioned sort — sampled range
+    * boundaries, all partitions sort in parallel, no single-task
+    * bottleneck — so it holds at any corpus size. Changing the salt gives
+    * an independent epoch permutation. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           salt: String = "graft"): DataFrame =
+    df.orderBy(hashWord(col(idCol), salt), col(idCol))
+
+  /** Fill a per-source token budget with a deterministic pseudo-random
+    * prefix of each source's rows: order each source by (hash, id) and keep
+    * rows until the running token total reaches the source's budget (the
+    * first row crossing the budget is kept — "fill", not "fit").
+    *
+    * Scale shape: the naive formulation is one window partitioned by
+    * source — with a handful of sources that serializes terabytes through
+    * a few tasks. Instead, a two-level prefix sum:
+    *
+    *  1. rows hash into `blocks` coarse blocks; per-(source, block) token
+    *     totals are a TINY aggregate (|sources| × blocks rows);
+    *  2. block offsets (exclusive prefix sums over that tiny frame) are
+    *     broadcast back, and the per-row running total needs only a window
+    *     over (source, block) — ~1/blocks of a source each, all parallel.
+    *
+    * The (blk, hash, id) order is identical in both formulations, so this
+    * equals the single-window cumsum exactly (asserted in SamplingSpec).
+    * Raise `blocks` with corpus size; partitions stay bounded.
+    */
+  def takeTokenBudget(df: DataFrame, sourceCol: String, tokenCol: String,
+                      idCol: String, budgets: Map[String, Long],
+                      defaultBudget: Long = 0L, salt: String = "graft",
+                      blocks: Int = 64): DataFrame = {
+    require(blocks > 0, "blocks must be positive")
+    val base = df
+      .withColumn("__blk", hashBucket(col(idCol), s"$salt:blk", blocks))
+      .withColumn("__ord", hashWord(col(idCol), s"$salt:ord"))
+    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(sourceCol), col("__blk"))
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .drop("__t")
+    val wCum = Window.partitionBy(col(sourceCol), col("__blk"))
+      .orderBy(col("__ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultBudget): Column) { case (acc, (k, b)) =>
+        when(col(sourceCol) === k, b).otherwise(acc)
+      }
+    base.join(broadcast(offsets), Seq(sourceCol, "__blk"))
+      .withColumn("__cum",
+        col("__off") + sum(col(tokenCol).cast("long")).over(wCum))
+      .filter(col("__cum") - col(tokenCol) < budget)
+      .drop("__blk", "__ord", "__off", "__cum")
+  }
+
+  /** Weighted corpus mixture: split `totalBudget` tokens across sources in
+    * proportion to `weights` (normalized), then budget-fill each source.
+    * Unlisted sources get zero budget — the standard "mix N corpora to a
+    * token target" step of a pre-training data pipeline. */
+  def mixtureTake(df: DataFrame, sourceCol: String, tokenCol: String,
+                  idCol: String, weights: Map[String, Double],
+                  totalBudget: Long, salt: String = "graft"): DataFrame = {
+    val wsum = weights.values.sum
+    require(wsum > 0, "weights must have positive sum")
+    weights.values.foreach(w => require(w >= 0, "weights must be >= 0"))
+    val budgets = weights.map { case (k, w) =>
+      k -> math.round(totalBudget * (w / wsum))
+    }
+    takeTokenBudget(df, sourceCol, tokenCol, idCol, budgets,
+      defaultBudget = 0L, salt = salt)
+  }
+}

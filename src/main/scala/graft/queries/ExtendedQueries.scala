@@ -7,8 +7,10 @@ import graft.engine.Td
 
 /** Extensions beyond the reference's own surface (SURVEY.md notes none of
   * these exist there — they round out a general analytics engine):
-  * hierarchical rollup, pivot, per-group top-k, exact percentiles, and
-  * array-column profiling. All oracle-checked.
+  * hierarchical rollup, pivot, per-group top-k, exact percentiles,
+  * array-column profiling, as-of/range joins, deterministic
+  * sampling/splits, token-budget mixture fills, and repetition profiling.
+  * All oracle-checked.
   */
 object ExtendedQueries {
   private val D = DecimalType(18, 2)
@@ -112,8 +114,47 @@ object ExtendedQueries {
           pointCol = "ts", startCol = "start_ts", endCol = "end_ts",
           binSeconds = 600L)
         .select($"interval_id", $"event_id")
-    })
+    }),
+
+    // ── deterministic train/val/test assignment (md5-hash buckets — the
+    //    same document always lands in the same split, any engine can
+    //    recompute membership) ──
+    "q66_hash_split" -> ((s, dir) =>
+      graft.operators.Sampling.hashSplit(Td(s, dir, "documents"),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))),
+
+    // ── per-source token-budget fill (two-level prefix sum; equals the
+    //    single-window cumsum exactly — the oracle uses that formulation) ──
+    "q67_token_budget" -> ((s, dir) =>
+      graft.operators.Sampling.takeTokenBudget(Td(s, dir, "documents"),
+          sourceCol = "source", tokenCol = "n_chars", idCol = "doc_id",
+          budgets = Map("src0" -> 8000L, "src1" -> 0L),
+          defaultBudget = 3000L)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    // ── stratified down-sampling by language (literal CASE rate map,
+    //    map-side only) ──
+    "q68_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedHashSample(Td(s, dir, "documents"),
+          idCol = "doc_id", strataCol = "lang",
+          fractions = Map("en" -> 0.5, "de" -> 0.25),
+          defaultFraction = 0.1)
+        .select(col("doc_id"), col("lang"))),
+
+    // ── Gopher-style repetition profile: duplicate-2-gram fraction and
+    //    most-common-token share per document ──
+    "q69_repetition" -> ((s, dir) =>
+      graft.operators.CorpusStats.repetitionProfile(
+        Td(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text"))
   )
+
+  /** DuckDB analogue of Sampling.hashWord: first 4 md5 bytes of "salt|id"
+    * as an unsigned 32-bit value. */
+  private def hashWordSql(salt: String, idExpr: String) =
+    s"CAST(('0x' || substr(md5('$salt|' || CAST($idExpr AS VARCHAR)), 1, 8)) AS BIGINT)"
 
   val oracleSql: Map[String, String] = Map(
     "q43_rollup" ->
@@ -182,6 +223,59 @@ object ExtendedQueries {
         |  FROM events WHERE event_id % 100 = 0)
         |SELECT iv.interval_id, e.event_id
         |FROM events e JOIN iv
-        |  ON CAST(e.ts AS TIMESTAMP) BETWEEN iv.start_ts AND iv.end_ts""".stripMargin
+        |  ON CAST(e.ts AS TIMESTAMP) BETWEEN iv.start_ts AND iv.end_ts""".stripMargin,
+
+    "q66_hash_split" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ${hashWordSql("graft", "doc_id")} % 1000000 AS bk FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN bk < 800000 THEN 'train'
+         |       WHEN bk < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+
+    "q67_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, source, n_chars,
+         |    ${hashWordSql("graft:blk", "doc_id")} % 64 AS blk,
+         |    ${hashWordSql("graft:ord", "doc_id")} AS ord
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_chars,
+         |    SUM(n_chars) OVER (PARTITION BY source ORDER BY blk, ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT doc_id, source, n_chars FROM c
+         |WHERE cum - n_chars < (CASE WHEN source = 'src0' THEN 8000
+         |                           WHEN source = 'src1' THEN 0
+         |                           ELSE 3000 END)""".stripMargin,
+
+    "q68_stratified_sample" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |  ${hashWordSql("graft", "doc_id")} % 1000000 AS bk FROM documents)
+         |SELECT doc_id, lang FROM b
+         |WHERE bk < (CASE WHEN lang = 'de' THEN 250000
+         |                 WHEN lang = 'en' THEN 500000
+         |                 ELSE 100000 END)""".stripMargin,
+
+    "q69_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, toks,
+         |    CASE WHEN len(toks) >= 2
+         |         THEN [array_to_string(toks[i:i+1], ' ')
+         |               for i in range(1, len(toks))]
+         |         ELSE [] END AS grams
+         |  FROM tok),
+         |t2 AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+         |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t2 GROUP BY 1, 2),
+         |tp AS (SELECT doc_id, max(c) AS topc FROM tc GROUP BY 1)
+         |SELECT g.doc_id, CAST(len(g.toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(grams) = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE round(CAST(1.0 AS DOUBLE)
+         |         - CAST(len(list_distinct(grams)) AS DOUBLE)
+         |           / CAST(len(grams) AS DOUBLE), 6) END AS dup_gram_frac,
+         |  CASE WHEN len(g.toks) = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE round(CAST(tp.topc AS DOUBLE)
+         |           / CAST(len(g.toks) AS DOUBLE), 6) END AS top_token_frac
+         |FROM g LEFT JOIN tp ON g.doc_id = tp.doc_id""".stripMargin
   )
 }

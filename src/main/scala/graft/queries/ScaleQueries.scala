@@ -281,7 +281,7 @@ object ScaleQueries {
   /** DuckDB analogue of [[graft.functions.TextFunctions.tokens]] /
     * [[graft.functions.ShinglesExpr]] tokenization: lowercase, split on
     * non-alphanumeric runs, drop empties. */
-  private val tokSql =
+  private[queries] val tokSql =
     """list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
       |             x -> x <> '')""".stripMargin
 

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (0L until 2000L).toDF("id")
+
+  test("hashSample: deterministic, close to the nominal rate, and nested") {
+    val s20 = Sampling.hashSample(ids, "id", 0.2).select("id").as[Long].collect().toSet
+    val s20b = Sampling.hashSample(ids, "id", 0.2).select("id").as[Long].collect().toSet
+    val s50 = Sampling.hashSample(ids, "id", 0.5).select("id").as[Long].collect().toSet
+    assert(s20 == s20b)                       // rerun-stable
+    assert(s20.subsetOf(s50))                 // nested under one salt
+    assert(math.abs(s20.size / 2000.0 - 0.2) < 0.05)
+    assert(math.abs(s50.size / 2000.0 - 0.5) < 0.05)
+    // a different salt draws an (almost surely) different sample
+    val other = Sampling.hashSample(ids, "id", 0.2, salt = "epoch2")
+      .select("id").as[Long].collect().toSet
+    assert(other != s20)
+  }
+
+  test("hashSplit: total partition, stable membership, near-nominal weights") {
+    val out = Sampling.hashSplit(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val bySplit = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.values.sum == 2000L)       // every row assigned
+    assert(math.abs(bySplit("train") / 2000.0 - 0.8) < 0.05)
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // growing the corpus never reassigns an existing row
+    val grown = Sampling.hashSplit((0L until 4000L).toDF("id"), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter($"id" < 2000).as[(Long, String)].collect().toMap
+    val orig = out.as[(Long, String)].collect().toMap
+    assert(grown == orig)
+  }
+
+  test("stratifiedHashSample: per-stratum rates, default applied to unlisted") {
+    val df = (0L until 3000L).map(i => (i, s"s${i % 3}")).toDF("id", "grp")
+    val out = Sampling.stratifiedHashSample(df, "id", "grp",
+      Map("s0" -> 0.5, "s1" -> 0.1), defaultFraction = 0.0)
+    val byGrp = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byGrp("s0") / 1000.0 - 0.5) < 0.08)
+    assert(math.abs(byGrp("s1") / 1000.0 - 0.1) < 0.08)
+    assert(!byGrp.contains("s2"))             // default 0 drops the stratum
+  }
+
+  test("deterministicShuffle: a stable permutation, changed by salt") {
+    val p1 = Sampling.deterministicShuffle(ids, "id").as[Long].collect()
+    val p2 = Sampling.deterministicShuffle(ids, "id").as[Long].collect()
+    val p3 = Sampling.deterministicShuffle(ids, "id", salt = "epoch2")
+      .as[Long].collect()
+    assert(p1.sameElements(p2))
+    assert(p1.sorted.sameElements(0L until 2000L))  // a permutation
+    assert(!p1.sameElements(p3))                    // epochs differ
+    assert(!p1.sameElements(0L until 2000L))        // actually shuffled
+  }
+
+  test("takeTokenBudget: equals the single-window cumsum, budget respected") {
+    val docs = (0L until 600L).map(i => (i, s"src${i % 3}", 10L + i % 90))
+      .toDF("id", "src", "toks")
+    val budgets = Map("src0" -> 2000L, "src1" -> 500L)
+    val out = Sampling.takeTokenBudget(docs, "src", "toks", "id", budgets,
+      defaultBudget = 300L, blocks = 8)
+    // brute-force single-window oracle with the identical (blk, ord, id)
+    // order — the two-level prefix sum must reproduce it exactly
+    val w = Window.partitionBy($"src")
+      .orderBy(Sampling.hashBucket($"id", "graft:blk", 8),
+        Sampling.hashWord($"id", "graft:ord"), $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = when($"src" === "src0", 2000L)
+      .when($"src" === "src1", 500L).otherwise(300L)
+    val expect = docs.withColumn("cum", sum($"toks").over(w))
+      .filter($"cum" - $"toks" < budget)
+      .select("id").as[Long].collect().toSet
+    assert(out.select("id").as[Long].collect().toSet == expect)
+    // fill semantics: total may overshoot only by the last row taken
+    val taken = out.groupBy("src").agg(sum($"toks").as("t"), max($"toks").as("m"))
+      .as[(String, Long, Long)].collect()
+    taken.foreach { case (src, t, m) =>
+      val b = budgets.getOrElse(src, 300L)
+      assert(t < b + m, s"$src overshot: $t vs budget $b (max row $m)")
+      assert(t >= math.min(b, 1L), s"$src under-filled: $t vs $b")
+    }
+  }
+
+  test("mixtureTake: budgets split by normalized weight") {
+    val docs = (0L until 900L).map(i => (i, s"src${i % 3}", 20L))
+      .toDF("id", "src", "toks")
+    val out = Sampling.mixtureTake(docs, "src", "toks", "id",
+      weights = Map("src0" -> 3.0, "src1" -> 1.0), totalBudget = 4000L)
+    val bys = out.groupBy("src").agg(sum($"toks").as("t"))
+      .as[(String, Long)].collect().toMap
+    // src0 gets 3000, src1 1000, src2 nothing; rows are 20 tokens each so
+    // the fill lands exactly on the budget
+    assert(bys("src0") == 3000L)
+    assert(bys("src1") == 1000L)
+    assert(!bys.contains("src2"))
+  }
+}
