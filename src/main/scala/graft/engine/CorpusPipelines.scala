@@ -1,0 +1,66 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Sampling}
+
+/** The end-to-end training-corpus preparation pipeline — the composition a
+  * real LLM data pipeline runs nightly, built entirely from this engine's
+  * operators:
+  *
+  *   quality gate → language gate → exact dedup → near-dup removal →
+  *   per-source token-budget mixture → train/val/test split
+  *
+  * Every stage is deterministic and engine-reproducible (the q70 oracle
+  * recomputes the whole pipeline in DuckDB SQL), and every stage keeps the
+  * 100 TB shape of its underlying operator: the gates are map-side
+  * expressions, exact dedup is one shuffle on the content hash, near-dup
+  * removal is the banded-LSH path (never all-pairs), the budget fill is a
+  * two-level prefix sum, and the split is map-side again.
+  */
+object CorpusPipelines {
+
+  /** Run the full preparation over a document table. Returns the surviving
+    * rows with all original columns plus a `split` column.
+    *
+    * Stage order matters and is part of the contract: gates run FIRST so
+    * dedup never wastes shuffle bandwidth on documents that would be
+    * dropped anyway, and the budget fill runs AFTER dedup so duplicate
+    * tokens can't eat a source's budget.
+    */
+  def prepareTrainingCorpus(docs: DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            sourceCol: String = "source",
+                            tokenCol: String = "n_chars",
+                            minQuality: Double = 0.45,
+                            allowedLangs: Seq[String] = Seq("en", "de", "fr", "es"),
+                            nearDupThreshold: Double = 0.3,
+                            budgets: Map[String, Long] = Map.empty,
+                            defaultBudget: Long = Long.MaxValue,
+                            splits: Seq[(String, Double)] =
+                              Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                            salt: String = "graft"): DataFrame = {
+    // 1+2: quality + language gates — one map-side pass, no shuffle
+    val gated = docs
+      .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality &&
+        TextFunctions.langId(col(textCol)).isInCollection(allowedLangs))
+    // 3: exact dedup — keep the lowest id per byte-identical text; the
+    // semi-join on (fingerprint, id) keeps exactly the canonical row and
+    // costs one shuffle on the content hash
+    val fp = gated.withColumn("__fp", md5(col(textCol)))
+    val canonical = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+    val exactDeduped = fp.join(canonical, Seq("__fp", idCol), "left_semi")
+      .drop("__fp")
+    // 4: near-dup removal — LSH candidates → exact-Jaccard verify →
+    // connected components → one canonical doc per duplicate group
+    val nearDeduped = Dedup.dropNearDuplicates(exactDeduped, idCol, textCol,
+      threshold = nearDupThreshold)
+    // 5: per-source token budget (two-level prefix sum)
+    val budgeted = Sampling.takeTokenBudget(nearDeduped, sourceCol, tokenCol,
+      idCol, budgets, defaultBudget, salt)
+    // 6: split assignment — map-side hash bucketing
+    Sampling.hashSplit(budgeted, idCol, splits, salt)
+  }
+}

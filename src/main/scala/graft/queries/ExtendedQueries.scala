@@ -148,7 +148,22 @@ object ExtendedQueries {
       graft.operators.CorpusStats.repetitionProfile(
         Td(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
-        "doc_id", "text"))
+        "doc_id", "text")),
+
+    // ── the end-to-end training-corpus pipeline: quality gate → language
+    //    gate → exact dedup → near-dup removal → token-budget mixture →
+    //    split; the oracle replays the WHOLE composition in DuckDB ──
+    "q70_training_corpus" -> ((s, dir) =>
+      graft.engine.CorpusPipelines.prepareTrainingCorpus(
+          Td(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          minQuality = 0.45,
+          allowedLangs = Seq("en", "de", "fr", "es"),
+          nearDupThreshold = 0.3,
+          budgets = Map("src0" -> 8000L),
+          defaultBudget = 4000L,
+          splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("source"), col("split")))
   )
 
   /** DuckDB analogue of Sampling.hashWord: first 4 md5 bytes of "salt|id"
@@ -276,6 +291,95 @@ object ExtendedQueries {
          |  CASE WHEN len(g.toks) = 0 THEN CAST(0.0 AS DOUBLE)
          |       ELSE round(CAST(tp.topc AS DOUBLE)
          |           / CAST(len(g.toks) AS DOUBLE), 6) END AS top_token_frac
-         |FROM g LEFT JOIN tp ON g.doc_id = tp.doc_id""".stripMargin
+         |FROM g LEFT JOIN tp ON g.doc_id = tp.doc_id""".stripMargin,
+
+    // The whole prepareTrainingCorpus composition, stage for stage. The
+    // quality/lang CTEs are the q38/q39 recipes; the dedup closure is the
+    // q65 recipe over the GATED corpus; budget and split are the q67/q66
+    // recipes over the DEDUPED corpus.
+    "q70_training_corpus" ->
+      s"""WITH RECURSIVE
+         |tok AS (SELECT doc_id, text, source, n_chars,
+         |          ${ScaleQueries.tokSql} AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(length(text) AS DOUBLE) AS nc,
+         |  CAST(len(toks) AS DOUBLE) AS n_toks,
+         |  CAST(length(regexp_replace(text, '[^.,;:!?''"()\\-]', '', 'g'))
+         |    AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(toks,
+         |    t -> list_contains(${ScaleQueries.stopSql("en")}, t)))
+         |    AS DOUBLE) AS hits_en,
+         |  list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+         |    AS tok_len_sum
+         |  FROM tok),
+         |s AS (SELECT doc_id,
+         |  least(nc / 200.0, 1.0) AS len_score,
+         |  greatest(0.0, 1.0 - (CASE WHEN nc = 0 THEN 1.0
+         |    ELSE punct / nc END) * 5) AS punct_score,
+         |  least((CASE WHEN n_toks = 0 THEN 0.0
+         |    ELSE hits_en / n_toks END) * 4, 1.0) AS stop_score,
+         |  CASE WHEN (CASE WHEN n_toks = 0 THEN 0.0
+         |    ELSE coalesce(tok_len_sum, 0.0) / n_toks END) BETWEEN 3.0 AND 8.0
+         |    THEN 1.0 ELSE 0.5 END AS tok_len_score
+         |  FROM m),
+         |q AS (SELECT doc_id,
+         |  round(len_score * 0.3 + punct_score * 0.3 + stop_score * 0.2 +
+         |        tok_len_score * 0.2, 6) AS quality FROM s),
+         |h AS (SELECT doc_id,
+         |  len(list_filter(toks, t -> list_contains(${ScaleQueries.stopSql("de")}, t))) AS h_de,
+         |  len(list_filter(toks, t -> list_contains(${ScaleQueries.stopSql("en")}, t))) AS h_en,
+         |  len(list_filter(toks, t -> list_contains(${ScaleQueries.stopSql("es")}, t))) AS h_es,
+         |  len(list_filter(toks, t -> list_contains(${ScaleQueries.stopSql("fr")}, t))) AS h_fr,
+         |  len(list_filter(toks, t -> list_contains(${ScaleQueries.stopSql("zh")}, t))) AS h_zh
+         |  FROM tok),
+         |lp AS (SELECT doc_id,
+         |  CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+         |       WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+         |       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+         |       WHEN h_es = greatest(h_de, h_en, h_es) THEN 'es'
+         |       WHEN h_en = greatest(h_de, h_en) THEN 'en'
+         |       ELSE 'de' END AS lang_pred FROM h),
+         |gated AS (SELECT t.doc_id, t.text, t.source, t.n_chars, t.toks
+         |  FROM tok t
+         |  JOIN q ON q.doc_id = t.doc_id
+         |  JOIN lp ON lp.doc_id = t.doc_id
+         |  WHERE q.quality >= CAST(0.45 AS DOUBLE)
+         |    AND lp.lang_pred IN ('en', 'de', 'fr', 'es')),
+         |keep AS (SELECT md5(text) AS fp, min(doc_id) AS kid
+         |  FROM gated GROUP BY 1),
+         |ed AS (SELECT g.* FROM gated g
+         |  JOIN keep k ON md5(g.text) = k.fp AND g.doc_id = k.kid),
+         |sh AS (SELECT doc_id, ${ScaleQueries.shinglesSql(3)} AS s FROM ed),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |          AS jaccard
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach AS (SELECT a, b FROM edges
+         |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |drops AS (SELECT a AS doc_id FROM reach
+         |          GROUP BY a HAVING least(a, min(b)) <> a),
+         |nd AS (SELECT doc_id, source, n_chars FROM ed
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+         |d AS (SELECT doc_id, source, n_chars,
+         |    ${hashWordSql("graft:blk", "doc_id")} % 64 AS blk,
+         |    ${hashWordSql("graft:ord", "doc_id")} AS ord
+         |  FROM nd),
+         |c AS (SELECT doc_id, source, n_chars,
+         |    SUM(n_chars) OVER (PARTITION BY source ORDER BY blk, ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d),
+         |b AS (SELECT doc_id, source FROM c
+         |  WHERE cum - n_chars < (CASE WHEN source = 'src0' THEN 8000
+         |                             ELSE 4000 END))
+         |SELECT doc_id, source,
+         |  CASE WHEN bk < 900000 THEN 'train'
+         |       WHEN bk < 950000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, source,
+         |        ${hashWordSql("graft", "doc_id")} % 1000000 AS bk FROM b) f""".stripMargin
   )
 }

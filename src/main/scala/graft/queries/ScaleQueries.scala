@@ -287,13 +287,13 @@ object ScaleQueries {
 
   /** DuckDB word-k-shingle set over `toks` (distinct, whole text when the
     * document is shorter than k tokens). */
-  private def shinglesSql(k: Int): String =
+  private[queries] def shinglesSql(k: Int): String =
     s"""CASE WHEN len(toks) < $k THEN [array_to_string(toks, ' ')]
        |     ELSE list_distinct([array_to_string(toks[i:i+${k - 1}], ' ')
        |                         for i in range(1, len(toks) - ${k - 2})])
        |END""".stripMargin
 
-  private val stopSql: Map[String, String] =
+  private[queries] val stopSql: Map[String, String] =
     graft.functions.TextFunctions.stopwords.map { case (lang, ws) =>
       lang -> ws.map(w => s"'$w'").mkString("[", ",", "]")
     }

@@ -1,0 +1,69 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusPipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three genuinely distinct English paragraphs (pairwise shingle overlap
+  // ~0): long enough, stopword-rich, low punctuation — each passes the
+  // quality and language gates on its own
+  private val paraA = "the quick brown fox jumps over the lazy dog and then " +
+    "it runs back to the forest where all of the other animals live in " +
+    "peace with plenty of food and water for everyone in the valley"
+  private val paraB = "a small harbor town woke slowly that morning and the " +
+    "fishing boats drifted out past the lighthouse while gulls circled " +
+    "above the nets waiting for an easy meal to appear near the docks"
+  private val paraC = "it is often said that good bread needs patience and " +
+    "the baker proved it daily by letting the dough rest overnight in a " +
+    "cool cellar before shaping loaves for the hungry town to enjoy"
+
+  private def corpus = Seq(
+    // survivors
+    (1L, paraA, "src0", paraA.length.toLong),
+    (2L, paraB, "src0", paraB.length.toLong),
+    // exact duplicate of doc 1 — higher id must be dropped
+    (10L, paraA, "src0", paraA.length.toLong),
+    // near duplicate of doc 2 (one word changed) — dropped
+    (11L, paraB.replace("easy meal", "easy lunch"), "src0", paraB.length.toLong),
+    // junk: punctuation soup fails the quality gate
+    (20L, "!!! ??? !!! ,,, ...", "src0", 19L),
+    // wrong language: Chinese stopwords dominate
+    (21L, "的 了 是 在 我 有 和 就 不 人 的 了 是 在 我", "src0", 30L),
+    // another source, survives gates
+    (30L, paraC, "src1", paraC.length.toLong)
+  ).toDF("doc_id", "text", "source", "n_chars")
+
+  test("prepareTrainingCorpus: gates, dedup stages, budget, and split compose") {
+    val out = CorpusPipelines.prepareTrainingCorpus(corpus,
+      minQuality = 0.45, allowedLangs = Seq("en"),
+      nearDupThreshold = 0.3,
+      budgets = Map.empty, defaultBudget = Long.MaxValue,
+      splits = Seq("train" -> 0.5, "val" -> 0.5))
+    val rows = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    // 20 (quality) and 21 (language) gated out; 10 exact-dup of 1 dropped;
+    // 11 near-dup of 2 dropped; 1, 2, 30 survive
+    assert(rows.keySet == Set(1L, 2L, 30L))
+    assert(rows.values.forall(Set("train", "val")))
+    // original columns plus split are all present
+    assert(out.columns.toSet ==
+      Set("doc_id", "text", "source", "n_chars", "split"))
+  }
+
+  test("prepareTrainingCorpus: budget caps a source, others unaffected") {
+    val out = CorpusPipelines.prepareTrainingCorpus(corpus,
+      minQuality = 0.45, allowedLangs = Seq("en"),
+      nearDupThreshold = 0.3,
+      // src0 survivors carry ~190 chars each; a 100-char budget keeps only
+      // the first doc in (hash, id) order (fill semantics) — src1 keeps
+      // everything
+      budgets = Map("src0" -> 100L), defaultBudget = Long.MaxValue,
+      splits = Seq("all" -> 1.0))
+    val bySource = out.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    assert(bySource("src0") == 1L)
+    assert(bySource("src1") == 1L)
+    assert(out.select("split").distinct().as[String].collect().toSeq == Seq("all"))
+  }
+}
