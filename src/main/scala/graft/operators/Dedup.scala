@@ -224,6 +224,50 @@ object Dedup {
     df.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Segment-level corpus dedup (the C4 "discard duplicated lines" step,
+    * phrased over fixed windows of `segTokens` tokens because the corpus
+    * has no line structure): every segment that already occurred earlier
+    * in the corpus — ordered by (doc id, position) — is dropped, and each
+    * document is reassembled from its surviving segments. Documents whose
+    * every segment is a repeat (or that have no tokens) disappear from the
+    * output entirely.
+    *
+    * Scale shape: segments are derived by exploding a cheap index range
+    * and slicing AFTER the Generate (exploding a computed-segment array
+    * would let InferFiltersFromGenerate inline the tokenizer into pushed
+    * filters — the q30 band-stage pathology); the first-occurrence winner
+    * is a partial-aggregating min(struct(id, pos)) groupBy on the segment
+    * (one shuffle keyed by segment text — high-cardinality, no hot key),
+    * and reassembly is one groupBy on the doc id. Nothing all-pairs,
+    * nothing driver-side.
+    */
+  def dropRepeatedSegments(df: DataFrame, idCol: String, textCol: String,
+                           segTokens: Int = 10): DataFrame = {
+    require(segTokens >= 1, "segTokens must be >= 1")
+    val pre = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__nseg",
+        ceil(size(col("__toks")).cast("double") / segTokens).cast("int"))
+    val segs = pre
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__nseg") - 1)).as("__pos"))
+      .select(col(idCol), col("__pos"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__pos") * segTokens + 1, lit(segTokens)))
+          .as("__seg"))
+    val first = segs
+      .groupBy(col("__seg"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+      .select(col("__seg"), col("__first").getField(idCol).as(idCol),
+        col("__first").getField("__pos").as("__pos"))
+    segs.join(first, Seq("__seg", idCol, "__pos"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+          s => s.getField("__seg")), " ").as("clean_text"))
+  }
+
   /** Embedding near-dup pairs: SRP-LSH bucketing then exact cosine ≥
     * threshold within buckets. The bucketed projection is repartitioned
     * (CPU-bound stage; AQE would coalesce one parquet file to one task) and

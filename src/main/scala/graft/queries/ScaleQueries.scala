@@ -136,6 +136,14 @@ object ScaleQueries {
           "doc_id", "text", threshold = 0.3)
         .select("doc_id", "lang", "n_chars")),
 
+    // ── C4-style segment-level corpus dedup: 10-token windows, global
+    //    first occurrence wins, docs reassembled from survivors ──
+    "q71_segment_dedup" -> ((s, dir) =>
+      Dedup.dropRepeatedSegments(
+        Td(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text")),
+
     // ── multimodal payload profile: binary columns synthesized
     //    deterministically from documents (the sandbox has no codec libs;
     //    the metadata-only profile pass needs none) ──
@@ -625,6 +633,25 @@ object ScaleQueries {
     "q29_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q71_segment_dedup" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |t AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+         |e AS (SELECT doc_id, toks,
+         |        unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)))
+         |          AS pos
+         |      FROM t),
+         |s2 AS (SELECT doc_id, pos,
+         |         array_to_string(toks[pos * 10 + 1 : pos * 10 + 10], ' ')
+         |           AS seg
+         |       FROM e),
+         |k AS (SELECT doc_id, pos, seg FROM (
+         |        SELECT doc_id, pos, seg,
+         |          row_number() OVER (PARTITION BY seg
+         |            ORDER BY doc_id, pos) AS rn
+         |        FROM s2) x WHERE rn = 1)
+         |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text
+         |FROM k GROUP BY doc_id""".stripMargin,
 
     "q36_token_stats" ->
       """SELECT doc_id,

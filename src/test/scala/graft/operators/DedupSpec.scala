@@ -96,4 +96,27 @@ class DedupSpec extends SparkSpec {
       .select(TextFunctions.shingles($"t", 3).as("s")).head().getSeq[String](0)
     assert(got == Seq("one two"))
   }
+
+  test("dropRepeatedSegments: first occurrence wins, docs reassemble in order") {
+    val t1 = (1 to 10).map(i => s"alpha$i").mkString(" ")
+    val t2 = (1 to 10).map(i => s"beta$i").mkString(" ")
+    val t3 = (1 to 10).map(i => s"gamma$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"$t1 $t2"),     // both segments first occurrences
+      (2L, s"$t1 $t3"),     // t1 already seen in doc 1 — only t3 survives
+      (3L, t1),             // everything repeated → doc vanishes
+      (4L, "tail end bits") // short partial segment, unique → kept whole
+    ).toDF("id", "text")
+    val out = Dedup.dropRepeatedSegments(fixture, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> s"$t1 $t2", 2L -> t3, 4L -> "tail end bits"))
+  }
+
+  test("dropRepeatedSegments: within-doc repeats collapse to the first position") {
+    val a = (1 to 10).map(i => s"w$i").mkString(" ")
+    val out = Dedup.dropRepeatedSegments(
+        Seq((7L, s"$a $a $a")).toDF("id", "text"), "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(7L -> a))
+  }
 }
