@@ -42,10 +42,15 @@ object CorpusPipelines {
                             splits: Seq[(String, Double)] =
                               Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
                             salt: String = "graft"): DataFrame = {
-    // 1+2: quality + language gates — one map-side pass, no shuffle
+    // 1+2: quality + language gates — one map-side pass, no shuffle. The
+    // gate expressions are the priciest per-row work in the pipeline and
+    // the gated set is consumed by several downstream join branches, so it
+    // is materialized ONCE (eager localCheckpoint — lazy would re-run the
+    // text analysis per branch within a job, the round-1 q33 pathology)
     val gated = docs
       .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality &&
         TextFunctions.langId(col(textCol)).isInCollection(allowedLangs))
+      .localCheckpoint(true)
     // 3: exact dedup — keep the lowest id per byte-identical text; the
     // semi-join on (fingerprint, id) keeps exactly the canonical row and
     // costs one shuffle on the content hash
@@ -54,9 +59,11 @@ object CorpusPipelines {
     val exactDeduped = fp.join(canonical, Seq("__fp", idCol), "left_semi")
       .drop("__fp")
     // 4: near-dup removal — LSH candidates → exact-Jaccard verify →
-    // connected components → one canonical doc per duplicate group
+    // connected components → one canonical doc per duplicate group.
+    // Materialized once: the budget stage reads it twice (block totals +
+    // the row-level join)
     val nearDeduped = Dedup.dropNearDuplicates(exactDeduped, idCol, textCol,
-      threshold = nearDupThreshold)
+      threshold = nearDupThreshold).localCheckpoint(true)
     // 5: per-source token budget (two-level prefix sum)
     val budgeted = Sampling.takeTokenBudget(nearDeduped, sourceCol, tokenCol,
       idCol, budgets, defaultBudget, salt)

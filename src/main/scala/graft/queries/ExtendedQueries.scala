@@ -150,6 +150,13 @@ object ExtendedQueries {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
         "doc_id", "text")),
 
+    // ── Morton Z-value for multi-dimensional write clustering (the layout
+    //    key behind Layout.zorder; pure codegen'd bit ops) ──
+    "q72_zvalue" -> ((s, dir) =>
+      Td(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.Layout.zValue(
+          Seq(col("l_suppkey"), col("l_partkey")), bits = 8).as("z"))),
+
     // ── the end-to-end training-corpus pipeline: quality gate → language
     //    gate → exact dedup → near-dup removal → token-budget mixture →
     //    split; the oracle replays the WHOLE composition in DuckDB ──
@@ -170,6 +177,16 @@ object ExtendedQueries {
     * as an unsigned 32-bit value. */
   private def hashWordSql(salt: String, idExpr: String) =
     s"CAST(('0x' || substr(md5('$salt|' || CAST($idExpr AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+  /** DuckDB analogue of Layout.zValue: the same unrolled clamp/shift/mask
+    * interleave. */
+  private def zValueSql(cols: Seq[String], bits: Int): String = {
+    val n = cols.size
+    val clamped = cols.map(c =>
+      s"least(greatest(CAST($c AS BIGINT), 0), ${(1L << bits) - 1})")
+    (for { b <- 0 until bits; (c, i) <- clamped.zipWithIndex }
+      yield s"((($c >> $b) & 1) << ${b * n + i})").mkString("(", " | ", ")")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q43_rollup" ->
@@ -292,6 +309,11 @@ object ExtendedQueries {
          |       ELSE round(CAST(tp.topc AS DOUBLE)
          |           / CAST(len(g.toks) AS DOUBLE), 6) END AS top_token_frac
          |FROM g LEFT JOIN tp ON g.doc_id = tp.doc_id""".stripMargin,
+
+    "q72_zvalue" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${zValueSql(Seq("l_suppkey", "l_partkey"), 8)} AS z
+         |FROM lineitem""".stripMargin,
 
     // The whole prepareTrainingCorpus composition, stage for stage. The
     // quality/lang CTEs are the q38/q39 recipes; the dedup closure is the
