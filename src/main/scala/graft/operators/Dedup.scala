@@ -224,6 +224,34 @@ object Dedup {
     df.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination: drop every corpus document that shares at
+    * least one word k-gram with the benchmark/eval set — the standard
+    * guard against test-set leakage into training data. Documents shorter
+    * than k tokens contribute their whole text as one shingle, so a short
+    * doc is only flagged on an exact-ish match.
+    *
+    * Scale shape: the benchmark is an eval set — small by definition — so
+    * its distinct shingles BROADCAST to the corpus scan (no corpus
+    * shuffle), and the contaminated-id set (also small) broadcasts back
+    * for the anti-join. 100 TB of corpus streams through two broadcast
+    * joins; nothing wide ever shuffles.
+    */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    k: Int = 8): DataFrame = {
+    import graft.functions.SignatureExpressions
+    val docShingles = df.select(col(idCol),
+      explode(SignatureExpressions.wordShingles(col(textCol), k)).as("__sh"))
+    val benchShingles = benchmark
+      .select(explode(SignatureExpressions.wordShingles(col(benchTextCol), k))
+        .as("__sh"))
+      .distinct()
+    val contaminated = docShingles
+      .join(broadcast(benchShingles), Seq("__sh"))
+      .select(col(idCol)).distinct()
+    df.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** Segment-level corpus dedup (the C4 "discard duplicated lines" step,
     * phrased over fixed windows of `segTokens` tokens because the corpus
     * has no line structure): every segment that already occurred earlier

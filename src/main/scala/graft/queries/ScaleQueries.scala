@@ -136,6 +136,17 @@ object ScaleQueries {
           "doc_id", "text", threshold = 0.3)
         .select("doc_id", "lang", "n_chars")),
 
+    // ── benchmark decontamination: docs sharing any word 8-gram with the
+    //    simulated eval split (doc_id % 40 == 0) are dropped from train ──
+    "q73_decontaminate" -> ((s, dir) => {
+      val docs = Td(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") % 40 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 40 === 0), "text", k = 8)
+        .select("doc_id", "lang", "source")
+    }),
+
     // ── C4-style segment-level corpus dedup: 10-token windows, global
     //    first occurrence wins, docs reassembled from survivors ──
     "q71_segment_dedup" -> ((s, dir) =>
@@ -633,6 +644,20 @@ object ScaleQueries {
     "q29_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q73_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |trs AS (SELECT doc_id, ${shinglesSql(8)} AS s FROM tok
+         |        WHERE doc_id % 40 <> 0),
+         |bes AS (SELECT ${shinglesSql(8)} AS s FROM tok
+         |        WHERE doc_id % 40 = 0),
+         |bsh AS (SELECT DISTINCT unnest(s) AS sh FROM bes),
+         |bad AS (SELECT DISTINCT t.doc_id
+         |        FROM (SELECT doc_id, unnest(s) AS sh FROM trs) t
+         |        JOIN bsh ON t.sh = bsh.sh)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % 40 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     "q71_segment_dedup" ->
       s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),

@@ -112,6 +112,20 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> s"$t1 $t2", 2L -> t3, 4L -> "tail end bits"))
   }
 
+  test("decontaminate drops docs sharing a k-gram with the benchmark") {
+    val leak = (1 to 8).map(i => s"leak$i").mkString(" ")
+    val train = Seq(
+      (1L, s"completely original text about engines $leak and more words"),
+      (2L, "nothing in common with any benchmark item at all here today"),
+      (3L, "short doc")  // < k tokens: whole-text shingle, no bench match
+    ).toDF("id", "text")
+    val bench = Seq((100L, s"an eval question containing $leak verbatim"))
+      .toDF("bid", "btext")
+    val kept = Dedup.decontaminate(train, "id", "text", bench, "btext", k = 8)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L)) // doc 1 shares the 8-gram, dropped
+  }
+
   test("dropRepeatedSegments: within-doc repeats collapse to the first position") {
     val a = (1 to 10).map(i => s"w$i").mkString(" ")
     val out = Dedup.dropRepeatedSegments(
