@@ -45,6 +45,19 @@ object Dedup {
           .as("sig"))
   }
 
+  /** (id, b, key) band keys for a signature frame. The explode is over a
+    * LITERAL band-index array — exploding per-band structs would let
+    * InferFiltersFromGenerate inline the signature pipeline into pushed
+    * filters (see minHashLSH). */
+  private def bandKeys(sigs: DataFrame, nBands: Int,
+                       rowsPerBand: Int): DataFrame =
+    sigs
+      .select(col("id"), col("sig"),
+        explode(lit((0 until nBands).toArray)).as("b"))
+      .select(col("id"), col("b"),
+        hash(slice(col("sig"), col("b") * rowsPerBand + 1, lit(rowsPerBand)))
+          .as("key"))
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * @return (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
@@ -64,12 +77,7 @@ object Dedup {
     // and pushdown inlines the whole signature pipeline into that filter —
     // nBands× per row, below the exchange (observed in the sf0.1 plan).
     // A literal index array constant-folds the inferred filter away.
-    val banded = sigd
-      .select(col("id"), col("sig"),
-        explode(lit((0 until nBands).toArray)).as("b"))
-      .select(col("id"), col("sig"), col("b"),
-        hash(slice(col("sig"), col("b") * rowsPerBand + 1, lit(rowsPerBand)))
-          .as("key"))
+    val banded = bandKeys(sigd, nBands, rowsPerBand)
     // the band self-join and pair-dedup carry only (id, b, key) — a pair
     // colliding in many bands would otherwise shuffle its two 64-long
     // signatures once per band; signatures are re-attached after distinct
@@ -81,6 +89,44 @@ object Dedup {
       .join(sigd.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigd.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
+        graft.functions.SignatureExpressions
+          .sigAgreement(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup detection: near-duplicate pairs between a NEW
+    * batch and an EXISTING corpus represented by its STORED signatures
+    * (the [[minHashSignatures]] output — `(id, sig)` — is the durable
+    * asset). This is the production shape of corpus dedup at 100 TB: the
+    * corpus is signatured exactly once, each arriving batch signatures
+    * only itself and band-joins against the stored table; nothing over
+    * the existing corpus text is ever recomputed.
+    *
+    * The caller must pass the same (k, numHashes, seed) the stored
+    * signatures were built with — signatures from different parameters
+    * never collide meaningfully.
+    *
+    * @return (new_id, existing_id, est_jaccard) with agreement ≥ threshold
+    */
+  def minHashLSHAgainst(newDocs: DataFrame, idCol: String, textCol: String,
+                        existingSigs: DataFrame, threshold: Double = 0.5,
+                        k: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 4,
+                        seed: Long = 42L): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val nBands = numHashes / rowsPerBand
+    val newSigs = minHashSignatures(newDocs, idCol, textCol, k, numHashes, seed)
+    val a = bandKeys(newSigs, nBands, rowsPerBand)
+      .select(col("id").as("new_id"), col("b"), col("key"))
+    val e = bandKeys(existingSigs, nBands, rowsPerBand)
+      .select(col("id").as("existing_id"), col("b"), col("key"))
+    val cand = a.join(e, Seq("b", "key"))
+      .select("new_id", "existing_id").distinct()
+    cand
+      .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_a")),
+        Seq("new_id"))
+      .join(existingSigs.select(col("id").as("existing_id"),
+        col("sig").as("sig_b")), Seq("existing_id"))
+      .select(col("new_id"), col("existing_id"),
         graft.functions.SignatureExpressions
           .sigAgreement(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)

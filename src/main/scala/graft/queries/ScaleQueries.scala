@@ -136,6 +136,18 @@ object ScaleQueries {
           "doc_id", "text", threshold = 0.3)
         .select("doc_id", "lang", "n_chars")),
 
+    // ── incremental near-dup: the batch of new arrivals (doc_id % 10 == 0)
+    //    band-joins against the STORED corpus signatures — the existing
+    //    corpus text is never re-signatured ──
+    "q74_incremental_neardup" -> ((s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val existingSigs = Dedup.minHashSignatures(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      Dedup.minHashLSHAgainst(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        existingSigs, threshold = 0.5)
+    }),
+
     // ── benchmark decontamination: docs sharing any word 8-gram with the
     //    simulated eval split (doc_id % 40 == 0) are dropped from train ──
     "q73_decontaminate" -> ((s, dir) => {
@@ -644,6 +656,26 @@ object ScaleQueries {
     "q29_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // q74: same total-recall-at-threshold argument as q30 — every corpus
+    // pair at/above 0.5 signature agreement is a planted near-dup that
+    // collides in some band with overwhelming probability (verified at
+    // both driver SFs), so the all-pairs cross oracle reproduces the
+    // banded output exactly.
+    "q74_incremental_neardup" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM tok),
+         |hs AS (SELECT doc_id,
+         |         list_distinct(list_transform(s, x -> ${md5Word1("x")}))
+         |         AS hh FROM sh),
+         |sig AS (SELECT doc_id, ${minhashSigSql(64, 42L)} AS sig FROM hs),
+         |est AS (SELECT n.doc_id AS new_id, e.doc_id AS existing_id,
+         |          CAST(len(list_filter(range(1, 65),
+         |            i -> n.sig[i] = e.sig[i])) AS DOUBLE) / 64 AS est_jaccard
+         |        FROM sig n JOIN sig e
+         |          ON n.doc_id % 10 = 0 AND e.doc_id % 10 <> 0)
+         |SELECT new_id, existing_id, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5""".stripMargin,
 
     "q73_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),

@@ -112,6 +112,22 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> s"$t1 $t2", 2L -> t3, 4L -> "tail end bits"))
   }
 
+  test("minHashLSHAgainst finds cross-batch near-dups from stored signatures") {
+    val existing = docs.filter($"doc_id" <= 3) // holds doc 1 and its near-dup text
+    val newBatch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "utterly disjoint sentences about entirely other topics and things")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(existing, "doc_id", "text")
+    val out = Dedup.minHashLSHAgainst(newBatch, "doc_id", "text", sigs,
+        threshold = 0.5)
+      .select("new_id", "existing_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out.contains((100L, 1L)))  // exact text twin in the corpus
+    assert(out.contains((100L, 2L)))  // near-dup twin
+    assert(!out.exists(_._1 == 101L)) // unrelated new doc matches nothing
+  }
+
   test("decontaminate drops docs sharing a k-gram with the benchmark") {
     val leak = (1 to 8).map(i => s"leak$i").mkString(" ")
     val train = Seq(
