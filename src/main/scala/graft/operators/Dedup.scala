@@ -49,8 +49,8 @@ object Dedup {
     * LITERAL band-index array — exploding per-band structs would let
     * InferFiltersFromGenerate inline the signature pipeline into pushed
     * filters (see minHashLSH). */
-  private def bandKeys(sigs: DataFrame, nBands: Int,
-                       rowsPerBand: Int): DataFrame =
+  private[graft] def bandKeys(sigs: DataFrame, nBands: Int,
+                              rowsPerBand: Int): DataFrame =
     sigs
       .select(col("id"), col("sig"),
         explode(lit((0 until nBands).toArray)).as("b"))

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+object CorpusStreamsSpec {
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+}
+
+class CorpusStreamsSpec extends SparkSpec {
+  import spark.implicits._
+  import CorpusStreamsSpec.Doc
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "completely different content about spark query engines and shuffles")
+  ).toDF("doc_id", "text")
+
+  test("flagNearDups: streaming flags match the batch twin, re-deliveries deduped") {
+    implicit val sqlCtx = spark.sqlContext
+    val sigs = Dedup.minHashSignatures(corpus, "doc_id", "text")
+      .localCheckpoint(true) // static side, computed once
+    val arrivals = Seq(
+      Doc(100L, ts(1),
+        "the quick brown fox jumps over the lazy dog near the river bank now"),
+      Doc(101L, ts(2), "utterly unrelated arrival about gardens and music"))
+    val stream = MemoryStream[Doc]
+    stream.addData(arrivals)
+    stream.addData(Seq(arrivals.head)) // re-delivered duplicate arrival
+    val q = CorpusStreams.flagNearDups(stream.toDF(), "doc_id", "text", "ts",
+        sigs, threshold = 0.5)
+      .writeStream.format("memory").queryName("nd_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("nd_out")
+      .select("doc_id", "existing_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the near-dup arrival is flagged against corpus doc 1 exactly once
+    // despite re-delivery; the unrelated arrival is not flagged
+    assert(streamed == Seq((100L, 1L)))
+    // batch twin: identical flags from the same call on a plain frame
+    val batch = CorpusStreams.flagNearDups(
+        arrivals.toDF(), "doc_id", "text", "ts", sigs, threshold = 0.5)
+      .select("doc_id", "existing_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batch == streamed)
+  }
+}
