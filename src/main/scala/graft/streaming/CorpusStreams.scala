@@ -18,9 +18,13 @@ object CorpusStreams {
     * agreement ≥ threshold.
     *
     * Stream shape: the arriving micro-batch computes its own signatures
-    * map-side (one scalar expression per row); the static corpus band
-    * table and signature table BROADCAST into the stream — a stream-static
-    * join, so no streaming state for the join itself. The stream side
+    * map-side (one scalar expression per row); the static corpus band and
+    * signature tables join stream-static, so the join itself keeps no
+    * streaming state. Their placement is deliberately LEFT TO THE
+    * OPTIMIZER: a small signature table broadcasts itself under the usual
+    * threshold, while a 100 TB corpus must NOT be broadcast — it runs as
+    * a shuffled stream-static join (pre-bucket the stored signature table
+    * by band key to make that exchange one-sided). The stream side
     * carries its signature through the band explode instead of re-joining
     * it back (a stream cannot self-join), trading nBands× signature
     * duplication inside one stage for not buffering the stream. Pair
@@ -52,8 +56,8 @@ object CorpusStreams {
     val eSigs = existingSigs
       .select(col("id").as("existing_id"), col("sig").as("sig_b"))
     val flagged = banded
-      .join(broadcast(eBands), Seq("b", "key"))
-      .join(broadcast(eSigs), Seq("existing_id"))
+      .join(eBands, Seq("b", "key"))
+      .join(eSigs, Seq("existing_id"))
       .select(col("doc_id"), col("__ts"), col("existing_id"),
         SignatureExpressions.sigAgreement(col("sig"), col("sig_b"))
           .as("est_jaccard"))
