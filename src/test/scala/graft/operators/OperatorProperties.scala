@@ -123,4 +123,60 @@ object OperatorProperties extends Properties("graft.operators") {
         } && (maxDoc <= budget ||
           packs.exists(p => p.getAs[Long]("total_tokens") > budget))
     }
+
+  /** Independent JVM-side replica of Sampling.hashWord (first 4 md5 bytes
+    * of "salt|id", big-endian unsigned) — re-derives the hash without
+    * going through Spark, so the property cross-checks the SQL expression
+    * against a second implementation. */
+  private def word(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
+  private val budgetCase = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      src <- Gen.oneOf("s0", "s1", "s2")
+      tok <- Gen.choose(1L, 50L)
+    } yield (src, tok))
+    blocks <- Gen.choose(1, 8)
+    b0 <- Gen.choose(0L, 300L)
+    b1 <- Gen.choose(0L, 300L)
+  } yield (rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) },
+    blocks, Map("s0" -> b0, "s1" -> b1))
+
+  property("takeTokenBudget equals a driver-side prefix scan (independent md5)") =
+    Prop.forAll(budgetCase) { case (rows, blocks, budgets) =>
+      val got = Sampling.takeTokenBudget(rows.toDF("id", "src", "tok"),
+          "src", "tok", "id", budgets, defaultBudget = 70L, blocks = blocks)
+        .select("id").as[Long].collect().toSet
+      val expected = rows.groupBy(_._2).flatMap { case (src, rs) =>
+        val budget = budgets.getOrElse(src, 70L)
+        val ordered = rs.sortBy(r =>
+          (word(s"graft:blk|${r._1}") % blocks, word(s"graft:ord|${r._1}"), r._1))
+        var cum = 0L
+        ordered.filter { r => val before = cum; cum += r._3; before < budget }
+          .map(_._1)
+      }.toSet
+      got == expected
+    }
+
+  private val sampleCase = for {
+    ids <- Gen.nonEmptyListOf(Gen.choose(0L, 5000L)).map(_.distinct)
+    f1 <- Gen.choose(0.0, 1.0)
+    f2 <- Gen.choose(0.0, 1.0)
+  } yield (ids, math.min(f1, f2), math.max(f1, f2))
+
+  property("hashSample: nested across fractions, exact threshold semantics") =
+    Prop.forAll(sampleCase) { case (ids, lo, hi) =>
+      val df = ids.toDF("id")
+      val small = Sampling.hashSample(df, "id", lo).as[Long].collect().toSet
+      val big = Sampling.hashSample(df, "id", hi).as[Long].collect().toSet
+      val expected = ids.filter(i =>
+        word(s"graft|$i") % Sampling.Resolution <
+          math.round(hi * Sampling.Resolution)).toSet
+      small.subsetOf(big) && big == expected
+    }
 }
