@@ -26,6 +26,55 @@ object CorpusStats {
     * would avoid the shuffle but runs interpreted per row — measured
     * slower and unbounded in document length, so the explode wins.
     */
+  /** Top-k most characteristic terms per document by smoothed TF-IDF
+    * (`tf × (ln((N+1)/(df+1)) + 1)`), deterministic tie-break by term.
+    * Returns (id, rank, term, tf, doc_freq) — integer evidence columns
+    * rather than the float score, so results are engine-exact.
+    *
+    * Shape at scale: one explode → (doc, term) partial-agg groupBy; the
+    * per-term document frequency is a second |vocabulary|-sized aggregate
+    * joined back by term; the corpus size N arrives via a broadcast of a
+    * one-row aggregate (never a driver-side collect); top-k is a window
+    * over the doc id.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val n = df.select(countDistinct(col(idCol)).as("__n"))
+    val scored = tf
+      .join(dfreq, Seq("term"))
+      .join(broadcast(n))
+      .withColumn("__score", col("tf") *
+        (log((col("__n") + 1).cast("double") / (col("doc_freq") + 1)) + 1.0))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("doc_freq"))
+  }
+
+  /** Corpus-wide n-gram document frequencies: the `limit` most common word
+    * k-shingles by the number of documents containing them (shingles are
+    * per-document sets, so the count IS a document frequency), ties broken
+    * by the gram text. One explode + one partial-agg groupBy keyed by the
+    * gram — the standard LM-diagnostics sweep, shuffle ∝ |distinct grams|.
+    */
+  def topNgrams(df: DataFrame, textCol: String, k: Int = 3,
+                limit: Int = 20): DataFrame = {
+    import graft.functions.SignatureExpressions
+    df.select(explode(SignatureExpressions.wordShingles(col(textCol), k))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram").asc)
+      .limit(limit)
+  }
+
   def repetitionProfile(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 2): DataFrame = {
     require(k >= 1, "k must be >= 1")

@@ -150,6 +150,21 @@ object ExtendedQueries {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
         "doc_id", "text")),
 
+    // ── top-5 TF-IDF terms per document (integer evidence columns; the
+    //    float score stays internal so results are engine-exact) ──
+    "q75_tfidf_topterms" -> ((s, dir) =>
+      graft.operators.CorpusStats.tfidfTopTerms(
+        Td(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", topK = 5)),
+
+    // ── corpus-wide top-20 3-gram document frequencies ──
+    "q76_top_ngrams" -> ((s, dir) =>
+      graft.operators.CorpusStats.topNgrams(
+        Td(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "text", k = 3, limit = 20)),
+
     // ── Morton Z-value for multi-dimensional write clustering (the layout
     //    key behind Layout.zorder; pure codegen'd bit ops) ──
     "q72_zvalue" -> ((s, dir) =>
@@ -314,6 +329,32 @@ object ExtendedQueries {
       s"""SELECT l_orderkey, l_linenumber,
          |  ${zValueSql(Seq("l_suppkey", "l_partkey"), 8)} AS z
          |FROM lineitem""".stripMargin,
+
+    "q75_tfidf_topterms" ->
+      s"""WITH tok AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks
+         |  FROM documents),
+         |t2 AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM documents),
+         |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+         |        tf.tf * (ln(CAST(nn + 1 AS DOUBLE) / (doc_freq + 1)) + 1.0)
+         |          AS score
+         |      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, tf, doc_freq,
+         |        CAST(row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY score DESC, term ASC) AS INT) AS rank
+         |      FROM s)
+         |SELECT doc_id, rank, term, tf, doc_freq FROM r
+         |WHERE rank <= 5""".stripMargin,
+
+    "q76_top_ngrams" ->
+      s"""WITH tok AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks
+         |  FROM documents),
+         |sh AS (SELECT doc_id, ${ScaleQueries.shinglesSql(3)} AS s FROM tok),
+         |g AS (SELECT unnest(s) AS gram FROM sh)
+         |SELECT gram, COUNT(*) AS doc_freq FROM g GROUP BY gram
+         |ORDER BY doc_freq DESC, gram ASC LIMIT 20""".stripMargin,
 
     // The whole prepareTrainingCorpus composition, stage for stage. The
     // quality/lang CTEs are the q38/q39 recipes; the dedup closure is the

@@ -32,6 +32,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(p(10L)._3 == 0.5)         // "the" 3 of 6
   }
 
+  test("tfidfTopTerms: rare terms outrank common ones; ranks and ties deterministic") {
+    val docs = Seq(
+      (1L, "shared shared shared unique1"),
+      (2L, "shared unique2 unique2"),
+      (3L, "shared other")).toDF("id", "text")
+    val out = CorpusStats.tfidfTopTerms(docs, "id", "text", topK = 2)
+      .as[(Long, Int, String, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(r => (r._3, r._4, r._5)).toSeq }
+    // doc 1: "shared" tf=3 but df=3 (idf≈1); unique1 tf=1 df=1 (idf≈1.69)
+    // → 3×1.0 > 1×1.69, shared ranks first with tf evidence
+    assert(out(1L) == Seq(("shared", 3L, 3L), ("unique1", 1L, 1L)))
+    // doc 2: unique2 tf=2 beats shared tf=1
+    assert(out(2L) == Seq(("unique2", 2L, 1L), ("shared", 1L, 3L)))
+    // doc 3: equal tf=1 — "other" (df=1) outranks "shared" (df=3)
+    assert(out(3L) == Seq(("other", 1L, 1L), ("shared", 1L, 3L)))
+  }
+
+  test("topNgrams counts document frequency of shingles with stable order") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "a b c d")) // "a b c" in all 3
+      .toDF("id", "text")
+    val out = CorpusStats.topNgrams(docs, "text", k = 3, limit = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a b c", 3L), ("b c d", 2L)))
+  }
+
   test("repetitionProfile: a pasted-twice document scores high dup fraction") {
     val half = (1 to 50).map(i => s"tok$i").mkString(" ")
     val p = profile(20L -> s"$half $half")
