@@ -10,26 +10,13 @@ import graft.functions.TextFunctions
   */
 object CorpusStats {
 
-  /** Per-document repetition profile:
-    *
-    *  - `n_tokens` — token count;
-    *  - `dup_gram_frac` — fraction of word k-grams that are repeats of an
-    *    earlier k-gram in the same document (0 when fewer than k tokens);
-    *  - `top_token_frac` — share of tokens taken by the single most
-    *    frequent token.
-    *
-    * Shape at scale: the k-gram fraction is a per-row array expression (no
-    * shuffle); the top-token share explodes tokens and aggregates twice —
-    * (id, token) then (id) — both with map-side partial aggregation, keyed
-    * by the document id so the shuffle is as wide as the corpus, never a
-    * hot key. An O(tokens × distinct) higher-order-function formulation
-    * would avoid the shuffle but runs interpreted per row — measured
-    * slower and unbounded in document length, so the explode wins.
-    */
   /** Top-k most characteristic terms per document by smoothed TF-IDF
     * (`tf × (ln((N+1)/(df+1)) + 1)`), deterministic tie-break by term.
     * Returns (id, rank, term, tf, doc_freq) — integer evidence columns
-    * rather than the float score, so results are engine-exact.
+    * rather than the float score. The internal score is rounded to 6
+    * decimals before ranking so a sub-ulp `ln` divergence between engines
+    * cannot flip an order (both engines then rank identical rounded
+    * values, tie-broken by term).
     *
     * Shape at scale: one explode → (doc, term) partial-agg groupBy; the
     * per-term document frequency is a second |vocabulary|-sized aggregate
@@ -49,8 +36,9 @@ object CorpusStats {
     val scored = tf
       .join(dfreq, Seq("term"))
       .join(broadcast(n))
-      .withColumn("__score", col("tf") *
-        (log((col("__n") + 1).cast("double") / (col("doc_freq") + 1)) + 1.0))
+      .withColumn("__score", round(col("tf") *
+        (log((col("__n") + 1).cast("double") / (col("doc_freq") + 1)) + 1.0),
+        6))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__score").desc, col("term").asc)
     scored
@@ -75,6 +63,22 @@ object CorpusStats {
       .limit(limit)
   }
 
+  /** Per-document repetition profile:
+    *
+    *  - `n_tokens` — token count;
+    *  - `dup_gram_frac` — fraction of word k-grams that are repeats of an
+    *    earlier k-gram in the same document (0 when fewer than k tokens);
+    *  - `top_token_frac` — share of tokens taken by the single most
+    *    frequent token.
+    *
+    * Shape at scale: the k-gram fraction is a per-row array expression (no
+    * shuffle); the top-token share explodes tokens and aggregates twice —
+    * (id, token) then (id) — both with map-side partial aggregation, keyed
+    * by the document id so the shuffle is as wide as the corpus, never a
+    * hot key. An O(tokens × distinct) higher-order-function formulation
+    * would avoid the shuffle but runs interpreted per row — measured
+    * slower and unbounded in document length, so the explode wins.
+    */
   def repetitionProfile(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 2): DataFrame = {
     require(k >= 1, "k must be >= 1")

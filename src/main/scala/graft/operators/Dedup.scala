@@ -272,22 +272,34 @@ object Dedup {
 
   /** Benchmark decontamination: drop every corpus document that shares at
     * least one word k-gram with the benchmark/eval set — the standard
-    * guard against test-set leakage into training data. Documents shorter
-    * than k tokens contribute their whole text as one shingle, so a short
-    * doc is only flagged on an exact-ish match.
+    * guard against test-set leakage into training data.
     *
-    * Scale shape: the benchmark is an eval set — small by definition — so
-    * its distinct shingles BROADCAST to the corpus scan (no corpus
-    * shuffle), and the contaminated-id set (also small) broadcasts back
-    * for the anti-join. 100 TB of corpus streams through two broadcast
-    * joins; nothing wide ever shuffles.
+    * Benchmark items SHORTER than k tokens contribute their whole text as
+    * their only shingle — a fixed-k corpus shingling could never match it
+    * (a j-token string never equals a k-token string), so the corpus is
+    * additionally shingled at each short length present in the benchmark.
+    * Those lengths come from one driver-side pass over the EVAL set,
+    * which is small by definition; the corpus is never collected.
+    *
+    * Scale shape: the benchmark's distinct shingles BROADCAST to the
+    * corpus scan (no corpus shuffle), and the contaminated-id set (also
+    * small) broadcasts back for the anti-join. 100 TB of corpus streams
+    * through two broadcast joins; nothing wide ever shuffles — one extra
+    * corpus pass per distinct short benchmark length.
     */
   def decontaminate(df: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchTextCol: String,
                     k: Int = 8): DataFrame = {
     import graft.functions.SignatureExpressions
-    val docShingles = df.select(col(idCol),
-      explode(SignatureExpressions.wordShingles(col(textCol), k)).as("__sh"))
+    val shortLens = benchmark
+      .select(size(TextFunctions.tokens(col(benchTextCol))).as("__n"))
+      .filter(col("__n") > 0 && col("__n") < k)
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val docShingles = (k +: shortLens).distinct
+      .map(kk => df.select(col(idCol),
+        explode(SignatureExpressions.wordShingles(col(textCol), kk))
+          .as("__sh")))
+      .reduce(_ unionByName _)
     val benchShingles = benchmark
       .select(explode(SignatureExpressions.wordShingles(col(benchTextCol), k))
         .as("__sh"))
@@ -306,6 +318,13 @@ object Dedup {
     * every segment is a repeat (or that have no tokens) disappear from the
     * output entirely.
     *
+    * CONTRACT: `clean_text` is in NORMALIZED TOKEN SPACE — lowercased,
+    * punctuation stripped, single-spaced — because segments are windows
+    * over the token stream, not raw character spans. A pipeline that must
+    * preserve original formatting should use this operator's id/position
+    * output as a mask (join surviving (id, pos) windows back to original
+    * offsets), not consume clean_text as the corpus.
+    *
     * Scale shape: segments are derived by exploding a cheap index range
     * and slicing AFTER the Generate (exploding a computed-segment array
     * would let InferFiltersFromGenerate inline the tokenizer into pushed
@@ -323,6 +342,11 @@ object Dedup {
       .filter(size(col("__toks")) > 0)
       .withColumn("__nseg",
         ceil(size(col("__toks")).cast("double") / segTokens).cast("int"))
+    // materialized ONCE (eager): segs feeds both the first-occurrence
+    // aggregate (partitioned by segment) and the semi-join probe side
+    // (partitioned by segment+id+pos) — different partitionings, so
+    // exchange reuse can't kick in and a lazy plan would tokenize the
+    // corpus twice
     val segs = pre
       .select(col(idCol), col("__toks"),
         explode(sequence(lit(0), col("__nseg") - 1)).as("__pos"))
@@ -330,6 +354,7 @@ object Dedup {
         concat_ws(" ",
           slice(col("__toks"), col("__pos") * segTokens + 1, lit(segTokens)))
           .as("__seg"))
+      .localCheckpoint(true)
     val first = segs
       .groupBy(col("__seg"))
       .agg(min(struct(col(idCol), col("__pos"))).as("__first"))

@@ -338,7 +338,8 @@ object ExtendedQueries {
          |dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
          |n AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM documents),
          |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
-         |        tf.tf * (ln(CAST(nn + 1 AS DOUBLE) / (doc_freq + 1)) + 1.0)
+         |        round(tf.tf *
+         |          (ln(CAST(nn + 1 AS DOUBLE) / (doc_freq + 1)) + 1.0), 6)
          |          AS score
          |      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
          |r AS (SELECT doc_id, term, tf, doc_freq,

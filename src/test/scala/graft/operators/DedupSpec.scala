@@ -142,6 +142,18 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L)) // doc 1 shares the 8-gram, dropped
   }
 
+  test("decontaminate catches benchmark items shorter than k inside long docs") {
+    val train = Seq(
+      (1L, "a very long training document that quotes the secret answer phrase somewhere inside its body"),
+      (2L, "another long document with no overlap against the evaluation set at all")
+    ).toDF("id", "text")
+    // 4-token eval item (< k): its whole text must still flag doc 1
+    val bench = Seq((100L, "secret answer phrase somewhere")).toDF("bid", "btext")
+    val kept = Dedup.decontaminate(train, "id", "text", bench, "btext", k = 8)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
   test("dropRepeatedSegments: within-doc repeats collapse to the first position") {
     val a = (1 to 10).map(i => s"w$i").mkString(" ")
     val out = Dedup.dropRepeatedSegments(
