@@ -118,6 +118,10 @@ object Sampling {
     * The (blk, hash, id) order is identical in both formulations, so this
     * equals the single-window cumsum exactly (asserted in SamplingSpec).
     * Raise `blocks` with corpus size; partitions stay bounded.
+    *
+    * Rows with a NULL source are dropped (a null key never matches the
+    * offsets join — standard join semantics); coalesce the source to a
+    * sentinel first if null-source rows must be budgeted.
     */
   def takeTokenBudget(df: DataFrame, sourceCol: String, tokenCol: String,
                       idCol: String, budgets: Map[String, Long],
