@@ -88,6 +88,34 @@ object Quality {
     * (src/analyze_gridveg_dates_pattern.py:68-90): attach a status class and
     * its population size to each row, sorted by a custom collation.
     */
+  /** Single-pass per-column table statistics — the ANALYZE TABLE
+    * analogue: row count, null count, distinct count, and stringified
+    * min/max for each requested column, one output row per column.
+    *
+    * All statistics for all columns come from ONE aggregate over ONE scan
+    * (the multiple count-distincts expand map-side; the result is a single
+    * row exploded into per-column rows) — profiling a 100 TB table costs
+    * one pass regardless of how many columns are profiled. min/max are
+    * CAST to string so heterogeneous column types share one schema; use
+    * int/string/date columns for engine-portable formatting (float→string
+    * rendering differs between engines).
+    */
+  def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableStats needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c"))) :+
+      count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c => struct(
+      lit(c).as("column"), col("__n").as("n"),
+      col(s"__null_$c").as("n_null"), col(s"__nd_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_str"), col(s"__max_$c").as("max_str")))
+    one.select(explode(array(rows: _*)).as("s")).select("s.*")
+  }
+
   def statusReport(df: DataFrame, status: Column,
                    collation: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -150,6 +150,12 @@ object ExtendedQueries {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
         "doc_id", "text")),
 
+    // ── single-pass per-column table statistics (ANALYZE TABLE analogue) ──
+    "q77_table_stats" -> ((s, dir) =>
+      graft.engine.Quality.tableStats(Td(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_orderdate"))),
+
     // ── top-5 TF-IDF terms per document (integer evidence columns; the
     //    float score stays internal so results are engine-exact) ──
     "q75_tfidf_topterms" -> ((s, dir) =>
@@ -329,6 +335,18 @@ object ExtendedQueries {
       s"""SELECT l_orderkey, l_linenumber,
          |  ${zValueSql(Seq("l_suppkey", "l_partkey"), 8)} AS z
          |FROM lineitem""".stripMargin,
+
+    "q77_table_stats" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_orderdate")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", COUNT(*) AS n,
+           |  SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin).mkString("\nUNION ALL\n")
+    },
 
     "q75_tfidf_topterms" ->
       s"""WITH tok AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks

@@ -57,6 +57,19 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Int]("year") == 2016)
   }
 
+  test("tableStats: one row per column with null/distinct/min/max") {
+    val df = Seq(
+      (1L, Some("a"), 10), (2L, None, 10), (3L, Some("c"), 30)
+    ).toDF("id", "s", "v")
+    val stats = Quality.tableStats(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5))).toMap
+    assert(stats("id") == ((3L, 0L, 3L, "1", "3")))
+    assert(stats("s") == ((3L, 1L, 2L, "a", "c")))
+    assert(stats("v") == ((3L, 0L, 2L, "10", "30")))
+  }
+
   test("dateDiagnostics: status classes, populations, collation order") {
     val facts = Seq(("s1", d("2031-01-01")), ("s2", d("2023-06-02")),
       ("s3", d("2023-07-01")), ("s4", d("2023-08-01"))
