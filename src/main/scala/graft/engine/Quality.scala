@@ -84,10 +84,6 @@ object Quality {
       .orderBy(collation, col("species_date"))
   }
 
-  /** The diagnostic CASE-status + COUNT OVER (PARTITION BY status) report
-    * (src/analyze_gridveg_dates_pattern.py:68-90): attach a status class and
-    * its population size to each row, sorted by a custom collation.
-    */
   /** Single-pass per-column table statistics — the ANALYZE TABLE
     * analogue: row count, null count, distinct count, and stringified
     * min/max for each requested column, one output row per column.
@@ -102,8 +98,12 @@ object Quality {
     */
   def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "tableStats needs at least one column")
+    require(cols.distinct == cols,
+      s"tableStats columns must be distinct, got $cols")
     val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      // count(when(...)), not sum(when(...)): count is 0 on an empty
+      // table where sum degenerates to null
+      count(when(col(c).isNull, 1)).as(s"__null_$c"),
       countDistinct(col(c)).as(s"__nd_$c"),
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c"))) :+
@@ -116,6 +116,10 @@ object Quality {
     one.select(explode(array(rows: _*)).as("s")).select("s.*")
   }
 
+  /** The diagnostic CASE-status + COUNT OVER (PARTITION BY status) report
+    * (src/analyze_gridveg_dates_pattern.py:68-90): attach a status class and
+    * its population size to each row, sorted by a custom collation.
+    */
   def statusReport(df: DataFrame, status: Column,
                    collation: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -341,7 +341,8 @@ object ExtendedQueries {
         "o_orderpriority", "o_orderdate")
       cols.map(c =>
         s"""SELECT '$c' AS "column", COUNT(*) AS n,
-           |  SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
            |  COUNT(DISTINCT $c) AS n_distinct,
            |  CAST(min($c) AS VARCHAR) AS min_str,
            |  CAST(max($c) AS VARCHAR) AS max_str
