@@ -108,7 +108,13 @@ object Quality {
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c"))) :+
       count(lit(1)).as("__n")
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // explicit fan-out: a single-file table otherwise runs the whole
+    // Expand (cols × distinct-aggregates) as ONE task — the same
+    // CPU-bound single-task pathology the signature operators guard
+    // against; partial aggregation makes any row distribution correct
+    val one = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .agg(aggs.head, aggs.tail: _*)
     val rows = cols.map(c => struct(
       lit(c).as("column"), col("__n").as("n"),
       col(s"__null_$c").as("n_null"), col(s"__nd_$c").as("n_distinct"),
