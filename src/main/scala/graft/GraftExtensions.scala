@@ -112,8 +112,35 @@ object GraftFunctions {
         intArg(n, "srp_bucket", "nbits"), longArg(s, "srp_bucket", "seed"))
       case args => throw new IllegalArgumentException(
         s"srp_bucket expects 3-4 arguments, got ${args.length}")
+    },
+
+    fn("hash_bucket",
+      "hash_bucket(id, salt, buckets) - deterministic md5-derived bucket in " +
+        "[0, buckets) of (salt, id); the sampling/split primitive.") {
+      case Seq(id, salt, buckets) =>
+        val s = salt match {
+          case Literal(v, _) if v != null => v.toString
+          case _ => throw new IllegalArgumentException(
+            "hash_bucket: argument <salt> must be a string literal")
+        }
+        bridge.resolvedExpression(graft.operators.Sampling.hashBucket(
+          bridge.column(id), s, intArg(buckets, "hash_bucket", "buckets")))
+      case args => throw new IllegalArgumentException(
+        s"hash_bucket expects 3 arguments, got ${args.length}")
+    },
+
+    fn("z_value",
+      "z_value(bits, c1, c2, ...) - Morton Z-interleave of non-negative " +
+        "int columns, bits low bits each; the write-clustering key.") {
+      case args if args.length >= 2 =>
+        bridge.resolvedExpression(graft.operators.Layout.zValue(
+          args.tail.map(bridge.column), intArg(args.head, "z_value", "bits")))
+      case args => throw new IllegalArgumentException(
+        s"z_value expects bits + at least one column, got ${args.length}")
     }
   )
+
+  private val bridge = org.apache.spark.sql.GraftColumnBridge
 
   /** Register every function on an already-running session (the extensions
     * path only applies at session construction). */

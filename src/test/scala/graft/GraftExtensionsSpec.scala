@@ -52,6 +52,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Int]("bucket") == colBucket)
   }
 
+  test("hash_bucket and z_value via SQL match the Column API") {
+    docs.createOrReplaceTempView("docs_sql3")
+    val viaSql = spark.sql(
+      """SELECT id, hash_bucket(id, 'graft', 1000000) AS b,
+        |       z_value(8, id, id + 1) AS z
+        |FROM docs_sql3""".stripMargin)
+    val viaCol = docs.select($"id",
+      graft.operators.Sampling.hashBucket($"id", "graft", 1000000).as("b"),
+      graft.operators.Layout.zValue(Seq($"id", $"id" + 1), bits = 8).as("z"))
+    assert(viaSql.collect().map(_.toSeq).toSet ==
+      viaCol.collect().map(_.toSeq).toSet)
+  }
+
   test("non-literal shape parameters are rejected with a clear error") {
     docs.createOrReplaceTempView("docs_sql2")
     val e = intercept[Exception] {
