@@ -72,7 +72,11 @@ object ExtendedQueries {
     // ── A10 describe/summary: per-group count/mean/stddev/min/max with the
     //    engine-deterministic stddev (exact decimal sums of x and x², one
     //    double evaluation at the end — the engines' native STDDEV
-    //    accumulates in float order and would never hash-match) ──
+    //    accumulates in float order and would never hash-match). The final
+    //    values are rounded to 4 decimals on BOTH engines: once the decimal
+    //    sums outgrow 2^53 the decimal→double conversion itself
+    //    double-rounds differently per engine (observed: 1-ulp std_price
+    //    divergence at sf0.1), and rounding absorbs it ──
     "q55_summary_stats" -> ((s, dir) => {
       import s.implicits._
       val x = $"o_totalprice".cast(D)
@@ -82,8 +86,8 @@ object ExtendedQueries {
       Td(s, dir, "orders")
         .groupBy($"o_orderstatus")
         .agg(n.as("n"),
-          (sx / n).as("mean_price"),
-          sqrt((sxx - sx * sx / n) / (n - lit(1))).as("std_price"),
+          round(sx / n, 4).as("mean_price"),
+          round(sqrt((sxx - sx * sx / n) / (n - lit(1))), 4).as("std_price"),
           min($"o_totalprice").as("min_price"),
           max($"o_totalprice").as("max_price"))
     }),
@@ -251,8 +255,8 @@ object ExtendedQueries {
         |        min(o_totalprice) AS min_price,
         |        max(o_totalprice) AS max_price
         |      FROM t GROUP BY o_orderstatus)
-        |SELECT o_orderstatus, n, sx / n AS mean_price,
-        |       sqrt((sxx - sx * sx / n) / (n - 1)) AS std_price,
+        |SELECT o_orderstatus, n, round(sx / n, 4) AS mean_price,
+        |       round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS std_price,
         |       min_price, max_price
         |FROM a""".stripMargin,
 
