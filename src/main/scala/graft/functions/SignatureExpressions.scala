@@ -377,6 +377,28 @@ case class IvfCellsExpr(child: Expression, dim: Int, nlist: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Numeric-array → double-array widening shared by the vector
+  * expressions. Float→double is exact, so downstream arithmetic is
+  * bit-identical to a per-element `.cast("double")` composition. */
+private[functions] object VecArgs {
+  def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  def toDoubles(a: ArrayData, et: DataType, who: String): Array[Double] =
+    et match {
+      case DoubleType => a.toDoubleArray()
+      case FloatType =>
+        val f = a.toFloatArray()
+        val d = new Array[Double](f.length)
+        var i = 0
+        while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+        d
+      case IntegerType => a.toIntArray().map(_.toDouble)
+      case LongType => a.toLongArray().map(_.toDouble)
+      case other => throw new IllegalArgumentException(s"$who: $other")
+    }
+}
+
 /** Dot product of two float vectors in double precision — the hot inner
   * loop of cosine scoring without per-element HOF interpretation. */
 case class DotProductExpr(left: Expression, right: Expression)
@@ -385,30 +407,53 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f"
 
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
-
-  private def toDoubles(a: ArrayData, et: DataType): Array[Double] = et match {
-    case DoubleType => a.toDoubleArray()
-    case FloatType =>
-      val f = a.toFloatArray()
-      val d = new Array[Double](f.length)
-      var i = 0
-      while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
-      d
-    case IntegerType => a.toIntArray().map(_.toDouble)
-    case LongType => a.toLongArray().map(_.toDouble)
-    case other => throw new IllegalArgumentException(s"dot_f: $other")
-  }
-
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = toDoubles(a.asInstanceOf[ArrayData], elemType(left))
-    val y = toDoubles(b.asInstanceOf[ArrayData], elemType(right))
+    val x = VecArgs.toDoubles(a.asInstanceOf[ArrayData], VecArgs.elemType(left), "dot_f")
+    val y = VecArgs.toDoubles(b.asInstanceOf[ArrayData], VecArgs.elemType(right), "dot_f")
     val n = math.min(x.length, y.length)
     var d = 0.0
     var i = 0
     while (i < n) { d += x(i) * y(i); i += 1 }
     java.lang.Double.valueOf(d)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity in ONE pass over both arrays: dot and the two squared
+  * norms accumulate in the same loop, then `dot / (sqrt(na) * sqrt(nb))`
+  * (0.0 when either vector is all-zero). The composed formulation —
+  * DotProductExpr + two interpreted `aggregate` HOF norms — re-walks each
+  * vector three times PER CANDIDATE PAIR inside the ANN/near-dup scoring
+  * joins; norms are per-vector quantities and this loop folds them into the
+  * dot pass. Accumulation order (left-to-right, double) and the final
+  * `sqrt·sqrt` product match the composed expression exactly, so every
+  * downstream threshold filter and rank is bit-identical.
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = VecArgs.toDoubles(a.asInstanceOf[ArrayData], VecArgs.elemType(left), "cosine_sim")
+    val y = VecArgs.toDoubles(b.asInstanceOf[ArrayData], VecArgs.elemType(right), "cosine_sim")
+    val n = math.min(x.length, y.length)
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += x(i) * y(i); i += 1 }
+    // norms run over each FULL array (not the min length) to stay
+    // bit-identical to the aggregate-HOF norm of the composed version
+    var na = 0.0
+    i = 0
+    while (i < x.length) { na += x(i) * x(i); i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < y.length) { nb += y(i) * y(i); i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    java.lang.Double.valueOf(if (denom == 0.0) 0.0 else d / denom)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -437,6 +482,9 @@ object SignatureExpressions {
 
   def dotF(a: Column, b: Column): Column =
     toCol(DotProductExpr(toExpr(a), toExpr(b)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    toCol(CosineSimExpr(toExpr(a), toExpr(b)))
 
   def srpBucket(v: Column, dim: Int, nbits: Int, seed: Long = 42L): Column =
     toCol(SrpBucketExpr(toExpr(v), dim, nbits, seed))

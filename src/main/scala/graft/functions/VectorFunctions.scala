@@ -23,13 +23,13 @@ object VectorFunctions {
     aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
 
   /** Cosine similarity; 0.0 when either vector is all-zero (never NaN, so
-    * downstream filters/rankings stay total-ordered).
+    * downstream filters/rankings stay total-ordered). Backed by the scalar
+    * [[CosineSimExpr]]: dot and both norms in ONE loop over the pair —
+    * the composed dot + two interpreted-HOF norms walked each vector three
+    * times per candidate pair in the ANN scoring joins. Accumulation order
+    * is identical, so results are bit-for-bit unchanged.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = sqrt(norm2(a)) * sqrt(norm2(b))
-    when(n === 0.0, 0.0).otherwise(d / n)
-  }
+  def cosine(a: Column, b: Column): Column = SignatureExpressions.cosineSim(a, b)
 
   /** Signed-random-projection bucket id: `nbits` seeded hyperplanes, one bit
     * per sign(dot(v, r_i)). Deterministic across runs (fixed seed) — the LSH

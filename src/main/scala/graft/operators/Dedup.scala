@@ -207,50 +207,93 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Order-insensitive fingerprint of a canonical (lo, hi) edge set: row
+    * count plus two decimal sums of per-edge hashes (decimal, because ANSI
+    * mode makes a bigint SUM overflow throw). Two consecutive rounds with
+    * equal fingerprints ⇒ equal edge sets (both are deterministic
+    * functions of the previous state; 128 hash bits make a collision
+    * astronomically unlikely). ONE tiny aggregate job on checkpointed
+    * edges — no join against the previous state, no second pass.
+    */
+  private def edgeFingerprint(e: DataFrame): (Long, String, String) = {
+    val r = e.agg(
+      count(lit(1)),
+      sum(xxhash64(col("lo"), col("hi")).cast("decimal(38,0)")),
+      sum(xxhash64(col("hi"), col("lo"), lit(7)).cast("decimal(38,0)"))).head()
+    (r.getLong(0), String.valueOf(r.get(1)), String.valueOf(r.get(2)))
+  }
+
   /** Connected components over a near-dup pair list — the step that turns
     * verified pairs into duplicate GROUPS (each doc labeled with the min
     * id of its component, the canonical representative).
     *
-    * Hash-min label propagation: every node repeatedly adopts the minimum
-    * label among itself and its neighbors until fixpoint. Iterations =
-    * graph diameter, which for near-dup graphs is tiny (dup clusters are
-    * near-cliques); each iteration is one shuffle on the edge key, and
-    * eager localCheckpoints cut the lineage so plan size stays constant.
-    * Deterministic: labels are pure min-folds, independent of
-    * partitioning. (If components with huge diameters ever appear, swap
-    * in the large-star/small-star variant — same API.)
+    * Alternating large-star/small-star edge rewriting (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * algorithm): each round, every node hooks its larger neighbors
+    * (large-star) then its smaller ones (small-star) directly onto the
+    * smallest node it can see, halving component depth per round. The
+    * graph converges to disjoint stars centered at component minima in
+    * O(log d) rounds — hash-min label propagation needs O(d) rounds, which
+    * on a pathological chain component is the difference between ~10 and
+    * ~10⁶ shuffles. Each round is two groupBy-join phases on the edge key
+    * (high-cardinality, parallel), eagerly checkpointed so lineage stays
+    * constant; convergence detection is a one-row fingerprint aggregate
+    * folded onto the freshly-materialized edges (the former
+    * join-the-previous-labels + count() audit was a full extra job per
+    * iteration). Deterministic: pure min-folds, partitioning-independent.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+    val input = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val nodes = input.select(col("a").as("id"))
+      .union(input.select(col("b").as("id")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
-    var converged = false
+    // canonical undirected edge set (lo < hi), self-loops dropped (a
+    // self-pair contributes its node to `nodes`; its label is itself)
+    var edges = input.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct().localCheckpoint(true)
+    var fp = edgeFingerprint(edges)
+    var converged = fp._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
-      val minNbr = edges
-        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
-        .groupBy(col("a").as("id")).agg(min(col("nl")).as("mn"))
-      val updated = labels.join(minNbr, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
+      // large-star: node u hooks every LARGER neighbor v onto
+      // m(u) = min(N(u) ∪ {u}); needs both orientations of each edge
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val ls = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(least(col("u"), col("mn")).as("lo"), col("v").as("hi"))
+        .distinct()
+      // small-star: each node (as the LARGER endpoint, one orientation)
+      // hooks its smaller neighbors and itself onto the minimum; mn < lo
+      // always, so (mn, lo) and (mn, hi) are already canonical
+      val mins2 = ls.groupBy(col("hi")).agg(min(col("lo")).as("mn"))
+      val ss = ls.join(mins2, Seq("hi"))
+        .filter(col("lo") =!= col("mn"))
+        .select(col("mn").as("lo"), col("lo").as("hi"))
+        .union(mins2.select(col("mn").as("lo"), col("hi")))
+        .distinct()
         .localCheckpoint(true)
-      val changed = updated
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
-      converged = changed == 0
+      val nfp = edgeFingerprint(ss)
+      converged = nfp == fp
+      fp = nfp
+      edges = ss
       i += 1
     }
     // a silent partial result would give wrong group ids downstream
     // (dropNearDuplicates would keep several "canonical" docs per group)
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents: not converged after $maxIter iterations — " +
-        "component diameter exceeds maxIter; raise it (or switch to the " +
-        "large-star/small-star variant for pathological graphs)")
-    labels
+      s"connectedComponents: not converged after $maxIter rounds — " +
+        "raise maxIter (component depth halves per round, so this needs " +
+        "a graph of depth > 2^maxIter or a bug)")
+    // stars: every non-center node carries its center as `lo`
+    val lbl = edges.groupBy(col("hi")).agg(min(col("lo")).as("mn"))
+      .select(col("hi").as("id"), col("mn").as("label"))
+    nodes.join(lbl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** The dedup endpoint: drop every document that is a near-duplicate of
@@ -284,8 +327,10 @@ object Dedup {
     * Scale shape: the benchmark's distinct shingles BROADCAST to the
     * corpus scan (no corpus shuffle), and the contaminated-id set (also
     * small) broadcasts back for the anti-join. 100 TB of corpus streams
-    * through two broadcast joins; nothing wide ever shuffles — one extra
-    * corpus pass per distinct short benchmark length.
+    * through two broadcast joins; nothing wide ever shuffles — and the
+    * corpus is scanned ONCE: all needed shingle lengths (k plus each short
+    * benchmark length) are emitted from a single projection over one scan,
+    * not one union branch (= one extra pass) per length.
     */
   def decontaminate(df: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchTextCol: String,
@@ -295,11 +340,17 @@ object Dedup {
       .select(size(TextFunctions.tokens(col(benchTextCol))).as("__n"))
       .filter(col("__n") > 0 && col("__n") < k)
       .distinct().collect().map(_.getInt(0)).toSeq
-    val docShingles = (k +: shortLens).distinct
-      .map(kk => df.select(col(idCol),
-        explode(SignatureExpressions.wordShingles(col(textCol), kk))
-          .as("__sh")))
-      .reduce(_ unionByName _)
+    // one ShinglesExpr per length, concatenated and exploded in ONE
+    // projection: the lengths tokenize the row redundantly (<= 7 extra
+    // in-memory tokenizations worst-case) but the corpus parquet is read
+    // exactly once — at 100 TB the scan, not the tokenize, is the cost.
+    // array_distinct: a doc shorter than every length contributes its
+    // whole text once per length; duplicates only inflate the join.
+    val lens = (k +: shortLens).distinct
+    val shingleSets = lens
+      .map(kk => SignatureExpressions.wordShingles(col(textCol), kk))
+    val docShingles = df.select(col(idCol),
+      explode(array_distinct(concat(shingleSets: _*))).as("__sh"))
     val benchShingles = benchmark
       .select(explode(SignatureExpressions.wordShingles(col(benchTextCol), k))
         .as("__sh"))

@@ -41,10 +41,53 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 13 && got.values.forall(_ == 0L))
   }
 
+  test("connectedComponents handles diameter >> maxIter chains (O(log d) rounds)") {
+    // a 4096-node path has diameter 4095: hash-min label propagation would
+    // need 4095 rounds; large-star/small-star must finish within the
+    // default maxIter=20 (depth halves per round). Shuffled edge order and
+    // reversed orientations to rule out insertion-order luck.
+    val rng = new scala.util.Random(11)
+    val edges = rng.shuffle((0L until 4095L).map(i =>
+      if (i % 3 == 0) (i + 1, i) else (i, i + 1)).toVector)
+    val chain = edges.toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 4096 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents labels random forests like a driver-side union-find") {
+    // property check across seeds: random sparse graphs, compare against
+    // an in-memory union-find ground truth
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      val n = 200
+      val pairs = Vector.fill(150)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(id => id -> {
+          // component min = min over all ids sharing the root
+          val root = find(id.toInt)
+          (0 until n).filter(j => find(j) == root &&
+            pairs.exists(p => p._1 == j || p._2 == j)).min.toLong
+        }).toMap
+      val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"),
+          "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("connectedComponents refuses to return a non-converged labeling") {
-    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // depth 4095 needs ~log2 rounds; 1 round cannot finish
+    val chain = (0L until 4095L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 3)
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 1)
     }
     assert(e.getMessage.contains("not converged"))
   }
