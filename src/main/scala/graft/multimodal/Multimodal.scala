@@ -1,19 +1,30 @@
 package graft.multimodal
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata; decode / feature-extraction run as
-  * partition-local batch functions so a real codec drops in without
-  * touching the distributed plan.
+  * partition-local batch functions so the codec never touches the
+  * distributed plan.
   *
-  * The decode step itself is STUBBED (no image/audio libraries in this
-  * environment): [[FakeDecoder]] produces deterministic hash-derived
-  * features with the exact schema/batch shape a real decoder would emit.
-  * Everything Spark-side — schema, partitioning, the mapPartitions batch
-  * contract, downstream joins — is real and tested.
+  * Decode is REAL for the formats the JDK ships codecs for (all public
+  * standard-library APIs, no new dependencies):
+  *  - images (PNG/JPEG/GIF/BMP): `javax.imageio` — [[decodeImageMeta]]
+  *    reads width/height/format from the container header without decoding
+  *    pixels; [[ImageDecoder]] decodes pixels into a luminance-grid
+  *    feature vector.
+  *  - audio (WAV/AIFF/AU): `javax.sound.sampled` — [[decodeAudioMeta]]
+  *    reads sample rate / channels / frame count from the header.
+  *  - video: the JDK has no video codec; [[FakeDecoder]] remains the
+  *    declared deterministic stand-in (same schema/batch shape a real
+  *    codec plugs into).
   */
 object Multimodal {
 
@@ -34,6 +45,12 @@ object Multimodal {
                            feature: Array[Float], n_bytes: Long,
                            ok: Boolean)
 
+  case class ImageMetaRow(asset_id: Long, width: Int, height: Int,
+                          format: String, ok: Boolean)
+
+  case class AudioMetaRow(asset_id: Long, sample_rate: Int, channels: Int,
+                          n_frames: Long, ok: Boolean)
+
   /** Decoder contract: one encoded payload → fixed-width feature vector.
     * Implementations must be thread-safe per partition; `dim` fixes the
     * output schema.
@@ -43,10 +60,57 @@ object Multimodal {
     def decode(mediaType: String, payload: Array[Byte]): Option[Array[Float]]
   }
 
-  /** Deterministic stand-in for the real codec: features derived from a
-    * rolling hash of the payload bytes. Same signature, schema and batch
-    * shape as a real decoder — swap in an actual implementation by
-    * replacing this object only.
+  /** REAL image feature decoder: `javax.imageio` decodes the payload
+    * (PNG/JPEG/GIF/BMP — whatever the JDK has a reader for), then a 4×4
+    * mean-pooled luminance grid becomes the 16-dim feature. Deterministic
+    * for a given payload; undecodable bytes → None (poison-safe).
+    */
+  object ImageDecoder extends Decoder {
+    val dim = 16
+    private val grid = 4
+
+    def decode(mediaType: String, payload: Array[Byte]): Option[Array[Float]] = {
+      if (payload == null || payload.isEmpty) None
+      else try {
+        ImageIO.setUseCache(false) // no temp-file cache on executors
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val sum = new Array[Double](dim)
+          val cnt = new Array[Int](dim)
+          var y = 0
+          while (y < h) {
+            val gy = y * grid / h
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (0.299 * ((rgb >> 16) & 0xFF) +
+                0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)) / 255.0
+              val cell = gy * grid + x * grid / w
+              sum(cell) += lum
+              cnt(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val out = new Array[Float](dim)
+          var i = 0
+          while (i < dim) {
+            out(i) = if (cnt(i) == 0) 0.0f else (sum(i) / cnt(i)).toFloat
+            i += 1
+          }
+          Some(out)
+        }
+      } catch { case NonFatal(_) => None }
+    }
+  }
+
+  /** Deterministic stand-in for codecs the JDK lacks (video): features
+    * derived from a rolling hash of the payload bytes. Same signature,
+    * schema and batch shape as a real decoder — swap in an actual
+    * implementation by replacing this object only.
     */
   object FakeDecoder extends Decoder {
     val dim = 16
@@ -69,9 +133,11 @@ object Multimodal {
   /** Distributed decode/feature-extract: partition-local iteration (one
     * decoder instance per partition, batch-amortized), null-safe, emits
     * `ok=false` rows instead of dying on undecodable payloads — at 100 TB
-    * a poison payload must not kill the stage.
+    * a poison payload must not kill the stage. Default decoder is the
+    * REAL [[ImageDecoder]]; pass [[FakeDecoder]] (or a custom codec) for
+    * media the JDK cannot decode.
     */
-  def extractFeatures(media: Dataset[MediaRow], decoder: Decoder = FakeDecoder)
+  def extractFeatures(media: Dataset[MediaRow], decoder: Decoder = ImageDecoder)
                      (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
@@ -84,6 +150,132 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** REAL image metadata decode — width/height/format straight from the
+    * container header via `javax.imageio`, WITHOUT decoding pixels (the
+    * reader parses IHDR/SOF markers only), so profiling 100 TB of images
+    * costs header reads, not decodes. Poison-safe: undecodable/null
+    * payloads emit `ok=false` with sentinel values instead of failing the
+    * stage. Format names are normalized lowercase ("jpg" → "jpeg").
+    */
+  def decodeImageMeta(media: DataFrame, idCol: String = "asset_id",
+                      payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          imageHeader(bytes) match {
+            case Some((w, h, f)) => ImageMetaRow(id, w, h, f, ok = true)
+            case None => ImageMetaRow(id, -1, -1, "", ok = false)
+          }
+        }
+      }.toDF()
+  }
+
+  private def imageHeader(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    if (bytes == null || bytes.isEmpty) None
+    else {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT) match {
+              case "jpg" => "jpeg"
+              case f => f
+            }
+            Some((r.getWidth(0), r.getHeight(0), fmt))
+          } finally r.dispose()
+        }
+      } catch { case NonFatal(_) => None }
+      finally iis.close()
+    }
+  }
+
+  /** REAL audio metadata decode — sample rate / channels / frame count
+    * from the WAV/AIFF/AU header via `javax.sound.sampled` (header parse
+    * only, no sample decode). Poison-safe like [[decodeImageMeta]].
+    */
+  def decodeAudioMeta(media: DataFrame, idCol: String = "asset_id",
+                      payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          audioHeader(bytes) match {
+            case Some((sr, ch, fr)) => AudioMetaRow(id, sr, ch, fr, ok = true)
+            case None => AudioMetaRow(id, -1, -1, -1L, ok = false)
+          }
+        }
+      }.toDF()
+  }
+
+  private def audioHeader(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      Some((fmt.getSampleRate.toInt, fmt.getChannels, aff.getFrameLength.toLong))
+    } catch { case NonFatal(_) => None }
+  }
+
+  /** Deterministic REAL-format test-image encoder (PNG or JPEG via
+    * `javax.imageio`): a w×h RGB image whose pixels come from a seeded
+    * LCG. Fixture generator for decode tests and the driver's decode
+    * oracle queries — the dims/format ride in the oracle's arithmetic,
+    * the payload is genuinely encoded bytes.
+    */
+  def encodeImage(format: String, width: Int, height: Int,
+                  seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((s >>> 40) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic REAL-format WAV encoder (PCM 16-bit via
+    * `javax.sound.sampled`): `frames` frames of seeded noise at the given
+    * rate/channel count. Fixture generator twin of [[encodeImage]]. */
+  def encodeWav(sampleRate: Int, channels: Int, frames: Int,
+                seed: Long): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && frames >= 0)
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val data = new Array[Byte](frames * fmt.getFrameSize)
+    var s = seed * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL
+    var i = 0
+    while (i < data.length) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      data(i) = (s >>> 56).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt,
+      frames.toLong)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
   }
 
   /** Metadata-only profile (no decode): per-type payload size stats —

@@ -181,6 +181,41 @@ object ScaleQueries {
       graft.multimodal.Multimodal.payloadProfile(media)
     }),
 
+    // ── REAL image decode roundtrip: genuinely-encoded PNG/JPEG payloads
+    //    (dims/format derived from doc_id) are decoded back via
+    //    javax.imageio header reads; the oracle recomputes the expected
+    //    dims from the same id arithmetic, so a hash match proves the
+    //    decoder read the true container metadata ──
+    "q79_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Td(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val fmt = if (id % 2 == 0) "png" else "jpg"
+          (id, graft.multimodal.Multimodal.encodeImage(fmt,
+            (1 + id % 37).toInt, (1 + id % 23).toInt, seed = id))
+        }.toDF("asset_id", "payload")
+      graft.multimodal.Multimodal.decodeImageMeta(media)
+        .select("asset_id", "width", "height", "format", "ok")
+    }),
+
+    // ── REAL audio decode roundtrip (javax.sound WAV headers), same
+    //    contract as q79 ──
+    "q80_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Td(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .map { id =>
+          (id, graft.multimodal.Multimodal.encodeWav(
+            8000 + 1000 * (id % 5).toInt, 1 + (id % 2).toInt,
+            100 + (id % 50).toInt, seed = id))
+        }.toDF("asset_id", "payload")
+      graft.multimodal.Multimodal.decodeAudioMeta(media)
+        .select("asset_id", "sample_rate", "channels", "n_frames", "ok")
+    }),
+
     // ── planted-duplicate recall gates: exact copies (id + PLANT_OFFSET)
     //    are injected, and the LSH pipelines must surface precisely the
     //    original↔copy pairs — identical inputs collide in every band, so
@@ -287,6 +322,21 @@ object ScaleQueries {
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"),
         horizonMinutes = 30)
+    }),
+
+    // ── streaming near-dup admission screen, batch twin: arriving docs
+    //    (doc_id % 10 == 0) are checked against the STORED corpus
+    //    signatures exactly as the always-on stream does — same banding,
+    //    same agreement math, dropDuplicatesWithinWatermark degrading to
+    //    a plain distinct on a batch frame ──
+    "q78_stream_admission" -> ((s, dir) => {
+      val docs = Td(s, dir, "documents")
+      val existingSigs = Dedup.minHashSignatures(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      graft.streaming.CorpusStreams.flagNearDups(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("__arrival", to_timestamp(lit("2026-01-01 00:00:00"))),
+        "doc_id", "text", "__arrival", existingSigs, threshold = 0.5)
     }),
 
     // ── sessionization via lag/cumsum windows (SQL-checked) ──
@@ -594,6 +644,25 @@ object ScaleQueries {
         |  COUNT(*) FILTER (payload IS NULL) AS n_null_payloads
         |FROM media GROUP BY media_type""".stripMargin,
 
+    // q79/q80: the oracle recomputes the generator's dimension arithmetic;
+    // Spark's side reaches those values only by actually decoding the
+    // encoded payload headers, so equality proves the decode is real.
+    "q79_image_decode" ->
+      """SELECT doc_id AS asset_id,
+        |       CAST(1 + doc_id % 37 AS INT) AS width,
+        |       CAST(1 + doc_id % 23 AS INT) AS height,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |       TRUE AS ok
+        |FROM documents""".stripMargin,
+
+    "q80_audio_decode" ->
+      """SELECT doc_id AS asset_id,
+        |       CAST(8000 + 1000 * (doc_id % 5) AS INT) AS sample_rate,
+        |       CAST(1 + doc_id % 2 AS INT) AS channels,
+        |       CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+        |       TRUE AS ok
+        |FROM documents""".stripMargin,
+
     "q50_minhash_planted" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
         |       CAST(1.0 AS DOUBLE) AS est_jaccard
@@ -675,6 +744,24 @@ object ScaleQueries {
          |        FROM sig n JOIN sig e
          |          ON n.doc_id % 10 = 0 AND e.doc_id % 10 <> 0)
          |SELECT new_id, existing_id, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5""".stripMargin,
+
+    // q78: identical recall argument to q74 (the stream twin runs the same
+    // signature/banding math) — all-pairs agreement >= 0.5 between the
+    // arriving batch and the stored corpus reproduces the banded output.
+    "q78_stream_admission" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM tok),
+         |hs AS (SELECT doc_id,
+         |         list_distinct(list_transform(s, x -> ${md5Word1("x")}))
+         |         AS hh FROM sh),
+         |sig AS (SELECT doc_id, ${minhashSigSql(64, 42L)} AS sig FROM hs),
+         |est AS (SELECT n.doc_id AS doc_id, e.doc_id AS existing_id,
+         |          CAST(len(list_filter(range(1, 65),
+         |            i -> n.sig[i] = e.sig[i])) AS DOUBLE) / 64 AS est_jaccard
+         |        FROM sig n JOIN sig e
+         |          ON n.doc_id % 10 = 0 AND e.doc_id % 10 <> 0)
+         |SELECT doc_id, existing_id, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5""".stripMargin,
 
     "q73_decontaminate" ->
