@@ -377,6 +377,60 @@ case class IvfCellsExpr(child: Expression, dim: Int, nlist: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** IVF cell assignment against EXPLICIT centroids (the trained twin of
+  * [[IvfCellsExpr]]): returns the `nearest` cell ids ranked by
+  * dot(v, c_i) descending, ties to the lower id. Centroids ride inside
+  * the expression as literals (nlist×dim doubles — a few KB), so
+  * assignment is map-side with zero broadcast/shuffle, and two plans
+  * built from the same training output are structurally equal
+  * (Seq-of-Seq, not Array, so Catalyst's semanticEquals sees value
+  * equality and can reuse the exchange).
+  */
+case class IvfAssignExpr(child: Expression, centroids: Seq[Seq[Double]],
+                         nearest: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty && nearest >= 1 && nearest <= centroids.length)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_assign"
+
+  @transient private lazy val cs: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val v = VecArgs.toDoubles(a, VecArgs.elemType(child), "ivf_assign")
+    val nlist = cs.length
+    val dots = new Array[Double](nlist)
+    var i = 0
+    while (i < nlist) {
+      val c = cs(i)
+      val n = math.min(v.length, c.length)
+      var d = 0.0
+      var j = 0
+      while (j < n) { d += v(j) * c(j); j += 1 }
+      dots(i) = d
+      i += 1
+    }
+    val out = new Array[Any](nearest)
+    val taken = new Array[Boolean](nlist)
+    var r = 0
+    while (r < nearest) {
+      var best = -1
+      var i2 = 0
+      while (i2 < nlist) {
+        if (!taken(i2) && (best < 0 || dots(i2) > dots(best))) best = i2
+        i2 += 1
+      }
+      taken(best) = true
+      out(r) = Int.box(best)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Numeric-array → double-array widening shared by the vector
   * expressions. Float→double is exact, so downstream arithmetic is
   * bit-identical to a per-element `.cast("double")` composition. */
@@ -492,4 +546,8 @@ object SignatureExpressions {
   def ivfCells(v: Column, dim: Int, nlist: Int, nearest: Int = 1,
                seed: Long = 42L): Column =
     toCol(IvfCellsExpr(toExpr(v), dim, nlist, nearest, seed))
+
+  def ivfAssign(v: Column, centroids: Seq[Seq[Double]],
+                nearest: Int = 1): Column =
+    toCol(IvfAssignExpr(toExpr(v), centroids, nearest))
 }

@@ -32,24 +32,133 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Deterministic spherical k-means training for IVF coarse quantizers:
+    * a bounded, hash-ordered sample (one corpus pass — per-partition
+    * top-N by hash, NO full sort shuffle) is collected to the driver
+    * (≤ `sampleSize` × dim doubles — bounded by construction, the same
+    * contract as decontaminate's eval-set collect) and refined with a few
+    * Lloyd iterations: assign by max dot against unit centroids, recenter
+    * on the mean, renormalize. Random coarse cells on clustered real
+    * embeddings leave some cells holding whole clusters — hot cells become
+    * straggler tasks at scale; trained centroids split the mass so cell
+    * occupancy stays balanced. Deterministic: the sample order is
+    * (xxhash64(id, seed), id) and every fold is sequential driver-side
+    * code, so any two runs train identical centroids.
+    */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, nlist: Int, iters: Int = 4,
+                        sampleSize: Int = 4096,
+                        seed: Long = 42L): Seq[Seq[Double]] = {
+    require(nlist >= 1 && iters >= 0 && sampleSize >= nlist)
+    def normalize(v: Array[Double]): Array[Double] = {
+      var n = 0.0
+      var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      if (n == 0.0) v else { val s = 1.0 / math.sqrt(n); v.map(_ * s) }
+    }
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("v"), col(idCol).as("id"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleSize)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .filter(_.nonEmpty)
+    // too-small corpus: fall back to seeded Gaussian directions (identical
+    // draws to IvfCellsExpr) for the missing cells
+    val rng = new scala.util.Random(seed)
+    val fallback = Array.fill(nlist, dim)(rng.nextGaussian())
+    // farthest-point init (deterministic k-means++ analogue): starting
+    // from the hash-first sample, each next centroid is the sample point
+    // with the largest cosine distance to its nearest chosen centroid —
+    // naive take-first-nlist init can seed several centroids inside one
+    // cluster and Lloyd then converges to a collapsed, skewed quantizer
+    // (observed: 3× occupancy skew on an 8-cluster fixture)
+    val unit = sample.map(v => normalize(v.clone()))
+    val initIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (unit.nonEmpty) {
+      initIdx += 0
+      val nearest = Array.fill(unit.length)(Double.NegativeInfinity)
+      while (initIdx.length < math.min(nlist, unit.length)) {
+        val last = unit(initIdx.last)
+        var far = -1
+        var farDot = Double.PositiveInfinity
+        var i = 0
+        while (i < unit.length) {
+          val v = unit(i)
+          var d = 0.0
+          var j = 0
+          val n = math.min(v.length, last.length)
+          while (j < n) { d += v(j) * last(j); j += 1 }
+          if (d > nearest(i)) nearest(i) = d // dot to NEAREST chosen (max dot)
+          if (!initIdx.contains(i) && nearest(i) < farDot) {
+            farDot = nearest(i); far = i
+          }
+          i += 1
+        }
+        if (far < 0) initIdx += initIdx.length else initIdx += far
+      }
+    }
+    var cents: Array[Array[Double]] = Array.tabulate(nlist)(i =>
+      if (i < initIdx.length) unit(initIdx(i)).clone()
+      else normalize(fallback(i)))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](nlist, dim)
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var i = 0
+        while (i < nlist) {
+          val c = cents(i)
+          val n = math.min(v.length, c.length)
+          var d = 0.0
+          var j = 0
+          while (j < n) { d += v(j) * c(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = i }
+          i += 1
+        }
+        val s = sums(best)
+        val n = math.min(v.length, dim)
+        var j = 0
+        while (j < n) { s(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(nlist)(i =>
+        if (counts(i) == 0) cents(i)
+        else normalize(sums(i).map(_ / counts(i))))
+      it += 1
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
   /** IVF-style ANN: the corpus is coarse-quantized into `nlist` spherical
-    * cells (seeded random centroid directions — deterministic, no k-means
-    * training pass); each query scores only the corpus vectors in its
-    * `nprobe` nearest cells. Complement to [[lshTopK]]: IVF probes a few
-    * big cells (good when the corpus clusters), SRP-LSH intersects many
-    * small buckets (good for near-exact matches). Candidate generation is
-    * an equi-join on the cell id; the corpus is never broadcast.
+    * cells; each query scores only the corpus vectors in its `nprobe`
+    * nearest cells. Cells default to k-means-TRAINED centroids
+    * ([[trainIvfCentroids]] — one bounded sampling pass; on clustered
+    * embeddings random cells skew into straggler tasks); `train = false`
+    * falls back to seeded random directions, which need no pass over the
+    * corpus at all. Complement to [[lshTopK]]: IVF probes a few big cells
+    * (good when the corpus clusters), SRP-LSH intersects many small
+    * buckets (good for near-exact matches). Candidate generation is an
+    * equi-join on the cell id; the corpus is never broadcast.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int = 5, nlist: Int = 64,
-              nprobe: Int = 8): DataFrame = {
+              nprobe: Int = 8, train: Boolean = true, trainIters: Int = 4,
+              sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
     import graft.functions.SignatureExpressions
+    val assign: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+      if (train) {
+        val cents = trainIvfCentroids(corpus, idCol, vecCol, dim, nlist,
+          trainIters, sampleSize, seed)
+        (v, nearest) => SignatureExpressions.ivfAssign(v, cents, nearest)
+      } else
+        (v, nearest) => SignatureExpressions.ivfCells(v, dim, nlist, nearest, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      element_at(SignatureExpressions.ivfCells(col(vecCol), dim, nlist, 1), 1)
-        .as("cell"))
+      element_at(assign(col(vecCol), 1), 1).as("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        SignatureExpressions.ivfCells(col(vecCol), dim, nlist, nprobe)
-          .as("cells"))
+        assign(col(vecCol), nprobe).as("cells"))
       .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

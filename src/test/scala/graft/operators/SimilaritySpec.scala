@@ -85,6 +85,32 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.size <= 8 * 5)
   }
 
+  test("trained IVF centroids balance cell occupancy on clustered data") {
+    // 8 tight clusters — the case where seeded-random cells skew: whole
+    // clusters land in one cell and its scan becomes the straggler
+    val rng = new scala.util.Random(3)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian()))
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.05).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(df, "vec_id", "embedding",
+      dim = 16, nlist = 8, iters = 6, sampleSize = 512)
+    assert(cents.length == 8 && cents.forall(_.length == 16))
+    // training is deterministic
+    val again = Similarity.trainIvfCentroids(df, "vec_id", "embedding",
+      dim = 16, nlist = 8, iters = 6, sampleSize = 512)
+    assert(cents == again)
+    val occupancy = df.select(graft.functions.SignatureExpressions
+        .ivfAssign($"embedding", cents, 1)(0).as("cell"))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val maxOcc = occupancy.max.toDouble
+    val mean = 2000.0 / 8
+    assert(maxOcc / mean <= 2.0,
+      s"trained cells skewed: max=$maxOcc mean=$mean (${occupancy.toSeq})")
+  }
+
   test("LSH ANN on sf0.001 embeddings: prunes candidates, decent recall") {
     val emb = graft.engine.Td(spark, sf001, "embeddings")
     val queries = emb.filter($"vec_id" < 8)
