@@ -22,7 +22,7 @@ object SparkEntry {
     val completed = Wrangle.groupedCompletion(pct,
       Seq("l_returnflag"), Seq("l_orderkey"), Map("intercepts_pct" -> 0.0))
     completed
-      .join(broadcast(Td(spark, dir, "orders")
+      .join(graft.engine.JoinPolicy.broadcastIfSmall(Td(spark, dir, "orders")
         .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")),
         $"l_orderkey" === $"o_orderkey", "left")
       .select($"l_orderkey", $"l_returnflag", $"intercepts_pct",

@@ -36,9 +36,11 @@ object GridVegPipelines {
       Seq("intercept_ground_code"), Seq("survey_ID", "grid_point"),
       Map("intercepts_pct" -> 0.0))
     completed
-      .join(broadcast(codeMeta), Seq("intercept_ground_code"), "left")
-      .join(broadcast(surveyMeta.select(col("survey_ID"), col("year"),
-        col("date"), col("survey_sequence"))), Seq("survey_ID"), "left")
+      .join(JoinPolicy.broadcastIfSmall(codeMeta),
+        Seq("intercept_ground_code"), "left")
+      .join(JoinPolicy.broadcastIfSmall(surveyMeta.select(col("survey_ID"),
+        col("year"), col("date"), col("survey_sequence"))),
+        Seq("survey_ID"), "left")
       .filter(col("year") > minYear && col("grid_point") =!= excludeGridPoint)
       .select("survey_ID", "grid_point", "year", "date", "survey_sequence",
         "intercept_ground_code", "ground_group", "intercepts_pct")
@@ -61,8 +63,9 @@ object GridVegPipelines {
     val completed = Wrangle.groupedCompletion(rates, pfgCols,
       Seq("survey_ID", "grid_point"), Map("detection_rate" -> 0.0))
     completed
-      .join(broadcast(surveyMeta.select(col("survey_ID"), col("year"),
-        col("date"), col("survey_sequence"))), Seq("survey_ID"), "left")
+      .join(JoinPolicy.broadcastIfSmall(surveyMeta.select(col("survey_ID"),
+        col("year"), col("date"), col("survey_sequence"))),
+        Seq("survey_ID"), "left")
       .filter(col("year") > minYear && col("grid_point") =!= excludeGridPoint)
       .orderBy(col("year"), col("grid_point"))
   }
@@ -100,6 +103,6 @@ object GridVegPipelines {
         Seq("survey_ID", "key_plant_species"))
       .filter(col("year") > minYear && col("key_plant_species").isNotNull)
     locationMeta.fold(unioned)(loc =>
-      unioned.join(broadcast(loc), Seq("grid_point"), "left"))
+      unioned.join(JoinPolicy.broadcastIfSmall(loc), Seq("grid_point"), "left"))
   }
 }

@@ -28,12 +28,13 @@ object Quality {
     * the source-of-truth date from `meta` (joined on `key`) and re-derive
     * `yearCol`; all other rows pass through untouched. The UPDATE…FROM of
     * docs/fix_gridveg_dates.md:45-52 as a declarative projection +
-    * overwrite. `meta` is expected to be a dimension → broadcast.
+    * overwrite. `meta` is usually a dimension → size-gated broadcast.
     */
   def repairDatesFrom(facts: DataFrame, meta: DataFrame, key: String,
                       dateCol: String, yearCol: String,
                       corrupt: Column): DataFrame = {
-    val m = broadcast(meta.select(col(key), col(dateCol).as("__fix_date")))
+    val m = JoinPolicy.broadcastIfSmall(
+      meta.select(col(key), col(dateCol).as("__fix_date")))
     // UPDATE…FROM semantics: only rows that are corrupt AND have a metadata
     // match change; a corrupt row with no match keeps its original values
     // (the reference's inner-join UPDATE never touches it). The predicate

@@ -20,7 +20,10 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, StructType}
   * an object store — the 100 TB deployment never touches `java.io.File`.
   *
   * Layout: `<root>/<table>/` parquet dir per table;
-  * `<root>/_backups/<table>/<utc-timestamp>/` per backup.
+  * `<root>/_backups/<table>/<utc-timestamp>/` per backup. Tables that have
+  * been atomically published ([[overwrite]]/[[merge]]/[[compact]]) keep
+  * their data in `<root>/<table>/_versions/<version>/` behind a
+  * `<root>/<table>/_current` manifest — see [[publish]].
   */
 final class Warehouse(val spark: SparkSession, val root: String) {
   private def dir(name: String) = s"$root/$name"
@@ -33,17 +36,186 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     fs(p).exists(p)
   }
 
-  def read(name: String): DataFrame = spark.read.parquet(dir(name))
+  // ── versioned publish: reader-safe table replacement ──────────────────
+  //
+  // Replacing parquet files in place leaves a window where a concurrent
+  // reader lists a half-deleted, half-written directory. Published tables
+  // instead keep every table state in an immutable
+  // `<table>/_versions/<version>/` directory and resolve reads through a
+  // one-line `<table>/_current` manifest. A publish writes a brand-new
+  // version directory (old files are never touched, so deriving the new
+  // state FROM the old table needs no staging copy) and then swaps the
+  // manifest with an atomic rename — a reader sees the old table or the
+  // new one, never a mixture. Old versions stay on disk until [[vacuum]],
+  // so even a reader that resolved the manifest just before the swap
+  // finishes its scan against intact files. Underscore-prefixed paths are
+  // invisible to Spark's file listing, so the version tree never leaks
+  // into a plain directory scan. Single WRITER per table remains the
+  // contract (as in the reference); this makes READERS safe.
+
+  private def manifestPath(name: String) = new Path(s"${dir(name)}/_current")
+
+  /** Checksum-free view of the filesystem for manifest I/O. The local
+    * ChecksumFileSystem shadows every file with a sidecar `.crc`, and a
+    * two-file swap can never be atomic — the reader that caught the new
+    * manifest beside the old `.crc` got a ChecksumException. The manifest
+    * must live as ONE file: raw local I/O swaps it with a single POSIX
+    * rename(2); HDFS/object-store filesystems are not checksum-wrapped
+    * and pass through unchanged. */
+  private def rawFs(p: Path): FileSystem = fs(p) match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
+  /** The published version id, if this table uses versioned layout. */
+  def currentVersion(name: String): Option[String] = {
+    val mp = manifestPath(name)
+    val f = rawFs(mp)
+    if (!f.exists(mp)) None
+    else {
+      val in = f.open(mp)
+      try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        Some(src.mkString.trim).filter(_.nonEmpty)
+      } finally in.close()
+    }
+  }
+
+  /** The directory a read of `name` resolves to: the current published
+    * version when a manifest exists, the plain table dir otherwise.
+    *
+    * One subtlety: on filesystems where rename-with-overwrite is
+    * delete-then-rename rather than a single atomic op (the local FS;
+    * HDFS renames atomically), a reader can catch the microsecond window
+    * where the manifest is absent mid-swap. That state is unambiguous —
+    * versions exist but no manifest — so it retries briefly instead of
+    * falling back to the (empty-looking) plain directory. A table that
+    * never published has no `_versions` dir and resolves immediately. */
+  def dataPath(name: String): String = {
+    val vroot = new Path(s"${dir(name)}/_versions")
+    var attempts = 0
+    while (true) {
+      currentVersion(name) match {
+        case Some(v) => return s"${dir(name)}/_versions/$v"
+        case None =>
+          if (!fs(vroot).exists(vroot)) return dir(name)
+          attempts += 1
+          if (attempts >= 100) return dir(name) // crashed pre-first-publish
+          Thread.sleep(2)
+      }
+    }
+    dir(name) // unreachable
+  }
+
+  /** Atomically publish `df` as the new content of `name`: write an
+    * immutable version directory, then swap the manifest via rename.
+    * Safe when `df` is derived from the current content of `name` itself
+    * (merge/compact) — the new version is written beside, not over, the
+    * files the plan is reading. */
+  def publish(df: DataFrame, name: String): String = {
+    val version = ZonedDateTime.now(ZoneOffset.UTC)
+      .format(DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmssSSS")) +
+      f"-${scala.util.Random.nextInt(0x1000000)}%06x"
+    df.write.mode(SaveMode.ErrorIfExists)
+      .parquet(s"${dir(name)}/_versions/$version")
+    val mp = manifestPath(name)
+    val tmp = new Path(s"${dir(name)}/_current.$version.tmp")
+    val f = rawFs(mp)
+    val out = f.create(tmp, true)
+    try out.write(version.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    f match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        // POSIX rename(2): atomically replaces an existing destination
+        if (!f.rename(tmp, mp))
+          throw new java.io.IOException(s"manifest swap failed for $name")
+      case _ =>
+        // HDFS & friends: rename can't overwrite through the FileSystem
+        // API; FileContext's Rename.OVERWRITE is the atomic primitive
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(mp.toUri, spark.sessionState.newHadoopConf())
+          .rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    version
+  }
+
+  /** Drop all but the newest `keep` published versions, plus any stale
+    * pre-publish loose files still sitting in the table dir. Run this
+    * once concurrent readers of the retired versions have drained —
+    * retention IS the grace period. */
+  def vacuum(name: String, keep: Int = 1): Unit = {
+    require(keep >= 1, "vacuum must keep at least the current version")
+    currentVersion(name).foreach { cur =>
+      val vroot = new Path(s"${dir(name)}/_versions")
+      val f = fs(vroot)
+      val versions = f.listStatus(vroot).toSeq.map(_.getPath.getName).sorted
+      // the current version is always retained, whatever its sort position
+      val retained = (versions.takeRight(keep) :+ cur).toSet
+      versions.filterNot(retained)
+        .foreach(v => f.delete(new Path(s"${dir(name)}/_versions/$v"), true))
+      // everything else in the table dir — loose legacy files from before
+      // the first publish, checksum droppings, dead swap temps — is stale
+      f.listStatus(new Path(dir(name))).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          n != "_versions" && n != "_current"
+        }
+        .foreach(st => f.delete(st.getPath, true))
+    }
+  }
+
+  def read(name: String): DataFrame = spark.read.parquet(dataPath(name))
 
   def schemaOf(name: String): StructType = read(name).schema
 
-  /** S10: WRITE_APPEND. */
-  def append(df: DataFrame, name: String): Unit =
-    df.write.mode(SaveMode.Append).parquet(dir(name))
+  /** Total bytes of the table's CURRENT data files — read live from the
+    * filesystem, so it never goes stale across appends/publishes. This is
+    * the same signal Catalyst's size estimation uses, surfaced for
+    * operational checks. */
+  def tableSizeBytes(name: String): Long = {
+    val p = new Path(dataPath(name))
+    fs(p).getContentSummary(p).getLength
+  }
 
-  /** S11: WRITE_TRUNCATE (replace the whole table). */
-  def overwrite(df: DataFrame, name: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(dir(name))
+  /** ANALYZE TABLE analogue: compute [[Quality.tableStats]] (row count,
+    * nulls, distincts, min/max per column — one pass over one scan) and
+    * persist it under `<root>/_stats/<name>` for later planning /
+    * profiling reads. Join sizing itself does NOT depend on this —
+    * [[readDim]]/[[JoinPolicy.broadcastIfSmall]] use live file-size
+    * statistics — so skipping analyze costs nothing but the profile. */
+  def analyze(name: String, cols: Seq[String] = Nil): Unit = {
+    val df = read(name)
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    Quality.tableStats(df, cs).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/_stats/$name")
+  }
+
+  /** The stats persisted by [[analyze]], if any. */
+  def statsOf(name: String): Option[DataFrame] = {
+    val p = new Path(s"$root/_stats/$name")
+    if (fs(p).exists(p)) Some(spark.read.parquet(s"$root/_stats/$name"))
+    else None
+  }
+
+  /** Dimension-table read with the size-gated broadcast policy applied:
+    * small tables come back broadcast-hinted, oversized ones demote to
+    * shuffled joins automatically. */
+  def readDim(name: String): DataFrame =
+    JoinPolicy.broadcastIfSmall(read(name))
+
+  /** S10: WRITE_APPEND — new files land in the current data directory.
+    * Appends are incremental by nature (a reader mid-append sees the rows
+    * that were already there plus any fully-written new files — never a
+    * partial file, parquet writes are file-atomic via task temp files). */
+  def append(df: DataFrame, name: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(dataPath(name))
+
+  /** S11: WRITE_TRUNCATE (replace the whole table) — an atomic
+    * [[publish]]: concurrent readers see the old table or the new one,
+    * never a half-replaced directory. */
+  def overwrite(df: DataFrame, name: String): Unit = {
+    publish(df, name)
+    ()
+  }
 
   /** Scale extension: bucketed table write. Rows are pre-shuffled into
     * `numBuckets` files per bucket key and sorted within buckets, so every
@@ -105,27 +277,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .outputMode("append")
       .start()
 
-  /** Two-phase write: materialize `df` under `_staging/<name>` and return
-    * the staged path. Replacing a table with a plan derived from the same
-    * table (merge, compact) MUST stage first — Spark would otherwise
-    * delete the files while the lazy plan still needs to read them — and
-    * staging through the filesystem keeps executors from ever holding the
-    * table in memory, unlike cache/checkpoint. */
-  private def stageWrite(df: DataFrame, name: String): String = {
-    val tmp = s"$root/_staging/$name"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    tmp
-  }
-
-  private def dropStaging(name: String): Unit = {
-    val p = new Path(s"$root/_staging/$name")
-    fs(p).delete(p, true)
-  }
-
   /** MERGE/upsert: rows of `updates` replace same-key existing rows, new
     * keys are added, everything else is kept. The reference's
-    * UPDATE…FROM + append cycle as one atomic-ish table replace (backup
-    * is taken first, so the pre-merge state is always restorable). */
+    * UPDATE…FROM + append cycle as ONE atomic table [[publish]] — the new
+    * version is written beside the old files, so the self-referential
+    * plan (merged = f(existing)) reads intact data throughout, and the
+    * manifest swap exposes it all-or-nothing. Backup is taken first, so
+    * the pre-merge state is restorable even past [[vacuum]]. */
   def merge(table: String, updates: DataFrame, keys: Seq[String]): Unit = {
     require(keys.nonEmpty)
     val existing = read(table)
@@ -134,19 +292,19 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(updates.select(cols: _*))
     backup(table)
-    val tmp = stageWrite(merged, table)
-    overwrite(spark.read.parquet(tmp), table)
-    dropStaging(table)
+    publish(merged, table)
+    ()
   }
 
   /** Compaction: rewrite a table into `numFiles` files — the answer to
     * the small-files problem that incremental appends accumulate (every
-    * append adds a file; scans degrade once file count ≫ cores). */
+    * append adds a file; scans degrade once file count ≫ cores). An
+    * atomic [[publish]] like merge: the rewrite reads the old version's
+    * files, which stay in place until [[vacuum]]. */
   def compact(table: String, numFiles: Int = 1): Unit = {
     require(numFiles > 0)
-    val tmp = stageWrite(read(table).repartition(numFiles), table)
-    overwrite(spark.read.parquet(tmp), table)
-    dropStaging(table)
+    publish(read(table).repartition(numFiles), table)
+    ()
   }
 
   /** S14: timestamped backup of a table before mutation; returns the

@@ -160,7 +160,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         assign(col(vecCol), nprobe).as("cells"))
       .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val scored = c.join(graft.engine.JoinPolicy.broadcastIfSmall(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
@@ -194,7 +194,7 @@ object Similarity {
           element_at(col("buckets"), col("t") + 1).as("bucket"))
     val c = bucketed(corpus, "neighbor_id", "cv")
     val q = bucketed(queries, "query_id", "qv")
-    val cand = c.join(broadcast(q), Seq("t", "bucket"))
+    val cand = c.join(graft.engine.JoinPolicy.broadcastIfSmall(q), Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "qv", "cv").distinct()
     val scored = cand.select(col("query_id"), col("neighbor_id"),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.engine.{Td, Wrangle}
+import graft.engine.{JoinPolicy, Td, Wrangle}
 
 /** Parity query catalog: each SURVEY.md §2 operator family phrased over the
   * driver testdata tables, with a DuckDB oracle in [[oracleSql]].
@@ -127,11 +127,12 @@ object CoreQueries {
         Map("qty" -> 0.0))
     }),
 
-    // ── J1: dimension lookup join (broadcast) + rollup ──
+    // ── J1: dimension lookup join (size-gated broadcast) + rollup ──
     "q13_dim_join" -> ((s, dir) => {
       import s.implicits._
       Td(s, dir, "lineitem")
-        .join(broadcast(Td(s, dir, "part")), $"l_partkey" === $"p_partkey", "left")
+        .join(JoinPolicy.broadcastIfSmall(Td(s, dir, "part")),
+          $"l_partkey" === $"p_partkey", "left")
         .groupBy($"p_brand")
         .agg(dsum($"l_extendedprice").as("revenue"), count(lit(1)).as("n"))
     }),
@@ -141,8 +142,10 @@ object CoreQueries {
       import s.implicits._
       Td(s, dir, "orders")
         .join(Td(s, dir, "customer"), $"o_custkey" === $"c_custkey", "left")
-        .join(broadcast(Td(s, dir, "nation")), $"c_nationkey" === $"n_nationkey", "left")
-        .join(broadcast(Td(s, dir, "region")), $"n_regionkey" === $"r_regionkey", "left")
+        .join(JoinPolicy.broadcastIfSmall(Td(s, dir, "nation")),
+          $"c_nationkey" === $"n_nationkey", "left")
+        .join(JoinPolicy.broadcastIfSmall(Td(s, dir, "region")),
+          $"n_regionkey" === $"r_regionkey", "left")
         .groupBy($"r_name", $"n_name")
         .agg(dsum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
     }),

@@ -183,7 +183,7 @@ class IngestSpec extends SparkSpec {
     val got = wh.read("t").collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(got == Map("A" -> 1, "B" -> 20, "C" -> 3, "D" -> 40))
-    // staging cleaned up, backup taken
+    // no staging left behind (merge is one atomic publish), backup taken
     assert(!wh.exists("_staging/t"))
     assert(wh.exists("_backups/t"))
   }
@@ -194,7 +194,9 @@ class IngestSpec extends SparkSpec {
     wh.overwrite(Seq(("A", 1)).toDF("survey_ID", "v"), "t")
     (2 to 9).foreach(i =>
       wh.append(Seq((s"K$i", i)).toDF("survey_ID", "v"), "t"))
-    def nFiles = new java.io.File(s"$root/t").listFiles()
+    // count files in the CURRENT published version (data lives behind the
+    // manifest since publishes became atomic)
+    def nFiles = new java.io.File(wh.dataPath("t")).listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(nFiles >= 9)
     wh.compact("t", numFiles = 1)

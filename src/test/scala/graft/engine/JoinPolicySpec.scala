@@ -1,0 +1,68 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Size-gated broadcast: the hint must come from measured statistics, and
+  * an oversized dimension must demote to a shuffled join (VERDICT r2
+  * item 3). */
+class JoinPolicySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fact = (1 to 1000).map(i => (i % 50, i)).toDF("k", "x")
+  private lazy val dim = (0 until 50).map(i => (i, s"d$i")).toDF("k", "name")
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("small dim under the threshold gets the broadcast hint") {
+    val d = JoinPolicy.broadcastIfSmall(dim)
+    val plan = finalPlan(fact.join(d, Seq("k")))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("dim over the threshold demotes to a shuffled join") {
+    // 1-byte override: everything is 'too big' — no hint may be attached
+    val d = JoinPolicy.broadcastIfSmall(dim, thresholdBytes = 1L)
+    assert(d eq dim, "oversized dim must come back unhinted")
+  }
+
+  test("broadcast disabled in the session conf demotes the join end-to-end") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = finalPlan(fact.join(JoinPolicy.broadcastIfSmall(dim), Seq("k")))
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan)
+    } finally spark.conf.set(key, old)
+  }
+
+  test("estimated size tracks the data, threshold gates the hint") {
+    val small = JoinPolicy.estimatedSizeBytes(dim)
+    assert(small > 0)
+    // a threshold just under the estimate demotes, just over broadcasts
+    assert(JoinPolicy.broadcastIfSmall(dim, (small - 1).toLong) eq dim)
+    assert(!(JoinPolicy.broadcastIfSmall(dim, (small + 1).toLong) eq dim))
+  }
+
+  test("wrangle pipeline dims demote when broadcast is off (no forced hints)") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val ground = Seq((1, 10, "BG", "a"), (1, 10, "LIT", "b"))
+        .toDF("survey_ID", "grid_point", "intercept_ground_code", "intercept_1")
+      val codeMeta = Seq(("BG", "bare"), ("LIT", "litter"))
+        .toDF("intercept_ground_code", "ground_group")
+      val surveyMeta = Seq((1, 2023, "2023-06-01", "2023"))
+        .toDF("survey_ID", "year", "date", "survey_sequence")
+      val plan = finalPlan(
+        GridVegPipelines.groundCover(ground, codeMeta, surveyMeta))
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+    } finally spark.conf.set(key, old)
+  }
+}
