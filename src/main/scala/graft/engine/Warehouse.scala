@@ -165,6 +165,22 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   def read(name: String): DataFrame = spark.read.parquet(dataPath(name))
 
+  /** All published versions of a table, oldest first (version ids sort
+    * chronologically — they embed a UTC timestamp). Empty for tables in
+    * plain (never-published) layout. */
+  def listVersions(name: String): Seq[String] = {
+    val vroot = new Path(s"${dir(name)}/_versions")
+    val f = fs(vroot)
+    if (!f.exists(vroot)) Seq.empty
+    else f.listStatus(vroot).toSeq.map(_.getPath.getName).sorted
+  }
+
+  /** Time travel: read a specific published version (as listed by
+    * [[listVersions]]) — any state that [[vacuum]] hasn't dropped yet is
+    * queryable as-of. */
+  def readVersion(name: String, version: String): DataFrame =
+    spark.read.parquet(s"${dir(name)}/_versions/$version")
+
   def schemaOf(name: String): StructType = read(name).schema
 
   /** Total bytes of the table's CURRENT data files — read live from the

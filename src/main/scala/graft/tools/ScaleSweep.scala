@@ -1,0 +1,134 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** Heavy-tail scale sweep: run the most expensive queries at sf0.1 AND at
+  * a ~10-20× scaled copy, with per-stage task counts and SHUFFLE BYTES, to
+  * measure (not argue) that shuffle volume tracks |groups|/|candidates|
+  * rather than |rows|², and that no stage collapses to one task as data
+  * grows (VERDICT r2 item 8).
+  *
+  * The scaled copy is derived, deterministic, and written OUTSIDE the
+  * repo (/tmp) — the driver testdata stays untouched:
+  *  - documents ×20: replica r remaps text through a rotation of a
+  *    20-letter alphabet — a character bijection, so shingle sets map
+  *    bijectively and every pairwise Jaccard/near-dup relationship inside
+  *    a replica is EXACTLY the original's (the dup structure scales
+  *    linearly with replicas instead of exploding into cross-replica
+  *    cliques, which identical copies would).
+  *  - lineitem ×10: l_orderkey remapped to r*10M + key, so group counts
+  *    scale 10× with no hot keys.
+  * Replica 0 is the identity — the original data is a subset.
+  */
+object ScaleSweep {
+  private val DocReplicas = 20
+  private val LineReplicas = 10
+
+  private def rotated(s: String, r: Int): String =
+    s.drop(r % s.length) + s.take(r % s.length)
+
+  private def generate(spark: SparkSession, src: String, out: String): Unit = {
+    val alpha = "abcdefghijklmnopqrst"
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        explode(lit((0 until DocReplicas).toArray)).as("r"))
+      .select(
+        (col("doc_id") * DocReplicas + col("r")).as("doc_id"),
+        expr(s"translate(text, '$alpha', " +
+          s"element_at(array(${(0 until DocReplicas)
+            .map(r => s"'${rotated(alpha, r)}'").mkString(",")}), r + 1))")
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+    docs.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    li.select((explode(lit((0 until LineReplicas).toArray)).as("r")) +:
+        li.columns.map(col): _*)
+      .withColumn("l_orderkey",
+        col("r").cast("long") * 10000000L + col("l_orderkey"))
+      .drop("r")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // remaining tables pass through unscaled (file copy)
+    val others = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "events", "embeddings")
+    others.foreach { t =>
+      val from = Paths.get(s"$src/$t.parquet")
+      val to = Paths.get(s"$out/$t.parquet")
+      if (Files.isDirectory(from)) {
+        Files.walk(from).forEach { p =>
+          val dest = to.resolve(from.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(dest)
+          else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
+        }
+      } else {
+        Files.createDirectories(to.getParent)
+        Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    Files.writeString(Paths.get(s"$out/_READY"), "ok")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALED_DIR", "/tmp/graft_scaled")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!Files.exists(Paths.get(s"$out/_READY"))) generate(spark, src, out)
+
+    // (stageId, tasks, taskTimeMs, wallMs, shufWriteB, shufReadB, inputB)
+    val stages =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long, Long, Long, Long)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val i = e.stageInfo
+        val wall = (for { s <- i.submissionTime; c <- i.completionTime }
+          yield c - s).getOrElse(-1L)
+        val m = i.taskMetrics
+        stages.add((i.stageId, i.numTasks, m.executorRunTime, wall,
+          m.shuffleWriteMetrics.bytesWritten,
+          m.shuffleReadMetrics.localBytesRead + m.shuffleReadMetrics.remoteBytesRead,
+          m.inputMetrics.bytesRead))
+      }
+    })
+
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q12_grouped_completion", "q30_dedup_minhash",
+        "q63_dup_groups", "q65_dedup_corpus", "q70_training_corpus")
+    def gb(b: Long) = b / 1024.0 / 1024.0
+
+    for (dir <- Seq(src, out); n <- names) {
+      stages.clear()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let the listener bus drain
+      val all = stages.toArray(Array.empty[(Int, Int, Long, Long, Long, Long, Long)])
+      val totW = all.map(_._5).sum
+      val totR = all.map(_._6).sum
+      val totIn = all.map(_._7).sum
+      val oneTask = all.count(s => s._2 == 1 && s._3 > 1000)
+      val tag = if (dir == src) "sf0.1" else "scaled"
+      println(f"===== $n [$tag] wall=$wall%.2fs stages=${all.length} " +
+        f"shufWrite=${gb(totW)}%.1fMB shufRead=${gb(totR)}%.1fMB " +
+        f"input=${gb(totIn)}%.1fMB slowSingleTaskStages=$oneTask")
+      all.sortBy(-_._3).take(8).foreach {
+        case (id, tasks, run, w, sw, sr, in) =>
+          println(f"  stage=$id%-5d tasks=$tasks%-3d taskTime=${run / 1000.0}%8.2fs " +
+            f"wall=${w / 1000.0}%6.2fs shufW=${gb(sw)}%8.1fMB shufR=${gb(sr)}%8.1fMB " +
+            f"input=${gb(in)}%8.1fMB")
+      }
+    }
+    spark.stop()
+  }
+}

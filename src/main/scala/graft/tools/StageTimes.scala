@@ -18,7 +18,7 @@ object StageTimes {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long)]()
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long, Long, Long, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val info = e.stageInfo
@@ -26,8 +26,11 @@ object StageTimes {
           s <- info.submissionTime
           c <- info.completionTime
         } yield c - s).getOrElse(-1L)
-        stages.add((info.stageId, info.numTasks,
-          info.taskMetrics.executorRunTime, wall))
+        val m = info.taskMetrics
+        stages.add((info.stageId, info.numTasks, m.executorRunTime, wall,
+          m.shuffleWriteMetrics.bytesWritten,
+          m.shuffleReadMetrics.localBytesRead + m.shuffleReadMetrics.remoteBytesRead,
+          m.inputMetrics.bytesRead, info.name.take(70)))
       }
     })
 
@@ -42,11 +45,15 @@ object StageTimes {
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let the listener bus drain (private API in 4.x)
-      val rows = stages.toArray(Array.empty[(Int, Int, Long, Long)])
-        .sortBy(-_._3).take(8)
+      val topN = sys.env.getOrElse("SPARK_GRAFT_TOP_STAGES", "8").toInt
+      val rows = stages.toArray(Array.empty[(Int, Int, Long, Long, Long, Long, Long, String)])
+        .sortBy(-_._3).take(topN)
+      def mb(b: Long) = b / 1024.0 / 1024.0
       println(f"===== $n wall=$wall%.2fs stages=${stages.size}")
-      rows.foreach { case (id, tasks, run, w) =>
-        println(f"  stage=$id%-4d tasks=$tasks%-3d taskTime=${run / 1000.0}%8.2fs stageWall=${w / 1000.0}%6.2fs")
+      rows.foreach { case (id, tasks, run, w, sw, sr, in, nm) =>
+        println(f"  stage=$id%-4d tasks=$tasks%-3d taskTime=${run / 1000.0}%8.2fs " +
+          f"stageWall=${w / 1000.0}%6.2fs shufW=${mb(sw)}%7.1fMB shufR=${mb(sr)}%7.1fMB " +
+          f"input=${mb(in)}%7.1fMB  $nm")
       }
     }
     spark.stop()

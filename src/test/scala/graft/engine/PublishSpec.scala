@@ -62,6 +62,17 @@ class PublishSpec extends SparkSpec {
     assert(entries == Set("_versions", "_current"), entries.toString)
   }
 
+  test("time travel: every un-vacuumed version stays queryable as-of") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwrite((1 to 3).toDF("n"), "t")
+    wh.overwrite((1 to 9).toDF("n"), "t")
+    val vs = wh.listVersions("t")
+    assert(vs.length == 2 && vs == vs.sorted)
+    assert(wh.readVersion("t", vs.head).count() == 3)
+    assert(wh.readVersion("t", vs.last).count() == 9)
+    assert(wh.currentVersion("t").contains(vs.last))
+  }
+
   test("append lands in the current published version") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwrite((1 to 4).toDF("n"), "t")
