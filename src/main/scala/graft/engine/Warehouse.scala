@@ -431,6 +431,19 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** JSONL corpus read: one JSON object per line — the de-facto
+    * interchange format of LLM training-data pipelines. The schema is
+    * always declared, never inferred: inference costs an extra full scan
+    * and silently drifts when a rare field appears late in 100 TB. */
+  def readJsonl(path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSONL corpus export, one file per task — corpus interchange is big
+    * by definition, so unlike [[exportCsv]] (single-file summary tables)
+    * this stays partitioned and writes in parallel. */
+  def exportJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** S15 + S12/P27: single-file CSV export with the reference's load-path
     * formatting — whole-valued doubles render as ints ("8", not "8.0") and
     * nulls as "" (update_gridVeg_point_intercepts.ipynb int-stringify +

@@ -167,6 +167,14 @@ object ScaleQueries {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
         "doc_id", "text")),
 
+    // ── context-window chunking: 64-token windows with 8-token overlap,
+    //    the doc→training-example prep step ──
+    "q81_chunking" -> ((s, dir) =>
+      graft.operators.Chunking.chunkDocuments(
+        Td(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", chunkTokens = 64, overlap = 8)),
+
     // ── multimodal payload profile: binary columns synthesized
     //    deterministically from documents (the sandbox has no codec libs;
     //    the metadata-only profile pass needs none) ──
@@ -796,6 +804,24 @@ object ScaleQueries {
          |        FROM s2) x WHERE rn = 1)
          |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text
          |FROM k GROUP BY doc_id""".stripMargin,
+
+    // chunkTokens=64, overlap=8 → step=56; k = 1 when the doc fits, else
+    // ceil((n-8)/56); window i = toks[i*56+1 .. i*56+64] (DuckDB slices
+    // clamp at the array end like Spark's slice)
+    "q81_chunking" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |t AS (SELECT doc_id, toks, len(toks) AS n FROM tok
+         |      WHERE len(toks) > 0),
+         |e AS (SELECT doc_id, toks, n,
+         |        unnest(range(0, CASE WHEN n <= 64 THEN 1
+         |          ELSE CAST(ceil((n - 8) / 56.0) AS BIGINT) END))
+         |          AS chunk_pos
+         |      FROM t)
+         |SELECT doc_id, CAST(chunk_pos AS INTEGER) AS chunk_pos,
+         |  array_to_string(toks[chunk_pos * 56 + 1 : chunk_pos * 56 + 64],
+         |    ' ') AS chunk_text,
+         |  CAST(least(64, n - chunk_pos * 56) AS BIGINT) AS n_tokens
+         |FROM e""".stripMargin,
 
     "q36_token_stats" ->
       """SELECT doc_id,

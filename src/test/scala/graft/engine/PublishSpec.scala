@@ -111,6 +111,18 @@ class PublishSpec extends SparkSpec {
     assert(bad.isEmpty, s"reader observed a partial table of ${bad.orNull} rows")
   }
 
+  test("JSONL export round-trips a corpus table with declared schema") {
+    val wh = new Warehouse(spark, freshRoot)
+    val docs = Seq((1L, "hello world", "en"), (2L, "späße & 中文", "de"),
+      (3L, null, "fr")).toDF("doc_id", "text", "lang")
+    wh.exportJsonl(docs, s"${wh.root}/out_jsonl")
+    val back = wh.readJsonl(s"${wh.root}/out_jsonl", docs.schema)
+    val got = back.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, "hello world", "en"),
+      (2L, "späße & 中文", "de"), (3L, null, "fr")))
+  }
+
   test("analyze persists tableStats and statsOf reads them back") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwrite(Seq((1, "a"), (2, "b"), (2, null)).toDF("k", "v"), "t")
