@@ -91,6 +91,42 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt, Resolution) < threshold)
   }
 
+  /** Deterministic mixture upsampling — "2.5 epochs of wiki" data mixing:
+    * each row is emitted `floor(w)` times plus one more iff its hash
+    * bucket falls under `frac(w)`, using the same salted-md5 family as
+    * [[hashSample]] (decorrelated via an `"|epoch"` salt suffix). The
+    * fractional epoch is therefore NESTED: raising a source's weight
+    * 2.3 → 2.6 only ADDS replicas, it never reshuffles which rows carry
+    * the extra epoch — mixture experiments stay comparable. Weights
+    * below 1 downsample (w = 0.3 keeps a deterministic 30%).
+    *
+    * Output gains an `epoch` column (0-based replica index) so a
+    * downstream [[deterministicShuffle]] (salted per epoch) or packing
+    * step can decorrelate replicas. One map-side index-range explode —
+    * zero shuffle, deterministic under any partitioning; 100 TB streams
+    * through and replicas are never materialized together.
+    */
+  def upsampleMixture(df: DataFrame, idCol: String, sourceCol: String,
+                      weights: Map[String, Double],
+                      defaultWeight: Double = 1.0,
+                      salt: String = "graft"): DataFrame = {
+    require((weights.values.toSeq :+ defaultWeight).forall(_ >= 0.0),
+      "mixture weights must be >= 0")
+    val bucket = hashBucket(col(idCol), s"$salt|epoch", Resolution)
+    def countFor(w: Double): Column =
+      lit(math.floor(w).toInt) +
+        when(bucket < thresholdOf(w - math.floor(w)), 1).otherwise(0)
+    val n = weights.toSeq.sortBy(_._1)
+      .foldLeft(countFor(defaultWeight)) { case (acc, (src, w)) =>
+        when(col(sourceCol) === src, countFor(w)).otherwise(acc)
+      }
+    // filter BEFORE sequence: sequence(0, -1) would count DOWN ([0, -1])
+    df.withColumn("__n", n)
+      .filter(col("__n") > 0)
+      .select(df.columns.map(col).toSeq :+
+        explode(sequence(lit(0), col("__n") - 1)).as("epoch"): _*)
+  }
+
   /** Deterministic global shuffle for training order: sort by (hash, id).
     * Spark executes this as a range-partitioned sort — sampled range
     * boundaries, all partitions sort in parallel, no single-task

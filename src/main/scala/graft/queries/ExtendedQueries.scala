@@ -146,6 +146,15 @@ object ExtendedQueries {
           defaultFraction = 0.1)
         .select(col("doc_id"), col("lang"))),
 
+    // ── mixture upsampling: 2.5 epochs of src0, 0.4 of src1, 1 epoch
+    //    otherwise; the fractional epoch is a nested hash sample ──
+    "q82_upsample_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.upsampleMixture(
+        Td(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        weights = Map("src0" -> 2.5, "src1" -> 0.4),
+        defaultWeight = 1.0)),
+
     // ── Gopher-style repetition profile: duplicate-2-gram fraction and
     //    most-common-token share per document ──
     "q69_repetition" -> ((s, dir) =>
@@ -312,6 +321,23 @@ object ExtendedQueries {
          |WHERE bk < (CASE WHEN lang = 'de' THEN 250000
          |                 WHEN lang = 'en' THEN 500000
          |                 ELSE 100000 END)""".stripMargin,
+
+    // weights: src0 → 2 + [bk < 500000], src1 → [bk < 400000], else 1;
+    // epoch = 0-based replica index (rows with 0 replicas vanish)
+    "q82_upsample_mixture" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |    ${hashWordSql("graft|epoch", "doc_id")} % 1000000 AS bk
+         |  FROM documents),
+         |c AS (SELECT doc_id, source,
+         |    CASE WHEN source = 'src0'
+         |           THEN 2 + (CASE WHEN bk < 500000 THEN 1 ELSE 0 END)
+         |         WHEN source = 'src1'
+         |           THEN (CASE WHEN bk < 400000 THEN 1 ELSE 0 END)
+         |         ELSE 1 END AS n
+         |  FROM b)
+         |SELECT doc_id, source,
+         |  CAST(unnest(range(0, n)) AS INTEGER) AS epoch
+         |FROM c""".stripMargin,
 
     "q69_repetition" ->
       s"""WITH tok AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks

@@ -179,4 +179,53 @@ object OperatorProperties extends Properties("graft.operators") {
           math.round(hi * Sampling.Resolution)).toSet
       small.subsetOf(big) && big == expected
     }
+
+  private val chunkCase = for {
+    n <- Gen.choose(1, 150)
+    ct <- Gen.choose(2, 20)
+    ov <- Gen.choose(0, 19).map(_ % ct)
+  } yield (n, ct, ov)
+
+  property("chunkDocuments: overlap-drop reconstructs; windows sized and counted") =
+    Prop.forAll(chunkCase) { case (n, ct, ov) =>
+      val toks = (1 to n).map(i => s"w$i")
+      val step = ct - ov
+      val out = Chunking.chunkDocuments(
+          Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"),
+          "doc_id", "text", chunkTokens = ct, overlap = ov)
+        .orderBy("chunk_pos")
+        .collect().map(r => (r.getInt(1), r.getString(2).split(" ").toSeq,
+          r.getLong(3)))
+      val expectedK = if (n <= ct) 1 else math.ceil((n - ov).toDouble / step).toInt
+      val rebuilt = out.zipWithIndex.flatMap { case ((_, c, _), i) =>
+        if (i == 0) c else c.drop(ov) }
+      out.length == expectedK &&
+        out.zipWithIndex.forall { case ((pos, c, nt), i) =>
+          pos == i && c == toks.slice(i * step, i * step + ct) &&
+            nt == c.length } &&
+        rebuilt.toSeq == toks
+    }
+
+  property("upsampleMixture: exact replica counts, nested fractional epoch") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 5000L)).map(_.distinct),
+      Gen.choose(0.0, 3.0), Gen.choose(0.0, 3.0)) { (ids, w1, w2) =>
+      val (lo, hi) = (math.min(w1, w2), math.max(w1, w2))
+      val df = ids.map(i => (i, if (i % 2 == 0) "a" else "b"))
+        .toDF("id", "src")
+      def run(wa: Double) = Sampling
+        .upsampleMixture(df, "id", "src", Map("a" -> wa), defaultWeight = hi)
+        .groupBy("id").count().as[(Long, Long)].collect().toMap
+      def expect(i: Long, w: Double): Long =
+        math.floor(w).toLong + (if (word(s"graft|epoch|$i") %
+          Sampling.Resolution < math.round((w - math.floor(w)) *
+            Sampling.Resolution)) 1L else 0L)
+      val got = run(lo)
+      val gotHi = run(hi)
+      ids.forall { i =>
+        val w = if (i % 2 == 0) lo else hi
+        got.getOrElse(i, 0L) == expect(i, w) &&
+          gotHi.getOrElse(i, 0L) == expect(i, hi) &&
+          got.getOrElse(i, 0L) <= gotHi.getOrElse(i, 0L) // nested
+      }
+    }
 }
