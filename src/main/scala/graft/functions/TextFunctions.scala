@@ -99,6 +99,29 @@ object TextFunctions {
     regexp_replace(regexp_replace(text, email, "[EMAIL]"), phone, "[PHONE]")
   }
 
+  /** Boilerplate-free text from HTML — the CommonCrawl-style extraction
+    * step that precedes every other corpus operator when the source is
+    * web pages: script/style/comment blocks go first (their CONTENT is
+    * boilerplate, not text), then all tags, then the five ubiquitous
+    * entities decode (after tag-stripping, so a decoded `&lt;` can never
+    * re-form a tag), then whitespace collapses. All patterns avoid
+    * backreferences and shorthand classes that differ between Java's
+    * backtracking and RE2 (whitespace is spelled out — Java's `\s`
+    * includes `\x0B`, RE2's does not), so DuckDB replays the pipeline
+    * byte-for-byte. Entity decode uses LITERAL replace, not regex.
+    */
+  def htmlText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTitle = regexp_replace(noStyle, "(?is)<title[^>]*>.*?</title>", " ")
+    val noComment = regexp_replace(noTitle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
+  }
+
   /** Word k-shingles (k consecutive tokens joined by a space). Texts with
     * fewer than k tokens yield a single shingle of the whole text so every
     * document lands in some bucket.

@@ -309,6 +309,23 @@ object ScaleQueries {
           col("doc_id").cast("string"), lit("@mail.example.org tel +1 406-555-0123")))
           .as("redacted"))),
 
+    // ── HTML boilerplate extraction: documents wrapped in deterministic
+    //    markup (script/style/comment noise + entities) must come back as
+    //    clean text — the CommonCrawl-prep step ──
+    "q83_html_extract" -> ((s, dir) =>
+      Td(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          TextFunctions.htmlText(concat(
+            lit("<html><head><title>t</title><style>p { color: red; }" +
+              "</style><script>if (1 < 2) { var x = \"a&b\"; }</script>" +
+              "</head><body><h1>"),
+            col("lang"),
+            lit("</h1><!-- boilerplate --><p>"),
+            col("text"),
+            lit(" &amp; more &lt;tags&gt;&nbsp;&#39;q&#39;</p></body></html>")))
+            .as("clean"))),
+
     // ── streaming exact-dedup batch twin: planted full-row duplicate
     //    events must collapse back to the base table. Dedup runs on ALL
     //    columns (the plants are byte-identical rows), so the contract
@@ -729,6 +746,35 @@ object ScaleQueries {
         |    '\+?[0-9][0-9()\- \t\n\x0B\f\r]{6,}[0-9]', '[PHONE]', 'g')
         |    AS redacted
         |FROM documents""".stripMargin,
+
+    // the same strip order as TextFunctions.htmlText: script/style/comment
+    // blocks, all tags, literal entity decode, whitespace collapse
+    "q83_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>t</title><style>p { color: red; }</style><script>if (1 < 2) { var x = "a&b"; }</script></head><body><h1>'
+        |  || lang || '</h1><!-- boilerplate --><p>' || text ||
+        |  ' &amp; more &lt;tags&gt;&nbsp;&#39;q&#39;</p></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gis') AS x
+        |  FROM h),
+        |s2 AS (SELECT doc_id,
+        |  regexp_replace(x, '<style[^>]*>.*?</style>', ' ', 'gis') AS x
+        |  FROM s1),
+        |s2b AS (SELECT doc_id,
+        |  regexp_replace(x, '<title[^>]*>.*?</title>', ' ', 'gis') AS x
+        |  FROM s2),
+        |s3 AS (SELECT doc_id, regexp_replace(x, '<!--.*?-->', ' ', 'gs') AS x
+        |  FROM s2b),
+        |s4 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'gs') AS x
+        |  FROM s3),
+        |d AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(x,
+        |    '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |    '&quot;', '"'), '&#39;', '''') AS x FROM s4)
+        |SELECT doc_id,
+        |  trim(regexp_replace(x, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
+        |FROM d""".stripMargin,
 
     "q29_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -53,6 +53,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(1L).length <= 8)
   }
 
+  test("htmlText strips boilerplate, decodes entities, keeps body text") {
+    val html = """<html><head><title>Ignored</title>
+      |<style type="text/css">body { margin: 0; }</style>
+      |<SCRIPT>if (1 < 2) { alert("x & y"); }</SCRIPT>
+      |</head><body>
+      |<h1 class="big">Hello</h1><!-- hidden note -->
+      |<p>one &amp; two &lt;three&gt;&nbsp;&#39;four&#39;</p>
+      |</body></html>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(TextFunctions.htmlText($"h").as("t")).head().getString(0)
+    assert(got == "Hello one & two <three> 'four'", got)
+  }
+
+  test("htmlText: a decoded &lt;script&gt; never re-forms a tag") {
+    val got = Seq("<p>&lt;script&gt;evil()&lt;/script&gt;</p>").toDF("h")
+      .select(TextFunctions.htmlText($"h").as("t")).head().getString(0)
+    assert(got == "<script>evil()</script>", got) // visible as TEXT, not stripped
+  }
+
   test("srpBucket is deterministic and spreads vectors") {
     val rng = new scala.util.Random(3)
     val df = (1 to 200).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
