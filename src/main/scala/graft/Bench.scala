@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at the given SF and
@@ -7,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the projections of map-only queries (date/string/text
   * expression benchmarks would then time just scan+count). Failures are
   * reported per query (value -1 + message), never silently timed.
+  *
+  * Every run also archives per-query stage evidence (task counts, stage
+  * task-time, shuffle bytes) to `docs/BENCH_STAGES.txt` — wall totals on
+  * a shared box swing ±2×, stage metrics don't, so a reviewer can tell
+  * noise from regression without rerunning.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,26 +24,61 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm JVM/codegen/parquet paths so the alphabetically-first query
-    // isn't charged several seconds of session startup
+    // (stageId, tasks, taskTimeMs, shufWriteB, shufReadB)
+    val stages =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long, Long)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        stages.add((e.stageInfo.stageId, e.stageInfo.numTasks,
+          m.executorRunTime, m.shuffleWriteMetrics.bytesWritten,
+          m.shuffleReadMetrics.localBytesRead + m.shuffleReadMetrics.remoteBytesRead))
+      }
+    })
+    // warm JVM/codegen/parquet/shuffle/window/text-expression paths so the
+    // alphabetically-first queries aren't charged session startup — warmup
+    // work is explicitly untimed
     try {
       spark.range(1000).selectExpr("sum(id) AS s")
         .write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/region.parquet")
         .write.format("noop").mode("overwrite").save()
+      spark.range(2000)
+        .selectExpr("id", "md5(cast(id AS string)) AS h",
+          "split(repeat('a b ', 20), ' ') AS toks")
+        .selectExpr("id % 16 AS k", "h",
+          "aggregate(toks, 0L, (a, t) -> a + length(t)) AS n")
+        .groupBy("k").agg(org.apache.spark.sql.functions.count_distinct(
+          org.apache.spark.sql.functions.col("h")))
+        .write.format("noop").mode("overwrite").save()
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    val sidecar = new StringBuilder
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      stages.clear()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        val all = stages.toArray(Array.empty[(Int, Int, Long, Long, Long)])
+        def mb(b: Long) = b / 1024.0 / 1024.0
+        sidecar ++= f"===== $name wall=$sec%.2fs stages=${all.length} " +
+          f"shufW=${mb(all.map(_._4).sum)}%.1fMB shufR=${mb(all.map(_._5).sum)}%.1fMB\n"
+        all.sortBy(-_._3).take(4).foreach { case (id, tasks, run, sw, sr) =>
+          sidecar ++= f"  stage=$id%-5d tasks=$tasks%-3d taskTime=${run / 1000.0}%8.2fs " +
+            f"shufW=${mb(sw)}%7.1fMB shufR=${mb(sr)}%7.1fMB\n"
+        }
+        name -> sec
       } catch {
         case e: Throwable =>
           errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           name -> -1.0
       }
     }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("docs/BENCH_STAGES.txt"), sidecar.toString)
+    catch { case _: Throwable => () } // bench result must not die on a doc write
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
