@@ -31,6 +31,38 @@ object VectorFunctions {
     */
   def cosine(a: Column, b: Column): Column = SignatureExpressions.cosineSim(a, b)
 
+  /** Symmetric int8 quantization: `scale = max|v_i|`, `q_i = round(v_i /
+    * scale * 127)` in [-127, 127] (an all-zero vector quantizes to zeros
+    * with scale 0). Cuts embedding storage 4× — at 100 TB the ANN
+    * candidate scan is I/O-bound, so this is a 4× scan-rate lever — and
+    * since cosine is SCALE-INVARIANT, candidate scoring can run straight
+    * on the int arrays ([[cosineInt8]]); the scale only matters for
+    * reconstruction. All arithmetic is double-precision round-half-away-
+    * from-zero, reproducible across engines.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val s = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+    struct(s.as("scale"),
+      when(s === 0.0, transform(v, _ => lit(0)))
+        .otherwise(transform(v,
+          x => round(x.cast("double") / s * 127).cast("int"))).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `q_i * scale / 127` as array<double>;
+    * max reconstruction error is `scale / 254` per element. */
+  def dequantizeInt8(qs: Column): Column = {
+    val s = qs.getField("scale")
+    transform(qs.getField("q"), q => q.cast("double") * s / 127)
+  }
+
+  /** Cosine directly on two int8-quantized vectors (the `q` arrays):
+    * scales cancel, so this equals the cosine of the dequantized vectors
+    * exactly — integer dot and norms, no float reconstruct in the ANN
+    * inner loop. */
+  def cosineInt8(qa: Column, qb: Column): Column =
+    SignatureExpressions.cosineSim(qa.cast("array<double>"),
+      qb.cast("array<double>"))
+
   /** Signed-random-projection bucket id: `nbits` seeded hyperplanes, one bit
     * per sign(dot(v, r_i)). Deterministic across runs (fixed seed) — the LSH
     * family behind [[graft.operators.Similarity]] bucketed ANN and

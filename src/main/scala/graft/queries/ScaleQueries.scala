@@ -45,6 +45,20 @@ object ScaleQueries {
       Dedup.embeddingNearDup(Td(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.9)),
 
+    // ── symmetric int8 quantization: 4x smaller ANN storage; scale +
+    //    quantized ints are engine-exact (double arithmetic, round half
+    //    away from zero). The vector rides as a CSV string — scalar
+    //    columns compare robustly across engines ──
+    "q84_quantize_int8" -> ((s, dir) =>
+      Td(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.quantizeInt8(col("embedding"))
+            .as("qs"))
+        .select(col("vec_id"), col("qs").getField("scale").as("scale"),
+          concat_ws(",", transform(col("qs").getField("q"),
+            q => q.cast("string"))).as("q_csv"))),
+
     // ── brute-force cosine top-k (exact ANN baseline; rows-only) ──
     "q34_knn_brute" -> ((s, dir) => {
       val emb = Td(s, dir, "embeddings")
@@ -576,6 +590,19 @@ object ScaleQueries {
         |       list_cosine_similarity(a.v, b.v) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
+
+    "q84_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
+        |SELECT vec_id, scale,
+        |  array_to_string(CASE WHEN scale = 0
+        |       THEN list_transform(v, x -> 0)
+        |       ELSE list_transform(v,
+        |              x -> CAST(round(x / scale * 127) AS INTEGER))
+        |  END, ',') AS q_csv
+        |FROM s""".stripMargin,
 
     "q34_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

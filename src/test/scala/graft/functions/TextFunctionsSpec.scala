@@ -72,6 +72,40 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == "<script>evil()</script>", got) // visible as TEXT, not stripped
   }
 
+  test("int8 quantization: bounded reconstruction error, scale-free cosine") {
+    val rng = new scala.util.Random(7)
+    val vecs = (1 to 50).map(i =>
+      (i.toLong, Array.fill(16)((rng.nextGaussian() * 3).toFloat))) :+
+      (99L, Array.fill(16)(0.0f)) // all-zero edge
+    val df = vecs.toDF("id", "v")
+      .withColumn("qs", VectorFunctions.quantizeInt8($"v"))
+      .withColumn("d", VectorFunctions.dequantizeInt8($"qs"))
+    val rows = df.select($"id", $"v", $"qs.scale", $"qs.q", $"d").collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val scale = r.getDouble(2)
+      val q = r.getSeq[Int](3)
+      val d = r.getSeq[Double](4)
+      assert(math.abs(scale - v.map(x => math.abs(x.toDouble)).max) < 1e-12)
+      assert(q.forall(x => x >= -127 && x <= 127))
+      v.indices.foreach { i =>
+        assert(math.abs(d(i) - v(i)) <= scale / 253.0 + 1e-12,
+          s"id=${r.getLong(0)} i=$i")
+      }
+    }
+    // cosine on the int arrays == cosine of the dequantized vectors
+    val pairs = df.select($"id", $"qs.q".as("q"), $"d").limit(10).collect()
+    val cos = Seq((pairs(0).getSeq[Int](1).toArray, pairs(1).getSeq[Int](1).toArray,
+      pairs(0).getSeq[Double](2).toArray, pairs(1).getSeq[Double](2).toArray))
+    cos.foreach { case (qa, qb, da, db) =>
+      val gotQ = Seq((qa, qb)).toDF("a", "b")
+        .select(VectorFunctions.cosineInt8($"a", $"b")).head().getDouble(0)
+      val gotD = Seq((da, db)).toDF("a", "b")
+        .select(VectorFunctions.cosine($"a", $"b")).head().getDouble(0)
+      assert(math.abs(gotQ - gotD) < 1e-12, s"$gotQ vs $gotD")
+    }
+  }
+
   test("srpBucket is deterministic and spreads vectors") {
     val rng = new scala.util.Random(3)
     val df = (1 to 200).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
