@@ -26,8 +26,20 @@ object CorpusPipelines {
     *
     * Stage order matters and is part of the contract: gates run FIRST so
     * dedup never wastes shuffle bandwidth on documents that would be
-    * dropped anyway, and the budget fill runs AFTER dedup so duplicate
-    * tokens can't eat a source's budget.
+    * dropped anyway; decontamination (opt-in via `benchmark`) runs after
+    * dedup and BEFORE the budget fill so contaminated documents can't eat
+    * a source's token budget; the budget fill runs AFTER dedup so
+    * duplicate tokens can't either.
+    *
+    * Opt-in tail stages:
+    *  - `benchmark`: drop documents sharing any word `decontaminationK`-gram
+    *    with this eval set ([[Dedup.decontaminate]]).
+    *  - `chunkTokens > 0`: the output becomes model-sized training
+    *    examples — `(idCol, chunk_pos, chunk_text, n_tokens, sourceCol,
+    *    split)` via [[graft.operators.Chunking.chunkDocuments]] — chunked
+    *    AFTER split assignment so every chunk of a document inherits one
+    *    split (chunking first would leak near-identical overlap text
+    *    across train/val).
     */
   def prepareTrainingCorpus(docs: DataFrame,
                             idCol: String = "doc_id",
@@ -41,7 +53,12 @@ object CorpusPipelines {
                             defaultBudget: Long = Long.MaxValue,
                             splits: Seq[(String, Double)] =
                               Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
-                            salt: String = "graft"): DataFrame = {
+                            salt: String = "graft",
+                            benchmark: Option[DataFrame] = None,
+                            benchTextCol: String = "text",
+                            decontaminationK: Int = 8,
+                            chunkTokens: Int = 0,
+                            chunkOverlap: Int = 0): DataFrame = {
     // 1+2: quality + language gates — one map-side pass, no shuffle. The
     // gate expressions are the priciest per-row work in the pipeline and
     // the gated set is consumed by several downstream join branches, so it
@@ -64,10 +81,27 @@ object CorpusPipelines {
     // the row-level join)
     val nearDeduped = Dedup.dropNearDuplicates(exactDeduped, idCol, textCol,
       threshold = nearDupThreshold).localCheckpoint(true)
+    // 4b (opt-in): benchmark decontamination — before the budget so
+    // contaminated docs never consume it
+    val decontaminated = benchmark.fold(nearDeduped)(bench =>
+      Dedup.decontaminate(nearDeduped, idCol, textCol, bench, benchTextCol,
+        decontaminationK))
     // 5: per-source token budget (two-level prefix sum)
-    val budgeted = Sampling.takeTokenBudget(nearDeduped, sourceCol, tokenCol,
-      idCol, budgets, defaultBudget, salt)
+    val budgeted = Sampling.takeTokenBudget(decontaminated, sourceCol,
+      tokenCol, idCol, budgets, defaultBudget, salt)
     // 6: split assignment — map-side hash bucketing
-    Sampling.hashSplit(budgeted, idCol, splits, salt)
+    val split = Sampling.hashSplit(budgeted, idCol, splits, salt)
+    // 7 (opt-in): context-window chunking, after split so every chunk of
+    // a doc lands in one split
+    if (chunkTokens <= 0) split
+    else {
+      // materialized once: the chunk explode and the split re-attach are
+      // two consumers with different shapes — lazy would re-run the
+      // budget window per branch
+      val m = split.localCheckpoint(true)
+      graft.operators.Chunking
+        .chunkDocuments(m, idCol, textCol, chunkTokens, chunkOverlap)
+        .join(m.select(col(idCol), col(sourceCol), col("split")), Seq(idCol))
+    }
   }
 }

@@ -221,9 +221,31 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** S10: WRITE_APPEND — new files land in the current data directory.
     * Appends are incremental by nature (a reader mid-append sees the rows
     * that were already there plus any fully-written new files — never a
-    * partial file, parquet writes are file-atomic via task temp files). */
-  def append(df: DataFrame, name: String): Unit =
-    df.write.mode(SaveMode.Append).parquet(dataPath(name))
+    * partial file, parquet writes are file-atomic via task temp files).
+    *
+    * The incoming schema must match the table's by name and type (order
+    * doesn't matter — columns are aligned before the write). Parquet
+    * would happily accept a drifted file and every later scan of the
+    * table would fail or silently misread; rejecting at the write is the
+    * only cheap place to catch it. */
+  def append(df: DataFrame, name: String): Unit = {
+    val aligned = if (!exists(name)) df else {
+      val expected = schemaOf(name)
+      val got = df.schema
+      val missing = expected.fields.map(_.name).filterNot(got.fieldNames.contains)
+      val extra = got.fieldNames.filterNot(expected.fieldNames.contains)
+      require(missing.isEmpty && extra.isEmpty,
+        s"append to '$name': schema mismatch — missing ${missing.toSeq}, " +
+          s"unexpected ${extra.toSeq}")
+      val drift = expected.fields.filter(f => got(f.name).dataType != f.dataType)
+      require(drift.isEmpty,
+        s"append to '$name': type drift in ${drift.map(f =>
+          s"${f.name} (table ${f.dataType.simpleString} vs " +
+            s"incoming ${got(f.name).dataType.simpleString})").toSeq}")
+      df.select(expected.fields.map(f => col(f.name)).toSeq: _*)
+    }
+    aligned.write.mode(SaveMode.Append).parquet(dataPath(name))
+  }
 
   /** S11: WRITE_TRUNCATE (replace the whole table) — an atomic
     * [[publish]]: concurrent readers see the old table or the new one,

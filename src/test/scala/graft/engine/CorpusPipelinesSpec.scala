@@ -51,6 +51,29 @@ class CorpusPipelinesSpec extends SparkSpec {
       Set("doc_id", "text", "source", "n_chars", "split"))
   }
 
+  test("prepareTrainingCorpus: opt-in decontamination and chunking stages") {
+    // benchmark shares an 8-gram with paraB → doc 2 must be dropped
+    val bench = Seq("fishing boats drifted out past the lighthouse while " +
+      "gulls circled nowhere").toDF("text")
+    val out = CorpusPipelines.prepareTrainingCorpus(corpus,
+      minQuality = 0.45, allowedLangs = Seq("en"),
+      nearDupThreshold = 0.3,
+      budgets = Map.empty, defaultBudget = Long.MaxValue,
+      splits = Seq("all" -> 1.0),
+      benchmark = Some(bench), decontaminationK = 8,
+      chunkTokens = 16, chunkOverlap = 4)
+    assert(out.columns.toSet ==
+      Set("doc_id", "chunk_pos", "chunk_text", "n_tokens", "source", "split"))
+    val byDoc = out.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    // 2 decontaminated away; 1 and 30 survive and chunk: ~38-token paras →
+    // ceil((n-4)/12) = 3 chunks each
+    assert(byDoc.keySet == Set(1L, 30L))
+    assert(byDoc.values.forall(_ >= 2))
+    // every chunk obeys the token bound and inherits exactly one split
+    val chunks = out.select("n_tokens", "split").as[(Long, String)].collect()
+    assert(chunks.forall { case (n, s) => n <= 16 && s == "all" })
+  }
+
   test("prepareTrainingCorpus: budget caps a source, others unaffected") {
     val out = CorpusPipelines.prepareTrainingCorpus(corpus,
       minQuality = 0.45, allowedLangs = Seq("en"),

@@ -111,6 +111,26 @@ class PublishSpec extends SparkSpec {
     assert(bad.isEmpty, s"reader observed a partial table of ${bad.orNull} rows")
   }
 
+  test("append rejects schema drift, aligns column order") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwrite(Seq((1L, "a")).toDF("k", "v"), "t")
+    // reordered columns align by name
+    wh.append(Seq(("b", 2L)).toDF("v", "k"), "t")
+    assert(wh.read("t").orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // extra / missing / retyped columns are rejected before any write
+    intercept[IllegalArgumentException] {
+      wh.append(Seq((3L, "c", true)).toDF("k", "v", "x"), "t")
+    }
+    intercept[IllegalArgumentException] {
+      wh.append(Seq(3L).toDF("k"), "t")
+    }
+    intercept[IllegalArgumentException] {
+      wh.append(Seq((3, "c")).toDF("k", "v"), "t") // k int, table bigint
+    }
+    assert(wh.read("t").count() == 2)
+  }
+
   test("JSONL export round-trips a corpus table with declared schema") {
     val wh = new Warehouse(spark, freshRoot)
     val docs = Seq((1L, "hello world", "en"), (2L, "späße & 中文", "de"),
