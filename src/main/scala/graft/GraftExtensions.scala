@@ -137,6 +137,51 @@ object GraftFunctions {
           args.tail.map(bridge.column), intArg(args.head, "z_value", "bits")))
       case args => throw new IllegalArgumentException(
         s"z_value expects bits + at least one column, got ${args.length}")
+    },
+
+    fn("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two numeric arrays in one " +
+        "pass (0.0 when either is all-zero).") {
+      case Seq(a, b) => CosineSimExpr(a, b)
+      case args => throw new IllegalArgumentException(
+        s"cosine_sim expects 2 arguments, got ${args.length}")
+    },
+
+    fn("html_text",
+      "html_text(html) - boilerplate-free text: strips script/style/title/" +
+        "comment blocks and tags, decodes common entities, collapses " +
+        "whitespace.") {
+      case Seq(h) =>
+        bridge.resolvedExpression(TextFunctions.htmlText(bridge.column(h)))
+      case args => throw new IllegalArgumentException(
+        s"html_text expects 1 argument, got ${args.length}")
+    },
+
+    fn("quality_score",
+      "quality_score(text) - heuristic [0,1] corpus-quality blend of " +
+        "length, punctuation, stopword and token-length signals.") {
+      case Seq(t) =>
+        bridge.resolvedExpression(TextFunctions.qualityScore(bridge.column(t)))
+      case args => throw new IllegalArgumentException(
+        s"quality_score expects 1 argument, got ${args.length}")
+    },
+
+    fn("lang_id",
+      "lang_id(text) - stopword-profile language id (en/de/fr/es/zh, " +
+        "'und' when nothing matches).") {
+      case Seq(t) =>
+        bridge.resolvedExpression(TextFunctions.langId(bridge.column(t)))
+      case args => throw new IllegalArgumentException(
+        s"lang_id expects 1 argument, got ${args.length}")
+    },
+
+    fn("quantize_int8",
+      "quantize_int8(vec) - struct(scale, q): symmetric int8 quantization " +
+        "of a numeric array (q in [-127,127], scale = max|v|).") {
+      case Seq(v) =>
+        bridge.resolvedExpression(VectorFunctions.quantizeInt8(bridge.column(v)))
+      case args => throw new IllegalArgumentException(
+        s"quantize_int8 expects 1 argument, got ${args.length}")
     }
   )
 

@@ -65,6 +65,35 @@ class GraftExtensionsSpec extends SparkSpec {
       viaCol.collect().map(_.toSeq).toSet)
   }
 
+  test("cosine_sim / html_text / quality_score / lang_id / quantize_int8 via SQL") {
+    docs.createOrReplaceTempView("docs_sql4")
+    val viaSql = spark.sql(
+      """SELECT id,
+        |  cosine_sim(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS cos,
+        |  html_text(concat('<p>', text, '</p><script>x()</script>')) AS clean,
+        |  quality_score(text) AS q,
+        |  lang_id(text) AS lang,
+        |  quantize_int8(array(0.5D, -1.0D)).q AS qv
+        |FROM docs_sql4""".stripMargin)
+    val viaCol = docs.select($"id",
+      graft.functions.VectorFunctions.cosine(
+        array(lit(1.0), lit(2.0)), array(lit(2.0), lit(4.0))).as("cos"),
+      graft.functions.TextFunctions.htmlText(
+        concat(lit("<p>"), $"text", lit("</p><script>x()</script>"))).as("clean"),
+      graft.functions.TextFunctions.qualityScore($"text").as("q"),
+      graft.functions.TextFunctions.langId($"text").as("lang"),
+      graft.functions.VectorFunctions.quantizeInt8(
+        array(lit(0.5), lit(-1.0))).getField("q").as("qv"))
+    assert(viaSql.collect().map(_.toSeq.map {
+        case s: Seq[_] => s.toList
+        case x => x
+      }).toSet ==
+      viaCol.collect().map(_.toSeq.map {
+        case s: Seq[_] => s.toList
+        case x => x
+      }).toSet)
+  }
+
   test("non-literal shape parameters are rejected with a clear error") {
     docs.createOrReplaceTempView("docs_sql2")
     val e = intercept[Exception] {
