@@ -34,6 +34,37 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("int8-quantized corpus preserves planted top-1 retrieval") {
+    // the 4x-storage ANN path: quantize the corpus once, score candidates
+    // with cosineInt8 on the int arrays — the planted same-direction
+    // neighbor must still rank first, and scores must sit within the
+    // quantization error band of the float scores
+    val rng = new scala.util.Random(23)
+    def vec() = Array.fill(16)(rng.nextGaussian().toFloat)
+    val q = vec()
+    val near = q.map(_ * 3.0f)
+    val rows = Seq((0L, q), (1L, near)) ++ (2L to 80L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("qs", VectorFunctions.quantizeInt8($"embedding"))
+    val probeQ = df.filter($"vec_id" === 0).select($"qs.q".as("pq"))
+    val scored = df.filter($"vec_id" =!= 0).crossJoin(probeQ)
+      .select($"vec_id", VectorFunctions.cosineInt8($"pq", $"qs.q").as("ci"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored.maxBy(_._2)._1 == 1L)
+    assert(scored(1L) > 0.99)
+    // int8 scores sit within the quantization error band of float cosines
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val errs = rows.drop(1).map { case (id, e) =>
+      math.abs(cos(q.map(_.toDouble), e.map(_.toDouble)) - scored(id))
+    }
+    assert(errs.max < 0.02, s"max quantized-cosine error ${errs.max}")
+  }
+
   test("LSH ANN always recalls planted high-cosine neighbors") {
     // the production near-dup case: queries are perturbed copies of corpus
     // vectors (cosine ≈ 1) — SRP-LSH must place them in the same bucket
