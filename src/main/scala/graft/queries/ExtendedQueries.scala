@@ -146,6 +146,26 @@ object ExtendedQueries {
           defaultFraction = 0.1)
         .select(col("doc_id"), col("lang"))),
 
+    // ── bounded-heap grouped top-k: per return flag, the 5 most expensive
+    //    lineitems. The window formulation sorts whole groups (a hot key
+    //    sorts on one task); the heap aggregate ships k rows per group per
+    //    partition. Descending price is encoded by negating the ascending
+    //    tie-break keys ──
+    "q85_grouped_topk" -> ((s, dir) => {
+      import graft.functions.TopKAggregate
+      Td(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(TopKAggregate.topKStructs(struct(
+          col("l_extendedprice").as("p"),
+          (-col("l_orderkey")).as("nok"),
+          (-col("l_linenumber")).as("nln")), 5).as("top"))
+        .select(col("l_returnflag"), posexplode(col("top")))
+        .select(col("l_returnflag"), (col("pos") + 1).as("rank"),
+          col("col").getField("p").as("l_extendedprice"),
+          (-col("col").getField("nok")).as("l_orderkey"),
+          (-col("col").getField("nln")).as("l_linenumber"))
+    }),
+
     // ── mixture upsampling: 2.5 epochs of src0, 0.4 of src1, 1 epoch
     //    otherwise; the fractional epoch is a nested hash sample ──
     "q82_upsample_mixture" -> ((s, dir) =>
@@ -321,6 +341,19 @@ object ExtendedQueries {
          |WHERE bk < (CASE WHEN lang = 'de' THEN 250000
          |                 WHEN lang = 'en' THEN 500000
          |                 ELSE 100000 END)""".stripMargin,
+
+    // heap keeps the largest (p, -orderkey, -linenumber) structs =
+    // price DESC, orderkey ASC, linenumber ASC — exactly this window
+    "q85_grouped_topk" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice, l_orderkey,
+        |    l_linenumber,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey ASC,
+        |               l_linenumber ASC) AS rank
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(rank AS INTEGER) AS rank,
+        |  l_extendedprice, l_orderkey, l_linenumber
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // weights: src0 → 2 + [bk < 500000], src1 → [bk < 400000], else 1;
     // epoch = 0-based replica index (rows with 0 replicas vanish)
