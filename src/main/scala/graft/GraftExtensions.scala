@@ -182,6 +182,15 @@ object GraftFunctions {
         bridge.resolvedExpression(VectorFunctions.quantizeInt8(bridge.column(v)))
       case args => throw new IllegalArgumentException(
         s"quantize_int8 expects 1 argument, got ${args.length}")
+    },
+
+    fn("topk_structs",
+      "topk_structs(struct, k) - AGGREGATE: array of the k largest structs " +
+        "per group (lexicographic order, bounded-heap state — shuffle is " +
+        "groups x k regardless of group size).") {
+      case Seq(s, kk) => TopKStructsAgg(s, intArg(kk, "topk_structs", "k"))
+      case args => throw new IllegalArgumentException(
+        s"topk_structs expects 2 arguments, got ${args.length}")
     }
   )
 

@@ -94,6 +94,20 @@ class GraftExtensionsSpec extends SparkSpec {
       }).toSet)
   }
 
+  test("topk_structs via SQL matches the Column API aggregate") {
+    docs.createOrReplaceTempView("docs_sql5")
+    val viaSql = spark.sql(
+      """SELECT id % 2 AS g, topk_structs(struct(id, text), 2) AS top
+        |FROM docs_sql5 GROUP BY id % 2""".stripMargin)
+      .selectExpr("g", "transform(top, s -> s.id) AS ids")
+    val viaCol = docs.groupBy(($"id" % 2).as("g"))
+      .agg(graft.functions.TopKAggregate.topKStructs(
+        struct($"id", $"text"), 2).as("top"))
+      .selectExpr("g", "transform(top, s -> s.id) AS ids")
+    assert(viaSql.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet ==
+      viaCol.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet)
+  }
+
   test("non-literal shape parameters are rejected with a clear error") {
     docs.createOrReplaceTempView("docs_sql2")
     val e = intercept[Exception] {
