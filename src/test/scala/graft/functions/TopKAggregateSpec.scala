@@ -40,6 +40,19 @@ class TopKAggregateSpec extends SparkSpec {
     assert(got == Set((1, 0, 9.0), (1, 1, 5.0), (2, 0, 3.0)))
   }
 
+  test("plan partial-aggregates map-side (two ObjectHashAggregate phases)") {
+    val df = (1 to 100).map(i => (i % 4, i.toDouble)).toDF("g", "v")
+      .repartition(4)
+      .groupBy($"g")
+      .agg(TopKAggregate.topKStructs(struct($"v"), 3).as("top"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // partial heap before the exchange + final merge after it — each input
+    // partition ships at most k rows per group
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan.take(2000))
+    assert(plan.contains("partial_topk_structs"), plan.take(2000))
+  }
+
   test("non-orderable input is rejected at analysis") {
     val df = Seq((1, Map("a" -> 1))).toDF("g", "m")
     val e = intercept[Exception] {
