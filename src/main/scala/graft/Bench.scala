@@ -61,6 +61,10 @@ object Bench {
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
+        // drain the async listener bus BEFORE reading (and before the next
+        // query's clear()) — the timing above is already captured, so the
+        // pause costs process wall, not query time
+        Thread.sleep(200)
         val all = stages.toArray(Array.empty[(Int, Int, Long, Long, Long)])
         def mb(b: Long) = b / 1024.0 / 1024.0
         sidecar ++= f"===== $name wall=$sec%.2fs stages=${all.length} " +

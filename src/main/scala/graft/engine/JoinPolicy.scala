@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions.broadcast
   * own, which scales instead of failing.
   *
   * This covers the dimension joins of the wrangle pipelines and the
-  * query layer. Operators whose SMALL side is small by CONTRACT rather
-  * than by measurement (one-row aggregates, completion domains, ANN
-  * probe sets feeding a cross join where demotion would mean a cartesian
-  * product) keep their explicit hints — there the broadcast is part of
-  * the algorithm, not an optimization.
+  * query layer, plus the EQUI-join probe sides of the bucketed ANN
+  * operators (demoting those to a shuffled join on the bucket key is
+  * graceful — correct, just slower — when a user passes a huge probe
+  * set). Operators whose small side feeds a CROSS join (brute-force ANN
+  * probes, completion domains) or a one-row aggregate keep their
+  * explicit hints: there demotion means a cartesian product, so the
+  * broadcast is part of the algorithm, not an optimization.
   */
 object JoinPolicy {
 

@@ -177,7 +177,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   /** Time travel: read a specific published version (as listed by
     * [[listVersions]]) — any state that [[vacuum]] hasn't dropped yet is
-    * queryable as-of. */
+    * queryable as-of. Caveat: [[append]] adds files INSIDE the current
+    * version (appends are incremental, not publishes), so a version is
+    * immutable only between publishes; snapshot-exact history requires
+    * publishing instead of appending. */
   def readVersion(name: String, version: String): DataFrame =
     spark.read.parquet(s"${dir(name)}/_versions/$version")
 
@@ -263,9 +266,24 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * registers an external table at the warehouse path via saveAsTable
     * (plain `read(name)` still works on the files).
     */
+  /** The plain-layout writers (bucketed/partitioned) replace the WHOLE
+    * table in the un-versioned layout — on a previously-published table
+    * the version tree must go first, or the new files would be invisible
+    * to read() (which resolves the manifest) and vacuum() would delete
+    * them as stale. These writers are therefore NOT reader-atomic, which
+    * bucket/partition metadata semantics force anyway. */
+  private def dropVersioning(name: String): Unit =
+    if (currentVersion(name).isDefined) {
+      val mp = manifestPath(name)
+      rawFs(mp).delete(mp, false)
+      val vroot = new Path(s"${dir(name)}/_versions")
+      fs(vroot).delete(vroot, true)
+    }
+
   def overwriteBucketed(df: DataFrame, name: String, bucketKeys: Seq[String],
                         numBuckets: Int): Unit = {
     require(bucketKeys.nonEmpty && numBuckets > 0)
+    dropVersioning(name)
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     df.write.mode(SaveMode.Overwrite)
       .option("path", dir(name))
@@ -288,6 +306,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def overwritePartitioned(df: DataFrame, name: String,
                            partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty)
+    dropVersioning(name)
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(dir(name))
   }
@@ -310,7 +329,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     source.writeStream
       .format("parquet")
-      .option("path", dir(name))
+      // resolve through the manifest like batch append — writing the plain
+      // dir of a published table would be invisible to read() and swept by
+      // vacuum(); the path is pinned at stream start (single-writer model)
+      .option("path", dataPath(name))
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()

@@ -130,14 +130,26 @@ object Multimodal {
     }
   }
 
+  /** Media-type dispatch: images take the REAL [[ImageDecoder]] path;
+    * audio/video (no JDK pixel/sample featurizer) keep the deterministic
+    * [[FakeDecoder]] features — so a MIXED-media dataset gets real image
+    * features without regressing every non-image row to `ok=false`. Both
+    * share `dim`, so the output schema is uniform. */
+  object MediaDecoder extends Decoder {
+    val dim: Int = ImageDecoder.dim
+    def decode(mediaType: String, payload: Array[Byte]): Option[Array[Float]] =
+      if (mediaType == "image") ImageDecoder.decode(mediaType, payload)
+      else FakeDecoder.decode(mediaType, payload)
+  }
+
   /** Distributed decode/feature-extract: partition-local iteration (one
     * decoder instance per partition, batch-amortized), null-safe, emits
     * `ok=false` rows instead of dying on undecodable payloads — at 100 TB
     * a poison payload must not kill the stage. Default decoder is the
-    * REAL [[ImageDecoder]]; pass [[FakeDecoder]] (or a custom codec) for
-    * media the JDK cannot decode.
+    * media-type-dispatching [[MediaDecoder]]; pass [[ImageDecoder]] /
+    * [[FakeDecoder]] / a custom codec to force one path.
     */
-  def extractFeatures(media: Dataset[MediaRow], decoder: Decoder = ImageDecoder)
+  def extractFeatures(media: Dataset[MediaRow], decoder: Decoder = MediaDecoder)
                      (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>

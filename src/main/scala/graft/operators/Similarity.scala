@@ -58,6 +58,7 @@ object Similarity {
     }
     val sample: Array[Array[Double]] = corpus
       .select(col(vecCol).cast("array<double>").as("v"), col(idCol).as("id"))
+      .filter(col("v").isNotNull) // a null embedding must not NPE training
       .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
       .limit(sampleSize)
       .select(col("v")).collect()

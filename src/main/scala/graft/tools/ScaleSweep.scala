@@ -61,11 +61,12 @@ object ScaleSweep {
       val from = Paths.get(s"$src/$t.parquet")
       val to = Paths.get(s"$out/$t.parquet")
       if (Files.isDirectory(from)) {
-        Files.walk(from).forEach { p =>
+        val walk = Files.walk(from)
+        try walk.forEach { p =>
           val dest = to.resolve(from.relativize(p))
           if (Files.isDirectory(p)) Files.createDirectories(dest)
           else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
-        }
+        } finally walk.close()
       } else {
         Files.createDirectories(to.getParent)
         Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)

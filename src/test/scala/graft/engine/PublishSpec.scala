@@ -111,6 +111,21 @@ class PublishSpec extends SparkSpec {
     assert(bad.isEmpty, s"reader observed a partial table of ${bad.orNull} rows")
   }
 
+  test("plain-layout writers on a published table drop the version tree first") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwrite((1 to 10).map(i => (i.toLong, 2020 + i % 2)).toDF("id", "year"), "t")
+    assert(wh.currentVersion("t").isDefined)
+    // partitioned overwrite reverts to plain layout; the new data must be
+    // what read() sees (not the stale published version), and vacuum-style
+    // sweeps can never reap it
+    wh.overwritePartitioned(
+      (1 to 4).map(i => (i.toLong, 2030)).toDF("id", "year"), "t", Seq("year"))
+    assert(wh.currentVersion("t").isEmpty)
+    assert(wh.read("t").count() == 4)
+    assert(wh.read("t").select("year").distinct().as[Int].collect().toSeq ==
+      Seq(2030))
+  }
+
   test("append rejects schema drift, aligns column order") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwrite(Seq((1L, "a")).toDF("k", "v"), "t")
