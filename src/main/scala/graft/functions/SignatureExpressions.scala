@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,6 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * scalar expression computes the whole signature in one tight JVM loop per
   * row: no explode, no shuffle, no giant codegen — exactly the
   * "(b) custom Expression" tier of the operator-implementation ladder.
+  *
+  * Codegen: every expression here implements `doGenCode` as a null-safe
+  * call into its `compute` method via `ctx.addReferenceObj` (the pattern
+  * Spark's own RegExpReplace/ArraysOverlap use for loop-heavy kernels).
+  * The hot loop stays a single JIT-compiled JVM method while the
+  * surrounding projection/filter stays inside ONE WholeStageCodegen
+  * region — no CodegenFallback row boxing, no split codegen stages.
   */
 
 /** MinHash signature of a shingle-hash array: `array<long>` of length
@@ -24,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Deterministic for a given seed.
   */
 case class MinHashSignatureExpr(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
@@ -36,9 +43,9 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int, seed: Long)
     (a, b)
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  def compute(arr: ArrayData): ArrayData = {
     val (pa, pb) = params
-    val hs = input.asInstanceOf[ArrayData].toLongArray()
+    val hs = arr.toLongArray()
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < hs.length) {
@@ -53,6 +60,13 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int, seed: Long)
     }
     if (hs.isEmpty) java.util.Arrays.fill(sig, 0L)
     new GenericArrayData(sig)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -127,7 +141,7 @@ private[functions] object Tokenize {
   */
 case class MinHashFromTextExpr(child: Expression, k: Int, numHashes: Int,
                                seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_from_text"
 
@@ -139,9 +153,9 @@ case class MinHashFromTextExpr(child: Expression, k: Int, numHashes: Int,
     (a, b)
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  def compute(text: UTF8String): ArrayData = {
     val (pa, pb) = params
-    val toks = Tokenize.tokens(input.asInstanceOf[UTF8String].toString)
+    val toks = Tokenize.tokens(text.toString)
     // k-shingles (whole text if shorter), distinct md5-word hashes
     // (oracle-reproducible — see Md5Words)
     val seen = new java.util.HashSet[Long]()
@@ -171,18 +185,25 @@ case class MinHashFromTextExpr(child: Expression, k: Int, numHashes: Int,
     new GenericArrayData(sig)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashText", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Distinct word k-shingles straight from raw text (same tokenization as
   * [[MinHashFromTextExpr]]): one pass, no regex interpretation. */
 case class ShinglesExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = Tokenize.tokens(input.asInstanceOf[UTF8String].toString)
+  def compute(text: UTF8String): ArrayData = {
+    val toks = Tokenize.tokens(text.toString)
     val out = new java.util.LinkedHashSet[UTF8String]()
     if (toks.length < k) out.add(UTF8String.fromString(toks.mkString(" ")))
     else {
@@ -195,6 +216,13 @@ case class ShinglesExpr(child: Expression, k: Int)
     new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -204,13 +232,11 @@ case class ShinglesExpr(child: Expression, k: Int)
   * chars 9-16), bit j >= 32 reads word 1 (chars 1-8) — so a SQL oracle
   * can rebuild the exact signature (see Md5Words).
   */
-case class SimHashExpr(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  def compute(toks: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     val n = toks.numElements()
@@ -230,7 +256,15 @@ case class SimHashExpr(child: Expression) extends UnaryExpression
     var out = 0L
     var j = 0
     while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
-    java.lang.Long.valueOf(out)
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -241,22 +275,29 @@ case class SimHashExpr(child: Expression) extends UnaryExpression
   * allocates intermediate arrays per row in interpreted mode; this is one
   * loop. */
 case class SigAgreementExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sig_agreement"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toLongArray()
-    val y = b.asInstanceOf[ArrayData].toLongArray()
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
     val n = math.min(x.length, y.length)
-    if (n == 0) java.lang.Double.valueOf(0.0)
+    if (n == 0) 0.0
     else {
       var eq = 0
       var i = 0
       while (i < n) { if (x(i) == y(i)) eq += 1; i += 1 }
-      java.lang.Double.valueOf(eq.toDouble / n)
+      eq.toDouble / n
     }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sigAgree", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -272,7 +313,7 @@ case class SigAgreementExpr(left: Expression, right: Expression)
   * downstream pair set) are unchanged.
   */
 case class SrpBucketExpr(child: Expression, dim: Int, nbits: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "srp_bucket"
 
@@ -281,19 +322,8 @@ case class SrpBucketExpr(child: Expression, dim: Int, nbits: Int, seed: Long)
     Array.fill(nbits, dim)(rng.nextGaussian())
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
-    val v: Array[Double] =
-      child.dataType.asInstanceOf[ArrayType].elementType match {
-        case DoubleType => a.toDoubleArray()
-        case FloatType =>
-          val f = a.toFloatArray()
-          val d = new Array[Double](f.length)
-          var i = 0
-          while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
-          d
-        case other => throw new IllegalArgumentException(s"srp_bucket: $other")
-      }
+  def compute(a: ArrayData): Int = {
+    val v = VecArgs.toDoubles(a, VecArgs.elemType(child), "srp_bucket")
     var bucket = 0
     var i = 0
     while (i < nbits) {
@@ -305,7 +335,15 @@ case class SrpBucketExpr(child: Expression, dim: Int, nbits: Int, seed: Long)
       if (d >= 0.0) bucket |= (1 << i)
       i += 1
     }
-    java.lang.Integer.valueOf(bucket)
+    bucket
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srpBucket", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -320,7 +358,7 @@ case class SrpBucketExpr(child: Expression, dim: Int, nbits: Int, seed: Long)
   */
 case class IvfCellsExpr(child: Expression, dim: Int, nlist: Int,
                         nearest: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(nearest >= 1 && nearest <= nlist)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "ivf_cells"
@@ -330,19 +368,8 @@ case class IvfCellsExpr(child: Expression, dim: Int, nlist: Int,
     Array.fill(nlist, dim)(rng.nextGaussian())
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
-    val v: Array[Double] =
-      child.dataType.asInstanceOf[ArrayType].elementType match {
-        case DoubleType => a.toDoubleArray()
-        case FloatType =>
-          val f = a.toFloatArray()
-          val d = new Array[Double](f.length)
-          var i = 0
-          while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
-          d
-        case other => throw new IllegalArgumentException(s"ivf_cells: $other")
-      }
+  def compute(a: ArrayData): ArrayData = {
+    val v = VecArgs.toDoubles(a, VecArgs.elemType(child), "ivf_cells")
     val dots = new Array[Double](nlist)
     var i = 0
     while (i < nlist) {
@@ -374,6 +401,13 @@ case class IvfCellsExpr(child: Expression, dim: Int, nlist: Int,
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCells", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -388,7 +422,7 @@ case class IvfCellsExpr(child: Expression, dim: Int, nlist: Int,
   */
 case class IvfAssignExpr(child: Expression, centroids: Seq[Seq[Double]],
                          nearest: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(centroids.nonEmpty && nearest >= 1 && nearest <= centroids.length)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "ivf_assign"
@@ -396,8 +430,7 @@ case class IvfAssignExpr(child: Expression, centroids: Seq[Seq[Double]],
   @transient private lazy val cs: Array[Array[Double]] =
     centroids.map(_.toArray).toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+  def compute(a: ArrayData): ArrayData = {
     val v = VecArgs.toDoubles(a, VecArgs.elemType(child), "ivf_assign")
     val nlist = cs.length
     val dots = new Array[Double](nlist)
@@ -428,6 +461,13 @@ case class IvfAssignExpr(child: Expression, centroids: Seq[Seq[Double]],
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfAssign", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -456,19 +496,26 @@ private[functions] object VecArgs {
 /** Dot product of two float vectors in double precision — the hot inner
   * loop of cosine scoring without per-element HOF interpretation. */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = VecArgs.toDoubles(a.asInstanceOf[ArrayData], VecArgs.elemType(left), "dot_f")
-    val y = VecArgs.toDoubles(b.asInstanceOf[ArrayData], VecArgs.elemType(right), "dot_f")
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val x = VecArgs.toDoubles(a, VecArgs.elemType(left), "dot_f")
+    val y = VecArgs.toDoubles(b, VecArgs.elemType(right), "dot_f")
     val n = math.min(x.length, y.length)
     var d = 0.0
     var i = 0
     while (i < n) { d += x(i) * y(i); i += 1 }
-    java.lang.Double.valueOf(d)
+    d
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotF", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -486,14 +533,13 @@ case class DotProductExpr(left: Expression, right: Expression)
   * downstream threshold filter and rank is bit-identical.
   */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = VecArgs.toDoubles(a.asInstanceOf[ArrayData], VecArgs.elemType(left), "cosine_sim")
-    val y = VecArgs.toDoubles(b.asInstanceOf[ArrayData], VecArgs.elemType(right), "cosine_sim")
+  def compute(ad: ArrayData, bd: ArrayData): Double = {
+    val x = VecArgs.toDoubles(ad, VecArgs.elemType(left), "cosine_sim")
+    val y = VecArgs.toDoubles(bd, VecArgs.elemType(right), "cosine_sim")
     val n = math.min(x.length, y.length)
     var d = 0.0
     var i = 0
@@ -507,7 +553,15 @@ case class CosineSimExpr(left: Expression, right: Expression)
     i = 0
     while (i < y.length) { nb += y(i) * y(i); i += 1 }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    java.lang.Double.valueOf(if (denom == 0.0) 0.0 else d / denom)
+    if (denom == 0.0) 0.0 else d / denom
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineSim", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
