@@ -80,9 +80,17 @@ object Bench {
           name -> -1.0
       }
     }
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("docs/BENCH_STAGES.txt"), sidecar.toString)
-    catch { case _: Throwable => () } // bench result must not die on a doc write
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("docs/BENCH_STAGES.txt"), sidecar.toString)
+      // per-run archive: stage evidence for EVERY run, timestamped, so a
+      // reviewer can line up any recorded bench JSON with its stage metrics
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("docs/BENCH_STAGES_ARCHIVE.txt"),
+        s"\n##### run ${java.time.Instant.now()} sf=$sfDir cpus=$cpus\n" + sidecar.toString,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () } // bench result must not die on a doc write
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -93,7 +101,17 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson}"""
+    println(json)
+    // ALSO write the JSON to a file: stdout scraping truncated past rounds'
+    // artifacts (BENCH_r03.json stopped at 60/85 queries) — the file is the
+    // complete, parseable record
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      json + "\n")
+    catch { case _: Throwable => () } // bench result must not die on a doc write
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

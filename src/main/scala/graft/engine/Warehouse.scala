@@ -90,7 +90,15 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * where the manifest is absent mid-swap. That state is unambiguous —
     * versions exist but no manifest — so it retries briefly instead of
     * falling back to the (empty-looking) plain directory. A table that
-    * never published has no `_versions` dir and resolves immediately. */
+    * never published has no `_versions` dir and resolves immediately.
+    *
+    * If the retry budget runs out with `_versions` present and no
+    * manifest, the table is either mid-FIRST-publish (the version write
+    * can take minutes; the pre-publish loose files are still the valid
+    * state) or crashed mid-swap. Loose data files discriminate: with
+    * them, read the plain dir; without them there is no valid state to
+    * read and a silent empty scan would masquerade as an empty table —
+    * fail loudly instead. */
   def dataPath(name: String): String = {
     val vroot = new Path(s"${dir(name)}/_versions")
     var attempts = 0
@@ -100,7 +108,19 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         case None =>
           if (!fs(vroot).exists(vroot)) return dir(name)
           attempts += 1
-          if (attempts >= 100) return dir(name) // crashed pre-first-publish
+          if (attempts >= 100) {
+            // files OR directories: a legacy hive-partitioned plain layout
+            // keeps its data in `col=value/` subdirectories
+            val loose = fs(vroot).listStatus(new Path(dir(name))).exists { st =>
+              val n = st.getPath.getName
+              !n.startsWith("_") && !n.startsWith(".")
+            }
+            if (loose) return dir(name) // first publish in flight
+            throw new java.io.IOException(
+              s"table '$name' has a _versions tree but no _current manifest " +
+                "and no loose data files — publish crashed mid-swap? " +
+                "(restore the manifest or remove _versions)")
+          }
           Thread.sleep(2)
       }
     }
@@ -111,13 +131,38 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * immutable version directory, then swap the manifest via rename.
     * Safe when `df` is derived from the current content of `name` itself
     * (merge/compact) — the new version is written beside, not over, the
-    * files the plan is reading. */
-  def publish(df: DataFrame, name: String): String = {
+    * files the plan is reading.
+    *
+    * With `partitionCols`, the version directory holds a hive-partitioned
+    * tree, so a published table gets atomic replacement AND partition
+    * pruning (`.explain` shows the predicate under `PartitionFilters`).
+    * A `_partitioning` marker inside the version dir records the original
+    * schema (DDL) and the partition columns; [[read]] uses it to restore
+    * the exact pre-partitioning schema — column order and types — instead
+    * of letting partition-value inference retype `year=2030` as int (or
+    * corrupt a numeric-looking string value), and [[append]] uses it to
+    * keep appends partition-aligned. The marker is written before the
+    * manifest swap, so it is immutable alongside the data. */
+  def publish(df: DataFrame, name: String,
+              partitionCols: Seq[String] = Nil): String = {
+    require(partitionCols.forall(df.columns.contains),
+      s"publish '$name': partition columns ${partitionCols.filterNot(df.columns.contains)} not in ${df.columns.toSeq}")
     val version = ZonedDateTime.now(ZoneOffset.UTC)
       .format(DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmssSSS")) +
       f"-${scala.util.Random.nextInt(0x1000000)}%06x"
-    df.write.mode(SaveMode.ErrorIfExists)
-      .parquet(s"${dir(name)}/_versions/$version")
+    val vdir = s"${dir(name)}/_versions/$version"
+    if (partitionCols.isEmpty)
+      df.write.mode(SaveMode.ErrorIfExists).parquet(vdir)
+    else {
+      df.write.mode(SaveMode.ErrorIfExists)
+        .partitionBy(partitionCols: _*).parquet(vdir)
+      val mk = new Path(s"$vdir/_partitioning")
+      val out = rawFs(mk).create(mk, true)
+      try out.write(
+        (s"parts=${partitionCols.mkString(",")}\n" +
+          s"schema=${df.schema.toDDL}\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
     val mp = manifestPath(name)
     val tmp = new Path(s"${dir(name)}/_current.$version.tmp")
     val f = rawFs(mp)
@@ -139,17 +184,32 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   }
 
   /** Drop all but the newest `keep` published versions, plus any stale
-    * pre-publish loose files still sitting in the table dir. Run this
-    * once concurrent readers of the retired versions have drained —
-    * retention IS the grace period. */
-  def vacuum(name: String, keep: Int = 1): Unit = {
+    * pre-publish loose files still sitting in the table dir.
+    *
+    * `olderThanMs` is the reader grace window: a retired version younger
+    * than it is NEVER dropped, whatever `keep` says — a long-running
+    * reader (a pinned [[streamingAppend]] source, a multi-hour scan) that
+    * resolved its path before the latest publish keeps its files until
+    * the window expires. Set it to comfortably above the longest
+    * scan/stream-restart interval; 0 trusts `keep` alone. */
+  def vacuum(name: String, keep: Int = 1, olderThanMs: Long = 0L): Unit = {
     require(keep >= 1, "vacuum must keep at least the current version")
+    require(olderThanMs >= 0L, "grace window must be >= 0")
     currentVersion(name).foreach { cur =>
       val vroot = new Path(s"${dir(name)}/_versions")
       val f = fs(vroot)
-      val versions = f.listStatus(vroot).toSeq.map(_.getPath.getName).sorted
+      val statuses = f.listStatus(vroot).toSeq.sortBy(_.getPath.getName)
+      val versions = statuses.map(_.getPath.getName)
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      // a version retires when its SUCCESSOR is published (it may have
+      // been current — and pinnable by readers — for days before that),
+      // so the grace clock starts at the successor's write time
+      val young = versions.zipWithIndex.filter { case (_, i) =>
+        statuses.drop(i + 1).headOption
+          .map(_.getModificationTime).getOrElse(Long.MaxValue) > cutoff
+      }.map(_._1).toSet
       // the current version is always retained, whatever its sort position
-      val retained = (versions.takeRight(keep) :+ cur).toSet
+      val retained = (versions.takeRight(keep) :+ cur).toSet ++ young
       versions.filterNot(retained)
         .foreach(v => f.delete(new Path(s"${dir(name)}/_versions/$v"), true))
       // everything else in the table dir — loose legacy files from before
@@ -163,7 +223,40 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
-  def read(name: String): DataFrame = spark.read.parquet(dataPath(name))
+  /** The `_partitioning` marker of the data directory, if present:
+    * (partition columns, original full schema). */
+  private def partitioningMarker(path: String): Option[(Seq[String], StructType)] = {
+    val mk = new Path(s"$path/_partitioning")
+    val f = rawFs(mk)
+    if (!f.exists(mk)) None
+    else {
+      val in = f.open(mk)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      def valueOf(key: String) = lines.find(_.startsWith(s"$key="))
+        .map(_.drop(key.length + 1))
+      for (p <- valueOf("parts"); s <- valueOf("schema"))
+        yield (p.split(",").toSeq, StructType.fromDDL(s))
+    }
+  }
+
+  /** The partition columns of the table's CURRENT data, if partitioned. */
+  def partitioningOf(name: String): Seq[String] =
+    partitioningMarker(dataPath(name)).map(_._1).getOrElse(Nil)
+
+  def read(name: String): DataFrame = {
+    val p = dataPath(name)
+    partitioningMarker(p) match {
+      // declared schema: partition values parse as their ORIGINAL types
+      // (no inference), and the select restores the original column order
+      // (partition discovery would move partition columns to the end)
+      case Some((_, schema)) =>
+        spark.read.schema(schema).parquet(p)
+          .select(schema.fieldNames.map(col).toSeq: _*)
+      case None => spark.read.parquet(p)
+    }
+  }
 
   /** All published versions of a table, oldest first (version ids sort
     * chronologically — they embed a UTC timestamp). Empty for tables in
@@ -235,19 +328,42 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val aligned = if (!exists(name)) df else {
       val expected = schemaOf(name)
       val got = df.schema
-      val missing = expected.fields.map(_.name).filterNot(got.fieldNames.contains)
-      val extra = got.fieldNames.filterNot(expected.fieldNames.contains)
+      // name matching follows the session's resolution rule — Spark is
+      // case-insensitive by default, so a column differing only in case
+      // must align, not be rejected as missing+unexpected
+      val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+      def canon(n: String) =
+        if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+      val byCanon = got.fields.groupBy(f => canon(f.name))
+      val dups = byCanon.collect { case (_, fs) if fs.length > 1 => fs.map(_.name).toSeq }
+      require(dups.isEmpty,
+        s"append to '$name': ambiguous incoming columns under case-insensitive " +
+          s"resolution — ${dups.toSeq}")
+      val missing = expected.fields.map(_.name)
+        .filterNot(n => byCanon.contains(canon(n)))
+      val expectedCanon = expected.fields.map(f => canon(f.name)).toSet
+      val extra = got.fieldNames.filterNot(n => expectedCanon.contains(canon(n)))
       require(missing.isEmpty && extra.isEmpty,
         s"append to '$name': schema mismatch — missing ${missing.toSeq}, " +
           s"unexpected ${extra.toSeq}")
-      val drift = expected.fields.filter(f => got(f.name).dataType != f.dataType)
+      def incoming(f: org.apache.spark.sql.types.StructField) =
+        byCanon(canon(f.name)).head
+      val drift = expected.fields.filter(f => incoming(f).dataType != f.dataType)
       require(drift.isEmpty,
         s"append to '$name': type drift in ${drift.map(f =>
           s"${f.name} (table ${f.dataType.simpleString} vs " +
-            s"incoming ${got(f.name).dataType.simpleString})").toSeq}")
-      df.select(expected.fields.map(f => col(f.name)).toSeq: _*)
+            s"incoming ${incoming(f).dataType.simpleString})").toSeq}")
+      // select by the INCOMING name, write under the table's canonical name
+      df.select(expected.fields.map(f => col(incoming(f).name).as(f.name)).toSeq: _*)
     }
-    aligned.write.mode(SaveMode.Append).parquet(dataPath(name))
+    val p = dataPath(name)
+    // appends into a partitioned published version stay partition-aligned —
+    // unpartitioned files at the root of a hive tree would break discovery
+    partitioningMarker(p).map(_._1) match {
+      case Some(parts) =>
+        aligned.write.mode(SaveMode.Append).partitionBy(parts: _*).parquet(p)
+      case None => aligned.write.mode(SaveMode.Append).parquet(p)
+    }
   }
 
   /** S11: WRITE_TRUNCATE (replace the whole table) — an atomic
@@ -266,12 +382,17 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * registers an external table at the warehouse path via saveAsTable
     * (plain `read(name)` still works on the files).
     */
-  /** The plain-layout writers (bucketed/partitioned) replace the WHOLE
-    * table in the un-versioned layout — on a previously-published table
-    * the version tree must go first, or the new files would be invisible
-    * to read() (which resolves the manifest) and vacuum() would delete
-    * them as stale. These writers are therefore NOT reader-atomic, which
-    * bucket/partition metadata semantics force anyway. */
+  /** The bucketed writer replaces the WHOLE table in the un-versioned
+    * layout — on a previously-published table the version tree must go
+    * first, or the new files would be invisible to read() (which resolves
+    * the manifest) and vacuum() would delete them as stale. This writer is
+    * therefore NOT reader-atomic (bucket metadata lives in the session
+    * catalog, whose pointer can't swap with the files), and NOT safe for
+    * self-reference: `df` must not be derived from `read(name)` of the
+    * same table — the lazy plan's source files are deleted here before
+    * the write executes. Stage through another table or a backup first.
+    * (Partitioned overwrites don't share this: [[overwritePartitioned]]
+    * is an atomic [[publish]] that writes beside the old files.) */
   private def dropVersioning(name: String): Unit =
     if (currentVersion(name).isDefined) {
       val mp = manifestPath(name)
@@ -302,13 +423,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * pruning — the first lever against a 100 TB scan; `.explain` shows
     * the predicate under `PartitionFilters`). Choose low-cardinality
     * columns (year, date, source): every distinct tuple becomes a
-    * directory. */
+    * directory.
+    *
+    * An atomic [[publish]]: the partitioned tree lands in an immutable
+    * version directory, so a 100 TB table gets partition pruning AND
+    * reader-safe replacement — concurrent readers see the old table or
+    * the new one, never a mixture, and self-referential rewrites
+    * (df = f(read(name))) read intact files throughout. */
   def overwritePartitioned(df: DataFrame, name: String,
                            partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty)
-    dropVersioning(name)
-    df.write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionCols: _*).parquet(dir(name))
+    publish(df, name, partitionCols)
+    ()
   }
 
   /** Streaming CSV source: watch a directory for new files, parse with
@@ -352,7 +478,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(updates.select(cols: _*))
     backup(table)
-    publish(merged, table)
+    publish(merged, table, partitioningOf(table)) // partitioning survives
     ()
   }
 
@@ -363,15 +489,20 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * files, which stay in place until [[vacuum]]. */
   def compact(table: String, numFiles: Int = 1): Unit = {
     require(numFiles > 0)
-    publish(read(table).repartition(numFiles), table)
+    // partitioning survives compaction: numFiles applies per partition
+    // directory (the write splits the repartitioned data by partition col)
+    publish(read(table).repartition(numFiles), table, partitioningOf(table))
     ()
   }
 
   /** S14: timestamped backup of a table before mutation; returns the
     * backup path (restore = read(backupPath) + overwrite). */
   def backup(name: String): String = {
+    // millisecond resolution + random suffix: two backups of the same
+    // table in the same second must not collide on the output path
     val ts = ZonedDateTime.now(ZoneOffset.UTC)
-      .format(DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss"))
+      .format(DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmssSSS")) +
+      f"-${scala.util.Random.nextInt(0x1000000)}%06x"
     val out = s"$root/_backups/$name/$ts"
     read(name).write.parquet(out)
     out

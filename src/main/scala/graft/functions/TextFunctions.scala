@@ -104,7 +104,9 @@ object TextFunctions {
     * web pages: script/style/comment blocks go first (their CONTENT is
     * boilerplate, not text), then all tags, then the five ubiquitous
     * entities decode (after tag-stripping, so a decoded `&lt;` can never
-    * re-form a tag), then whitespace collapses. All patterns avoid
+    * re-form a tag; `&amp;` decodes LAST — standard entity order — so an
+    * escaped entity like `&amp;lt;` yields the literal text `&lt;` instead
+    * of double-decoding to `<`), then whitespace collapses. All patterns avoid
     * backreferences and shorthand classes that differ between Java's
     * backtracking and RE2 (whitespace is spelled out — Java's `\s`
     * includes `\x0B`, RE2's does not), so DuckDB replays the pipeline
@@ -116,8 +118,8 @@ object TextFunctions {
     val noTitle = regexp_replace(noStyle, "(?is)<title[^>]*>.*?</title>", " ")
     val noComment = regexp_replace(noTitle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
-    val decoded = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
-      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
     trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }

@@ -112,6 +112,14 @@ object Sampling {
                       salt: String = "graft"): DataFrame = {
     require((weights.values.toSeq :+ defaultWeight).forall(_ >= 0.0),
       "mixture weights must be >= 0")
+    // the output adds `epoch`; an input that already has one would come
+    // back with two identically-named columns and every downstream
+    // resolution would be ambiguous — reject at the door
+    require(!df.columns.exists(_.equalsIgnoreCase("epoch")),
+      "upsampleMixture adds an 'epoch' column; rename the input's existing one")
+    // the replica-count scratch column gets a guaranteed-fresh name
+    val nCol = Iterator.from(0).map(i => s"__graft_n$i")
+      .find(n => !df.columns.exists(_.equalsIgnoreCase(n))).get
     val bucket = hashBucket(col(idCol), s"$salt|epoch", Resolution)
     def countFor(w: Double): Column =
       lit(math.floor(w).toInt) +
@@ -121,10 +129,10 @@ object Sampling {
         when(col(sourceCol) === src, countFor(w)).otherwise(acc)
       }
     // filter BEFORE sequence: sequence(0, -1) would count DOWN ([0, -1])
-    df.withColumn("__n", n)
-      .filter(col("__n") > 0)
+    df.withColumn(nCol, n)
+      .filter(col(nCol) > 0)
       .select(df.columns.map(col).toSeq :+
-        explode(sequence(lit(0), col("__n") - 1)).as("epoch"): _*)
+        explode(sequence(lit(0), col(nCol) - 1)).as("epoch"): _*)
   }
 
   /** Deterministic global shuffle for training order: sort by (hash, id).

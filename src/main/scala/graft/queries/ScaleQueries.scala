@@ -797,8 +797,8 @@ object ScaleQueries {
         |  FROM s3),
         |d AS (SELECT doc_id,
         |  replace(replace(replace(replace(replace(replace(x,
-        |    '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-        |    '&quot;', '"'), '&#39;', '''') AS x FROM s4)
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS x FROM s4)
         |SELECT doc_id,
         |  trim(regexp_replace(x, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
         |FROM d""".stripMargin,

@@ -111,19 +111,126 @@ class PublishSpec extends SparkSpec {
     assert(bad.isEmpty, s"reader observed a partial table of ${bad.orNull} rows")
   }
 
-  test("plain-layout writers on a published table drop the version tree first") {
+  test("partitioned overwrite is an atomic publish with exact schema restore") {
     val wh = new Warehouse(spark, freshRoot)
-    wh.overwrite((1 to 10).map(i => (i.toLong, 2020 + i % 2)).toDF("id", "year"), "t")
-    assert(wh.currentVersion("t").isDefined)
-    // partitioned overwrite reverts to plain layout; the new data must be
-    // what read() sees (not the stale published version), and vacuum-style
-    // sweeps can never reap it
+    wh.overwrite((1 to 10).map(i => (i.toLong, 2020L + i % 2)).toDF("id", "year"), "t")
+    val v1 = wh.currentVersion("t")
+    assert(v1.isDefined)
     wh.overwritePartitioned(
-      (1 to 4).map(i => (i.toLong, 2030)).toDF("id", "year"), "t", Seq("year"))
-    assert(wh.currentVersion("t").isEmpty)
+      (1 to 4).map(i => (i.toLong, 2030L)).toDF("id", "year"), "t", Seq("year"))
+    // still versioned — partition pruning AND atomic publish, not either/or
+    val v2 = wh.currentVersion("t")
+    assert(v2.isDefined && v2 != v1)
+    assert(wh.partitioningOf("t") == Seq("year"))
     assert(wh.read("t").count() == 4)
-    assert(wh.read("t").select("year").distinct().as[Int].collect().toSeq ==
-      Seq(2030))
+    // schema fidelity: original column ORDER (partition discovery would
+    // move year to the end) and original TYPE (inference would int-ify it)
+    assert(wh.read("t").columns.toSeq == Seq("id", "year"))
+    assert(wh.schemaOf("t")("year").dataType.simpleString == "bigint")
+    // the retired unpartitioned version is still time-travel readable
+    assert(wh.readVersion("t", v1.get).count() == 10)
+  }
+
+  test("partitioned published read prunes partitions (PartitionFilters)") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwritePartitioned(
+      (1 to 100).map(i => (i.toLong, 2020L + i % 4)).toDF("id", "year"),
+      "t", Seq("year"))
+    val scan = wh.read("t").filter($"year" === 2021L)
+    assert(scan.count() == 25)
+    val fileScan = scan.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(fileScan.partitionFilters.nonEmpty,
+      "the year predicate must reach PartitionFilters, not the data filter")
+    // pruning actually happened: only the matching directory is listed
+    assert(fileScan.selectedPartitions.partitionCount == 1)
+  }
+
+  test("concurrent reader during partitioned re-publish sees whole tables only") {
+    val wh = new Warehouse(spark, freshRoot)
+    def mk(n: Int) = (1 to n).map(i => (i.toLong, 2020L + i % 2)).toDF("id", "year")
+    wh.overwritePartitioned(mk(40), "t", Seq("year"))
+    val sizes = Set(40L, 70L)
+    @volatile var bad: Option[Long] = None
+    val reader = new Thread(() => {
+      var i = 0
+      while (i < 12 && bad.isEmpty) {
+        val n = wh.read("t").count()
+        if (!sizes.contains(n)) bad = Some(n)
+        i += 1
+      }
+    })
+    reader.start()
+    (1 to 3).foreach { _ =>
+      wh.overwritePartitioned(mk(70), "t", Seq("year"))
+      wh.overwritePartitioned(mk(40), "t", Seq("year"))
+    }
+    reader.join()
+    assert(bad.isEmpty, s"reader observed a partial table of ${bad.orNull} rows")
+  }
+
+  test("append to a partitioned published table stays partition-aligned") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwritePartitioned(
+      Seq((1L, 2020L), (2L, 2021L)).toDF("id", "year"), "t", Seq("year"))
+    wh.append(Seq((3L, 2022L)).toDF("id", "year"), "t")
+    assert(wh.read("t").count() == 3)
+    // the appended row landed in a year=2022 partition directory, and the
+    // pruned scan finds it
+    val scan = wh.read("t").filter($"year" === 2022L)
+    assert(scan.count() == 1)
+    val fileScan = scan.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(fileScan.selectedPartitions.partitionCount == 1)
+  }
+
+  test("merge and compact preserve a table's partitioning") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwritePartitioned(
+      Seq((1L, 2020L, "a"), (2L, 2021L, "b")).toDF("id", "year", "v"),
+      "t", Seq("year"))
+    wh.merge("t", Seq((2L, 2021L, "B"), (3L, 2022L, "c")).toDF("id", "year", "v"),
+      Seq("id"))
+    assert(wh.partitioningOf("t") == Seq("year"))
+    assert(wh.read("t").orderBy("id").select("v").as[String].collect().toSeq ==
+      Seq("a", "B", "c"))
+    wh.compact("t")
+    assert(wh.partitioningOf("t") == Seq("year"))
+    assert(wh.read("t").count() == 3)
+    assert(wh.read("t").columns.toSeq == Seq("id", "year", "v"))
+  }
+
+  test("bucketed writer on a published table drops the version tree first") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwrite((1 to 10).map(i => (i.toLong, i % 3)).toDF("id", "k"), "tb")
+    assert(wh.currentVersion("tb").isDefined)
+    // bucketed overwrite reverts to plain layout (bucket metadata lives in
+    // the session catalog, which can't swap atomically with the files);
+    // read() must see the new data, not the stale published version
+    wh.overwriteBucketed(
+      (1 to 4).map(i => (i.toLong, i % 2)).toDF("id", "k"), "tb", Seq("k"), 2)
+    assert(wh.currentVersion("tb").isEmpty)
+    assert(wh.read("tb").count() == 4)
+  }
+
+  test("vacuum grace window spares freshly retired versions") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwrite((1 to 5).toDF("n"), "t")
+    // a long-running reader pins the version path before the re-publish
+    val pinned = wh.read("t")
+    wh.overwrite((1 to 9).toDF("n"), "t")
+    assert(wh.listVersions("t").length == 2)
+    // grace window: the just-retired version is younger than an hour, so
+    // keep=1 must NOT drop it
+    wh.vacuum("t", keep = 1, olderThanMs = 3600 * 1000L)
+    assert(wh.listVersions("t").length == 2)
+    assert(pinned.count() == 5) // the in-flight reader survives the vacuum
+    // window elapsed (0 = trust keep alone): now it goes
+    wh.vacuum("t", keep = 1)
+    assert(wh.listVersions("t").length == 1)
+    assert(wh.read("t").count() == 9)
   }
 
   test("append rejects schema drift, aligns column order") {
@@ -144,6 +251,17 @@ class PublishSpec extends SparkSpec {
       wh.append(Seq((3, "c")).toDF("k", "v"), "t") // k int, table bigint
     }
     assert(wh.read("t").count() == 2)
+  }
+
+  test("append aligns columns case-insensitively, like Spark resolution") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwrite(Seq((1L, "a")).toDF("k", "v"), "t")
+    // a column differing only in case must align (session default is
+    // case-insensitive), and land under the table's canonical name
+    wh.append(Seq(("b", 2L)).toDF("V", "K"), "t")
+    assert(wh.read("t").columns.toSeq == Seq("k", "v"))
+    assert(wh.read("t").orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
   }
 
   test("JSONL export round-trips a corpus table with declared schema") {

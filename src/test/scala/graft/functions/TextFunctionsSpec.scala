@@ -66,6 +66,14 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == "Hello one & two <three> 'four'", got)
   }
 
+  test("htmlText: escaped entities decode once, not twice") {
+    // '&amp;lt;' is the TEXT '&lt;' — decoding &amp; first would turn it
+    // into '&lt;' and then a second pass into '<'
+    val got = Seq("<p>&amp;lt; &amp;amp; &amp;nbsp;</p>").toDF("h")
+      .select(TextFunctions.htmlText($"h").as("t")).head().getString(0)
+    assert(got == "&lt; &amp; &nbsp;", got)
+  }
+
   test("htmlText: a decoded &lt;script&gt; never re-forms a tag") {
     val got = Seq("<p>&lt;script&gt;evil()&lt;/script&gt;</p>").toDF("h")
       .select(TextFunctions.htmlText($"h").as("t")).head().getString(0)
