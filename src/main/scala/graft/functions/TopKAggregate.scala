@@ -4,14 +4,18 @@ import java.io.{ByteArrayOutputStream, DataOutputStream}
 import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, Descending, Expression, InterpretedOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Bounded per-group top-k: an aggregate whose state is a k-element
-  * min-heap of struct rows, keeping the k LARGEST by the struct's natural
-  * (lexicographic, all-fields-ascending) ordering.
+  * min-heap of struct rows, keeping the k LARGEST by the struct's
+  * lexicographic ordering. `desc(i)` flips the comparison of field `i`
+  * ("largest" under a flipped field means SMALLEST value — e.g.
+  * `struct(cosine, id)` with `desc = Seq(false, true)` keeps the highest
+  * cosines, breaking ties toward the smallest id), so mixed orderings
+  * work for any orderable field type — negation only covers numerics.
   *
   * This is the 100 TB answer to "top k per group": the window
   * formulation — `row_number() OVER (PARTITION BY g ORDER BY …) <= k` —
@@ -28,6 +32,7 @@ import org.apache.spark.sql.types._
   * through an UnsafeProjection and its bytes are length-prefixed.
   */
 case class TopKStructsAgg(child: Expression, k: Int,
+                          desc: Seq[Boolean] = Nil,
                           mutableAggBufferOffset: Int = 0,
                           inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.PriorityQueue[InternalRow]] {
@@ -44,26 +49,33 @@ case class TopKStructsAgg(child: Expression, k: Int,
     child.dataType match {
       case s: StructType
         if org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(s) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        if (desc.length <= s.length)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        else
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"topk_structs got ${desc.length} direction flags for ${s.length} fields")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"topk_structs needs an orderable struct input, got ${other.simpleString(4)}")
     }
 
-  @transient private lazy val ord: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(child.dataType)
-  // PriorityQueue.head is the MAX by its ordering; reversing puts the
-  // smallest kept row at the head, which is the one an insert may evict
+  // lexicographic struct comparison with per-field direction; all-Ascending
+  // is exactly the struct's natural interpreted ordering
   @transient private lazy val heapOrd: Ordering[InternalRow] =
-    ((a: InternalRow, b: InternalRow) => ord.compare(a, b)): Ordering[InternalRow]
+    new InterpretedOrdering(structType.fields.zipWithIndex.map { case (f, i) =>
+      SortOrder(BoundReference(i, f.dataType, f.nullable),
+        if (i < desc.length && desc(i)) Descending else Ascending)
+    }.toSeq)
 
   override def createAggregationBuffer(): mutable.PriorityQueue[InternalRow] =
+    // PriorityQueue.head is the MAX by its ordering; reversing puts the
+    // smallest kept row at the head, which is the one an insert may evict
     new mutable.PriorityQueue[InternalRow]()(heapOrd.reverse)
 
   private def insert(buf: mutable.PriorityQueue[InternalRow],
                      row: InternalRow): Unit = {
     if (buf.size < k) buf.enqueue(row)
-    else if (ord.compare(row, buf.head) > 0) { buf.dequeue(); buf.enqueue(row) }
+    else if (heapOrd.compare(row, buf.head) > 0) { buf.dequeue(); buf.enqueue(row) }
   }
 
   override def update(buf: mutable.PriorityQueue[InternalRow],
@@ -128,7 +140,8 @@ object TopKAggregate {
   import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
 
   /** Column API: `topKStructs(struct(...), k)` → array of the k largest
-    * structs, sorted descending. */
-  def topKStructs(s: Column, k: Int): Column =
-    toCol(TopKStructsAgg(toExpr(s), k).toAggregateExpression())
+    * structs, sorted descending. `desc(i)` flips field `i`'s comparison
+    * (mixed orderings without numeric negation). */
+  def topKStructs(s: Column, k: Int, desc: Seq[Boolean] = Nil): Column =
+    toCol(TopKStructsAgg(toExpr(s), k, desc).toAggregateExpression())
 }

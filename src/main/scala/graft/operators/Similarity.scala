@@ -1,9 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
+import graft.functions.{TopKAggregate, VectorFunctions}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -16,6 +15,23 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Rank scored candidates to the k best per query: the bounded-heap
+    * grouped top-k aggregate keeps the k highest cosines (ties toward the
+    * smallest neighbor id — identical semantics to
+    * `row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC,
+    * neighbor_id ASC) <= k`, but skew-immune: the window formulation
+    * sorts a hot query's WHOLE candidate list on one task, while the heap
+    * partial-aggregates map-side and ships exactly k rows per query per
+    * partition into the shuffle, whatever the candidate skew. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopKAggregate.topKStructs(
+        struct(col("cosine"), col("neighbor_id")), k,
+        desc = Seq(false, true)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        col("col.cosine").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+
   /** Exact top-k neighbors per query vector (brute force, the correctness
     * baseline). Output: (query_id, neighbor_id, cosine, rank).
     */
@@ -27,9 +43,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Deterministic spherical k-means training for IVF coarse quantizers:
@@ -165,9 +179,9 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // heap top-k, not a window sort: a query landing in a hot cell would
+    // otherwise sort its whole candidate list on one task
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed ANN: only corpus vectors sharing the query's SRP bucket
@@ -200,8 +214,6 @@ object Similarity {
       .select("query_id", "neighbor_id", "qv", "cv").distinct()
     val scored = cand.select(col("query_id"), col("neighbor_id"),
       VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 }

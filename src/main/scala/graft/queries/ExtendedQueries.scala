@@ -48,7 +48,12 @@ object ExtendedQueries {
         .select($"o_orderpriority", $"rk", $"o_orderkey", $"o_totalprice")
     }),
 
-    // ── exact percentiles (median / p90) per group ──
+    // ── exact percentiles (median / p90) per group. CAUTION — exact-path
+    //    state growth: Spark's `percentile` buffers every distinct value
+    //    per group in aggregate state, so at 100 TB a 3-group fact column
+    //    parks its full value histogram on 3 final reducers. Kept for
+    //    parity with the continuous-quantile oracle; q86 is the bounded-
+    //    state scale path ──
     "q46_percentiles" -> ((s, dir) => {
       import s.implicits._
       Td(s, dir, "orders")
@@ -58,6 +63,16 @@ object ExtendedQueries {
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           count(lit(1)).as("n"))
     }),
+
+    // ── histogram percentiles: q46's scale path. Aggregate state is
+    //    |groups| × |bins| counts (bin width $1000), never the value list;
+    //    deterministic arithmetic, so DuckDB reproduces it exactly —
+    //    unlike approx_percentile, whose sketch is merge-order-dependent ──
+    "q86_histogram_percentiles" -> ((s, dir) =>
+      graft.operators.Percentiles.histogramPercentiles(
+        Td(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice",
+        binWidth = 1000.0,
+        ps = Seq("p50_hist" -> 0.5, "p90_hist" -> 0.9, "p99_hist" -> 0.99))),
 
     // ── array-column profiling over embeddings ──
     "q47_embedding_profile" -> ((s, dir) => {
@@ -268,6 +283,25 @@ object ExtendedQueries {
         | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         | COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // q86: the same fixed-bin histogram percentile, bin by bin — the
+    // reported value is the LOWER EDGE of the first bin whose cumulative
+    // count reaches p×n, identical arithmetic on both engines
+    "q86_histogram_percentiles" ->
+      """WITH b AS (SELECT o_orderstatus,
+        |    CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin,
+        |    COUNT(*) AS c
+        |  FROM orders GROUP BY o_orderstatus, bin),
+        |w AS (SELECT o_orderstatus, bin, c,
+        |    SUM(c) OVER (PARTITION BY o_orderstatus ORDER BY bin) AS cum,
+        |    SUM(c) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM b)
+        |SELECT o_orderstatus,
+        |  MIN(CASE WHEN cum >= n * 0.5 THEN bin END) * 1000.0 AS p50_hist,
+        |  MIN(CASE WHEN cum >= n * 0.9 THEN bin END) * 1000.0 AS p90_hist,
+        |  MIN(CASE WHEN cum >= n * 0.99 THEN bin END) * 1000.0 AS p99_hist,
+        |  CAST(MAX(n) AS BIGINT) AS n
+        |FROM w GROUP BY o_orderstatus""".stripMargin,
 
     "q47_embedding_profile" ->
       """SELECT label, COUNT(*) AS n,

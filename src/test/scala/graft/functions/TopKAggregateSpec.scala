@@ -40,6 +40,27 @@ class TopKAggregateSpec extends SparkSpec {
     assert(got == Set((1, 0, 9.0), (1, 1, 5.0), (2, 0, 3.0)))
   }
 
+  test("desc flags flip a field's direction without numeric negation") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 500).map(i => (i % 3, rng.nextInt(40).toDouble,
+      s"id${1000 + rng.nextInt(500)}"))
+    val df = rows.toDF("g", "v", "sid").repartition(8)
+    // highest v first, ties toward the LEXICOGRAPHICALLY SMALLEST string id
+    // — a string can't be negated, only a desc flag can express this
+    val got = df.groupBy($"g")
+      .agg(TopKAggregate.topKStructs(struct($"v", $"sid"), 5,
+        desc = Seq(false, true)).as("top"))
+      .select($"g", posexplode($"top"))
+      .select($"g", $"pos", $"col.v", $"col.sid")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        r.getString(3))).toSet
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(r => (-r._2, r._3)).take(5).zipWithIndex
+        .map { case ((_, v, sid), i) => (g, i, v, sid) }
+    }.toSet
+    assert(got == expected)
+  }
+
   test("plan partial-aggregates map-side (two ObjectHashAggregate phases)") {
     val df = (1 to 100).map(i => (i % 4, i.toDouble)).toDF("g", "v")
       .repartition(4)

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PercentilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram percentile = lower edge of the bin holding the p-th value") {
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 3000).map(i =>
+      (if (i % 2 == 0) "A" else "B", rng.nextDouble() * 500.0))
+    val got = Percentiles.histogramPercentiles(
+        rows.toDF("g", "v").repartition(8), Seq("g"), "v", binWidth = 10.0,
+        ps = Seq("p50" -> 0.5, "p90" -> 0.9))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val vs = rs.map(_._2).sorted
+      def exact(p: Double) = vs(math.ceil(p * vs.length).toInt - 1)
+      val (p50, p90, n) = got(g)
+      assert(n == rs.length)
+      // the bin lower edge brackets the exact order statistic within one bin
+      assert(p50 <= exact(0.5) && exact(0.5) < p50 + 10.0, s"$g p50=$p50")
+      assert(p90 <= exact(0.9) && exact(0.9) < p90 + 10.0, s"$g p90=$p90")
+    }
+  }
+
+  test("aggregate state is bin counts, not value buffers") {
+    val df = Percentiles.histogramPercentiles(
+      (1 to 1000).map(i => ("g", i.toDouble)).toDF("g", "v"),
+      Seq("g"), "v", binWidth = 100.0, ps = Seq("p50" -> 0.5))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the full-data aggregation is a plain partial-aggregated count —
+    // no Percentile/ObjectHashAggregate value buffering anywhere
+    assert(!plan.contains("percentile"), plan.take(1500))
+    assert(plan.contains("partial_count"), plan.take(1500))
+  }
+
+  test("bin edges are deterministic for negative and exact-edge values") {
+    val rows = Seq(("g", -25.0), ("g", -5.0), ("g", 0.0), ("g", 10.0),
+      ("g", 19.999), ("g", 20.0))
+    val got = Percentiles.histogramPercentiles(rows.toDF("g", "v"),
+        Seq("g"), "v", binWidth = 10.0, ps = Seq("p50" -> 0.5, "p100" -> 1.0))
+      .head()
+    // 6 values; p50 → 3rd value (0.0) → bin edge 0.0; p100 → last (20.0)
+    assert(got.getDouble(1) == 0.0)
+    assert(got.getDouble(2) == 20.0)
+  }
+}

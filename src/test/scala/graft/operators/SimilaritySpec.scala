@@ -34,6 +34,50 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("ANN top-k plans use the bounded heap, not a per-query window sort") {
+    // a hot bucket/cell would serialize its whole candidate list through
+    // one task under row_number(); the heap aggregate partial-aggregates
+    // map-side and ships k rows per query per partition
+    val rng = new scala.util.Random(5)
+    val df = (0L to 200L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val probes = df.filter($"vec_id" < 3)
+    for (out <- Seq(
+        Similarity.bruteForceTopK(df, probes, "vec_id", "embedding", k = 4),
+        Similarity.lshTopK(df, probes, "vec_id", "embedding", dim = 16, k = 4),
+        Similarity.ivfTopK(df, probes, "vec_id", "embedding", dim = 16, k = 4,
+          nlist = 8, nprobe = 4))) {
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), plan.take(1500))
+      assert(plan.contains("partial_topk_structs"), plan.take(1500))
+    }
+  }
+
+  test("heap top-k ranks identically to the window formulation") {
+    val rng = new scala.util.Random(13)
+    val df = (0L to 120L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val probes = df.filter($"vec_id" < 5)
+    val got = Similarity.bruteForceTopK(df, probes, "vec_id", "embedding", k = 6)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // reference: the window formulation, computed independently
+    import org.apache.spark.sql.expressions.Window
+    val c = df.select($"vec_id".as("neighbor_id"), $"embedding".as("cv"))
+    val q = probes.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    val expected = c.crossJoin(broadcast(q))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        VectorFunctions.cosine($"qv", $"cv").as("cosine"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 6)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
   test("int8-quantized corpus preserves planted top-1 retrieval") {
     // the 4x-storage ANN path: quantize the corpus once, score candidates
     // with cosineInt8 on the int arrays — the planted same-direction
