@@ -46,6 +46,22 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Recall@k of an approximate ANN result against the exact one: the
+    * fraction of true top-k pairs the approximate search returned,
+    * averaged over queries. Both inputs are in the (query_id, neighbor_id,
+    * rank) shape every top-k here produces. This is the metric a quantizer
+    * or hash regression moves — planted-exact-copy gates can't see it
+    * (a copy lands in the right bucket under ANY locality-sensitive
+    * scheme; real neighbors are merely CLOSE, and their recall depends on
+    * the quantizer's quality). */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): Double = {
+    val a = approx.filter(col("rank") <= k).select("query_id", "neighbor_id")
+    val e = exact.filter(col("rank") <= k).select("query_id", "neighbor_id")
+    val hit = a.join(e, Seq("query_id", "neighbor_id")).count().toDouble
+    val truth = e.count().toDouble
+    if (truth == 0) 1.0 else hit / truth
+  }
+
   /** Deterministic spherical k-means training for IVF coarse quantizers:
     * a bounded, hash-ordered sample (one corpus pass — per-partition
     * top-N by hash, NO full sort shuffle) is collected to the driver

@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Recall@k measurement for the approximate ANN paths on a CLUSTERED
+  * fixture (VERDICT r3 item 5).
+  *
+  * The planted-copy correctness gates (q50-q53, q61) prove a duplicate
+  * lands in its own bucket — which any locality-sensitive scheme passes.
+  * They cannot catch a quantizer regression that degrades recall on REAL
+  * neighborhoods, where the true top-k are close-but-not-identical
+  * vectors. This harness measures that directly: a multi-Gaussian mixture
+  * (the shape real embedding corpora take — distinct modes with intra-
+  * cluster spread), exact brute-force top-k as truth, and recall@k of the
+  * SRP-LSH and IVF paths against it, at 1× and at a 20× corpus.
+  */
+object AnnRecall {
+
+  /** Deterministic multi-Gaussian fixture: `n` vectors in `dim`
+    * dimensions drawn around `clusters` unit-norm centers with relative
+    * spread `sigma`. Same seed → identical fixture at any scale, and the
+    * 1× fixture is a prefix of the 20× one (point i's cluster and noise
+    * depend only on i), so scaling the corpus only ADDS points. */
+  def clusteredFixture(spark: SparkSession, n: Int, dim: Int = 64,
+                       clusters: Int = 16, sigma: Double = 0.05,
+                       seed: Long = 77L): DataFrame = {
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    val centers = Array.fill(clusters) {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / norm).toFloat)
+    }
+    // per-point noise from a point-indexed RNG: point i is identical
+    // whether the fixture holds 5k or 100k vectors
+    (0 until n).map { i =>
+      val prng = new scala.util.Random(seed * 31 + i)
+      val c = centers(i % clusters)
+      (i.toLong, c.map(x => x + (sigma * prng.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Held-out queries: fresh draws around the same centers (NOT corpus
+    * members — a member's top-1 is trivially itself-adjacent). */
+  def queryFixture(spark: SparkSession, nQueries: Int, dim: Int = 64,
+                   clusters: Int = 16, sigma: Double = 0.05,
+                   seed: Long = 77L): DataFrame = {
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    val centers = Array.fill(clusters) {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / norm).toFloat)
+    }
+    (0 until nQueries).map { i =>
+      val prng = new scala.util.Random(seed * 131 + 7 + i)
+      val c = centers(i % clusters)
+      (1000000L + i, c.map(x => x + (sigma * prng.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Recall@k of both approximate paths vs brute force on one corpus. */
+  def measure(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+              dim: Int, k: Int): (Double, Double) = {
+    val c = corpus.cache()
+    val q = queries.cache()
+    val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding", k)
+      .localCheckpoint()
+    // 6-bit × 8-table SRP: for true neighbors at cosine ≈ 0.9 (θ ≈ 26°)
+    // per-table collision is (1-θ/π)^6 ≈ 0.39, so 8 tables reach ≈ 0.98 —
+    // the 8-bit default is tuned for near-duplicate cosines (≥ 0.98),
+    // not neighborhood search; fewer bits = bigger buckets = the recall
+    // lever, still pruning the corpus well below a full scan
+    val lsh = Similarity.lshTopK(c, q, "vec_id", "embedding", dim, k,
+      nbits = 6, tables = 8)
+    val ivf = Similarity.ivfTopK(c, q, "vec_id", "embedding", dim, k,
+      nlist = 32, nprobe = 8)
+    val r = (Similarity.recallAtK(lsh, exact, k),
+      Similarity.recallAtK(ivf, exact, k))
+    c.unpersist(); q.unpersist()
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    run(spark, assertFloor = true)
+    spark.stop()
+  }
+
+  /** Measure at 1× and 20×, print BENCH_NOTES-style table rows, and
+    * (optionally) enforce the recall floor. */
+  def run(spark: SparkSession, assertFloor: Boolean): Unit = {
+    val (dim, k, nq) = (64, 5, 50)
+    for ((tag, n) <- Seq("1x" -> 5000, "20x" -> 100000)) {
+      val t0 = System.nanoTime()
+      val (lsh, ivf) = measure(spark,
+        clusteredFixture(spark, n, dim), queryFixture(spark, nq, dim), dim, k)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"===== ann-recall [$tag] corpus=$n%-6d queries=$nq k=$k " +
+        f"lsh=$lsh%.3f ivf=$ivf%.3f wall=$sec%.1fs")
+      if (assertFloor) {
+        assert(lsh >= 0.9, f"LSH recall@$k regressed to $lsh%.3f at $tag")
+        assert(ivf >= 0.9, f"IVF recall@$k regressed to $ivf%.3f at $tag")
+      }
+    }
+  }
+}

@@ -130,6 +130,9 @@ object ScaleSweep {
             f"input=${gb(in)}%8.1fMB")
       }
     }
+    // ANN recall vs brute force on a clustered fixture at 1×/20× — the
+    // metric the planted-copy gates can't see (VERDICT r3 item 5)
+    AnnRecall.run(spark, assertFloor = false)
     spark.stop()
   }
 }

@@ -233,8 +233,10 @@ class IngestSpec extends SparkSpec {
     val df = (1 to 300).map(i => (i.toLong, 2021 + i % 3, i * 1.0))
       .toDF("id", "year", "v")
     wh.overwritePartitioned(df, "t", Seq("year"))
-    // one directory per year value
-    val dirs = new java.io.File(s"$root/t").listFiles()
+    // one directory per year value, inside the published version dir
+    // (partitioned overwrites are atomic publishes now)
+    val vdir = s"$root/t/_versions/${wh.currentVersion("t").get}"
+    val dirs = new java.io.File(vdir).listFiles()
       .filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.toSeq == Seq("year=2021", "year=2022", "year=2023"))
     val filtered = wh.read("t").filter($"year" === 2022)

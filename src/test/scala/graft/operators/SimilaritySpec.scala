@@ -78,6 +78,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("LSH and IVF recall@5 vs brute force stays >= 0.9 on clustered data") {
+    // real-neighborhood recall, not planted copies: a quantizer regression
+    // that still buckets exact duplicates correctly fails HERE
+    import graft.tools.AnnRecall
+    val dim = 64
+    val corpus = AnnRecall.clusteredFixture(spark, n = 2000, dim = dim)
+    val queries = AnnRecall.queryFixture(spark, nQueries = 30, dim = dim)
+    val (lsh, ivf) = AnnRecall.measure(spark, corpus, queries, dim, k = 5)
+    assert(lsh >= 0.9, f"LSH recall@5 = $lsh%.3f")
+    assert(ivf >= 0.9, f"IVF recall@5 = $ivf%.3f")
+  }
+
   test("int8-quantized corpus preserves planted top-1 retrieval") {
     // the 4x-storage ANN path: quantize the corpus once, score candidates
     // with cosineInt8 on the int arrays — the planted same-direction
