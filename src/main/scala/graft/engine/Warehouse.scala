@@ -142,9 +142,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * of letting partition-value inference retype `year=2030` as int (or
     * corrupt a numeric-looking string value), and [[append]] uses it to
     * keep appends partition-aligned. The marker is written before the
-    * manifest swap, so it is immutable alongside the data. */
+    * manifest swap, so it is immutable alongside the data.
+    *
+    * `analyze = true` runs [[analyzeCatalog]] after the swap: the new
+    * version's row/column statistics land in the session catalog so CBO
+    * costs joins against fresh numbers instead of last week's. */
   def publish(df: DataFrame, name: String,
-              partitionCols: Seq[String] = Nil): String = {
+              partitionCols: Seq[String] = Nil,
+              analyze: Boolean = false): String = {
     require(partitionCols.forall(df.columns.contains),
       s"publish '$name': partition columns ${partitionCols.filterNot(df.columns.contains)} not in ${df.columns.toSeq}")
     val version = ZonedDateTime.now(ZoneOffset.UTC)
@@ -180,6 +185,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           .getFileContext(mp.toUri, spark.sessionState.newHadoopConf())
           .rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
+    if (analyze) analyzeCatalog(name)
     version
   }
 
@@ -300,6 +306,28 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     Quality.tableStats(df, cs).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/_stats/$name")
   }
+
+  /** Register `name` in the session catalog at its CURRENT data path and
+    * run `ANALYZE TABLE … COMPUTE STATISTICS FOR ALL COLUMNS` — row count
+    * and per-column NDV/min/max/null-count land in the catalog, which is
+    * what `spark.sql.cbo.enabled` + `spark.sql.cbo.joinReorder.enabled`
+    * read to cost-order multi-way joins (file sizes alone carry no row
+    * counts or NDVs, so without this the join order stays as-written).
+    * Re-run after each publish to point the catalog entry at the new
+    * version. Query through [[tableCbo]] (= `spark.table`), which sees the
+    * stats; plain [[read]] bypasses the catalog. */
+  def analyzeCatalog(name: String): Unit = {
+    val p = dataPath(name)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '$p'")
+    if (partitioningOf(name).nonEmpty)
+      spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
+    spark.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS FOR ALL COLUMNS")
+  }
+
+  /** Catalog-backed read: same data as [[read]], plus the statistics
+    * [[analyzeCatalog]] computed — the entry point for CBO-planned joins. */
+  def tableCbo(name: String): DataFrame = spark.table(name)
 
   /** The stats persisted by [[analyze]], if any. */
   def statsOf(name: String): Option[DataFrame] = {

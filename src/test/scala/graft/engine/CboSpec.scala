@@ -1,0 +1,80 @@
+package graft.engine
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** ANALYZE-on-publish feeding the cost-based optimizer (VERDICT r3
+  * item 6): catalog row/NDV statistics must actually CHANGE the plan —
+  * a multi-way join written in a bad order gets cost-reordered. */
+class CboSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def leafTables(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case l: LogicalRelation => l.catalogTable.map(_.identifier.table)
+      case _ => None
+    }
+
+  test("published stats + CBO reorder a skewed multi-way join") {
+    val root = Files.createTempDirectory("whcbo").toString
+    val wh = new Warehouse(spark, root)
+    // fact: 50k rows. dima joins 1:1 (5k keys — joining it first shrinks
+    // nothing). dimb holds 5 of the 100 kb values — joining it FIRST cuts
+    // the fact to 5%. Written order is the bad one: dima first.
+    val fact = (1 to 50000).map(i => (i % 5000, i % 100, i.toLong))
+      .toDF("ka", "kb", "v")
+    val dima = (0 until 5000).map(i => (i, s"a$i")).toDF("ka", "aval")
+    val dimb = (0 until 5).map(i => (i, s"b$i")).toDF("kb", "bval")
+    // publish with analyze: row counts + column NDVs land in the catalog
+    wh.publish(fact, "cbo_fact", analyze = true)
+    wh.publish(dima, "cbo_dima", analyze = true)
+    wh.publish(dimb, "cbo_dimb", analyze = true)
+    def query(): DataFrame =
+      wh.tableCbo("cbo_fact")
+        .join(wh.tableCbo("cbo_dima"), "ka")
+        .join(wh.tableCbo("cbo_dimb"), "kb")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevReorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    try {
+      // stats present but CBO off: the join order stays as written
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      val asWritten = leafTables(query())
+      assert(asWritten == Seq("cbo_fact", "cbo_dima", "cbo_dimb"), asWritten)
+      // CBO + join reorder on: stats drive the selective dim down the tree
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val reordered = leafTables(query())
+      assert(reordered.indexOf("cbo_dimb") < reordered.indexOf("cbo_dima"),
+        s"expected the selective dim joined first, got $reordered")
+      // and the reordered plan still computes the same result
+      assert(query().count() == 2500)
+      // the catalog really holds ANALYZE output (row count visible)
+      val stats = spark.sql("DESCRIBE EXTENDED cbo_fact")
+        .filter($"col_name" === "Statistics").collect()
+      assert(stats.nonEmpty && stats.head.getString(1).contains("50000 rows"),
+        stats.mkString(";"))
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+      Seq("cbo_fact", "cbo_dima", "cbo_dimb")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("analyzeCatalog re-registers partitioned published tables with stats") {
+    val root = Files.createTempDirectory("whcbo2").toString
+    val wh = new Warehouse(spark, root)
+    wh.publish((1 to 300).map(i => (i.toLong, 2021 + i % 3)).toDF("id", "year"),
+      "cbo_part", partitionCols = Seq("year"), analyze = true)
+    try {
+      assert(wh.tableCbo("cbo_part").count() == 300)
+      val stats = spark.sql("DESCRIBE EXTENDED cbo_part")
+        .filter($"col_name" === "Statistics").collect()
+      assert(stats.nonEmpty && stats.head.getString(1).contains("300 rows"),
+        stats.mkString(";"))
+    } finally spark.sql("DROP TABLE IF EXISTS `cbo_part`")
+  }
+}
