@@ -361,6 +361,41 @@ object Dedup {
     df.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 
+  /** Bloom-prefiltered anti-join: drop rows of `big` whose `bigKey`
+    * appears among `small`'s `smallKey` values — EXACT anti-join results
+    * (bloom false positives are re-checked with a real anti-join), with
+    * the bloom deciding which rows must enter that join at all.
+    *
+    * The niche this fills between the two standard shapes: a broadcast
+    * anti-join needs the small side to fit as a HASH RELATION (per-key
+    * object overhead — ~10⁷ keys before executors hurt), while a shuffled
+    * anti-join moves the BIG side. A bloom bitmap holds 10⁸-10⁹ keys in
+    * ~0.15-1.5 GB at 1% fpp — broadcastable two orders of magnitude past
+    * the hash-relation ceiling — so the big side is pre-filtered map-side
+    * and only true matches plus the ~fpp false-positive sliver enter the
+    * exact anti-join; the definite non-members (the overwhelming majority
+    * in the decontamination/blocklist use case) bypass it entirely.
+    * This is exactly Spark's own runtime-filter trick (InjectRuntimeFilter)
+    * — which applies it to EQUI joins only, never anti-joins — surfaced as
+    * an operator for the anti-join-shaped problems (decontamination
+    * against huge eval registries, URL/document blocklists, "already
+    * ingested" id ledgers).
+    *
+    * One scan of `big` when the source supports it twice cheaply
+    * (parquet with pushdown); the two branches read the same files but
+    * the union's second branch carries the bloom positives only. The
+    * exact-check join lets JoinPolicy/stats pick its strategy.
+    */
+  def bloomAntiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                    smallKey: String, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomFunctions
+    val bf = BloomFunctions.buildFilter(small, smallKey, fpp)
+    val maybe = BloomFunctions.mightContain(bf, col(bigKey))
+    val keys = small.select(col(smallKey).as(bigKey)).distinct()
+    big.filter(!maybe).unionByName(
+      big.filter(maybe).join(keys, Seq(bigKey), "left_anti"))
+  }
+
   /** Segment-level corpus dedup (the C4 "discard duplicated lines" step,
     * phrased over fixed windows of `segTokens` tokens because the corpus
     * has no line structure): every segment that already occurred earlier

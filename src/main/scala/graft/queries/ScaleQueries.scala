@@ -173,6 +173,20 @@ object ScaleQueries {
         .select("doc_id", "lang", "source")
     }),
 
+    // ── bloom-prefiltered anti-join: registry-scale decontamination by
+    //    content fingerprint. The bloom (broadcastable far past the hash-
+    //    relation ceiling) routes definite non-members around the exact
+    //    anti-join; false positives are re-checked, so results are EXACT ──
+    "q87_bloom_anti_join" -> ((s, dir) => {
+      val docs = Td(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      Dedup.bloomAntiJoin(docs,
+          docs.filter(col("doc_id") % 20 === 0).select(col("fp").as("bad_fp")),
+          "fp", "bad_fp")
+        .select("doc_id")
+    }),
+
     // ── C4-style segment-level corpus dedup: 10-token windows, global
     //    first occurrence wins, docs reassembled from survivors ──
     "q71_segment_dedup" -> ((s, dir) =>
@@ -858,6 +872,13 @@ object ScaleQueries {
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id % 40 <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // q87: the bloom is only routing — the result is the exact anti-join,
+    // which is what the oracle states directly
+    "q87_bloom_anti_join" ->
+      """SELECT doc_id FROM documents
+        |WHERE md5(text) NOT IN
+        |  (SELECT md5(text) FROM documents WHERE doc_id % 20 = 0)""".stripMargin,
 
     "q71_segment_dedup" ->
       s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
