@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.Warehouse
+import graft.functions.{SignatureExpressions, VectorFunctions}
+
+/** Persistent IVF ANN index where the index IS a table layout.
+  *
+  * [[Similarity.ivfTopK]] re-trains and re-assigns cells on every query —
+  * right for one-shot jobs, wrong for a corpus probed repeatedly. Here the
+  * build step pays the assignment once and PUBLISHES the corpus
+  * hive-partitioned by cell id (atomic versioned publish, so rebuilds
+  * never break concurrent probes); the trained centroids persist beside it
+  * as a tiny companion table. A probe then:
+  *
+  *  1. loads the centroids (`nlist` rows — bounded by construction),
+  *  2. assigns each query its `nprobe` nearest cells,
+  *  3. scans ONLY those cells' partition directories — static partition
+  *     pruning via an `IN` literal over the probe set's distinct cells
+  *     (the probe set is small by contract, so collecting its cell ids is
+  *     a bounded driver-side set, same contract as the IVF training
+  *     sample) — and
+  *  4. ranks candidates with the bounded-heap top-k.
+  *
+  * At 100 TB: a probe reads ~nprobe/nlist of the corpus from disk and
+  * nothing else; there is no index structure beyond the directory tree,
+  * no service to run, and rebuild/vacuum follow ordinary warehouse
+  * retention semantics.
+  */
+object IvfIndex {
+
+  /** Train centroids, assign every corpus vector its cell, publish the
+    * corpus partitioned by cell plus a `<name>_centroids` companion.
+    * Returns the published version id. */
+  def build(wh: Warehouse, corpus: DataFrame, idCol: String, vecCol: String,
+            dim: Int, nlist: Int = 64, name: String = "ivf_index",
+            seed: Long = 42L): String = {
+    import wh.spark.implicits._
+    val cents = Similarity.trainIvfCentroids(corpus, idCol, vecCol, dim,
+      nlist, seed = seed)
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      element_at(SignatureExpressions.ivfAssign(col(vecCol), cents, 1), 1)
+        .as("cell"))
+    val version = wh.publish(assigned, name, partitionCols = Seq("cell"))
+    wh.publish(cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid"), s"${name}_centroids")
+    version
+  }
+
+  /** Probe the published index: top-k neighbors per query over the
+    * `nprobe` nearest cells, read via partition-pruned scan.
+    * Output: (query_id, neighbor_id, cosine, rank) — the [[Similarity]]
+    * shape. */
+  def probe(wh: Warehouse, queries: DataFrame, idCol: String, vecCol: String,
+            name: String = "ivf_index", k: Int = 5,
+            nprobe: Int = 8): DataFrame = {
+    val cents: Seq[Seq[Double]] = wh.read(s"${name}_centroids")
+      .orderBy("cell").select("centroid")
+      .collect().map(_.getSeq[Double](0)).toSeq
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        SignatureExpressions.ivfAssign(col(vecCol), cents, nprobe).as("cells"))
+      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
+    // the probe set is small by contract: its distinct cells are a bounded
+    // literal set, which reaches the scan as a static PartitionFilter —
+    // only those directories are listed or read
+    val probedCells = q.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = wh.read(name)
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
+    val scored = corpus
+      .join(graft.engine.JoinPolicy.broadcastIfSmall(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
+    Similarity.rankTopK(scored, k)
+  }
+}

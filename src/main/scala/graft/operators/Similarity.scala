@@ -23,7 +23,7 @@ object Similarity {
     * sorts a hot query's WHOLE candidate list on one task, while the heap
     * partial-aggregates map-side and ships exactly k rows per query per
     * partition into the shuffle, whatever the candidate skew. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(TopKAggregate.topKStructs(
         struct(col("cosine"), col("neighbor_id")), k,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Td
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, IvfIndex, Similarity}
 
 /** Training-data-pipeline operators over `documents` / `embeddings` /
   * `events`: deduplication, similarity search, text analysis, and the
@@ -315,6 +315,25 @@ object ScaleQueries {
         .agg(sum(col("n_docs")).cast("long").as("n_docs"),
           sum(col("total_tokens")).as("sum_tokens"),
           (max(col("total_tokens")) <= 2048L).as("bound_ok"))
+    }),
+
+    // ── persistent IVF index: build publishes the corpus PARTITIONED BY
+    //    cell (the index is a table layout; probes are partition-pruned
+    //    scans), then planted probes must come back through it. Same
+    //    planted contract as q61; the build runs into a throwaway
+    //    warehouse so the query stays self-contained ──
+    "q88_ivf_index_probe" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfq").toString)
+      val emb = Td(s, dir, "embeddings")
+      IvfIndex.build(wh, emb, "vec_id", "embedding", dim = 64, nlist = 64,
+        name = "emb_idx")
+      val probes = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      IvfIndex.probe(wh, probes, "vec_id", "embedding", "emb_idx",
+          k = 1, nprobe = 8)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
     }),
 
     // ── IVF ANN recall on planted probes (same contract as q53 for LSH) ──
@@ -773,6 +792,12 @@ object ScaleQueries {
         |FROM t""".stripMargin,
 
     "q61_knn_ivf_planted" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+
+    // q88: a planted copy assigns to exactly its original's cell (same
+    // vector → same argmax centroid), so the pruned probe must return it
+    "q88_ivf_index_probe" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
 

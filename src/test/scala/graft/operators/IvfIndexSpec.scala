@@ -1,0 +1,99 @@
+package graft.operators
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.engine.Warehouse
+import graft.tools.AnnRecall
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWh = new Warehouse(spark, Files.createTempDirectory("ivf").toString)
+
+  /** Flatten the executed plan, descending through AQE's stage leaves
+    * (they hide their subtree from a plain `collect`). */
+  private def allNodes(plan: SparkPlan): Seq[SparkPlan] = {
+    val children = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case p                        => p.children
+    }
+    plan +: children.flatMap(allNodes)
+  }
+
+  test("probe scans only the probed cells' partitions (pruned scan)") {
+    val wh = freshWh
+    val dim = 32
+    val corpus = AnnRecall.clusteredFixture(spark, n = 2000, dim = dim,
+      clusters = 8)
+    IvfIndex.build(wh, corpus, "vec_id", "embedding", dim, nlist = 16)
+    val queries = AnnRecall.queryFixture(spark, nQueries = 4, dim = dim,
+      clusters = 8)
+    val out = IvfIndex.probe(wh, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    out.collect()
+    // the corpus scan must list at most |distinct probed cells| partitions
+    // (≤ queries × nprobe), never all nlist
+    val scan = allNodes(out.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.partitionSchema.fieldNames.contains("cell") => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    val scanned = scan.selectedPartitions.partitionCount
+    assert(scanned <= 8 && scanned < 16,
+      s"probe scanned $scanned of 16 cells")
+  }
+
+  test("planted copies are recalled through the published index") {
+    val wh = freshWh
+    val dim = 32
+    val corpus = AnnRecall.clusteredFixture(spark, n = 1000, dim = dim)
+    IvfIndex.build(wh, corpus, "vec_id", "embedding", dim, nlist = 16)
+    // probes ARE corpus members under shifted ids — the copy's cell
+    // assignment is identical, so top-1 must be the original
+    val probes = corpus.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val top1 = IvfIndex.probe(wh, probes, "vec_id", "embedding",
+        k = 1, nprobe = 1)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    assert(top1.size == 100)
+    assert(top1.forall { case (q, n) => n == q - 100000L })
+  }
+
+  test("index probe matches inline ivfTopK recall on clustered data") {
+    val wh = freshWh
+    val dim = 32
+    val corpus = AnnRecall.clusteredFixture(spark, n = 1500, dim = dim)
+    val queries = AnnRecall.queryFixture(spark, nQueries = 20, dim = dim)
+    IvfIndex.build(wh, corpus, "vec_id", "embedding", dim, nlist = 16)
+    val viaIndex = IvfIndex.probe(wh, queries, "vec_id", "embedding",
+      k = 5, nprobe = 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 5)
+    assert(Similarity.recallAtK(viaIndex, exact, 5) >= 0.9)
+  }
+
+  test("rebuild is atomic: a pinned probe plan survives re-publish") {
+    val wh = freshWh
+    val dim = 16
+    val v1 = AnnRecall.clusteredFixture(spark, n = 300, dim = dim)
+    IvfIndex.build(wh, v1, "vec_id", "embedding", dim, nlist = 4,
+      name = "idx")
+    val queries = AnnRecall.queryFixture(spark, nQueries = 3, dim = dim)
+    val pinned = IvfIndex.probe(wh, queries, "vec_id", "embedding",
+      "idx", k = 3, nprobe = 4)
+    val before = pinned.count()
+    // rebuild over a bigger corpus — new version dirs, manifest swap
+    IvfIndex.build(wh, AnnRecall.clusteredFixture(spark, n = 600, dim = dim),
+      "vec_id", "embedding", dim, nlist = 4, name = "idx")
+    assert(pinned.count() == before) // old version's files intact
+    val fresh = IvfIndex.probe(wh, queries, "vec_id", "embedding",
+      "idx", k = 3, nprobe = 4)
+    assert(fresh.count() == before) // same queries, k unchanged
+  }
+}
