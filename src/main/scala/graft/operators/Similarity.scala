@@ -205,10 +205,21 @@ object Similarity {
     * tunable via `tables`/`nbits`; each table adds one cheap integer
     * bucket column, and candidate generation is an equi-join on
     * (table, bucket) — shuffle-partitioned, no broadcast of the corpus.
+    *
+    * `probes` > 1 turns on MULTI-PROBE: each query additionally probes
+    * the buckets at Hamming distance 1 from its own (flip bit 0, bit 1,
+    * …, `probes - 1` buckets per table in all) — the near-miss buckets a
+    * true neighbor most likely fell into when it landed on the other side
+    * of one hyperplane. The fan-out is QUERY-side only: the corpus keeps
+    * exactly one bucket per table (no extra storage or corpus shuffle),
+    * so multi-probe buys the recall of ~`probes`× more tables at the
+    * price of a wider candidate join on the small side.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int = 5, nbits: Int = 8,
-              tables: Int = 4): DataFrame = {
+              tables: Int = 4, probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= nbits + 1,
+      s"probes must sit in [1, nbits + 1], got $probes for $nbits bits")
     // materialize the per-table bucket ids in one projection, then explode a
     // LITERAL table-index array and pick the bucket with element_at —
     // exploding an array of (table, bucket) structs would let
@@ -224,7 +235,14 @@ object Similarity {
         .select(col(idAs), col(vAs), col("t"),
           element_at(col("buckets"), col("t") + 1).as("bucket"))
     val c = bucketed(corpus, "neighbor_id", "cv")
-    val q = bucketed(queries, "query_id", "qv")
+    val q0 = bucketed(queries, "query_id", "qv")
+    val q =
+      if (probes == 1) q0
+      else q0.select(col("query_id"), col("qv"), col("t"),
+        explode(array((0 until probes).map {
+          case 0 => col("bucket")
+          case j => col("bucket").bitwiseXOR(lit(1 << (j - 1)))
+        }: _*)).as("bucket"))
     val cand = c.join(graft.engine.JoinPolicy.broadcastIfSmall(q), Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "qv", "cv").distinct()

@@ -90,6 +90,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf >= 0.9, f"IVF recall@5 = $ivf%.3f")
   }
 
+  test("multi-probe LSH recalls at least as much as single-probe") {
+    import graft.tools.AnnRecall
+    val dim = 64
+    // a deliberately recall-starved config (8 bits, 2 tables) so the
+    // single-bit-flip probes have headroom to demonstrate the lift
+    val corpus = AnnRecall.clusteredFixture(spark, n = 2000, dim = dim)
+    val queries = AnnRecall.queryFixture(spark, nQueries = 30, dim = dim)
+    val exact = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 5).localCheckpoint()
+    def recall(probes: Int) = Similarity.recallAtK(
+      Similarity.lshTopK(corpus, queries, "vec_id", "embedding", dim,
+        k = 5, nbits = 8, tables = 2, probes = probes),
+      exact, 5)
+    val single = recall(1)
+    // the full 1-bit-flip neighborhood (all nbits flips + the home bucket):
+    // per-table hit prob rises from p^8 to p^8 + 8·p^7(1-p)
+    val multi = recall(9)
+    assert(multi >= single, f"multi-probe $multi%.3f < single $single%.3f")
+    assert(multi >= 0.75, f"multi-probe recall@5 only $multi%.3f")
+    assert(multi - single >= 0.1,
+      f"starved config should show a real lift: $single%.3f -> $multi%.3f")
+  }
+
   test("int8-quantized corpus preserves planted top-1 retrieval") {
     // the 4x-storage ANN path: quantize the corpus once, score candidates
     // with cosineInt8 on the int arrays — the planted same-direction
