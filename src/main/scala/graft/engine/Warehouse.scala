@@ -385,6 +385,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       df.select(expected.fields.map(f => col(incoming(f).name).as(f.name)).toSeq: _*)
     }
     val p = dataPath(name)
+    // a bucketed table's files all follow its bucket spec BY ASSUMPTION —
+    // Spark plans exchange-free joins on that promise, so a plain file
+    // append would silently produce WRONG JOIN RESULTS, not a slow plan
+    require(!isBucketedCatalogTable(name),
+      s"append to '$name': the table is bucketed — append through " +
+        "overwriteBucketed (rewrite) instead; loose files would violate " +
+        "the bucket spec readers rely on")
     // appends into a partitioned published version stay partition-aligned —
     // unpartitioned files at the root of a hive tree would break discovery
     partitioningMarker(p).map(_._1) match {
@@ -393,6 +400,20 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case None => aligned.write.mode(SaveMode.Append).parquet(p)
     }
   }
+
+  /** True iff the session catalog holds a BUCKETED table named `name`
+    * whose location is this warehouse's directory for it. */
+  private def isBucketedCatalogTable(name: String): Boolean =
+    try {
+      if (!spark.catalog.tableExists(name)) false
+      else {
+        val meta = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+        meta.bucketSpec.isDefined &&
+          meta.location.getPath.stripSuffix("/")
+            .endsWith(new Path(dir(name)).toUri.getPath.stripSuffix("/"))
+      }
+    } catch { case _: Exception => false }
 
   /** S11: WRITE_TRUNCATE (replace the whole table) — an atomic
     * [[publish]]: concurrent readers see the old table or the new one,
@@ -478,18 +499,76 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   /** Streaming append sink: exactly-once parquet appends into a warehouse
     * table, checkpointed so a restarted query resumes where it left off —
-    * the streaming twin of [[append]]. */
+    * the streaming twin of [[append]].
+    *
+    * NOT Spark's file sink: that sink writes a `_spark_metadata` log, and
+    * any batch read of a directory containing one sees ONLY sink-logged
+    * files — batch-published rows in the same table would silently vanish
+    * from reads. Instead each micro-batch stages to an
+    * underscore-invisible `_stream_staging/b<id>` dir and is PROMOTED by
+    * renaming its files to `stream-b<id>-…` names (partition-aligned when
+    * the target is a partitioned published table). Exactly-once: the
+    * checkpoint replays an uncommitted batch id, and the promote first
+    * removes any partial `stream-b<id>` files before renaming — so a
+    * crashed batch re-lands whole, never twice. Readers see the same
+    * contract as batch [[append]]: existing rows plus fully-promoted
+    * files.
+    *
+    * The path is pinned at stream start (single-writer model); vacuum's
+    * grace window covers re-publishes during the stream's life. */
   def streamingAppend(source: DataFrame, name: String,
-                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val p = dataPath(name)
+    val parts = partitioningMarker(p).map(_._1)
     source.writeStream
-      .format("parquet")
-      // resolve through the manifest like batch append — writing the plain
-      // dir of a published table would be invisible to read() and swept by
-      // vacuum(); the path is pinned at stream start (single-writer model)
-      .option("path", dataPath(name))
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
+      .foreachBatch { (bdf: DataFrame, id: Long) =>
+        val staging = s"$p/_stream_staging/b$id"
+        val w = bdf.write.mode(SaveMode.Overwrite)
+        (parts match {
+          case Some(ps) => w.partitionBy(ps: _*)
+          case None => w
+        }).parquet(staging)
+        promoteStaged(staging, p, id)
+      }
       .start()
+  }
+
+  /** Move a staged micro-batch's data files into the table directory under
+    * `stream-b<id>-…` names, idempotently: any partial promote of the same
+    * batch id is removed first (replay = the batch never committed, so its
+    * partial files are invisible-to-commit garbage). Relative paths are
+    * preserved, which keeps hive partition subdirectories aligned. */
+  private def promoteStaged(staging: String, dest: String, id: Long): Unit = {
+    val sp = new Path(staging)
+    val dp = new Path(dest)
+    val f = fs(sp)
+    def dataFiles(root: Path): Seq[Path] = {
+      val it = f.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) buf += st.getPath
+      }
+      buf.toSeq
+    }
+    // replay safety: clear any partial promote of this batch id
+    dataFiles(dp).filter(_.getName.startsWith(s"stream-b$id-"))
+      .foreach(f.delete(_, false))
+    val stagingUri = sp.toUri.getPath.stripSuffix("/")
+    dataFiles(sp).foreach { file =>
+      val rel = file.toUri.getPath.stripPrefix(stagingUri).stripPrefix("/")
+      val relDir = rel.split("/").dropRight(1).mkString("/")
+      val destDir = if (relDir.isEmpty) dp else new Path(dp, relDir)
+      f.mkdirs(destDir)
+      if (!f.rename(file, new Path(destDir, s"stream-b$id-${file.getName}")))
+        throw new java.io.IOException(
+          s"promote of streamed batch $id failed for $file")
+    }
+    f.delete(sp.getParent, true) // drop _stream_staging
+  }
 
   /** MERGE/upsert: rows of `updates` replace same-key existing rows, new
     * keys are added, everything else is kept. The reference's

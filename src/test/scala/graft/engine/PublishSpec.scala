@@ -215,6 +215,47 @@ class PublishSpec extends SparkSpec {
     assert(wh.read("tb").count() == 4)
   }
 
+  test("append refuses bucketed tables (loose files would break the spec)") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwriteBucketed(
+      (1 to 20).map(i => (i.toLong, i % 4)).toDF("id", "k"), "tbk", Seq("k"), 2)
+    try {
+      // a plain file append would violate the all-files-bucketed promise
+      // Spark plans exchange-free joins on — wrong RESULTS, not slowness
+      val e = intercept[IllegalArgumentException] {
+        wh.append(Seq((99L, 1)).toDF("id", "k"), "tbk")
+      }
+      assert(e.getMessage.contains("bucketed"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS `tbk`")
+  }
+
+  test("streamingAppend into a partitioned published table stays aligned") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwritePartitioned(
+      Seq(("s0", 2020)).toDF("sid", "year"), "t", Seq("year"))
+    val in = s"${wh.root}/incoming"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sid",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("year",
+        org.apache.spark.sql.types.IntegerType)))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/a.csv"),
+      "sid,year\ns1,2021\ns2,2022\n")
+    val q = wh.streamingAppend(wh.readCsvStream(in, schema), "t",
+      s"${wh.root}/_chk")
+    q.processAllAvailable()
+    q.stop()
+    assert(wh.read("t").count() == 3)
+    // streamed rows landed inside year=... partition dirs and prune
+    val scan = wh.read("t").filter($"year" === 2022)
+    assert(scan.count() == 1)
+    val fileScan = scan.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(fileScan.selectedPartitions.partitionCount == 1)
+  }
+
   test("vacuum grace window spares freshly retired versions") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwrite((1 to 5).toDF("n"), "t")
