@@ -536,14 +536,22 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   }
 
   /** Move a staged micro-batch's data files into the table directory under
-    * `stream-b<id>-…` names, idempotently: any partial promote of the same
-    * batch id is removed first (replay = the batch never committed, so its
-    * partial files are invisible-to-commit garbage). Relative paths are
-    * preserved, which keeps hive partition subdirectories aligned. */
+    * `stream-b<id>-…` names, idempotently. Relative paths are preserved,
+    * which keeps hive partition subdirectories aligned.
+    *
+    * Replay protocol (a replayed id means the batch never committed to the
+    * checkpoint): an `_stream_promoted/b<id>` marker means the previous
+    * promote COMPLETED — skip, or the batch would land twice; an
+    * `_stream_attempt/b<id>` marker without it means a promote died midway
+    * — sweep that id's partial files before re-promoting. The common
+    * no-crash path sees neither marker and pays no recursive listing of
+    * the (at scale, very large) table directory. */
   private def promoteStaged(staging: String, dest: String, id: Long): Unit = {
     val sp = new Path(staging)
     val dp = new Path(dest)
     val f = fs(sp)
+    val promotedMark = new Path(dp, s"_stream_promoted/b$id")
+    val attemptMark = new Path(dp, s"_stream_attempt/b$id")
     def dataFiles(root: Path): Seq[Path] = {
       val it = f.listFiles(root, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
@@ -554,9 +562,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       }
       buf.toSeq
     }
-    // replay safety: clear any partial promote of this batch id
-    dataFiles(dp).filter(_.getName.startsWith(s"stream-b$id-"))
-      .foreach(f.delete(_, false))
+    if (f.exists(promotedMark)) { f.delete(sp.getParent, true); return }
+    if (f.exists(attemptMark)) // crashed mid-promote: clear the partials
+      dataFiles(dp).filter(_.getName.startsWith(s"stream-b$id-"))
+        .foreach(f.delete(_, false))
+    f.mkdirs(attemptMark.getParent)
+    f.create(attemptMark, true).close()
     val stagingUri = sp.toUri.getPath.stripSuffix("/")
     dataFiles(sp).foreach { file =>
       val rel = file.toUri.getPath.stripPrefix(stagingUri).stripPrefix("/")
@@ -567,7 +578,19 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         throw new java.io.IOException(
           s"promote of streamed batch $id failed for $file")
     }
+    f.mkdirs(promotedMark.getParent)
+    f.create(promotedMark, true).close()
+    f.delete(attemptMark, false)
     f.delete(sp.getParent, true) // drop _stream_staging
+    // markers far behind the checkpoint frontier can never replay — prune
+    // so the marker dir stays O(recent), not O(stream lifetime)
+    f.listStatus(promotedMark.getParent).toSeq
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("b") &&
+          scala.util.Try(p.getName.drop(1).toLong).toOption.exists(_ < id - 100)
+      }
+      .foreach(f.delete(_, false))
   }
 
   /** MERGE/upsert: rows of `updates` replace same-key existing rows, new
