@@ -118,8 +118,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             if (loose) return dir(name) // first publish in flight
             throw new java.io.IOException(
               s"table '$name' has a _versions tree but no _current manifest " +
-                "and no loose data files — publish crashed mid-swap? " +
-                "(restore the manifest or remove _versions)")
+                "and no loose data files — either its FIRST publish is " +
+                "still in flight (retry once it completes) or a publish " +
+                "crashed mid-swap (restore the manifest or remove _versions)")
           }
           Thread.sleep(2)
       }
@@ -146,10 +147,17 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     *
     * `analyze = true` runs [[analyzeCatalog]] after the swap: the new
     * version's row/column statistics land in the session catalog so CBO
-    * costs joins against fresh numbers instead of last week's. */
+    * costs joins against fresh numbers instead of last week's.
+    *
+    * `beforeSwap` runs against the version directory after the data write
+    * and BEFORE the manifest swap — the hook for companion artifacts
+    * (index centroids, sidecar metadata) that must become visible
+    * atomically WITH the data they describe; write them under an
+    * underscore-prefixed path so scans never see them. */
   def publish(df: DataFrame, name: String,
               partitionCols: Seq[String] = Nil,
-              analyze: Boolean = false): String = {
+              analyze: Boolean = false,
+              beforeSwap: String => Unit = _ => ()): String = {
     require(partitionCols.forall(df.columns.contains),
       s"publish '$name': partition columns ${partitionCols.filterNot(df.columns.contains)} not in ${df.columns.toSeq}")
     val version = ZonedDateTime.now(ZoneOffset.UTC)
@@ -168,6 +176,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           s"schema=${df.schema.toDDL}\n").getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
+    beforeSwap(vdir)
     val mp = manifestPath(name)
     val tmp = new Path(s"${dir(name)}/_current.$version.tmp")
     val f = rawFs(mp)
@@ -251,18 +260,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def partitioningOf(name: String): Seq[String] =
     partitioningMarker(dataPath(name)).map(_._1).getOrElse(Nil)
 
-  def read(name: String): DataFrame = {
-    val p = dataPath(name)
-    partitioningMarker(p) match {
-      // declared schema: partition values parse as their ORIGINAL types
-      // (no inference), and the select restores the original column order
-      // (partition discovery would move partition columns to the end)
-      case Some((_, schema)) =>
-        spark.read.schema(schema).parquet(p)
-          .select(schema.fieldNames.map(col).toSeq: _*)
-      case None => spark.read.parquet(p)
-    }
-  }
+  def read(name: String): DataFrame = readPath(dataPath(name))
 
   /** All published versions of a table, oldest first (version ids sort
     * chronologically — they embed a UTC timestamp). Empty for tables in
@@ -281,7 +279,20 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * immutable only between publishes; snapshot-exact history requires
     * publishing instead of appending. */
   def readVersion(name: String, version: String): DataFrame =
-    spark.read.parquet(s"${dir(name)}/_versions/$version")
+    readPath(s"${dir(name)}/_versions/$version")
+
+  /** Read a concrete data directory with its `_partitioning` marker
+    * applied (exact schema restore) when one is present. */
+  private def readPath(p: String): DataFrame =
+    partitioningMarker(p) match {
+      // declared schema: partition values parse as their ORIGINAL types
+      // (no inference), and the select restores the original column order
+      // (partition discovery would move partition columns to the end)
+      case Some((_, schema)) =>
+        spark.read.schema(schema).parquet(p)
+          .select(schema.fieldNames.map(col).toSeq: _*)
+      case None => spark.read.parquet(p)
+    }
 
   def schemaOf(name: String): StructType = read(name).schema
 
@@ -319,15 +330,35 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def analyzeCatalog(name: String): Unit = {
     val p = dataPath(name)
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '$p'")
-    if (partitioningOf(name).nonEmpty)
-      spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
+    partitioningMarker(p) match {
+      case Some((parts, schema)) =>
+        // declare the marker schema — inference would retype partition
+        // values (year=2030 → int) and silently diverge from read()
+        val dataCols = schema.fields.filterNot(f => parts.contains(f.name))
+        val colsDDL = (dataCols ++ parts.map(schema(_)))
+          .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        spark.sql(s"CREATE TABLE `$name` ($colsDDL) USING parquet " +
+          s"PARTITIONED BY (${parts.map(c => s"`$c`").mkString(", ")}) " +
+          s"LOCATION '$p'")
+        spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
+      case None =>
+        spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '$p'")
+    }
     spark.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS FOR ALL COLUMNS")
   }
 
   /** Catalog-backed read: same data as [[read]], plus the statistics
-    * [[analyzeCatalog]] computed — the entry point for CBO-planned joins. */
-  def tableCbo(name: String): DataFrame = spark.table(name)
+    * [[analyzeCatalog]] computed — the entry point for CBO-planned joins.
+    * Catalog partitioned relations list partition columns LAST; the select
+    * restores the table's original column order so this really is
+    * read-with-stats, not a reordered cousin. */
+  def tableCbo(name: String): DataFrame = {
+    val t = spark.table(name)
+    partitioningMarker(dataPath(name)) match {
+      case Some((_, schema)) => t.select(schema.fieldNames.map(col).toSeq: _*)
+      case None => t
+    }
+  }
 
   /** The stats persisted by [[analyze]], if any. */
   def statsOf(name: String): Option[DataFrame] = {
@@ -353,37 +384,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * table would fail or silently misread; rejecting at the write is the
     * only cheap place to catch it. */
   def append(df: DataFrame, name: String): Unit = {
-    val aligned = if (!exists(name)) df else {
-      val expected = schemaOf(name)
-      val got = df.schema
-      // name matching follows the session's resolution rule — Spark is
-      // case-insensitive by default, so a column differing only in case
-      // must align, not be rejected as missing+unexpected
-      val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
-      def canon(n: String) =
-        if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
-      val byCanon = got.fields.groupBy(f => canon(f.name))
-      val dups = byCanon.collect { case (_, fs) if fs.length > 1 => fs.map(_.name).toSeq }
-      require(dups.isEmpty,
-        s"append to '$name': ambiguous incoming columns under case-insensitive " +
-          s"resolution — ${dups.toSeq}")
-      val missing = expected.fields.map(_.name)
-        .filterNot(n => byCanon.contains(canon(n)))
-      val expectedCanon = expected.fields.map(f => canon(f.name)).toSet
-      val extra = got.fieldNames.filterNot(n => expectedCanon.contains(canon(n)))
-      require(missing.isEmpty && extra.isEmpty,
-        s"append to '$name': schema mismatch — missing ${missing.toSeq}, " +
-          s"unexpected ${extra.toSeq}")
-      def incoming(f: org.apache.spark.sql.types.StructField) =
-        byCanon(canon(f.name)).head
-      val drift = expected.fields.filter(f => incoming(f).dataType != f.dataType)
-      require(drift.isEmpty,
-        s"append to '$name': type drift in ${drift.map(f =>
-          s"${f.name} (table ${f.dataType.simpleString} vs " +
-            s"incoming ${incoming(f).dataType.simpleString})").toSeq}")
-      // select by the INCOMING name, write under the table's canonical name
-      df.select(expected.fields.map(f => col(incoming(f).name).as(f.name)).toSeq: _*)
-    }
+    val aligned =
+      if (!exists(name)) df else alignToSchema(df, schemaOf(name), name)
     val p = dataPath(name)
     // a bucketed table's files all follow its bucket spec BY ASSUMPTION —
     // Spark plans exchange-free joins on that promise, so a plain file
@@ -399,6 +401,45 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         aligned.write.mode(SaveMode.Append).partitionBy(parts: _*).parquet(p)
       case None => aligned.write.mode(SaveMode.Append).parquet(p)
     }
+  }
+
+  /** Validate + align an incoming frame against a table schema: names
+    * resolve per the session's case-sensitivity rule, missing/extra
+    * columns and type drift are rejected BEFORE any write (parquet would
+    * happily accept a drifted file and every later scan of the table
+    * would fail or silently misread), and the select re-orders to the
+    * table's canonical names. Shared by batch [[append]] and every
+    * [[streamingAppend]] micro-batch. */
+  private def alignToSchema(df: DataFrame, expected: StructType,
+                            name: String): DataFrame = {
+    val got = df.schema
+    // name matching follows the session's resolution rule — Spark is
+    // case-insensitive by default, so a column differing only in case
+    // must align, not be rejected as missing+unexpected
+    val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+    def canon(n: String) =
+      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val byCanon = got.fields.groupBy(f => canon(f.name))
+    val dups = byCanon.collect { case (_, fs) if fs.length > 1 => fs.map(_.name).toSeq }
+    require(dups.isEmpty,
+      s"append to '$name': ambiguous incoming columns under case-insensitive " +
+        s"resolution — ${dups.toSeq}")
+    val missing = expected.fields.map(_.name)
+      .filterNot(n => byCanon.contains(canon(n)))
+    val expectedCanon = expected.fields.map(f => canon(f.name)).toSet
+    val extra = got.fieldNames.filterNot(n => expectedCanon.contains(canon(n)))
+    require(missing.isEmpty && extra.isEmpty,
+      s"append to '$name': schema mismatch — missing ${missing.toSeq}, " +
+        s"unexpected ${extra.toSeq}")
+    def incoming(f: org.apache.spark.sql.types.StructField) =
+      byCanon(canon(f.name)).head
+    val drift = expected.fields.filter(f => incoming(f).dataType != f.dataType)
+    require(drift.isEmpty,
+      s"append to '$name': type drift in ${drift.map(f =>
+        s"${f.name} (table ${f.dataType.simpleString} vs " +
+          s"incoming ${incoming(f).dataType.simpleString})").toSeq}")
+    // select by the INCOMING name, write under the table's canonical name
+    df.select(expected.fields.map(f => col(incoming(f).name).as(f.name)).toSeq: _*)
   }
 
   /** True iff the session catalog holds a BUCKETED table named `name`
@@ -520,12 +561,23 @@ final class Warehouse(val spark: SparkSession, val root: String) {
                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val p = dataPath(name)
     val parts = partitioningMarker(p).map(_._1)
+    // the target schema is pinned with the path: a micro-batch whose
+    // source drifted must be rejected like a batch append would, not
+    // land files that poison every later scan
+    val expected: Option[StructType] =
+      if (new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+            .exists(new Path(p))) Some(readPath(p).schema)
+      else None
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (bdf: DataFrame, id: Long) =>
+        val aligned = expected match {
+          case Some(sch) => alignToSchema(bdf, sch, name)
+          case None => bdf
+        }
         val staging = s"$p/_stream_staging/b$id"
-        val w = bdf.write.mode(SaveMode.Overwrite)
+        val w = aligned.write.mode(SaveMode.Overwrite)
         (parts match {
           case Some(ps) => w.partitionBy(ps: _*)
           case None => w
@@ -562,7 +614,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       }
       buf.toSeq
     }
-    if (f.exists(promotedMark)) { f.delete(sp.getParent, true); return }
+    if (f.exists(promotedMark)) {
+      // completed promote, uncommitted checkpoint: drop the re-staged copy
+      // AND the attempt marker a crash-after-promote left behind
+      f.delete(attemptMark, false)
+      f.delete(sp.getParent, true)
+      return
+    }
     if (f.exists(attemptMark)) // crashed mid-promote: clear the partials
       dataFiles(dp).filter(_.getName.startsWith(s"stream-b$id-"))
         .foreach(f.delete(_, false))
@@ -583,9 +641,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     f.delete(attemptMark, false)
     f.delete(sp.getParent, true) // drop _stream_staging
     // markers far behind the checkpoint frontier can never replay — prune
-    // so the marker dir stays O(recent), not O(stream lifetime)
-    f.listStatus(promotedMark.getParent).toSeq
-      .map(_.getPath)
+    // BOTH marker dirs so they stay O(recent), not O(stream lifetime)
+    Seq(promotedMark.getParent, attemptMark.getParent)
+      .filter(f.exists)
+      .flatMap(d => f.listStatus(d).toSeq.map(_.getPath))
       .filter { p =>
         p.getName.startsWith("b") &&
           scala.util.Try(p.getName.drop(1).toLong).toOption.exists(_ < id - 100)

@@ -390,7 +390,10 @@ object Dedup {
                     smallKey: String, fpp: Double = 0.01): DataFrame = {
     import graft.functions.BloomFunctions
     val bf = BloomFunctions.buildFilter(small, smallKey, fpp)
-    val maybe = BloomFunctions.mightContain(bf, col(bigKey))
+    // null-safe like the anti-join itself: a null key matches NOTHING, so
+    // the row is KEPT — the raw probe returns null for null input, and a
+    // bare !maybe filter would drop such rows from both branches
+    val maybe = coalesce(BloomFunctions.mightContain(bf, col(bigKey)), lit(false))
     val keys = small.select(col(smallKey).as(bigKey)).distinct()
     big.filter(!maybe).unionByName(
       big.filter(maybe).join(keys, Seq(bigKey), "left_anti"))

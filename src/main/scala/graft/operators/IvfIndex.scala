@@ -31,7 +31,11 @@ import graft.functions.{SignatureExpressions, VectorFunctions}
 object IvfIndex {
 
   /** Train centroids, assign every corpus vector its cell, publish the
-    * corpus partitioned by cell plus a `<name>_centroids` companion.
+    * corpus partitioned by cell WITH its centroids riding in the same
+    * version directory (`_centroids`, underscore-invisible to scans,
+    * written before the manifest swap). Corpus and centroids therefore
+    * become visible in the SAME atomic step — a probe can never pair a
+    * new layout with stale centroids, whichever instant it starts.
     * Returns the published version id. */
   def build(wh: Warehouse, corpus: DataFrame, idCol: String, vecCol: String,
             dim: Int, nlist: Int = 64, name: String = "ivf_index",
@@ -42,10 +46,11 @@ object IvfIndex {
     val assigned = corpus.select(col(idCol), col(vecCol),
       element_at(SignatureExpressions.ivfAssign(col(vecCol), cents, 1), 1)
         .as("cell"))
-    val version = wh.publish(assigned, name, partitionCols = Seq("cell"))
-    wh.publish(cents.zipWithIndex
-      .map { case (c, i) => (i, c) }.toDF("cell", "centroid"), s"${name}_centroids")
-    version
+    wh.publish(assigned, name, partitionCols = Seq("cell"),
+      beforeSwap = vdir =>
+        cents.zipWithIndex.map { case (c, i) => (i, c) }
+          .toDF("cell", "centroid")
+          .coalesce(1).write.parquet(s"$vdir/_centroids"))
   }
 
   /** Probe the published index: top-k neighbors per query over the
@@ -55,18 +60,28 @@ object IvfIndex {
   def probe(wh: Warehouse, queries: DataFrame, idCol: String, vecCol: String,
             name: String = "ivf_index", k: Int = 5,
             nprobe: Int = 8): DataFrame = {
-    val cents: Seq[Seq[Double]] = wh.read(s"${name}_centroids")
+    // resolve the version ONCE and read centroids + corpus from inside it:
+    // both halves of the index come from the same immutable snapshot even
+    // if a rebuild swaps the manifest mid-probe
+    val version = wh.currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"IVF index '$name' was never built"))
+    val vdir = s"${wh.root}/$name/_versions/$version"
+    val cents: Seq[Seq[Double]] = wh.spark.read.parquet(s"$vdir/_centroids")
       .orderBy("cell").select("centroid")
       .collect().map(_.getSeq[Double](0)).toSeq
+    // localCheckpoint: the assignment feeds both the collected cell set
+    // and the candidate join — without it the whole query-side pipeline
+    // (and its source scan) would execute twice
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         SignatureExpressions.ivfAssign(col(vecCol), cents, nprobe).as("cells"))
       .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
+      .localCheckpoint()
     // the probe set is small by contract: its distinct cells are a bounded
     // literal set, which reaches the scan as a static PartitionFilter —
     // only those directories are listed or read
     val probedCells = q.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val corpus = wh.read(name)
+    val corpus = wh.readVersion(name, version)
       .filter(col("cell").isin(probedCells: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
     val scored = corpus

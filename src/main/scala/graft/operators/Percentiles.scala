@@ -31,6 +31,11 @@ object Percentiles {
     * per-group min. No unbounded aggregation state anywhere.
     *
     * `ps` maps output column name → probability in (0, 1].
+    *
+    * Nulls are EXCLUDED before binning — the same contract as exact
+    * `percentile`/`quantile_cont` (and without it the two engines would
+    * even disagree with each other: Spark's window sorts nulls first,
+    * DuckDB's last). `n` is therefore the NON-NULL count per group.
     */
   def histogramPercentiles(df: DataFrame, groupCols: Seq[String],
                            valueCol: String, binWidth: Double,
@@ -40,6 +45,7 @@ object Percentiles {
       "probabilities must sit in (0, 1]")
     val gcols = groupCols.map(col)
     val binned = df
+      .filter(col(valueCol).isNotNull)
       .groupBy((gcols :+ floor(col(valueCol) / binWidth).cast("long")
         .as("__bin")): _*)
       .agg(count(lit(1)).as("__c"))

@@ -291,7 +291,8 @@ object ExtendedQueries {
       """WITH b AS (SELECT o_orderstatus,
         |    CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin,
         |    COUNT(*) AS c
-        |  FROM orders GROUP BY o_orderstatus, bin),
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |  GROUP BY o_orderstatus, bin),
         |w AS (SELECT o_orderstatus, bin, c,
         |    SUM(c) OVER (PARTITION BY o_orderstatus ORDER BY bin) AS cum,
         |    SUM(c) OVER (PARTITION BY o_orderstatus) AS n

@@ -71,6 +71,11 @@ class CboSpec extends SparkSpec {
       "cbo_part", partitionCols = Seq("year"), analyze = true)
     try {
       assert(wh.tableCbo("cbo_part").count() == 300)
+      // tableCbo is read-with-stats, not a reordered/retyped cousin: the
+      // declared DDL prevents partition-type inference and the select
+      // restores original column order
+      assert(wh.tableCbo("cbo_part").schema == wh.read("cbo_part").schema,
+        s"${wh.tableCbo("cbo_part").schema} vs ${wh.read("cbo_part").schema}")
       val stats = spark.sql("DESCRIBE EXTENDED cbo_part")
         .filter($"col_name" === "Statistics").collect()
       assert(stats.nonEmpty && stats.head.getString(1).contains("300 rows"),

@@ -256,6 +256,30 @@ class PublishSpec extends SparkSpec {
     assert(fileScan.selectedPartitions.partitionCount == 1)
   }
 
+  test("streamingAppend rejects schema drift instead of landing bad files") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwrite(Seq(("s0", 2020L)).toDF("sid", "year"), "t")
+    val in = s"${wh.root}/incoming"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    // the stream declares year as INT — type drift vs the table's BIGINT
+    val drifted = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sid",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("year",
+        org.apache.spark.sql.types.IntegerType)))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/a.csv"),
+      "sid,year\ns1,2021\n")
+    val q = wh.streamingAppend(wh.readCsvStream(in, drifted), "t",
+      s"${wh.root}/_chk_drift")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(err.getMessage.contains("type drift") ||
+      String.valueOf(err.getCause).contains("type drift"), err.getMessage)
+    assert(wh.read("t").count() == 1) // nothing landed
+  }
+
   test("vacuum grace window spares freshly retired versions") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwrite((1 to 5).toDF("n"), "t")

@@ -48,6 +48,16 @@ class BloomFunctionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bloomAntiJoin keeps null-key rows, like the anti-join it replaces") {
+    val big = Seq(Some(1L), None, Some(2L), None, Some(3L)).toDF("k")
+    val small = Seq(2L).toDF("sk")
+    val got = Dedup.bloomAntiJoin(big, small, "k", "sk")
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
+    val expected = big.join(small.withColumnRenamed("sk", "k"), Seq("k"), "left_anti")
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
+    assert(got == expected && got == Seq(-1L, -1L, 1L, 3L))
+  }
+
   test("the bloom probe runs inside a WholeStageCodegen filter") {
     def allNodes(plan: SparkPlan): Seq[SparkPlan] = {
       val children = plan match {

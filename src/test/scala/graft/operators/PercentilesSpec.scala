@@ -38,6 +38,16 @@ class PercentilesSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan.take(1500))
   }
 
+  test("null values are excluded, like exact percentile") {
+    val rows = Seq(("g", Some(10.0)), ("g", None), ("g", Some(20.0)),
+      ("g", None), ("g", Some(30.0)), ("g", Some(40.0)))
+    val got = Percentiles.histogramPercentiles(rows.toDF("g", "v"),
+      Seq("g"), "v", binWidth = 10.0, ps = Seq("p50" -> 0.5)).head()
+    // 4 non-null values; p50 → 2nd (20.0); n counts non-nulls only
+    assert(got.getDouble(1) == 20.0)
+    assert(got.getLong(2) == 4)
+  }
+
   test("bin edges are deterministic for negative and exact-edge values") {
     val rows = Seq(("g", -25.0), ("g", -5.0), ("g", 0.0), ("g", 10.0),
       ("g", 19.999), ("g", 20.0))
