@@ -124,6 +124,34 @@ object TextFunctions {
     trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
+  /** URL canonicalization — the dedup key for web-crawl corpora, where
+    * the same page arrives as `HTTPS://WWW.Example.COM/A?utm_source=x#top`
+    * and `https://example.com/A`. Normalizations, in order: trim; strip
+    * the `#fragment`; lowercase the SCHEME+HOST only (paths are
+    * case-sensitive); drop a `www.` host prefix; strip tracking
+    * parameters (`utm_*`, `fbclid`, `gclid`) wherever they sit in the
+    * query string; drop dangling `?`/`&`. All patterns are portable
+    * (no backreferences, no shorthand classes) so the DuckDB oracle
+    * replays the chain byte-for-byte; tracking-param removal is three
+    * ordered passes (ampersand-led, first-of-several, lone) because a
+    * single pattern would need a backreference to repair the separator.
+    * A string with no `scheme://` prefix passes through with only the
+    * fragment/tracking/trailing cleanups (the extract matches empty).
+    */
+  def normalizeUrl(url: Column): Column = {
+    val t = trim(url)
+    val noFrag = regexp_replace(t, "#.*", "")
+    val hostP = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+    val lowered = concat(lower(regexp_extract(noFrag, hostP, 0)),
+      regexp_replace(noFrag, hostP, ""))
+    val noWww = regexp_replace(lowered, "://www\\.", "://")
+    val track = "(utm_[a-zA-Z0-9]+|fbclid|gclid)"
+    val p1 = regexp_replace(noWww, s"&$track=[^&#]*", "")
+    val p2 = regexp_replace(p1, s"\\?$track=[^&#]*&", "?")
+    val p3 = regexp_replace(p2, s"\\?$track=[^&#]*", "")
+    regexp_replace(p3, "[?&]+$", "")
+  }
+
   /** Word k-shingles (k consecutive tokens joined by a space). Texts with
     * fewer than k tokens yield a single shingle of the whole text so every
     * document lands in some bucket.

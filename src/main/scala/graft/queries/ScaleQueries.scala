@@ -187,6 +187,22 @@ object ScaleQueries {
         .select("doc_id")
     }),
 
+    // ── URL canonicalization + URL-keyed dedup: the crawl-prep step
+    //    before any content dedup. Mixed-case scheme/host, www, tracking
+    //    params and fragments are synthesized onto each doc; the
+    //    canonical key collapses them (path case preserved) ──
+    "q89_url_dedup" -> ((s, dir) =>
+      Td(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          TextFunctions.normalizeUrl(concat(
+            lit("HTTPS://WWW.Example.COM/"), col("source"), lit("/Doc/"),
+            (col("doc_id") % 100).cast("string"),
+            lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string"),
+            lit("&fbclid=x#sec"))).as("norm_url"))
+        .groupBy("norm_url")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))),
+
     // ── C4-style segment-level corpus dedup: 10-token windows, global
     //    first occurrence wins, docs reassembled from survivors ──
     "q71_segment_dedup" -> ((s, dir) =>
@@ -897,6 +913,33 @@ object ScaleQueries {
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id % 40 <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // q89: the same canonicalization chain, pass by pass (regexp_replace
+    // needs the 'g' flag — DuckDB replaces first-only by default)
+    "q89_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |    'HTTPS://WWW.Example.COM/' || source || '/Doc/' ||
+        |    CAST(doc_id % 100 AS VARCHAR) || '?utm_source=feed&id=' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '&fbclid=x#sec' AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '', 'g') AS x FROM u),
+        |s2 AS (SELECT doc_id,
+        |    lower(regexp_extract(x, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*'))
+        |      || regexp_replace(x, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS x
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(x, '://www\.', '://') AS x FROM s2),
+        |s4 AS (SELECT doc_id,
+        |    regexp_replace(x, '&(utm_[a-zA-Z0-9]+|fbclid|gclid)=[^&#]*', '', 'g') AS x
+        |  FROM s3),
+        |s5 AS (SELECT doc_id,
+        |    regexp_replace(x, '\?(utm_[a-zA-Z0-9]+|fbclid|gclid)=[^&#]*&', '?', 'g') AS x
+        |  FROM s4),
+        |s6 AS (SELECT doc_id,
+        |    regexp_replace(x, '\?(utm_[a-zA-Z0-9]+|fbclid|gclid)=[^&#]*', '', 'g') AS x
+        |  FROM s5),
+        |n AS (SELECT doc_id, regexp_replace(x, '[?&]+$', '', 'g') AS norm_url FROM s6)
+        |SELECT norm_url, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM n GROUP BY norm_url""".stripMargin,
 
     // q87: the bloom is only routing — the result is the exact anti-join,
     // which is what the oracle states directly

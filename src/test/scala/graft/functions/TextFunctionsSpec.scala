@@ -66,6 +66,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == "Hello one & two <three> 'four'", got)
   }
 
+  test("normalizeUrl: case, www, fragments, tracking params") {
+    val cases = Seq(
+      // scheme+host lowered, www dropped, path case PRESERVED
+      "HTTPS://WWW.Example.COM/Some/Path" -> "https://example.com/Some/Path",
+      // fragment stripped
+      "https://a.example/p#frag?x=1" -> "https://a.example/p",
+      // lone tracking param: query gone entirely
+      "https://a.example/p?utm_source=x" -> "https://a.example/p",
+      // first-of-several: separator repaired
+      "https://a.example/p?utm_source=x&id=3" -> "https://a.example/p?id=3",
+      // mid/final ampersand-led
+      "https://a.example/p?id=3&fbclid=abc&z=2" -> "https://a.example/p?id=3&z=2",
+      "https://a.example/p?id=3&gclid=g" -> "https://a.example/p?id=3",
+      // non-tracking params whose NAME contains utm_ are kept
+      "https://a.example/p?xutm_a=1" -> "https://a.example/p?xutm_a=1",
+      // dangling separators cleaned; schemeless passes through
+      "https://a.example/p?utm_a=1&utm_b=2" -> "https://a.example/p",
+      "  relative/path?utm_x=1  " -> "relative/path")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextFunctions.normalizeUrl($"u").as("n"))
+      .collect().map(_.getString(0)).toSeq
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, g) }
+  }
+
   test("htmlText: escaped entities decode once, not twice") {
     // '&amp;lt;' is the TEXT '&lt;' — decoding &amp; first would turn it
     // into '&lt;' and then a second pass into '<'
