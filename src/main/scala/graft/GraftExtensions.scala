@@ -157,6 +157,28 @@ object GraftFunctions {
         s"html_text expects 1 argument, got ${args.length}")
     },
 
+    fn("compression_ratio",
+      "compression_ratio(text) - deflate(level 6) bytes / raw bytes: the " +
+        "cheap repetition/gibberish detector (repetitive text << prose; " +
+        "base64/noise near 1.0). Implementation-defined exact value — gate " +
+        "on orderings/thresholds, not equality.") {
+      case Seq(t) =>
+        bridge.resolvedExpression(graft.functions.SignatureExpressions
+          .compressionRatio(bridge.column(t)))
+      case args => throw new IllegalArgumentException(
+        s"compression_ratio expects 1 argument, got ${args.length}")
+    },
+
+    fn("normalize_url",
+      "normalize_url(url) - canonical dedup key for crawl URLs: lowercases " +
+        "scheme+host (path case preserved), drops www/fragment/tracking " +
+        "params (utm_*, fbclid, gclid) and dangling separators.") {
+      case Seq(u) =>
+        bridge.resolvedExpression(TextFunctions.normalizeUrl(bridge.column(u)))
+      case args => throw new IllegalArgumentException(
+        s"normalize_url expects 1 argument, got ${args.length}")
+    },
+
     fn("quality_score",
       "quality_score(text) - heuristic [0,1] corpus-quality blend of " +
         "length, punctuation, stopword and token-length signals.") {

@@ -568,6 +568,52 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Deflate-compression ratio of a string: `compressed_bytes / raw_bytes`
+  * at a FIXED level (6, raw deflate — no header/checksum noise). The
+  * classic cheap repetition/gibberish detector in corpus curation:
+  * boilerplate-heavy or looping text compresses far below natural prose
+  * (ratio ≲ 0.3 vs ~0.5-0.7), and base64/random noise sits near-or-above
+  * 1.0. Empty string → 1.0. Not SQL-oracle-reproducible (the ratio is a
+  * zlib implementation detail), so its gates assert ORDERINGS and bounds,
+  * not exact values; pipelines should treat the threshold as tunable.
+  */
+case class CompressionRatioExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "compression_ratio"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"compression_ratio needs a string, got ${other.simpleString(4)}")
+    }
+
+  def compute(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      n.toDouble / bytes.length
+    } finally d.end()
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(compute(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("compressionRatio", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object SignatureExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
 
@@ -604,4 +650,7 @@ object SignatureExpressions {
   def ivfAssign(v: Column, centroids: Seq[Seq[Double]],
                 nearest: Int = 1): Column =
     toCol(IvfAssignExpr(toExpr(v), centroids, nearest))
+
+  def compressionRatio(text: Column): Column =
+    toCol(CompressionRatioExpr(toExpr(text)))
 }

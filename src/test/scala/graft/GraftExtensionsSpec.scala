@@ -94,6 +94,13 @@ class GraftExtensionsSpec extends SparkSpec {
       }).toSet)
   }
 
+  test("normalize_url via SQL matches the Column API") {
+    val got = spark.sql(
+      "SELECT normalize_url('HTTPS://WWW.Ex.COM/P?utm_a=1&id=2#f') AS u")
+      .head().getString(0)
+    assert(got == "https://ex.com/P?id=2", got)
+  }
+
   test("topk_structs via SQL matches the Column API aggregate") {
     docs.createOrReplaceTempView("docs_sql5")
     val viaSql = spark.sql(

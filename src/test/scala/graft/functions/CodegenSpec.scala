@@ -101,6 +101,16 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("compression_ratio runs inside WholeStageCodegen") {
+    withStrictCodegen {
+      val df = docs.filter(col("id") > 0)
+        .select(col("id"),
+          SignatureExpressions.compressionRatio(col("text")).as("c"))
+      assertCodegenProject(df, "compression_ratio")
+      assert(df.collect().forall(r => r.getDouble(1) > 0))
+    }
+  }
+
   test("minhash/sig-agreement pipeline runs inside WholeStageCodegen") {
     withStrictCodegen {
       val sigs = docs.select(

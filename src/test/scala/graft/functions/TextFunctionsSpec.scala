@@ -53,6 +53,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(1L).length <= 8)
   }
 
+  test("compressionRatio orders repetitive < prose < noise; bounded; empty = 1") {
+    import graft.functions.SignatureExpressions.compressionRatio
+    val repetitive = "spam spam spam spam " * 60
+    val prose = "The vegetation survey recorded forty-two distinct species " +
+      "across the northern grid transects during the early summer window, " +
+      "with ground cover estimates varying by aspect and soil moisture."
+    val noise = new scala.util.Random(3).alphanumeric.take(1200).mkString
+    val got = Seq(("r", repetitive), ("p", prose), ("n", noise), ("e", ""))
+      .toDF("k", "t")
+      .select($"k", compressionRatio($"t").as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("r") < 0.1, s"repetitive ${got("r")}")
+    assert(got("p") > got("r") && got("p") < 1.0, s"prose ${got("p")}")
+    assert(got("n") > got("p"), s"noise ${got("n")}")
+    assert(got("e") == 1.0)
+    assert(got.values.forall(c => c > 0 && c < 1.5))
+  }
+
   test("htmlText strips boilerplate, decodes entities, keeps body text") {
     val html = """<html><head><title>Ignored</title>
       |<style type="text/css">body { margin: 0; }</style>
