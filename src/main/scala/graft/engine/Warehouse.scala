@@ -294,6 +294,38 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case None => spark.read.parquet(p)
     }
 
+  /** Audit diff between two published versions of a table: one row per
+    * key that was `added`, `removed`, or `changed` (same key, any non-key
+    * column differing), with the key columns alongside. The reference's
+    * symmetric-difference audit (J7/J8) extended along the version axis:
+    * "what did last night's publish actually do?". One full-outer join on
+    * the key — both sides shuffle-partition by it, nothing collects. */
+  def diffVersions(name: String, oldVersion: String, newVersion: String,
+                   keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff needs at least one key column")
+    val o = readVersion(name, oldVersion)
+    val n = readVersion(name, newVersion)
+    require(o.columns.sameElements(n.columns),
+      s"diffVersions '$name': schemas differ between versions " +
+        s"(${o.columns.toSeq} vs ${n.columns.toSeq}) — diff keys/columns " +
+        "are ambiguous across a schema change")
+    val others = o.columns.filterNot(keys.contains).toSeq
+    // row-level change detection via a struct equality (null-safe: <=> on
+    // structs compares field-wise, null = null)
+    def tagged(df: DataFrame, side: String) = {
+      // all-key tables still need a non-null presence marker per side
+      val v = if (others.isEmpty) lit(0) else struct(others.map(col): _*)
+      df.select(keys.map(col) :+ v.as(s"__v_$side"): _*)
+    }
+    tagged(o, "old").join(tagged(n, "new"), keys, "full_outer")
+      .withColumn("status",
+        when(col("__v_old").isNull, lit("added"))
+          .when(col("__v_new").isNull, lit("removed"))
+          .when(!(col("__v_old") <=> col("__v_new")), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("status") +: keys.map(col): _*)
+  }
+
   def schemaOf(name: String): StructType = read(name).schema
 
   /** Total bytes of the table's CURRENT data files — read live from the

@@ -215,6 +215,21 @@ class PublishSpec extends SparkSpec {
     assert(wh.read("tb").count() == 4)
   }
 
+  test("diffVersions reports added/removed/changed keys between publishes") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwrite(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), "t")
+    wh.overwrite(Seq((2, "b"), (3, "C"), (4, "d")).toDF("k", "v"), "t")
+    val Seq(v1, v2) = wh.listVersions("t")
+    val got = wh.diffVersions("t", v1, v2, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    // 1 gone, 3 changed case, 4 new; 2 untouched (absent from the diff)
+    assert(got == Set(("removed", 1), ("changed", 3), ("added", 4)))
+    // direction matters: reversed diff flips added/removed
+    val rev = wh.diffVersions("t", v2, v1, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(rev == Set(("added", 1), ("changed", 3), ("removed", 4)))
+  }
+
   test("append refuses bucketed tables (loose files would break the spec)") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwriteBucketed(
