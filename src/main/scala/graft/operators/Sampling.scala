@@ -135,6 +135,34 @@ object Sampling {
         explode(sequence(lit(0), col(nCol) - 1)).as("epoch"): _*)
   }
 
+  /** Fixed COUNT per group — the balanced-mixture cap ("at most n docs
+    * per source"), complementing [[stratifiedSample]]'s fixed RATES: keep
+    * the `n` rows of each group with the smallest (hash, id), a
+    * deterministic pseudo-random choice any engine reproduces.
+    *
+    * Scale shape: the textbook `row_number() OVER (PARTITION BY group
+    * ORDER BY hash)` sorts every group in full — one task per hot group.
+    * This is the bounded-heap grouped top-k instead: map-side partial
+    * heaps ship `n` rows per group per partition, shuffle volume is
+    * `|groups| × n` regardless of group size or skew. Output:
+    * (groupCol, idCol, rank) with rank 1..n in hash order.
+    */
+  def sampleFixedPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                          n: Int, salt: String = "graft"): DataFrame = {
+    require(n >= 1, "sample size must be >= 1")
+    import graft.functions.TopKAggregate
+    df.select(col(groupCol), col(idCol),
+        hashWord(col(idCol), salt).as("__h"))
+      // desc flags flip both fields: the heap's "largest" under flipped
+      // order = the SMALLEST (hash, id), emitted ascending
+      .groupBy(col(groupCol))
+      .agg(TopKAggregate.topKStructs(struct(col("__h"), col(idCol)), n,
+        desc = Seq(true, true)).as("top"))
+      .select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), col(s"col.$idCol").as(idCol),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic global shuffle for training order: sort by (hash, id).
     * Spark executes this as a range-partitioned sort — sampled range
     * boundaries, all partitions sort in parallel, no single-task

@@ -161,6 +161,13 @@ object ExtendedQueries {
           defaultFraction = 0.1)
         .select(col("doc_id"), col("lang"))),
 
+    // ── balanced-mixture cap: at most 40 docs per source, chosen by
+    //    deterministic hash order. Heap top-k, not a window — shuffle is
+    //    |sources| × 40 whatever the source skew ──
+    "q90_fixed_per_group" -> ((s, dir) =>
+      graft.operators.Sampling.sampleFixedPerGroup(
+        Td(s, dir, "documents"), "source", "doc_id", n = 40)),
+
     // ── bounded-heap grouped top-k: per return flag, the 5 most expensive
     //    lineitems. The window formulation sorts whole groups (a hot key
     //    sorts on one task); the heap aggregate ships k rows per group per
@@ -376,6 +383,16 @@ object ExtendedQueries {
          |WHERE bk < (CASE WHEN lang = 'de' THEN 250000
          |                 WHEN lang = 'en' THEN 500000
          |                 ELSE 100000 END)""".stripMargin,
+
+    // q90: heap keeps the smallest (hash, id) per source via desc flags —
+    // exactly this window's first 40 rows in hash order
+    "q90_fixed_per_group" ->
+      s"""WITH r AS (SELECT source, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ${hashWordSql("graft", "doc_id")}, doc_id)
+         |      AS INTEGER) AS rank
+         |  FROM documents)
+         |SELECT source, doc_id, rank FROM r WHERE rank <= 40""".stripMargin,
 
     // heap keeps the largest (p, -orderkey, -linenumber) structs =
     // price DESC, orderkey ASC, linenumber ASC — exactly this window

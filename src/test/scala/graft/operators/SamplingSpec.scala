@@ -48,6 +48,29 @@ class SamplingSpec extends SparkSpec {
     assert(!byGrp.contains("s2"))             // default 0 drops the stratum
   }
 
+  test("sampleFixedPerGroup: window parity, cap respected, skew-immune plan") {
+    val rng = new scala.util.Random(17)
+    // skewed: group 0 holds ~70% of rows
+    val rows = (1 to 3000).map(i =>
+      (if (rng.nextInt(10) < 7) "g0" else s"g${1 + rng.nextInt(3)}", i.toLong))
+    val df = rows.toDF("src", "id").repartition(8)
+    val out = Sampling.sampleFixedPerGroup(df, "src", "id", n = 25)
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // reference: the window formulation over the same hash
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"src")
+      .orderBy(Sampling.hashWord($"id", "graft"), $"id")
+    val expected = df.withColumn("rank", row_number().over(w).cast("int"))
+      .filter($"rank" <= 25).select("src", "id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    assert(got.groupBy(_._1).forall(_._2.size == 25)) // every group capped
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && plan.contains("partial_topk_structs"),
+      plan.take(1200))
+  }
+
   test("deterministicShuffle: a stable permutation, changed by salt") {
     val p1 = Sampling.deterministicShuffle(ids, "id").as[Long].collect()
     val p2 = Sampling.deterministicShuffle(ids, "id").as[Long].collect()
