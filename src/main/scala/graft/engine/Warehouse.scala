@@ -160,9 +160,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
               beforeSwap: String => Unit = _ => ()): String = {
     require(partitionCols.forall(df.columns.contains),
       s"publish '$name': partition columns ${partitionCols.filterNot(df.columns.contains)} not in ${df.columns.toSeq}")
-    val version = ZonedDateTime.now(ZoneOffset.UTC)
-      .format(DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmssSSS")) +
-      f"-${scala.util.Random.nextInt(0x1000000)}%06x"
+    val version = newVersionId()
     val vdir = s"${dir(name)}/_versions/$version"
     if (partitionCols.isEmpty)
       df.write.mode(SaveMode.ErrorIfExists).parquet(vdir)
@@ -177,6 +175,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       finally out.close()
     }
     beforeSwap(vdir)
+    swapManifest(name, version)
+    if (analyze) analyzeCatalog(name)
+    version
+  }
+
+  /** Atomically point the table's manifest at `version`. */
+  private def swapManifest(name: String, version: String): Unit = {
     val mp = manifestPath(name)
     val tmp = new Path(s"${dir(name)}/_current.$version.tmp")
     val f = rawFs(mp)
@@ -194,9 +199,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           .getFileContext(mp.toUri, spark.sessionState.newHadoopConf())
           .rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
-    if (analyze) analyzeCatalog(name)
-    version
   }
+
+  private def newVersionId(): String =
+    ZonedDateTime.now(ZoneOffset.UTC)
+      .format(DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmssSSS")) +
+      f"-${scala.util.Random.nextInt(0x1000000)}%06x"
 
   /** Drop all but the newest `keep` published versions, plus any stale
     * pre-publish loose files still sitting in the table dir.
@@ -475,7 +483,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   }
 
   /** True iff the session catalog holds a BUCKETED table named `name`
-    * whose location is this warehouse's directory for it. */
+    * whose location lives under this warehouse's directory for it
+    * (versioned bucketed tables point INSIDE `<table>/_versions/`). */
   private def isBucketedCatalogTable(name: String): Boolean =
     try {
       if (!spark.catalog.tableExists(name)) false
@@ -484,7 +493,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
         meta.bucketSpec.isDefined &&
           meta.location.getPath.stripSuffix("/")
-            .endsWith(new Path(dir(name)).toUri.getPath.stripSuffix("/"))
+            .contains(new Path(dir(name)).toUri.getPath.stripSuffix("/"))
       }
     } catch { case _: Exception => false }
 
@@ -504,36 +513,53 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * registers an external table at the warehouse path via saveAsTable
     * (plain `read(name)` still works on the files).
     */
-  /** The bucketed writer replaces the WHOLE table in the un-versioned
-    * layout — on a previously-published table the version tree must go
-    * first, or the new files would be invisible to read() (which resolves
-    * the manifest) and vacuum() would delete them as stale. This writer is
-    * therefore NOT reader-atomic (bucket metadata lives in the session
-    * catalog, whose pointer can't swap with the files), and NOT safe for
-    * self-reference: `df` must not be derived from `read(name)` of the
-    * same table — the lazy plan's source files are deleted here before
-    * the write executes. Stage through another table or a backup first.
-    * (Partitioned overwrites don't share this: [[overwritePartitioned]]
-    * is an atomic [[publish]] that writes beside the old files.) */
-  private def dropVersioning(name: String): Unit =
-    if (currentVersion(name).isDefined) {
-      val mp = manifestPath(name)
-      rawFs(mp).delete(mp, false)
-      val vroot = new Path(s"${dir(name)}/_versions")
-      fs(vroot).delete(vroot, true)
-    }
-
+  /** Bucketed overwrite as a versioned publish: the bucketed files land
+    * in an immutable version directory (written through a throwaway
+    * staging catalog entry, which is how Spark assigns bucket ids to file
+    * names), the manifest swaps atomically, and the PERMANENT catalog
+    * entry is repointed at the new version — `ALTER TABLE SET LOCATION`
+    * when the bucket spec is unchanged (one metastore call; catalog
+    * readers see the old location or the new one), DROP+CREATE when the
+    * spec itself changed. `read()` readers get full manifest atomicity;
+    * old versions stay until [[vacuum]], so self-referential rewrites
+    * (df = f(read(name))) are safe — the files the plan is reading are
+    * never touched. */
   def overwriteBucketed(df: DataFrame, name: String, bucketKeys: Seq[String],
                         numBuckets: Int): Unit = {
     require(bucketKeys.nonEmpty && numBuckets > 0)
-    dropVersioning(name)
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    df.write.mode(SaveMode.Overwrite)
-      .option("path", dir(name))
+    val version = newVersionId()
+    val vdir = s"${dir(name)}/_versions/$version"
+    val stagingName = s"${name}__staging"
+    spark.sql(s"DROP TABLE IF EXISTS `$stagingName`")
+    // saveAsTable is what encodes bucket ids into file names; the staging
+    // entry is dropped right after (external table: files stay)
+    df.write.mode(SaveMode.ErrorIfExists)
+      .option("path", vdir)
       .bucketBy(numBuckets, bucketKeys.head, bucketKeys.tail: _*)
       .sortBy(bucketKeys.head, bucketKeys.tail: _*)
       .format("parquet")
-      .saveAsTable(name)
+      .saveAsTable(stagingName)
+    spark.sql(s"DROP TABLE IF EXISTS `$stagingName`")
+    swapManifest(name, version)
+    val specUnchanged = try {
+      spark.catalog.tableExists(name) && {
+        val meta = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+        meta.bucketSpec.exists(b => b.numBuckets == numBuckets &&
+          b.bucketColumnNames == bucketKeys)
+      }
+    } catch { case _: Exception => false }
+    if (specUnchanged)
+      spark.sql(s"ALTER TABLE `$name` SET LOCATION '$vdir'")
+    else {
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      val colsDDL = df.schema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"CREATE TABLE `$name` ($colsDDL) USING parquet " +
+        s"CLUSTERED BY (${bucketKeys.map(c => s"`$c`").mkString(", ")}) " +
+        s"SORTED BY (${bucketKeys.map(c => s"`$c`").mkString(", ")}) " +
+        s"INTO $numBuckets BUCKETS LOCATION '$vdir'")
+    }
   }
 
   /** Read a bucketed table WITH its bucket metadata (bucket-aware joins

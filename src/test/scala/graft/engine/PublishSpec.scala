@@ -202,17 +202,42 @@ class PublishSpec extends SparkSpec {
     assert(wh.read("t").columns.toSeq == Seq("id", "year", "v"))
   }
 
-  test("bucketed writer on a published table drops the version tree first") {
+  test("bucketed overwrite is a versioned publish; rebuild stays bucketed") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwrite((1 to 10).map(i => (i.toLong, i % 3)).toDF("id", "k"), "tb")
-    assert(wh.currentVersion("tb").isDefined)
-    // bucketed overwrite reverts to plain layout (bucket metadata lives in
-    // the session catalog, which can't swap atomically with the files);
-    // read() must see the new data, not the stale published version
-    wh.overwriteBucketed(
-      (1 to 4).map(i => (i.toLong, i % 2)).toDF("id", "k"), "tb", Seq("k"), 2)
-    assert(wh.currentVersion("tb").isEmpty)
-    assert(wh.read("tb").count() == 4)
+    val v1 = wh.currentVersion("tb")
+    assert(v1.isDefined)
+    try {
+      wh.overwriteBucketed(
+        (1 to 4).map(i => (i.toLong, i % 2)).toDF("id", "k"), "tb", Seq("k"), 2)
+      // versioning SURVIVES a bucketed overwrite now
+      val v2 = wh.currentVersion("tb")
+      assert(v2.isDefined && v2 != v1)
+      assert(wh.read("tb").count() == 4)
+      assert(wh.readBucketed("tb").count() == 4)
+      // a reader pinned on the old version keeps scanning intact files
+      assert(wh.readVersion("tb", v1.get).count() == 10)
+      // same-spec rebuild repoints the catalog via ALTER ... SET LOCATION
+      wh.overwriteBucketed(
+        (1 to 6).map(i => (i.toLong, i % 2)).toDF("id", "k"), "tb", Seq("k"), 2)
+      assert(wh.readBucketed("tb").count() == 6)
+      assert(wh.read("tb").count() == 6)
+      // bucket METADATA still real: same-key join plans with no exchange
+      // on the bucketed side
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        wh.overwriteBucketed(
+          (1 to 100).map(i => (i.toLong, i % 5)).toDF("id2", "k"), "tb2",
+          Seq("k"), 2)
+        val joined = wh.readBucketed("tb").join(wh.readBucketed("tb2"), Seq("k"))
+        assert(joined.count() == 6 * 20)
+        assert(!joined.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"),
+          joined.queryExecution.executedPlan.toString.take(1500))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally Seq("tb", "tb2")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
   test("diffVersions reports added/removed/changed keys between publishes") {
