@@ -207,12 +207,26 @@ object GraftFunctions {
     },
 
     fn("topk_structs",
-      "topk_structs(struct, k) - AGGREGATE: array of the k largest structs " +
-        "per group (lexicographic order, bounded-heap state — shuffle is " +
-        "groups x k regardless of group size).") {
+      "topk_structs(struct, k[, desc_flags]) - AGGREGATE: array of the k " +
+        "largest structs per group (lexicographic order, bounded-heap " +
+        "state — shuffle is groups x k regardless of group size). The " +
+        "optional array(boolean) literal flips per-field comparison " +
+        "(mixed orderings without numeric negation).") {
       case Seq(s, kk) => TopKStructsAgg(s, intArg(kk, "topk_structs", "k"))
+      case Seq(s, kk, d) =>
+        val flags = d match {
+          case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _) =>
+            elems.map {
+              case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
+              case other => throw new IllegalArgumentException(
+                s"topk_structs desc_flags must be boolean literals, got $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"topk_structs desc_flags must be a literal array(...), got $other")
+        }
+        TopKStructsAgg(s, intArg(kk, "topk_structs", "k"), flags)
       case args => throw new IllegalArgumentException(
-        s"topk_structs expects 2 arguments, got ${args.length}")
+        s"topk_structs expects 2-3 arguments, got ${args.length}")
     }
   )
 

@@ -399,6 +399,23 @@ object Dedup {
       big.filter(maybe).join(keys, Seq(bigKey), "left_anti"))
   }
 
+  /** Bloom-prefiltered SEMI join — [[bloomAntiJoin]]'s twin for allowlist
+    * shapes ("keep only documents whose URL/fingerprint IS in the
+    * registry"). Even more bloom-natural than the anti side: a definite
+    * non-member is dropped map-side immediately (one branch, no union —
+    * the overwhelming majority in allowlist use never reaches the join),
+    * and only bloom positives continue into the exact semi-join that
+    * clears the ~fpp false-positive sliver. Null keys match nothing and
+    * are dropped, exactly like the semi-join itself. */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                    smallKey: String, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomFunctions
+    val bf = BloomFunctions.buildFilter(small, smallKey, fpp)
+    val keys = small.select(col(smallKey).as(bigKey)).distinct()
+    big.filter(BloomFunctions.mightContain(bf, col(bigKey)))
+      .join(keys, Seq(bigKey), "left_semi")
+  }
+
   /** Segment-level corpus dedup (the C4 "discard duplicated lines" step,
     * phrased over fixed windows of `segTokens` tokens because the corpus
     * has no line structure): every segment that already occurred earlier

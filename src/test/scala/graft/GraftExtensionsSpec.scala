@@ -115,6 +115,21 @@ class GraftExtensionsSpec extends SparkSpec {
       viaCol.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet)
   }
 
+  test("topk_structs desc_flags via SQL flip per-field direction") {
+    val df = Seq((1, 5.0, "b"), (1, 5.0, "a"), (1, 3.0, "z"), (2, 9.0, "q"))
+      .toDF("g", "v", "s")
+    df.createOrReplaceTempView("topk_desc_sql")
+    // keep 2 largest by (v asc-cmp, s flipped): v desc, ties → smallest s
+    val got = spark.sql(
+      """SELECT g, topk_structs(struct(v, s), 2, array(false, true)) AS top
+        |FROM topk_desc_sql GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+          (x.getDouble(0), x.getString(1))).toList).toMap
+    assert(got(1) == List((5.0, "a"), (5.0, "b")))
+    assert(got(2) == List((9.0, "q")))
+  }
+
   test("non-literal shape parameters are rejected with a clear error") {
     docs.createOrReplaceTempView("docs_sql2")
     val e = intercept[Exception] {

@@ -58,6 +58,21 @@ class BloomFunctionsSpec extends SparkSpec {
     assert(got == expected && got == Seq(-1L, -1L, 1L, 3L))
   }
 
+  test("bloomSemiJoin equals the exact semi-join under an aggressive fpp") {
+    val rng = new scala.util.Random(43)
+    val big = ((1 to 10000).map(_ => Some(rng.nextInt(2000).toLong)) ++
+      Seq(None, None)).toDF("k").repartition(8)
+    val small = (0 until 1000).filter(_ % 4 == 0).map(_.toLong).toDF("sk")
+    val got = Dedup.bloomSemiJoin(big, small, "k", "sk", fpp = 0.2)
+      .groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = big.join(small.withColumnRenamed("sk", "k"),
+        Seq("k"), "left_semi")
+      .groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("the bloom probe runs inside a WholeStageCodegen filter") {
     def allNodes(plan: SparkPlan): Seq[SparkPlan] = {
       val children = plan match {

@@ -108,6 +108,29 @@ class TextFunctionsSpec extends SparkSpec {
     cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, g) }
   }
 
+  test("normalizeUrl is idempotent on already-canonical output") {
+    // canonicalization must be a projection onto its own image: a second
+    // pass changes nothing (else dedup keys depend on how many times a
+    // pipeline stage ran)
+    val rng = new scala.util.Random(29)
+    val hosts = Seq("WWW.Ex.COM", "ex.com", "a.b.Example.ORG", "WWW.x.io")
+    val paths = Seq("/A/b", "/", "", "/Path%20X", "/p/q/r")
+    val queries = Seq("", "?id=1", "?utm_a=1", "?utm_a=1&id=2", "?id=2&gclid=9",
+      "?utm_a=1&utm_b=2&z=3", "?xutm=1&fbclid=2")
+    val frags = Seq("", "#f", "#a?b=1")
+    val urls = (1 to 200).map { _ =>
+      s"HTTPS://${hosts(rng.nextInt(hosts.length))}${paths(rng.nextInt(paths.length))}" +
+        s"${queries(rng.nextInt(queries.length))}${frags(rng.nextInt(frags.length))}"
+    }
+    val once = urls.toDF("u")
+      .select(TextFunctions.normalizeUrl($"u").as("n"))
+      .collect().map(_.getString(0)).toSeq
+    val twice = once.toDF("n")
+      .select(TextFunctions.normalizeUrl($"n").as("n2"))
+      .collect().map(_.getString(0)).toSeq
+    once.zip(twice).foreach { case (a, b) => assert(a == b, s"$a -> $b") }
+  }
+
   test("htmlText: escaped entities decode once, not twice") {
     // '&amp;lt;' is the TEXT '&lt;' — decoding &amp; first would turn it
     // into '&lt;' and then a second pass into '<'
