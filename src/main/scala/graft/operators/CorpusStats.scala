@@ -79,6 +79,58 @@ object CorpusStats {
     * would avoid the shuffle but runs interpreted per row — measured
     * slower and unbounded in document length, so the explode wins.
     */
+  /** Count-based n-gram language-model familiarity score per document —
+    * the CCNet-style "does this text look like the rest of the corpus"
+    * quality filter, phrased on integer evidence so every engine computes
+    * the identical result:
+    *
+    *  - `n_grams` — word k-grams in the document (positions, not distinct);
+    *  - `oov_grams` — grams whose corpus-wide occurrence count is 1, i.e.
+    *    seen nowhere else (the add-one-smoothed log-prob tail);
+    *  - `familiarity` — Σ corpus-count over the document's gram positions
+    *    (the exact-integer analogue of Σ log P(w_i|w_{i-k+1..}); a float
+    *    log-sum is order-dependent across engines, an int sum is not);
+    *  - `avg_gram_freq` — familiarity / n_grams, the one float, computed
+    *    in a single division and rounded.
+    *
+    * Scale shape: one explode → |distinct grams| partial-agg groupBy for
+    * the model, one gram-keyed join back, one id-keyed partial-agg — the
+    * same two-shuffle profile as TF-IDF; the model is never collected.
+    * Train-vs-score separation falls out of the `model` parameter: pass a
+    * previously materialized count table to score new arrivals against a
+    * frozen corpus model.
+    */
+  def ngramLmScore(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 2, model: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val gramArr = transform(sequence(lit(0), col("__n") - k),
+      i => concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))
+    val grams = base
+      .withColumn("__grams",
+        when(col("__n") >= k, gramArr).otherwise(array().cast("array<string>")))
+      .select(col(idCol), explode(col("__grams")).as("gram"))
+    val counts = model.getOrElse(
+      grams.groupBy(col("gram")).agg(count(lit(1)).as("c")))
+    val scored = grams
+      .join(counts, Seq("gram"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("c") <= 1, 1L).otherwise(0L)).as("oov_grams"),
+        sum(col("c")).as("familiarity"))
+    base.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("oov_grams"), lit(0L)).as("oov_grams"),
+        coalesce(col("familiarity"), lit(0L)).as("familiarity"),
+        coalesce(
+          round(col("familiarity").cast("double") /
+            col("n_grams").cast("double"), 6), lit(0.0)).as("avg_gram_freq"))
+  }
+
   def repetitionProfile(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 2): DataFrame = {
     require(k >= 1, "k must be >= 1")

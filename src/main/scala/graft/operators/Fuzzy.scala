@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact edit-distance (Levenshtein) self-join without all-pairs.
+  *
+  * The naive formulation — cross join + `levenshtein(a, b) <= t` — is
+  * O(n²) comparisons and a full cartesian shuffle; length-bucket blocking
+  * barely helps (real corpora concentrate in a few lengths, so one bucket
+  * IS the cross join). This uses the deletion-neighborhood scheme
+  * (SymSpell / Mor-Fraenkel): every string emits its set of variants with
+  * up to `maxDist` characters deleted. If `lev(a, b) <= t` then a and b
+  * share at least one common variant obtained by ≤t deletions on each
+  * side (each substitution deletes one position from both strings, each
+  * insert/delete deletes one position from the longer side) — so an
+  * equi-join on the variant key finds EVERY qualifying pair, and a final
+  * `levenshtein` filter removes the false candidates. Exact results, no
+  * cartesian anywhere.
+  *
+  * Scale shape: one explode (≤ 1 + len keys/row at t=1; + len²/2 at
+  * t=2) → one equi-join on near-unique string keys → distinct on the
+  * candidate pair ids. Shuffle is linear in total corpus characters; a
+  * hot key exists only where many strings genuinely collapse to the same
+  * variant — i.e. a real near-duplicate cluster, which is inherent output,
+  * not plan skew.
+  */
+object Fuzzy {
+
+  /** All variants of `s` with up to `maxDist` (1 or 2) single-character
+    * deletions, the string itself included, de-duplicated. Pure
+    * higher-order array expressions — distributed, no UDF.
+    */
+  private[operators] def deletionVariants(s: Column, maxDist: Int): Column = {
+    // delete 1-based position i from s
+    def del1(str: Column, i: Column): Column =
+      concat(str.substr(lit(1), i - 1), str.substr(i + 1, length(str)))
+    // sequence(1, 0) counts DOWN — guard the empty string
+    def positions(str: Column): Column =
+      when(length(str) >= 1, sequence(lit(1), length(str)))
+        .otherwise(array().cast("array<int>"))
+    val singles = transform(positions(s), i => del1(s, i))
+    val keys = maxDist match {
+      case 1 => concat(array(s), singles)
+      case 2 =>
+        // ordered pairs i < j: delete j first so i's index is unshifted
+        val doubles = flatten(transform(positions(s), i =>
+          transform(filter(positions(s), j => j > i), j => del1(del1(s, j), i))))
+        concat(array(s), singles, doubles)
+    }
+    array_distinct(keys)
+  }
+
+  /** Self-join `df` on `lev(strCol_a, strCol_b) <= maxDist` (1 or 2).
+    * Returns the canonical pairs `(id_a < id_b, dist)` — exact: every
+    * qualifying pair appears exactly once, no non-qualifying pair appears.
+    */
+  def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
+                       maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2 (deletion-neighborhood size is C(len, t)); got $maxDist")
+    val keyed = df
+      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .where(col("__s").isNotNull)
+      .select(col("__id"), col("__s"),
+        explode(deletionVariants(col("__s"), maxDist)).as("__k"))
+    val a = keyed.select(col("__k"), col("__id").as("id_a"), col("__s").as("__sa"))
+    val b = keyed.select(col("__k"), col("__id").as("id_b"), col("__s").as("__sb"))
+    a.join(b, Seq("__k"))
+      .where(col("id_a") < col("id_b"))
+      // a pair can share several variant keys — canonicalize before the
+      // (cheap but per-pair) edit-distance verification
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .distinct()
+      .where(levenshtein(col("__sa"), col("__sb")) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb")).as("dist"))
+  }
+}

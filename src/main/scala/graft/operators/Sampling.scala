@@ -223,6 +223,35 @@ object Sampling {
       .drop("__blk", "__ord", "__off", "__cum")
   }
 
+  /** Temperature-scaled mixture weights from corpus mass: per source,
+    * `weight ∝ mass^alpha` normalized to 1 — the multilingual/domain
+    * rebalancing rule (α = 1 is proportional sampling, α → 0 uniform;
+    * α ≈ 0.3–0.7 is the usual "lift the tail without drowning the head").
+    * Emits (source, n_docs, mass, weight). `alpha = 0.5` (the default) is
+    * computed via `sqrt`, which is correctly rounded on every IEEE engine
+    * — the one weight path that is bit-reproducible cross-engine; other
+    * alphas go through `pow` and may differ in the last ulp.
+    *
+    * Scale shape: one partial-agg groupBy down to |sources| rows; the
+    * normalizing total is a window over that already-tiny frame. Feed the
+    * result straight into [[mixtureTake]] / [[upsampleMixture]].
+    */
+  def mixtureWeights(df: DataFrame, sourceCol: String, massCol: String,
+                     alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "alpha must be > 0")
+    val bySource = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(massCol).cast("long")).as("mass"))
+    val scaled =
+      if (alpha == 0.5) sqrt(col("mass").cast("double"))
+      else pow(col("mass").cast("double"), alpha)
+    bySource
+      .withColumn("__w", scaled)
+      .withColumn("weight",
+        round(col("__w") / sum(col("__w")).over(Window.partitionBy()), 6))
+      .drop("__w")
+  }
+
   /** Weighted corpus mixture: split `totalBudget` tokens across sources in
     * proportion to `weights` (normalized), then budget-fill each source.
     * Unlisted sources get zero budget — the standard "mix N corpora to a

@@ -246,7 +246,42 @@ object ExtendedQueries {
           budgets = Map("src0" -> 8000L),
           defaultBudget = 4000L,
           splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
-        .select(col("doc_id"), col("source"), col("split")))
+        .select(col("doc_id"), col("source"), col("split"))),
+
+    // ── count-based bigram LM familiarity: corpus model trained and
+    //    scored in one composition; integer evidence columns keep the
+    //    result engine-exact (a float log-sum would be order-dependent) ──
+    "q91_ngram_lm" -> ((s, dir) =>
+      graft.operators.CorpusStats.ngramLmScore(
+        Td(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", k = 2)),
+
+    // ── temperature-scaled mixture weights (α = 0.5) over per-source
+    //    character mass — the domain-rebalancing input to mixtureTake ──
+    "q92_mixture_weights" -> ((s, dir) =>
+      graft.operators.Sampling.mixtureWeights(
+        Td(s, dir, "documents"), "source", "n_chars", alpha = 0.5)),
+
+    // ── salted fact-dim join: result-identical to the plain equi-join
+    //    (the oracle IS the plain join); the physical key space is spread
+    //    over 8 salts so one hot orderkey cannot pin a shuffle partition ──
+    "q94_salted_join" -> ((s, dir) => {
+      val dim = Td(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(Td(s, dir, "lineitem"), dim,
+          Seq("l_orderkey"), saltOn = "l_partkey", saltFactor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"))
+    }),
+
+    // ── exact Levenshtein self-join via deletion-neighborhood blocking:
+    //    every pair of customer names within edit distance 1, no
+    //    cartesian product anywhere in the plan ──
+    "q93_fuzzy_join" -> ((s, dir) =>
+      graft.operators.Fuzzy.editDistanceJoin(
+        Td(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1))
   )
 
   /** DuckDB analogue of Sampling.hashWord: first 4 md5 bytes of "salt|id"
@@ -578,6 +613,57 @@ object ExtendedQueries {
          |       WHEN bk < 950000 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM (SELECT doc_id, source,
-         |        ${hashWordSql("graft", "doc_id")} % 1000000 AS bk FROM b) f""".stripMargin
+         |        ${hashWordSql("graft", "doc_id")} % 1000000 AS bk FROM b) f""".stripMargin,
+
+    // q91: same bigram construction as q69; model counts are token-level
+    // occurrences (positions), all evidence integer-exact
+    "q91_ngram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id,
+         |    CASE WHEN len(toks) >= 2
+         |         THEN [array_to_string(toks[i:i+1], ' ')
+         |               for i in range(1, len(toks))]
+         |         ELSE [] END AS grams FROM tok),
+         |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |m AS (SELECT gram, count(*) AS c FROM e GROUP BY gram),
+         |s AS (SELECT e.doc_id,
+         |    count(*) AS n_grams,
+         |    CAST(SUM(CASE WHEN m.c <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS oov_grams,
+         |    CAST(SUM(m.c) AS BIGINT) AS familiarity
+         |  FROM e JOIN m USING (gram) GROUP BY e.doc_id)
+         |SELECT t.doc_id,
+         |  COALESCE(s.n_grams, 0) AS n_grams,
+         |  COALESCE(s.oov_grams, 0) AS oov_grams,
+         |  COALESCE(s.familiarity, 0) AS familiarity,
+         |  COALESCE(round(CAST(s.familiarity AS DOUBLE) /
+         |                 CAST(s.n_grams AS DOUBLE), 6), 0.0) AS avg_gram_freq
+         |FROM tok t LEFT JOIN s ON t.doc_id = s.doc_id""".stripMargin,
+
+    // q92: α = 0.5 via sqrt (correctly rounded on both engines); the
+    // normalizing sum spans 20 one-per-source rows
+    "q92_mixture_weights" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, mass,
+        |  round(sqrt(CAST(mass AS DOUBLE)) /
+        |        SUM(sqrt(CAST(mass AS DOUBLE))) OVER (), 6) AS weight
+        |FROM s""".stripMargin,
+
+    // q94: the salted join must be indistinguishable from the plain one
+    "q94_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // q93: the oracle affords the cartesian the operator exists to avoid
+    "q93_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class CorpusStatsSpec extends SparkSpec {
   import spark.implicits._
@@ -57,6 +58,37 @@ class CorpusStatsSpec extends SparkSpec {
     val out = CorpusStats.topNgrams(docs, "text", k = 3, limit = 2)
       .as[(String, Long)].collect().toSeq
     assert(out == Seq(("a b c", 3L), ("b c d", 2L)))
+  }
+
+  test("ngramLmScore: integer familiarity evidence from the corpus bigram model") {
+    val docs = Seq(
+      (1L, "a b c"),   // grams "a b", "b c"
+      (2L, "a b d"),   // grams "a b", "b d"
+      (3L, "x"))       // shorter than k → no grams
+      .toDF("id", "text")
+    val out = CorpusStats.ngramLmScore(docs, "id", "text", k = 2)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // model: "a b"→2, "b c"→1, "b d"→1
+    assert(out(1L) == ((2L, 1L, 3L, 1.5)))
+    assert(out(2L) == ((2L, 1L, 3L, 1.5)))
+    assert(out(3L) == ((0L, 0L, 0L, 0.0)))
+  }
+
+  test("ngramLmScore: scoring against a frozen external model") {
+    val corpus = Seq((1L, "a b c"), (2L, "a b d")).toDF("id", "text")
+    val model = corpus
+      .select($"id", explode(org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.sequence(lit(0), lit(1)),
+        i => concat_ws(" ", slice(graft.functions.TextFunctions.tokens($"text"),
+          i + 1, lit(2))))).as("gram"))
+      .groupBy($"gram").agg(count(lit(1)).as("c"))
+    // "a b z": "a b" is known (c=2), "b z" unseen (c=0 → oov)
+    val out = CorpusStats.ngramLmScore(
+        Seq((9L, "a b z")).toDF("id", "text"), "id", "text", k = 2,
+        model = Some(model))
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(out == ((9L, 2L, 1L, 2L, 1.0)))
   }
 
   test("repetitionProfile: a pasted-twice document scores high dup fraction") {

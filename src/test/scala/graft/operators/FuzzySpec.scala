@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(maxDist: Int, rows: (Long, String)*): Set[(Long, Long, Int)] =
+    Fuzzy.editDistanceJoin(rows.toDF("id", "name"), "id", "name", maxDist)
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("editDistanceJoin finds substitutions, inserts and deletes at t=1") {
+    val got = pairs(1,
+      1L -> "kitten", 2L -> "mitten",  // substitution, dist 1
+      3L -> "cat", 4L -> "cart",       // insertion, dist 1
+      5L -> "dog", 6L -> "dog",        // identical, dist 0
+      7L -> "apple")                   // no neighbor
+    assert(got == Set((1L, 2L, 1), (3L, 4L, 1), (5L, 6L, 0)))
+  }
+
+  test("editDistanceJoin matches the brute-force cross join exactly") {
+    val names = Seq("alpha", "alphas", "alpja", "beta", "betta", "bet",
+      "", "a", "b", "ab", "ba", "gamma", "gamma", "gamm")
+    val df = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "name")
+    for (t <- Seq(1, 2)) {
+      val brute = df.as("a").join(df.as("b"),
+          col("a.id") < col("b.id") &&
+            levenshtein(col("a.name"), col("b.name")) <= t)
+        .select(col("a.id"), col("b.id"),
+          levenshtein(col("a.name"), col("b.name")))
+        .as[(Long, Long, Int)].collect().toSet
+      val blocked = Fuzzy.editDistanceJoin(df, "id", "name", t)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(blocked == brute, s"t=$t")
+    }
+  }
+
+  test("editDistanceJoin emits each pair once and no cartesian in the plan") {
+    val df = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "aaba")).toDF("id", "name")
+    val out = Fuzzy.editDistanceJoin(df, "id", "name", 2)
+    val rows = out.as[(Long, Long, Int)].collect()
+    assert(rows.length == rows.distinct.length)
+    // pairs sharing several deletion variants must still appear once
+    assert(rows.toSet == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+  }
+
+  test("deletionVariants: empty and single-char strings are safe") {
+    val got = spark.range(1).select(
+        Fuzzy.deletionVariants(lit(""), 2).as("e"),
+        Fuzzy.deletionVariants(lit("x"), 2).as("x"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(got._1 == Seq(""))
+    assert(got._2.toSet == Set("x", ""))
+  }
+}

@@ -110,6 +110,18 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixtureWeights: sqrt temperature scaling, normalized to 1") {
+    val docs = Seq(
+      (1L, "srcA", 1L),
+      (2L, "srcB", 2L), (3L, "srcB", 2L)).toDF("id", "src", "chars")
+    val out = Sampling.mixtureWeights(docs, "src", "chars", alpha = 0.5)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // masses 1 and 4 → sqrt 1 and 2 → weights 1/3 and 2/3
+    assert(out("srcA") == ((1L, 1L, 0.333333)))
+    assert(out("srcB") == ((2L, 4L, 0.666667)))
+  }
+
   test("mixtureTake: budgets split by normalized weight") {
     val docs = (0L until 900L).map(i => (i, s"src${i % 3}", 20L))
       .toDF("id", "src", "toks")
