@@ -54,8 +54,22 @@ object ScaleSweep {
       .drop("r")
       .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    // customer ×20: keys shifted per replica and names re-derived from the
+    // new key ("Customer#" + zero-padded key), so the dense digit-space
+    // neighbor structure the fuzzy join feeds on scales with the data
+    // instead of duplicating identical names
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    cust.select((explode(lit((0 until DocReplicas).toArray)).as("r")) +:
+        cust.columns.map(col): _*)
+      .withColumn("c_custkey",
+        col("r").cast("long") * 10000000L + col("c_custkey"))
+      .withColumn("c_name",
+        concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+      .drop("r")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/customer.parquet")
+
     // remaining tables pass through unscaled (file copy)
-    val others = Seq("region", "nation", "customer", "supplier", "part",
+    val others = Seq("region", "nation", "supplier", "part",
       "orders", "events", "embeddings")
     others.foreach { t =>
       val from = Paths.get(s"$src/$t.parquet")
