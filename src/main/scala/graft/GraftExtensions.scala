@@ -81,6 +81,15 @@ object GraftFunctions {
         s"word_shingles expects 1-2 arguments, got ${args.length}")
     },
 
+    fn("word_grams",
+      "word_grams(text[, k]) - positional (order-preserving, with " +
+        "duplicates) word k-grams of text; empty when text has < k tokens.") {
+      case Seq(t) => WordGramsExpr(t, 2)
+      case Seq(t, k) => WordGramsExpr(t, intArg(k, "word_grams", "k"))
+      case args => throw new IllegalArgumentException(
+        s"word_grams expects 1-2 arguments, got ${args.length}")
+    },
+
     fn("simhash64",
       "simhash64(tokens) - 64-bit SimHash of a string array.") {
       case Seq(t) => SimHashExpr(t)

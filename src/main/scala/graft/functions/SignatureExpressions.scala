@@ -226,6 +226,47 @@ case class ShinglesExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Positional word k-grams straight from raw text (same tokenization as
+  * [[MinHashFromTextExpr]]): order-preserving WITH duplicates — the n-gram
+  * language-model stream, where gram multiplicity is the signal — unlike
+  * [[ShinglesExpr]]'s distinct set. Empty array when the document has
+  * fewer than k tokens. One pass, no intermediate token array surfaced to
+  * Catalyst, no per-gram `slice` allocation.
+  */
+case class WordGramsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams"
+
+  def compute(text: UTF8String): ArrayData = {
+    val toks = Tokenize.tokens(text.toString)
+    val n = toks.length
+    if (n < k) new GenericArrayData(Array.empty[AnyRef])
+    else {
+      val out = new Array[AnyRef](n - k + 1)
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j + k <= n) {
+        sb.setLength(0)
+        var m = j
+        while (m < j + k) { if (m > j) sb.append(' '); sb.append(toks(m)); m += 1 }
+        out(j) = UTF8String.fromString(sb.toString)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordGrams", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash of a token array: per token a 64-bit hash votes ±1 on
   * each bit; the sign of each bit's total sets the output bit. The token
   * hash is the first two md5 words — bit j < 32 reads word 2 (md5 hex
@@ -633,6 +674,9 @@ object SignatureExpressions {
 
   def wordShingles(text: Column, k: Int = 3): Column =
     toCol(ShinglesExpr(toExpr(text), k))
+
+  def wordGrams(text: Column, k: Int = 2): Column =
+    toCol(WordGramsExpr(toExpr(text), k))
 
   def dotF(a: Column, b: Column): Column =
     toCol(DotProductExpr(toExpr(a), toExpr(b)))

@@ -103,22 +103,32 @@ object CorpusStats {
   def ngramLmScore(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 2, model: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val base = df
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
-      .withColumn("__n", size(col("__toks")))
-    val gramArr = transform(sequence(lit(0), col("__n") - k),
-      i => concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))
-    val gramStream = base
-      .withColumn("__grams",
-        when(col("__n") >= k, gramArr).otherwise(array().cast("array<string>")))
-      .select(col(idCol), explode(col("__grams")).as("gram"))
-    // Training and scoring in one pass share the gram stream. Left as one
-    // lazy plan, Catalyst's InferFiltersFromGenerate pushes the full
-    // tokenize+gram expression into each branch's scan-side filter — the
-    // corpus is tokenized twice and the two exchanges stop canonicalizing
-    // to one (measured 2× the gram-stage task-time at 20×). Materializing
-    // the exploded grams once is strictly less work than re-deriving them.
-    // With a frozen external model there is a single consumer — stream.
+    import graft.functions.SignatureExpressions
+    // Single-pass codegen'd gram construction (WordGramsExpr): the
+    // tokenize → slice-per-gram → concat array pipeline spent 23 s of
+    // task-time at sf0.1 in interpreted array allocation; the custom
+    // expression is one pass over the text with no intermediate arrays.
+    //
+    // explode_outer + an explicit null filter, NOT plain explode:
+    // InferFiltersFromGenerate skips outer generates, so no
+    // `size(grams) > 0` filter (re-running the whole gram expression) is
+    // inferred and pushed below an upstream repartition — with plain
+    // explode that inferred filter ran the full tokenization serially
+    // inside the narrow scan stage (measured 14 s of a 20 s wall at
+    // sf0.1) and broke exchange canonicalization between the train and
+    // score branches. A filter on the generate OUTPUT attribute cannot be
+    // pushed below the generate, so tokenization stays in the wide
+    // post-shuffle stage.
+    val gramStream = df
+      .select(col(idCol),
+        explode_outer(SignatureExpressions.wordGrams(col(textCol), k))
+          .as("gram"))
+      .where(col("gram").isNotNull)
+    // Training and scoring in one pass share the gram stream: materialize
+    // the exploded grams once (the two consumers' exchanges carry
+    // different shapes — raw grams vs partial counts — so exchange reuse
+    // cannot deduplicate the gram construction). With a frozen external
+    // model there is a single consumer — stream.
     val grams =
       if (model.isEmpty) gramStream.localCheckpoint() else gramStream
     val counts = model.getOrElse(
@@ -130,7 +140,7 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("c") <= 1, 1L).otherwise(0L)).as("oov_grams"),
         sum(col("c")).as("familiarity"))
-    base.select(col(idCol)).join(scored, Seq(idCol), "left")
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("oov_grams"), lit(0L)).as("oov_grams"),

@@ -101,6 +101,33 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("word_grams runs inside WholeStageCodegen and is positional") {
+    withStrictCodegen {
+      val df = docs.filter(col("id") > 0)
+        .select(col("id"), wordGrams(col("text"), k = 2).as("g"))
+      assertCodegenProject(df, "word_grams")
+      val byId = df.collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("g"))
+        .toMap
+      // positional, duplicates preserved: "the ... the lazy" repeats "the"-led
+      // grams in order; n tokens -> n-1 bigrams
+      assert(byId(1L) == Seq("the quick", "quick brown", "brown fox",
+        "fox jumps", "jumps over", "over the", "the lazy", "lazy dog"))
+      assert(byId(1L).length == 8)
+    }
+    // fewer than k tokens -> empty array (NOT the whole-text fallback
+    // ShinglesExpr uses); null text -> null
+    import spark.implicits._
+    val edge = Seq((1L, "one"), (2L, ""), (3L, null: String))
+      .toDF("id", "text").repartition(1)
+      .select(col("id"), wordGrams(col("text"), k = 2).as("g"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[scala.collection.Seq[String]]("g"))).toMap
+    assert(edge(1L) == Some(Seq()))
+    assert(edge(2L) == Some(Seq()))
+    assert(edge(3L) == None)
+  }
+
   test("compression_ratio runs inside WholeStageCodegen") {
     withStrictCodegen {
       val df = docs.filter(col("id") > 0)
