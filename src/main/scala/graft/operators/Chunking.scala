@@ -35,15 +35,20 @@ object Chunking {
     // k = number of windows: 1 when the doc fits in one chunk, else
     // ceil((n - overlap) / step) — the first start s with n - s <= overlap
     // would emit a window fully contained in its predecessor
-    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+    val pre = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .withColumn("__n", size(col("__toks")))
       .withColumn("__k",
         when(col("__n") <= chunkTokens, lit(1))
           .otherwise(ceil((col("__n") - lit(overlap)).cast("double") / step)
             .cast("int")))
-      .select(col(idCol), col("__toks"), col("__n"),
-        explode(sequence(lit(0), col("__k") - 1)).as("chunk_pos"))
+    // explodeOnce: a plain explode's inferred size(sequence(..))>0 filter
+    // would re-derive __k — and with it the whole tokenization — per row
+    // in the scan-side filter (see [[graft.functions.Generates]])
+    graft.functions.Generates.explodeOnce(pre,
+        Seq(col(idCol), col("__toks"), col("__n")),
+        sequence(lit(0), col("__k") - 1), "chunk_pos")
       .select(col(idCol), col("chunk_pos"),
         concat_ws(" ",
           slice(col("__toks"), col("chunk_pos") * step + 1, lit(chunkTokens)))

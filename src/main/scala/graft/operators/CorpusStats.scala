@@ -27,8 +27,8 @@ object CorpusStats {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = df
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val terms = graft.functions.Generates.explodeOnce(
+      df, Seq(col(idCol)), TextFunctions.tokens(col(textCol)), "term")
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
@@ -56,8 +56,8 @@ object CorpusStats {
   def topNgrams(df: DataFrame, textCol: String, k: Int = 3,
                 limit: Int = 20): DataFrame = {
     import graft.functions.SignatureExpressions
-    df.select(explode(SignatureExpressions.wordShingles(col(textCol), k))
-        .as("gram"))
+    graft.functions.Generates.explodeOnce(
+        df, Nil, SignatureExpressions.wordShingles(col(textCol), k), "gram")
       .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("gram").asc)
       .limit(limit)
@@ -108,22 +108,12 @@ object CorpusStats {
     // tokenize → slice-per-gram → concat array pipeline spent 23 s of
     // task-time at sf0.1 in interpreted array allocation; the custom
     // expression is one pass over the text with no intermediate arrays.
-    //
-    // explode_outer + an explicit null filter, NOT plain explode:
-    // InferFiltersFromGenerate skips outer generates, so no
-    // `size(grams) > 0` filter (re-running the whole gram expression) is
-    // inferred and pushed below an upstream repartition — with plain
-    // explode that inferred filter ran the full tokenization serially
-    // inside the narrow scan stage (measured 14 s of a 20 s wall at
-    // sf0.1) and broke exchange canonicalization between the train and
-    // score branches. A filter on the generate OUTPUT attribute cannot be
-    // pushed below the generate, so tokenization stays in the wide
-    // post-shuffle stage.
-    val gramStream = df
-      .select(col(idCol),
-        explode_outer(SignatureExpressions.wordGrams(col(textCol), k))
-          .as("gram"))
-      .where(col("gram").isNotNull)
+    // explodeOnce keeps InferFiltersFromGenerate from re-running the
+    // gram expression serially below the repartition (see [[Generates]];
+    // measured 14 s of a 20 s q91 wall before the change).
+    val gramStream = graft.functions.Generates.explodeOnce(
+      df, Seq(col(idCol)),
+      SignatureExpressions.wordGrams(col(textCol), k), "gram")
     // Training and scoring in one pass share the gram stream: materialize
     // the exploded grams once (the two consumers' exchanges carry
     // different shapes — raw grams vs partial counts — so exchange reuse
@@ -167,8 +157,10 @@ object CorpusStats {
             size(array_distinct(col("__grams"))).cast("double") /
               size(col("__grams")).cast("double"), 6))
           .as("dup_gram_frac"))
-    val top = base
-      .select(col(idCol), explode(col("__toks")).as("__tok"))
+    // explodeOnce: plain explode over the token expression would let
+    // InferFiltersFromGenerate re-tokenize every row in the scan stage
+    val top = graft.functions.Generates.explodeOnce(
+        df, Seq(col(idCol)), TextFunctions.tokens(col(textCol)), "__tok")
       .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol)).agg(max(col("__c")).as("__top"))
     perDoc.join(top, Seq(idCol), "left")

@@ -349,11 +349,14 @@ object Dedup {
     val lens = (k +: shortLens).distinct
     val shingleSets = lens
       .map(kk => SignatureExpressions.wordShingles(col(textCol), kk))
-    val docShingles = df.select(col(idCol),
-      explode(array_distinct(concat(shingleSets: _*))).as("__sh"))
-    val benchShingles = benchmark
-      .select(explode(SignatureExpressions.wordShingles(col(benchTextCol), k))
-        .as("__sh"))
+    // explodeOnce: plain explode would let InferFiltersFromGenerate
+    // re-run every per-length shingling in a scan-side filter
+    val docShingles = graft.functions.Generates.explodeOnce(
+      df, Seq(col(idCol)),
+      array_distinct(concat(shingleSets: _*)), "__sh")
+    val benchShingles = graft.functions.Generates.explodeOnce(
+        benchmark, Nil,
+        SignatureExpressions.wordShingles(col(benchTextCol), k), "__sh")
       .distinct()
     val contaminated = docShingles
       .join(broadcast(benchShingles), Seq("__sh"))
@@ -453,9 +456,9 @@ object Dedup {
     // (partitioned by segment+id+pos) — different partitionings, so
     // exchange reuse can't kick in and a lazy plan would tokenize the
     // corpus twice
-    val segs = pre
-      .select(col(idCol), col("__toks"),
-        explode(sequence(lit(0), col("__nseg") - 1)).as("__pos"))
+    val segs = graft.functions.Generates.explodeOnce(pre,
+        Seq(col(idCol), col("__toks")),
+        sequence(lit(0), col("__nseg") - 1), "__pos")
       .select(col(idCol), col("__pos"),
         concat_ws(" ",
           slice(col("__toks"), col("__pos") * segTokens + 1, lit(segTokens)))

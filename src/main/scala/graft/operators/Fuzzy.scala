@@ -59,11 +59,14 @@ object Fuzzy {
                        maxDist: Int = 1): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
       s"maxDist must be 1 or 2 (deletion-neighborhood size is C(len, t)); got $maxDist")
-    val keyed = df
-      .select(col(idCol).as("__id"), col(strCol).as("__s"))
-      .where(col("__s").isNotNull)
-      .select(col("__id"), col("__s"),
-        explode(deletionVariants(col("__s"), maxDist)).as("__k"))
+    // explodeOnce: plain explode would let InferFiltersFromGenerate
+    // build the whole deletion neighborhood a second time per row in a
+    // scan-side filter
+    val keyed = graft.functions.Generates.explodeOnce(
+      df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+        .where(col("__s").isNotNull),
+      Seq(col("__id"), col("__s")),
+      deletionVariants(col("__s"), maxDist), "__k")
     val a = keyed.select(col("__k"), col("__id").as("id_a"), col("__s").as("__sa"))
     val b = keyed.select(col("__k"), col("__id").as("id_b"), col("__s").as("__sb"))
     a.join(b, Seq("__k"))
