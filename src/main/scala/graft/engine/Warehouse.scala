@@ -742,6 +742,86 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     ()
   }
 
+  /** Size-aware compaction: bin-pack the table's current files toward
+    * `targetBytes` per output file — the auto-sized [[compact]]. For a
+    * hive-partitioned table the target applies PER PARTITION DIRECTORY,
+    * with each directory's output file count derived from its row share
+    * (global bytes/row estimate): small partitions merge to ONE file,
+    * oversized ones split — a single global per-dir count (what
+    * `compact(n)` does on partitioned layouts) would re-create small
+    * files on every skewed-small directory. An atomic [[publish]]:
+    * readers of the old version are untouched until [[vacuum]].
+    *
+    * Returns the new version id, or None when the current layout is
+    * already at-or-under the target file count — rewriting 100 TB to
+    * save three files is worse than the disease. The sizing pre-pass is
+    * one partition-keyed count aggregate (broadcast back, never
+    * collected); total extra read ≈ one scan of the data being rewritten
+    * anyway. Bucketed tables are refused: their file count is the bucket
+    * spec's business ([[overwriteBucketed]]), not the compactor's. */
+  def compactToSize(table: String, targetBytes: Long = 128L * 1024 * 1024,
+                    analyze: Boolean = false): Option[String] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val bucketed = try {
+      spark.catalog.tableExists(table) && spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec.isDefined
+    } catch { case _: Exception => false }
+    require(!bucketed,
+      s"compactToSize '$table': table is bucketed; rewrite through " +
+        "overwriteBucketed to keep bucket metadata consistent")
+    val p = new Path(dataPath(table))
+    val f = fs(p)
+    var nFiles = 0L
+    var bytes = 0L
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+        nFiles += 1; bytes += st.getLen
+      }
+    }
+    val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    if (nFiles <= want) None
+    else {
+      val parts = partitioningOf(table)
+      val df = read(table)
+      val dataCols = df.columns.toSeq
+      val version =
+        if (parts.isEmpty)
+          publish(df.repartition(want.toInt), table, Nil, analyze)
+        else {
+          val perPart = df.groupBy(parts.map(col): _*)
+            .agg(count(lit(1)).as("__rows"))
+          val tot = perPart.agg(sum(col("__rows")).as("__tot"))
+          val spread = perPart.join(broadcast(tot))
+            .withColumn("__nf", greatest(lit(1L),
+              ceil(col("__rows").cast("double") * bytes.toDouble /
+                col("__tot") / targetBytes.toDouble).cast("long")))
+            .select(parts.zipWithIndex.map { case (c, i) =>
+              col(c).as(s"__p$i") } :+ col("__nf"): _*)
+          // null-safe join keys: a null partition value is a real
+          // directory (__HIVE_DEFAULT_PARTITION__); an equi-join would
+          // silently drop its rows
+          val cond = parts.zipWithIndex
+            .map { case (c, i) => col(c) <=> col(s"__p$i") }
+            .reduce(_ && _)
+          val packed = df.join(broadcast(spread), cond)
+            .withColumn("__salt",
+              pmod(xxhash64(dataCols.map(col): _*), col("__nf")))
+            .repartition(
+              math.min(Int.MaxValue.toLong,
+                math.max(want, spark.sparkContext.defaultParallelism.toLong))
+                .toInt,
+              parts.map(col) :+ col("__salt"): _*)
+            .select(dataCols.map(col): _*)
+          publish(packed, table, parts, analyze)
+        }
+      Some(version)
+    }
+  }
+
   /** S14: timestamped backup of a table before mutation; returns the
     * backup path (restore = read(backupPath) + overwrite). */
   def backup(name: String): String = {

@@ -202,6 +202,70 @@ class PublishSpec extends SparkSpec {
     assert(wh.read("t").columns.toSeq == Seq("id", "year", "v"))
   }
 
+  private def dataFiles(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap { f =>
+      if (f.isDirectory) dataFiles(f)
+      else if (!f.getName.startsWith("_") && !f.getName.startsWith(".") &&
+        !f.getName.endsWith(".crc")) Seq(f)
+      else Nil
+    }
+
+  test("compactToSize bin-packs an appended table and no-ops when compact") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwrite((1 to 50).toDF("n"), "t")
+    (1 to 7).foreach(i => wh.append((1 to 50).toDF("n").repartition(2), "t"))
+    val before = dataFiles(
+      new java.io.File(s"${wh.root}/t/_versions/${wh.currentVersion("t").get}"))
+    assert(before.size >= 8, s"need many small files, got ${before.size}")
+    val total = before.map(_.length).sum
+    // target = half the table -> exactly 2 output files
+    val v = wh.compactToSize("t", targetBytes = (total + 1) / 2)
+    assert(v.isDefined)
+    val after = dataFiles(
+      new java.io.File(s"${wh.root}/t/_versions/${v.get}"))
+    assert(after.size == 2, s"expected 2 packed files, got ${after.size}")
+    assert(wh.read("t").count() == 400)
+    // idempotent: already within target -> no rewrite, no new version
+    val total2 = after.map(_.length).sum
+    assert(wh.compactToSize("t", targetBytes = (total2 + 1) / 2).isEmpty)
+    assert(wh.currentVersion("t") == v)
+  }
+
+  test("compactToSize sizes per partition dir and keeps null partitions") {
+    val wh = new Warehouse(spark, freshRoot)
+    // one heavy partition, four tiny ones, one NULL partition value
+    val rows = (1 to 900).map(i => (i.toLong, "big")) ++
+      Seq((901L, "p1"), (902L, "p2"), (903L, "p3"), (904L, "p4"),
+        (905L, null.asInstanceOf[String]))
+    // repartition(16) before the write: every task holds rows of several
+    // partitions -> many small files per directory
+    wh.overwritePartitioned(rows.toDF("id", "src").repartition(16),
+      "t", Seq("src"))
+    val v0 = wh.currentVersion("t").get
+    val root0 = new java.io.File(s"${wh.root}/t/_versions/$v0")
+    assert(dataFiles(new java.io.File(root0, "src=big")).size > 3)
+    val total = dataFiles(root0).map(_.length).sum
+    // target = a third of the table: the heavy dir (≈99% of rows) should
+    // split into ~3 files, each tiny dir must MERGE to exactly one
+    val v = wh.compactToSize("t", targetBytes = (total + 2) / 3)
+    assert(v.isDefined)
+    val root1 = new java.io.File(s"${wh.root}/t/_versions/${v.get}")
+    val bigFiles = dataFiles(new java.io.File(root1, "src=big"))
+    assert(bigFiles.size >= 2 && bigFiles.size <= 3,
+      s"heavy dir should split, got ${bigFiles.size} files")
+    Seq("p1", "p2", "p3", "p4").foreach { pv =>
+      assert(dataFiles(new java.io.File(root1, s"src=$pv")).size == 1,
+        s"tiny dir src=$pv must merge to one file")
+    }
+    // nothing lost, null partition included, partitioning survives
+    assert(wh.read("t").count() == 905)
+    assert(wh.read("t").filter($"src".isNull).count() == 1)
+    assert(wh.partitioningOf("t") == Seq("src"))
+    assert(wh.read("t").filter($"src" === "big").count() == 900)
+    // old version intact until vacuum
+    assert(wh.readVersion("t", v0).count() == 905)
+  }
+
   test("bucketed overwrite is a versioned publish; rebuild stays bucketed") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwrite((1 to 10).map(i => (i.toLong, i % 3)).toDF("id", "k"), "tb")
