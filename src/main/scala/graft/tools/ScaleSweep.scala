@@ -27,6 +27,8 @@ import graft.SparkEntry
 object ScaleSweep {
   private val DocReplicas = 20
   private val LineReplicas = 10
+  // bump when generate()'s recipe changes — see the _READY check below
+  private val Generation = "gen2-scaled-customer"
 
   private def rotated(s: String, r: Int): String =
     s.drop(r % s.length) + s.take(r % s.length)
@@ -86,7 +88,7 @@ object ScaleSweep {
         Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
       }
     }
-    Files.writeString(Paths.get(s"$out/_READY"), "ok")
+    Files.writeString(Paths.get(s"$out/_READY"), Generation)
   }
 
   def main(args: Array[String]): Unit = {
@@ -98,7 +100,14 @@ object ScaleSweep {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (!Files.exists(Paths.get(s"$out/_READY"))) generate(spark, src, out)
+    // the marker carries a generation id: a cached copy built by an older
+    // generator (e.g. before customer was scaled) silently measured the
+    // UNSCALED table — regenerate on any recipe change
+    val ready = Paths.get(s"$out/_READY")
+    if (!Files.exists(ready) || Files.readString(ready) != Generation) {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      generate(spark, src, out)
+    }
 
     // (stageId, tasks, taskTimeMs, wallMs, shufWriteB, shufReadB, inputB)
     val stages =
