@@ -822,6 +822,36 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Per-partition-directory file statistics of the table's CURRENT data
+    * — the [[compactToSize]] decision input and the small-files health
+    * check: one row per data directory (partition path relative to the
+    * table root; empty string for an unpartitioned table) with file
+    * count, total bytes, and min/max file size. Pure driver-side metadata
+    * listing, the same one every compaction performs; no data is read. */
+  def fileProfile(table: String): DataFrame = {
+    import spark.implicits._
+    val base = new Path(dataPath(table))
+    val f = fs(base)
+    val baseDir = f.getFileStatus(base).getPath.toUri.getPath
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = f.listFiles(base, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+        val rel = st.getPath.getParent.toUri.getPath
+          .stripPrefix(baseDir).stripPrefix("/")
+        rows += ((rel, st.getLen))
+      }
+    }
+    rows.toSeq.toDF("dir", "bytes")
+      .groupBy(col("dir"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
+        min(col("bytes")).as("min_file_bytes"),
+        max(col("bytes")).as("max_file_bytes"))
+      .orderBy(col("dir"))
+  }
+
   /** S14: timestamped backup of a table before mutation; returns the
     * backup path (restore = read(backupPath) + overwrite). */
   def backup(name: String): String = {

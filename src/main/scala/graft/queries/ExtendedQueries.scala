@@ -281,7 +281,16 @@ object ExtendedQueries {
     //    cartesian product anywhere in the plan ──
     "q93_fuzzy_join" -> ((s, dir) =>
       graft.operators.Fuzzy.editDistanceJoin(
-        Td(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1))
+        Td(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)),
+
+    // ── the distance-2 path (C(len,2) deletion neighborhood): one
+    //    nation's customers — zero-padded key names make digit space
+    //    dense, so t=2 on the full table would mostly measure result
+    //    cardinality, not the operator ──
+    "q95_fuzzy_join2" -> ((s, dir) =>
+      graft.operators.Fuzzy.editDistanceJoin(
+        Td(s, dir, "customer").filter(col("c_nationkey") === 5),
+        "c_custkey", "c_name", maxDist = 2))
   )
 
   /** DuckDB analogue of Sampling.hashWord: first 4 md5 bytes of "salt|id"
@@ -664,6 +673,13 @@ object ExtendedQueries {
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    "q95_fuzzy_join2" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE a.c_nationkey = 5 AND b.c_nationkey = 5
+        |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin
   )
 }

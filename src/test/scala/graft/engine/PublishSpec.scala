@@ -266,6 +266,27 @@ class PublishSpec extends SparkSpec {
     assert(wh.readVersion("t", v0).count() == 905)
   }
 
+  test("fileProfile reports per-dir stats and reflects compaction") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwritePartitioned(
+      Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+        .toDF("id", "src").repartition(4), "t", Seq("src"))
+    val before = wh.fileProfile("t").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before.keySet == Set("src=a", "src=b"), s"got ${before.keySet}")
+    assert(before.values.sum >= 3, "repartition(4) should scatter files")
+    wh.compactToSize("t", targetBytes = Long.MaxValue / 2)
+    val after = wh.fileProfile("t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(after.map(_._1).toSet == Set("src=a", "src=b"))
+    assert(after.forall(_._2 == 1L), s"one file per dir after packing: $after")
+    assert(after.forall(_._3 > 0L))
+    // unpartitioned tables profile as a single root row
+    wh.overwrite((1 to 10).toDF("n").repartition(2), "u")
+    val u = wh.fileProfile("u").collect()
+    assert(u.map(_.getString(0)).toSeq == Seq("") && u.head.getLong(1) == 2L)
+  }
+
   test("bucketed overwrite is a versioned publish; rebuild stays bucketed") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwrite((1 to 10).map(i => (i.toLong, i % 3)).toDF("id", "k"), "tb")
