@@ -512,6 +512,228 @@ case class IvfAssignExpr(child: Expression, centroids: Seq[Seq[Double]],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Product-quantization code of a vector, packed into ONE long: the vector
+  * splits into `m` contiguous subvectors (`m` = codebooks.length ≤ 8,
+  * subvector length = the codebook entries' length), each subvector maps
+  * to the index of its L2-nearest codebook entry (`ksub` ≤ 256 entries),
+  * and byte j of the result holds subvector j's code. 8 bytes per vector
+  * instead of dim×4 — the 32× scan-compression behind ADC candidate
+  * generation. Ties break to the smallest code index; elements past the
+  * vector's length count as 0.0 (ragged safety). */
+case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  private val m = codebooks.length
+  private val ksub = codebooks.head.length
+  private val ds = codebooks.head.head.length
+  require(m >= 1 && m <= 8, s"pq_encode: m must be in [1,8], got $m")
+  require(ksub >= 1 && ksub <= 256 &&
+    codebooks.forall(_.length == ksub), "pq_encode: ksub must be <= 256 and equal across subspaces")
+  require(codebooks.forall(_.forall(_.length == ds)),
+    "pq_encode: all codebook entries must share the subvector length")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  def compute(a: ArrayData): Long = {
+    val v = VecArgs.toDoubles(a, VecArgs.elemType(child), "pq_encode")
+    var code = 0L
+    var j = 0
+    while (j < m) {
+      val off = j * ds
+      val book = cb(j)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        val e = book(c)
+        var d = 0.0
+        var t = 0
+        while (t < ds) {
+          val x = (if (off + t < v.length) v(off + t) else 0.0) - e(t)
+          d += x * x
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code |= best.toLong << (8 * j)
+      j += 1
+    }
+    code
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** IVF+PQ encode: assign the vector to its argmax-dot centroid cell
+  * (EXACTLY [[IvfAssignExpr]]'s rule — first max wins), subtract that
+  * centroid, and PQ-encode the RESIDUAL against global residual
+  * codebooks. Returns `struct<cell:int, code:long>` — the whole stored
+  * index entry in 12 bytes. Residual encoding is what keeps 8-byte codes
+  * informative on clustered corpora: the codebooks see the intra-cell
+  * spread, not the global scale. */
+case class PqResidualEncodeExpr(child: Expression,
+                                centroids: Seq[Seq[Double]],
+                                codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  private val m = codebooks.length
+  private val ksub = codebooks.head.length
+  private val ds = codebooks.head.head.length
+  require(m >= 1 && m <= 8 && ksub >= 1 && ksub <= 256 && centroids.nonEmpty)
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("code", LongType, nullable = false)))
+  override def prettyName: String = "pq_residual_encode"
+
+  @transient private lazy val cs: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  def compute(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val v = VecArgs.toDoubles(a, VecArgs.elemType(child), "pq_residual_encode")
+    var cell = 0
+    var bestDot = Double.NegativeInfinity
+    var i = 0
+    while (i < cs.length) {
+      val c = cs(i)
+      val n = math.min(v.length, c.length)
+      var d = 0.0
+      var j = 0
+      while (j < n) { d += v(j) * c(j); j += 1 }
+      if (d > bestDot) { bestDot = d; cell = i }
+      i += 1
+    }
+    val cent = cs(cell)
+    var code = 0L
+    var j = 0
+    while (j < m) {
+      val off = j * ds
+      val book = cb(j)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        val e = book(c)
+        var d = 0.0
+        var t = 0
+        while (t < ds) {
+          val r = (if (off + t < v.length) v(off + t) else 0.0) -
+            (if (off + t < cent.length) cent(off + t) else 0.0) - e(t)
+          d += r * r
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code |= best.toLong << (8 * j)
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(Int.box(cell), Long.box(code))
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqResidualEncode", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ADC lookup table of a QUERY vector against PQ codebooks:
+  * `lut[j*ksub + c] = dot(q_subvector_j, codebook_j(c))`, so the
+  * approximate inner product of the query with any coded corpus vector is
+  * `m` table lookups ([[PqAdcExpr]]) instead of `dim` multiplies.
+  * Computed once per query row, broadcast with the probe set. */
+case class PqLutExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  private val m = codebooks.length
+  private val ksub = codebooks.head.length
+  private val ds = codebooks.head.head.length
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  def compute(a: ArrayData): ArrayData = {
+    val v = VecArgs.toDoubles(a, VecArgs.elemType(child), "pq_lut")
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      val off = j * ds
+      val book = cb(j)
+      var c = 0
+      while (c < ksub) {
+        val e = book(c)
+        var d = 0.0
+        var t = 0
+        while (t < ds) {
+          if (off + t < v.length) d += v(off + t) * e(t)
+          t += 1
+        }
+        out(j * ksub + c) = d
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Asymmetric-distance score: Σ_j `lut[j*ksub + byte_j(code)]` — the
+  * approximate query·corpus inner product from a [[PqLutExpr]] table and
+  * a [[PqEncodeExpr]] code. `m` array reads per candidate pair. */
+case class PqAdcExpr(left: Expression, right: Expression, m: Int, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  def compute(lut: ArrayData, code: Long): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = ((code >>> (8 * j)) & 0xFFL).toInt
+      s += lut.getDouble(j * ksub + c)
+      j += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[java.lang.Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Numeric-array → double-array widening shared by the vector
   * expressions. Float→double is exact, so downstream arithmetic is
   * bit-identical to a per-element `.cast("double")` composition. */
@@ -697,4 +919,17 @@ object SignatureExpressions {
 
   def compressionRatio(text: Column): Column =
     toCol(CompressionRatioExpr(toExpr(text)))
+
+  def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    toCol(PqEncodeExpr(toExpr(v), codebooks))
+
+  def pqLut(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    toCol(PqLutExpr(toExpr(v), codebooks))
+
+  def pqAdc(lut: Column, code: Column, m: Int, ksub: Int): Column =
+    toCol(PqAdcExpr(toExpr(lut), toExpr(code), m, ksub))
+
+  def pqResidualEncode(v: Column, centroids: Seq[Seq[Double]],
+                       codebooks: Seq[Seq[Seq[Double]]]): Column =
+    toCol(PqResidualEncodeExpr(toExpr(v), centroids, codebooks))
 }

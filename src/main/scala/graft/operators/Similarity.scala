@@ -23,14 +23,16 @@ object Similarity {
     * sorts a hot query's WHOLE candidate list on one task, while the heap
     * partial-aggregates map-side and ships exactly k rows per query per
     * partition into the shuffle, whatever the candidate skew. */
-  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def rankTopK(scored: DataFrame, k: Int,
+                                  scoreCol: String = "cosine"): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(TopKAggregate.topKStructs(
-        struct(col("cosine"), col("neighbor_id")), k,
+        struct(col(scoreCol), col("neighbor_id")), k,
         desc = Seq(false, true)).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
-        col("col.cosine").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+        col(s"col.$scoreCol").as(scoreCol),
+        (col("pos") + 1).cast("int").as("rank"))
 
   /** Exact top-k neighbors per query vector (brute force, the correctness
     * baseline). Output: (query_id, neighbor_id, cosine, rank).
@@ -249,5 +251,246 @@ object Similarity {
     val scored = cand.select(col("query_id"), col("neighbor_id"),
       VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
     rankTopK(scored, k)
+  }
+
+  /** Deterministic per-subspace L2 k-means for product quantization:
+    * the vector splits into `m` contiguous `dim/m`-dim subvectors; each
+    * subspace trains `ksub` centroids on the same bounded, hash-ordered
+    * sample [[trainIvfCentroids]] uses (one corpus pass, ≤ sampleSize ×
+    * dim doubles on the driver), farthest-point init + Lloyd on plain L2
+    * (no normalization — PQ reconstructs magnitudes, unlike the spherical
+    * coarse quantizer). Deterministic: hash-ordered sample + sequential
+    * driver folds ⇒ identical codebooks on every run. */
+  /** Bounded, hash-ordered vector sample — the shared training input of
+    * every quantizer here (≤ sampleSize × dim doubles on the driver,
+    * bounded by construction). */
+  private def sampleVectors(corpus: DataFrame, idCol: String,
+                            vecCol: String, sampleSize: Int,
+                            seed: Long): Array[Array[Double]] = corpus
+    .select(col(vecCol).cast("array<double>").as("v"), col(idCol).as("id"))
+    .filter(col("v").isNotNull)
+    .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+    .limit(sampleSize)
+    .select(col("v")).collect()
+    .map(_.getSeq[Double](0).toArray)
+    .filter(_.nonEmpty)
+
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, m: Int = 8, ksub: Int = 16,
+                       iters: Int = 4, sampleSize: Int = 4096,
+                       seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    require(sampleSize >= 1)
+    kmeansSubspaces(
+      sampleVectors(corpus, idCol, vecCol, sampleSize, seed),
+      dim, m, ksub, iters, seed)
+  }
+
+  /** The per-subspace L2 k-means behind [[trainPqCodebooks]] /
+    * [[trainResidualCodebooks]], on an in-memory sample. */
+  private def kmeansSubspaces(sample: Array[Array[Double]], dim: Int,
+                              m: Int, ksub: Int, iters: Int,
+                              seed: Long): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && m <= 8 && dim % m == 0,
+      s"dim=$dim must split into m=$m equal subvectors (m in [1,8])")
+    require(ksub >= 1 && ksub <= 256 && iters >= 0)
+    val ds = dim / m
+    val rng = new scala.util.Random(seed)
+    (0 until m).map { j =>
+      val off = j * ds
+      val sub: Array[Array[Double]] = sample.map(v =>
+        Array.tabulate(ds)(t => if (off + t < v.length) v(off + t) else 0.0))
+      def l2(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var t = 0
+        while (t < ds) { val x = a(t) - b(t); d += x * x; t += 1 }
+        d
+      }
+      // farthest-point init; small-sample remainder falls back to seeded
+      // Gaussian entries (scaled down: real data dominates assignment)
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+      if (sub.nonEmpty) {
+        chosen += 0
+        val nearest = Array.fill(sub.length)(Double.PositiveInfinity)
+        while (chosen.length < math.min(ksub, sub.length)) {
+          val last = sub(chosen.last)
+          var far = -1; var farD = -1.0; var i = 0
+          while (i < sub.length) {
+            val d = l2(sub(i), last)
+            if (d < nearest(i)) nearest(i) = d
+            if (!chosen.contains(i) && nearest(i) > farD) {
+              farD = nearest(i); far = i
+            }
+            i += 1
+          }
+          if (far < 0) chosen += chosen.length else chosen += far
+        }
+      }
+      var cents: Array[Array[Double]] = Array.tabulate(ksub)(c =>
+        if (c < chosen.length) sub(chosen(c)).clone()
+        else Array.fill(ds)(rng.nextGaussian() * 0.01))
+      var it = 0
+      while (it < iters) {
+        val sums = Array.ofDim[Double](ksub, ds)
+        val counts = new Array[Int](ksub)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.PositiveInfinity; var c = 0
+          while (c < ksub) {
+            val d = l2(v, cents(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          val s = sums(best); var t = 0
+          while (t < ds) { s(t) += v(t); t += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ksub)(c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c)))
+        it += 1
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** Two-stage product-quantization ANN — the memory/IO-bound regime's
+    * tool, complementing [[ivfTopK]] (compute pruning) and [[lshTopK]]
+    * (bucket pruning):
+    *
+    *  1. **ADC candidates over 8-byte codes.** The corpus is PQ-encoded
+    *     ([[graft.functions.PqEncodeExpr]] — one long per vector, 32× less
+    *     than dim float32s, which is the scan-rate lever when the
+    *     candidate pass is I/O-bound); each query precomputes an m×ksub
+    *     inner-product lookup table, broadcast with the probe set, and a
+    *     candidate's approximate score is m array reads
+    *     ([[graft.functions.PqAdcExpr]]). The heap top-`rerank` per query
+    *     bounds the shuffle at queries × rerank.
+    *  2. **Exact rerank.** True vectors are fetched for the tiny candidate
+    *     set (broadcast semi-shape join against the corpus) and exact
+    *     cosine re-ranks the final top-k — quantization error can demote
+    *     a true neighbor out of the CANDIDATE list, but never reorders
+    *     the returned k.
+    *
+    * Output matches [[bruteForceTopK]]: (query_id, neighbor_id, cosine,
+    * rank), cosine EXACT. Codebooks train once per call on a bounded
+    * sample; at scale, train offline and store codes as a column.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, dim: Int, k: Int = 5, m: Int = 8,
+             ksub: Int = 16, rerank: Int = 32, trainIters: Int = 4,
+             sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
+    import graft.functions.SignatureExpressions
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val books = trainPqCodebooks(corpus, idCol, vecCol, dim, m, ksub,
+      trainIters, sampleSize, seed)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      SignatureExpressions.pqEncode(col(vecCol), books).as("code"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val luts = q.select(col("query_id"),
+      SignatureExpressions.pqLut(col("qv"), books).as("lut"))
+    val adc = codes.crossJoin(broadcast(luts))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        SignatureExpressions.pqAdc(col("lut"), col("code"), m, ksub)
+          .as("adc"))
+    val cand = rankTopK(adc, rerank, "adc").select("query_id", "neighbor_id")
+    val rer = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(graft.engine.JoinPolicy.broadcastIfSmall(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
+    rankTopK(rer, k)
+  }
+
+  /** PQ codebooks over IVF-cell RESIDUALS (`v − centroid(cell(v))`): on
+    * clustered corpora the residual scale is the intra-cluster spread, so
+    * the same 8 bytes quantize ~an order of magnitude finer than global
+    * PQ — flat PQ's failure mode is whole clusters collapsing onto one
+    * code. The assignment rule is exactly [[trainIvfCentroids]]'s
+    * (argmax dot, first max wins) so encode and training see the same
+    * cells. One shared bounded sample; codebooks are GLOBAL across cells
+    * (the faiss IVFPQ layout), so a query needs one LUT, not nlist. */
+  def trainResidualCodebooks(corpus: DataFrame, idCol: String,
+                             vecCol: String, dim: Int,
+                             centroids: Seq[Seq[Double]], m: Int = 8,
+                             ksub: Int = 256, iters: Int = 4,
+                             sampleSize: Int = 4096,
+                             seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    val cents = centroids.map(_.toArray).toArray
+    val sample = sampleVectors(corpus, idCol, vecCol, sampleSize, seed)
+      .map { v =>
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var i = 0
+        while (i < cents.length) {
+          val c = cents(i)
+          val n = math.min(v.length, c.length)
+          var d = 0.0
+          var j = 0
+          while (j < n) { d += v(j) * c(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = i }
+          i += 1
+        }
+        val c = cents(best)
+        Array.tabulate(math.max(v.length, math.min(c.length, dim)))(t =>
+          (if (t < v.length) v(t) else 0.0) - (if (t < c.length) c(t) else 0.0))
+      }
+    kmeansSubspaces(sample, dim, m, ksub, iters, seed)
+  }
+
+  /** IVF+PQ ANN (residual encoding — the faiss-standard composition):
+    * the coarse quantizer prunes WHICH vectors are candidates (`nprobe`
+    * of `nlist` cells) and the residual PQ code ranks WITHIN them from 8
+    * bytes per vector. `dot(q,v) = dot(q, C_cell) + dot(q, v − C_cell)`
+    * exactly, so a candidate's ADC score is one element_at (the query's
+    * per-cell dot table) + m lookups (the residual LUT); both tables are
+    * per-QUERY and broadcast with the probe set. The heap keeps
+    * top-`rerank` per query, exact cosine reranks the final k —
+    * identical output contract to [[bruteForceTopK]].
+    *
+    * The knobs are the honest recall levers: `nprobe` (coverage across
+    * cells), `ksub` (code resolution), `rerank` (how deep the exact pass
+    * looks — on very dense corpora ADC noise exceeds true-neighbor
+    * margins, and widening rerank is the standard answer). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, dim: Int, k: Int = 5, nlist: Int = 64,
+                nprobe: Int = 8, m: Int = 8, ksub: Int = 256,
+                rerank: Int = 64, trainIters: Int = 4,
+                sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
+    import graft.functions.SignatureExpressions
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val cents = trainIvfCentroids(corpus, idCol, vecCol, dim, nlist,
+      trainIters, sampleSize, seed)
+    val books = trainResidualCodebooks(corpus, idCol, vecCol, dim, cents,
+      m, ksub, trainIters, sampleSize, seed)
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+      SignatureExpressions.pqResidualEncode(col(vecCol), cents, books)
+        .as("enc"))
+      .select(col("neighbor_id"), col("enc.cell").as("cell"),
+        col("enc.code").as("code"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // per-query tables: dot(q, C_c) for every cell (PqLutExpr with the
+    // centroid list as a single dim-wide "subspace") + the residual LUT
+    val qTables = q.select(col("query_id"),
+      SignatureExpressions.pqLut(col("qv"), Seq(cents)).as("cell_dots"),
+      SignatureExpressions.pqLut(col("qv"), books).as("lut"),
+      SignatureExpressions.ivfAssign(col("qv"), cents, nprobe).as("cells"))
+    val probes = graft.functions.Generates.explodeOnce(
+      qTables, Seq(col("query_id"), col("cell_dots"), col("lut")),
+      col("cells"), "cell")
+    val adc = enc.join(graft.engine.JoinPolicy.broadcastIfSmall(probes),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (element_at(col("cell_dots"), col("cell") + 1) +
+          SignatureExpressions.pqAdc(col("lut"), col("code"), m, ksub))
+          .as("adc"))
+    val cand = rankTopK(adc, rerank, "adc").select("query_id", "neighbor_id")
+    val rer = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(graft.engine.JoinPolicy.broadcastIfSmall(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
+    rankTopK(rer, k)
   }
 }

@@ -352,6 +352,21 @@ object ScaleQueries {
         .select("query_id", "neighbor_id")
     }),
 
+    // ── two-stage PQ ANN on planted probes: an exact copy must survive
+    //    the 8-byte ADC candidate pass (its code equals its original's,
+    //    so its ADC score is the query's own maximal reconstruction — a
+    //    >= rerank-sized margin on random data) and the exact rerank
+    //    then pins it at rank 1 ──
+    "q96_pq_planted" -> ((s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Similarity.pqTopK(emb, probes, "vec_id", "embedding", dim = 64,
+          k = 1, m = 8, ksub = 16, rerank = 32)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+    }),
+
     // ── IVF ANN recall on planted probes (same contract as q53 for LSH) ──
     "q61_knn_ivf_planted" -> ((s, dir) => {
       val emb = Td(s, dir, "embeddings")
@@ -808,6 +823,12 @@ object ScaleQueries {
         |FROM t""".stripMargin,
 
     "q61_knn_ivf_planted" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+
+    // q96: a planted copy PQ-encodes to exactly its original's code, so
+    // ADC keeps it in the candidate heap and exact rerank returns it
+    "q96_pq_planted" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
 

@@ -63,7 +63,9 @@ object AnnRecall {
 
   /** Recall@k of both approximate paths vs brute force on one corpus. */
   def measure(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-              dim: Int, k: Int): (Double, Double) = {
+              dim: Int, k: Int, nlist: Int = 64, nprobe: Int = 16,
+              rerank: Int = 256,
+              sampleSize: Int = 4096): (Double, Double, Double, Double) = {
     val c = corpus.cache()
     val q = queries.cache()
     val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding", k)
@@ -77,8 +79,25 @@ object AnnRecall {
       nbits = 6, tables = 8)
     val ivf = Similarity.ivfTopK(c, q, "vec_id", "embedding", dim, k,
       nlist = 32, nprobe = 8)
+    // PQ's recall axis is the ADC candidate list (rerank is exact); the
+    // lost pairs are true neighbors whose 8-byte reconstruction scored
+    // below the rerank cutoff. Flat PQ is measured WITHOUT a floor — on
+    // this deliberately ultra-dense fixture global-scale codes collapse
+    // whole clusters together (that observation is the value of
+    // reporting it). IVF+PQ encodes residuals at the intra-cell scale
+    // and carries the floor.
+    val pq = Similarity.pqTopK(c, q, "vec_id", "embedding", dim, k,
+      m = 8, ksub = 256, rerank = 64)
+    // index parameters scale with the corpus (faiss practice: nlist ~
+    // sqrt(N), rerank deep enough that ADC ordering noise — not cell
+    // coverage — is the only loss term); the caller picks them per scale
+    val ivfpq = Similarity.ivfPqTopK(c, q, "vec_id", "embedding", dim, k,
+      nlist = nlist, nprobe = nprobe, m = 8, ksub = 256, rerank = rerank,
+      sampleSize = sampleSize)
     val r = (Similarity.recallAtK(lsh, exact, k),
-      Similarity.recallAtK(ivf, exact, k))
+      Similarity.recallAtK(ivf, exact, k),
+      Similarity.recallAtK(pq, exact, k),
+      Similarity.recallAtK(ivfpq, exact, k))
     c.unpersist(); q.unpersist()
     r
   }
@@ -96,16 +115,28 @@ object AnnRecall {
     * (optionally) enforce the recall floor. */
   def run(spark: SparkSession, assertFloor: Boolean): Unit = {
     val (dim, k, nq) = (64, 5, 50)
-    for ((tag, n) <- Seq("1x" -> 5000, "20x" -> 100000)) {
+    // IVFPQ floors are SCALE-AWARE regression tripwires, set just under
+    // the measured plateau (0.980 at 1x, 0.700 at 20x with rerank=1024 of
+    // ~25k candidates). The 20x fixture packs 6,250 near-equidistant
+    // points per cluster — true-top-5 cosine margins ~1e-4, below what
+    // ANY 8-byte ADC code can order; LSH/IVF keep full vectors and hold
+    // 0.9 at both scales. The documented recovery lever is rerank depth
+    // (exact rerank never reorders what the candidate pass surfaces).
+    for ((tag, n, nlist, nprobe, rerank, sample, pqFloor) <-
+        Seq(("1x", 5000, 64, 16, 256, 4096, 0.9),
+          ("20x", 100000, 256, 64, 1024, 16384, 0.65))) {
       val t0 = System.nanoTime()
-      val (lsh, ivf) = measure(spark,
-        clusteredFixture(spark, n, dim), queryFixture(spark, nq, dim), dim, k)
+      val (lsh, ivf, pq, ivfpq) = measure(spark,
+        clusteredFixture(spark, n, dim), queryFixture(spark, nq, dim), dim, k,
+        nlist, nprobe, rerank, sample)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"===== ann-recall [$tag] corpus=$n%-6d queries=$nq k=$k " +
-        f"lsh=$lsh%.3f ivf=$ivf%.3f wall=$sec%.1fs")
+        f"lsh=$lsh%.3f ivf=$ivf%.3f pq=$pq%.3f ivfpq=$ivfpq%.3f wall=$sec%.1fs")
       if (assertFloor) {
         assert(lsh >= 0.9, f"LSH recall@$k regressed to $lsh%.3f at $tag")
         assert(ivf >= 0.9, f"IVF recall@$k regressed to $ivf%.3f at $tag")
+        assert(ivfpq >= pqFloor,
+          f"IVFPQ recall@$k regressed to $ivfpq%.3f at $tag (floor $pqFloor%.2f)")
       }
     }
   }

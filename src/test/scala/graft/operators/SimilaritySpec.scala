@@ -85,9 +85,61 @@ class SimilaritySpec extends SparkSpec {
     val dim = 64
     val corpus = AnnRecall.clusteredFixture(spark, n = 2000, dim = dim)
     val queries = AnnRecall.queryFixture(spark, nQueries = 30, dim = dim)
-    val (lsh, ivf) = AnnRecall.measure(spark, corpus, queries, dim, k = 5)
+    val (lsh, ivf, pq, ivfpq) =
+      AnnRecall.measure(spark, corpus, queries, dim, k = 5)
     assert(lsh >= 0.9, f"LSH recall@5 = $lsh%.3f")
     assert(ivf >= 0.9, f"IVF recall@5 = $ivf%.3f")
+    assert(ivfpq >= 0.9, f"IVFPQ recall@5 = $ivfpq%.3f")
+    // flat PQ has no floor on this fixture (global-scale codes collapse
+    // dense clusters — the documented reason ivfPqTopK exists), but it
+    // must stay a working candidate generator, not noise
+    assert(pq >= 0.4, f"flat-PQ recall@5 = $pq%.3f")
+  }
+
+  test("PQ ANN retrieves planted copies at rank 1 with exact cosine") {
+    import graft.tools.AnnRecall
+    val dim = 64
+    val corpus = AnnRecall.clusteredFixture(spark, n = 2000, dim = dim)
+    val probes = corpus.filter(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    // IVF+PQ on the clustered fixture: flat PQ's global-scale codes
+    // collapse a whole ~125-member cluster onto near-identical
+    // reconstructions (ADC noise > the copy's margin over its mates);
+    // residual encoding quantizes at the intra-cell spread instead
+    val top = Similarity.ivfPqTopK(corpus, probes, "vec_id", "embedding",
+        dim, k = 1, nlist = 64, nprobe = 16, m = 8, ksub = 256,
+        rerank = 128)
+      .filter(col("rank") === 1)
+    val rows = top.collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_id") - 1000000L ==
+        r.getAs[Long]("neighbor_id"),
+        s"planted copy not retrieved: $r")
+      // rerank is EXACT cosine of identical vectors
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9)
+    }
+  }
+
+  test("PQ codebooks train deterministically; codes pack m bytes") {
+    import graft.functions.SignatureExpressions
+    import graft.tools.AnnRecall
+    val dim = 64
+    val corpus = AnnRecall.clusteredFixture(spark, n = 500, dim = dim)
+    val b1 = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding",
+      dim, m = 8, ksub = 16)
+    val b2 = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding",
+      dim, m = 8, ksub = 16)
+    assert(b1 == b2, "training must be run-to-run deterministic")
+    assert(b1.length == 8 && b1.forall(_.length == 16) &&
+      b1.forall(_.forall(_.length == 8)))
+    // ksub=16 codes use only the low nibble of each byte
+    val codes = corpus
+      .select(SignatureExpressions.pqEncode(col("embedding"), b1).as("c"))
+      .collect().map(_.getLong(0))
+    assert(codes.forall(c => (0 until 8).forall(j =>
+      ((c >>> (8 * j)) & 0xFFL) < 16L)))
+    assert(codes.distinct.length > 1, "codes must actually vary")
   }
 
   test("multi-probe LSH recalls at least as much as single-probe") {
