@@ -367,6 +367,19 @@ object ScaleQueries {
         .select("query_id", "neighbor_id")
     }),
 
+    // ── IVF+PQ (residual-encoded) on the same planted contract: the
+    //    copy shares its original's cell AND residual code, survives the
+    //    12-byte candidate pass, exact rerank pins rank 1 ──
+    "q97_ivfpq_planted" -> ((s, dir) => {
+      val emb = Td(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Similarity.ivfPqTopK(emb, probes, "vec_id", "embedding", dim = 64,
+          k = 1, nlist = 64, nprobe = 8, m = 8, ksub = 16, rerank = 32)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+    }),
+
     // ── IVF ANN recall on planted probes (same contract as q53 for LSH) ──
     "q61_knn_ivf_planted" -> ((s, dir) => {
       val emb = Td(s, dir, "embeddings")
@@ -829,6 +842,11 @@ object ScaleQueries {
     // q96: a planted copy PQ-encodes to exactly its original's code, so
     // ADC keeps it in the candidate heap and exact rerank returns it
     "q96_pq_planted" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+
+    // q97: same planted contract through the IVF+PQ residual path
+    "q97_ivfpq_planted" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
 
