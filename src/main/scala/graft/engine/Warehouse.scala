@@ -6,7 +6,7 @@ import java.time.{ZoneOffset, ZonedDateTime}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, FloatType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, MapType, StructType}
 
 /** Table registry over a parquet directory tree — the Spark stand-in for
   * the reference's BigQuery dataset (SURVEY.md §1.1): named tables,
@@ -485,6 +485,28 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** True iff the session catalog holds a BUCKETED table named `name`
     * whose location lives under this warehouse's directory for it
     * (versioned bucketed tables point INSIDE `<table>/_versions/`). */
+  /** Data files under `base`, skipping any file whose RELATIVE path
+    * contains a hidden (`_`/`.`-prefixed) segment — a basename-only check
+    * would count a committer's `_temporary/.../part-*.parquet` files, or
+    * a `_versions` subtree when resolving a plain-layout dir mid-publish,
+    * none of which `read()` ever sees. */
+  private def listDataFiles(base: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val f = fs(base)
+    val baseDir = f.getFileStatus(base).getPath.toUri.getPath.stripSuffix("/")
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    val it = f.listFiles(base, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val rel = st.getPath.toUri.getPath.stripPrefix(baseDir).stripPrefix("/")
+        if (!rel.split('/').exists(s => s.startsWith("_") || s.startsWith(".")))
+          out += st
+      }
+    }
+    out.toSeq
+  }
+
   private def isBucketedCatalogTable(name: String): Boolean =
     try {
       if (!spark.catalog.tableExists(name)) false
@@ -753,8 +775,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * readers of the old version are untouched until [[vacuum]].
     *
     * Returns the new version id, or None when the current layout is
-    * already at-or-under the target file count — rewriting 100 TB to
-    * save three files is worse than the disease. The sizing pre-pass is
+    * already at-or-under the target file count AND no single file exceeds
+    * 2× the target (the oversize trigger is what actually splits a
+    * few-huge-files layout; the 2× slack keeps boundary-sized files from
+    * churning every run) — rewriting 100 TB to save three files is worse
+    * than the disease. The sizing pre-pass is
     * one partition-keyed count aggregate (broadcast back, never
     * collected); total extra read ≈ one scan of the data being rewritten
     * anyway. Bucketed tables are refused: their file count is the bucket
@@ -762,28 +787,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def compactToSize(table: String, targetBytes: Long = 128L * 1024 * 1024,
                     analyze: Boolean = false): Option[String] = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val bucketed = try {
-      spark.catalog.tableExists(table) && spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-        .bucketSpec.isDefined
-    } catch { case _: Exception => false }
-    require(!bucketed,
+    require(!isBucketedCatalogTable(table),
       s"compactToSize '$table': table is bucketed; rewrite through " +
         "overwriteBucketed to keep bucket metadata consistent")
-    val p = new Path(dataPath(table))
-    val f = fs(p)
-    var nFiles = 0L
-    var bytes = 0L
-    val it = f.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val n = st.getPath.getName
-      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
-        nFiles += 1; bytes += st.getLen
-      }
-    }
+    val files = listDataFiles(new Path(dataPath(table)))
+    val nFiles = files.size.toLong
+    val bytes = files.map(_.getLen).sum
+    val maxFile = if (files.isEmpty) 0L else files.map(_.getLen).max
     val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-    if (nFiles <= want) None
+    // rewrite when there's a small-files surplus OR a pathologically
+    // oversized file (2× slack: splitting at exactly targetBytes would
+    // churn every boundary-sized file on each run)
+    if (nFiles <= want && maxFile <= 2 * targetBytes) None
     else {
       val parts = partitioningOf(table)
       val df = read(table)
@@ -807,9 +822,21 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           val cond = parts.zipWithIndex
             .map { case (c, i) => col(c) <=> col(s"__p$i") }
             .reduce(_ && _)
+          // xxhash64 rejects MapType (anywhere in the tree); route such
+          // rows through a canonical JSON rendering instead — slower, but
+          // only paid by tables that actually carry map columns
+          def hasMap(dt: DataType): Boolean = dt match {
+            case _: MapType => true
+            case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+            case a: ArrayType => hasMap(a.elementType)
+            case _ => false
+          }
+          val saltSrc =
+            if (df.schema.fields.exists(f => hasMap(f.dataType)))
+              xxhash64(to_json(struct(dataCols.map(col): _*)))
+            else xxhash64(dataCols.map(col): _*)
           val packed = df.join(broadcast(spread), cond)
-            .withColumn("__salt",
-              pmod(xxhash64(dataCols.map(col): _*), col("__nf")))
+            .withColumn("__salt", pmod(saltSrc, col("__nf")))
             .repartition(
               math.min(Int.MaxValue.toLong,
                 math.max(want, spark.sparkContext.defaultParallelism.toLong))
@@ -832,19 +859,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     import spark.implicits._
     val base = new Path(dataPath(table))
     val f = fs(base)
-    val baseDir = f.getFileStatus(base).getPath.toUri.getPath
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    val it = f.listFiles(base, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val n = st.getPath.getName
-      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
-        val rel = st.getPath.getParent.toUri.getPath
-          .stripPrefix(baseDir).stripPrefix("/")
-        rows += ((rel, st.getLen))
-      }
+    val baseDir = f.getFileStatus(base).getPath.toUri.getPath.stripSuffix("/")
+    val rows = listDataFiles(base).map { st =>
+      (st.getPath.getParent.toUri.getPath
+        .stripPrefix(baseDir).stripPrefix("/"), st.getLen)
     }
-    rows.toSeq.toDF("dir", "bytes")
+    rows.toDF("dir", "bytes")
       .groupBy(col("dir"))
       .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
         min(col("bytes")).as("min_file_bytes"),

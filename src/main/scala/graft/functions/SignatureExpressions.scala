@@ -589,7 +589,12 @@ case class PqResidualEncodeExpr(child: Expression,
   private val m = codebooks.length
   private val ksub = codebooks.head.length
   private val ds = codebooks.head.head.length
-  require(m >= 1 && m <= 8 && ksub >= 1 && ksub <= 256 && centroids.nonEmpty)
+  require(m >= 1 && m <= 8 && centroids.nonEmpty,
+    s"pq_residual_encode: m must be in [1,8] and centroids non-empty, got m=$m")
+  require(ksub >= 1 && ksub <= 256 && codebooks.forall(_.length == ksub),
+    "pq_residual_encode: ksub must be <= 256 and equal across subspaces")
+  require(codebooks.forall(_.forall(_.length == ds)),
+    "pq_residual_encode: all codebook entries must share the subvector length")
   override def dataType: DataType = StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
     StructField("code", LongType, nullable = false)))

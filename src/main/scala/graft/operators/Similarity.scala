@@ -81,21 +81,22 @@ object Similarity {
                         dim: Int, nlist: Int, iters: Int = 4,
                         sampleSize: Int = 4096,
                         seed: Long = 42L): Seq[Seq[Double]] = {
-    require(nlist >= 1 && iters >= 0 && sampleSize >= nlist)
+    require(sampleSize >= nlist)
+    trainIvfFromSample(
+      sampleVectors(corpus, idCol, vecCol, sampleSize, seed),
+      dim, nlist, iters, seed)
+  }
+
+  private def trainIvfFromSample(sample: Array[Array[Double]], dim: Int,
+                                 nlist: Int, iters: Int,
+                                 seed: Long): Seq[Seq[Double]] = {
+    require(nlist >= 1 && iters >= 0)
     def normalize(v: Array[Double]): Array[Double] = {
       var n = 0.0
       var i = 0
       while (i < v.length) { n += v(i) * v(i); i += 1 }
       if (n == 0.0) v else { val s = 1.0 / math.sqrt(n); v.map(_ * s) }
     }
-    val sample: Array[Array[Double]] = corpus
-      .select(col(vecCol).cast("array<double>").as("v"), col(idCol).as("id"))
-      .filter(col("v").isNotNull) // a null embedding must not NPE training
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-      .limit(sampleSize)
-      .select(col("v")).collect()
-      .map(_.getSeq[Double](0).toArray)
-      .filter(_.nonEmpty)
     // too-small corpus: fall back to seeded Gaussian directions (identical
     // draws to IvfCellsExpr) for the missing cells
     val rng = new scala.util.Random(seed)
@@ -414,9 +415,18 @@ object Similarity {
                              centroids: Seq[Seq[Double]], m: Int = 8,
                              ksub: Int = 256, iters: Int = 4,
                              sampleSize: Int = 4096,
-                             seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+                             seed: Long = 42L): Seq[Seq[Seq[Double]]] =
+    residualBooksFromSample(
+      sampleVectors(corpus, idCol, vecCol, sampleSize, seed),
+      dim, centroids, m, ksub, iters, seed)
+
+  private def residualBooksFromSample(rawSample: Array[Array[Double]],
+                                      dim: Int,
+                                      centroids: Seq[Seq[Double]], m: Int,
+                                      ksub: Int, iters: Int,
+                                      seed: Long): Seq[Seq[Seq[Double]]] = {
     val cents = centroids.map(_.toArray).toArray
-    val sample = sampleVectors(corpus, idCol, vecCol, sampleSize, seed)
+    val sample = rawSample
       .map { v =>
         var best = 0
         var bestDot = Double.NegativeInfinity
@@ -458,10 +468,13 @@ object Similarity {
                 sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
     import graft.functions.SignatureExpressions
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
-    val cents = trainIvfCentroids(corpus, idCol, vecCol, dim, nlist,
-      trainIters, sampleSize, seed)
-    val books = trainResidualCodebooks(corpus, idCol, vecCol, dim, cents,
-      m, ksub, trainIters, sampleSize, seed)
+    // ONE bounded sampling pass feeds both quantizers — the coarse and
+    // residual trainers want the identical hash-ordered sample anyway,
+    // and the sample job is a full corpus scan + sort
+    val sample = sampleVectors(corpus, idCol, vecCol, sampleSize, seed)
+    val cents = trainIvfFromSample(sample, dim, nlist, trainIters, seed)
+    val books = residualBooksFromSample(sample, dim, cents, m, ksub,
+      trainIters, seed)
     val enc = corpus.select(col(idCol).as("neighbor_id"),
       SignatureExpressions.pqResidualEncode(col(vecCol), cents, books)
         .as("enc"))

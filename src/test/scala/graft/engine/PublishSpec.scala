@@ -229,6 +229,14 @@ class PublishSpec extends SparkSpec {
     val total2 = after.map(_.length).sum
     assert(wh.compactToSize("t", targetBytes = (total2 + 1) / 2).isEmpty)
     assert(wh.currentVersion("t") == v)
+    // the oversize trigger: a few-huge-files layout must SPLIT even though
+    // the file count is already under the global want
+    val big = after.map(_.length).max
+    val v2 = wh.compactToSize("t", targetBytes = big / 4)
+    assert(v2.isDefined, "an oversized file (> 2x target) must trigger a rewrite")
+    val split = dataFiles(new java.io.File(s"${wh.root}/t/_versions/${v2.get}"))
+    assert(split.size > 2, s"expected a split, got ${split.size} files")
+    assert(wh.read("t").count() == 400)
   }
 
   test("compactToSize sizes per partition dir and keeps null partitions") {
