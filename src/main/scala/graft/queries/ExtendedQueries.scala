@@ -290,7 +290,18 @@ object ExtendedQueries {
     "q95_fuzzy_join2" -> ((s, dir) =>
       graft.operators.Fuzzy.editDistanceJoin(
         Td(s, dir, "customer").filter(col("c_nationkey") === 5),
-        "c_custkey", "c_name", maxDist = 2))
+        "c_custkey", "c_name", maxDist = 2)),
+
+    // ── distribution drift (PSI) between the pre-/post-1995 halves of
+    //    lineitem — the publish-to-publish data-shift audit ──
+    "q98_drift" -> ((s, dir) => {
+      val li = Td(s, dir, "lineitem")
+      val cut = to_timestamp(lit("1995-01-01"))
+      graft.operators.Drift.histogramDrift(
+        li.filter(col("l_shipdate") < cut),
+        li.filter(col("l_shipdate") >= cut),
+        "l_extendedprice", bins = 20)
+    })
   )
 
   /** DuckDB analogue of Sampling.hashWord: first 4 md5 bytes of "salt|id"
@@ -680,6 +691,35 @@ object ExtendedQueries {
         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE a.c_nationkey = 5 AND b.c_nationkey = 5
-        |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin
+        |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+
+    // q98: the PSI arithmetic is replayed step-for-step (same double ops,
+    // same 0.5-Laplace smoothing with 0.5*bins = 10.0, same ln, round 6)
+    "q98_drift" ->
+      """WITH t AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+        |         CASE WHEN l_shipdate < TIMESTAMP '1995-01-01'
+        |              THEN 'old' ELSE 'new' END AS side
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |e AS (
+        |  SELECT min(x) AS mn, max(x) AS mx,
+        |         SUM(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS n_old,
+        |         SUM(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS n_new
+        |  FROM t),
+        |g AS (
+        |  SELECT CASE WHEN mx = mn THEN 0
+        |              ELSE CAST(LEAST(19, FLOOR((x - mn) / ((mx - mn) / 20)))
+        |                   AS INTEGER) END AS bin,
+        |         SUM(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS old_n,
+        |         SUM(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS new_n,
+        |         ANY_VALUE(n_old) AS n_old, ANY_VALUE(n_new) AS n_new
+        |  FROM t, e GROUP BY 1)
+        |SELECT bin, CAST(old_n AS BIGINT) AS old_n,
+        |       CAST(new_n AS BIGINT) AS new_n,
+        |       round(((new_n + 0.5) / (n_new + 10.0) -
+        |              (old_n + 0.5) / (n_old + 10.0)) *
+        |             ln(((new_n + 0.5) / (n_new + 10.0)) /
+        |                ((old_n + 0.5) / (n_old + 10.0))), 6) AS psi_term
+        |FROM g ORDER BY bin""".stripMargin
   )
 }
