@@ -59,6 +59,56 @@ object Drift {
       .orderBy(col("bin"))
   }
 
+  /** Categorical twin of [[histogramDrift]]: PSI terms over the VALUES of
+    * a discrete column (source, language, label, …), one row per value
+    * observed on either side, ordered by combined count descending then
+    * value (deterministic) and truncated to the `topN` heaviest values —
+    * the tail's union can be unbounded, and a drifted tail value that
+    * matters will have the mass to make the cut. Same smoothing and
+    * rounding as the numeric version; side totals count ALL rows (the
+    * truncation drops output rows, it does not re-normalize), so terms
+    * are comparable across runs whatever the tail does. Scale shape: one
+    * union scan into a |values| partial-agg groupBy, a one-row totals
+    * aggregate broadcast back, and a bounded-heap top-N — no full sort.
+    */
+  def categoricalDrift(oldDf: DataFrame, newDf: DataFrame,
+                       valueCol: String, topN: Int = 50): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val tagged = oldDf
+      .select(col(valueCol).cast("string").as("value"),
+        lit("old").as("__side"))
+      .unionByName(newDf
+        .select(col(valueCol).cast("string").as("value"),
+          lit("new").as("__side")))
+      .filter(col("value").isNotNull)
+    val totals = tagged.agg(
+      sum(when(col("__side") === "old", 1L).otherwise(0L)).as("__no"),
+      sum(when(col("__side") === "new", 1L).otherwise(0L)).as("__nn"))
+    val counts = tagged.groupBy(col("value"))
+      .agg(
+        sum(when(col("__side") === "old", 1L).otherwise(0L)).as("old_n"),
+        sum(when(col("__side") === "new", 1L).otherwise(0L)).as("new_n"))
+    // bounded-heap top-N on (combined count desc, value asc) — a window
+    // sort here would funnel the whole vocabulary through one task
+    val top = counts
+      .withColumn("__grp", lit(1))
+      .groupBy(col("__grp"))
+      .agg(graft.functions.TopKAggregate.topKStructs(
+        struct((col("old_n") + col("new_n")).as("__tot"), col("value"),
+          col("old_n"), col("new_n")),
+        topN, desc = Seq(false, true)).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.value").as("value"), col("t.old_n").as("old_n"),
+        col("t.new_n").as("new_n"))
+    val smooth = lit(0.5 * topN)
+    val pOld = (col("old_n") + 0.5) / (col("__no") + smooth)
+    val pNew = (col("new_n") + 0.5) / (col("__nn") + smooth)
+    top.join(broadcast(totals))
+      .select(col("value"), col("old_n"), col("new_n"),
+        round((pNew - pOld) * log(pNew / pOld), 6).as("psi_term"))
+      .orderBy((col("old_n") + col("new_n")).desc, col("value"))
+  }
+
   /** [[histogramDrift]] along the version axis of a published table:
     * "what did last night's publish do to this column's distribution". */
   def driftBetweenVersions(wh: graft.engine.Warehouse, table: String,

@@ -301,6 +301,17 @@ object ExtendedQueries {
         li.filter(col("l_shipdate") < cut),
         li.filter(col("l_shipdate") >= cut),
         "l_extendedprice", bins = 20)
+    }),
+
+    // ── categorical drift over order priorities, same pre-/post-1995
+    //    split — the label/source-mix shift audit ──
+    "q99_drift_categorical" -> ((s, dir) => {
+      val o = Td(s, dir, "orders")
+      val cut = to_timestamp(lit("1995-01-01"))
+      graft.operators.Drift.categoricalDrift(
+        o.filter(col("o_orderdate") < cut),
+        o.filter(col("o_orderdate") >= cut),
+        "o_orderpriority", topN = 50)
     })
   )
 
@@ -720,6 +731,31 @@ object ExtendedQueries {
         |              (old_n + 0.5) / (n_old + 10.0)) *
         |             ln(((new_n + 0.5) / (n_new + 10.0)) /
         |                ((old_n + 0.5) / (n_old + 10.0))), 6) AS psi_term
-        |FROM g ORDER BY bin""".stripMargin
+        |FROM g ORDER BY bin""".stripMargin,
+
+    // q99: same smoothing with 0.5*topN = 25.0; all 5 priorities survive
+    // the top-50 truncation, so the oracle needs no heap
+    "q99_drift_categorical" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderpriority AS VARCHAR) AS value,
+        |         CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+        |              THEN 'old' ELSE 'new' END AS side
+        |  FROM orders WHERE o_orderpriority IS NOT NULL),
+        |e AS (
+        |  SELECT SUM(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS n_old,
+        |         SUM(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS n_new
+        |  FROM t),
+        |g AS (
+        |  SELECT value,
+        |         SUM(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS old_n,
+        |         SUM(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS new_n
+        |  FROM t GROUP BY 1)
+        |SELECT value, CAST(old_n AS BIGINT) AS old_n,
+        |       CAST(new_n AS BIGINT) AS new_n,
+        |       round(((new_n + 0.5) / (n_new + 25.0) -
+        |              (old_n + 0.5) / (n_old + 25.0)) *
+        |             ln(((new_n + 0.5) / (n_new + 25.0)) /
+        |                ((old_n + 0.5) / (n_old + 25.0))), 6) AS psi_term
+        |FROM g, e ORDER BY old_n + new_n DESC, value""".stripMargin
   )
 }
