@@ -312,6 +312,15 @@ object ExtendedQueries {
         o.filter(col("o_orderdate") < cut),
         o.filter(col("o_orderdate") >= cut),
         "o_orderpriority", topN = 50)
+    }),
+
+    // ── HLL distinct-customer sketch per priority: 64 bytes of state
+    //    per group vs q05's exact distinct shuffle ──
+    "q100_hll_distinct" -> ((s, dir) => {
+      val o = Td(s, dir, "orders")
+      graft.functions.Hll.distinctEstimate(
+        o, Seq("o_orderpriority"), "o_custkey", salt = "hll", m = 64)
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -756,6 +765,39 @@ object ExtendedQueries {
         |              (old_n + 0.5) / (n_old + 25.0)) *
         |             ln(((new_n + 0.5) / (n_new + 25.0)) /
         |                ((old_n + 0.5) / (n_old + 25.0))), 6) AS psi_term
-        |FROM g, e ORDER BY old_n + new_n DESC, value""".stripMargin
+        |FROM g, e ORDER BY old_n + new_n DESC, value""".stripMargin,
+
+    // q100: the oracle rebuilds the exact register array from the same
+    // two salted hash words, then replays the harmonic/linear-counting
+    // estimate. All numeric-determinism notes live on HllRegistersAgg:
+    // register terms are dyadic (exact in any sum order), divisions are
+    // forced to DOUBLE (DuckDB would otherwise use DECIMAL division,
+    // which rounds differently), round(…,4) absorbs ln() last-ulp skew.
+    "q100_hll_distinct" -> {
+      val m = 64
+      val rankCase = (1 to 24)
+        .map(k => s"WHEN w >= ${1L << (24 - k)} THEN $k").mkString(" ")
+      val am = s"CAST(${graft.functions.Hll.alpha(m) * m * m} AS DOUBLE)"
+      s"""WITH h AS (
+         |  SELECT o_orderpriority,
+         |         ${hashWordSql("hll|b", "o_custkey")} % $m AS bucket,
+         |         ${hashWordSql("hll|r", "o_custkey")} % ${1L << 24} AS w
+         |  FROM orders),
+         |r AS (
+         |  SELECT o_orderpriority, bucket,
+         |         MAX(CASE $rankCase ELSE 25 END) AS rnk
+         |  FROM h GROUP BY 1, 2),
+         |a AS (
+         |  SELECT o_orderpriority,
+         |         SUM(CAST(1 AS DOUBLE) / (1 << rnk)) +
+         |           CAST($m - COUNT(*) AS DOUBLE) AS ssum,
+         |         $m - COUNT(*) AS zeros
+         |  FROM r GROUP BY 1)
+         |SELECT o_orderpriority,
+         |       round(CASE WHEN zeros > 0 AND $am / ssum <= CAST(${(2.5 * m).toInt} AS DOUBLE)
+         |                  THEN $m * ln(CAST($m AS DOUBLE) / zeros)
+         |                  ELSE $am / ssum END, 4) AS est_distinct
+         |FROM a ORDER BY o_orderpriority""".stripMargin
+    }
   )
 }

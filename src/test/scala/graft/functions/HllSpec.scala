@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class HllSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("estimate lands within HLL error bounds and ignores duplicates") {
+    val n = 5000
+    val ids = spark.range(1, n + 1).toDF("id")
+    val est = Hll.distinctEstimate(ids, Nil, "id", salt = "t")
+      .select("est_distinct").as[Double].head()
+    // m=64 → sigma ~ 13%; 3-sigma acceptance so the test is not flaky-by-design
+    assert(math.abs(est - n) / n < 0.40, s"est $est vs exact $n")
+    // duplicates must not move a distinct sketch
+    val dup = Hll.distinctEstimate(ids.union(ids).union(ids), Nil, "id", salt = "t")
+      .select("est_distinct").as[Double].head()
+    assert(dup == est, s"duplicated input drifted the sketch: $dup vs $est")
+  }
+
+  test("registers are partitioning-invariant (merge = elementwise max)") {
+    val ids = spark.range(1, 2001).toDF("id")
+      .withColumn("g", col("id") % 3)
+    def run(parts: Int) =
+      Hll.distinctEstimate(ids.repartition(parts), Seq("g"), "id", salt = "p")
+        .orderBy("g").collect().toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("small cardinalities take the linear-counting branch") {
+    val tiny = Seq(1, 2, 3).toDF("id")
+    val est = Hll.distinctEstimate(tiny, Nil, "id", salt = "t")
+      .select("est_distinct").as[Double].head()
+    assert(est > 0.5 && est < 8.0, s"linear counting should land near 3: $est")
+  }
+}
