@@ -313,6 +313,37 @@ object Dedup {
     df.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware twin of [[dropNearDuplicates]]: within each duplicate
+    * group keep the HIGHEST-`scoreCol` member (ties → lowest id) instead
+    * of the lowest id — "keep the cleanest copy", which is what a
+    * training pipeline actually wants when near-duplicates differ in
+    * boilerplate, truncation or OCR noise.
+    *
+    * Same scale shape as the id-canonical path: LSH/verify/CC produce the
+    * (tiny) grouped id set; the per-group argmax is a bounded top-1
+    * aggregate (one row per group per partition into the shuffle — no
+    * window sort); the resulting non-canonical id set anti-joins back
+    * against the corpus, which itself never shuffles.
+    */
+  def keepBestPerGroup(df: DataFrame, idCol: String, textCol: String,
+                       scoreCol: String, threshold: Double = 0.5,
+                       k: Int = 3): DataFrame = {
+    import graft.functions.TopKAggregate
+    val pairs = ngramJaccard(df, idCol, textCol, threshold, k)
+    val members = connectedComponents(pairs, "id_a", "id_b")
+      .join(df.select(col(idCol).as("id"),
+        col(scoreCol).cast("double").as("__s")), Seq("id"))
+    val canonical = members.groupBy(col("label"))
+      .agg(TopKAggregate.topKStructs(struct(col("__s"), col("id")), 1,
+        // keep max score; flipped id breaks ties toward the smallest id
+        desc = Seq(false, true)).as("t"))
+      .select(element_at(col("t"), 1).getField("id").as("id"))
+    val dropIds = members.select(col("id"))
+      .join(canonical, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination: drop every corpus document that shares at
     * least one word k-gram with the benchmark/eval set — the standard
     * guard against test-set leakage into training data.

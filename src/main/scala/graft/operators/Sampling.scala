@@ -163,6 +163,46 @@ object Sampling {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Weight-proportional sample of `k` rows (per group, or globally with
+    * `groupCols = Nil`) — sequential Poisson sampling (Ohlsson 1998):
+    * every row gets priority `u / w` (u = the seeded 32-bit hash word, w
+    * = its weight) and the k SMALLEST priorities are the sample, so
+    * inclusion probability is approximately proportional to weight — the
+    * "sample 10k docs, favoring high-quality ones" selection step.
+    *
+    * Determinism across engines: the classical Efraimidis–Spirakis key
+    * `u^(1/w)` needs pow/ln, whose last-ulp rounding is libm-specific and
+    * could flip the order of two close keys. `u / w` is ONE correctly-
+    * rounded IEEE division of exactly-representable inputs — every engine
+    * computes the identical double, so the selected SET is identical.
+    * Ties (same priority) break toward the smaller id on both sides.
+    *
+    * Scale shape: priority is map-side; selection is the bounded-heap
+    * top-k, shuffle = `|groups| × k` rows whatever the corpus size.
+    * Output: groupCols + (idCol, weight, priority), priority rounded to
+    * 6 decimals for display (selection uses the unrounded key).
+    */
+  def weightedSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     weightCol: String, k: Int,
+                     salt: String = "graft"): DataFrame = {
+    require(k >= 1, "sample size must be >= 1")
+    import graft.functions.TopKAggregate
+    val w = col(weightCol).cast("double")
+    val key = hashWord(col(idCol), s"$salt|ws").cast("double") / w
+    val base = df.filter(w > 0.0) // zero/negative weight = never sampled
+      .select(groupCols.map(col) ++
+        Seq(key.as("__key"), col(idCol), w.as("__w")): _*)
+    base.groupBy(groupCols.map(col): _*)
+      .agg(TopKAggregate.topKStructs(
+        struct(col("__key"), col(idCol), col("__w")), k,
+        // flip key and id: the heap's "largest" = smallest (key, id)
+        desc = Seq(true, true)).as("top"))
+      .select(groupCols.map(col) :+ explode(col("top")).as("t"): _*)
+      .select(groupCols.map(col) ++ Seq(col(s"t.$idCol").as(idCol),
+        col("t.__w").as("weight"),
+        round(col("t.__key"), 6).as("priority")): _*)
+  }
+
   /** Deterministic global shuffle for training order: sort by (hash, id).
     * Spark executes this as a range-partitioned sort — sampled range
     * boundaries, all partitions sort in parallel, no single-task

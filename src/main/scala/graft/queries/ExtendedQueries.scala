@@ -321,6 +321,15 @@ object ExtendedQueries {
       graft.functions.Hll.distinctEstimate(
         o, Seq("o_orderpriority"), "o_custkey", salt = "hll", m = 64)
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // ── weight-proportional sampling: 50 orders per priority, favoring
+    //    high-value orders (sequential Poisson priorities) ──
+    "q101_weighted_sample" -> ((s, dir) => {
+      val o = Td(s, dir, "orders")
+      graft.operators.Sampling.weightedSample(
+        o, Seq("o_orderpriority"), "o_orderkey", "o_totalprice", k = 50)
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
     })
   )
 
@@ -798,6 +807,24 @@ object ExtendedQueries {
          |                  THEN $m * ln(CAST($m AS DOUBLE) / zeros)
          |                  ELSE $am / ssum END, 4) AS est_distinct
          |FROM a ORDER BY o_orderpriority""".stripMargin
-    }
+    },
+
+    // q101: the selection key u/w is ONE IEEE division of exactly-
+    // representable inputs, so both engines pick the identical set; the
+    // oracle's window formulation and the engine's bounded heap agree
+    // because both order by (key, id)
+    "q101_weighted_sample" ->
+      s"""WITH s AS (
+         |  SELECT o_orderpriority, o_orderkey,
+         |         CAST(o_totalprice AS DOUBLE) AS weight,
+         |         CAST(${hashWordSql("graft|ws", "o_orderkey")} AS DOUBLE) /
+         |           CAST(o_totalprice AS DOUBLE) AS key
+         |  FROM orders WHERE CAST(o_totalprice AS DOUBLE) > 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+         |        ORDER BY key, o_orderkey) AS rn FROM s)
+         |SELECT o_orderpriority, o_orderkey, weight,
+         |       round(key, 6) AS priority
+         |FROM r WHERE rn <= 50
+         |ORDER BY o_orderpriority, o_orderkey""".stripMargin
   )
 }

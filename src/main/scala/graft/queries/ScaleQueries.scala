@@ -150,6 +150,15 @@ object ScaleQueries {
           "doc_id", "text", threshold = 0.3)
         .select("doc_id", "lang", "n_chars")),
 
+    // ── quality-aware canonical selection: same near-dup groups, but the
+    //    kept copy is the group's LONGEST doc (n_chars as the quality
+    //    proxy), ties to the smallest id ──
+    "q102_keep_best" -> ((s, dir) =>
+      Dedup.keepBestPerGroup(
+          Td(s, dir, "documents").select("doc_id", "text", "lang", "n_chars"),
+          "doc_id", "text", "n_chars", threshold = 0.3)
+        .select("doc_id", "lang", "n_chars")),
+
     // ── incremental near-dup: the batch of new arrivals (doc_id % 10 == 0)
     //    band-joins against the STORED corpus signatures — the existing
     //    corpus text is never re-signatured ──
@@ -641,6 +650,31 @@ object ScaleQueries {
          |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
          |drops AS (SELECT a AS doc_id FROM reach
          |          GROUP BY a HAVING least(a, min(b)) <> a)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
+
+    // q102: the q65 closure, but the canonical member is the group's
+    // argmax by (n_chars DESC, doc_id ASC) instead of the min id
+    "q102_keep_best" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM tok),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |          AS jaccard
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach AS (SELECT a, b FROM edges
+         |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |g AS (SELECT a AS doc_id, least(a, min(b)) AS group_id
+         |      FROM reach GROUP BY a),
+         |m AS (SELECT g.doc_id, g.group_id, d.n_chars
+         |      FROM g JOIN documents d USING (doc_id)),
+         |r AS (SELECT doc_id, row_number() OVER (PARTITION BY group_id
+         |        ORDER BY n_chars DESC, doc_id) AS rn FROM m),
+         |drops AS (SELECT doc_id FROM r WHERE rn > 1)
          |SELECT doc_id, lang, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
 

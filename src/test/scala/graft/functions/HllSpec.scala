@@ -28,6 +28,19 @@ class HllSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("plan partial-aggregates map-side (sketches merge in the shuffle)") {
+    val df = spark.range(1, 1001).toDF("id")
+      .withColumn("g", col("id") % 4)
+      .repartition(4)
+    val est = Hll.distinctEstimate(df, Seq("g"), "id", salt = "t")
+    est.collect()
+    val plan = est.queryExecution.executedPlan.toString
+    // partial registers before the exchange, merge after — each input
+    // partition ships m bytes per group, never the ids
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan.take(2000))
+    assert(plan.contains("partial_hll_registers"), plan.take(2000))
+  }
+
   test("small cardinalities take the linear-counting branch") {
     val tiny = Seq(1, 2, 3).toDF("id")
     val est = Hll.distinctEstimate(tiny, Nil, "id", salt = "t")

@@ -92,6 +92,20 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("keepBestPerGroup keeps the highest-scoring member, ties to min id") {
+    // group {1, 2, 4}: doc 2 has the top score → canonical; 1 and 4 drop
+    val scored = docs.withColumn("score",
+      when($"doc_id" === 2L, 9.0).otherwise(1.0))
+    val out = Dedup.keepBestPerGroup(scored, "doc_id", "text", "score",
+      threshold = 0.3).select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L, 3L, 5L), s"got $out")
+    // equal scores: the lowest id of the group wins, like dropNearDuplicates
+    val flat = docs.withColumn("score", lit(1.0))
+    val tied = Dedup.keepBestPerGroup(flat, "doc_id", "text", "score",
+      threshold = 0.3).select("doc_id").as[Long].collect().toSet
+    assert(tied == Set(1L, 3L, 5L), s"got $tied")
+  }
+
   test("minhash LSH finds the near-dup pair and not unrelated pairs") {
     val pairs = Dedup.minHashLSH(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

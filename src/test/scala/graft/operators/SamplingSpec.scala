@@ -122,6 +122,30 @@ class SamplingSpec extends SparkSpec {
     assert(out("srcB") == ((2L, 4L, 0.666667)))
   }
 
+  test("weightedSample: k per group, weight-proportional, zero weight excluded") {
+    val df = (1L to 2000L).map { i =>
+      (i, if (i % 2 == 0) "a" else "b",
+        if (i <= 1000) 100.0 else 1.0) // first half heavy
+    }.toDF("id", "grp", "w")
+    val out = Sampling.weightedSample(df, Seq("grp"), "id", "w", k = 50)
+      .collect()
+    assert(out.length == 100)
+    assert(out.groupBy(_.getString(0)).forall(_._2.length == 50))
+    // 100:1 weights → the heavy half should dominate the sample
+    val heavy = out.count(_.getLong(1) <= 1000L)
+    assert(heavy > 80, s"weight-proportional selection: $heavy/100 heavy")
+    // zero-weight rows can never appear
+    val z = df.withColumn("w", when($"id" === 7L, 0.0).otherwise($"w"))
+    val zOut = Sampling.weightedSample(z, Nil, "id", "w", k = 2000).collect()
+    assert(zOut.length == 1999 && !zOut.exists(_.getLong(0) == 7L))
+    // partitioning-invariant: same sample whatever the layout
+    val p1 = Sampling.weightedSample(df.repartition(1), Seq("grp"), "id", "w", 50)
+      .orderBy("grp", "id").collect().toSeq
+    val p16 = Sampling.weightedSample(df.repartition(16), Seq("grp"), "id", "w", 50)
+      .orderBy("grp", "id").collect().toSeq
+    assert(p1 == p16)
+  }
+
   test("mixtureTake: budgets split by normalized weight") {
     val docs = (0L until 900L).map(i => (i, s"src${i % 3}", 20L))
       .toDF("id", "src", "toks")
