@@ -53,6 +53,72 @@ object CorpusStats {
     * by the gram text. One explode + one partial-agg groupBy keyed by the
     * gram — the standard LM-diagnostics sweep, shuffle ∝ |distinct grams|.
     */
+  /** All-pairs TF-IDF cosine similarity above `threshold` via an inverted
+    * index — the weighted bag-of-words retrieval twin of the shingle-set
+    * Jaccard path: two near-dups share shingles, two TOPICALLY similar
+    * documents share rare weighted terms.
+    *
+    * Scale shape (the textbook posting-list join): documents never pair
+    * all-against-all. Each doc explodes to (term, doc, weight) postings;
+    * pairs exist only where a term's posting list crosses itself, so
+    * candidate volume is Σ_t df(t)² — and the df caps (relative
+    * `df · dfCap ≤ N`, plus absolute `df ≤ maxDf`; both integer-exact
+    * predicates) remove the stop-word heads that would otherwise
+    * dominate that sum. Cosine is computed IN the pruned term
+    * space (norms and dots over kept terms), the standard contract for
+    * df-pruned sparse similarity. One shuffle keys the postings by term,
+    * one partial-agg groupBy sums per pair; nothing broadcasts but the
+    * one-row corpus count.
+    *
+    * Engine determinism: idf is QUANTIZED to an integer milli-weight
+    * (`round(1000·(ln((N+1)/(df+1))+1))`), so every partial product and
+    * both norms are exact integers in any summation order; the final
+    * cosine is two `sqrt`s, one multiply and one divide — all correctly-
+    * rounded IEEE ops — so the threshold filter cannot flip between
+    * engines. (The quantization `round` sits on an `ln`: a cross-libm
+    * last-ulp flip would need the scaled idf to land within 1e-13 of a
+    * half-integer — measure-zero, and visible as an off-by-one weight,
+    * not a silent wrong pair.)
+    */
+  def sparseCosineJoin(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.5, dfCap: Int = 10,
+                       maxDf: Long = Long.MaxValue): DataFrame = {
+    require(dfCap >= 1, s"dfCap must be >= 1, got $dfCap")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val terms = graft.functions.Generates.explodeOnce(
+      df, Seq(col(idCol).as("id")), TextFunctions.tokens(col(textCol)), "term")
+    val tf = terms.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("__n"))
+    // two caps: the RATIO cap tracks corpus growth (stop-word heads stay
+    // out at every N), the ABSOLUTE cap bounds the posting-join's worst
+    // per-term cost Σ df² at planet scale, where N/dfCap prunes nothing —
+    // a billion-doc corpus wants maxDf ≈ 10⁵ whatever N is
+    val kept = dfreq.join(broadcast(n))
+      .filter(col("df") * dfCap <= col("__n") && col("df") <= maxDf)
+      .select(col("term"),
+        round(lit(1000.0) *
+          (log((col("__n") + 1).cast("double") / (col("df") + 1)) + 1.0))
+          .cast("long").as("wq"))
+    val postings = tf.join(kept, Seq("term"))
+      .select(col("id"), col("term"), (col("tf") * col("wq")).as("w"))
+    val norms = postings.groupBy(col("id"))
+      .agg(sum(col("w") * col("w")).as("norm2"))
+    val dots = postings.as("a")
+      .join(postings.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    val cos = col("dot").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("norm2").as("na")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("norm2").as("nb")), Seq("id_b"))
+      .filter(cos >= threshold)
+      .select(col("id_a"), col("id_b"), round(cos, 6).as("cosine"))
+  }
+
   def topNgrams(df: DataFrame, textCol: String, k: Int = 3,
                 limit: Int = 20): DataFrame = {
     import graft.functions.SignatureExpressions

@@ -159,6 +159,14 @@ object ScaleQueries {
           "doc_id", "text", "n_chars", threshold = 0.3)
         .select("doc_id", "lang", "n_chars")),
 
+    // ── inverted-index TF-IDF cosine join: topical similarity over
+    //    weighted terms, posting-list candidates only (no all-pairs),
+    //    stop-word heads removed by the integer df cap ──
+    "q103_sparse_cosine" -> ((s, dir) =>
+      graft.operators.CorpusStats.sparseCosineJoin(
+        Td(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, dfCap = 10)),
+
     // ── incremental near-dup: the batch of new arrivals (doc_id % 10 == 0)
     //    band-joins against the STORED corpus signatures — the existing
     //    corpus text is never re-signatured ──
@@ -677,6 +685,34 @@ object ScaleQueries {
          |drops AS (SELECT doc_id FROM r WHERE rn > 1)
          |SELECT doc_id, lang, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
+
+    // q103: posting-list replay of the quantized-idf cosine. Integer
+    // weights make dot/norms exact in any summation order; the final
+    // cosine is correctly-rounded IEEE ops, so the 0.5 gate can't flip.
+    "q103_sparse_cosine" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |w AS (SELECT term,
+         |        CAST(round(1000.0 * (ln(CAST(n + 1 AS DOUBLE) / (df + 1))
+         |          + 1.0)) AS BIGINT) AS wq
+         |      FROM dfq, n WHERE df * 10 <= n),
+         |v AS (SELECT tf.doc_id, tf.term, tf.tf * w.wq AS wt
+         |      FROM tf JOIN w USING (term)),
+         |norms AS (SELECT doc_id, SUM(wt * wt) AS norm2 FROM v GROUP BY 1),
+         |d AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        SUM(a.wt * b.wt) AS dot
+         |      FROM v a JOIN v b ON a.term = b.term AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |s AS (SELECT id_a, id_b,
+         |        CAST(dot AS DOUBLE) / (sqrt(CAST(na.norm2 AS DOUBLE)) *
+         |          sqrt(CAST(nb.norm2 AS DOUBLE))) AS cosine
+         |      FROM d JOIN norms na ON d.id_a = na.doc_id
+         |             JOIN norms nb ON d.id_b = nb.doc_id)
+         |SELECT id_a, id_b, round(cosine, 6) AS cosine
+         |FROM s WHERE cosine >= 0.5""".stripMargin,
 
     "q63_dup_groups" ->
       s"""WITH RECURSIVE tok AS (SELECT doc_id, $tokSql AS toks FROM documents),

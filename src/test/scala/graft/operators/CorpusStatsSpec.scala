@@ -51,6 +51,54 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(3L) == Seq(("other", 1L, 1L), ("shared", 1L, 3L)))
   }
 
+  test("sparseCosineJoin matches a dense driver-side replay; df cap prunes") {
+    val fixture = Seq(
+      1L -> "apple banana cherry apple",
+      2L -> "apple banana cherry",
+      3L -> "dog cat mouse",
+      4L -> "dog cat mouse dog",
+      5L -> "apple dog zebra")
+    val docs = fixture.toDF("doc_id", "text")
+    val got = CorpusStats.sparseCosineJoin(docs, "doc_id", "text",
+      threshold = 0.0, dfCap = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    // dense replay of the exact quantized formula
+    val n = fixture.size
+    val tf = fixture.map { case (id, t) =>
+      id -> t.split(" ").groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    }.toMap
+    val dfreq = tf.values.flatMap(_.keys).groupBy(identity).map { case (k, v) => k -> v.size }
+    val wq = dfreq.collect { case (t, d) if d * 1 <= n =>
+      t -> Math.round(1000.0 * (Math.log((n + 1).toDouble / (d + 1)) + 1.0))
+    }
+    val vec = tf.map { case (id, m) =>
+      id -> m.collect { case (t, c) if wq.contains(t) => t -> c * wq(t) }
+    }
+    val expected = (for {
+      a <- fixture.map(_._1); b <- fixture.map(_._1) if a < b
+      shared = vec(a).keySet.intersect(vec(b).keySet) if shared.nonEmpty
+    } yield {
+      val dot = shared.toSeq.map(t => vec(a)(t) * vec(b)(t)).sum
+      val na = vec(a).values.map(w => w * w).sum
+      val nb = vec(b).values.map(w => w * w).sum
+      val cos = dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      (a, b, BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    // dfCap=2 with n=5 keeps only df*2 <= 5 → df <= 2 terms; 'apple'
+    // (df 3) and 'dog' (df 3) drop, so doc 5 loses every pairing
+    val capped = CorpusStats.sparseCosineJoin(docs, "doc_id", "text",
+      threshold = 0.0, dfCap = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(!capped.exists(p => p._1 == 5L || p._2 == 5L), s"got $capped")
+    assert(capped.exists(p => (p._1, p._2) == (1L, 2L))) // banana/cherry df 2
+    // absolute cap: maxDf=1 keeps only df-1 terms → no shared terms remain
+    val abs = CorpusStats.sparseCosineJoin(docs, "doc_id", "text",
+      threshold = 0.0, dfCap = 1, maxDf = 1L)
+      .as[(Long, Long, Double)].collect()
+    assert(abs.isEmpty, s"got ${abs.toSeq}")
+  }
+
   test("topNgrams counts document frequency of shingles with stable order") {
     val docs = Seq(
       (1L, "a b c d"), (2L, "a b c e"), (3L, "a b c d")) // "a b c" in all 3
