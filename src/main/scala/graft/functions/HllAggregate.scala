@@ -132,28 +132,68 @@ object Hll {
   def registers(bucket: Column, rank: Column, m: Int): Column =
     toCol(HllRegistersAgg(toExpr(bucket), toExpr(rank), m).toAggregateExpression())
 
+  // element_at over a literal table of 2^-k: exact dyadic doubles,
+  // avoids pow() whose rounding is not guaranteed
+  private def termTable: Column =
+    array((0 to RankBits + 1).map(k => lit(1.0 / (1L << k))): _*)
+
+  /** The estimate from its two sufficient statistics: `ssum` = Σ 2^-r
+    * over all m registers, `zeros` = empty-register count. */
+  private def estimateFrom(ssum: Column, zeros: Column, m: Int): Column = {
+    val raw = lit(alpha(m) * m * m) / ssum
+    round(when(zeros > 0 && raw <= lit(2.5 * m),
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw), 4)
+  }
+
   /** The HLL estimate from a register array: harmonic-mean raw estimate
     * with the standard small-range linear-counting correction, rounded
     * to 4 decimals (see class doc for why this is engine-deterministic). */
   def estimate(registers: Column, m: Int): Column = {
-    // element_at over a literal table of 2^-k: exact dyadic doubles,
-    // avoids pow() whose rounding is not guaranteed
-    val terms = array((0 to RankBits + 1).map(k => lit(1.0 / (1L << k))): _*)
+    val terms = termTable
     val ssum = aggregate(registers, lit(0.0),
       (acc, r) => acc + element_at(terms, r + 1))
     val zeros = size(filter(registers, r => r === 0))
-    val raw = lit(alpha(m) * m * m) / ssum
-    round(when(zeros > 0 && raw <= lit(2.5 * m),
-      lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw), 4)
+    estimateFrom(ssum, zeros, m)
+  }
+
+  /** The sketch as a stored artifact: groupCols + a `registers`
+    * array<int> column. Persist this per day/source/shard and answer
+    * distinct-count questions later by [[mergeEstimate]] — without
+    * rescanning the ids (registers merge by elementwise max, which is
+    * associative: merged sketches equal the direct one-pass sketch
+    * exactly, not approximately). */
+  def distinctSketch(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     salt: String, m: Int = 64): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(registers(bucketCol(col(idCol), salt, m),
+        rankCol(col(idCol), salt), m).as("registers"))
+
+  /** Merge stored sketches down to coarser groups and estimate: the
+    * roll-up side of [[distinctSketch]]. Registers explode to (pos, r)
+    * and max-combine per position; the estimate's sufficient statistics
+    * come straight off the combined rows (every position is present in
+    * every sketch, zeros included, so `zeros` is a plain conditional
+    * count). Shuffle = |sketch rows| × m — sketch tables are tiny by
+    * construction, that is the point of storing them. */
+  def mergeEstimate(df: DataFrame, groupCols: Seq[String],
+                    registersCol: String, m: Int = 64): DataFrame = {
+    val terms = termTable
+    df.select(groupCols.map(col) :+ posexplode(col(registersCol)): _*)
+      .groupBy((groupCols.map(col) :+ col("pos")): _*)
+      .agg(max(col("col")).as("r"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(element_at(terms, col("r") + 1)).as("__ssum"),
+        sum(when(col("r") === 0, 1).otherwise(0)).as("__zeros"))
+      .withColumn("est_distinct",
+        estimateFrom(col("__ssum"), col("__zeros"), m))
+      .drop("__ssum", "__zeros")
   }
 
   /** Per-group approximate COUNT(DISTINCT idCol): one shuffle, m bytes
     * of aggregate state per group. Output: groupCols + `est_distinct`. */
   def distinctEstimate(df: DataFrame, groupCols: Seq[String], idCol: String,
                        salt: String, m: Int = 64): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
-      .agg(registers(bucketCol(col(idCol), salt, m),
-        rankCol(col(idCol), salt), m).as("__regs"))
-      .withColumn("est_distinct", estimate(col("__regs"), m))
-      .drop("__regs")
+    distinctSketch(df, groupCols, idCol, salt, m)
+      .withColumn("est_distinct", estimate(col("registers"), m))
+      .drop("registers")
 }

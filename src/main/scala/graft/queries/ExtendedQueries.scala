@@ -323,6 +323,20 @@ object ExtendedQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ── the mergeable-sketch warehouse pattern: per-(priority, status)
+    //    sketches stored, then rolled up to per-priority WITHOUT
+    //    rescanning ids — register max is associative, so the estimate
+    //    equals q100's direct scan bit-for-bit (same oracle) ──
+    "q104_hll_merged" -> ((s, dir) => {
+      val o = Td(s, dir, "orders")
+      val sketches = graft.functions.Hll.distinctSketch(
+        o, Seq("o_orderpriority", "o_orderstatus"), "o_custkey",
+        salt = "hll", m = 64)
+      graft.functions.Hll.mergeEstimate(
+        sketches, Seq("o_orderpriority"), "registers", m = 64)
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ── weight-proportional sampling: 50 orders per priority, favoring
     //    high-value orders (sequential Poisson priorities) ──
     "q101_weighted_sample" -> ((s, dir) => {
@@ -337,6 +351,40 @@ object ExtendedQueries {
     * as an unsigned 32-bit value. */
   private def hashWordSql(salt: String, idExpr: String) =
     s"CAST(('0x' || substr(md5('$salt|' || CAST($idExpr AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+  /** Shared by q100 (direct sketch) and q104 (merged stored sketches):
+    * register max is associative, so both queries' registers — and hence
+    * estimates — are identical, and one replay oracles both. Rebuilds the
+    * exact register array from the two salted hash words, then replays
+    * the harmonic/linear-counting estimate; divisions forced to DOUBLE
+    * (DuckDB DECIMAL division rounds differently), the rank ladder is an
+    * integer-exact CASE (no float log2). */
+  private lazy val hllDistinctOracle: String = {
+    val m = 64
+    val rankCase = (1 to 24)
+      .map(k => s"WHEN w >= ${1L << (24 - k)} THEN $k").mkString(" ")
+    val am = s"CAST(${graft.functions.Hll.alpha(m) * m * m} AS DOUBLE)"
+    s"""WITH h AS (
+       |  SELECT o_orderpriority,
+       |         ${hashWordSql("hll|b", "o_custkey")} % $m AS bucket,
+       |         ${hashWordSql("hll|r", "o_custkey")} % ${1L << 24} AS w
+       |  FROM orders),
+       |r AS (
+       |  SELECT o_orderpriority, bucket,
+       |         MAX(CASE $rankCase ELSE 25 END) AS rnk
+       |  FROM h GROUP BY 1, 2),
+       |a AS (
+       |  SELECT o_orderpriority,
+       |         SUM(CAST(1 AS DOUBLE) / (1 << rnk)) +
+       |           CAST($m - COUNT(*) AS DOUBLE) AS ssum,
+       |         $m - COUNT(*) AS zeros
+       |  FROM r GROUP BY 1)
+       |SELECT o_orderpriority,
+       |       round(CASE WHEN zeros > 0 AND $am / ssum <= CAST(${(2.5 * m).toInt} AS DOUBLE)
+       |                  THEN $m * ln(CAST($m AS DOUBLE) / zeros)
+       |                  ELSE $am / ssum END, 4) AS est_distinct
+       |FROM a ORDER BY o_orderpriority""".stripMargin
+  }
 
   /** DuckDB analogue of Layout.zValue: the same unrolled clamp/shift/mask
     * interleave. */
@@ -782,32 +830,11 @@ object ExtendedQueries {
     // register terms are dyadic (exact in any sum order), divisions are
     // forced to DOUBLE (DuckDB would otherwise use DECIMAL division,
     // which rounds differently), round(…,4) absorbs ln() last-ulp skew.
-    "q100_hll_distinct" -> {
-      val m = 64
-      val rankCase = (1 to 24)
-        .map(k => s"WHEN w >= ${1L << (24 - k)} THEN $k").mkString(" ")
-      val am = s"CAST(${graft.functions.Hll.alpha(m) * m * m} AS DOUBLE)"
-      s"""WITH h AS (
-         |  SELECT o_orderpriority,
-         |         ${hashWordSql("hll|b", "o_custkey")} % $m AS bucket,
-         |         ${hashWordSql("hll|r", "o_custkey")} % ${1L << 24} AS w
-         |  FROM orders),
-         |r AS (
-         |  SELECT o_orderpriority, bucket,
-         |         MAX(CASE $rankCase ELSE 25 END) AS rnk
-         |  FROM h GROUP BY 1, 2),
-         |a AS (
-         |  SELECT o_orderpriority,
-         |         SUM(CAST(1 AS DOUBLE) / (1 << rnk)) +
-         |           CAST($m - COUNT(*) AS DOUBLE) AS ssum,
-         |         $m - COUNT(*) AS zeros
-         |  FROM r GROUP BY 1)
-         |SELECT o_orderpriority,
-         |       round(CASE WHEN zeros > 0 AND $am / ssum <= CAST(${(2.5 * m).toInt} AS DOUBLE)
-         |                  THEN $m * ln(CAST($m AS DOUBLE) / zeros)
-         |                  ELSE $am / ssum END, 4) AS est_distinct
-         |FROM a ORDER BY o_orderpriority""".stripMargin
-    },
+    "q100_hll_distinct" -> hllDistinctOracle,
+
+    // q104: merged per-(priority, status) sketches == the direct
+    // per-priority sketch (register max is associative) — same oracle
+    "q104_hll_merged" -> hllDistinctOracle,
 
     // q101: the selection key u/w is ONE IEEE division of exactly-
     // representable inputs, so both engines pick the identical set; the

@@ -28,6 +28,18 @@ class HllSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("stored sketches merged to coarser groups equal the direct estimate") {
+    val df = spark.range(1, 3001).toDF("id")
+      .withColumn("g", col("id") % 2)       // coarse group
+      .withColumn("shard", col("id") % 7)   // stored-sketch granularity
+    val direct = Hll.distinctEstimate(df, Seq("g"), "id", salt = "m")
+      .orderBy("g").collect().toSeq
+    val merged = Hll.mergeEstimate(
+      Hll.distinctSketch(df, Seq("g", "shard"), "id", salt = "m"),
+      Seq("g"), "registers").orderBy("g").collect().toSeq
+    assert(merged == direct, s"merged $merged vs direct $direct")
+  }
+
   test("plan partial-aggregates map-side (sketches merge in the shuffle)") {
     val df = spark.range(1, 1001).toDF("id")
       .withColumn("g", col("id") % 4)
