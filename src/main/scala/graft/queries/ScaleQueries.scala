@@ -160,12 +160,15 @@ object ScaleQueries {
         .select("doc_id", "lang", "n_chars")),
 
     // ── inverted-index TF-IDF cosine join: topical similarity over
-    //    weighted terms, posting-list candidates only (no all-pairs),
-    //    stop-word heads removed by the integer df cap ──
+    //    weighted terms, posting-list candidates only (no all-pairs).
+    //    BOTH df caps pinned: the ratio cap prunes at small N, the
+    //    absolute cap (2000) is what holds at scale — the 20× sweep
+    //    without it keeps every stop-word head (N/10 = 120k prunes
+    //    nothing) and Σ df² goes superlinear ──
     "q103_sparse_cosine" -> ((s, dir) =>
       graft.operators.CorpusStats.sparseCosineJoin(
         Td(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, dfCap = 10)),
+        threshold = 0.5, dfCap = 10, maxDf = 2000L)),
 
     // ── incremental near-dup: the batch of new arrivals (doc_id % 10 == 0)
     //    band-joins against the STORED corpus signatures — the existing
@@ -698,7 +701,7 @@ object ScaleQueries {
          |w AS (SELECT term,
          |        CAST(round(1000.0 * (ln(CAST(n + 1 AS DOUBLE) / (df + 1))
          |          + 1.0)) AS BIGINT) AS wq
-         |      FROM dfq, n WHERE df * 10 <= n),
+         |      FROM dfq, n WHERE df * 10 <= n AND df <= 2000),
          |v AS (SELECT tf.doc_id, tf.term, tf.tf * w.wq AS wt
          |      FROM tf JOIN w USING (term)),
          |norms AS (SELECT doc_id, SUM(wt * wt) AS norm2 FROM v GROUP BY 1),
