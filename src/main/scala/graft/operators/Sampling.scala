@@ -163,6 +163,32 @@ object Sampling {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** [[hashSplit]] that never separates near-duplicates: every document
+    * hashes its near-dup GROUP label (its own id when it has no dups), so
+    * a duplicate group lands wholly in one split and test-set leakage
+    * through paraphrased/duplicated documents is structurally impossible
+    * — assigning splits per document and deduping afterwards leaves the
+    * test set contaminated by train-side near-copies, the classic eval
+    * bug. Membership stays stable under corpus growth exactly when the
+    * group structure is stable.
+    *
+    * Scale shape: the LSH→verify→CC path produces the (tiny) grouped id
+    * set; the corpus takes one broadcast-ish join against those labels
+    * and a map-side hash — no extra corpus shuffle beyond the label join.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       splits: Seq[(String, Double)],
+                       threshold: Double = 0.5, k: Int = 3,
+                       salt: String = "graft"): DataFrame = {
+    val pairs = Dedup.ngramJaccard(df, idCol, textCol, threshold, k)
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    val keyed = df.join(labels, Seq(idCol), "left")
+      .withColumn("__split_key", coalesce(col("label"), col(idCol)))
+      .drop("label")
+    hashSplit(keyed, "__split_key", splits, salt).drop("__split_key")
+  }
+
   /** Weight-proportional sample of `k` rows (per group, or globally with
     * `groupCols = Nil`) — sequential Poisson sampling (Ohlsson 1998):
     * every row gets priority `u / w` (u = the seeded 32-bit hash word, w

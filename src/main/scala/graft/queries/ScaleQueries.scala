@@ -170,6 +170,15 @@ object ScaleQueries {
         Td(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, dfCap = 10, maxDf = 2000L)),
 
+    // ── leakage-safe split: near-dup groups hash their GROUP label, so a
+    //    duplicate can never straddle the train/test boundary ──
+    "q105_leakage_split" -> ((s, dir) =>
+      graft.operators.Sampling.leakageSafeSplit(
+          Td(s, dir, "documents"), "doc_id", "text",
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          threshold = 0.3)
+        .select(col("doc_id"), col("split"))),
+
     // ── incremental near-dup: the batch of new arrivals (doc_id % 10 == 0)
     //    band-joins against the STORED corpus signatures — the existing
     //    corpus text is never re-signatured ──
@@ -688,6 +697,34 @@ object ScaleQueries {
          |drops AS (SELECT doc_id FROM r WHERE rn > 1)
          |SELECT doc_id, lang, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
+
+    // q105: the q63 closure gives each doc its group label (own id when
+    // unpaired); the split hashes the LABEL through the q66 bucket CASE
+    "q105_leakage_split" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM tok),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |          AS jaccard
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach AS (SELECT a, b FROM edges
+         |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |g AS (SELECT a AS doc_id, least(a, min(b)) AS label
+         |      FROM reach GROUP BY a),
+         |kk AS (SELECT d.doc_id, COALESCE(g.label, d.doc_id) AS key
+         |       FROM documents d LEFT JOIN g USING (doc_id)),
+         |b AS (SELECT doc_id,
+         |        ${md5Word1("'graft|' || CAST(key AS VARCHAR)")} % 1000000 AS bk
+         |      FROM kk)
+         |SELECT doc_id,
+         |  CASE WHEN bk < 800000 THEN 'train'
+         |       WHEN bk < 900000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
 
     // q103: posting-list replay of the quantized-idf cosine. Integer
     // weights make dot/norms exact in any summation order; the final

@@ -122,6 +122,26 @@ class SamplingSpec extends SparkSpec {
     assert(out("srcB") == ((2L, 4L, 0.666667)))
   }
 
+  test("leakageSafeSplit: a near-dup group never straddles splits") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (3L, "completely different content about spark query engines and shuffles"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (5L, "another unrelated text mentioning vectors embeddings and cosine space")
+    ).toDF("doc_id", "text")
+    val m = Sampling.leakageSafeSplit(docs, "doc_id", "text",
+      Seq("train" -> 0.5, "test" -> 0.5), threshold = 0.3)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(m.size == 5)
+    assert(m(1L) == m(2L) && m(2L) == m(4L), s"group split apart: $m")
+    // docs with no near-dups assign exactly like the plain per-id split
+    val plain = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(m(3L) == plain(3L) && m(5L) == plain(5L))
+  }
+
   test("weightedSample: k per group, weight-proportional, zero weight excluded") {
     val df = (1L to 2000L).map { i =>
       (i, if (i % 2 == 0) "a" else "b",
