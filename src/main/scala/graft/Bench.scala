@@ -21,6 +21,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pinned so the events NTZ→TZ normalization (Td.normalizeEventTs)
+      // yields identical instants regardless of box timezone
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -97,7 +100,11 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    // errored queries are null, not a -1.0 sentinel — a numeric sentinel
+    // inside the queries map silently poisons cross-round total comparisons
+    val qs = results.map { case (k, v) =>
+      s"${jq(k)}:${if (v < 0) "null" else v.toString}"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
