@@ -236,6 +236,20 @@ object GraftFunctions {
         TopKStructsAgg(s, intArg(kk, "topk_structs", "k"), flags)
       case args => throw new IllegalArgumentException(
         s"topk_structs expects 2-3 arguments, got ${args.length}")
+    },
+
+    fn("space_saving",
+      "space_saving(item, capacity) - AGGREGATE: Space-Saving heavy-hitter " +
+        "sketch over string items — array<struct<item,est,err>> sorted by " +
+        "(est desc, item), at most `capacity` counters of state per group " +
+        "no matter how many rows stream through. Exact (err = 0) while a " +
+        "group's distinct items stay within capacity; past that the " +
+        "Metwally bounds hold (est-err <= true <= est; any item with " +
+        "true count > N/capacity is present).") {
+      case Seq(item, cap) =>
+        SpaceSavingAgg(item, intArg(cap, "space_saving", "capacity"))
+      case args => throw new IllegalArgumentException(
+        s"space_saving expects 2 arguments, got ${args.length}")
     }
   )
 

@@ -527,4 +527,159 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .distinct()
   }
+
+  /** Boilerplate removal (the RefinedWeb / CCNet "strip lines shared by
+    * many pages" pass, phrased over fixed `segTokens`-token windows since
+    * the corpus has no line structure): a segment whose DOCUMENT frequency
+    * reaches `minDocs` is boilerplate and is stripped from EVERY document
+    * — unlike [[dropRepeatedSegments]], which keeps the first occurrence
+    * and only drops repeats. Documents left with no segments disappear.
+    *
+    * Output `clean_text` is in normalized token space (same contract and
+    * caveat as [[dropRepeatedSegments]]).
+    *
+    * Scale shape: segmentation is the explode-then-slice pattern
+    * (explodeOnce, q30-pathology-safe), the df count is a partial-
+    * aggregating count_distinct keyed by segment (high-cardinality, no hot
+    * key), and the strip is an anti-join whose right side is only the
+    * segments at df >= minDocs — a set bounded by corpusSegments/minDocs,
+    * stats-gated to broadcast when it is small (the common case: true
+    * boilerplate is a short heavy head). Reassembly is one groupBy on the
+    * doc id. Nothing all-pairs, nothing driver-side.
+    */
+  def stripFrequentSegments(df: DataFrame, idCol: String, textCol: String,
+                            segTokens: Int = 10, minDocs: Int = 3): DataFrame = {
+    require(segTokens >= 1, "segTokens must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2 (1 would strip everything)")
+    val pre = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__nseg",
+        ceil(size(col("__toks")).cast("double") / segTokens).cast("int"))
+    // materialized ONCE: segs feeds both the df aggregate and the
+    // anti-join probe side (different partitionings — exchange reuse
+    // can't kick in, a lazy plan would tokenize the corpus twice)
+    val segs = graft.functions.Generates.explodeOnce(pre,
+        Seq(col(idCol), col("__toks")),
+        sequence(lit(0), col("__nseg") - 1), "__pos")
+      .select(col(idCol), col("__pos"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__pos") * segTokens + 1, lit(segTokens)))
+          .as("__seg"))
+      .localCheckpoint(true)
+    val boilerplate = segs
+      .groupBy(col("__seg"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__seg"))
+    segs.join(graft.engine.JoinPolicy.broadcastIfSmall(boilerplate),
+        Seq("__seg"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+          s => s.getField("__seg")), " ").as("clean_text"))
+  }
+
+  /** Exact duplicated-span detection (the span-level view of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL 2022):
+    * every token-position `k`-gram that occurs at more than one (doc,
+    * position) in the corpus marks its window as duplicated; overlapping
+    * or adjacent windows within a document merge into maximal spans.
+    * Output: one row per merged span — (id, span_start, span_end,
+    * n_dup_grams) with token positions, `span_end` exclusive — the mask a
+    * surgical-removal pass consumes (cutting spans out of text is then a
+    * per-doc map; reporting the mask keeps this operator pure).
+    *
+    * Scale shape: grams are the explode-then-slice pattern; the duplicate
+    * test is a partial-aggregating count keyed by the gram's md5 (fixed
+    * 32-byte shuffle key regardless of k — the gram TEXT never shuffles);
+    * the span merge is a per-document gaps-and-islands window (state ∝
+    * document length, never corpus length). One gram-keyed shuffle + one
+    * doc-keyed shuffle, both linear.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 16): DataFrame = {
+    require(k >= 2, "span gram length must be >= 2")
+    val pre = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+    val grams = graft.functions.Generates.explodeOnce(pre,
+        Seq(col(idCol), col("__toks")),
+        sequence(lit(0), size(col("__toks")) - k), "__pos")
+      .select(col(idCol), col("__pos"),
+        md5(concat_ws(" ",
+          slice(col("__toks"), col("__pos") + 1, lit(k)))).as("__g"))
+      .localCheckpoint(true)
+    val dup = grams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__g"))
+    val marked = grams.join(dup, Seq("__g"), "left_semi")
+    // gaps-and-islands: a window starts a new span when its start is past
+    // the running max end of everything before it (adjacent = merged)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val prevEnd = max(col("__pos") + k).over(
+      byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    marked
+      .withColumn("__new", when(col("__pos") > coalesce(prevEnd, lit(-1L)), 1L)
+        .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + k).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col(idCol), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"), col("n_dup_grams"))
+  }
+
+  /** Surgical span removal — the consumer of [[duplicatedSpans]]: every
+    * token covered by a duplicated window is cut out and each document is
+    * reassembled from its surviving tokens (in normalized token space,
+    * same contract as [[dropRepeatedSegments]]). Documents whose every
+    * token is duplicated material disappear; fully-unique documents pass
+    * through unchanged.
+    *
+    * Scale shape: the duplicate test is the same gram-md5-keyed partial
+    * aggregate as [[duplicatedSpans]]; coverage explodes each marked
+    * window to its k token indices and distincts them (bounded by doc
+    * length, keyed by (id, token idx)); the strip is an anti-join of the
+    * token stream against covered indices and reassembly is one groupBy
+    * on the doc id. Everything linear in corpus tokens.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 16): DataFrame = {
+    require(k >= 2, "span gram length must be >= 2")
+    val pre = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val toksEnum = graft.functions.Generates.explodeOnce(pre,
+        Seq(col(idCol), col("__toks")),
+        sequence(lit(0), size(col("__toks")) - 1), "__i")
+      .select(col(idCol), col("__i"),
+        element_at(col("__toks"), col("__i") + 1).as("__tok"))
+      .localCheckpoint(true)
+    val grams = pre.filter(size(col("__toks")) >= k)
+    val gramRows = graft.functions.Generates.explodeOnce(grams,
+        Seq(col(idCol), col("__toks")),
+        sequence(lit(0), size(col("__toks")) - k), "__pos")
+      .select(col(idCol), col("__pos"),
+        md5(concat_ws(" ",
+          slice(col("__toks"), col("__pos") + 1, lit(k)))).as("__g"))
+      .localCheckpoint(true)
+    val dup = gramRows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__g"))
+    val covered = gramRows.join(dup, Seq("__g"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__i"))
+      .distinct()
+    toksEnum.join(covered, Seq(idCol, "__i"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__i"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("clean_text"))
+  }
 }

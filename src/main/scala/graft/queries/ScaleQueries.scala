@@ -501,7 +501,50 @@ object ScaleQueries {
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_events"),
           min(col("us")).as("start_us"), max(col("us")).as("end_us"))
-    })
+    }),
+
+    // ── Space-Saving heavy hitters: top bigrams per language with
+    //    BOUNDED per-group state (1024 counters) no matter the corpus
+    //    size — the exact frequency table this replaces shuffles every
+    //    distinct gram. Capacity exceeds the corpus gram vocabulary at
+    //    the test SFs, which pins the sketch to its exact regime (err =
+    //    0, est = true count) so a plain GROUP BY oracle can check it ──
+    "q106_heavy_hitters" -> ((s, dir) => {
+      val pre = Td(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("lang"),
+          graft.functions.SignatureExpressions.wordGrams(col("text"), 2)
+            .as("__grams"))
+      val items = graft.functions.Generates.explodeOnce(
+        pre, Seq(col("lang")), col("__grams"), "item")
+      graft.functions.Freq.heavyHitters(items, Seq("lang"), col("item"),
+        capacity = 1024, minEst = 10L)
+    }),
+
+    // ── boilerplate strip: segments shared by >= 3 documents are removed
+    //    from every document (RefinedWeb-style), vs q71 which keeps the
+    //    first occurrence ──
+    "q107_boilerplate" -> ((s, dir) =>
+      Dedup.stripFrequentSegments(
+        Td(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", segTokens = 10, minDocs = 3)),
+
+    // ── exact duplicated-span mask: maximal merged windows of 16-token
+    //    grams occurring at more than one (doc, position) in the corpus ──
+    "q108_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(
+        Td(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", k = 16)),
+
+    // ── the mask's consumer: cut every duplicated-span token out and
+    //    reassemble the corpus (Lee et al. exact-substring removal) ──
+    "q109_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(
+        Td(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", k = 16))
   )
 
   /** DuckDB analogue of [[graft.functions.TextFunctions.tokens]] /
@@ -1176,6 +1219,97 @@ object ScaleQueries {
         |  FROM m)
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |       min(us) AS start_us, max(us) AS end_us
-        |FROM sess GROUP BY user_id, session_seq""".stripMargin
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    // q106: the sketch runs in its exact regime (gram vocabulary <<
+    // capacity), so the oracle is the plain frequency table with err = 0;
+    // same bigram construction as q91
+    "q106_heavy_hitters" ->
+      s"""WITH tok AS (SELECT lang, $tokSql AS toks FROM documents),
+         |g AS (SELECT lang,
+         |    CASE WHEN len(toks) >= 2
+         |         THEN [array_to_string(toks[i:i+1], ' ')
+         |               for i in range(1, len(toks))]
+         |         ELSE [] END AS grams FROM tok),
+         |e AS (SELECT lang, unnest(grams) AS gram FROM g)
+         |SELECT lang, gram AS item, CAST(count(*) AS BIGINT) AS est,
+         |  CAST(0 AS BIGINT) AS err
+         |FROM e GROUP BY lang, gram HAVING count(*) >= 10""".stripMargin,
+
+    // q107: same segmentation as q71; a segment in >= 3 distinct docs is
+    // stripped everywhere, docs left empty disappear
+    "q107_boilerplate" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |t AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+         |e AS (SELECT doc_id, toks,
+         |        unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)))
+         |          AS pos
+         |      FROM t),
+         |s2 AS (SELECT doc_id, pos,
+         |         array_to_string(toks[pos * 10 + 1 : pos * 10 + 10], ' ')
+         |           AS seg
+         |       FROM e),
+         |bp AS (SELECT seg FROM s2
+         |       GROUP BY seg HAVING count(DISTINCT doc_id) >= 3),
+         |kept AS (SELECT doc_id, pos, seg FROM s2
+         |         WHERE seg NOT IN (SELECT seg FROM bp))
+         |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text
+         |FROM kept GROUP BY doc_id""".stripMargin,
+
+    // q108: gaps-and-islands span merge replayed with the same window
+    // arithmetic — positions and counts are all integers, engine-exact
+    "q108_dup_spans" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |t AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 16),
+         |e AS (SELECT doc_id, toks,
+         |        unnest(range(0, len(toks) - 15)) AS pos FROM t),
+         |g AS (SELECT doc_id, pos,
+         |        array_to_string(toks[pos + 1 : pos + 16], ' ') AS gram
+         |      FROM e),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         |m AS (SELECT doc_id, pos FROM g
+         |      WHERE gram IN (SELECT gram FROM d)),
+         |w AS (SELECT doc_id, pos,
+         |        max(pos + 16) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |          AS prev_end
+         |      FROM m),
+         |f AS (SELECT doc_id, pos,
+         |        CASE WHEN prev_end IS NULL OR pos > prev_end
+         |             THEN 1 ELSE 0 END AS newf
+         |      FROM w),
+         |i AS (SELECT doc_id, pos,
+         |        SUM(newf) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS UNBOUNDED PRECEDING) AS island
+         |      FROM f)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 16 AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_dup_grams
+         |FROM i GROUP BY doc_id, island""".stripMargin,
+
+    // q109: q108's duplicate set, expanded to covered token indices and
+    // anti-joined against the enumerated token stream
+    "q109_span_removal" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |t AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+         |te AS (SELECT doc_id, toks,
+         |         unnest(range(0, len(toks))) AS i FROM t),
+         |tt AS (SELECT doc_id, i, toks[i + 1] AS tok FROM te),
+         |tg AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 16),
+         |e AS (SELECT doc_id, toks,
+         |        unnest(range(0, len(toks) - 15)) AS pos FROM tg),
+         |g AS (SELECT doc_id, pos,
+         |        array_to_string(toks[pos + 1 : pos + 16], ' ') AS gram
+         |      FROM e),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         |m AS (SELECT doc_id, pos FROM g
+         |      WHERE gram IN (SELECT gram FROM d)),
+         |cov AS (SELECT DISTINCT doc_id, i FROM
+         |          (SELECT doc_id, pos + unnest(range(0, 16)) AS i FROM m)),
+         |kept AS (SELECT tt.doc_id, tt.i, tt.tok FROM tt
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov
+         |           WHERE cov.doc_id = tt.doc_id AND cov.i = tt.i))
+         |SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+         |FROM kept GROUP BY doc_id""".stripMargin
   )
 }

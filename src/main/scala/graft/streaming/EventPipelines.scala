@@ -32,6 +32,26 @@ object EventPipelines {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Trending items per tumbling window: Space-Saving heavy hitters over
+    * an item expression, watermark-bounded. State per open window is
+    * `capacity` counters — NOT the item vocabulary — so a hot window
+    * (millions of distinct users/urls) costs the same as a quiet one; the
+    * sketch's TypedImperativeAggregate merge runs unchanged between the
+    * micro-batch partials and the state store. Same code path in batch
+    * (used by the spec's batch-equals-stream check). */
+  def trendingItems(events: DataFrame, item: org.apache.spark.sql.Column,
+                    window_ : String = "1 hour", watermark: String = "2 hours",
+                    capacity: Int = 64, minEst: Long = 1L): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(graft.functions.Freq.spaceSaving(item, capacity).as("hh"))
+      .select(col("window.start").as("win_start"),
+        explode(col("hh")).as("e"))
+      .select(col("win_start"), col("e.item").as("item"),
+        col("e.est").as("est"), col("e.err").as("err"))
+      .filter(col("est") >= minEst)
+
   /** Sliding-window event rate (5-minute windows every minute). */
   def slidingRate(events: DataFrame): DataFrame =
     events

@@ -127,7 +127,13 @@ object ScaleSweep {
 
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q12_grouped_completion", "q30_dedup_minhash",
-        "q63_dup_groups", "q65_dedup_corpus", "q70_training_corpus")
+        "q63_dup_groups", "q65_dedup_corpus", "q70_training_corpus",
+        // round 5: sketch saturates past its capacity at ×20 (bounded
+        // state is the point); boilerplate/span grams scale linearly
+        // because each scaled replica is a character-bijection of the
+        // original (per-replica dup structure preserved, no cross-replica
+        // collisions)
+        "q106_heavy_hitters", "q107_boilerplate", "q108_dup_spans")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     for (dir <- Seq(src, out); n <- names) {

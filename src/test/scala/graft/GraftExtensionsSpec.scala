@@ -130,6 +130,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got(2) == List((9.0, "q")))
   }
 
+  test("space_saving via SQL matches the Column API aggregate") {
+    val df = (0 until 60).map(i => (i % 2, s"item${i % 7}")).toDF("g", "item")
+    df.createOrReplaceTempView("ss_sql")
+    val viaSql = spark.sql(
+      """SELECT g, space_saving(item, 16) AS hh
+        |FROM ss_sql GROUP BY g""".stripMargin)
+      .selectExpr("g", "transform(hh, e -> concat(e.item, ':', e.est)) AS hh")
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toList).toMap
+    val viaCol = df.groupBy($"g")
+      .agg(graft.functions.Freq.spaceSaving($"item", 16).as("hh"))
+      .selectExpr("g", "transform(hh, e -> concat(e.item, ':', e.est)) AS hh")
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toList).toMap
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+
   test("non-literal shape parameters are rejected with a clear error") {
     docs.createOrReplaceTempView("docs_sql2")
     val e = intercept[Exception] {

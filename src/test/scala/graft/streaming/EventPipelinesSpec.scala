@@ -37,6 +37,27 @@ class EventPipelinesSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("trendingItems as a real streaming query matches the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(sample)
+    val item = concat(col("event_type"), lit("#"),
+      col("user_id").cast("string"))
+    val q = EventPipelines.trendingItems(stream.toDF(), item,
+        "30 minutes", "1 hour", capacity = 8)
+      .writeStream.format("memory").queryName("ti_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ti_out").collect().map(_.toSeq).toSet
+    val batch = EventPipelines.trendingItems(sample.toDF(), item,
+        "30 minutes", "1 hour", capacity = 8)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // capacity 8 > 4 distinct (type, user) pairs: counts are exact
+    assert(streamed.forall(r => r(3) == 0L))
+  }
+
   test("streaming dedup drops re-deliveries within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
