@@ -395,6 +395,63 @@ object Dedup {
     df.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 
+  /** Span-level decontamination: instead of DROPPING every document that
+    * shares a word `k`-gram with the benchmark ([[decontaminate]]), cut
+    * only the contaminated token spans out and keep the rest — the right
+    * trade when long documents brush a short eval item and discarding
+    * them wholesale would cost real training mass. Output is (id,
+    * clean_text) in normalized token space; documents whose every token
+    * is covered (or that share no tokens at all) disappear.
+    *
+    * CONTRACT: spans are detected at gram length `k` exactly — benchmark
+    * items shorter than k tokens cannot match a k-gram and are NOT
+    * handled here; route them through [[decontaminate]]'s short-length
+    * doc-level pass first.
+    *
+    * Scale shape: the benchmark's distinct shingles BROADCAST to the
+    * corpus gram stream (map-side semi-join — the corpus never shuffles
+    * to find hits); covered token indices explode from hits only
+    * (|hits| × k, tiny for any sane contamination rate); the strip is an
+    * anti-join on (id, token idx) and reassembly is one groupBy on the
+    * doc id — the only corpus-wide shuffle.
+    */
+  def decontaminateSpans(df: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         k: Int = 8): DataFrame = {
+    import graft.functions.SignatureExpressions
+    require(k >= 2, "span gram length must be >= 2")
+    val pre = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val toksEnum = graft.functions.Generates.explodeOnce(pre,
+        Seq(col(idCol), col("__toks")),
+        sequence(lit(0), size(col("__toks")) - 1), "__i")
+      .select(col(idCol), col("__i"),
+        element_at(col("__toks"), col("__i") + 1).as("__tok"))
+      .localCheckpoint(true)
+    val gramRows = graft.functions.Generates.explodeOnce(
+        pre.filter(size(col("__toks")) >= k),
+        Seq(col(idCol), col("__toks")),
+        sequence(lit(0), size(col("__toks")) - k), "__pos")
+      .select(col(idCol), col("__pos"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__pos") + 1, lit(k))).as("__sh"))
+    val benchShingles = graft.functions.Generates.explodeOnce(
+        benchmark, Nil,
+        SignatureExpressions.wordShingles(col(benchTextCol), k), "__sh")
+      .distinct()
+    val covered = gramRows
+      .join(broadcast(benchShingles), Seq("__sh"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__i"))
+      .distinct()
+    toksEnum.join(covered, Seq(idCol, "__i"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__i"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("clean_text"))
+  }
+
   /** Bloom-prefiltered anti-join: drop rows of `big` whose `bigKey`
     * appears among `small`'s `smallKey` values — EXACT anti-join results
     * (bloom false positives are re-checked with a real anti-join), with

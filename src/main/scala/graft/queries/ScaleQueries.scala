@@ -544,7 +544,17 @@ object ScaleQueries {
       Dedup.removeDuplicatedSpans(
         Td(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
-        "doc_id", "text", k = 16))
+        "doc_id", "text", k = 16)),
+
+    // ── span-level decontamination: q73's benchmark split, but only the
+    //    contaminated 8-gram spans are cut — the doc keeps its clean mass ──
+    "q110_decontaminate_spans" -> ((s, dir) => {
+      val docs = Td(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      Dedup.decontaminateSpans(
+        docs.filter(col("doc_id") % 40 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 40 === 0), "text", k = 8)
+    })
   )
 
   /** DuckDB analogue of [[graft.functions.TextFunctions.tokens]] /
@@ -1306,6 +1316,34 @@ object ScaleQueries {
          |      WHERE gram IN (SELECT gram FROM d)),
          |cov AS (SELECT DISTINCT doc_id, i FROM
          |          (SELECT doc_id, pos + unnest(range(0, 16)) AS i FROM m)),
+         |kept AS (SELECT tt.doc_id, tt.i, tt.tok FROM tt
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov
+         |           WHERE cov.doc_id = tt.doc_id AND cov.i = tt.i))
+         |SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+         |FROM kept GROUP BY doc_id""".stripMargin,
+
+    // q110: q73's benchmark shingle set, but hits expand to covered token
+    // indices that are cut instead of dooming the whole doc
+    "q110_decontaminate_spans" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |t AS (SELECT doc_id, toks FROM tok
+         |      WHERE doc_id % 40 <> 0 AND len(toks) > 0),
+         |te AS (SELECT doc_id, toks,
+         |         unnest(range(0, len(toks))) AS i FROM t),
+         |tt AS (SELECT doc_id, i, toks[i + 1] AS tok FROM te),
+         |tg AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+         |e AS (SELECT doc_id, toks,
+         |        unnest(range(0, len(toks) - 7)) AS pos FROM tg),
+         |g AS (SELECT doc_id, pos,
+         |        array_to_string(toks[pos + 1 : pos + 8], ' ') AS sh
+         |      FROM e),
+         |bes AS (SELECT ${shinglesSql(8)} AS s FROM tok
+         |        WHERE doc_id % 40 = 0),
+         |bsh AS (SELECT DISTINCT unnest(s) AS sh FROM bes),
+         |m AS (SELECT g.doc_id, g.pos FROM g
+         |      WHERE g.sh IN (SELECT sh FROM bsh)),
+         |cov AS (SELECT DISTINCT doc_id, i FROM
+         |          (SELECT doc_id, pos + unnest(range(0, 8)) AS i FROM m)),
          |kept AS (SELECT tt.doc_id, tt.i, tt.tok FROM tt
          |         WHERE NOT EXISTS (SELECT 1 FROM cov
          |           WHERE cov.doc_id = tt.doc_id AND cov.i = tt.i))

@@ -133,7 +133,8 @@ object ScaleSweep {
         // because each scaled replica is a character-bijection of the
         // original (per-replica dup structure preserved, no cross-replica
         // collisions)
-        "q106_heavy_hitters", "q107_boilerplate", "q108_dup_spans")
+        "q106_heavy_hitters", "q107_boilerplate", "q108_dup_spans",
+        "q109_span_removal", "q110_decontaminate_spans")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     for (dir <- Seq(src, out); n <- names) {

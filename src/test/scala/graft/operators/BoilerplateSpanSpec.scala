@@ -115,6 +115,35 @@ class BoilerplateSpanSpec extends SparkSpec {
     assert(got == Map(3L -> words("k", 6)))
   }
 
+  test("decontaminateSpans cuts only benchmark-overlapping spans") {
+    // corpus doc 1 embeds the 4-token bench item verbatim mid-doc; doc 2
+    // is clean. Doc-level decontaminate would drop doc 1 entirely; the
+    // span path keeps its unique prefix+suffix.
+    val bench = Seq((100L, words("bm", 4))).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"${words("a", 5)} ${words("bm", 4)} ${words("z", 5)}"),
+      (2L, words("b", 8))
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminateSpans(corpus, "doc_id", "text",
+        bench, "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> s"${words("a", 5)} ${words("z", 5)}",
+      2L -> words("b", 8)))
+  }
+
+  test("decontaminateSpans removes a fully-contaminated doc") {
+    val bench = Seq((100L, words("bm", 6))).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, words("bm", 6)),
+      (2L, words("ok", 6))
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminateSpans(corpus, "doc_id", "text",
+      bench, "text", k = 4)
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toMap ==
+      Map(2L -> words("ok", 6)))
+  }
+
   test("clean corpus yields no spans and unchanged boilerplate output") {
     val docs = (0L until 6L)
       .map(i => (i, words(s"u${i}x", 12))).toDF("doc_id", "text")
