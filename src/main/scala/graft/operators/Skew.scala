@@ -36,4 +36,29 @@ object Skew {
       explode(lit((0L until saltFactor.toLong).toArray)))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Hot-key detector — the diagnostic that tells you [[saltedJoin]] (or
+    * a broadcast) is needed BEFORE a 100 TB shuffle discovers it the hard
+    * way. One pass with Space-Saving state (`capacity` counters per
+    * partition, merged map-side — never a groupBy over the full key
+    * domain): returns keys whose estimated row share is at least
+    * `minShare`, with the est/err bounds to judge how firm the estimate
+    * is. Any key with true share > 1/capacity is guaranteed caught
+    * (Metwally bound), so size capacity ≈ a few hundred × 1/minShare and
+    * the report is exhaustive for the shares that matter.
+    */
+  def hotKeys(df: DataFrame, keyCol: String, minShare: Double = 0.01,
+              capacity: Int = 1024): DataFrame = {
+    require(minShare > 0 && minShare <= 1, "minShare must be in (0, 1]")
+    val sketch = df
+      .select(col(keyCol).cast("string").as("__k"))
+      .agg(graft.functions.Freq.spaceSaving(col("__k"), capacity).as("hh"),
+        count(lit(1)).as("__n"))
+    sketch
+      .select(col("__n"), explode(col("hh")).as("e"))
+      .select(col("e.item").as("key"), col("e.est").as("est"),
+        col("e.err").as("err"),
+        (col("e.est").cast("double") / col("__n")).as("share"))
+      .filter(col("share") >= minShare)
+  }
 }

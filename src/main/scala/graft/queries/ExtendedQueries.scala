@@ -135,6 +135,30 @@ object ExtendedQueries {
         .select($"interval_id", $"event_id")
     }),
 
+    // ── rolling time-RANGE window: per event, activity of the same user
+    //    over the trailing 10 minutes (range frame on epoch-micros, not a
+    //    row frame — ties and gaps handled by VALUE distance). Window
+    //    state is bounded by the frame span, partitioned per user —
+    //    no global sort, no unbounded accumulation ──
+    "q111_rolling_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-600000000L, 0L)
+      Td(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"), col("us"),
+          count(lit(1)).over(w).as("n_10m"),
+          sum(col("value").cast(D)).over(w).cast("double").as("sum_10m"))
+    }),
+
+    // ── hot-key detector: Space-Saving share estimates over a join key,
+    //    one pass, capacity counters of state — the pre-shuffle skew
+    //    diagnostic that decides saltedJoin/broadcast. Exact regime at
+    //    the test SFs (|users| < capacity), so est/share replay in SQL ──
+    "q112_hot_keys" -> ((s, dir) =>
+      graft.operators.Skew.hotKeys(Td(s, dir, "events"), "user_id",
+        minShare = 0.005, capacity = 1024)),
+
     // ── deterministic train/val/test assignment (md5-hash buckets — the
     //    same document always lands in the same split, any engine can
     //    recompute membership) ──
@@ -484,6 +508,30 @@ object ExtendedQueries {
         |SELECT iv.interval_id, e.event_id
         |FROM events e JOIN iv
         |  ON CAST(e.ts AS TIMESTAMP) BETWEEN iv.start_ts AND iv.end_ts""".stripMargin,
+
+    // q111: RANGE frame on epoch-micros; the decimal frame-sum is exact so
+    // per-frame accumulation order can't differ between engines
+    "q111_rolling_window" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  COUNT(*) OVER w AS n_10m,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // q112: exact-regime replay — plain counts, one IEEE division for the
+    // share on both engines
+    "q112_hot_keys" ->
+      """WITH n AS (SELECT count(*) AS c FROM events),
+        |k AS (SELECT CAST(user_id AS VARCHAR) AS key,
+        |        CAST(count(*) AS BIGINT) AS est
+        |      FROM events GROUP BY user_id)
+        |SELECT key, est, CAST(0 AS BIGINT) AS err,
+        |  CAST(est AS DOUBLE) / (SELECT c FROM n) AS share
+        |FROM k
+        |WHERE CAST(est AS DOUBLE) / (SELECT c FROM n) >= 0.005""".stripMargin,
 
     "q66_hash_split" ->
       s"""WITH b AS (SELECT doc_id,

@@ -33,4 +33,31 @@ class SkewSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("joinType"))
   }
+
+  test("hotKeys surfaces the skewed key with exact share in-capacity") {
+    // one key holds 50% of rows, 50 cold keys share the rest
+    val rows = (0 until 500).map(i =>
+      (i.toLong, if (i < 250) "hot" else s"cold${i % 50}"))
+      .toDF("id", "k").repartition(7)
+    val got = Skew.hotKeys(rows, "k", minShare = 0.2, capacity = 256)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("key") == "hot" && r.getAs[Long]("est") == 250L
+      && r.getAs[Long]("err") == 0L && r.getAs[Double]("share") == 0.5)
+  }
+
+  test("hotKeys past capacity still catches a > 1/capacity key") {
+    // 2000 distinct cold keys blow past capacity 64; the 30%-share key
+    // must survive with its bounds intact
+    val rows = ((0 until 900).map(i => (i.toLong, "hot")) ++
+      (0 until 2100).map(i => (i.toLong + 1000, s"c$i")))
+      .toDF("id", "k")
+    val got = Skew.hotKeys(rows, "k", minShare = 0.25, capacity = 64)
+      .collect().filter(_.getAs[String]("key") == "hot")
+    assert(got.length == 1)
+    val r = got.head
+    val (est, err) = (r.getAs[Long]("est"), r.getAs[Long]("err"))
+    assert(est >= 900L && est - err <= 900L)
+  }
 }
