@@ -40,6 +40,18 @@ object CorpusPipelines {
     *    AFTER split assignment so every chunk of a document inherits one
     *    split (chunking first would leak near-identical overlap text
     *    across train/val).
+    *  - `boilerplateMinDocs > 0`: corpus-frequency boilerplate strip
+    *    ([[Dedup.stripFrequentSegments]]) runs FIRST — before the gates,
+    *    because boilerplate distorts quality scores and dedup signatures
+    *    (two different pages sharing a heavy footer read as near-dups).
+    *    NOTE: text moves to normalized token space from this stage on and
+    *    `tokenCol` is recomputed from the cleaned text.
+    *  - `spanDedupK > 0`: after near-dup removal, duplicated `spanDedupK`-
+    *    token spans still shared across surviving documents are CUT
+    *    ([[Dedup.removeDuplicatedSpans]]) — the Lee-et-al exact-substring
+    *    pass that document-level dedup cannot express. Runs before the
+    *    budget so duplicated tokens can't consume it; `tokenCol` is
+    *    recomputed. Same normalized-token-space contract.
     */
   def prepareTrainingCorpus(docs: DataFrame,
                             idCol: String = "doc_id",
@@ -58,13 +70,28 @@ object CorpusPipelines {
                             benchTextCol: String = "text",
                             decontaminationK: Int = 8,
                             chunkTokens: Int = 0,
-                            chunkOverlap: Int = 0): DataFrame = {
+                            chunkOverlap: Int = 0,
+                            boilerplateMinDocs: Int = 0,
+                            boilerplateSegTokens: Int = 10,
+                            spanDedupK: Int = 0): DataFrame = {
+    // swap a rewritten text column back into the full row shape, keeping
+    // every non-text column and recomputing the token-mass column the
+    // budget stage consumes (the original count described the old text)
+    def rewrite(base: DataFrame, cleaned: DataFrame): DataFrame =
+      base.drop(textCol)
+        .join(cleaned.withColumnRenamed("clean_text", textCol), Seq(idCol))
+        .withColumn(tokenCol, length(col(textCol)).cast("long"))
+    // 0 (opt-in): boilerplate strip — FIRST, so heavy shared footers can't
+    // distort quality scores or read as near-dup signal downstream
+    val prepped = if (boilerplateMinDocs <= 0) docs
+      else rewrite(docs, Dedup.stripFrequentSegments(docs, idCol, textCol,
+        boilerplateSegTokens, boilerplateMinDocs))
     // 1+2: quality + language gates — one map-side pass, no shuffle. The
     // gate expressions are the priciest per-row work in the pipeline and
     // the gated set is consumed by several downstream join branches, so it
     // is materialized ONCE (eager localCheckpoint — lazy would re-run the
     // text analysis per branch within a job, the round-1 q33 pathology)
-    val gated = docs
+    val gated = prepped
       .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality &&
         TextFunctions.langId(col(textCol)).isInCollection(allowedLangs))
       .localCheckpoint(true)
@@ -86,8 +113,16 @@ object CorpusPipelines {
     val decontaminated = benchmark.fold(nearDeduped)(bench =>
       Dedup.decontaminate(nearDeduped, idCol, textCol, bench, benchTextCol,
         decontaminationK))
+    // 4c (opt-in): exact duplicated-span removal across the SURVIVORS —
+    // document-level dedup keeps one copy per near-dup group, but long
+    // verbatim runs shared between non-near-dup documents survive it;
+    // this cuts them so the budget pays for unique tokens only
+    val spanned = if (spanDedupK <= 0) decontaminated
+      else rewrite(decontaminated,
+        Dedup.removeDuplicatedSpans(decontaminated, idCol, textCol,
+          spanDedupK))
     // 5: per-source token budget (two-level prefix sum)
-    val budgeted = Sampling.takeTokenBudget(decontaminated, sourceCol,
+    val budgeted = Sampling.takeTokenBudget(spanned, sourceCol,
       tokenCol, idCol, budgets, defaultBudget, salt)
     // 6: split assignment — map-side hash bucketing
     val split = Sampling.hashSplit(budgeted, idCol, splits, salt)

@@ -290,7 +290,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     readPath(s"${dir(name)}/_versions/$version")
 
   /** Read a concrete data directory with its `_partitioning` marker
-    * applied (exact schema restore) when one is present. */
+    * applied (exact schema restore) when one is present, or its
+    * `_evolved_schema` marker (deterministic union schema — footer
+    * sampling would answer with whichever file Spark picked). */
   private def readPath(p: String): DataFrame =
     partitioningMarker(p) match {
       // declared schema: partition values parse as their ORIGINAL types
@@ -299,7 +301,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case Some((_, schema)) =>
         spark.read.schema(schema).parquet(p)
           .select(schema.fieldNames.map(col).toSeq: _*)
-      case None => spark.read.parquet(p)
+      case None => evolvedSchemaMarker(p) match {
+        case Some(schema) => spark.read.schema(schema).parquet(p)
+        case None => spark.read.parquet(p)
+      }
     }
 
   /** Audit diff between two published versions of a table: one row per
@@ -442,6 +447,91 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       case None => aligned.write.mode(SaveMode.Append).parquet(p)
     }
   }
+
+  /** Schema-EVOLVING append — the ingest reality [[append]]'s strict gate
+    * refuses: upstream added a field, or an old extract lacks one. Rules:
+    *  - overlapping columns must type-match exactly (drift still rejected
+    *    loudly — silent coercion corrupts);
+    *  - columns the table has but the batch lacks are null-filled;
+    *  - NEW columns ride along, and the table's union schema is recorded
+    *    in an `_evolved_schema` marker so every later [[read]] is
+    *    DETERMINISTIC: without the marker, a plain parquet read samples
+    *    one file's footer and an evolved directory would answer with
+    *    whichever schema that file happened to have. Rows from files
+    *    predating a column read as null.
+    * Refused for bucketed and hive-partitioned layouts — their file
+    * schema is pinned by the bucket spec / `_partitioning` marker;
+    * evolve those via a full publish.
+    */
+  def appendEvolved(df: DataFrame, name: String): Unit = {
+    if (!exists(name)) { append(df, name); return }
+    require(!isBucketedCatalogTable(name),
+      s"appendEvolved to '$name': bucketed tables pin their file schema — " +
+        "evolve via overwriteBucketed")
+    val p = dataPath(name)
+    require(partitioningMarker(p).isEmpty,
+      s"appendEvolved to '$name': the _partitioning marker pins an exact " +
+        "schema — evolve partitioned tables via a full publish")
+    // the marker (not a sampled footer) is the source of truth once the
+    // table has ever evolved — footer sampling is nondeterministic
+    val expected = evolvedSchemaMarker(p).getOrElse(schemaOf(name))
+    val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+    def canon(n: String) =
+      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val byCanon = df.schema.fields.groupBy(f => canon(f.name))
+    val dups = byCanon.collect { case (_, fs) if fs.length > 1 => fs.map(_.name).toSeq }
+    require(dups.isEmpty,
+      s"appendEvolved to '$name': ambiguous incoming columns — ${dups.toSeq}")
+    val drift = expected.fields.filter(f =>
+      byCanon.get(canon(f.name)).exists(_.head.dataType != f.dataType))
+    require(drift.isEmpty,
+      s"appendEvolved to '$name': type drift in ${drift.map(f =>
+        s"${f.name} (table ${f.dataType.simpleString} vs incoming " +
+          s"${byCanon(canon(f.name)).head.dataType.simpleString})").toSeq} — " +
+        "evolution adds columns, it never changes a type")
+    val expectedCanon = expected.fields.map(f => canon(f.name)).toSet
+    val aligned = expected.fields.map { f =>
+      byCanon.get(canon(f.name)) match {
+        case Some(in) => col(in.head.name).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    val addedFields = df.schema.fields
+      .filterNot(f => expectedCanon.contains(canon(f.name)))
+    df.select((aligned ++ addedFields.map(f => col(f.name))).toSeq: _*)
+      .write.mode(SaveMode.Append).parquet(p)
+    // record the union schema (everything nullable — any column may be
+    // absent from some files) so reads stop depending on footer sampling
+    val union = StructType(
+      (expected.fields ++ addedFields).map(_.copy(nullable = true)))
+    val mk = new Path(s"$p/_evolved_schema")
+    val out = rawFs(mk).create(mk, true)
+    try out.write(s"schema=${union.toDDL}\n".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The `_evolved_schema` marker of a data directory, if present: the
+    * union schema across every evolution of the table. */
+  private def evolvedSchemaMarker(path: String): Option[StructType] = {
+    val mk = new Path(s"$path/_evolved_schema")
+    val f = fs(mk)
+    if (!f.exists(mk)) None
+    else {
+      val in = f.open(mk)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.find(_.startsWith("schema="))
+        .map(l => StructType.fromDDL(l.drop("schema=".length)))
+    }
+  }
+
+  /** Union-schema read of an evolved table via parquet footer merging —
+    * the marker-free fallback (e.g. directories written by an external
+    * tool); [[read]] already returns the union schema for tables evolved
+    * through [[appendEvolved]]. */
+  def readMerged(name: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dataPath(name))
 
   /** Validate + align an incoming frame against a table schema: names
     * resolve per the session's case-sensitivity rule, missing/extra

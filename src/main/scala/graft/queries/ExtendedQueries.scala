@@ -25,6 +25,21 @@ object ExtendedQueries {
           sum($"l_quantity".cast(D)).cast("double").as("sum_qty"))
     }),
 
+    // ── arbitrary GROUPING SETS (not expressible as one rollup/cube):
+    //    (flag, status) detail + per-flag subtotal + grand total, one
+    //    Expand pass — each input row fans to one row per set, partial-
+    //    aggregated map-side like any groupBy ──
+    "q113_grouping_sets" -> ((s, dir) => {
+      import s.implicits._
+      Td(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"),
+            Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast(D)).cast("double").as("sum_qty"))
+    }),
+
     // ── pivot: linestatus × returnflag matrix (bounded domain pinned) ──
     "q44_pivot" -> ((s, dir) => {
       import s.implicits._
@@ -425,6 +440,12 @@ object ExtendedQueries {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q113_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS
+        |  ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
 
     "q44_pivot" ->
       """SELECT l_linestatus,

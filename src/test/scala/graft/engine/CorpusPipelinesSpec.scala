@@ -74,6 +74,36 @@ class CorpusPipelinesSpec extends SparkSpec {
     assert(chunks.forall { case (n, s) => n <= 16 && s == "all" })
   }
 
+  test("prepareTrainingCorpus: opt-in boilerplate strip and span dedup") {
+    // a header of exactly one 10-token segment opening all three docs
+    // (position-aligned -> df=3, stripped), plus a 12-token verbatim run
+    // shared by docs 1 and 30 (NOT near-dups — their remaining text is
+    // disjoint, so doc-level dedup keeps both and only the span pass can
+    // cut the repeat)
+    val header = "subscribe to our newsletter for updates and follow the site"
+    val run = "this exact promotional sentence appears verbatim in two " +
+      "otherwise unrelated documents today"
+    val docs = Seq(
+      (1L, s"$header $paraA $run", "src0", 1L),
+      (2L, s"$header $paraB", "src0", 1L),
+      (30L, s"$header $paraC $run", "src1", 1L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val out = CorpusPipelines.prepareTrainingCorpus(docs,
+      minQuality = 0.45, allowedLangs = Seq("en"),
+      nearDupThreshold = 0.3,
+      budgets = Map.empty, defaultBudget = Long.MaxValue,
+      splits = Seq("all" -> 1.0),
+      boilerplateMinDocs = 3, boilerplateSegTokens = 10, spanDedupK = 12)
+    val texts = out.select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)].collect()
+    assert(texts.map(_._1).toSet == Set(1L, 2L, 30L))
+    texts.foreach { case (_, t, n) =>
+      assert(!t.contains("subscribe"), s"footer survived: $t")
+      assert(!t.contains("promotional"), s"duplicated run survived: $t")
+      assert(n == t.length.toLong, "token mass must describe cleaned text")
+    }
+  }
+
   test("prepareTrainingCorpus: budget caps a source, others unaffected") {
     val out = CorpusPipelines.prepareTrainingCorpus(corpus,
       minQuality = 0.45, allowedLangs = Seq("en"),

@@ -486,4 +486,42 @@ class PublishSpec extends SparkSpec {
     assert(v.getLong(2) == 1) // one null
     assert(wh.tableSizeBytes("t") > 0)
   }
+
+  test("appendEvolved adds a column; merged read nulls pre-evolution rows") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t")
+    // batch with a NEW column and the original two
+    wh.appendEvolved(Seq((3L, "c", 0.5)).toDF("k", "v", "score"), "t")
+    // plain read returns the union schema DETERMINISTICALLY (the marker,
+    // not whichever file footer Spark happens to sample)
+    assert(wh.read("t").columns.toSet == Set("k", "v", "score"))
+    assert(wh.read("t").count() == 3)
+    val byK = wh.read("t").collect()
+      .map(r => r.getAs[Long]("k") -> Option(r.getAs[Any]("score"))).toMap
+    assert(byK(1L).isEmpty && byK(2L).isEmpty && byK(3L).contains(0.5))
+    assert(wh.readMerged("t").columns.toSet == Set("k", "v", "score"))
+    // a later batch missing the ORIGINAL v column is null-filled
+    wh.appendEvolved(Seq((4L, 0.9)).toDF("k", "score"), "t")
+    val m2 = wh.readMerged("t").collect()
+      .map(r => r.getAs[Long]("k") ->
+        (Option(r.getAs[Any]("v")), Option(r.getAs[Any]("score")))).toMap
+    assert(m2(4L) == (None, Some(0.9)))
+    assert(m2(3L) == (Some("c"), Some(0.5)))
+  }
+
+  test("appendEvolved still rejects type drift and pinned layouts") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwrite(Seq((1L, "a")).toDF("k", "v"), "t")
+    val drift = intercept[IllegalArgumentException] {
+      wh.appendEvolved(Seq((2, "b")).toDF("k", "v"), "t") // k int vs long
+    }
+    assert(drift.getMessage.contains("type drift"))
+    wh.publish(Seq((1L, "x", "p1")).toDF("k", "v", "part"), "pt",
+      partitionCols = Seq("part"))
+    val pinned = intercept[IllegalArgumentException] {
+      wh.appendEvolved(Seq((2L, "y", "p1", 1.0)).toDF("k", "v", "part", "s"),
+        "pt")
+    }
+    assert(pinned.getMessage.contains("_partitioning"))
+  }
 }
