@@ -174,6 +174,53 @@ object ExtendedQueries {
       graft.operators.Skew.hotKeys(Td(s, dir, "events"), "user_id",
         minShare = 0.005, capacity = 1024)),
 
+    // ── ordered event funnel (view → click → purchase, each step within
+    //    1h of the previous): chained conditional mins over per-user
+    //    time-RANGE windows — the whole funnel is ONE shuffle on user_id
+    //    with the sort reused across both window passes, vs the textbook
+    //    3-way self-join that shuffles the event table three times ──
+    "q114_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourUs = 3600L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-hourUs, 0L)
+      val e = Td(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      // earliest view within the hour ending at each row
+      val w1 = e.withColumn("vmin",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      // earliest funnel start among clicks (that saw a view) in the hour
+      val w2 = w1.withColumn("wmin",
+        min(when(col("event_type") === "click", col("vmin"))).over(w))
+      w2.filter(col("event_type") === "purchase" && col("wmin").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_funnels"), min(col("wmin")).as("first_start_us"))
+    }),
+
+    // ── time resample: hourly (type × hour) matrix with EMPTY buckets
+    //    zero-filled — A13's grouped completion on the time axis, the
+    //    domain generated as a sequence between observed bounds (a
+    //    never-observed hour has no row to complete from). The generated
+    //    domain is |hours| × |types| — tiny, broadcast to the counts ──
+    "q115_resample" -> ((s, dir) => {
+      val ev = Td(s, dir, "events")
+        .select(date_trunc("hour", col("ts")).as("win_start"),
+          col("event_type"), col("value"))
+      val counts = ev.groupBy(col("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D)).cast("double").as("sum_value"))
+      val hours = ev.agg(min(col("win_start")).as("lo"),
+          max(col("win_start")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("win_start"))
+      val types = ev.select(col("event_type")).distinct()
+      hours.crossJoin(broadcast(types))
+        .join(counts, Seq("win_start", "event_type"), "left")
+        .select(col("win_start"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+    }),
+
     // ── deterministic train/val/test assignment (md5-hash buckets — the
     //    same document always lands in the same split, any engine can
     //    recompute membership) ──
@@ -553,6 +600,45 @@ object ExtendedQueries {
         |  CAST(est AS DOUBLE) / (SELECT c FROM n) AS share
         |FROM k
         |WHERE CAST(est AS DOUBLE) / (SELECT c FROM n) >= 0.005""".stripMargin,
+
+    // q114: identical chained-window formulation — conditional mins over
+    // RANGE frames; value-based frames make equal-timestamp peers behave
+    // identically in both engines, and all evidence is integer micros
+    "q114_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |w1 AS (SELECT *,
+        |        min(CASE WHEN event_type = 'view' THEN us END) OVER
+        |          (PARTITION BY user_id ORDER BY us
+        |           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |          AS vmin
+        |      FROM e),
+        |w2 AS (SELECT *,
+        |        min(CASE WHEN event_type = 'click' THEN vmin END) OVER
+        |          (PARTITION BY user_id ORDER BY us
+        |           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |          AS wmin
+        |      FROM w1)
+        |SELECT user_id, COUNT(*) AS n_funnels,
+        |  min(wmin) AS first_start_us
+        |FROM w2 WHERE event_type = 'purchase' AND wmin IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
+
+    // q115: generate_series domain × distinct types, left join, zero-fill
+    "q115_resample" ->
+      """WITH ev AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |        event_type, value FROM events),
+        |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM ev),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |            AS win_start FROM b),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |c AS (SELECT hr, event_type, COUNT(*) AS n,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |      FROM ev GROUP BY hr, event_type)
+        |SELECT h.win_start, t.event_type,
+        |  COALESCE(c.n, 0) AS n, COALESCE(c.sv, 0.0) AS sum_value
+        |FROM hours h CROSS JOIN types t
+        |LEFT JOIN c ON c.hr = h.win_start AND c.event_type = t.event_type""".stripMargin,
 
     "q66_hash_split" ->
       s"""WITH b AS (SELECT doc_id,
