@@ -221,6 +221,22 @@ object ExtendedQueries {
           coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
     }),
 
+    // ── cohort retention: users grouped by first-seen day, activity
+    //    counted per (cohort, day offset). Both aggregations key on
+    //    user_id first — the cohort join is co-partitioned with the
+    //    activity scan, so the matrix costs two shuffles total and
+    //    nothing resembles a per-day self-join ──
+    "q116_retention" -> ((s, dir) => {
+      val ev = Td(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("c0"))
+      ev.join(cohort, Seq("user_id"))
+        .groupBy(col("c0"), datediff(col("d"), col("c0")).as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .select(col("c0").cast("timestamp").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+    }),
+
     // ── deterministic train/val/test assignment (md5-hash buckets — the
     //    same document always lands in the same split, any engine can
     //    recompute membership) ──
@@ -639,6 +655,18 @@ object ExtendedQueries {
         |  COALESCE(c.n, 0) AS n, COALESCE(c.sv, 0.0) AS sum_value
         |FROM hours h CROSS JOIN types t
         |LEFT JOIN c ON c.hr = h.win_start AND c.event_type = t.event_type""".stripMargin,
+
+    // q116: date arithmetic is integer days; DATE surfaces as TIMESTAMP
+    // on both sides (pandas dtype parity)
+    "q116_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |        CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS c0 FROM ev GROUP BY user_id)
+        |SELECT CAST(c.c0 AS TIMESTAMP) AS cohort_day,
+        |  CAST(ev.d - c.c0 AS INTEGER) AS day_offset,
+        |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        |FROM ev JOIN c ON ev.user_id = c.user_id
+        |GROUP BY c.c0, ev.d - c.c0""".stripMargin,
 
     "q66_hash_split" ->
       s"""WITH b AS (SELECT doc_id,

@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan audits for the round-5 window/analytics queries: the
+  * point of each formulation is a SHAPE (shuffle count, broadcast, reused
+  * sort), so the shape is asserted, not just the answer. */
+class QueryPlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    graft.SparkEntry.queries(q)(spark, sf001)
+      .queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("q114 funnel: both windows and the final agg share ONE user shuffle") {
+    val p = plan("q114_funnel")
+    // one hash exchange on user_id; the second window and the groupBy
+    // reuse its partitioning (a naive funnel self-join would show three)
+    assert(exchanges(p) == 1, s"expected exactly 1 exchange, got:\n$p")
+    assert("Window".r.findAllIn(p).length >= 2, "both window passes present")
+  }
+
+  test("q115 resample: the generated domain broadcasts to the counts") {
+    val p = plan("q115_resample")
+    assert(p.contains("Broadcast"),
+      s"hour x type domain should broadcast, got:\n$p")
+    // the event aggregation is the only hash shuffle over data
+    assert(exchanges(p) <= 2, s"unexpected shuffle growth:\n$p")
+  }
+
+  test("q113 grouping sets: one Expand, partial aggregation map-side") {
+    val p = plan("q113_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets should Expand:\n$p")
+    assert(p.contains("partial_"), s"map-side partial agg expected:\n$p")
+  }
+
+  test("q111 rolling window: single range-frame window, one user shuffle") {
+    val p = plan("q111_rolling_window")
+    assert(p.contains("RANGE BETWEEN") || p.contains("specifiedwindowframe"),
+      s"range frame expected:\n$p")
+    assert(exchanges(p) == 1, s"expected exactly 1 exchange, got:\n$p")
+  }
+}
