@@ -175,15 +175,17 @@ object ExtendedQueries {
         minShare = 0.005, capacity = 1024)),
 
     // ── ordered event funnel (view → click → purchase, each step within
-    //    1h of the previous): chained conditional mins over per-user
-    //    time-RANGE windows — the whole funnel is ONE shuffle on user_id
-    //    with the sort reused across both window passes, vs the textbook
+    //    24h of the previous — sized to the corpus's ~10h median per-user
+    //    event gap so the query exercises real chains): chained
+    //    conditional mins over per-user time-RANGE windows — the whole
+    //    funnel is ONE shuffle on user_id with the sort reused across
+    //    both window passes (QueryPlanSpec pins it), vs the textbook
     //    3-way self-join that shuffles the event table three times ──
     "q114_funnel" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val hourUs = 3600L * 1000000L
+      val stepUs = 86400L * 1000000L
       val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
-        .rangeBetween(-hourUs, 0L)
+        .rangeBetween(-stepUs, 0L)
       val e = Td(s, dir, "events")
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
       // earliest view within the hour ending at each row
@@ -626,13 +628,13 @@ object ExtendedQueries {
         |w1 AS (SELECT *,
         |        min(CASE WHEN event_type = 'view' THEN us END) OVER
         |          (PARTITION BY user_id ORDER BY us
-        |           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |           RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
         |          AS vmin
         |      FROM e),
         |w2 AS (SELECT *,
         |        min(CASE WHEN event_type = 'click' THEN vmin END) OVER
         |          (PARTITION BY user_id ORDER BY us
-        |           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |           RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
         |          AS wmin
         |      FROM w1)
         |SELECT user_id, COUNT(*) AS n_funnels,

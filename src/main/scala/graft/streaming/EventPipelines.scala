@@ -140,4 +140,55 @@ object EventPipelines {
           }
       }
   }
+
+  case class FunnelState(lastViewUs: Long, lastQualClickUs: Long)
+  case class FunnelHit(user_id: Long, purchase_us: Long)
+
+  /** Streaming ordered funnel (view → click → purchase, each step within
+    * `stepUs`): the always-on twin of the q114 batch windows. Per-user
+    * state is TWO LONGS — the latest view timestamp and the latest
+    * "qualified" click (a click within `stepUs` of a view) — because
+    * "exists a view within the window before the click" is equivalent to
+    * "the LATEST view is within the window", and likewise for the click
+    * before the purchase. No event buffering, so a hot user costs the
+    * same state as a quiet one; emits one row per completing purchase.
+    *
+    * Same ordering contract as [[sessionize]]: events are processed in
+    * (ts, event_id) order within each micro-batch; late events that cross
+    * micro-batch boundaries out of order follow the state already
+    * advanced past them (bound lateness with upstream watermarking).
+    * Runs identically over a batch Dataset — the spec pins equality with
+    * the q114 window formulation there.
+    */
+  def funnelHits(events: Dataset[Event], stepUs: Long = 3600L * 1000000L)
+                (implicit spark: SparkSession): Dataset[FunnelHit] = {
+    import spark.implicits._
+    def micros(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(Long.MinValue, Long.MinValue))
+          val hits = scala.collection.mutable.ListBuffer.empty[FunnelHit]
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            e.event_type match {
+              case "view" => st = st.copy(lastViewUs = us)
+              case "click" =>
+                // ties allowed (<=): value-based RANGE frames treat
+                // equal-timestamp rows as peers in the batch formulation
+                if (st.lastViewUs >= us - stepUs && st.lastViewUs <= us)
+                  st = st.copy(lastQualClickUs = us)
+              case "purchase" =>
+                if (st.lastQualClickUs >= us - stepUs && st.lastQualClickUs <= us)
+                  hits += FunnelHit(userId, us)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          hits.iterator
+      }
+  }
 }

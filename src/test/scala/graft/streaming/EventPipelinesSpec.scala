@@ -58,6 +58,61 @@ class EventPipelinesSpec extends SparkSpec {
     assert(streamed.forall(r => r(3) == 0L))
   }
 
+  test("funnelHits: streaming state machine equals the q114 batch windows") {
+    implicit val s = spark
+    // crafted per-user sequences incl. the exact-boundary case
+    def ev(id: Long, min: Int, sec: Int, u: Long, t: String) =
+      Event(id, ts(min, sec), u, t, 1.0)
+    val data = Seq(
+      // user 1: clean funnel view@0 click@10 purchase@20 -> 1 hit
+      ev(1, 0, 0, 1, "view"), ev(2, 10, 0, 1, "click"),
+      ev(3, 20, 0, 1, "purchase"),
+      // user 2: click before view -> no qualified click -> 0 hits
+      ev(4, 0, 0, 2, "click"), ev(5, 1, 0, 2, "view"),
+      ev(6, 2, 0, 2, "purchase"),
+      // user 3: two purchases off one qualified click -> 2 hits
+      ev(7, 0, 0, 3, "view"), ev(8, 1, 0, 3, "click"),
+      ev(9, 2, 0, 3, "purchase"), ev(10, 3, 0, 3, "purchase"),
+      // user 4: purchase exactly 60min after the click (inclusive bound)
+      ev(11, 0, 0, 4, "view"), ev(12, 1, 0, 4, "click"),
+      ev(13, 61, 0, 4, "purchase"))
+    val expect = Map(1L -> 1, 3L -> 2, 4L -> 1)
+    // batch mode
+    val batch = EventPipelines.funnelHits(data.toDS()).collect()
+      .groupBy(_.user_id).view.mapValues(_.length).toMap
+    assert(batch == expect)
+    // streaming mode, events split across micro-batches mid-funnel
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(data.take(7))
+    val q = EventPipelines.funnelHits(stream.toDS())
+      .writeStream.format("memory").queryName("fh_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    stream.addData(data.drop(7))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("fh_out").collect()
+      .groupBy(_.getAs[Long]("user_id")).view.mapValues(_.length).toMap
+    assert(streamed == expect)
+  }
+
+  test("funnelHits agrees with the q114 window formulation on real events") {
+    implicit val s = spark
+    import graft.engine.Td
+    val events = Td(spark, sf001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    val viaState = EventPipelines
+      .funnelHits(events, stepUs = 86400L * 1000000L).collect()
+      .groupBy(_.user_id).view.mapValues(_.length.toLong).toMap
+    val viaWindows = graft.queries.ExtendedQueries
+      .queries("q114_funnel")(spark, sf001)
+      .collect().map(r =>
+        r.getAs[Long]("user_id") -> r.getAs[Long]("n_funnels")).toMap
+    assert(viaState == viaWindows && viaWindows.nonEmpty)
+  }
+
   test("streaming dedup drops re-deliveries within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
