@@ -52,6 +52,22 @@ object CorpusPipelines {
     *    pass that document-level dedup cannot express. Runs before the
     *    budget so duplicated tokens can't consume it; `tokenCol` is
     *    recomputed. Same normalized-token-space contract.
+    *
+    * `tokenCol` unit contract: the default (`n_chars`, recounted by the
+    * default `recountTokens = length`) denominates budgets in CHARACTERS.
+    * If you pass a real token-count column, also pass
+    * `recountTokens = TextFunctions.tokenCount` — otherwise enabling a
+    * rewrite stage (`boilerplateMinDocs`/`spanDedupK`) would silently
+    * flip the budget unit from tokens to characters.
+    *
+    * Parallelism note: the quality/language gates are deliberately left
+    * pushdown-eligible — at scale they belong INSIDE the parquet scan,
+    * filtering before any shuffle. The flip side: on a narrow input (one
+    * file, one task) Catalyst pushes the gates below any repartition the
+    * caller adds, serializing the priciest per-row work into that one
+    * task. Callers widening a narrow input should materialize the
+    * repartition ([[Exec.materialize]]) BEFORE calling, as the q70 bench
+    * query does.
     */
   def prepareTrainingCorpus(docs: DataFrame,
                             idCol: String = "doc_id",
@@ -73,14 +89,18 @@ object CorpusPipelines {
                             chunkOverlap: Int = 0,
                             boilerplateMinDocs: Int = 0,
                             boilerplateSegTokens: Int = 10,
-                            spanDedupK: Int = 0): DataFrame = {
+                            spanDedupK: Int = 0,
+                            recountTokens: org.apache.spark.sql.Column =>
+                              org.apache.spark.sql.Column =
+                              c => length(c).cast("long")): DataFrame = {
     // swap a rewritten text column back into the full row shape, keeping
     // every non-text column and recomputing the token-mass column the
-    // budget stage consumes (the original count described the old text)
+    // budget stage consumes (the original count described the old text);
+    // the unit of the recount must match tokenCol's unit — see scaladoc
     def rewrite(base: DataFrame, cleaned: DataFrame): DataFrame =
       base.drop(textCol)
         .join(cleaned.withColumnRenamed("clean_text", textCol), Seq(idCol))
-        .withColumn(tokenCol, length(col(textCol)).cast("long"))
+        .withColumn(tokenCol, recountTokens(col(textCol)).cast("long"))
     // 0 (opt-in): boilerplate strip — FIRST, so heavy shared footers can't
     // distort quality scores or read as near-dup signal downstream
     val prepped = if (boilerplateMinDocs <= 0) docs
@@ -89,12 +109,12 @@ object CorpusPipelines {
     // 1+2: quality + language gates — one map-side pass, no shuffle. The
     // gate expressions are the priciest per-row work in the pipeline and
     // the gated set is consumed by several downstream join branches, so it
-    // is materialized ONCE (eager localCheckpoint — lazy would re-run the
+    // is materialized ONCE (eager Exec.materialize — lazy would re-run the
     // text analysis per branch within a job, the round-1 q33 pathology)
     val gated = prepped
       .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality &&
         TextFunctions.langId(col(textCol)).isInCollection(allowedLangs))
-      .localCheckpoint(true)
+      .transform(Exec.materialize)
     // 3: exact dedup — keep the lowest id per byte-identical text; the
     // semi-join on (fingerprint, id) keeps exactly the canonical row and
     // costs one shuffle on the content hash
@@ -107,7 +127,7 @@ object CorpusPipelines {
     // Materialized once: the budget stage reads it twice (block totals +
     // the row-level join)
     val nearDeduped = Dedup.dropNearDuplicates(exactDeduped, idCol, textCol,
-      threshold = nearDupThreshold).localCheckpoint(true)
+      threshold = nearDupThreshold).transform(Exec.materialize)
     // 4b (opt-in): benchmark decontamination — before the budget so
     // contaminated docs never consume it
     val decontaminated = benchmark.fold(nearDeduped)(bench =>
@@ -133,7 +153,7 @@ object CorpusPipelines {
       // materialized once: the chunk explode and the split re-attach are
       // two consumers with different shapes — lazy would re-run the
       // budget window per branch
-      val m = split.localCheckpoint(true)
+      val m = Exec.materialize(split)
       graft.operators.Chunking
         .chunkDocuments(m, idCol, textCol, chunkTokens, chunkOverlap)
         .join(m.select(col(idCol), col(sourceCol), col("split")), Seq(idCol))

@@ -1,0 +1,68 @@
+package graft.engine
+
+import java.util.UUID
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** Eager materialization with a cluster-safe escape hatch.
+  *
+  * Several operators here produce an intermediate that is consumed by two
+  * or more downstream branches (LSH candidate pairs feeding both the
+  * verify join and the component iteration; a gated corpus feeding block
+  * totals and the row-level join). Left lazy, Catalyst re-derives the
+  * whole upstream plan per consumer — the round-1 q33 pathology — so
+  * those sites materialize exactly once.
+  *
+  * `localCheckpoint(eager = true)` is the right local tool: one job, rows
+  * pinned as RDD blocks, lineage truncated. But the pinned blocks live in
+  * EXECUTOR storage with no lineage to rebuild them — on a real cluster a
+  * lost executor makes every downstream stage fail unrecoverably
+  * (`Checkpoint block not found`), which at 100 TB is a when, not an if.
+  * This helper keeps the eager-once semantics and switches the storage
+  * medium past a size threshold: small frames localCheckpoint (cheap,
+  * memory-speed re-reads), big frames write a staging parquet directory
+  * and read it back (re-executable scan — an executor loss just re-reads
+  * the files, and the staging dir can sit on shared storage).
+  *
+  * Tuning confs (read per call, so a session can adjust mid-flight):
+  *  - `spark.graft.materialize.maxLocalBytes` — optimizer-estimated plan
+  *    size above which staging parquet is used (default 8 GiB). Note the
+  *    estimate is Catalyst's `stats.sizeInBytes`, which over-estimates
+  *    badly above joins without CBO stats — an over-estimate here is
+  *    benign (a small frame takes the durable path, costing one extra
+  *    file write), never wrong.
+  *  - `spark.graft.materialize.stagingDir` — where staging directories
+  *    land (default `java.io.tmpdir/graft-staging`). On a cluster point
+  *    this at shared storage (HDFS/object store). Staging dirs are
+  *    registered for delete-on-exit with the filesystem.
+  */
+object Exec {
+  val MaxLocalBytesKey = "spark.graft.materialize.maxLocalBytes"
+  val StagingDirKey = "spark.graft.materialize.stagingDir"
+  private val DefaultMaxLocalBytes: Long = 8L * 1024 * 1024 * 1024
+
+  /** Materialize `df` eagerly — blocking until the frame is computed —
+    * and return a frame that re-reads the materialized rows instead of
+    * re-running the plan. Column names, types, and order are preserved
+    * exactly on both paths; on the durable path nullability may RELAX to
+    * nullable (Spark marks every file-scan output nullable) — a value-safe
+    * widening, never a narrowing. */
+  def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val maxLocal = spark.conf
+      .get(MaxLocalBytesKey, DefaultMaxLocalBytes.toString).toLong
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(maxLocal)) df.localCheckpoint(true)
+    else {
+      val root = spark.conf.get(StagingDirKey,
+        s"${System.getProperty("java.io.tmpdir")}/graft-staging")
+      val path = s"$root/${UUID.randomUUID()}"
+      df.write.parquet(path)
+      val p = new Path(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).deleteOnExit(p)
+      // the declared schema (not footer sampling) keeps nullability and
+      // column order byte-identical to the localCheckpoint path
+      spark.read.schema(df.schema).parquet(path)
+    }
+  }
+}

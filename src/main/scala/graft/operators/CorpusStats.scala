@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.engine.Exec
 import graft.functions.TextFunctions
 
 /** Corpus-level repetition statistics — the cheap "is this document mostly
@@ -186,7 +187,7 @@ object CorpusStats {
     // cannot deduplicate the gram construction). With a frozen external
     // model there is a single consumer — stream.
     val grams =
-      if (model.isEmpty) gramStream.localCheckpoint() else gramStream
+      if (model.isEmpty) gramStream.transform(Exec.materialize) else gramStream
     val counts = model.getOrElse(
       grams.groupBy(col("gram")).agg(count(lit(1)).as("c")))
     val scored = grams

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.engine.Exec
 import graft.functions.{TextFunctions, VectorFunctions}
 
 /** Corpus deduplication operators for the 100 TB training-data path.
@@ -181,11 +182,11 @@ object Dedup {
                    threshold: Double = 0.3, k: Int = 3): DataFrame = {
     // the candidate set is tiny but its plan embeds the whole LSH pipeline,
     // and it is referenced three times below (semi-join prune + two pair
-    // joins) — an EAGER localCheckpoint materializes it exactly once
+    // joins) — eager materialization computes it exactly once
     // (a lazy one would still recompute the lineage per reference inside
     // the single downstream job)
     val cand = minHashLSH(df, idCol, textCol, threshold = 0.2, k = k)
-      .select("id_a", "id_b").localCheckpoint(true)
+      .select("id_a", "id_b").transform(Exec.materialize)
     // only candidate ids pay for exact shingle sets (semi-join prune);
     // semi-join first so shingling runs on the pruned set, repartitioned
     // because shingling is CPU-bound (AQE would coalesce to one task)
@@ -247,13 +248,13 @@ object Dedup {
     val input = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     val nodes = input.select(col("a").as("id"))
       .union(input.select(col("b").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(Exec.materialize)
     // canonical undirected edge set (lo < hi), self-loops dropped (a
     // self-pair contributes its node to `nodes`; its label is itself)
     var edges = input.filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(Exec.materialize)
     var fp = edgeFingerprint(edges)
     var converged = fp._1 == 0L
     var i = 0
@@ -276,7 +277,7 @@ object Dedup {
         .select(col("mn").as("lo"), col("lo").as("hi"))
         .union(mins2.select(col("mn").as("lo"), col("hi")))
         .distinct()
-        .localCheckpoint(true)
+        .transform(Exec.materialize)
       val nfp = edgeFingerprint(ss)
       converged = nfp == fp
       fp = nfp
@@ -428,7 +429,7 @@ object Dedup {
         sequence(lit(0), size(col("__toks")) - 1), "__i")
       .select(col(idCol), col("__i"),
         element_at(col("__toks"), col("__i") + 1).as("__tok"))
-      .localCheckpoint(true)
+      .transform(Exec.materialize)
     val gramRows = graft.functions.Generates.explodeOnce(
         pre.filter(size(col("__toks")) >= k),
         Seq(col(idCol), col("__toks")),
@@ -551,7 +552,7 @@ object Dedup {
         concat_ws(" ",
           slice(col("__toks"), col("__pos") * segTokens + 1, lit(segTokens)))
           .as("__seg"))
-      .localCheckpoint(true)
+      .transform(Exec.materialize)
     val first = segs
       .groupBy(col("__seg"))
       .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
@@ -567,7 +568,7 @@ object Dedup {
   /** Embedding near-dup pairs: SRP-LSH bucketing then exact cosine ≥
     * threshold within buckets. The bucketed projection is repartitioned
     * (CPU-bound stage; AQE would coalesce one parquet file to one task) and
-    * materialized ONCE with an eager localCheckpoint — a plain self-join
+    * materialized ONCE (eager Exec.materialize) — a plain self-join
     * would re-evaluate the whole scan+bucket pipeline on both sides. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                        threshold: Double = 0.95, nbits: Int = 12): DataFrame = {
@@ -575,7 +576,7 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         VectorFunctions.srpBucket(col(vecCol), dim, nbits).as("bucket"))
-      .localCheckpoint(true)
+      .transform(Exec.materialize)
     val l = b.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
     val r = b.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
@@ -623,7 +624,7 @@ object Dedup {
         concat_ws(" ",
           slice(col("__toks"), col("__pos") * segTokens + 1, lit(segTokens)))
           .as("__seg"))
-      .localCheckpoint(true)
+      .transform(Exec.materialize)
     val boilerplate = segs
       .groupBy(col("__seg"))
       .agg(count_distinct(col(idCol)).as("__df"))
@@ -666,7 +667,7 @@ object Dedup {
       .select(col(idCol), col("__pos"),
         md5(concat_ws(" ",
           slice(col("__toks"), col("__pos") + 1, lit(k)))).as("__g"))
-      .localCheckpoint(true)
+      .transform(Exec.materialize)
     val dup = grams.groupBy(col("__g"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
@@ -716,7 +717,7 @@ object Dedup {
         sequence(lit(0), size(col("__toks")) - 1), "__i")
       .select(col(idCol), col("__i"),
         element_at(col("__toks"), col("__i") + 1).as("__tok"))
-      .localCheckpoint(true)
+      .transform(Exec.materialize)
     val grams = pre.filter(size(col("__toks")) >= k)
     val gramRows = graft.functions.Generates.explodeOnce(grams,
         Seq(col(idCol), col("__toks")),
@@ -724,7 +725,7 @@ object Dedup {
       .select(col(idCol), col("__pos"),
         md5(concat_ws(" ",
           slice(col("__toks"), col("__pos") + 1, lit(k)))).as("__g"))
-      .localCheckpoint(true)
+      .transform(Exec.materialize)
     val dup = gramRows.groupBy(col("__g"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1)

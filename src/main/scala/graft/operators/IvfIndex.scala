@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.engine.Warehouse
+import graft.engine.{Exec, Warehouse}
 import graft.functions.{SignatureExpressions, VectorFunctions}
 
 /** Persistent IVF ANN index where the index IS a table layout.
@@ -69,13 +69,13 @@ object IvfIndex {
     val cents: Seq[Seq[Double]] = wh.spark.read.parquet(s"$vdir/_centroids")
       .orderBy("cell").select("centroid")
       .collect().map(_.getSeq[Double](0)).toSeq
-    // localCheckpoint: the assignment feeds both the collected cell set
+    // materialize: the assignment feeds both the collected cell set
     // and the candidate join — without it the whole query-side pipeline
     // (and its source scan) would execute twice
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         SignatureExpressions.ivfAssign(col(vecCol), cents, nprobe).as("cells"))
       .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
-      .localCheckpoint()
+      .transform(Exec.materialize)
     // the probe set is small by contract: its distinct cells are a bounded
     // literal set, which reaches the scan as a static PartitionFilter —
     // only those directories are listed or read

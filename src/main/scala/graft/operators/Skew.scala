@@ -46,6 +46,11 @@ object Skew {
     * is. Any key with true share > 1/capacity is guaranteed caught
     * (Metwally bound), so size capacity ≈ a few hundred × 1/minShare and
     * the report is exhaustive for the shares that matter.
+    *
+    * Null contract: NULL keys are excluded — from the sketch AND from the
+    * share denominator, which counts non-null keys only (a null join key
+    * never collides with anything, so it can't be "hot"; counting nulls
+    * in the denominator would deflate every real key's share).
     */
   def hotKeys(df: DataFrame, keyCol: String, minShare: Double = 0.01,
               capacity: Int = 1024): DataFrame = {
@@ -53,7 +58,7 @@ object Skew {
     val sketch = df
       .select(col(keyCol).cast("string").as("__k"))
       .agg(graft.functions.Freq.spaceSaving(col("__k"), capacity).as("hh"),
-        count(lit(1)).as("__n"))
+        count(col("__k")).as("__n"))
     sketch
       .select(col("__n"), explode(col("hh")).as("e"))
       .select(col("e.item").as("key"), col("e.est").as("est"),
