@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions._
 
 /** Stats-driven join-side sizing: decide broadcast vs shuffle from the
   * data, not from a hand-placed hint.
@@ -45,5 +45,52 @@ object JoinPolicy {
   def broadcastIfSmall(df: DataFrame, thresholdBytes: Long = -2L): DataFrame = {
     val t = if (thresholdBytes == -2L) broadcastThreshold(df) else thresholdBytes
     if (t > 0 && estimatedSizeBytes(df) <= BigInt(t)) broadcast(df) else df
+  }
+
+  /** Does the fact side's join key have a hot key worth salting? One
+    * sketch pass over `facts` with [[graft.operators.Skew.hotKeys]]
+    * (Space-Saving state — `capacity` counters per partition, never a
+    * groupBy over the key domain; the result is at most `capacity` rows,
+    * so acting on it is a bounded driver read). Multi-column keys are
+    * fused with a control-char separator for detection; NULL keys are excluded
+    * (they never collide in an equi-join). */
+  def shouldSalt(facts: DataFrame, keys: Seq[String],
+                 minShare: Double = 0.05, capacity: Int = 1024): Boolean = {
+    require(keys.nonEmpty, "shouldSalt needs at least one key column")
+    val fused = if (keys.size == 1) col(keys.head).cast("string")
+      else concat_ws("\u0001", keys.map(c => col(c).cast("string")): _*)
+    !graft.operators.Skew
+      .hotKeys(facts.select(fused.as("__jk")), "__jk", minShare, capacity)
+      .isEmpty
+  }
+
+  /** Detect-then-mitigate equi-join — [[graft.operators.Skew.hotKeys]]
+    * (the diagnostic) wired to [[graft.operators.Skew.saltedJoin]] (the
+    * mitigation), so a hot key is handled BEFORE the shuffle discovers it:
+    *
+    *  1. if `dim` fits the session broadcast threshold, broadcast — a
+    *     broadcast hash join shuffles nothing, so skew is moot;
+    *  2. else sketch the fact side's key distribution; if any key holds
+    *     ≥ `minShare` of rows, take the salted plan (hot key spread over
+    *     `saltFactor` partitions — the case AQE's skew-split can't fix
+    *     when the key is hot on BOTH sides or the join degrades to
+    *     sort-merge);
+    *  3. else the plain shuffled join.
+    *
+    * All three plans return the identical result set (salting is
+    * result-identity-proven in SkewSpec); only the physical distribution
+    * differs. Detection costs one extra scan of `facts` — amortize by
+    * passing a pre-materialized frame when the caller already has one.
+    * Fact-preserving join types only (saltedJoin's contract). */
+  def autoSalt(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+               saltOn: String, minShare: Double = 0.05, saltFactor: Int = 8,
+               joinType: String = "inner", capacity: Int = 1024): DataFrame = {
+    val t = broadcastThreshold(dim)
+    if (t > 0 && estimatedSizeBytes(dim) <= BigInt(t))
+      facts.join(broadcast(dim), keys.toSeq, joinType)
+    else if (shouldSalt(facts, keys, minShare, capacity))
+      graft.operators.Skew.saltedJoin(facts, dim, keys, saltOn, saltFactor,
+        joinType)
+    else facts.join(dim, keys.toSeq, joinType)
   }
 }

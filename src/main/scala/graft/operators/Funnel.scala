@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered n-step event funnel ("steps(0) then steps(1) then … within
+  * `stepGapUs` of the previous step, per user") as ONE shuffle.
+  *
+  * The textbook phrasing is an (n-1)-way self-join — the event table
+  * shuffles n-1 times and a hot user explodes combinatorially. This
+  * formulation is chained conditional mins over per-user time-RANGE
+  * windows: every window shares the same `partitionBy(user) orderBy(us)`,
+  * so Catalyst plans ONE Exchange + ONE Sort and evaluates all n-1
+  * passes over it (plan-asserted in QueryPlanSpec). Cost is linear in
+  * events; no join, no blowup on hot users.
+  *
+  * Semantics (value-based RANGE frames, both bounds inclusive):
+  *  - m1(row) = earliest steps(0) event in [us − gap, us]
+  *  - mᵢ(row) = earliest "funnel start carried by a qualified steps(i−1)
+  *    event" in the window — a steps(i−1) event is qualified iff its own
+  *    mᵢ₋₁ is non-null, and it carries that start time forward
+  *  - a steps(n−1) event COMPLETES a funnel iff mₙ₋₁ is non-null.
+  * Equal-timestamp events are window PEERS: a view sharing a timestamp
+  * with a click qualifies it, whatever their event-id order — the same
+  * tie contract as [[graft.streaming.EventPipelines.funnelHits]].
+  * A consequence of peer semantics: when two consecutive steps name the
+  * SAME event type, one event can satisfy both (it is its own peer).
+  */
+object Funnel {
+
+  /** Per-user funnel completions: (userCol, n_funnels = number of
+    * completing steps.last events, first_start_us = earliest funnel
+    * start among them). `usCol` must be integer event-time (micros). */
+  def funnelCounts(events: DataFrame, steps: Seq[String], stepGapUs: Long,
+                   userCol: String = "user_id", typeCol: String = "event_type",
+                   usCol: String = "us"): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got $steps")
+    require(stepGapUs > 0, "stepGapUs must be positive")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(usCol))
+      .rangeBetween(-stepGapUs, 0L)
+    // chain: carried(0) = us at steps(0) rows; carried(i) = window-min of
+    // carried(i-1) observed at qualified steps(i) rows
+    val start = events.withColumn("__m",
+      min(when(col(typeCol) === steps.head, col(usCol))).over(w))
+    val chained = steps.drop(1).dropRight(1).foldLeft(start) { (df, step) =>
+      df.withColumn("__m",
+        min(when(col(typeCol) === step, col("__m"))).over(w))
+    }
+    chained
+      .filter(col(typeCol) === steps.last && col("__m").isNotNull)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_funnels"), min(col("__m")).as("first_start_us"))
+  }
+
+  /** The same chained-window pass, returning each COMPLETING final-step
+    * event (userCol, final_us, start_us) instead of per-user aggregates —
+    * the batch twin of the streaming state machine's per-hit output. */
+  def funnelHits(events: DataFrame, steps: Seq[String], stepGapUs: Long,
+                 userCol: String = "user_id", typeCol: String = "event_type",
+                 usCol: String = "us"): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got $steps")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(usCol))
+      .rangeBetween(-stepGapUs, 0L)
+    val start = events.withColumn("__m",
+      min(when(col(typeCol) === steps.head, col(usCol))).over(w))
+    val chained = steps.drop(1).dropRight(1).foldLeft(start) { (df, step) =>
+      df.withColumn("__m",
+        min(when(col(typeCol) === step, col("__m"))).over(w))
+    }
+    chained
+      .filter(col(typeCol) === steps.last && col("__m").isNotNull)
+      .select(col(userCol), col(usCol).as("final_us"),
+        col("__m").as("start_us"))
+  }
+}

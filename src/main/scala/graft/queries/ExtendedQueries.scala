@@ -181,22 +181,63 @@ object ExtendedQueries {
     //    funnel is ONE shuffle on user_id with the sort reused across
     //    both window passes (QueryPlanSpec pins it), vs the textbook
     //    3-way self-join that shuffles the event table three times ──
-    "q114_funnel" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val stepUs = 86400L * 1000000L
-      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
-        .rangeBetween(-stepUs, 0L)
-      val e = Td(s, dir, "events")
-        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      // earliest view within the step window ending at each row
-      val w1 = e.withColumn("vmin",
-        min(when(col("event_type") === "view", col("us"))).over(w))
-      // earliest funnel start among clicks (that saw a view) in the window
-      val w2 = w1.withColumn("wmin",
-        min(when(col("event_type") === "click", col("vmin"))).over(w))
-      w2.filter(col("event_type") === "purchase" && col("wmin").isNotNull)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_funnels"), min(col("wmin")).as("first_start_us"))
+    "q114_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnelCounts(
+        Td(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us")),
+        steps = Seq("view", "click", "purchase"),
+        stepGapUs = 86400L * 1000000L)),
+
+    // ── the same funnel operator at arbitrary length: a FOUR-step
+    //    signup → view → click → purchase chain, still exactly one user
+    //    shuffle (the n-1 window passes share the partition/order) ──
+    "q117_funnel_steps" -> ((s, dir) =>
+      graft.operators.Funnel.funnelCounts(
+        Td(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us")),
+        steps = Seq("signup", "view", "click", "purchase"),
+        stepGapUs = 86400L * 1000000L)),
+
+    // ── Space-Saving PAST SATURATION: a planted skew (25% of rows on one
+    //    item, thousands of singleton items vs capacity 64) forces the
+    //    evict/merge path, and the query emits the published INVARIANTS as
+    //    measured booleans — est−err ≤ true ≤ est for every counter, the
+    //    >N/capacity survivor present, state ≤ capacity — which the oracle
+    //    pins as literal TRUEs (plus the exactly-computable N and the
+    //    saturation proof). q106 pins the exact regime; this pins the
+    //    regime that actually matters at 100 TB ──
+    "q118_sketch_saturated" -> ((s, dir) => {
+      val cap = 64
+      val item = when(col("event_id") % 4 === 0, lit("hot"))
+        .otherwise(concat(lit("u"), col("event_id").cast("string")))
+      val st = Td(s, dir, "events").select(item.as("item"))
+      val exact = graft.engine.Exec.materialize(
+        st.groupBy(col("item")).agg(count(lit(1)).as("true_cnt")))
+      val sk = st
+        .agg(graft.functions.Freq.spaceSaving(col("item"), cap).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.est").as("est"),
+          col("e.err").as("err"))
+      val joined = sk.join(exact, Seq("item"), "left")
+      val totals = exact.agg(sum(col("true_cnt")).as("n_rows"),
+        count(lit(1)).as("n_distinct"))
+      val bounds = joined.agg(
+        count(lit(1)).as("n_sketch"),
+        max(col("item") === "hot").as("hot_present"),
+        min(col("est") - col("err") <= col("true_cnt") &&
+          col("true_cnt") <= col("est")).as("all_bounds_ok"))
+      val missed = exact
+        .crossJoin(broadcast(totals.select(col("n_rows").as("__n"))))
+        .filter(col("true_cnt") > col("__n") / cap)
+        .join(sk, Seq("item"), "left_anti")
+        .agg(count(lit(1)).as("n_guaranteed_missed"))
+      totals.crossJoin(bounds).crossJoin(missed)
+        .select(col("n_rows"), (col("n_distinct") > cap).as("saturated"),
+          (col("n_sketch") <= cap).as("sketch_bounded"),
+          col("hot_present"), col("all_bounds_ok"),
+          (col("n_guaranteed_missed") === 0).as("guaranteed_caught"))
     }),
 
     // ── time resample: hourly (type × hour) matrix with EMPTY buckets
@@ -646,6 +687,49 @@ object ExtendedQueries {
         |  min(wmin) AS first_start_us
         |FROM w2 WHERE event_type = 'purchase' AND wmin IS NOT NULL
         |GROUP BY user_id""".stripMargin,
+
+    // q117: the q114 chain one window pass longer — DuckDB replays the
+    // 4-step signup→view→click→purchase funnel with the same RANGE frames
+    "q117_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |w1 AS (SELECT *,
+        |        min(CASE WHEN event_type = 'signup' THEN us END) OVER
+        |          (PARTITION BY user_id ORDER BY us
+        |           RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |          AS m1
+        |      FROM e),
+        |w2 AS (SELECT *,
+        |        min(CASE WHEN event_type = 'view' THEN m1 END) OVER
+        |          (PARTITION BY user_id ORDER BY us
+        |           RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |          AS m2
+        |      FROM w1),
+        |w3 AS (SELECT *,
+        |        min(CASE WHEN event_type = 'click' THEN m2 END) OVER
+        |          (PARTITION BY user_id ORDER BY us
+        |           RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |          AS m3
+        |      FROM w2)
+        |SELECT user_id, COUNT(*) AS n_funnels,
+        |  min(m3) AS first_start_us
+        |FROM w3 WHERE event_type = 'purchase' AND m3 IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
+
+    // q118: the oracle recomputes what is EXACT (N, the saturation proof)
+    // and pins the algorithm-guaranteed invariants as literal TRUE — a
+    // sketch violating a bound flips a measured boolean and fails the hash
+    "q118_sketch_saturated" ->
+      """WITH it AS (SELECT CASE WHEN event_id % 4 = 0 THEN 'hot'
+        |        ELSE 'u' || CAST(event_id AS VARCHAR) END AS item
+        |      FROM events)
+        |SELECT count(*) AS n_rows,
+        |  (count(DISTINCT item) > 64) AS saturated,
+        |  true AS sketch_bounded,
+        |  true AS hot_present,
+        |  true AS all_bounds_ok,
+        |  true AS guaranteed_caught
+        |FROM it""".stripMargin,
 
     // q115: generate_series domain × distinct types, left join, zero-fill
     "q115_resample" ->

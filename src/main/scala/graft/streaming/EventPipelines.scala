@@ -141,54 +141,93 @@ object EventPipelines {
       }
   }
 
-  case class FunnelState(lastViewUs: Long, lastQualClickUs: Long)
+  case class FunnelStepsState(lastQual: Seq[Long])
   case class FunnelHit(user_id: Long, purchase_us: Long)
 
-  /** Streaming ordered funnel (view → click → purchase, each step within
-    * `stepUs`): the always-on twin of the q114 batch windows. Per-user
-    * state is TWO LONGS — the latest view timestamp and the latest
-    * "qualified" click (a click within `stepUs` of a view) — because
-    * "exists a view within the window before the click" is equivalent to
-    * "the LATEST view is within the window", and likewise for the click
-    * before the purchase. No event buffering, so a hot user costs the
-    * same state as a quiet one; emits one row per completing purchase.
+  /** Streaming ordered n-step funnel (each step within `stepUs` of the
+    * previous; default view → click → purchase): the always-on twin of
+    * the [[graft.operators.Funnel]] batch windows. Per-user state is
+    * steps.size − 1 LONGS — the latest timestamp of a "qualified" event
+    * per non-final step, where qualified means "within `stepUs` of a
+    * qualified previous step" — because "exists a qualified step-i event
+    * within the window" is equivalent to "the LATEST qualified step-i
+    * event is within the window". No event buffering across batches (a
+    * micro-batch's per-user slice is sorted in memory — bounded by batch
+    * size); emits one row per completing final-step event.
     *
-    * Same ordering contract as [[sessionize]]: events are processed in
-    * (ts, event_id) order within each micro-batch; late events that cross
-    * micro-batch boundaries out of order follow the state already
-    * advanced past them (bound lateness with upstream watermarking).
-    * Runs identically over a batch Dataset — the spec pins equality with
-    * the q114 window formulation there.
+    * Tie contract (matches the batch RANGE-frame formulation, where
+    * equal-timestamp rows are window PEERS): state updates are applied
+    * per TIMESTAMP GROUP in step order — all step-1 events at time t
+    * qualify the step-2 events at t, and so on through the final step —
+    * so a view/click/purchase sharing one timestamp completes a funnel
+    * regardless of event-id order. Late events that cross micro-batch
+    * boundaries out of order follow the state already advanced past them
+    * (lateness is bounded by `watermark`).
+    *
+    * State EXPIRES: a user idle longer than `stepUs` past the watermark
+    * can never complete a step from pre-idle state (every window check is
+    * `lastQual >= t − stepUs`, and surviving post-watermark events have
+    * t above watermark), so their state is dropped via an event-time
+    * timeout at last-event + stepUs. Unbounded user sets therefore cost
+    * bounded state. Runs identically over a batch Dataset (no watermark,
+    * no timeout — batch state dies with the job).
     */
-  def funnelHits(events: Dataset[Event], stepUs: Long = 3600L * 1000000L)
+  def funnelHits(events: Dataset[Event], stepUs: Long = 3600L * 1000000L,
+                 steps: Seq[String] = Seq("view", "click", "purchase"),
+                 watermark: String = "1 hour")
                 (implicit spark: SparkSession): Dataset[FunnelHit] = {
     import spark.implicits._
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got $steps")
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermark) else events
+    val timeoutConf = if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val prefix = steps.dropRight(1).toArray
+    val lastStep = steps.last
     def micros(t: Timestamp): Long =
       t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[FunnelState, FunnelHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
-          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var st = state.getOption.getOrElse(FunnelState(Long.MinValue, Long.MinValue))
-          val hits = scala.collection.mutable.ListBuffer.empty[FunnelHit]
-          sorted.foreach { e =>
-            val us = micros(e.ts)
-            e.event_type match {
-              case "view" => st = st.copy(lastViewUs = us)
-              case "click" =>
-                // ties allowed (<=): value-based RANGE frames treat
-                // equal-timestamp rows as peers in the batch formulation
-                if (st.lastViewUs >= us - stepUs && st.lastViewUs <= us)
-                  st = st.copy(lastQualClickUs = us)
-              case "purchase" =>
-                if (st.lastQualClickUs >= us - stepUs && st.lastQualClickUs <= us)
-                  hits += FunnelHit(userId, us)
-              case _ => ()
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelStepsState, FunnelHit](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelStepsState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toArray.sortBy(e => micros(e.ts))
+            val lastQual = state.getOption.map(_.lastQual.toArray)
+              .getOrElse(Array.fill(prefix.length)(Long.MinValue))
+            val hits = scala.collection.mutable.ListBuffer.empty[FunnelHit]
+            var i = 0
+            while (i < sorted.length) {
+              val t = micros(sorted(i).ts)
+              var j = i
+              while (j < sorted.length && micros(sorted(j).ts) == t) j += 1
+              val group = sorted.slice(i, j)
+              // peers at t advance the chain in step order: a step-k event
+              // at t qualifies off step-(k-1) state INCLUDING updates from
+              // this same timestamp group
+              var k = 0
+              while (k < prefix.length) {
+                if (group.exists(_.event_type == prefix(k)) &&
+                    (k == 0 || lastQual(k - 1) >= t - stepUs))
+                  lastQual(k) = t
+                k += 1
+              }
+              if (lastQual(prefix.length - 1) >= t - stepUs)
+                group.foreach(e =>
+                  if (e.event_type == lastStep) hits += FunnelHit(userId, t))
+              i = j
             }
+            // error-only users learn nothing — keep zero state for them
+            if (lastQual.exists(_ != Long.MinValue)) {
+              state.update(FunnelStepsState(lastQual.toSeq))
+              if (streaming) {
+                val lastMs = micros(sorted.last.ts) / 1000L
+                state.setTimeoutTimestamp(math.max(lastMs + stepUs / 1000L + 1L,
+                  state.getCurrentWatermarkMs() + 1L))
+              }
+            }
+            hits.iterator
           }
-          state.update(st)
-          hits.iterator
       }
   }
 }

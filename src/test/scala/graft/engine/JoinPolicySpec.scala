@@ -49,6 +49,36 @@ class JoinPolicySpec extends SparkSpec {
     assert(!(JoinPolicy.broadcastIfSmall(dim, (small + 1).toLong) eq dim))
   }
 
+  test("autoSalt: skewed facts pick the salted plan, result identical to plain") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // force the shuffle regime: salting decides
+      // 60% of fact rows hit one key — far over the 5% default threshold
+      val skewed = (1 to 1000).map(i =>
+        (i.toLong, if (i <= 600) 7 else i % 40, i * 2)).toDF("row_id", "k", "x")
+      assert(JoinPolicy.shouldSalt(skewed, Seq("k")))
+      assert(!JoinPolicy.shouldSalt(fact.withColumn("row_id", col("x")), Seq("k")),
+        "uniform keys (2% share each) must NOT salt")
+      val auto = JoinPolicy.autoSalt(skewed, dim, Seq("k"), saltOn = "row_id")
+      val plan = finalPlan(auto)
+      assert(plan.contains("__salt"), s"salted plan expected:\n$plan")
+      val plain = skewed.join(dim, Seq("k")).collect().map(_.toSeq).toSet
+      assert(auto.collect().map(_.toSeq).toSet == plain)
+      // uniform facts keep the plain single-join plan
+      val uniform = JoinPolicy.autoSalt(fact.withColumn("row_id", col("x")),
+        dim, Seq("k"), saltOn = "row_id")
+      assert(!finalPlan(uniform).contains("__salt"))
+    } finally spark.conf.set(key, old)
+  }
+
+  test("autoSalt: a broadcastable dim short-circuits to the broadcast join") {
+    val skewed = (1 to 200).map(i => (i.toLong, 7, i)).toDF("row_id", "k", "x")
+    val plan = finalPlan(
+      JoinPolicy.autoSalt(skewed, dim, Seq("k"), saltOn = "row_id"))
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("__salt"), plan)
+  }
+
   test("wrangle pipeline dims demote when broadcast is off (no forced hints)") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)

@@ -22,6 +22,12 @@ class QueryPlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).length >= 2, "both window passes present")
   }
 
+  test("q117 n-step funnel: three window passes, still ONE user shuffle") {
+    val p = plan("q117_funnel_steps")
+    assert(exchanges(p) == 1, s"expected exactly 1 exchange, got:\n$p")
+    assert("Window".r.findAllIn(p).length >= 3, "all three window passes present")
+  }
+
   test("q115 resample: the generated domain broadcasts to the counts") {
     val p = plan("q115_resample")
     assert(p.contains("Broadcast"),

@@ -75,8 +75,13 @@ class EventPipelinesSpec extends SparkSpec {
       ev(9, 2, 0, 3, "purchase"), ev(10, 3, 0, 3, "purchase"),
       // user 4: purchase exactly 60min after the click (inclusive bound)
       ev(11, 0, 0, 4, "view"), ev(12, 1, 0, 4, "click"),
-      ev(13, 61, 0, 4, "purchase"))
-    val expect = Map(1L -> 1, 3L -> 2, 4L -> 1)
+      ev(13, 61, 0, 4, "purchase"),
+      // user 5: all three steps share ONE timestamp, with event ids in
+      // REVERSE step order — RANGE-frame peers must qualify regardless
+      // of arrival/id order (the batch formulation's tie contract)
+      ev(16, 30, 0, 5, "purchase"), ev(15, 30, 0, 5, "click"),
+      ev(14, 30, 0, 5, "view"))
+    val expect = Map(1L -> 1, 3L -> 2, 4L -> 1, 5L -> 1)
     // batch mode
     val batch = EventPipelines.funnelHits(data.toDS()).collect()
       .groupBy(_.user_id).view.mapValues(_.length).toMap
@@ -111,6 +116,51 @@ class EventPipelinesSpec extends SparkSpec {
       .collect().map(r =>
         r.getAs[Long]("user_id") -> r.getAs[Long]("n_funnels")).toMap
     assert(viaState == viaWindows && viaWindows.nonEmpty)
+  }
+
+  test("funnelHits: 4-step variant agrees with the q117 window formulation") {
+    implicit val s = spark
+    import graft.engine.Td
+    val events = Td(spark, sf001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    val viaState = EventPipelines
+      .funnelHits(events, stepUs = 86400L * 1000000L,
+        steps = Seq("signup", "view", "click", "purchase")).collect()
+      .groupBy(_.user_id).view.mapValues(_.length.toLong).toMap
+    val viaWindows = graft.queries.ExtendedQueries
+      .queries("q117_funnel_steps")(spark, sf001)
+      .collect().map(r =>
+        r.getAs[Long]("user_id") -> r.getAs[Long]("n_funnels")).toMap
+    assert(viaState == viaWindows && viaWindows.nonEmpty)
+  }
+
+  test("funnelHits: idle user state expires via the event-time timeout") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    def at(hhmm: String, id: Long, u: Long, t: String) =
+      Event(id, Timestamp.valueOf(s"2024-01-01 $hhmm:00"), u, t, 1.0)
+    val stream = MemoryStream[Event]
+    val q = EventPipelines.funnelHits(stream.toDS()) // gap 1h, watermark 1h
+      .writeStream.format("memory").queryName("fh_exp")
+      .outputMode("append").start()
+    // user 1 opens a funnel prefix, then goes idle forever
+    stream.addData(Seq(at("00:00", 1, 1, "view"), at("00:05", 2, 1, "click")))
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == 1)
+    // ten hours later user 2 appears; the watermark (10:00 − 1h = 9:00)
+    // passes user 1's timeout (last event + gap ≈ 01:05), purging them
+    stream.addData(Seq(at("10:00", 3, 2, "view")))
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == 1,
+      "idle user 1's state should be dropped, only user 2 remains")
+    // and the purge is semantically lossless: a fresh user-2 funnel
+    // still completes after the cleanup
+    stream.addData(Seq(at("10:10", 4, 2, "click"), at("10:20", 5, 2, "purchase")))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("fh_exp").collect().map(_.getAs[Long]("user_id")).toSeq
+    assert(hits == Seq(2L))
   }
 
   test("streaming dedup drops re-deliveries within the watermark") {
