@@ -180,26 +180,33 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     version
   }
 
-  /** Atomically point the table's manifest at `version`. */
-  private def swapManifest(name: String, version: String): Unit = {
-    val mp = manifestPath(name)
-    val tmp = new Path(s"${dir(name)}/_current.$version.tmp")
-    val f = rawFs(mp)
+  /** Write `content` to `target` atomically: tmp file in the same
+    * directory, then rename-over. A reader never sees a partial or empty
+    * file — it sees the old content or the new, nothing in between. The
+    * underscore/dot tmp name is invisible to partition discovery. */
+  private def atomicWrite(target: Path, content: String): Unit = {
+    val f = rawFs(target)
+    val tmp = new Path(target.getParent,
+      s"_${target.getName}.${scala.util.Random.nextInt(0x1000000)}.tmp")
     val out = f.create(tmp, true)
-    try out.write(version.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
     f match {
       case _: org.apache.hadoop.fs.RawLocalFileSystem =>
         // POSIX rename(2): atomically replaces an existing destination
-        if (!f.rename(tmp, mp))
-          throw new java.io.IOException(s"manifest swap failed for $name")
+        if (!f.rename(tmp, target))
+          throw new java.io.IOException(s"atomic write failed for $target")
       case _ =>
         // HDFS & friends: rename can't overwrite through the FileSystem
         // API; FileContext's Rename.OVERWRITE is the atomic primitive
         org.apache.hadoop.fs.FileContext
-          .getFileContext(mp.toUri, spark.sessionState.newHadoopConf())
-          .rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          .getFileContext(target.toUri, spark.sessionState.newHadoopConf())
+          .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }
+
+  /** Atomically point the table's manifest at `version`. */
+  private def swapManifest(name: String, version: String): Unit =
+    atomicWrite(manifestPath(name), version)
 
   private def newVersionId(): String =
     ZonedDateTime.now(ZoneOffset.UTC)
@@ -454,14 +461,23 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     *    loudly — silent coercion corrupts);
     *  - columns the table has but the batch lacks are null-filled;
     *  - NEW columns ride along, and the table's union schema is recorded
-    *    in an `_evolved_schema` marker so every later [[read]] is
-    *    DETERMINISTIC: without the marker, a plain parquet read samples
-    *    one file's footer and an evolved directory would answer with
-    *    whichever schema that file happened to have. Rows from files
-    *    predating a column read as null.
-    * Refused for bucketed and hive-partitioned layouts — their file
-    * schema is pinned by the bucket spec / `_partitioning` marker;
-    * evolve those via a full publish.
+    *    in a marker so every later [[read]] is DETERMINISTIC: without it,
+    *    a plain parquet read samples one file's footer and an evolved
+    *    directory would answer with whichever schema that file happened
+    *    to have. Rows from files predating a column read as null.
+    *
+    * Layouts: flat tables record the union in an `_evolved_schema`
+    * marker; hive-PARTITIONED published tables evolve too — their
+    * `_partitioning` marker (already the declared-schema source of truth
+    * for reads and partition-value typing) is rewritten with the union
+    * schema, and the incoming batch must carry every partition column
+    * (a null-filled partition value would silently land rows in the
+    * hive default partition). Both markers are written ATOMICALLY
+    * (tmp + rename-over) and BEFORE the data files: a crash between the
+    * two leaves a marker naming not-yet-visible columns — harmless, they
+    * read as null — never a mixed-schema directory with no marker.
+    * Still refused for bucketed layouts — the bucket spec pins the file
+    * schema; evolve those via [[overwriteBucketed]].
     */
   def appendEvolved(df: DataFrame, name: String): Unit = {
     if (!exists(name)) { append(df, name); return }
@@ -469,12 +485,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       s"appendEvolved to '$name': bucketed tables pin their file schema — " +
         "evolve via overwriteBucketed")
     val p = dataPath(name)
-    require(partitioningMarker(p).isEmpty,
-      s"appendEvolved to '$name': the _partitioning marker pins an exact " +
-        "schema — evolve partitioned tables via a full publish")
+    val partMarker = partitioningMarker(p)
     // the marker (not a sampled footer) is the source of truth once the
     // table has ever evolved — footer sampling is nondeterministic
-    val expected = evolvedSchemaMarker(p).getOrElse(schemaOf(name))
+    val expected = partMarker.map(_._2)
+      .orElse(evolvedSchemaMarker(p)).getOrElse(schemaOf(name))
     val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
     def canon(n: String) =
       if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
@@ -498,16 +513,26 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
     val addedFields = df.schema.fields
       .filterNot(f => expectedCanon.contains(canon(f.name)))
-    df.select((aligned ++ addedFields.map(f => col(f.name))).toSeq: _*)
-      .write.mode(SaveMode.Append).parquet(p)
-    // record the union schema (everything nullable — any column may be
-    // absent from some files) so reads stop depending on footer sampling
+    val out = df.select((aligned ++ addedFields.map(f => col(f.name))).toSeq: _*)
+    // the union schema (everything nullable — any column may be absent
+    // from some files) keeps reads off footer sampling; written FIRST so
+    // no crash window leaves evolved files behind an unevolved marker
     val union = StructType(
       (expected.fields ++ addedFields).map(_.copy(nullable = true)))
-    val mk = new Path(s"$p/_evolved_schema")
-    val out = rawFs(mk).create(mk, true)
-    try out.write(s"schema=${union.toDDL}\n".getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    partMarker match {
+      case Some((parts, _)) =>
+        val missingParts = parts.filterNot(c => byCanon.contains(canon(c)))
+        require(missingParts.isEmpty,
+          s"appendEvolved to '$name': incoming batch lacks partition " +
+            s"columns $missingParts — a null partition value would land " +
+            "rows in the hive default partition")
+        atomicWrite(new Path(s"$p/_partitioning"),
+          s"parts=${parts.mkString(",")}\nschema=${union.toDDL}\n")
+        out.write.mode(SaveMode.Append).partitionBy(parts: _*).parquet(p)
+      case None =>
+        atomicWrite(new Path(s"$p/_evolved_schema"), s"schema=${union.toDDL}\n")
+        out.write.mode(SaveMode.Append).parquet(p)
+    }
   }
 
   /** The `_evolved_schema` marker of a data directory, if present: the

@@ -373,6 +373,15 @@ object Similarity {
     * Output matches [[bruteForceTopK]]: (query_id, neighbor_id, cosine,
     * rank), cosine EXACT. Codebooks train once per call on a bounded
     * sample; at scale, train offline and store codes as a column.
+    *
+    * `rerank` must SCALE WITH THE CORPUS (faiss practice — the same
+    * contract as [[ivfPqTopK]]): global 8-byte codes rank a dense corpus
+    * with ADC noise comparable to true-neighbor margins, so a fixed
+    * shallow rerank starves recall as N grows (measured on the clustered
+    * harness: rerank=64 gives 0.12 recall@5 on 100k vectors, rerank=1024
+    * gives 0.52 — AnnRecall asserts the 0.9/0.5 floors at 1x/20x).
+    * Residual encoding ([[ivfPqTopK]]) is finer at equal budget; prefer
+    * it when cells are trainable.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, dim: Int, k: Int = 5, m: Int = 8,

@@ -28,7 +28,7 @@ object ScaleSweep {
   private val DocReplicas = 20
   private val LineReplicas = 10
   // bump when generate()'s recipe changes — see the _READY check below
-  private val Generation = "gen2-scaled-customer"
+  private val Generation = "gen3-scaled-events"
 
   private def rotated(s: String, r: Int): String =
     s.drop(r % s.length) + s.take(r % s.length)
@@ -70,9 +70,25 @@ object ScaleSweep {
       .drop("r")
       .repartition(32).write.mode("overwrite").parquet(s"$out/customer.parquet")
 
+    // events ×20: user_id and event_id shifted per replica, timestamps
+    // kept — every replica is a fresh user population living the same
+    // timeline, so per-user window/funnel/retention structure is
+    // EXACTLY the original's and correct growth is linear in replicas.
+    // Read through Td (nanos→micros) and written as micros; Td branches
+    // on the loaded dtype so the scaled copy reads back identically.
+    val ev = graft.engine.Td(spark, src, "events")
+    ev.select((explode(lit((0 until DocReplicas).toArray)).as("r")) +:
+        ev.columns.map(col): _*)
+      .withColumn("user_id",
+        col("r").cast("long") * 10000000L + col("user_id"))
+      .withColumn("event_id",
+        col("r").cast("long") * 100000000L + col("event_id"))
+      .drop("r")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+
     // remaining tables pass through unscaled (file copy)
     val others = Seq("region", "nation", "supplier", "part",
-      "orders", "events", "embeddings")
+      "orders", "embeddings")
     others.foreach { t =>
       val from = Paths.get(s"$src/$t.parquet")
       val to = Paths.get(s"$out/$t.parquet")
@@ -134,7 +150,12 @@ object ScaleSweep {
         // original (per-replica dup structure preserved, no cross-replica
         // collisions)
         "q106_heavy_hitters", "q107_boilerplate", "q108_dup_spans",
-        "q109_span_removal", "q110_decontaminate_spans")
+        "q109_span_removal", "q110_decontaminate_spans",
+        // round 6: the analytics window/funnel/retention queries over the
+        // ×20 events table (20 replica user populations on one timeline —
+        // linear growth expected, no single-task stages)
+        "q111_rolling_window", "q114_funnel", "q115_resample",
+        "q116_retention", "q117_funnel_steps")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     for (dir <- Seq(src, out); n <- names) {

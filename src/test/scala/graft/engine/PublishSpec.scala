@@ -509,7 +509,7 @@ class PublishSpec extends SparkSpec {
     assert(m2(3L) == (Some("c"), Some(0.5)))
   }
 
-  test("appendEvolved still rejects type drift and pinned layouts") {
+  test("appendEvolved still rejects type drift and missing partition columns") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwrite(Seq((1L, "a")).toDF("k", "v"), "t")
     val drift = intercept[IllegalArgumentException] {
@@ -518,10 +518,42 @@ class PublishSpec extends SparkSpec {
     assert(drift.getMessage.contains("type drift"))
     wh.publish(Seq((1L, "x", "p1")).toDF("k", "v", "part"), "pt",
       partitionCols = Seq("part"))
-    val pinned = intercept[IllegalArgumentException] {
-      wh.appendEvolved(Seq((2L, "y", "p1", 1.0)).toDF("k", "v", "part", "s"),
-        "pt")
+    // a batch without the partition column would null-route rows into the
+    // hive default partition — refused loudly
+    val noPart = intercept[IllegalArgumentException] {
+      wh.appendEvolved(Seq((2L, "y", 1.0)).toDF("k", "v", "s"), "pt")
     }
-    assert(pinned.getMessage.contains("_partitioning"))
+    assert(noPart.getMessage.contains("partition"))
+  }
+
+  test("appendEvolved to a partitioned table: old rows null-fill, pruning intact") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.publish(Seq((1L, "a", 2023), (2L, "b", 2024)).toDF("k", "v", "year"),
+      "pt", partitionCols = Seq("year"))
+    wh.appendEvolved(
+      Seq((3L, "c", 2024, 0.5)).toDF("k", "v", "year", "score"), "pt")
+    val df = wh.read("pt")
+    // union schema in original order, new column last; partition values
+    // keep their declared int type (no inference retype)
+    assert(df.columns.toSeq == Seq("k", "v", "year", "score"))
+    val byK = df.collect().map(r => r.getAs[Long]("k") ->
+      (r.getAs[Int]("year"), Option(r.getAs[Any]("score")))).toMap
+    assert(byK(1L) == (2023, None) && byK(2L) == (2024, None))
+    assert(byK(3L) == (2024, Some(0.5)))
+    // partition pruning still reaches the scan through the declared schema
+    val q = df.filter(col("year") === 2024)
+    assert(q.count() == 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("year"), plan)
+    // strict append aligns against the evolved union schema from here on
+    wh.append(Seq((4L, "d", 2025, 0.7)).toDF("k", "v", "year", "score"), "pt")
+    assert(wh.read("pt").count() == 4)
+    // and a second evolution widens again
+    wh.appendEvolved(
+      Seq((5L, "e", 2025, 0.1, "web")).toDF("k", "v", "year", "score", "src"),
+      "pt")
+    assert(wh.read("pt").columns.toSeq ==
+      Seq("k", "v", "year", "score", "src"))
+    assert(wh.read("pt").filter(col("src").isNotNull).count() == 1)
   }
 }

@@ -90,10 +90,11 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh >= 0.9, f"LSH recall@5 = $lsh%.3f")
     assert(ivf >= 0.9, f"IVF recall@5 = $ivf%.3f")
     assert(ivfpq >= 0.9, f"IVFPQ recall@5 = $ivfpq%.3f")
-    // flat PQ has no floor on this fixture (global-scale codes collapse
-    // dense clusters — the documented reason ivfPqTopK exists), but it
-    // must stay a working candidate generator, not noise
-    assert(pq >= 0.4, f"flat-PQ recall@5 = $pq%.3f")
+    // flat PQ holds the same floor once rerank scales with the corpus
+    // (the r5 0.12@20x reading was rerank starvation — 64 of 100k
+    // candidates — not quantizer collapse; AnnRecall now documents the
+    // rerank-per-scale contract and asserts 0.9/0.5 floors at 1x/20x)
+    assert(pq >= 0.9, f"flat-PQ recall@5 = $pq%.3f")
   }
 
   test("PQ ANN retrieves planted copies at rank 1 with exact cosine") {
