@@ -240,6 +240,39 @@ object ExtendedQueries {
           (col("n_guaranteed_missed") === 0).as("guaranteed_caught"))
     }),
 
+    // ── approx-quantile sketch under an invariant oracle: Spark's native
+    //    percentile_approx (Greenwald-Khanna variant — bounded, mergeable,
+    //    map-side-combined state; the 100 TB default) completes the
+    //    percentile trio beside exact q46 and histogram q86. The rank
+    //    guarantee |rank(v) − p·n| ≤ n/accuracy is MEASURED against exact
+    //    ranks and emitted as a boolean the oracle pins TRUE ──
+    "q119_approx_quantiles" -> ((s, dir) => {
+      val acc = 1000
+      val ps = Seq(0.5, 0.9, 0.99)
+      val li = Td(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("x"))
+      val ap = li.groupBy(col("l_returnflag")).agg(
+        percentile_approx(col("x"), array(ps.map(lit): _*), lit(acc)).as("vs"),
+        count(lit(1)).as("n"))
+      val pv = ap.select(col("l_returnflag"), col("n"),
+          posexplode(col("vs")).as(Seq("pos", "v")))
+        .select(col("l_returnflag"), col("n"),
+          element_at(array(ps.map(lit): _*), col("pos") + 1).as("p"),
+          col("v"))
+      // exact ranks of each returned value, one broadcast join + one agg
+      val ranks = li.join(broadcast(pv), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("n"), col("p"), col("v"))
+        .agg(sum(when(col("x") <= col("v"), 1L).otherwise(0L)).as("n_le"),
+          sum(when(col("x") < col("v"), 1L).otherwise(0L)).as("n_lt"))
+      // v's rank interval [n_lt, n_le] must intersect p·n ± n/acc (±1 for
+      // floor/ceil boundary slack)
+      ranks.groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"),
+          min(col("n_le") >= (col("p") - 1.0 / acc) * col("n") - 1 &&
+            col("n_lt") <= (col("p") + 1.0 / acc) * col("n") + 1)
+            .as("within_bounds"))
+    }),
+
     // ── time resample: hourly (type × hour) matrix with EMPTY buckets
     //    zero-filled — A13's grouped completion on the time axis, the
     //    domain generated as a sequence between observed bounds (a
@@ -427,10 +460,15 @@ object ExtendedQueries {
 
     // ── exact Levenshtein self-join via deletion-neighborhood blocking:
     //    every pair of customer names within edit distance 1, no
-    //    cartesian product anywhere in the plan ──
+    //    cartesian product anywhere in the plan. The widening repartition
+    //    un-serializes the neighborhood explode on the one-file bench
+    //    input (a Generate never pushes below an exchange, so no
+    //    materialize is needed here — unlike q70's filter gates) ──
     "q93_fuzzy_join" -> ((s, dir) =>
       graft.operators.Fuzzy.editDistanceJoin(
-        Td(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)),
+        Td(s, dir, "customer")
+          .repartition(s.sparkContext.defaultParallelism, col("c_custkey")),
+        "c_custkey", "c_name", maxDist = 1)),
 
     // ── the distance-2 path (C(len,2) deletion neighborhood): one
     //    nation's customers — zero-padded key names make digit space
@@ -730,6 +768,13 @@ object ExtendedQueries {
         |  true AS all_bounds_ok,
         |  true AS guaranteed_caught
         |FROM it""".stripMargin,
+
+    // q119: the oracle pins the exactly-computable group keys and counts
+    // and the GK rank guarantee as literal TRUE (same invariant-oracle
+    // scheme as q118)
+    "q119_approx_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n, true AS within_bounds
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // q115: generate_series domain × distinct types, left join, zero-fill
     "q115_resample" ->
