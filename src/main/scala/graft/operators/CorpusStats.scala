@@ -238,4 +238,80 @@ object CorpusStats {
             col("__n").cast("double"), 6))
           .as("top_token_frac"))
   }
+
+  /** BM25 top-k retrieval for a literal term-set query (Robertson et al.,
+    * Okapi BM25) — the lexical-retrieval twin of [[sparseCosineJoin]]'s
+    * all-pairs path and the dense [[Similarity]] stack: "find the k corpus
+    * documents most relevant to these query terms", the retrieval step of
+    * a RAG / hard-negative-mining pipeline.
+    *
+    * Scale shape: the query is a handful of LITERAL terms, so per-term
+    * term frequencies are computed MAP-SIDE (`size(filter(tokens, _ =
+    * term))` — no posting-list explode, no per-term shuffle); corpus
+    * statistics (N, total length, per-term document frequencies) are ONE
+    * partial-agg'd global aggregate broadcast back as a single row; and
+    * selection is the bounded-heap top-k (k rows per partition into one
+    * k-sized reduce — never a global sort). 100 TB = one scan, one
+    * 1-row broadcast, one k-bounded reduce.
+    *
+    * Engine determinism (the q103 contract): idf is quantized to an
+    * integer milli-weight `floor(1000·ln(1 + (N−df+0.5)/(df+0.5)) + 0.5)`
+    * and each per-term contribution `idf_q · tf·(k1+1)/(tf + k1·(1−b +
+    * b·dl/avgdl))` — a short chain of correctly-rounded IEEE ops over
+    * exact integers and the shared avgdl — is itself quantized to 1e-3
+    * before the cross-term sum, so `score_q` (fixed-point 1e-6 of the
+    * BM25 score) is an exact integer any engine reproduces. The explicit
+    * floor(x+0.5) form is used because JVM and SQL `round` disagree on
+    * negative halves (contributions are non-negative, but the contract
+    * stays uniform with [[Importance]]).
+    *
+    * Output: (idCol, rank, score_q, dl) for the top `k` documents with at
+    * least one query term, ranked by (score_q desc, id asc).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val terms = queryTerms.distinct
+    import graft.functions.TopKAggregate
+    val base = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+      .withColumn("__tfs", array(terms.map(t =>
+        size(filter(col("__toks"), x => x === lit(t))).cast("long")): _*))
+      .drop("__toks")
+    // one corpus-stats row: N, Σdl, df per query term — broadcast back
+    val stats = base.agg(
+      count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"),
+      array(terms.indices.map(i =>
+        sum(when(element_at(col("__tfs"), i + 1) > 0, 1L).otherwise(0L))): _*)
+        .as("__dfs"))
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    // quantized idf (milli-nats), then quantized per-term contribution
+    def idfQ(i: Int) = floor(lit(1000.0) *
+      log(lit(1.0) + (col("__n") - element_at(col("__dfs"), i + 1)
+        + lit(0.5)).cast("double") /
+        (element_at(col("__dfs"), i + 1) + lit(0.5)).cast("double")) +
+      lit(0.5)).cast("long")
+    def contribQ(i: Int) = {
+      val tf = element_at(col("__tfs"), i + 1).cast("double")
+      floor(idfQ(i).cast("double") * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double")
+          / avgdl)) * lit(1000.0) + lit(0.5)).cast("long")
+    }
+    val scoreQ = terms.indices.map(contribQ).reduce(_ + _)
+    base.join(broadcast(stats))
+      .withColumn("score_q", scoreQ)
+      .filter(col("score_q") > 0)
+      .groupBy()
+      .agg(TopKAggregate.topKStructs(
+        struct(col("score_q"), col(idCol), col("dl")), k,
+        // max score first; flipped id breaks ties toward the smaller id
+        desc = Seq(false, true)).as("top"))
+      .select(posexplode(col("top")))
+      .select(col(s"col.$idCol").as(idCol),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score_q").as("score_q"), col("col.dl").as("dl"))
+  }
 }

@@ -586,6 +586,65 @@ object Dedup {
       .distinct()
   }
 
+  /** SemDeDup semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are assigned to their nearest TRAINED
+    * spherical k-means centroid ([[Similarity.trainIvfCentroids]] — one
+    * bounded sampling pass, deterministic) and exact cosine runs only
+    * WITHIN a cluster. This is the paper's candidate restriction: two
+    * semantic duplicates embed near each other, so they share a cluster,
+    * and the all-pairs cost collapses from O(n²) to Σ_c |c|² — at 100 TB
+    * you raise `nClusters` with the corpus so per-cluster occupancy (and
+    * with it the self-join's per-key fan-out) stays bounded. Complement
+    * to [[embeddingNearDup]]: SRP-LSH buckets catch NEAR-EXACT copies
+    * (tiny Hamming balls), trained clusters catch the broader "same
+    * content, different words" semantic radius the paper targets.
+    *
+    * The clustered projection is computed once (eager materialize) and
+    * self-joined on the cluster id — an equi-join, never a broadcast of
+    * the corpus. Identical vectors always share a cluster (the argmax
+    * assignment is a pure function of the vector), so recall on exact
+    * copies is 1 by construction.
+    */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, threshold: Double = 0.95,
+                         nClusters: Int = 64, trainIters: Int = 4,
+                         sampleSize: Int = 4096,
+                         seed: Long = 42L): DataFrame = {
+    import graft.functions.SignatureExpressions
+    val cents = Similarity.trainIvfCentroids(df, idCol, vecCol, dim,
+      nClusters, trainIters, sampleSize, seed)
+    val b = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        element_at(SignatureExpressions.ivfAssign(col(vecCol), cents, 1), 1)
+          .as("cluster"))
+      .transform(Exec.materialize)
+    val l = b.select(col("id").as("id_a"), col("v").as("v_a"), col("cluster"))
+    val r = b.select(col("id").as("id_b"), col("v").as("v_b"), col("cluster"))
+    l.join(r, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** The SemDeDup endpoint: drop every document whose embedding is a
+    * semantic near-duplicate of a lower-id document (one canonical
+    * representative per duplicate group, groups closed under
+    * [[connectedComponents]]). Same anti-join shape as
+    * [[dropNearDuplicates]] — the corpus itself never reshuffles; only
+    * the (tiny) non-canonical id set ships. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    threshold: Double = 0.95, nClusters: Int = 64,
+                    trainIters: Int = 4, sampleSize: Int = 4096,
+                    seed: Long = 42L): DataFrame = {
+    val pairs = semanticDedupPairs(df, idCol, vecCol, dim, threshold,
+      nClusters, trainIters, sampleSize, seed)
+    val dropIds = connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Boilerplate removal (the RefinedWeb / CCNet "strip lines shared by
     * many pages" pass, phrased over fixed `segTokens`-token windows since
     * the corpus has no line structure): a segment whose DOCUMENT frequency

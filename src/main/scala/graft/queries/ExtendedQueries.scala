@@ -531,7 +531,60 @@ object ExtendedQueries {
       graft.operators.Sampling.weightedSample(
         o, Seq("o_orderpriority"), "o_orderkey", "o_totalprice", k = 50)
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
-    })
+    }),
+
+    // ── SemDeDup (planted contract, same scheme as q52): exact-copy
+    //    embeddings at +100000/+200000 — including a 3-way group at
+    //    %20==0 — must be dropped and every original kept. Identical
+    //    vectors share a trained cluster by construction, organic pairs
+    //    top out at cosine ≈ 0.51 ≪ 0.95, so the survivor set is exactly
+    //    the base table ──
+    "q120_semantic_dedup" -> ((s, dir) => {
+      val emb = Td(s, dir, "embeddings").select("vec_id", "embedding")
+      val c1 = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val c2 = emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+      graft.operators.Dedup.semanticDedup(
+        emb.unionByName(c1).unionByName(c2), "vec_id", "embedding",
+        dim = 64, threshold = 0.95, nClusters = 64)
+        .select("vec_id")
+    }),
+
+    // ── DSIR importance scores (Xie et al. 2023): every document scored
+    //    against a hashed-unigram+bigram ratio model of "looks like the
+    //    English subset" — the quantized integer score is exact in any
+    //    summation order, so a SQL auditor reproduces it byte-for-byte ──
+    "q121_dsir_scores" -> ((s, dir) => {
+      val docs = Td(s, dir, "documents")
+      // one-pass trainer: the target is a labeled subset of the corpus
+      val ratios = graft.operators.Importance.bucketLogRatiosWithin(
+        docs, col("lang") === "en", "text", buckets = 1024)
+      // widen the one-file scan: scoring is md5-CPU-bound map-side work
+      graft.operators.Importance.importanceScores(
+        docs.repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "text", ratios)
+        .select("doc_id", "n_feats", "dsir_score")
+    }),
+
+    // ── the selection endpoint: top-100 most target-like documents,
+    //    bounded-heap top-k over the map-side scores ──
+    "q122_dsir_resample" -> ((s, dir) => {
+      val docs = Td(s, dir, "documents")
+      graft.operators.Importance.importanceResample(
+        docs, "doc_id", "text",
+        graft.operators.Importance.bucketLogRatiosWithin(
+          docs, col("lang") === "en", "text", buckets = 1024),
+        k = 100, salt = "dsir", useBigrams = true)
+    }),
+
+    // ── BM25 top-k lexical retrieval: map-side tf for literal query
+    //    terms, one broadcast stats row, quantized-integer scores
+    //    (the q103 determinism contract), bounded-heap top-k ──
+    "q123_bm25" -> ((s, dir) =>
+      graft.operators.CorpusStats.bm25TopK(
+        Td(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "vector"), k = 20))
   )
 
   /** DuckDB analogue of Sampling.hashWord: first 4 md5 bytes of "salt|id"
@@ -1171,6 +1224,97 @@ object ExtendedQueries {
          |SELECT o_orderpriority, o_orderkey, weight,
          |       round(key, 6) AS priority
          |FROM r WHERE rn <= 50
-         |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    // q120: the planted SemDeDup contract — identical vectors share a
+    // trained cluster by construction and hit cosine 1.0, organic pairs
+    // top out ≈ 0.51 ≪ 0.95, so the survivor set of base ∪ copies is
+    // exactly the base table (min-id canonical keeps every original)
+    "q120_semantic_dedup" ->
+      "SELECT vec_id FROM embeddings",
+
+    // q121/q122: full SQL replay of the DSIR model — same tokenization,
+    // same salted-md5 feature buckets, same add-one-smoothed quantized
+    // log ratios (floor(x·1e6 + 0.5): JVM math.round and SQL round
+    // disagree on negative halves, the explicit floor form doesn't).
+    // Scores are exact integer sums, identical in any order.
+    "q121_dsir_scores" -> dsirScoresSql,
+
+    // q122: the same replay, selected — top-100 by (score DESC, id),
+    // matching the bounded heap's (desc score, asc id) contract
+    "q122_dsir_resample" ->
+      s"""WITH scored AS ($dsirScoresSql)
+         |SELECT doc_id, n_feats, dsir_score FROM scored
+         |ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin,
+
+    // q123: BM25 replay under the q103 determinism contract — idf
+    // quantized to milli-nats, each per-term contribution quantized to
+    // 1e-3 before the cross-term integer sum; every float op in between
+    // is a correctly-rounded IEEE chain with identical association on
+    // both engines ((1.2 + 1.0) is written as the SUM because the
+    // literal 2.2 parses to a different double than the computed k1+1)
+    "q123_bm25" -> bm25Sql
   )
+
+  /** Shared q121/q122 replay: DSIR scores for every document. */
+  private lazy val dsirScoresSql: String = {
+    val B = 1024
+    s"""WITH tok AS (SELECT doc_id, lang, ${ScaleQueries.tokSql} AS toks
+       |             FROM documents),
+       |fe AS (SELECT doc_id, lang,
+       |        unnest(toks || [array_to_string(toks[i:i+1], ' ')
+       |                        for i in range(1, len(toks))]) AS f
+       |      FROM tok),
+       |fb AS (SELECT doc_id, lang,
+       |         ${hashWordSql("dsir", "f")} % $B AS b FROM fe),
+       |tc AS (SELECT b, COUNT(*) AS c FROM fb WHERE lang = 'en' GROUP BY 1),
+       |tn AS (SELECT COUNT(*) AS n FROM fb WHERE lang = 'en'),
+       |rc AS (SELECT b, COUNT(*) AS c FROM fb GROUP BY 1),
+       |rn AS (SELECT COUNT(*) AS n FROM fb),
+       |q AS (SELECT bs.b,
+       |        CAST(floor((ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / (tn.n + $B))
+       |          - ln(CAST(coalesce(rc.c, 0) + 1 AS DOUBLE) / (rn.n + $B)))
+       |          * 1e6 + 0.5) AS BIGINT) AS qlr
+       |      FROM (SELECT unnest(range(0, $B)) AS b) bs
+       |      LEFT JOIN tc ON bs.b = tc.b LEFT JOIN rc ON bs.b = rc.b, tn, rn),
+       |sc AS (SELECT fb.doc_id, COUNT(*) AS n_feats,
+       |         CAST(SUM(q.qlr) AS BIGINT) AS s
+       |       FROM fb JOIN q ON fb.b = q.b GROUP BY 1)
+       |SELECT d.doc_id, coalesce(sc.n_feats, 0) AS n_feats,
+       |       coalesce(sc.s, 0) AS dsir_score
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+  }
+
+  /** q123 replay — per-term contribution of (tf, df) over the stats row. */
+  private lazy val bm25Sql: String = {
+    val terms = Seq("spark", "join", "vector")
+    val tfs = terms.indices.map(i =>
+      s"len(list_filter(toks, x -> x = '${terms(i)}')) AS tf$i").mkString(",\n|           ")
+    val dfs = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n|         ")
+    def contrib(i: Int) =
+      s"""CAST(floor(CAST(CAST(floor(1000.0 * ln(1.0 +
+         |  (n - df$i + 0.5) / (df$i + 0.5)) + 0.5) AS BIGINT) AS DOUBLE)
+         |  * (CAST(tf$i AS DOUBLE) * (1.2 + 1.0))
+         |  / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         |      / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+         |  * 1000.0 + 0.5) AS BIGINT)""".stripMargin.replace("\n", " ")
+    s"""WITH tok AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks
+       |             FROM documents),
+       |base AS (SELECT doc_id, len(toks) AS dl,
+       |           $tfs
+       |         FROM tok),
+       |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+       |         $dfs
+       |       FROM base),
+       |sc AS (SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       |         ${terms.indices.map(contrib).mkString(" + ")} AS score_q
+       |       FROM base, st)
+       |SELECT doc_id,
+       |       CAST(row_number() OVER (ORDER BY score_q DESC, doc_id)
+       |         AS INTEGER) AS rank,
+       |       score_q, dl
+       |FROM sc WHERE score_q > 0
+       |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin
+  }
 }

@@ -147,4 +147,69 @@ class CorpusStatsSpec extends SparkSpec {
     assert(p(20L)._2 > 0.45)
     assert(p(20L)._3 == 0.02)        // every token appears exactly twice
   }
+
+  // driver-side BM25 replay with the operator's exact quantization contract
+  private def bm25Expect(corpus: Seq[(Long, String)], terms: Seq[String],
+                         k1: Double = 1.2, b: Double = 0.75): Map[Long, Long] = {
+    def toks(t: String) = t.toLowerCase.replaceAll("[^\\p{L}\\p{N}]+", " ")
+      .trim.split(" ").filter(_.nonEmpty).toSeq
+    val n = corpus.length
+    val dls = corpus.map { case (id, t) => id -> toks(t).length.toLong }.toMap
+    val avgdl = dls.values.sum.toDouble / n
+    val dfs = terms.map(t =>
+      t -> corpus.count { case (_, txt) => toks(txt).contains(t) }).toMap
+    corpus.map { case (id, txt) =>
+      val tk = toks(txt)
+      val score = terms.map { t =>
+        val tf = tk.count(_ == t).toDouble
+        val qidf = math.floor(1000.0 *
+          math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5)) + 0.5)
+        math.floor(qidf * (tf * (k1 + 1.0)) /
+          (tf + k1 * (1.0 - b + b * dls(id) / avgdl)) * 1000.0 + 0.5).toLong
+      }.sum
+      id -> score
+    }.toMap
+  }
+
+  test("bm25TopK matches an exact driver-side replay and ranks by score") {
+    val corpus = Seq(
+      (1L, "spark shuffle join shuffle shuffle"),
+      (2L, "spark plan optimizer"),
+      (3L, "gardening tulips soil watering"),
+      (4L, "spark spark shuffle broadcast join plan"),
+      (5L, "soil and rivers"))
+    val terms = Seq("spark", "shuffle")
+    val got = CorpusStats.bm25TopK(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", terms, k = 10)
+      .select("doc_id", "rank", "score_q")
+      .as[(Long, Int, Long)].collect().sortBy(_._2)
+    val want = bm25Expect(corpus, terms).filter(_._2 > 0)
+    // exact quantized scores
+    got.foreach { case (id, _, s) => assert(s == want(id), s"doc $id") }
+    // only matching docs returned, ranked descending (ties → smaller id)
+    assert(got.map(_._1).toSet == want.keySet)
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted.reverse)
+  }
+
+  test("bm25TopK: rare terms outweigh common ones; k caps the result") {
+    // "rara" appears in one doc, "common" in all — idf should dominate
+    val corpus = Seq(
+      (1L, "common word rara"),
+      (2L, "common word filler"),
+      (3L, "common word other"))
+    val out = CorpusStats.bm25TopK(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", Seq("common", "rara"), k = 2)
+      .select("doc_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.length == 2)
+    assert(out.head._1 == 1L) // the rara doc ranks first
+  }
+
+  test("bm25TopK: duplicate query terms don't double-count") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+    val once = CorpusStats.bm25TopK(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", Seq("alpha"), k = 5).collect().toSeq
+    val twice = CorpusStats.bm25TopK(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", Seq("alpha", "alpha"), k = 5).collect().toSeq
+    assert(once == twice)
+  }
 }

@@ -148,6 +148,42 @@ class DedupSpec extends SparkSpec {
     assert(out.contains((1L, 2L)))
   }
 
+  test("semanticDedupPairs finds planted semantic dups within clusters only") {
+    val rng = new scala.util.Random(19)
+    // 4 well-separated cluster directions in dim 8; members = base + noise
+    val bases = Array.fill(4)(Array.fill(8)(rng.nextGaussian()))
+    def member(c: Int) =
+      bases(c).map(x => (x + 0.1 * rng.nextGaussian()).toFloat)
+    val rows = (0L until 40L).map(i => (i, member((i % 4).toInt)))
+    // planted exact copies of vectors 0 and 5
+    val planted = Seq((1000L, rows(0)._2), (1005L, rows(5)._2))
+    val df = (rows ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDedupPairs(df, "vec_id", "embedding", dim = 8,
+      threshold = 0.9999, nClusters = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact copies hit cosine 1.0 and MUST co-cluster (same argmax);
+    // organic members sit ~0.99 apart — far below 0.9999
+    assert(pairs == Set((0L, 1000L), (5L, 1005L)))
+  }
+
+  test("semanticDedup keeps one canonical member per semantic group") {
+    val rng = new scala.util.Random(23)
+    val bases = Array.fill(3)(Array.fill(8)(rng.nextGaussian()))
+    def member(c: Int) =
+      bases(c).map(x => (x + 0.1 * rng.nextGaussian()).toFloat)
+    val rows = (0L until 30L).map(i => (i, member((i % 3).toInt)))
+    val copies = Seq((100L, rows(2)._2), (101L, rows(2)._2)) // 3-way group
+    val df = (rows ++ copies).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", dim = 8,
+      threshold = 0.9999, nClusters = 4)
+    val kept = out.select("vec_id").as[Long].collect().toSet
+    // the 3-way exact-copy group {2, 100, 101} keeps min id 2 only
+    assert(kept.contains(2L) && !kept.contains(100L) && !kept.contains(101L))
+    assert(kept.size == 30)
+    // survivors preserve their original columns
+    assert(out.columns.toSeq == Seq("vec_id", "embedding"))
+  }
+
   test("shingles of short text fall back to whole-text shingle") {
     val got = Seq("one two").toDF("t")
       .select(TextFunctions.shingles($"t", 3).as("s")).head().getSeq[String](0)
