@@ -987,6 +987,109 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .orderBy(col("dir"))
   }
 
+  private def zoneKey(cols: Seq[String]): String =
+    cols.sorted.mkString("__")
+
+  /** Locate a stored zone-map manifest covering column `c` (smallest
+    * covering key wins, deterministically). */
+  private def findZoneMap(p: String, c: String): Option[String] = {
+    val zroot = new Path(s"$p/_zonemap")
+    val f = fs(zroot)
+    if (!f.exists(zroot)) None
+    else f.listStatus(zroot).toSeq.map(_.getPath.getName)
+      .filter(_.split("__").contains(c))
+      .sortBy(k => (k.length, k))
+      .headOption.map(k => s"$p/_zonemap/$k")
+  }
+
+  /** Delta/Iceberg-style data skipping, part 1: build per-FILE min/max
+    * zone maps over `cols`, stored as a tiny parquet manifest under the
+    * table's current data directory (`_zonemap/<key>` — a hidden dir, so
+    * reads never see it and [[vacuum]] drops it with its version).
+    *
+    * One column-pruned scan computes (file, n_rows, min_c, max_c, …):
+    * parquet reads only the zoned columns' pages, so the build is a
+    * fraction of a full-table pass, fully parallel, and the manifest is
+    * |files| rows — the same metadata scale every file-source planner
+    * already holds on the driver. Zone maps earn their keep after a
+    * [[graft.operators.Layout]] Z-order/range layout: clustered files
+    * have narrow ranges, so a selective predicate prunes most of them.
+    *
+    * Appends after a build stay CORRECT (unknown files are always
+    * scanned — see [[readZonePruned]]); rebuild to regain skipping on
+    * them. */
+  def buildZoneMap(table: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "zone map needs at least one column")
+    val p = dataPath(table)
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    readPath(p)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$p/_zonemap/${zoneKey(cols)}")
+  }
+
+  /** Data skipping, part 2: the file lists a `col BETWEEN lo AND hi`
+    * scan needs — (kept, unknown): manifest files whose [min,max]
+    * intersects the range (conservative: a null range, i.e. an all-null
+    * file, can never match BETWEEN and is skipped), plus files the
+    * manifest has never seen (post-build appends/compactions — ALWAYS
+    * scanned, so staleness can omit nothing). Manifest entries whose
+    * file no longer exists (compacted away) are dropped — their rows
+    * live in rewritten files, which are unknown and therefore scanned. */
+  def zonePrunedFiles(table: String, c: String, lo: Any,
+                      hi: Any): Option[(Seq[String], Seq[String])] = {
+    val p = dataPath(table)
+    findZoneMap(p, c).map { zp =>
+      val zm = spark.read.parquet(zp)
+      val rows = zm.select(col("file"),
+          (!(col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi)))
+            .as("keep"))
+        .collect() // |files| rows — planner-scale metadata, bounded
+      def norm(s: String) = new Path(s).toUri.getPath
+      val known = rows.map(r => norm(r.getString(0))).toSet
+      val actual = listDataFiles(new Path(p)).map(_.getPath.toUri.getPath)
+      val actualSet = actual.toSet
+      val kept = rows
+        .filter(r => !r.isNullAt(1) && r.getBoolean(1)) // null range → skip
+        .map(r => norm(r.getString(0)))
+        .filter(actualSet.contains)
+      val unknown = actual.filterNot(known.contains)
+      (kept.toSeq, unknown)
+    }
+  }
+
+  /** Data skipping, part 3: `read(table).filter(c BETWEEN lo AND hi)`,
+    * but scanning only the files [[zonePrunedFiles]] admits. Falls back
+    * to the plain filtered read when no zone map covers `c`. The precise
+    * row-level predicate is always re-applied — file pruning is an
+    * optimization, never a semantics change. */
+  def readZonePruned(table: String, c: String, lo: Any, hi: Any): DataFrame = {
+    val p = dataPath(table)
+    val pred = col(c).between(lit(lo), lit(hi))
+    zonePrunedFiles(table, c, lo, hi) match {
+      case None => readPath(p).filter(pred)
+      case Some((kept, unknown)) =>
+        val files = (kept ++ unknown).distinct
+        if (files.isEmpty) readPath(p).filter(pred).limit(0)
+        else {
+          val declared = partitioningMarker(p).map(_._2)
+            .orElse(evolvedSchemaMarker(p))
+          val reader = declared match {
+            case Some(schema) =>
+              spark.read.option("basePath", p).schema(schema)
+            case None => spark.read.option("basePath", p)
+          }
+          val df = reader.parquet(files: _*)
+          // restore declared column order (partition discovery reorders)
+          declared.map(s => df.select(s.fieldNames.map(col).toSeq: _*))
+            .getOrElse(df)
+            .filter(pred)
+        }
+    }
+  }
+
   /** S14: timestamped backup of a table before mutation; returns the
     * backup path (restore = read(backupPath) + overwrite). */
   def backup(name: String): String = {

@@ -67,8 +67,10 @@ object ExtendedQueries {
     //    state growth: Spark's `percentile` buffers every distinct value
     //    per group in aggregate state, so at 100 TB a 3-group fact column
     //    parks its full value histogram on 3 final reducers. Kept for
-    //    parity with the continuous-quantile oracle; q86 is the bounded-
-    //    state scale path ──
+    //    parity with the continuous-quantile oracle; the scale paths are
+    //    q86 (histogram, bounded error), q119 (approx sketch) and q124
+    //    (EXACT with bounded state — iterative refinement, the one to use
+    //    at 100 TB when exactness is required) ──
     "q46_percentiles" -> ((s, dir) => {
       import s.implicits._
       Td(s, dir, "orders")
@@ -585,6 +587,20 @@ object ExtendedQueries {
       graft.operators.CorpusStats.bm25TopK(
         Td(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "join", "vector"), k = 20))
+    ,
+
+    // ── EXACT percentiles with bounded state: q46's values, computed by
+    //    iterative histogram refinement instead of per-group value
+    //    buffering — state is |groups|·|targets|·bins counts per pass,
+    //    ≤ 8 passes for the cents domain, bit-identical to percentile()
+    //    semantics. The scale-correct answer to q46's documented flaw ──
+    "q124_exact_percentiles_scalable" -> ((s, dir) => {
+      val o = Td(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      graft.operators.Percentiles.exactPercentiles(
+        o, Seq("o_orderstatus"), "cents", Seq(0.5, 0.9, 0.99))
+        .withColumnRenamed("value", "value_cents")
+    })
   )
 
   /** DuckDB analogue of Sampling.hashWord: first 4 md5 bytes of "salt|id"
@@ -1246,6 +1262,33 @@ object ExtendedQueries {
       s"""WITH scored AS ($dsirScoresSql)
          |SELECT doc_id, n_feats, dsir_score FROM scored
          |ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin,
+
+    // q124: the oracle rebuilds the exact order statistics by full sort
+    // (fine at oracle scale) and interpolates with the SAME weighted
+    // form ((k+1−pos)·lo + (pos−k)·hi) and the same association — the
+    // doubles are bit-identical, not merely close
+    "q124_exact_percentiles_scalable" ->
+      """WITH v AS (SELECT o_orderstatus AS g,
+        |            CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |          FROM orders),
+        |o AS (SELECT g, c,
+        |        row_number() OVER (PARTITION BY g ORDER BY c) - 1 AS rk,
+        |        COUNT(*) OVER (PARTITION BY g) AS n
+        |      FROM v),
+        |ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |                      CAST(0.99 AS DOUBLE)]) AS p),
+        |t AS (SELECT g, n, p, (n - 1) * p AS pos,
+        |        CAST(floor((n - 1) * p) AS BIGINT) AS k
+        |      FROM (SELECT DISTINCT g, n FROM o), ps),
+        |j AS (SELECT t.g, t.p, t.pos, t.k, lo.c AS lov,
+        |        COALESCE(hi.c, lo.c) AS hiv
+        |      FROM t JOIN o lo ON t.g = lo.g AND lo.rk = t.k
+        |             LEFT JOIN o hi ON t.g = hi.g AND hi.rk = t.k + 1)
+        |SELECT g AS o_orderstatus, p,
+        |       CASE WHEN pos > k
+        |            THEN (k + 1 - pos) * lov + (pos - k) * hiv
+        |            ELSE CAST(lov AS DOUBLE) END AS value_cents
+        |FROM j""".stripMargin,
 
     // q123: BM25 replay under the q103 determinism contract — idf
     // quantized to milli-nats, each per-term contribution quantized to

@@ -28,7 +28,7 @@ object ScaleSweep {
   private val DocReplicas = 20
   private val LineReplicas = 10
   // bump when generate()'s recipe changes — see the _READY check below
-  private val Generation = "gen3-scaled-events"
+  private val Generation = "gen4-scaled-embeddings"
 
   private def rotated(s: String, r: Int): String =
     s.drop(r % s.length) + s.take(r % s.length)
@@ -86,9 +86,24 @@ object ScaleSweep {
       .drop("r")
       .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    // embeddings ×20: replica r cyclically rotates the 64 coordinates by
+    // r — the vector-space analogue of the character rotation above: a
+    // coordinate bijection preserves every within-replica cosine exactly
+    // (the dup/cluster structure scales linearly with replicas), while a
+    // vector and its differently-rotated twin decorrelate (no
+    // cross-replica near-dup cliques, which identical copies would form)
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        explode(lit((0 until DocReplicas).toArray)).as("r"))
+      .select((col("vec_id") * DocReplicas + col("r")).as("vec_id"),
+        expr("concat(slice(embedding, r + 1, 64 - r), " +
+          "slice(embedding, 1, r))").as("embedding"),
+        col("label"))
+    emb.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+
     // remaining tables pass through unscaled (file copy)
-    val others = Seq("region", "nation", "supplier", "part",
-      "orders", "embeddings")
+    val others = Seq("region", "nation", "supplier", "part", "orders")
     others.foreach { t =>
       val from = Paths.get(s"$src/$t.parquet")
       val to = Paths.get(s"$out/$t.parquet")
@@ -155,7 +170,12 @@ object ScaleSweep {
         // ×20 events table (20 replica user populations on one timeline —
         // linear growth expected, no single-task stages)
         "q111_rolling_window", "q114_funnel", "q115_resample",
-        "q116_retention", "q117_funnel_steps")
+        "q116_retention", "q117_funnel_steps",
+        // round 6b: SemDeDup over ×20 embeddings (coordinate-rotated
+        // replicas — within-replica dup structure preserved, linear),
+        // DSIR train+score+select and BM25 over ×20 documents
+        "q120_semantic_dedup", "q121_dsir_scores", "q122_dsir_resample",
+        "q123_bm25")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     for (dir <- Seq(src, out); n <- names) {

@@ -1,0 +1,114 @@
+package graft.engine
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Per-file min/max zone maps (Delta/Iceberg-style data skipping): a
+  * selective range scan over a range-clustered layout must touch a
+  * fraction of the files, and pruning must never change results — not
+  * even against files appended or compacted after the map was built. */
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot = Files.createTempDirectory("wh-zm").toString
+
+  private def clustered(wh: Warehouse): Unit = {
+    // range-partitioned write → each of the 8 files covers a narrow k
+    // band, the layout zone maps are built for
+    val df = (1 to 8000).map(i => (i.toLong, i % 97, s"v$i"))
+      .toDF("k", "grp", "v")
+    wh.overwrite(df.repartitionByRange(8, col("k")), "t")
+  }
+
+  test("pruned range read skips most files and matches the full scan") {
+    val wh = new Warehouse(spark, freshRoot)
+    clustered(wh)
+    wh.buildZoneMap("t", Seq("k"))
+    val Some((kept, unknown)) = wh.zonePrunedFiles("t", "k", 100L, 300L)
+    assert(unknown.isEmpty) // manifest covers every file
+    assert(kept.size <= 2, s"kept ${kept.size} of 8 files") // narrow band
+    val got = wh.readZonePruned("t", "k", 100L, 300L)
+      .select("k", "grp", "v").orderBy("k")
+    val want = wh.read("t").filter(col("k").between(100L, 300L))
+      .select("k", "grp", "v").orderBy("k")
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("files appended after the build are always scanned (stale-safe)") {
+    val wh = new Warehouse(spark, freshRoot)
+    clustered(wh)
+    wh.buildZoneMap("t", Seq("k"))
+    // rows INSIDE the queried range, landed after the manifest
+    wh.append(Seq((150L, 1, "late1"), (9999L, 2, "late2")).toDF("k", "grp", "v"), "t")
+    val Some((kept, unknown)) = wh.zonePrunedFiles("t", "k", 100L, 300L)
+    assert(unknown.nonEmpty) // the appended file is unknown → scanned
+    val got = wh.readZonePruned("t", "k", 100L, 300L).select("k", "v")
+    assert(got.filter(col("v") === "late1").count() == 1)   // not lost
+    assert(got.filter(col("v") === "late2").count() == 0)   // precise filter
+    assert(got.count() ==
+      wh.read("t").filter(col("k").between(100L, 300L)).count())
+  }
+
+  test("compaction invalidates manifest entries without losing rows") {
+    val wh = new Warehouse(spark, freshRoot)
+    clustered(wh)
+    wh.buildZoneMap("t", Seq("k"))
+    wh.compact("t", numFiles = 2) // rewrites every file (new version)
+    // kept entries point at vanished files → dropped; rewritten files are
+    // unknown → scanned. Nothing lost, nothing double-read.
+    val got = wh.readZonePruned("t", "k", 100L, 300L)
+    assert(got.count() ==
+      wh.read("t").filter(col("k").between(100L, 300L)).count())
+  }
+
+  test("no covering zone map falls back to the plain filtered read") {
+    val wh = new Warehouse(spark, freshRoot)
+    clustered(wh)
+    wh.buildZoneMap("t", Seq("grp")) // map exists, but not over k
+    val pruned = wh.zonePrunedFiles("t", "k", 1L, 10L)
+    assert(pruned.isEmpty)
+    assert(wh.readZonePruned("t", "k", 1L, 10L).count() == 10)
+    // the grp map itself is usable
+    assert(wh.zonePrunedFiles("t", "grp", 5, 5).isDefined)
+  }
+
+  test("Z-order layout + zone maps prune on BOTH dimensions at once") {
+    val wh = new Warehouse(spark, freshRoot)
+    val rng = new scala.util.Random(31)
+    val df = (1 to 20000).map { i =>
+      (i.toLong, rng.nextInt(1024), rng.nextInt(1024))
+    }.toDF("id", "x", "y")
+    wh.overwrite(graft.operators.Layout.zorder(df, Seq("x", "y"),
+      partitions = 16, bits = 10), "t3")
+    wh.buildZoneMap("t3", Seq("x", "y"))
+    val total = wh.zonePrunedFiles("t3", "x", 0, 1023).get._1.size
+    // a narrow slab in EITHER dimension prunes — that's the point of the
+    // Morton interleave vs a single-column sort
+    val xKept = wh.zonePrunedFiles("t3", "x", 100, 160).get._1.size
+    val yKept = wh.zonePrunedFiles("t3", "y", 100, 160).get._1.size
+    assert(xKept < total, s"x slab kept $xKept of $total")
+    assert(yKept < total, s"y slab kept $yKept of $total")
+    // and results stay exact on both axes
+    for (c <- Seq("x", "y")) {
+      assert(wh.readZonePruned("t3", c, 100, 160).count() ==
+        wh.read("t3").filter(col(c).between(100, 160)).count())
+    }
+  }
+
+  test("zone-pruned read of a hive-partitioned table keeps schema order") {
+    val wh = new Warehouse(spark, freshRoot)
+    val df = (1 to 2000).map(i => (i.toLong, i % 4, s"v$i"))
+      .toDF("k", "part", "v")
+    wh.overwritePartitioned(df.repartitionByRange(4, col("k")), "t2",
+      Seq("part"))
+    wh.buildZoneMap("t2", Seq("k"))
+    val got = wh.readZonePruned("t2", "k", 10L, 20L)
+    assert(got.columns.toSeq == wh.read("t2").columns.toSeq)
+    assert(got.count() == 11)
+    val Some((kept, _)) = wh.zonePrunedFiles("t2", "k", 10L, 20L)
+    val total = wh.zonePrunedFiles("t2", "k", Long.MinValue, Long.MaxValue)
+      .get._1.size
+    assert(kept.size < total, s"kept ${kept.size} of $total")
+  }
+}

@@ -42,6 +42,26 @@ class QueryPlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"map-side partial agg expected:\n$p")
   }
 
+  test("q123 bm25: zero data shuffles — map-side tf, broadcast stats, heap") {
+    val p = plan("q123_bm25")
+    // per-term tf is computed in the scan projection; the one-row corpus
+    // stats broadcast; the top-k heap reduces to a single partition (not
+    // a hash shuffle of the corpus)
+    assert(exchanges(p) == 0, s"expected no hash exchange, got:\n$p")
+    assert(p.contains("BroadcastExchange"), s"stats row should broadcast:\n$p")
+    assert(p.contains("topk_structs"), s"bounded heap expected:\n$p")
+  }
+
+  test("q121 dsir scoring: the ratio table inlines; one widening shuffle only") {
+    val p = plan("q121_dsir_scores")
+    // scoring is a map-side aggregate over the feature array against the
+    // inlined literal table — the only exchange is the deliberate
+    // CPU-widening repartition, never a groupBy of the corpus
+    assert(exchanges(p) == 1, s"expected exactly 1 exchange, got:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"scoring must not aggregate the corpus:\n$p")
+  }
+
   test("q111 rolling window: single range-frame window, one user shuffle") {
     val p = plan("q111_rolling_window")
     assert(p.contains("RANGE BETWEEN") || p.contains("specifiedwindowframe"),
