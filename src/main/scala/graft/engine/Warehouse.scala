@@ -588,7 +588,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         s"unexpected ${extra.toSeq}")
     def incoming(f: org.apache.spark.sql.types.StructField) =
       byCanon(canon(f.name)).head
-    val drift = expected.fields.filter(f => incoming(f).dataType != f.dataType)
+    // nullability-tolerant comparison: a batch whose array elements (or
+    // nested fields) are declared non-null writes safely into a table
+    // that ALLOWS nulls there — parquet round-trips relax containsNull,
+    // so strict equality would reject every append of a frame the engine
+    // itself just built (e.g. toDF array<float> vs the read-back table)
+    val drift = expected.fields.filter(f =>
+      !org.apache.spark.sql.types.DataType.equalsStructurally(
+        incoming(f).dataType, f.dataType, ignoreNullability = true))
     require(drift.isEmpty,
       s"append to '$name': type drift in ${drift.map(f =>
         s"${f.name} (table ${f.dataType.simpleString} vs " +
@@ -752,8 +759,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     *
     * The path is pinned at stream start (single-writer model); vacuum's
     * grace window covers re-publishes during the stream's life. */
-  def streamingAppend(source: DataFrame, name: String,
-                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+  def streamingAppend(source: DataFrame, name: String, checkpoint: String,
+                      zoneCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
     val p = dataPath(name)
     val parts = partitioningMarker(p).map(_._1)
     // the target schema is pinned with the path: a micro-batch whose
@@ -777,7 +784,24 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           case Some(ps) => w.partitionBy(ps: _*)
           case None => w
         }).parquet(staging)
-        promoteStaged(staging, p, id)
+        val promoted = promoteStaged(staging, p, id)
+        // self-registering zone maps: each promoted batch appends its own
+        // files' min/max rows to the manifest, so streamed tables keep
+        // skipping without rebuilds. Crash-safe by the promote protocol:
+        // a replayed id promotes nothing → registers nothing (no double
+        // rows); a crash between promote and register leaves the files
+        // UNKNOWN to the manifest — scanned conservatively, never missed.
+        if (zoneCols.nonEmpty && promoted.nonEmpty) {
+          val aggs = count(lit(1)).as("n_rows") +: zoneCols.flatMap(c =>
+            Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+          spark.read.option("basePath", p)
+            .parquet(promoted.map(_.toString): _*)
+            .groupBy(input_file_name().as("file"))
+            .agg(aggs.head, aggs.tail: _*)
+            .coalesce(1)
+            .write.mode(SaveMode.Append)
+            .parquet(s"$p/_zonemap/${zoneKey(zoneCols)}")
+        }
       }
       .start()
   }
@@ -793,7 +817,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * — sweep that id's partial files before re-promoting. The common
     * no-crash path sees neither marker and pays no recursive listing of
     * the (at scale, very large) table directory. */
-  private def promoteStaged(staging: String, dest: String, id: Long): Unit = {
+  private def promoteStaged(staging: String, dest: String,
+                            id: Long): Seq[Path] = {
     val sp = new Path(staging)
     val dp = new Path(dest)
     val f = fs(sp)
@@ -814,7 +839,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       // AND the attempt marker a crash-after-promote left behind
       f.delete(attemptMark, false)
       f.delete(sp.getParent, true)
-      return
+      return Seq.empty
     }
     if (f.exists(attemptMark)) // crashed mid-promote: clear the partials
       dataFiles(dp).filter(_.getName.startsWith(s"stream-b$id-"))
@@ -822,14 +847,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     f.mkdirs(attemptMark.getParent)
     f.create(attemptMark, true).close()
     val stagingUri = sp.toUri.getPath.stripSuffix("/")
-    dataFiles(sp).foreach { file =>
+    val promoted = dataFiles(sp).map { file =>
       val rel = file.toUri.getPath.stripPrefix(stagingUri).stripPrefix("/")
       val relDir = rel.split("/").dropRight(1).mkString("/")
       val destDir = if (relDir.isEmpty) dp else new Path(dp, relDir)
       f.mkdirs(destDir)
-      if (!f.rename(file, new Path(destDir, s"stream-b$id-${file.getName}")))
+      val target = new Path(destDir, s"stream-b$id-${file.getName}")
+      if (!f.rename(file, target))
         throw new java.io.IOException(
           s"promote of streamed batch $id failed for $file")
+      target
     }
     f.mkdirs(promotedMark.getParent)
     f.create(promotedMark, true).close()
@@ -845,6 +872,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           scala.util.Try(p.getName.drop(1).toLong).toOption.exists(_ < id - 100)
       }
       .foreach(f.delete(_, false))
+    promoted
   }
 
   /** MERGE/upsert: rows of `updates` replace same-key existing rows, new
@@ -1065,13 +1093,32 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * to the plain filtered read when no zone map covers `c`. The precise
     * row-level predicate is always re-applied — file pruning is an
     * optimization, never a semantics change. */
-  def readZonePruned(table: String, c: String, lo: Any, hi: Any): DataFrame = {
+  def readZonePruned(table: String, c: String, lo: Any, hi: Any): DataFrame =
+    readZonePrunedAll(table, Seq((c, lo, hi)))
+
+  /** Conjunctive data skipping: `AND` of several range predicates — each
+    * zoned column prunes independently and the scanned set is the
+    * INTERSECTION of survivors (files unknown to any manifest always
+    * survive). This is where a Z-ordered layout pays twice: a 2-D point
+    * query intersects two already-small file sets. */
+  def readZonePrunedAll(table: String,
+                        ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "at least one range predicate required")
     val p = dataPath(table)
-    val pred = col(c).between(lit(lo), lit(hi))
-    zonePrunedFiles(table, c, lo, hi) match {
-      case None => readPath(p).filter(pred)
-      case Some((kept, unknown)) =>
-        val files = (kept ++ unknown).distinct
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(c).between(lit(lo), lit(hi))
+    }.reduce(_ && _)
+    val pruned = ranges.flatMap { case (c, lo, hi) =>
+      zonePrunedFiles(table, c, lo, hi)
+    }
+    if (pruned.isEmpty) readPath(p).filter(pred) // nothing covered
+    else {
+        // per-column survivor sets: kept ∪ unknown each; scan their
+        // intersection (a file must survive EVERY covered predicate)
+        val files = pruned
+          .map { case (kept, unknown) => (kept ++ unknown).toSet }
+          .reduce(_ intersect _)
+          .toSeq.sorted
         if (files.isEmpty) readPath(p).filter(pred).limit(0)
         else {
           val declared = partitioningMarker(p).map(_._2)

@@ -53,6 +53,33 @@ object IvfIndex {
           .coalesce(1).write.parquet(s"$vdir/_centroids"))
   }
 
+  /** Incrementally add vectors WITHOUT retraining: assign against the
+    * CURRENT version's frozen centroids and append partition-aligned
+    * files into its cell directories (the warehouse append keeps hive
+    * alignment). Probes are correct throughout — assignment uses the
+    * same frozen centroids on both sides, and a new vector is visible to
+    * any probe that starts after the append lands.
+    *
+    * Freezing the coarse quantizer is standard IVF practice; what drifts
+    * is cell OCCUPANCY as the corpus distribution moves. Schedule a
+    * [[build]] rebuild on a drift signal (a [[Drift]] audit over the
+    * vector norms, or cell-count skew from `Skew.hotKeys` on the cell
+    * column) — rebuilds are atomic publishes, so probes never see a
+    * half-rebuilt index. */
+  def append(wh: Warehouse, newVectors: DataFrame, idCol: String,
+             vecCol: String, name: String = "ivf_index"): Unit = {
+    val version = wh.currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"IVF index '$name' was never built"))
+    val vdir = s"${wh.root}/$name/_versions/$version"
+    val cents: Seq[Seq[Double]] = wh.spark.read.parquet(s"$vdir/_centroids")
+      .orderBy("cell").select("centroid")
+      .collect().map(_.getSeq[Double](0)).toSeq
+    val assigned = newVectors.select(col(idCol), col(vecCol),
+      element_at(SignatureExpressions.ivfAssign(col(vecCol), cents, 1), 1)
+        .as("cell"))
+    wh.append(assigned, name)
+  }
+
   /** Probe the published index: top-k neighbors per query over the
     * `nprobe` nearest cells, read via partition-pruned scan.
     * Output: (query_id, neighbor_id, cosine, rank) — the [[Similarity]]

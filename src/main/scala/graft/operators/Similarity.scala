@@ -48,6 +48,43 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of ranked
+    * candidate lists — the standard hybrid-retrieval combiner for a
+    * lexical ([[CorpusStats.bm25TopK]]) and a dense ([[bruteForceTopK]] /
+    * [[ivfTopK]]…) list: every list contributes `1/(k0 + rank)` for each
+    * id it ranked, missing ids contribute 0, and the fused top-k wins.
+    *
+    * Engine determinism: each contribution is the INTEGER
+    * `1e6 div (k0 + rank)` — exact integral division, summed exactly in
+    * any order (the q103 contract; `1e6/(k0+rank)` as a double would sum
+    * order-dependently). `score_q` is therefore fixed-point 1e-6 RRF.
+    *
+    * Scale shape: inputs are top-k candidate lists — bounded by
+    * construction — so the outer joins and the final sort are metadata-
+    * scale no matter the corpus behind them. Output:
+    * (idCol, rank, score_q), ranked by (score_q desc, id asc).
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String = "rank",
+              k: Int = 10, k0: Int = 60): DataFrame = {
+    require(lists.size >= 2, "rrf needs at least two lists")
+    require(k >= 1 && k0 >= 0, "k must be >= 1 and k0 >= 0")
+    val scored = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol),
+        expr(s"1000000 div ($k0 + $rankCol)").as(s"__s$i"))
+    }
+    val joined = scored.reduce((a, b) =>
+      a.join(b, Seq(idCol), "full_outer"))
+    val total = lists.indices.map(i =>
+      coalesce(col(s"__s$i"), lit(0L))).reduce(_ + _)
+    joined.select(col(idCol), total.as("score_q"))
+      .orderBy(col("score_q").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_q").desc, col(idCol))).as("rank"),
+        col("score_q"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact one: the
     * fraction of true top-k pairs the approximate search returned,
     * averaged over queries. Both inputs are in the (query_id, neighbor_id,

@@ -600,6 +600,22 @@ object ExtendedQueries {
       graft.operators.Percentiles.exactPercentiles(
         o, Seq("o_orderstatus"), "cents", Seq(0.5, 0.9, 0.99))
         .withColumnRenamed("value", "value_cents")
+    }),
+
+    // ── hybrid retrieval: BM25 lexical candidates fused with dense ANN
+    //    candidates by reciprocal-rank fusion (integer contributions —
+    //    exact in any sum order). The fusion inputs are top-k lists, so
+    //    the fuse itself is metadata-scale whatever the corpus ──
+    "q125_hybrid_rrf" -> ((s, dir) => {
+      val lex = graft.operators.CorpusStats.bm25TopK(
+        Td(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "vector"), k = 50)
+        .select(col("doc_id").as("id"), col("rank"))
+      val emb = Td(s, dir, "embeddings")
+      val dense = graft.operators.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      graft.operators.Similarity.rrfFuse(Seq(lex, dense), "id", k = 20)
     })
   )
 
@@ -1296,7 +1312,30 @@ object ExtendedQueries {
     // is a correctly-rounded IEEE chain with identical association on
     // both engines ((1.2 + 1.0) is written as the SUM because the
     // literal 2.2 parses to a different double than the computed k1+1)
-    "q123_bm25" -> bm25Sql
+    "q123_bm25" -> bm25Sql(20),
+
+    // q125: both candidate lists replayed (the q123 BM25 replay at k=50;
+    // the q34-style dense rank replay), then the RRF arithmetic — each
+    // contribution an exact integer division, the sum exact
+    "q125_hybrid_rrf" ->
+      s"""WITH bmq AS (${bm25Sql(50)}),
+         |lex AS (SELECT doc_id AS id, rank FROM bmq),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings),
+         |s AS (SELECT b.vec_id AS id, list_cosine_similarity(a.v, b.v) AS cos
+         |      FROM e a JOIN e b ON a.vec_id = 0 AND b.vec_id <> 0),
+         |dn AS (SELECT id, rank FROM
+         |         (SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id)
+         |            AS INT) AS rank FROM s)
+         |       WHERE rank <= 50),
+         |f AS (SELECT COALESCE(l.id, d.id) AS id,
+         |        COALESCE(CAST(1000000 // (60 + l.rank) AS BIGINT), 0) +
+         |        COALESCE(CAST(1000000 // (60 + d.rank) AS BIGINT), 0)
+         |          AS score_q
+         |      FROM lex l FULL OUTER JOIN dn d ON l.id = d.id)
+         |SELECT id, CAST(row_number() OVER (ORDER BY score_q DESC, id)
+         |         AS INT) AS rank, score_q
+         |FROM f ORDER BY score_q DESC, id LIMIT 20""".stripMargin
   )
 
   /** Shared q121/q122 replay: DSIR scores for every document. */
@@ -1328,8 +1367,9 @@ object ExtendedQueries {
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
   }
 
-  /** q123 replay — per-term contribution of (tf, df) over the stats row. */
-  private lazy val bm25Sql: String = {
+  /** q123/q125 replay — per-term contribution of (tf, df) over the stats
+    * row, top `k`. */
+  private def bm25Sql(k: Int): String = {
     val terms = Seq("spark", "join", "vector")
     val tfs = terms.indices.map(i =>
       s"len(list_filter(toks, x -> x = '${terms(i)}')) AS tf$i").mkString(",\n|           ")
@@ -1358,6 +1398,6 @@ object ExtendedQueries {
        |         AS INTEGER) AS rank,
        |       score_q, dl
        |FROM sc WHERE score_q > 0
-       |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin
+       |ORDER BY score_q DESC, doc_id LIMIT $k""".stripMargin
   }
 }

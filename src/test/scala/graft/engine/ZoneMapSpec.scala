@@ -94,6 +94,41 @@ class ZoneMapSpec extends SparkSpec {
       assert(wh.readZonePruned("t3", c, 100, 160).count() ==
         wh.read("t3").filter(col(c).between(100, 160)).count())
     }
+    // conjunctive pruning: the 2-D point query scans the INTERSECTION
+    val both = wh.readZonePrunedAll("t3",
+      Seq(("x", 100, 160), ("y", 100, 160)))
+    assert(both.count() == wh.read("t3")
+      .filter(col("x").between(100, 160) && col("y").between(100, 160))
+      .count())
+  }
+
+  test("streamed batches self-register their zone-map rows") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwrite((1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")), "ts")
+    wh.buildZoneMap("ts", Seq("k"))
+    val in = s"${wh.root}/in"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/a.csv"),
+      "k,v\n" + (5000L to 5010L).map(k => s"$k,s$k").mkString("\n") + "\n")
+    val q = wh.streamingAppend(wh.readCsvStream(in, schema), "ts",
+      s"${wh.root}/_chk_zm", zoneCols = Seq("k"))
+    q.processAllAvailable()
+    q.stop()
+    // the streamed file registered itself: nothing is manifest-unknown,
+    // so a low-range query prunes it away entirely...
+    val Some((_, unknown)) = wh.zonePrunedFiles("ts", "k", 1L, 100L)
+    assert(unknown.isEmpty, s"stream left unknown files: $unknown")
+    // ...while its own range scans exactly that one file
+    val Some((kept, _)) = wh.zonePrunedFiles("ts", "k", 5000L, 6000L)
+    assert(kept.size == 1, s"kept $kept")
+    assert(wh.readZonePruned("ts", "k", 5000L, 6000L).count() == 11)
+    assert(wh.read("ts").count() == 1011)
   }
 
   test("zone-pruned read of a hive-partitioned table keeps schema order") {

@@ -78,6 +78,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(Similarity.recallAtK(viaIndex, exact, 5) >= 0.9)
   }
 
+  test("incremental append: new vectors are probe-visible, cells aligned") {
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 400, dim = dim)
+    IvfIndex.build(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      name = "idx")
+    // exact copies of three corpus vectors under fresh ids
+    val late = corpus.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .select((org.apache.spark.sql.functions.col("vec_id") + 100000L)
+        .as("vec_id"), org.apache.spark.sql.functions.col("embedding"))
+    IvfIndex.append(wh, late, "vec_id", "embedding", "idx")
+    // probing with the originals must now return the appended twins top-1
+    // (cosine 1.0; identical vectors assign to the same frozen cell)
+    val got = IvfIndex.probe(wh,
+        corpus.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+        "vec_id", "embedding", "idx", k = 1, nprobe = 2)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(got == Map(0L -> 100000L, 1L -> 100001L, 2L -> 100002L))
+    // appended files landed inside existing cell partition dirs
+    assert(wh.read("idx").count() == 403)
+    assert(wh.partitioningOf("idx") == Seq("cell"))
+  }
+
   test("rebuild is atomic: a pinned probe plan survives re-publish") {
     val wh = freshWh
     val dim = 16

@@ -34,6 +34,31 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("rrfFuse: integer contributions, outer-join semantics, tie-break") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((3L, 1), (4L, 2)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), "id", k = 10)
+      .select("id", "rank", "score_q").as[(Long, Int, Long)].collect().toSeq
+    // hand arithmetic: 1e6 div (60 + rank)
+    val s = (r: Int) => 1000000L / (60 + r)
+    // id3 in both lists (ranks 3 and 1); id2/id4 tie at div 62 → smaller
+    // id first
+    assert(got == Seq(
+      (3L, 1, s(3) + s(1)),
+      (1L, 2, s(1)),
+      (2L, 3, s(2)),
+      (4L, 4, s(2))))
+  }
+
+  test("rrfFuse fuses three lists and respects k") {
+    val l1 = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val l2 = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
+    val l3 = Seq((2L, 1), (1L, 2)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(Seq(l1, l2, l3), "id", k = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 1L)) // 2 is in all three lists at high ranks
+  }
+
   test("ANN top-k plans use the bounded heap, not a per-query window sort") {
     // a hot bucket/cell would serialize its whole candidate list through
     // one task under row_number(); the heap aggregate partial-aggregates
