@@ -240,6 +240,125 @@ object Multimodal {
     } catch { case NonFatal(_) => None }
   }
 
+  case class ResizedRow(asset_id: Long, payload: Array[Byte], width: Int,
+                        height: Int, ok: Boolean)
+
+  /** REAL distributed image resize (`javax.imageio` decode → bilinear
+    * scale → PNG re-encode), fit-within semantics: the image scales to
+    * fit `maxW × maxH` preserving aspect ratio; images already inside
+    * the box pass through byte-identical (`ok=true`, original payload —
+    * re-encoding an in-bounds image would cost CPU for nothing). The
+    * canonical thumbnail/normalize stage of a vision-data pipeline.
+    *
+    * Scale shape: mapPartitions at the codec boundary only — one
+    * ImageIO configuration per partition, rows stream through, no
+    * driver involvement, and a poison payload emits `ok=false` instead
+    * of killing the stage (the 100 TB contract shared by every decode
+    * here).
+    */
+  def resizeImages(media: DataFrame, maxW: Int, maxH: Int,
+                   idCol: String = "asset_id",
+                   payloadCol: String = "payload"): DataFrame = {
+    require(maxW > 0 && maxH > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          try {
+            val img =
+              if (bytes == null || bytes.isEmpty) null
+              else ImageIO.read(new ByteArrayInputStream(bytes))
+            if (img == null) ResizedRow(id, Array.emptyByteArray, -1, -1,
+              ok = false)
+            else if (img.getWidth <= maxW && img.getHeight <= maxH)
+              ResizedRow(id, bytes, img.getWidth, img.getHeight, ok = true)
+            else {
+              val scale = math.min(maxW.toDouble / img.getWidth,
+                maxH.toDouble / img.getHeight)
+              val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+                math.max(1, (img.getHeight * scale).toInt))
+              val out = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, w, h, null)
+              } finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              ImageIO.write(out, "png", bos)
+              ResizedRow(id, bos.toByteArray, w, h, ok = true)
+            }
+          } catch { case NonFatal(_) =>
+            ResizedRow(id, Array.emptyByteArray, -1, -1, ok = false)
+          }
+        }
+      }.toDF()
+  }
+
+  case class FrameRow(asset_id: Long, frame_idx: Int, frame: Array[Byte],
+                      ok: Boolean)
+
+  /** Length-prefixed frame container — the DECLARED STAND-IN for a video
+    * file (no JDK video codec, no new deps; same contract as the video
+    * branch of [[MediaDecoder]]): `[int32 n][int32 len_i][bytes_i]…`,
+    * big-endian. The container framing is REAL and the frames are
+    * genuinely encoded images; only the "video codec" is the stand-in. */
+  def encodeFrameContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(frames.length)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Distributed frame sampling over the stand-in container: emit every
+    * `everyK`-th frame (indices 0, k, 2k…) WITHOUT decoding any frame —
+    * the parser skips over length prefixes, so sampling 1-in-30 from
+    * 100 TB of containers reads headers and the kept frames only.
+    * Poison-safe: a corrupt container emits one `ok=false` row. Output:
+    * (asset_id, frame_idx, frame, ok) — one row per kept frame.
+    */
+  def sampleFrames(media: DataFrame, everyK: Int,
+                   idCol: String = "asset_id",
+                   payloadCol: String = "payload"): DataFrame = {
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            if (bytes == null || bytes.length < 4)
+              Seq(FrameRow(id, -1, Array.emptyByteArray, ok = false))
+            else {
+              val in = new java.io.DataInputStream(
+                new ByteArrayInputStream(bytes))
+              val n = in.readInt()
+              require(n >= 0)
+              (0 until n).flatMap { i =>
+                val len = in.readInt()
+                require(len >= 0)
+                if (i % everyK == 0) {
+                  val buf = new Array[Byte](len)
+                  in.readFully(buf)
+                  Some(FrameRow(id, i, buf, ok = true))
+                } else { in.skipBytes(len); None }
+              }
+            }
+          } catch { case NonFatal(_) =>
+            Seq(FrameRow(id, -1, Array.emptyByteArray, ok = false))
+          }
+        }
+      }.toDF()
+  }
+
   /** Deterministic REAL-format test-image encoder (PNG or JPEG via
     * `javax.imageio`): a w×h RGB image whose pixels come from a seeded
     * LCG. Fixture generator for decode tests and the driver's decode

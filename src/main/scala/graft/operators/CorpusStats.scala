@@ -86,8 +86,14 @@ object CorpusStats {
                        maxDf: Long = Long.MaxValue): DataFrame = {
     require(dfCap >= 1, s"dfCap must be >= 1, got $dfCap")
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    // widen before the tokenize+explode: the tf subtree has TWO consumers
+    // (df counts, postings), so a one-file input would otherwise run the
+    // CPU-bound explode twice on one task each (measured: 2 × ~1.6 s
+    // serial of q103's 3.6 s wall at sf0.1)
+    val wide = df.select(col(idCol).as("id"), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
     val terms = graft.functions.Generates.explodeOnce(
-      df, Seq(col(idCol).as("id")), TextFunctions.tokens(col(textCol)), "term")
+      wide, Seq(col("id")), TextFunctions.tokens(col(textCol)), "term")
     val tf = terms.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -616,6 +616,40 @@ object ExtendedQueries {
         emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
         .select(col("neighbor_id").as("id"), col("rank"))
       graft.operators.Similarity.rrfFuse(Seq(lex, dense), "id", k = 20)
+    }),
+
+    // ── REAL distributed image resize (javax.imageio, fit-within 64×64,
+    //    pass-through when already inside the box): the q79 generated
+    //    fixtures at 4× dims, the oracle replays the scale arithmetic ──
+    "q126_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = Td(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .map { id =>
+          (id, graft.multimodal.Multimodal.encodeImage("png",
+            ((1 + id % 37) * 4).toInt, ((1 + id % 23) * 4).toInt, seed = id))
+        }.toDF("asset_id", "payload")
+      graft.multimodal.Multimodal.resizeImages(media, maxW = 64, maxH = 64)
+        .select("asset_id", "width", "height", "ok")
+    }),
+
+    // ── frame sampling over the declared stand-in container (real
+    //    length-prefixed framing, real encoded frames, codec stand-in):
+    //    every 2nd frame kept, frames themselves never decoded ──
+    "q127_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = Td(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val n = (1 + id % 7).toInt
+          (id, graft.multimodal.Multimodal.encodeFrameContainer(
+            (0 until n).map(i => graft.multimodal.Multimodal
+              .encodeImage("png", 4, 3, seed = id * 100 + i))))
+        }.toDF("asset_id", "payload")
+      graft.multimodal.Multimodal.sampleFrames(media, everyK = 2)
+        .select("asset_id", "frame_idx", "ok")
     })
   )
 
@@ -1305,6 +1339,37 @@ object ExtendedQueries {
         |            THEN (k + 1 - pos) * lov + (pos - k) * hiv
         |            ELSE CAST(lov AS DOUBLE) END AS value_cents
         |FROM j""".stripMargin,
+
+    // q126: the resize arithmetic replayed — fit-within scale =
+    // min(64/w, 64/h), output dims floor(dim·scale) clamped to ≥1,
+    // pass-through when already inside the box. Doubles are a 3-op
+    // correctly-rounded chain, identical on both engines.
+    "q126_image_resize" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |            CAST((1 + doc_id % 37) * 4 AS INT) AS w,
+        |            CAST((1 + doc_id % 23) * 4 AS INT) AS h
+        |          FROM documents),
+        |s AS (SELECT asset_id, w, h,
+        |        LEAST(CAST(64 AS DOUBLE) / w, CAST(64 AS DOUBLE) / h)
+        |          AS scale
+        |      FROM d)
+        |SELECT asset_id,
+        |       CASE WHEN w <= 64 AND h <= 64 THEN w
+        |            ELSE GREATEST(1, CAST(floor(w * scale) AS INT)) END
+        |         AS width,
+        |       CASE WHEN w <= 64 AND h <= 64 THEN h
+        |            ELSE GREATEST(1, CAST(floor(h * scale) AS INT)) END
+        |         AS height,
+        |       TRUE AS ok
+        |FROM s""".stripMargin,
+
+    // q127: every 2nd frame index below the per-asset frame count
+    "q127_frame_sample" ->
+      """WITH d AS (SELECT doc_id AS asset_id,
+        |            CAST(1 + doc_id % 7 AS INT) AS n FROM documents),
+        |idx AS (SELECT asset_id, unnest(range(0, n)) AS frame_idx FROM d)
+        |SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx, TRUE AS ok
+        |FROM idx WHERE frame_idx % 2 = 0""".stripMargin,
 
     // q123: BM25 replay under the q103 determinism contract — idf
     // quantized to milli-nats, each per-term contribution quantized to

@@ -72,6 +72,51 @@ class MultimodalSpec extends SparkSpec {
     assert(prof == Map("image" -> 3L, "video" -> 1L))
   }
 
+  test("resizeImages: fit-within scaling, pass-through, poison-safe") {
+    val media = Seq(
+      (1L, encodeImage("png", 128, 64, seed = 1)),  // 2:1 → 64×32
+      (2L, encodeImage("png", 40, 20, seed = 2)),   // inside the box
+      (3L, "not an image".getBytes("UTF-8")),       // poison
+      (4L, encodeImage("jpg", 100, 200, seed = 4))  // 1:2 → 32×64
+    ).toDF("asset_id", "payload")
+    val got = resizeImages(media, maxW = 64, maxH = 64).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        ((r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Boolean]("ok"), r.getAs[Array[Byte]]("payload")))).toMap
+    assert((got(1L)._1, got(1L)._2, got(1L)._3) == ((64, 32, true)))
+    assert((got(4L)._1, got(4L)._2, got(4L)._3) == ((32, 64, true)))
+    assert(!got(3L)._3)
+    // in-bounds image passes through byte-identical
+    assert((got(2L)._1, got(2L)._2, got(2L)._3) == ((40, 20, true)))
+    assert(got(2L)._4.toSeq == encodeImage("png", 40, 20, seed = 2).toSeq)
+    // resized payload is a REAL re-encoded png with the new dims
+    val back = decodeImageMeta(Seq((9L, got(1L)._4)).toDF("asset_id", "payload"))
+      .head()
+    assert(back.getAs[Int]("width") == 64 && back.getAs[Int]("height") == 32)
+    assert(back.getAs[String]("format") == "png")
+  }
+
+  test("sampleFrames: every k-th frame byte-exact, headers-only skipping") {
+    val frames = (0 until 7).map(i => encodeImage("png", 3, 2, seed = 100 + i))
+    val media = Seq(
+      (1L, encodeFrameContainer(frames)),
+      (2L, Array[Byte](0, 0))  // truncated container → poison row
+    ).toDF("asset_id", "payload")
+    val got = sampleFrames(media, everyK = 3).collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Int]("frame_idx")) ->
+        ((r.getAs[Array[Byte]]("frame"), r.getAs[Boolean]("ok")))).toMap
+    // kept indices 0, 3, 6 with the exact original frame bytes
+    assert(got.keySet == Set((1L, 0), (1L, 3), (1L, 6), (2L, -1)))
+    for (i <- Seq(0, 3, 6))
+      assert(got((1L, i))._1.toSeq == frames(i).toSeq, s"frame $i")
+    assert(!got((2L, -1))._2)
+    // everyK = 1 keeps the whole container in order
+    val all = sampleFrames(Seq((1L, encodeFrameContainer(frames)))
+        .toDF("asset_id", "payload"), everyK = 1)
+      .orderBy("frame_idx").collect().map(_.getAs[Int]("frame_idx")).toSeq
+    assert(all == (0 until 7).toSeq)
+  }
+
   test("features join back to metadata on asset_id") {
     implicit val s = spark
     val feats = extractFeatures(assets.toDS()).toDF()

@@ -228,4 +228,63 @@ object OperatorProperties extends Properties("graft.operators") {
           got.getOrElse(i, 0L) <= gotHi.getOrElse(i, 0L) // nested
       }
     }
+
+  private val pctCase = for {
+    nGroups <- Gen.choose(1, 3)
+    rows <- Gen.nonEmptyListOf(for {
+      g <- Gen.choose(0, nGroups - 1)
+      // duplicates and negatives on purpose; a tight domain forces ties
+      v <- Gen.oneOf(Gen.choose(-20L, 20L), Gen.choose(-3L, 3L))
+    } yield (s"g$g", v))
+    ps <- Gen.nonEmptyListOf(Gen.oneOf(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0))
+  } yield (rows, ps.distinct)
+
+  property("exactPercentiles equals Spark percentile on any group shape") =
+    Prop.forAll(pctCase) { case (rows, ps) =>
+      val df = rows.toDF("g", "v").repartition(4)
+      val got = Percentiles.exactPercentiles(df, Seq("g"), "v", ps, bins = 8)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+        .toMap
+      val want = df.groupBy($"g")
+        .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("pv"))
+        .collect().flatMap(r => r.getSeq[Double](1).zip(ps).map {
+          case (v, p) => (r.getString(0), p) -> v
+        }).toMap
+      got == want
+    }
+
+  private val rrfCase = for {
+    n1 <- Gen.choose(1, 6)
+    n2 <- Gen.choose(1, 6)
+    ids1 <- Gen.listOfN(n1, Gen.choose(0L, 9L)).map(_.distinct)
+    ids2 <- Gen.listOfN(n2, Gen.choose(0L, 9L)).map(_.distinct)
+  } yield (ids1.zipWithIndex.map { case (id, i) => (id, i + 1) },
+    ids2.zipWithIndex.map { case (id, i) => (id, i + 1) })
+
+  property("rrfFuse equals the driver-side integer-RRF reference") =
+    Prop.forAll(rrfCase) { case (l1, l2) =>
+      val got = Similarity.rrfFuse(
+          Seq(l1.toDF("id", "rank"), l2.toDF("id", "rank")), "id", k = 20)
+        .select("id", "score_q").as[(Long, Long)].collect().toSeq
+      def s(rank: Option[Int]) = rank.map(r => 1000000L / (60 + r))
+        .getOrElse(0L)
+      val want = (l1.map(_._1) ++ l2.map(_._1)).distinct.map { id =>
+        id -> (s(l1.find(_._1 == id).map(_._2)) +
+          s(l2.find(_._1 == id).map(_._2)))
+      }.sortBy { case (id, sc) => (-sc, id) }
+      got == want
+    }
+
+  property("DSIR scores are feature-additive: score(a ++ b) = score(a) + score(b)") =
+    Prop.forAll(Gen.listOfN(6, Gen.oneOf("alpha", "beta", "gamma", "delta")),
+      Gen.listOfN(5, Gen.oneOf("epsilon", "zeta", "eta"))) { (wa, wb) =>
+      // bigrams off: unigram features concatenate exactly under text concat
+      val ratios = Array.tabulate(32)(i => (i * 7 - 100).toLong)
+      def score(text: String): Long =
+        Importance.importanceScores(Seq((1L, text)).toDF("id", "text"),
+            "text", ratios, useBigrams = false)
+          .select("dsir_score").as[Long].head()
+      val (a, b) = (wa.mkString(" "), wb.mkString(" "))
+      score(s"$a $b") == score(a) + score(b)
+    }
 }

@@ -50,4 +50,39 @@ class CorpusStreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(batch == streamed)
   }
+
+  test("DSIR admission composes over a stream: zero-state map-side scoring") {
+    implicit val sqlCtx = spark.sqlContext
+    // frozen ratio table trained BATCH-side (the DSIR deployment shape:
+    // train once on a reference corpus, score the firehose statelessly)
+    val target = Seq((1L, "spark shuffle partition join plan"))
+      .toDF("doc_id", "text")
+    val raw = Seq((1L, "spark shuffle partition join plan"),
+      (2L, "gardening tulips soil watering sunshine")).toDF("doc_id", "text")
+    val ratios = graft.operators.Importance.bucketLogRatios(
+      target, raw, "text", buckets = 64)
+    val arrivals = Seq(
+      Doc(10L, ts(1), "spark shuffle partition engine"),
+      Doc(11L, ts(2), "tulips soil gardening"))
+    val stream = MemoryStream[Doc]
+    stream.addData(arrivals)
+    val q = graft.operators.Importance.importanceScores(
+        stream.toDF(), "text", ratios)
+      .select("doc_id", "dsir_score")
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsir_out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical scores to the batch call — the scoring projection is
+    // stateless, so streaming admission is the same expression
+    val batch = graft.operators.Importance.importanceScores(
+        arrivals.toDF(), "text", ratios)
+      .select("doc_id", "dsir_score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    // and the spark-y arrival outranks the gardening one
+    assert(streamed(10L) > streamed(11L))
+  }
 }
