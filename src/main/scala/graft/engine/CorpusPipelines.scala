@@ -52,6 +52,14 @@ object CorpusPipelines {
     *    pass that document-level dedup cannot express. Runs before the
     *    budget so duplicated tokens can't consume it; `tokenCol` is
     *    recomputed. Same normalized-token-space contract.
+    *  - `importanceTarget` + `importanceKeep > 0`: DSIR selection
+    *    ([[graft.operators.Importance.importanceResample]]) — keep the
+    *    `importanceKeep` most target-like SURVIVORS before the budget
+    *    fill, trained target-vs-survivors so the ratio model scores
+    *    against the distribution selection actually sees. Runs after
+    *    dedup (duplicates would vote their own distribution up) and
+    *    before the budget (selection decides WHAT competes for tokens,
+    *    the budget decides HOW MUCH of it ships).
     *
     * `tokenCol` unit contract: the default (`n_chars`, recounted by the
     * default `recountTokens = length`) denominates budgets in CHARACTERS.
@@ -90,6 +98,10 @@ object CorpusPipelines {
                             boilerplateMinDocs: Int = 0,
                             boilerplateSegTokens: Int = 10,
                             spanDedupK: Int = 0,
+                            importanceTarget: Option[DataFrame] = None,
+                            importanceKeep: Int = 0,
+                            importanceBuckets: Int = 4096,
+                            importanceTargetTextCol: String = "text",
                             recountTokens: org.apache.spark.sql.Column =>
                               org.apache.spark.sql.Column =
                               c => length(c).cast("long")): DataFrame = {
@@ -141,8 +153,20 @@ object CorpusPipelines {
       else rewrite(decontaminated,
         Dedup.removeDuplicatedSpans(decontaminated, idCol, textCol,
           spanDedupK))
+    // 4d (opt-in): DSIR importance selection over the survivors — the
+    // ratio table trains target-vs-survivors in one bounded pass and the
+    // keep set is a bounded-heap top-k; the semi-join ships only ids
+    val selected = importanceTarget match {
+      case Some(t) if importanceKeep > 0 =>
+        val picked = graft.operators.Importance.importanceResample(
+          spanned, idCol, textCol,
+          t.select(col(importanceTargetTextCol).as(textCol)),
+          importanceKeep, importanceBuckets, salt = s"$salt|dsir")
+        spanned.join(picked.select(col(idCol)), Seq(idCol), "left_semi")
+      case _ => spanned
+    }
     // 5: per-source token budget (two-level prefix sum)
-    val budgeted = Sampling.takeTokenBudget(spanned, sourceCol,
+    val budgeted = Sampling.takeTokenBudget(selected, sourceCol,
       tokenCol, idCol, budgets, defaultBudget, salt)
     // 6: split assignment — map-side hash bucketing
     val split = Sampling.hashSplit(budgeted, idCol, splits, salt)

@@ -244,7 +244,8 @@ object Dedup {
     * iteration). Deterministic: pure min-folds, partitioning-independent.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          driverEdgeLimit: Long = 1L << 20): DataFrame = {
     val input = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     val nodes = input.select(col("a").as("id"))
       .union(input.select(col("b").as("id")))
@@ -256,6 +257,52 @@ object Dedup {
         greatest(col("a"), col("b")).as("hi"))
       .distinct().transform(Exec.materialize)
     var fp = edgeFingerprint(edges)
+    // SIZE-GATED fast path (the stats-gated-broadcast pattern): near-dup
+    // edge sets are usually minuscule relative to the corpus — a verified
+    // duplicate PAIR list, not the documents — and each distributed round
+    // below costs ~6 fixed-overhead jobs. When the measured edge count
+    // (already in hand from the fingerprint) fits the driver budget
+    // (~16 MB at the 2²⁰ default) and ids are integral, a driver-side
+    // union-find answers in microseconds; bigger graphs (or exotic id
+    // types) take the O(log d) distributed loop unchanged.
+    val integralIds = nodes.schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (fp._1 > 0L && fp._1 <= driverEdgeLimit && integralIds) {
+      val es = edges.select(col("lo").cast("long"), col("hi").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union toward the smaller root = min-label fold
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val labels = es.iterator.flatMap { case (a, b) => Iterator(a, b) }
+        .toSet.toSeq.map((id: Long) => (id, find(id)))
+      val spark = pairs.sparkSession
+      import org.apache.spark.sql.types._
+      val idType = nodes.schema.head.dataType
+      val lblDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(labels.map { case (id, l) =>
+          org.apache.spark.sql.Row(id, l)
+        }),
+        StructType(Seq(StructField("id", LongType), StructField("label", LongType))))
+        .select(col("id").cast(idType).as("id"),
+          col("label").cast(idType).as("label"))
+      // self-paired / isolated nodes label themselves, as in the slow path
+      return nodes.join(broadcast(lblDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    }
     var converged = fp._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {

@@ -613,7 +613,9 @@ object ExtendedQueries {
         .select(col("doc_id").as("id"), col("rank"))
       val emb = Td(s, dir, "embeddings")
       val dense = graft.operators.Similarity.bruteForceTopK(
-        emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        // widen the one-file corpus scan — the cosine pass is CPU-bound
+        emb.repartition(s.sparkContext.defaultParallelism, col("vec_id")),
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
         .select(col("neighbor_id").as("id"), col("rank"))
       graft.operators.Similarity.rrfFuse(Seq(lex, dense), "id", k = 20)
     }),

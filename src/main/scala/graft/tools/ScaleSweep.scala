@@ -175,7 +175,10 @@ object ScaleSweep {
         // replicas — within-replica dup structure preserved, linear),
         // DSIR train+score+select and BM25 over ×20 documents
         "q120_semantic_dedup", "q121_dsir_scores", "q122_dsir_resample",
-        "q123_bm25")
+        "q123_bm25",
+        // round 6d: hybrid fusion (both inputs scale ×20), image resize
+        // and frame sampling (codec-boundary mapPartitions over ×20 docs)
+        "q125_hybrid_rrf", "q126_image_resize", "q127_frame_sample")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     for (dir <- Seq(src, out); n <- names) {

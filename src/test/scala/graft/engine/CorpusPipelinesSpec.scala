@@ -104,6 +104,29 @@ class CorpusPipelinesSpec extends SparkSpec {
     }
   }
 
+  test("prepareTrainingCorpus: opt-in DSIR selection keeps target-like survivors") {
+    // paraA/paraB are animal/harbor prose; the target is baking prose, so
+    // paraC (the baker paragraph) must outrank both under DSIR selection
+    val target = Seq((100L, paraC), (101L,
+      "the patient baker shaped fresh loaves of bread from rested dough " +
+        "in the cool cellar while the town waited hungry for the morning"))
+      .toDF("doc_id", "text")
+    val out = CorpusPipelines.prepareTrainingCorpus(corpus,
+      minQuality = 0.45, allowedLangs = Seq("en"),
+      nearDupThreshold = 0.3,
+      splits = Seq("train" -> 1.0, "val" -> 0.0),
+      importanceTarget = Some(target), importanceKeep = 1,
+      importanceBuckets = 256)
+    // of the three survivors {1, 2, 30}, selection keeps only the
+    // target-like doc 30
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(30L))
+    // stage off → all three survive (selection is strictly opt-in)
+    val off = CorpusPipelines.prepareTrainingCorpus(corpus,
+      minQuality = 0.45, allowedLangs = Seq("en"),
+      nearDupThreshold = 0.3, splits = Seq("train" -> 1.0, "val" -> 0.0))
+    assert(off.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 30L))
+  }
+
   test("prepareTrainingCorpus: budget caps a source, others unaffected") {
     val out = CorpusPipelines.prepareTrainingCorpus(corpus,
       minQuality = 0.45, allowedLangs = Seq("en"),

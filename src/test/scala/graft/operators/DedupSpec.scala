@@ -35,10 +35,24 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connectedComponents converges on a long chain (diameter > 2)") {
+    // driverEdgeLimit = 0 forces the DISTRIBUTED path — the point here
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(chain, "id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, "id_a", "id_b",
+        driverEdgeLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 13 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents: gated driver fast path equals the distributed path") {
+    val rng = new scala.util.Random(47)
+    val pairs = Vector.fill(300)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
   }
 
   test("connectedComponents handles diameter >> maxIter chains (O(log d) rounds)") {
@@ -50,7 +64,8 @@ class DedupSpec extends SparkSpec {
     val edges = rng.shuffle((0L until 4095L).map(i =>
       if (i % 3 == 0) (i + 1, i) else (i, i + 1)).toVector)
     val chain = edges.toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(chain, "id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, "id_a", "id_b",
+        driverEdgeLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 4096 && got.values.forall(_ == 0L))
   }
@@ -87,7 +102,8 @@ class DedupSpec extends SparkSpec {
     // depth 4095 needs ~log2 rounds; 1 round cannot finish
     val chain = (0L until 4095L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 1)
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 1,
+        driverEdgeLimit = 0L)
     }
     assert(e.getMessage.contains("not converged"))
   }

@@ -75,11 +75,14 @@ object OperatorProperties extends Properties("graft.operators") {
     if a != b
   } yield (math.min(a, b), math.max(a, b)))
 
-  property("connectedComponents equals union-find") =
+  property("connectedComponents equals union-find (both paths)") =
     Prop.forAll(graphCase) { edges =>
       edges.isEmpty || {
         val got = Dedup.connectedComponents(
           edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val gotSlow = Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), "id_a", "id_b", driverEdgeLimit = 0L)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         // reference union-find
         val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -97,7 +100,7 @@ object OperatorProperties extends Properties("graft.operators") {
         val expected = byRoot.flatMap { case (_, ns) =>
           val m = ns.min; ns.map(_ -> m)
         }
-        got == expected
+        got == expected && gotSlow == expected
       }
     }
 
