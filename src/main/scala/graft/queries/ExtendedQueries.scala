@@ -652,6 +652,40 @@ object ExtendedQueries {
         }.toDF("asset_id", "payload")
       graft.multimodal.Multimodal.sampleFrames(media, everyK = 2)
         .select("asset_id", "frame_idx", "ok")
+    }),
+
+    // ── KMV distinct sketch (theta-family): per-priority distinct
+    //    customers, k smallest distinct md5 words. Unlike the HLL pair
+    //    (q100) this sketch supports SET OPERATIONS, and its estimate is
+    //    an exact deterministic function of the value set — the oracle
+    //    replays the NUMBER, not a bound ──
+    "q128_kmv_distinct" -> ((s, dir) => {
+      val k = 256
+      graft.operators.Overlap.kmvSketch(
+        Td(s, dir, "orders"), Seq("o_orderpriority"), "o_custkey", k)
+        .select(col("o_orderpriority"), size(col("kmv")).as("n_sketch"),
+          round(graft.operators.Overlap.kmvEstimate(col("kmv"), k), 4)
+            .as("est_distinct"))
+    }),
+
+    // ── corpus-overlap estimation: Jaccard / union / intersection of the
+    //    3-gram shingle SETS of two document populations — the "how much
+    //    does the new crawl overlap the old corpus" planning question ──
+    "q129_corpus_overlap" -> ((s, dir) => {
+      val k = 256
+      val sh = graft.functions.Generates.explodeOnce(
+        Td(s, dir, "documents")
+          .withColumn("side", (col("doc_id") % 2).cast("int")),
+        Seq(col("side")),
+        graft.functions.TextFunctions.shingles(col("text"), 3), "shingle")
+      val sk = graft.operators.Overlap.kmvSketch(sh, Seq("side"), "shingle", k)
+      sk.filter(col("side") === 0).select(col("kmv").as("a"))
+        .crossJoin(sk.filter(col("side") === 1).select(col("kmv").as("b")))
+        .select(graft.operators.Overlap.kmvOverlap(col("a"), col("b"), k)
+          .as("o"))
+        .select(col("o.jaccard").as("jaccard"),
+          col("o.est_union").as("est_union"),
+          col("o.est_intersection").as("est_intersection"))
     })
   )
 
@@ -1372,6 +1406,50 @@ object ExtendedQueries {
         |idx AS (SELECT asset_id, unnest(range(0, n)) AS frame_idx FROM d)
         |SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx, TRUE AS ok
         |FROM idx WHERE frame_idx % 2 = 0""".stripMargin,
+
+    // q128: full KMV replay — k smallest distinct hash words per group,
+    // then the (k−1)/U_k estimator. The estimate is deterministic, so
+    // the oracle pins the NUMBER itself (vs the HLL/SpaceSaving bound
+    // oracles)
+    "q128_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT o_orderpriority AS g,
+         |             ${hashWordSql("kmv", "o_custkey")} AS h FROM orders),
+         |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+         |        AS rn FROM h),
+         |s AS (SELECT g, list(h ORDER BY h) AS kmv FROM r
+         |      WHERE rn <= 256 GROUP BY g)
+         |SELECT g AS o_orderpriority, CAST(len(kmv) AS INT) AS n_sketch,
+         |       round(CASE WHEN len(kmv) < 256 THEN CAST(len(kmv) AS DOUBLE)
+         |             ELSE 255.0 / (CAST(kmv[256] AS DOUBLE) + 1.0)
+         |                  * 4294967296.0 END, 4) AS est_distinct
+         |FROM s""".stripMargin,
+
+    // q129: the shingle-set overlap replay — same hash family, same
+    // k-smallest-distinct arrays, same estimator arithmetic
+    "q129_corpus_overlap" ->
+      s"""WITH tok AS (SELECT doc_id, CAST(doc_id % 2 AS INT) AS side,
+         |              ${ScaleQueries.tokSql} AS toks FROM documents),
+         |sh AS (SELECT side, unnest(${ScaleQueries.shinglesSql(3)})
+         |         AS shingle FROM tok),
+         |h AS (SELECT DISTINCT side,
+         |        ${hashWordSql("kmv", "shingle")} AS h FROM sh),
+         |r AS (SELECT side, h, row_number() OVER (PARTITION BY side
+         |        ORDER BY h) AS rn FROM h),
+         |s AS (SELECT side, list(h ORDER BY h) AS kmv FROM r
+         |      WHERE rn <= 256 GROUP BY side),
+         |ab AS (SELECT (SELECT kmv FROM s WHERE side = 0) AS a,
+         |              (SELECT kmv FROM s WHERE side = 1) AS b),
+         |u AS (SELECT a, b, (list_sort(list_distinct(a || b)))[1:256] AS un
+         |      FROM ab),
+         |m AS (SELECT len(list_intersect(list_intersect(un, a), b))
+         |        AS inboth, least(len(un), 256) AS denom, un FROM u),
+         |e AS (SELECT CAST(inboth AS DOUBLE) / CAST(denom AS DOUBLE) AS j,
+         |        CASE WHEN len(un) < 256 THEN CAST(len(un) AS DOUBLE)
+         |             ELSE 255.0 / (CAST(un[256] AS DOUBLE) + 1.0)
+         |                  * 4294967296.0 END AS eu
+         |      FROM m)
+         |SELECT round(j, 6) AS jaccard, round(eu, 4) AS est_union,
+         |       round(j * eu, 4) AS est_intersection FROM e""".stripMargin,
 
     // q123: BM25 replay under the q103 determinism contract — idf
     // quantized to milli-nats, each per-term contribution quantized to

@@ -62,6 +62,15 @@ class QueryPlanSpec extends SparkSpec {
       s"scoring must not aggregate the corpus:\n$p")
   }
 
+  test("q128 kmv sketch: distinct + bounded heap, no per-group sort") {
+    val p = plan("q128_kmv_distinct")
+    // the k-smallest selection is the heap aggregate — a window/sort
+    // formulation would serialize each group's full distinct set
+    assert(p.contains("topk_structs"), s"bounded heap expected:\n$p")
+    assert(!p.contains("Window"), s"no window sort expected:\n$p")
+    assert(exchanges(p) <= 2, s"distinct + group shuffles only:\n$p")
+  }
+
   test("q111 rolling window: single range-frame window, one user shuffle") {
     val p = plan("q111_rolling_window")
     assert(p.contains("RANGE BETWEEN") || p.contains("specifiedwindowframe"),
