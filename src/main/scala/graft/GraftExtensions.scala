@@ -250,6 +250,22 @@ object GraftFunctions {
         SpaceSavingAgg(item, intArg(cap, "space_saving", "capacity"))
       case args => throw new IllegalArgumentException(
         s"space_saving expects 2 arguments, got ${args.length}")
+    },
+
+    fn("cms_sketch",
+      "cms_sketch(item, depth, width) - AGGREGATE: count-min sketch over " +
+        "string items — struct<n, table: array<bigint>> (row-major depth x " +
+        "width counter matrix), depth*width longs of state per group no " +
+        "matter how many rows or distinct items stream through. Point " +
+        "estimates (min of an item's depth cells) are one-sided: " +
+        "true <= est always, est <= true + N*2/width w.h.p. Merge is " +
+        "elementwise addition, so the sketch is a pure function of the " +
+        "observed multiset — storable and rollup-able.") {
+      case Seq(item, d, w) =>
+        CmsAgg(item, intArg(d, "cms_sketch", "depth"),
+          intArg(w, "cms_sketch", "width"))
+      case args => throw new IllegalArgumentException(
+        s"cms_sketch expects 3 arguments, got ${args.length}")
     }
   )
 

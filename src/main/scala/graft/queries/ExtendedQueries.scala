@@ -275,6 +275,66 @@ object ExtendedQueries {
             .as("within_bounds"))
     }),
 
+    // ── count-min sketch point estimates: a bounded-state (4×256 longs
+    //    per group) frequency matrix over l_partkey, probed for four
+    //    keys (three present, one absent). Deliberately under-sized so
+    //    collisions are REAL (≈2000 distinct parts into 256 buckets) —
+    //    yet every estimate is cell-exact replayable: the sketch is a
+    //    pure function of the observed multiset (commutative long adds,
+    //    md5-word buckets), so the oracle rebuilds the table and takes
+    //    the same minimums. `true <= est` pinned per row ──
+    "q130_cms_estimates" -> ((s, dir) => {
+      import graft.functions.Cms
+      val depth = 4; val width = 256
+      val probes = Seq("1", "25", "100", "250000")
+      val li = Td(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey").cast("string").as("k"))
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(Cms.sketch(col("k"), depth, width).as("sk"),
+          count(lit(1)).as("n"))
+      val probed = sk
+        .select(col("l_returnflag"), col("n"), col("sk"),
+          explode(array(probes.map(lit): _*)).as("probe"))
+        .select(col("l_returnflag"), col("probe"), col("n"),
+          Cms.estimate(col("sk"), col("probe"), depth, width).as("est"))
+      val tru = li.filter(col("k").isin(probes: _*))
+        .groupBy(col("l_returnflag"), col("k").as("probe"))
+        .agg(count(lit(1)).as("true_cnt"))
+      probed.join(tru, Seq("l_returnflag", "probe"), "left")
+        .withColumn("true_cnt", coalesce(col("true_cnt"), lit(0L)))
+        .withColumn("no_undercount", col("est") >= col("true_cnt"))
+        .orderBy(col("l_returnflag"), col("probe"))
+    }),
+
+    // ── the stored-sketch rollup (q104's pattern for the CMS): per-
+    //    (flag, status) sketches merged up to per-flag WITHOUT rescanning
+    //    rows — elementwise addition makes the merged table IDENTICAL to
+    //    a direct per-flag build, asserted cell-for-cell in-plan and
+    //    pinned TRUE by the oracle beside the replayed estimates ──
+    "q131_cms_merged" -> ((s, dir) => {
+      import graft.functions.Cms
+      val depth = 4; val width = 256
+      val probes = Seq("1", "25", "100", "250000")
+      val li = Td(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_partkey").cast("string").as("k"))
+      val fine = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(Cms.sketch(col("k"), depth, width).as("sk"))
+      val merged = fine.groupBy(col("l_returnflag"))
+        .agg(Cms.mergeAgg(col("sk"), depth, width).as("sk"))
+      val direct = li.groupBy(col("l_returnflag"))
+        .agg(Cms.sketch(col("k"), depth, width).as("dsk"))
+      merged.join(direct, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("sk"),
+          (col("sk.n") === col("dsk.n") &&
+            col("sk.table") === col("dsk.table")).as("merged_eq_direct"),
+          explode(array(probes.map(lit): _*)).as("probe"))
+        .select(col("l_returnflag"), col("probe"),
+          Cms.estimate(col("sk"), col("probe"), depth, width).as("est"),
+          col("merged_eq_direct"))
+        .orderBy(col("l_returnflag"), col("probe"))
+    }),
+
     // ── time resample: hourly (type × hour) matrix with EMPTY buckets
     //    zero-filled — A13's grouped completion on the time axis, the
     //    domain generated as a sequence between observed bounds (a
@@ -930,6 +990,69 @@ object ExtendedQueries {
     "q119_approx_quantiles" ->
       """SELECT l_returnflag, count(*) AS n, true AS within_bounds
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // q130: the oracle REBUILDS the count-min table cell-exactly (the
+    // sketch is a pure function of the observed multiset; buckets are the
+    // shared md5-word hash) and takes the same per-row minimums — values,
+    // not bounds. COALESCE(0) covers empty cells; the planted absent
+    // probe shows pure collision mass.
+    "q130_cms_estimates" ->
+      """WITH probes(probe) AS (VALUES ('1'), ('25'), ('100'), ('250000')),
+        |rws(r) AS (VALUES (0), (1), (2), (3)),
+        |li AS (SELECT l_returnflag AS flag, CAST(l_partkey AS VARCHAR) AS k
+        |       FROM lineitem),
+        |cells AS (
+        |  SELECT flag, r,
+        |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || k),
+        |                         1, 8)) AS BIGINT) % 256 AS b,
+        |    COUNT(*) AS c
+        |  FROM li, rws GROUP BY 1, 2, 3),
+        |flags AS (SELECT flag, COUNT(*) AS n FROM li GROUP BY 1),
+        |pb AS (
+        |  SELECT p.probe, r.r,
+        |    CAST(('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || '|' ||
+        |                         p.probe), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM probes p, rws r),
+        |est AS (
+        |  SELECT f.flag, pb.probe, MIN(COALESCE(c.c, 0)) AS est
+        |  FROM flags f CROSS JOIN pb
+        |  LEFT JOIN cells c ON c.flag = f.flag AND c.r = pb.r AND c.b = pb.b
+        |  GROUP BY 1, 2),
+        |tru AS (SELECT flag, k AS probe, COUNT(*) AS true_cnt
+        |        FROM li GROUP BY 1, 2)
+        |SELECT e.flag AS l_returnflag, e.probe, f.n, e.est,
+        |  COALESCE(t.true_cnt, 0) AS true_cnt,
+        |  e.est >= COALESCE(t.true_cnt, 0) AS no_undercount
+        |FROM est e JOIN flags f ON f.flag = e.flag
+        |LEFT JOIN tru t ON t.flag = e.flag AND t.probe = e.probe
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q131: merged == direct is an algebraic identity (elementwise
+    // addition distributes over the status partition), so the oracle pins
+    // TRUE and replays the same estimates as q130.
+    "q131_cms_merged" ->
+      """WITH probes(probe) AS (VALUES ('1'), ('25'), ('100'), ('250000')),
+        |rws(r) AS (VALUES (0), (1), (2), (3)),
+        |li AS (SELECT l_returnflag AS flag, CAST(l_partkey AS VARCHAR) AS k
+        |       FROM lineitem),
+        |cells AS (
+        |  SELECT flag, r,
+        |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || k),
+        |                         1, 8)) AS BIGINT) % 256 AS b,
+        |    COUNT(*) AS c
+        |  FROM li, rws GROUP BY 1, 2, 3),
+        |flags AS (SELECT DISTINCT flag FROM li),
+        |pb AS (
+        |  SELECT p.probe, r.r,
+        |    CAST(('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || '|' ||
+        |                         p.probe), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM probes p, rws r)
+        |SELECT f.flag AS l_returnflag, pb.probe,
+        |  MIN(COALESCE(c.c, 0)) AS est, true AS merged_eq_direct
+        |FROM flags f CROSS JOIN pb
+        |LEFT JOIN cells c ON c.flag = f.flag AND c.r = pb.r AND c.b = pb.b
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // q115: generate_series domain × distinct types, left join, zero-fill
     "q115_resample" ->
