@@ -335,6 +335,38 @@ object ExtendedQueries {
         .orderBy(col("l_returnflag"), col("probe"))
     }),
 
+    // ── trained quality classifier (planted contract, the q52/q96
+    //    scheme): even-doc_id documents get a marker token appended, the
+    //    logistic model is TRAINED inside the engine on the labeled
+    //    mixture, and — because the planted signal is decisive and the
+    //    fixed-point training is deterministic — the learned decision
+    //    boundary recovers the rule exactly, so the oracle replays the
+    //    RULE per document, not the model. Training = iters bounded
+    //    aggregate passes; scoring = one zero-shuffle map-side pass ──
+    "q132_trained_classifier" -> ((s, dir) => {
+      // two-sided markers: both classes carry a decisive token, so the
+      // learned boundary sits mid-gap with wide margins on BOTH sides
+      // (one-sided planting converges with the boundary hugging the
+      // positive cloud — separable but fragile)
+      val good = Array.fill(10)(" qualgood").mkString
+      val bad = Array.fill(10)(" qualbad").mkString
+      val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      val marked = docs.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, concat(col("text"), lit(good)))
+          .otherwise(concat(col("text"), lit(bad))).as("text"),
+        (col("doc_id") % 2 === 0).as("label"))
+      // widen the one-file scan: scoring is md5-CPU-bound map-side work
+      // (the q121 idiom; trainLogistic widens its own input internally)
+      graft.operators.Classifier.scores(
+          marked.repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          "text",
+          graft.operators.Classifier.trainLogistic(marked, "text", "label",
+            buckets = 1024, iters = 8, lrRate = 3.0))
+        .select(col("doc_id"), col("label"), col("pred"),
+          (col("pred") === col("label")).as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── time resample: hourly (type × hour) matrix with EMPTY buckets
     //    zero-filled — A13's grouped completion on the time axis, the
     //    domain generated as a sequence between observed bounds (a
@@ -1026,6 +1058,15 @@ object ExtendedQueries {
         |FROM est e JOIN flags f ON f.flag = e.flag
         |LEFT JOIN tru t ON t.flag = e.flag AND t.probe = e.probe
         |ORDER BY 1, 2""".stripMargin,
+
+    // q132: the oracle replays the planted RULE; the engine must have
+    // learned it exactly (the labeled mixture is decisively separable
+    // and training is deterministic), so per-doc predictions are pinned
+    // row-for-row — accuracy floors would be the weaker claim.
+    "q132_trained_classifier" ->
+      """SELECT doc_id, (doc_id % 2 = 0) AS label,
+        |  (doc_id % 2 = 0) AS pred, true AS correct
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q131: merged == direct is an algebraic identity (elementwise
     // addition distributes over the status partition), so the oracle pins
