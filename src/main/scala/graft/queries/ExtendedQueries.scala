@@ -367,6 +367,32 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── BPE tokenizer trained in-engine (Sennrich 2016): word-count
+    //    capped at the top-8192 types (bounded heap), merges learned on
+    //    the driver from the word-frequency table, encode = zero-shuffle
+    //    scalar expression. The merge list depends on the data, so the
+    //    oracle pins the MODEL-INDEPENDENT invariants per document:
+    //    exact word/char counts of the shared tokenization, plus
+    //    round-trip (concat of subwords == normalized text) and
+    //    n_words <= n_bpe <= n_chars, both TRUE for any valid BPE ──
+    "q133_bpe_tokens" -> ((s, dir) => {
+      val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      val model = graft.operators.Bpe.train(docs, "text",
+        numMerges = 300, maxWords = 8192)
+      val enc = graft.operators.Bpe.encode(
+        docs.repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "text", model)
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val joined = array_join(toks, "")
+      enc.select(col("doc_id"),
+          size(toks).cast("long").as("n_words"),
+          length(joined).cast("long").as("n_norm_chars"),
+          (array_join(col("bpe_tokens"), "") === joined).as("roundtrip_ok"),
+          (size(col("bpe_tokens")) >= size(toks) &&
+            size(col("bpe_tokens")) <= length(joined)).as("within_bounds"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── time resample: hourly (type × hour) matrix with EMPTY buckets
     //    zero-filled — A13's grouped completion on the time axis, the
     //    domain generated as a sequence between observed bounds (a
@@ -1067,6 +1093,19 @@ object ExtendedQueries {
       """SELECT doc_id, (doc_id % 2 = 0) AS label,
         |  (doc_id % 2 = 0) AS pred, true AS correct
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q133: the trained merge list is data-dependent, so the oracle pins
+    // the model-independent row invariants (round-trip, count bounds —
+    // TRUE for any correct BPE) beside the exact shared-tokenization
+    // counts. Exactness of the ALGORITHM itself is pinned by BpeSpec's
+    // worked-example and parity tests.
+    "q133_bpe_tokens" ->
+      s"""WITH t AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks
+         |           FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(len(array_to_string(toks, '')) AS BIGINT) AS n_norm_chars,
+         |  true AS roundtrip_ok, true AS within_bounds
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     // q131: merged == direct is an algebraic identity (elementwise
     // addition distributes over the status partition), so the oracle pins
