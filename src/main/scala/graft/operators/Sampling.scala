@@ -289,6 +289,57 @@ object Sampling {
       .drop("__blk", "__ord", "__off", "__cum")
   }
 
+  /** Assign every row to one of `nShards` BALANCED output shards by token
+    * mass — the last-mile "write the training corpus as K equal shards"
+    * step (shard = data-parallel reader unit, so skewed shards straggle
+    * an epoch). Rows take a deterministic pseudo-random global order
+    * (hash, id) and shard `i` is the i-th K-quantile of the running token
+    * total: `shard = (cum_before · K) div total` — every shard's mass is
+    * within one max-token of `total / K` by construction.
+    *
+    * Scale shape: the same two-level prefix sum as [[takeTokenBudget]]
+    * (a global single-window cumsum would serialize the corpus through
+    * one task): per-block totals are a tiny aggregate, block offsets and
+    * the grand total broadcast back, and the per-row running total only
+    * needs a window within each block. The (blk, ord, id) order makes it
+    * EQUAL to the single-window formulation — and to a SQL auditor's
+    * plain windowed cumsum. Integer arithmetic throughout; pair with
+    * `Warehouse.publishPartitioned(..., "shard")` to lay the files out.
+    */
+  def shardByBudget(df: DataFrame, tokenCol: String, idCol: String,
+                    nShards: Int, salt: String = "graft",
+                    blocks: Int = 64): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(blocks > 0, "blocks must be positive")
+    val base = df
+      .withColumn("__blk", hashBucket(col(idCol), s"$salt:blk", blocks))
+      .withColumn("__ord", hashWord(col(idCol), s"$salt:ord"))
+    val wOff = Window.orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // |blocks| rows — the unpartitioned windows here are over this tiny
+    // aggregate frame, not the corpus
+    val offsets = base.groupBy(col("__blk"))
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .withColumn("__tot", sum(col("__t")).over(wTot))
+      .drop("__t")
+    val wCum = Window.partitionBy(col("__blk"))
+      .orderBy(col("__ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val cumBefore = col("__cum") - col(tokenCol).cast("long")
+    base.join(broadcast(offsets), Seq("__blk"))
+      .withColumn("__cum",
+        col("__off") + sum(col(tokenCol).cast("long")).over(wCum))
+      .withColumn("shard", toCol(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          toExpr(cumBefore * nShards),
+          toExpr(greatest(col("__tot"), lit(1L))))))
+      .drop("__blk", "__ord", "__off", "__cum", "__tot")
+  }
+
   /** Temperature-scaled mixture weights from corpus mass: per source,
     * `weight ∝ mass^alpha` normalized to 1 — the multilingual/domain
     * rebalancing rule (α = 1 is proportional sampling, α → 0 uniform;

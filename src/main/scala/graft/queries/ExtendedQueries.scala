@@ -393,6 +393,40 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── balanced output sharding: every doc assigned to one of 8 shards
+    //    of near-equal token mass (shard = K-quantile of the running
+    //    total in a deterministic pseudo-random order) — the two-level
+    //    prefix sum of q67, never a corpus-wide single window. The
+    //    oracle replays the equivalent plain windowed cumsum ──
+    "q134_balanced_shards" -> ((s, dir) => {
+      val docs = Td(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      graft.operators.Sampling.shardByBudget(docs, "n_chars", "doc_id",
+          nShards = 8)
+        .select(col("doc_id"), col("n_chars"), col("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── compression-ratio quality signal (Gopher/RefinedWeb family):
+    //    deflate length as an exact integer column. Values are a zlib
+    //    build's pure function, so the oracle pins the codec-independent
+    //    row invariants — bounded expansion, and text||text compressing
+    //    to nearly the single-copy length (the repetition detector the
+    //    signal exists for) — beside the exact byte length ──
+    "q135_compression_signal" -> ((s, dir) => {
+      import graft.functions.Compress.deflateLen
+      val docs = Td(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dl = deflateLen(col("text"))
+      val dl2 = deflateLen(concat(col("text"), col("text")))
+      docs
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          (dl > 0L && dl <= octet_length(col("text")) + lit(64))
+            .as("len_in_bounds"),
+          (dl2 < dl + lit(64)).as("repetition_collapses"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── time resample: hourly (type × hour) matrix with EMPTY buckets
     //    zero-filled — A13's grouped completion on the time axis, the
     //    domain generated as a sequence between observed bounds (a
@@ -1106,6 +1140,33 @@ object ExtendedQueries {
          |  CAST(len(array_to_string(toks, '')) AS BIGINT) AS n_norm_chars,
          |  true AS roundtrip_ok, true AS within_bounds
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // q134: the two-level prefix sum equals a plain windowed cumsum in
+    // the same (blk, ord, id) order — the oracle IS that cumsum; shard
+    // arithmetic is all-integer (operands nonnegative, so DuckDB's
+    // flooring // equals Spark's truncating div).
+    "q134_balanced_shards" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |    ${hashWordSql("graft:blk", "doc_id")} % 64 AS blk,
+         |    ${hashWordSql("graft:ord", "doc_id")} AS ord
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_chars,
+         |    SUM(n_chars) OVER (ORDER BY blk, ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(n_chars) OVER () AS tot
+         |  FROM d)
+         |SELECT doc_id, n_chars,
+         |  CAST(((cum - n_chars) * 8) // GREATEST(tot, 1) AS BIGINT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q135: deflate lengths are a zlib build's pure function — the
+    // oracle pins the codec-independent invariants TRUE beside the exact
+    // byte length.
+    "q135_compression_signal" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  true AS len_in_bounds, true AS repetition_collapses
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q131: merged == direct is an algebraic identity (elementwise
     // addition distributes over the status partition), so the oracle pins

@@ -110,6 +110,32 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("shardByBudget: equals the single-window K-quantile, shards balanced") {
+    val docs = (0L until 500L).map(i => (i, 10L + i % 90)).toDF("id", "toks")
+    val k = 8
+    val out = Sampling.shardByBudget(docs, "toks", "id", nShards = k, blocks = 8)
+    // single-window oracle in the identical (blk, ord, id) order
+    val w = Window
+      .orderBy(Sampling.hashBucket($"id", "graft:blk", 8),
+        Sampling.hashWord($"id", "graft:ord"), $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = docs.agg(sum($"toks")).as[Long].head()
+    val expect = docs.withColumn("cum", sum($"toks").over(w))
+      .select($"id", (($"cum" - $"toks") * k / tot).cast("long").as("shard"))
+      .as[(Long, Long)].collect().toMap
+    val got = out.select($"id", $"shard").as[(Long, Long)].collect().toMap
+    assert(got == expect)
+    // balance: every shard within one max token of total/K
+    val maxTok = docs.agg(max($"toks")).as[Long].head()
+    val masses = out.groupBy($"shard").agg(sum($"toks").as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(masses.keySet == (0L until k.toLong).toSet)
+    masses.values.foreach { m =>
+      assert(math.abs(m - tot / k) <= maxTok + k,
+        s"shard mass $m vs ideal ${tot / k} (maxTok $maxTok)")
+    }
+  }
+
   test("mixtureWeights: sqrt temperature scaling, normalized to 1") {
     val docs = Seq(
       (1L, "srcA", 1L),

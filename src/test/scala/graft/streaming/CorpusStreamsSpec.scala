@@ -85,4 +85,37 @@ class CorpusStreamsSpec extends SparkSpec {
     // and the spark-y arrival outranks the gardening one
     assert(streamed(10L) > streamed(11L))
   }
+
+  test("trained classifier admits a stream: frozen model, stateless scoring") {
+    implicit val sqlCtx = spark.sqlContext
+    // train BATCH-side on a separable labeled set (the deployment shape:
+    // train the quality filter once, score the firehose statelessly)
+    val labeled = (0 until 40).map { i =>
+      val pos = i % 2 == 0
+      val noise = Seq("table", "row", "scan", "join")((i * 3 + 7) % 4)
+      (i.toLong, s"$noise content piece " +
+        (if (pos) "goodmark goodmark" else "badmark badmark"), pos)
+    }.toDF("id", "text", "label")
+    val model = graft.operators.Classifier.trainLogistic(
+      labeled, "text", "label", buckets = 128, iters = 8, lrRate = 2.0)
+    val arrivals = Seq(
+      Doc(20L, ts(1), "fresh arrival goodmark goodmark quality content"),
+      Doc(21L, ts(2), "fresh arrival badmark badmark junk content"))
+    val stream = MemoryStream[Doc]
+    stream.addData(arrivals)
+    val q = graft.operators.Classifier.scores(stream.toDF(), "text", model)
+      .select("doc_id", "margin", "pred")
+      .writeStream.format("memory").queryName("clf_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("clf_out")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val batch = graft.operators.Classifier.scores(
+        arrivals.toDF(), "text", model)
+      .select("doc_id", "margin", "pred")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(streamed == batch) // byte-identical margins, stream ≡ batch
+    assert(streamed(20L)._2 && !streamed(21L)._2)
+  }
 }
