@@ -57,13 +57,21 @@ object Classifier {
     * truncation). Pure built-in column algebra — codegen'd, zero
     * shuffle. */
   def marginCol(text: Column, m: LogisticModel): Column = {
+    // fused pre-hash (graft.functions.FeatureBucketsExpr — bit-equal to
+    // hashing Importance.features one by one), then lookup-only algebra
+    val bks = graft.functions.FeatureHash.featureBuckets(
+      text, m.salt, m.buckets, m.useBigrams)
+    marginFromBuckets(bks, m)
+  }
+
+  /** Margin from an already-hashed bucket array (the training loop's
+    * form — hashing paid once, iterations lookup-only). */
+  private[operators] def marginFromBuckets(bks: Column, m: LogisticModel): Column = {
     val table = typedlit(m.weights.toSeq)
-    val fs = Importance.features(text, m.useBigrams)
-    val sumW = aggregate(fs, lit(0L), (acc, f) =>
-      acc + element_at(table,
-        (Sampling.hashBucket(f, m.salt, m.buckets) + 1).cast("int")))
+    val sumW = aggregate(bks, lit(0L), (acc, b) =>
+      acc + element_at(table, b + 1))
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
-    val n = greatest(size(fs).cast("long"), lit(1L))
+    val n = greatest(size(bks).cast("long"), lit(1L))
     lit(m.bias) + toCol(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       toExpr(sumW), toExpr(n)))
   }
@@ -95,8 +103,8 @@ object Classifier {
     // rationale as Importance.bucketCounts.
     val bucketed = graft.engine.Exec.materialize(
       df.select(col(labelCol).cast("boolean").as("__y"),
-        transform(Importance.features(col(textCol), useBigrams), f =>
-          Sampling.hashBucket(f, salt, buckets).cast("int")).as("__bk"))
+        graft.functions.FeatureHash.featureBuckets(
+          col(textCol), salt, buckets, useBigrams).as("__bk"))
         .repartition(df.sparkSession.sparkContext.defaultParallelism))
     val n = bucketed.count()
     require(n > 0, "trainLogistic: empty training set")

@@ -54,7 +54,11 @@ object Importance {
 
   /** Per-bucket feature-occurrence counts of a corpus: (bucket, n) with
     * absent buckets omitted. One explode + one partial-agg groupBy whose
-    * key space is ≤ `buckets`. */
+    * key space is ≤ `buckets`. The explode carries pre-hashed INT bucket
+    * ids (the fused [[graft.functions.FeatureBucketsExpr]] — bit-equal to
+    * hashing the exploded feature strings, FeatureHashSpec), so the
+    * md5 work happens once per occurrence in one JVM loop and the
+    * shuffled rows are 4-byte ints, not feature strings. */
   def bucketCounts(df: DataFrame, textCol: String, buckets: Int,
                    salt: String = "dsir",
                    useBigrams: Boolean = true): DataFrame = {
@@ -64,10 +68,11 @@ object Importance {
     val wide = df.select(col(textCol))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val feats = graft.functions.Generates.explodeOnce(
-      wide, Seq.empty, features(col(textCol), useBigrams), "f")
-    feats
-      .select(Sampling.hashBucket(col("f"), salt, buckets).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      wide, Seq.empty,
+      graft.functions.FeatureHash.featureBuckets(
+        col(textCol), salt, buckets, useBigrams), "b")
+    feats.groupBy(col("b").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** Cross-engine fixed-point quantization: floor(x·1e6 + 0.5). */
@@ -110,13 +115,15 @@ object Importance {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val wide = df.select(col(textCol), targetPred.as("__t"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // fused pre-hash (bit-equal to hashing exploded feature strings)
     val feats = graft.functions.Generates.explodeOnce(
-      wide, Seq(col("__t")), features(col(textCol), useBigrams), "f")
+      wide, Seq(col("__t")),
+      graft.functions.FeatureHash.featureBuckets(
+        col(textCol), salt, buckets, useBigrams), "b")
     val ct = new Array[Long](buckets)
     val cr = new Array[Long](buckets)
     feats
-      .select(Sampling.hashBucket(col("f"), salt, buckets).as("bucket"),
-        col("__t"))
+      .select(col("b").cast("long").as("bucket"), col("__t"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("nr"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("nt"))
@@ -143,13 +150,15 @@ object Importance {
                        useBigrams: Boolean = true): DataFrame = {
     val buckets = ratios.length
     val table = typedlit(ratios.toSeq)
-    val fs = features(col(textCol), useBigrams)
-    df.withColumn("n_feats", size(fs).cast("long"))
+    // fused pre-hash: one md5 loop per row, then lookup-only aggregation
+    val bks = graft.functions.FeatureHash.featureBuckets(
+      col(textCol), salt, buckets, useBigrams)
+    df.withColumn("__bk", bks)
+      .withColumn("n_feats", size(col("__bk")).cast("long"))
       .withColumn("dsir_score",
-        aggregate(fs, lit(0L),
-          (acc, f) =>
-            acc + element_at(table,
-              (Sampling.hashBucket(f, salt, buckets) + 1).cast("int"))))
+        aggregate(col("__bk"), lit(0L),
+          (acc, b) => acc + element_at(table, b + 1)))
+      .drop("__bk")
   }
 
   /** The selection endpoint: train the ratio table from `target` vs the

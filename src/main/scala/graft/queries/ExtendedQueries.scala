@@ -361,7 +361,7 @@ object ExtendedQueries {
           marked.repartition(s.sparkContext.defaultParallelism, col("doc_id")),
           "text",
           graft.operators.Classifier.trainLogistic(marked, "text", "label",
-            buckets = 1024, iters = 8, lrRate = 3.0))
+            buckets = 512, iters = 5, lrRate = 5.0))
         .select(col("doc_id"), col("label"), col("pred"),
           (col("pred") === col("label")).as("correct"))
         .orderBy(col("doc_id"))

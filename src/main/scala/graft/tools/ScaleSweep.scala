@@ -178,7 +178,14 @@ object ScaleSweep {
         "q123_bm25",
         // round 6d: hybrid fusion (both inputs scale ×20), image resize
         // and frame sampling (codec-boundary mapPartitions over ×20 docs)
-        "q125_hybrid_rrf", "q126_image_resize", "q127_frame_sample")
+        "q125_hybrid_rrf", "q126_image_resize", "q127_frame_sample",
+        // round 6f-i: CMS sketch (bounded 4×256 state — sub-linear like
+        // q106 is the point), trained classifier + BPE (training scans
+        // scale ×20, the model/merge table stays bounded), balanced
+        // sharding (two-level prefix sum, never a global window) and the
+        // deflate signal (pure map-side codec work)
+        "q130_cms_estimates", "q132_trained_classifier", "q133_bpe_tokens",
+        "q134_balanced_shards", "q135_compression_signal")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     for (dir <- Seq(src, out); n <- names) {
