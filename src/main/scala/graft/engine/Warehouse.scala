@@ -1204,6 +1204,36 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     readCsv(path, schema, enc, dateFormat)
   }
 
+  /** JSONL (newline-delimited JSON) scan — the de-facto corpus
+    * interchange format of LLM data pipelines. Schema is DECLARED, never
+    * inferred (inference is a second full pass over the input, and it
+    * silently drifts when a rare field appears late in 100 TB).
+    * Malformed lines are CAPTURED, not dropped: PERMISSIVE mode parks
+    * the raw line in `corruptCol` with every data field null, so a
+    * poisoned shard surfaces as queryable rows
+    * (`WHERE corruptCol IS NOT NULL`) instead of silently shrinking the
+    * corpus — the Multimodal poison-row contract applied to ingest. */
+  def readJsonl(path: String, schema: StructType,
+                corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .json(path)
+
+  /** JSONL export, one file per task — corpus interchange is big by
+    * definition, so unlike [[exportCsv]] (single-file summary tables)
+    * this stays partitioned and writes in parallel. `keepNulls = true`
+    * writes explicit `"field": null` entries so a re-read under the same
+    * declared schema reproduces the frame exactly; the default drops
+    * them (the compact corpus-exchange convention — readers treat absent
+    * and null alike). */
+  def exportJsonl(df: DataFrame, path: String,
+                  keepNulls: Boolean = false): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("ignoreNullFields", !keepNulls)
+      .json(path)
+
   /** Strictly decode EVERY byte of every file as utf-8 (the reference's
     * except-UnicodeDecodeError checks whole files — a lone latin-1 byte
     * megabytes in must still trigger the fallback). Chunked streaming
@@ -1248,18 +1278,6 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
-  /** JSONL corpus read: one JSON object per line — the de-facto
-    * interchange format of LLM training-data pipelines. The schema is
-    * always declared, never inferred: inference costs an extra full scan
-    * and silently drifts when a rare field appears late in 100 TB. */
-  def readJsonl(path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
-
-  /** JSONL corpus export, one file per task — corpus interchange is big
-    * by definition, so unlike [[exportCsv]] (single-file summary tables)
-    * this stays partitioned and writes in parallel. */
-  def exportJsonl(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).json(path)
 
   /** S15 + S12/P27: single-file CSV export with the reference's load-path
     * formatting — whole-valued doubles render as ints ("8", not "8.0") and

@@ -53,6 +53,48 @@ class IngestSpec extends SparkSpec {
     assert(!backups.contains("_backups"))
   }
 
+  test("JSONL ingest: declared schema, poison line captured not dropped, " +
+       "unicode and null round-trip") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("jsonl").toString
+    val dir = s"$root/in"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.write(java.nio.file.Paths.get(s"$dir/part0.jsonl"), java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "plain ascii", "lang": "en"}""",
+      """{"doc_id": 2, "text": "unicode 文本 ünïcödé", "lang": "zh"}""",
+      """{"doc_id": 3, "text": null, "lang": "de"}""",
+      """{"doc_id": 4, "text": "truncated line"""" // poison: unterminated
+    ), java.nio.charset.StandardCharsets.UTF_8)
+    val wh = new Warehouse(spark, root)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val got = wh.readJsonl(dir, schema)
+    assert(got.count() == 4)
+    val good = got.filter($"_corrupt_record".isNull)
+      .select($"doc_id", $"text", $"lang").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        r.getString(2))).toSet
+    assert(good == Set((1L, "plain ascii", "en"),
+      (2L, "unicode 文本 ünïcödé", "zh"), (3L, null, "de")))
+    // the poison line is queryable data, its raw text preserved
+    val bad = got.filter($"_corrupt_record".isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("_corrupt_record")
+      .contains("truncated line"))
+    // export round-trip: keepNulls writes explicit nulls, re-read equal
+    wh.exportJsonl(got.filter($"_corrupt_record".isNull)
+      .select($"doc_id", $"text", $"lang").coalesce(1),
+      s"$root/out", keepNulls = true)
+    // (a query touching ONLY the corrupt column on a raw read is
+    // disallowed by Spark — always select data columns beside it)
+    val back = wh.readJsonl(s"$root/out", schema)
+      .select($"doc_id", $"text", $"lang", $"_corrupt_record").collect()
+    assert(back.forall(_.isNullAt(3)))
+    val rt = back
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        r.getString(2))).toSet
+    assert(rt == good)
+  }
+
   test("warehouse SQL surface: registerAll + spark.sql over table names") {
     val root = java.nio.file.Files.createTempDirectory("whsql").toString
     val wh = new Warehouse(spark, root)
