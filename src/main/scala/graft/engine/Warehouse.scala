@@ -806,6 +806,61 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .start()
   }
 
+  /** Incremental aggregate view maintenance — a streaming MATERIALIZED
+    * VIEW over mergeable aggregates (sum/count/min/max). Each micro-batch
+    * is pre-aggregated down to its |groups| PARTIAL rows and landed via
+    * the [[streamingAppend]] exactly-once promote protocol; the view is
+    * read by RE-COMBINING partials ([[readAggregate]]) and periodically
+    * collapsed to one snapshot ([[compactAggregate]]). Storing partials
+    * instead of rewriting the snapshot per batch is what makes
+    * exactly-once FREE here: a replayed batch id promotes nothing, so
+    * there is no read-modify-write to double-apply and no marker race —
+    * the delta-style incremental-MV design.
+    *
+    * Scale shape: per batch, one partial aggregation (map-side combine,
+    * shuffle ≤ |groups| rows) + a metadata-rename promote. Reads cost
+    * |batches|·|groups| until compaction, which is why compaction exists;
+    * run it between stream runs (the single-writer path-pinning contract
+    * of [[streamingAppend]]). */
+  def maintainAggregate(source: DataFrame, table: String, keys: Seq[String],
+                        specs: Seq[AggSpec], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    AggSpec.validate(specs, keys)
+    val p = dataPath(table)
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (bdf: DataFrame, id: Long) =>
+        appendAggBatch(AggSpec.partial(bdf, keys, specs), p, id)
+      }
+      .start()
+  }
+
+  /** Land one partial-aggregate batch exactly-once (exposed for replay
+    * tests; [[maintainAggregate]] is the production path). */
+  private[engine] def appendAggBatch(partial: DataFrame, p: String,
+                                     id: Long): Unit = {
+    val staging = s"$p/_stream_staging/b$id"
+    partial.write.mode(SaveMode.Overwrite).parquet(staging)
+    promoteStaged(staging, p, id)
+    ()
+  }
+
+  /** The maintained view: partials re-combined to one row per key. */
+  def readAggregate(table: String, keys: Seq[String],
+                    specs: Seq[AggSpec]): DataFrame =
+    AggSpec.combine(read(table), keys, specs)
+
+  /** Collapse accumulated partials into a single snapshot (same schema —
+    * a combined row is a valid partial). Atomic versioned publish; run
+    * between stream runs. */
+  def compactAggregate(table: String, keys: Seq[String],
+                       specs: Seq[AggSpec]): Unit = {
+    backup(table)
+    publish(AggSpec.combine(read(table), keys, specs), table)
+    ()
+  }
+
   /** Move a staged micro-batch's data files into the table directory under
     * `stream-b<id>-…` names, idempotently. Relative paths are preserved,
     * which keeps hive partition subdirectories aligned.
@@ -1306,5 +1361,57 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .option("nullValue", "")
       .option("emptyValue", "")
       .mode(SaveMode.Overwrite).csv(path)
+  }
+}
+
+/** Mergeable-aggregate column spec for incremental view maintenance:
+  * `out` = output column name, `op` ∈ {sum, count, min, max}, `in` =
+  * input column (ignored for count). These four are the ops whose
+  * partials RE-COMBINE losslessly (sum of sums, sum of counts, min of
+  * mins, max of maxes) — avg is `sum`+`count` divided at read time;
+  * COUNT DISTINCT needs the HLL/KMV sketches, not this path.
+  */
+final case class AggSpec(out: String, op: String, in: String = "")
+
+object AggSpec {
+  private val Ops = Set("sum", "count", "min", "max")
+
+  private[engine] def validate(specs: Seq[AggSpec], keys: Seq[String]): Unit = {
+    require(specs.nonEmpty, "maintainAggregate needs at least one AggSpec")
+    require(keys.nonEmpty, "maintainAggregate needs at least one key")
+    specs.foreach { s =>
+      require(Ops.contains(s.op), s"AggSpec '${s.out}': op '${s.op}' not in $Ops")
+      require(s.op == "count" || s.in.nonEmpty,
+        s"AggSpec '${s.out}': op '${s.op}' needs an input column")
+      require(!keys.contains(s.out), s"AggSpec '${s.out}' collides with a key")
+    }
+    require(specs.map(_.out).distinct.size == specs.size,
+      "AggSpec output names must be distinct")
+  }
+
+  /** One micro-batch's partial rows: |groups| rows, map-side combined. */
+  private[engine] def partial(df: DataFrame, keys: Seq[String],
+                              specs: Seq[AggSpec]): DataFrame = {
+    val aggs = specs.map {
+      case AggSpec(out, "sum", in)   => sum(col(in)).as(out)
+      case AggSpec(out, "count", _)  => count(lit(1)).as(out)
+      case AggSpec(out, "min", in)   => min(col(in)).as(out)
+      case AggSpec(out, "max", in)   => max(col(in)).as(out)
+      case s => throw new IllegalArgumentException(s.toString)
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Re-combine partials (a combined row is itself a valid partial, so
+    * combine ∘ combine = combine — what makes compaction safe). */
+  private[engine] def combine(partials: DataFrame, keys: Seq[String],
+                              specs: Seq[AggSpec]): DataFrame = {
+    val aggs = specs.map {
+      case AggSpec(out, "sum" | "count", _) => sum(col(out)).as(out)
+      case AggSpec(out, "min", _)           => min(col(out)).as(out)
+      case AggSpec(out, "max", _)           => max(col(out)).as(out)
+      case s => throw new IllegalArgumentException(s.toString)
+    }
+    partials.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 }

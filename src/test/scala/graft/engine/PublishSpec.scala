@@ -389,6 +389,56 @@ class PublishSpec extends SparkSpec {
     assert(fileScan.selectedPartitions.partitionCount == 1)
   }
 
+  test("maintainAggregate: streamed partials equal the batch aggregate, " +
+       "replays promote nothing, compaction collapses losslessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val wh = new Warehouse(spark, freshRoot)
+    val keys = Seq("k")
+    val specs = Seq(AggSpec("n", "count"), AggSpec("s", "sum", "v"),
+      AggSpec("lo", "min", "v"), AggSpec("hi", "max", "v"))
+    val b1 = Seq(("a", 10L), ("a", 5L), ("b", 7L))
+    val b2 = Seq(("a", 1L), ("c", 100L))
+    val stream = MemoryStream[(String, Long)]
+    stream.addData(b1)
+    val q = wh.maintainAggregate(stream.toDF().toDF("k", "v"), "agg",
+      keys, specs, s"${wh.root}/_chk_agg")
+    q.processAllAvailable()
+    stream.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    def viewRows = wh.readAggregate("agg", keys, specs)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val want = Seq(("a", 3L, 16L, 1L, 10L), ("b", 1L, 7L, 7L, 7L),
+      ("c", 1L, 100L, 100L, 100L))
+    assert(viewRows == want)
+    // partials accumulated: 2 batches = 2 'a' rows pre-compaction
+    assert(wh.read("agg").filter($"k" === "a").count() == 2)
+    // a replayed batch id promotes NOTHING (checkpoint replay after a
+    // crash-before-commit) — the view is unchanged, no double counting
+    wh.appendAggBatch(
+      AggSpec.partial(b2.toDF("k", "v"), keys, specs), wh.dataPath("agg"), 1L)
+    assert(viewRows == want)
+    // compaction collapses to one row per key, view identical
+    wh.compactAggregate("agg", keys, specs)
+    assert(wh.read("agg").count() == 3)
+    assert(viewRows == want)
+  }
+
+  test("maintainAggregate validates specs loudly") {
+    intercept[IllegalArgumentException] {
+      AggSpec.validate(Seq(AggSpec("x", "median", "v")), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      AggSpec.validate(Seq(AggSpec("s", "sum")), Seq("k")) // missing input
+    }
+    intercept[IllegalArgumentException] {
+      AggSpec.validate(Seq(AggSpec("k", "count")), Seq("k")) // key collision
+    }
+  }
+
   test("streamingAppend rejects schema drift instead of landing bad files") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwrite(Seq(("s0", 2020L)).toDF("sid", "year"), "t")
