@@ -48,6 +48,32 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining (the contrastive-training data step: for each
+    * anchor, the most-similar candidates that are NOT duplicates — "too
+    * similar to be a negative" is exactly the near-dup band). Top-k by
+    * cosine over `corpus`, EXCLUDING self and any candidate at or above
+    * `dupThreshold` — retrieval composed with the dedup gate, the
+    * Similarity/Dedup integration in one operator.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] (broadcast anchors,
+    * bounded-heap top-k — the dup gate is a map-side filter BEFORE the
+    * heap, so excluded candidates never occupy heap slots); swap the
+    * scorer for [[ivfTopK]]-style cell probing at corpus scale and keep
+    * the same gate. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, k: Int = 5,
+                    dupThreshold: Double = 0.95): DataFrame = {
+    require(dupThreshold > 0.0, s"dupThreshold must be > 0, got $dupThreshold")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
+      .filter(col("cosine") < dupThreshold)
+    rankTopK(scored, k)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of ranked
     * candidate lists — the standard hybrid-retrieval combiner for a
     * lexical ([[CorpusStats.bm25TopK]]) and a dense ([[bruteForceTopK]] /

@@ -59,6 +59,21 @@ object ScaleQueries {
           concat_ws(",", transform(col("qs").getField("q"),
             q => q.cast("string"))).as("q_csv"))),
 
+    // ── hard-negative mining (retrieval ∘ dedup): planted exact copies
+    //    of every anchor sit at cosine 1.0 — the dup gate must exclude
+    //    them, leaving the organic top-k (max organic cosine ≈ 0.51, so
+    //    the 0.95 threshold has no float-boundary risk). The oracle
+    //    replays the same gated ranking ──
+    "q136_hard_negatives" -> ((s, dir) => {
+      val emb = Td(s, dir, "embeddings").select("vec_id", "embedding")
+      val anchors = emb.filter(col("vec_id") < 8)
+      val copies = anchors.select((col("vec_id") + 100000L).as("vec_id"),
+        col("embedding"))
+      Similarity.hardNegatives(emb.unionByName(copies), anchors,
+          "vec_id", "embedding", k = 5, dupThreshold = 0.95)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
     // ── brute-force cosine top-k (exact ANN baseline; rows-only) ──
     "q34_knn_brute" -> ((s, dir) => {
       val emb = Td(s, dir, "embeddings")
@@ -843,6 +858,24 @@ object ScaleQueries {
         |              x -> CAST(round(x / scale * 127) AS INTEGER))
         |  END, ',') AS q_csv
         |FROM s""".stripMargin,
+
+    // q136: same ranking as q34 but over base ∪ planted copies with the
+    // dup gate applied — the copies (cosine 1.0 ≥ 0.95) must vanish.
+    "q136_hard_negatives" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings),
+        |all_v AS (SELECT vec_id, v FROM base
+        |          UNION ALL
+        |          SELECT vec_id + 100000, v FROM base WHERE vec_id < 8),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 8),
+        |s AS (SELECT query_id, a.vec_id AS neighbor_id,
+        |        list_cosine_similarity(qv, a.v) AS cosine
+        |      FROM q CROSS JOIN all_v a WHERE query_id <> a.vec_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |      FROM s WHERE cosine < 0.95)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
 
     "q34_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

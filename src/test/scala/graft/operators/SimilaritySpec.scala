@@ -34,6 +34,31 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("hardNegatives: the dup band is excluded, gate-off equals brute force") {
+    val rng = new scala.util.Random(23)
+    def vec() = Array.fill(8)(rng.nextGaussian().toFloat)
+    val q = vec()
+    val dup = q.map(_ * 3.0f)          // cosine 1.0 — a duplicate, not a negative
+    val nearDup = q.map(_ * 1.0f)      // exact copy values, different id
+    val rows = Seq((0L, q), (1L, dup), (2L, nearDup)) ++
+      (3L to 40L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val anchors = df.filter($"vec_id" === 0)
+    val out = Similarity.hardNegatives(df, anchors, "vec_id", "embedding",
+      k = 5, dupThreshold = 0.95).collect()
+    assert(out.length == 5)
+    val ids = out.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(!ids.contains(1L) && !ids.contains(2L), s"dups leaked: $ids")
+    out.foreach(r => assert(r.getAs[Double]("cosine") < 0.95))
+    // threshold above 1 disables the gate — identical to bruteForceTopK
+    val off = Similarity.hardNegatives(df, anchors, "vec_id", "embedding",
+      k = 5, dupThreshold = 1.1)
+      .select($"neighbor_id", $"rank").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val brute = Similarity.bruteForceTopK(df, anchors, "vec_id", "embedding", k = 5)
+      .select($"neighbor_id", $"rank").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(off == brute)
+  }
+
   test("rrfFuse: integer contributions, outer-join semantics, tie-break") {
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
     val b = Seq((3L, 1), (4L, 2)).toDF("id", "rank")
