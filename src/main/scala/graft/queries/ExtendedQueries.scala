@@ -427,6 +427,27 @@ object ExtendedQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ── training-sequence construction: each user's chronological
+    //    event-type sequence as one training example (the behavioral-
+    //    dataset twin of context-window chunking), truncated to a max
+    //    context of 64 events. One shuffle on user_id; the sort happens
+    //    INSIDE each group's collected array (deterministic (ts,
+    //    event_id) order), never as a global sort. The oracle replays
+    //    with ordered list aggregation ──
+    "q137_user_sequences" -> ((s, dir) => {
+      val ev = Td(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+        .select(col("user_id"), col("n_events"),
+          concat_ws(" ",
+            slice(transform(col("evs"), e => e.getField("event_type")),
+              1, 64)).as("seq"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── time resample: hourly (type × hour) matrix with EMPTY buckets
     //    zero-filled — A13's grouped completion on the time axis, the
     //    domain generated as a sequence between observed bounds (a
@@ -1167,6 +1188,16 @@ object ExtendedQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  true AS len_in_bounds, true AS repetition_collapses
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q137: ordered list aggregation; ts cast to TIMESTAMP (micros) on
+    // the DuckDB side so sub-micro nanos can't reorder ties — the
+    // (ts, event_id) tiebreak is identical on both engines.
+    "q137_user_sequences" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  array_to_string(
+        |    (list(event_type ORDER BY CAST(ts AS TIMESTAMP), event_id))[1:64],
+        |    ' ') AS seq
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // q131: merged == direct is an algebraic identity (elementwise
     // addition distributes over the status partition), so the oracle pins

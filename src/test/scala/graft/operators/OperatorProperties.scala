@@ -290,4 +290,53 @@ object OperatorProperties extends Properties("graft.operators") {
       val (a, b) = (wa.mkString(" "), wb.mkString(" "))
       score(s"$a $b") == score(a) + score(b)
     }
+
+  property("cms_sketch: never undercounts, n exact, merge-shape-free") =
+    Prop.forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "ee", "f", "g")),
+      Gen.choose(1, 7)) { (items, parts) =>
+      val (depth, width) = (3, 8) // tiny → collisions guaranteed
+      val df = items.zipWithIndex.map { case (s, i) => (i, s) }
+        .toDF("i", "item").repartition(math.max(parts, 1))
+      val row = df.agg(graft.functions.Cms.sketch($"item", depth, width)
+        .as("sk")).select($"sk.n", $"sk.table").head()
+      val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val est = truth.keys.map { k =>
+        val probe = df.sparkSession.range(1).select(
+          graft.functions.Cms.estimate(
+            struct(lit(row.getLong(0)).as("n"),
+              typedlit(row.getSeq[Long](1)).as("table")),
+            lit(k), depth, width).as("e")).head().getLong(0)
+        k -> probe
+      }
+      row.getLong(0) == items.size.toLong &&
+        est.forall { case (k, e) => e >= truth(k) }
+    }
+
+  property("shardByBudget: total partition, balanced within one max token") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(1L, 50L)), Gen.choose(2, 6)) {
+      (toks, k) =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "toks")
+      val out = Sampling.shardByBudget(df, "toks", "id", nShards = k, blocks = 4)
+        .select($"id", $"toks", $"shard").collect()
+      val tot = toks.sum
+      val byShard = out.groupBy(_.getLong(2)).view.mapValues(_.map(_.getLong(1)).sum)
+      out.length == toks.size &&
+        out.forall(r => r.getLong(2) >= 0 && r.getLong(2) < k) &&
+        byShard.values.forall(m => m <= tot / k + toks.max + k)
+    }
+
+  property("BPE encode round-trips and never exceeds character count") =
+    Prop.forAll(Gen.listOfN(8,
+      Gen.oneOf("spark", "merge", "row", "scan", "tablescan", "a", "zz")),
+      Gen.choose(1, 30)) { (words, merges) =>
+      val df = Seq((1L, words.mkString(" "))).toDF("id", "text")
+      val model = Bpe.train(df, "text", numMerges = merges, minPairCount = 1L)
+      val toks = Bpe.encode(df, "text", model)
+        .select($"bpe_tokens").head().getSeq[String](0)
+      val norm = words.mkString("")
+      toks.mkString("") == norm &&
+        toks.length <= norm.length &&
+        (norm.isEmpty || toks.length >= words.count(_.nonEmpty))
+    }
 }
