@@ -80,6 +80,97 @@ object IvfIndex {
     wh.append(assigned, name)
   }
 
+  /** Persistent IVF+PQ index: the published layout holds 12-byte-scale
+    * ENTRIES (id + m-byte residual code), not vectors — the faiss-IVFPQ
+    * on-disk shape, which is what makes a 100 TB-corpus index fit a
+    * fraction of the corpus. Same atomic-publish contract as [[build]]:
+    * codes partitioned by cell, trained centroids AND codebooks riding
+    * in the version dir (`_centroids`/`_codebooks`, written before the
+    * manifest swap). One bounded sample trains both quantizers. */
+  def buildPq(wh: Warehouse, corpus: DataFrame, idCol: String, vecCol: String,
+              dim: Int, nlist: Int = 64, m: Int = 8, ksub: Int = 256,
+              trainIters: Int = 4, sampleSize: Int = 4096,
+              name: String = "ivfpq_index", seed: Long = 42L): String = {
+    import wh.spark.implicits._
+    val sample = Similarity.sampleVectors(corpus, idCol, vecCol,
+      sampleSize, seed)
+    val cents = Similarity.trainIvfFromSample(sample, dim, nlist,
+      trainIters, seed)
+    val books = Similarity.residualBooksFromSample(sample, dim, cents, m,
+      ksub, trainIters, seed)
+    val enc = corpus.select(col(idCol),
+      SignatureExpressions.pqResidualEncode(col(vecCol), cents, books)
+        .as("enc"))
+      .select(col(idCol), col("enc.cell").as("cell"),
+        col("enc.code").as("code"))
+    wh.publish(enc, name, partitionCols = Seq("cell"),
+      beforeSwap = vdir => {
+        cents.zipWithIndex.map { case (c, i) => (i, c) }
+          .toDF("cell", "centroid")
+          .coalesce(1).write.parquet(s"$vdir/_centroids")
+        books.zipWithIndex.flatMap { case (book, sub) =>
+          book.zipWithIndex.map { case (c, idx) => (sub, idx, c) }
+        }.toDF("sub", "idx", "centroid")
+          .coalesce(1).write.parquet(s"$vdir/_codebooks")
+      })
+  }
+
+  /** Probe the published PQ index: ADC candidate scoring over the
+    * `nprobe` pruned cells' CODES (the only thing read from disk), then
+    * exact-cosine rerank of the top-`rerank` against the base corpus.
+    * `dot(q,v) = dot(q, C_cell) + dot(q, v − C_cell)` exactly, so a
+    * candidate's ADC score is one element_at + m LUT lookups — both
+    * per-query tables broadcast with the probe set. Output:
+    * (query_id, neighbor_id, cosine, rank). */
+  def probePq(wh: Warehouse, queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, name: String = "ivfpq_index",
+              k: Int = 5, nprobe: Int = 8, rerank: Int = 64): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val version = wh.currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"IVF+PQ index '$name' was never built"))
+    val vdir = s"${wh.root}/$name/_versions/$version"
+    val cents: Seq[Seq[Double]] = wh.spark.read.parquet(s"$vdir/_centroids")
+      .orderBy("cell").select("centroid")
+      .collect().map(_.getSeq[Double](0)).toSeq
+    val booksDf = wh.spark.read.parquet(s"$vdir/_codebooks")
+      .orderBy("sub", "idx").collect()
+    val m = booksDf.map(_.getInt(0)).max + 1
+    val ksub = booksDf.map(_.getInt(1)).max + 1
+    val books: Seq[Seq[Seq[Double]]] = booksDf
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2): Seq[Double]).toSeq)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qTables = q.select(col("query_id"), col("qv"),
+        SignatureExpressions.pqLut(col("qv"), Seq(cents)).as("cell_dots"),
+        SignatureExpressions.pqLut(col("qv"), books).as("lut"),
+        SignatureExpressions.ivfAssign(col("qv"), cents, nprobe).as("cells"))
+    val probes = graft.functions.Generates.explodeOnce(
+        qTables, Seq(col("query_id"), col("cell_dots"), col("lut")),
+        col("cells"), "cell")
+      .transform(Exec.materialize)
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = wh.readVersion(name, version)
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("code"))
+    val adc = codes
+      .join(graft.engine.JoinPolicy.broadcastIfSmall(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (element_at(col("cell_dots"), col("cell") + 1) +
+          SignatureExpressions.pqAdc(col("lut"), col("code"), m, ksub))
+          .as("adc"))
+    val cand = Similarity.rankTopK(adc, rerank, "adc")
+      .select("query_id", "neighbor_id")
+    val rer = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(graft.engine.JoinPolicy.broadcastIfSmall(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
+    Similarity.rankTopK(rer, k)
+  }
+
   /** Probe the published index: top-k neighbors per query over the
     * `nprobe` nearest cells, read via partition-pruned scan.
     * Output: (query_id, neighbor_id, cosine, rank) — the [[Similarity]]

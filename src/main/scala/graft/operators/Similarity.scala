@@ -150,7 +150,7 @@ object Similarity {
       dim, nlist, iters, seed)
   }
 
-  private def trainIvfFromSample(sample: Array[Array[Double]], dim: Int,
+  private[operators] def trainIvfFromSample(sample: Array[Array[Double]], dim: Int,
                                  nlist: Int, iters: Int,
                                  seed: Long): Seq[Seq[Double]] = {
     require(nlist >= 1 && iters >= 0)
@@ -328,7 +328,7 @@ object Similarity {
   /** Bounded, hash-ordered vector sample — the shared training input of
     * every quantizer here (≤ sampleSize × dim doubles on the driver,
     * bounded by construction). */
-  private def sampleVectors(corpus: DataFrame, idCol: String,
+  private[operators] def sampleVectors(corpus: DataFrame, idCol: String,
                             vecCol: String, sampleSize: Int,
                             seed: Long): Array[Array[Double]] = corpus
     .select(col(vecCol).cast("array<double>").as("v"), col(idCol).as("id"))
@@ -492,7 +492,7 @@ object Similarity {
       sampleVectors(corpus, idCol, vecCol, sampleSize, seed),
       dim, centroids, m, ksub, iters, seed)
 
-  private def residualBooksFromSample(rawSample: Array[Array[Double]],
+  private[operators] def residualBooksFromSample(rawSample: Array[Array[Double]],
                                       dim: Int,
                                       centroids: Seq[Seq[Double]], m: Int,
                                       ksub: Int, iters: Int,

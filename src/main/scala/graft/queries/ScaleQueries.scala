@@ -396,6 +396,24 @@ object ScaleQueries {
         .select("query_id", "neighbor_id")
     }),
 
+    // ── the persistent IVF+PQ index on the q88 planted contract: the
+    //    published layout holds (id, cell, code) ENTRIES ONLY — a copy
+    //    shares its original's cell and residual code, so the ADC pass
+    //    keeps it and the exact rerank pins rank 1 ──
+    "q138_ivfpq_index_probe" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfpqq").toString)
+      val emb = Td(s, dir, "embeddings")
+      IvfIndex.buildPq(wh, emb, "vec_id", "embedding", dim = 64,
+        nlist = 64, m = 8, ksub = 64, name = "pq_idx")
+      val probes = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      IvfIndex.probePq(wh, probes, emb, "vec_id", "embedding", "pq_idx",
+          k = 1, nprobe = 8, rerank = 192)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+    }),
+
     // ── two-stage PQ ANN on planted probes: an exact copy must survive
     //    the 8-byte ADC candidate pass (its code equals its original's,
     //    so its ADC score is the query's own maximal reconstruction — a
@@ -1049,6 +1067,11 @@ object ScaleQueries {
     // q88: a planted copy assigns to exactly its original's cell (same
     // vector → same argmax centroid), so the pruned probe must return it
     "q88_ivf_index_probe" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+
+    // q138: same planted contract through the persistent PQ layout
+    "q138_ivfpq_index_probe" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
 

@@ -65,6 +65,37 @@ class IvfIndexSpec extends SparkSpec {
     assert(top1.forall { case (q, n) => n == q - 100000L })
   }
 
+  test("PQ index: planted copies recalled; stored entries are codes, " +
+       "not vectors; recall holds vs brute force") {
+    val wh = freshWh
+    val dim = 32
+    val corpus = AnnRecall.clusteredFixture(spark, n = 1500, dim = dim)
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim,
+      nlist = 16, m = 8, ksub = 64, name = "pq_idx")
+    // the index table holds (id, cell, code) ONLY — no vector column
+    assert(wh.read("pq_idx").columns.toSet == Set("vec_id", "cell", "code"))
+    // planted copies: identical cell AND residual code → ADC keeps them,
+    // exact rerank pins rank 1
+    val probes = corpus.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    // rerank must outnumber the cluster's same-code ADC ties on this
+    // dense fixture, or low-id tie-mates crowd the candidate heap
+    val top1 = IvfIndex.probePq(wh, probes, corpus, "vec_id", "embedding",
+        "pq_idx", k = 1, nprobe = 2, rerank = 192)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    assert(top1.size == 150)
+    assert(top1.forall { case (q, n) => n == q - 100000L })
+    // organic queries: recall vs brute force on the clustered fixture
+    val queries = AnnRecall.queryFixture(spark, nQueries = 20, dim = dim)
+    val viaIndex = IvfIndex.probePq(wh, queries, corpus, "vec_id",
+      "embedding", "pq_idx", k = 5, nprobe = 8, rerank = 128)
+    val exact = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 5)
+    assert(Similarity.recallAtK(viaIndex, exact, 5) >= 0.85)
+  }
+
   test("index probe matches inline ivfTopK recall on clustered data") {
     val wh = freshWh
     val dim = 32
