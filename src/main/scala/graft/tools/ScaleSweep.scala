@@ -185,7 +185,12 @@ object ScaleSweep {
         // sharding (two-level prefix sum, never a global window) and the
         // deflate signal (pure map-side codec work)
         "q130_cms_estimates", "q132_trained_classifier", "q133_bpe_tokens",
-        "q134_balanced_shards", "q135_compression_signal")
+        "q134_balanced_shards", "q135_compression_signal",
+        // round 6k: hard negatives (broadcast anchors over ×20 corpus),
+        // per-user sequences (×20 user populations), persistent IVF+PQ
+        // (×20 embeddings, index = codes only)
+        "q136_hard_negatives", "q137_user_sequences",
+        "q138_ivfpq_index_probe")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     for (dir <- Seq(src, out); n <- names) {
