@@ -448,6 +448,34 @@ object ExtendedQueries {
         .orderBy(col("user_id"))
     }),
 
+    // ── REAL audio feature extraction: framed Hann+FFT power
+    //    spectrogram over synthesized pure-sine WAVs whose frequency
+    //    sits ON an FFT bin (integer periods per frame → energy confined
+    //    to the main bin ± Hann leakage, all inside one band), so the
+    //    dominant band is analytically known per asset and the oracle
+    //    replays it, with the exact frame count, from the id formula ──
+    "q139_audio_spectrogram" -> ((s, dir) => {
+      import s.implicits._
+      val sr = 8000; val frameSize = 256; val hop = 128
+      val media = Td(s, dir, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val bin = 20 + (id % 5).toInt * 20          // bins 20..100
+          val frames = 2048 + (id % 3).toInt * 512
+          (id, graft.multimodal.Multimodal.encodeSineWav(sr, frames,
+            bin.toDouble * sr / frameSize))
+        }.toDF("asset_id", "payload")
+      graft.multimodal.Multimodal
+        .audioSpectrogram(media, frameSize, hop, bands = 8)
+        .select(col("asset_id"), col("n_frames"),
+          (array_position(col("band_energy"),
+            array_max(col("band_energy"))) - 1).cast("int")
+            .as("dominant_band"),
+          col("ok"))
+        .orderBy(col("asset_id"))
+    }),
+
     // ── time resample: hourly (type × hour) matrix with EMPTY buckets
     //    zero-filled — A13's grouped completion on the time axis, the
     //    domain generated as a sequence between observed bounds (a
@@ -1198,6 +1226,17 @@ object ExtendedQueries {
         |    (list(event_type ORDER BY CAST(ts AS TIMESTAMP), event_id))[1:64],
         |    ' ') AS seq
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q139: n_frames = 1 + (frames − frameSize)/hop and the dominant
+    // band = floor(bin·bands/(frameSize/2+1)) are pure functions of the
+    // id formula — bins {20,40,60,80,100} land in bands {1,2,3,4,6}.
+    "q139_audio_spectrogram" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(15 + (doc_id % 3) * 4 AS INTEGER) AS n_frames,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |       WHEN 3 THEN 4 ELSE 6 END AS INTEGER) AS dominant_band,
+        |  true AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q131: merged == direct is an algebraic identity (elementwise
     // addition distributes over the status partition), so the oracle pins

@@ -117,6 +117,41 @@ class MultimodalSpec extends SparkSpec {
     assert(all == (0 until 7).toSeq)
   }
 
+  test("audioSpectrogram: FFT equals naive DFT; a pure sine lands in its " +
+       "band; short and poison payloads are safe") {
+    // FFT parity vs the O(n²) DFT definition on a seeded random frame
+    val n = 64
+    val rng = new scala.util.Random(7)
+    val sig = Array.fill(n)(rng.nextDouble() * 2 - 1)
+    val re = sig.clone(); val im = new Array[Double](n)
+    Multimodal.fft(re, im)
+    (0 until n).foreach { k =>
+      var dr = 0.0; var di = 0.0
+      (0 until n).foreach { t =>
+        val a = -2.0 * math.Pi * k * t / n
+        dr += sig(t) * math.cos(a); di += sig(t) * math.sin(a)
+      }
+      assert(math.abs(re(k) - dr) < 1e-9 && math.abs(im(k) - di) < 1e-9,
+        s"FFT bin $k diverged from the DFT definition")
+    }
+    // a pure 1 kHz sine at 8 kHz: bin 32 of 128 → band 1 of 8 dominates
+    val sine = encodeSineWav(8000, frames = 4096, freqHz = 1000.0)
+    val silent = encodeSineWav(8000, frames = 4096, freqHz = 0.0)
+    val df = Seq((1L, sine), (2L, silent), (3L, Array[Byte](1, 2, 3)),
+      (4L, encodeSineWav(8000, frames = 10, freqHz = 500.0))) // < one frame
+      .toDF("asset_id", "payload")
+    val got = audioSpectrogram(df, frameSize = 256, hop = 128, bands = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Double](2), r.getBoolean(3)))).toMap
+    val (nf, bandsE, ok) = got(1L)
+    assert(ok && nf == 1 + (4096 - 256) / 128)
+    assert(bandsE.indexOf(bandsE.max) == 1, s"sine energy in $bandsE")
+    val (_, silentE, _) = got(2L)
+    assert(silentE.sum < bandsE.sum * 1e-6) // silence ≈ zero energy
+    assert(got(3L)._3 == false && got(3L)._1 == -1) // poison row survives
+    assert(got(4L)._3 && got(4L)._1 == 0 && got(4L)._2.forall(_ == 0.0))
+  }
+
   test("features join back to metadata on asset_id") {
     implicit val s = spark
     val feats = extractFeatures(assets.toDS()).toDF()
