@@ -102,6 +102,8 @@ object CorpusPipelines {
                             importanceKeep: Int = 0,
                             importanceBuckets: Int = 4096,
                             importanceTargetTextCol: String = "text",
+                            classifierModel: Option[graft.operators.Classifier.LogisticModel] = None,
+                            classifierMinMargin: Long = 0L,
                             recountTokens: org.apache.spark.sql.Column =>
                               org.apache.spark.sql.Column =
                               c => length(c).cast("long")): DataFrame = {
@@ -123,9 +125,17 @@ object CorpusPipelines {
     // the gated set is consumed by several downstream join branches, so it
     // is materialized ONCE (eager Exec.materialize — lazy would re-run the
     // text analysis per branch within a job, the round-1 q33 pathology)
+    // 2b (opt-in): a TRAINED quality filter beside the heuristics — the
+    // fastText-style deployment: train Classifier.trainLogistic once on
+    // labeled data, gate the corpus on its exact-integer margin in the
+    // same map-side pass (zero extra shuffle, same pushdown eligibility)
+    val modelGate = classifierModel.fold(lit(true))(m =>
+      graft.operators.Classifier.marginCol(col(textCol), m) >
+        classifierMinMargin)
     val gated = prepped
       .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality &&
-        TextFunctions.langId(col(textCol)).isInCollection(allowedLangs))
+        TextFunctions.langId(col(textCol)).isInCollection(allowedLangs) &&
+        modelGate)
       .transform(Exec.materialize)
     // 3: exact dedup — keep the lowest id per byte-identical text; the
     // semi-join on (fingerprint, id) keeps exactly the canonical row and

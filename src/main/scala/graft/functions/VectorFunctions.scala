@@ -18,6 +18,40 @@ object VectorFunctions {
     */
   def dot(a: Column, b: Column): Column = SignatureExpressions.dotF(a, b)
 
+  /** The ±1 JL sign matrix (Achlioptas 2003: Rademacher entries satisfy
+    * the Johnson–Lindenstrauss lemma like Gaussians): entry (j, i) from
+    * the engine-neutral md5-word parity of `"jl|seed|j|i"` — the same
+    * hash every oracle replays, so the MATRIX itself is recomputable in
+    * SQL. Bounded: outDim × dim ints, inlined as a plan literal. */
+  def jlSigns(dim: Int, outDim: Int, seed: Long): Array[Int] =
+    Array.tabulate(outDim * dim) { idx =>
+      val j = idx / dim; val i = idx % dim
+      val h = Md5Words.word(Md5Words.digest(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"jl|$seed|$j|$i")), 0)
+      if (h % 2 == 0L) 1 else -1
+    }
+
+  /** Seeded JL random projection to `outDim` dims in EXACT integer
+    * arithmetic: each input coordinate is quantized to the 1e-6 grid
+    * (`floor(x·1e6 + 0.5)` — float→double is exact, so both engines
+    * quantize identically), then each output coordinate is the integer
+    * dot with a ±1 sign row — exact in any order, a SQL auditor replays
+    * every value. Divide by 1e6·sqrt(outDim) for the real-valued JL
+    * embedding; distance work (cosine/ANN bucketing) is scale-free, so
+    * most callers stay in the integer domain. Pure column algebra over
+    * an inlined sign literal — zero shuffle, no md5 at row time. */
+  def jlProjectQ(v: Column, dim: Int, outDim: Int, seed: Long = 42L): Column = {
+    require(dim >= 1 && outDim >= 1, "dim and outDim must be >= 1")
+    val signs = jlSigns(dim, outDim, seed)
+    val s = typedlit(signs.toSeq)
+    val xq = transform(v, x =>
+      floor(x.cast("double") * 1e6 + lit(0.5)).cast("long"))
+    transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (acc, i) =>
+        acc + element_at(xq, i + 1) *
+          element_at(s, j * dim + i + 1).cast("long")))
+  }
+
   /** Squared L2 norm. */
   def norm2(a: Column): Column =
     aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))

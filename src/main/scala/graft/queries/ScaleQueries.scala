@@ -74,6 +74,21 @@ object ScaleQueries {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // ── seeded JL sign projection in exact integer arithmetic: inputs
+    //    quantized to the 1e-6 grid, ±1 Rademacher rows from the shared
+    //    md5-word hash — matrix AND values replay in SQL bit-for-bit ──
+    "q140_jl_projection" -> ((s, dir) => {
+      val emb = Td(s, dir, "embeddings").select("vec_id", "embedding")
+      emb
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"),
+          concat_ws(",", transform(
+            graft.functions.VectorFunctions.jlProjectQ(
+              col("embedding"), dim = 64, outDim = 8),
+            x => x.cast("string"))).as("proj_csv"))
+        .orderBy("vec_id")
+    }),
+
     // ── brute-force cosine top-k (exact ANN baseline; rows-only) ──
     "q34_knn_brute" -> ((s, dir) => {
       val emb = Td(s, dir, "embeddings")
@@ -876,6 +891,24 @@ object ScaleQueries {
         |              x -> CAST(round(x / scale * 127) AS INTEGER))
         |  END, ',') AS q_csv
         |FROM s""".stripMargin,
+
+    // q140: the oracle rebuilds the ±1 matrix from the same md5 parity
+    // and replays every integer dot — quantize-then-project makes the
+    // whole computation order-free integer arithmetic.
+    "q140_jl_projection" ->
+      """WITH xq AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  array_to_string(list_transform(range(8), j ->
+        |    CAST(list_sum(list_transform(range(64), i ->
+        |      q[i + 1] *
+        |      (CASE WHEN CAST(('0x' || substr(md5('jl|42|' ||
+        |              CAST(j AS VARCHAR) || '|' || CAST(i AS VARCHAR)),
+        |            1, 8)) AS BIGINT) % 2 = 0
+        |       THEN 1 ELSE -1 END))) AS BIGINT)), ',') AS proj_csv
+        |FROM xq ORDER BY vec_id""".stripMargin,
 
     // q136: same ranking as q34 but over base ∪ planted copies with the
     // dup gate applied — the copies (cosine 1.0 ≥ 0.95) must vanish.

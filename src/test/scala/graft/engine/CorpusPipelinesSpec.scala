@@ -127,6 +127,31 @@ class CorpusPipelinesSpec extends SparkSpec {
     assert(off.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 30L))
   }
 
+  test("prepareTrainingCorpus: opt-in trained-classifier gate beside the heuristics") {
+    // train a model that likes baking prose (paraC-style) and dislikes
+    // animal prose (paraA-style); the gate then drops paraA/paraB docs
+    // that PASS the heuristic gates
+    val labeled = Seq(
+      (1L, paraC, true), (2L, paraC + " bread dough cellar", true),
+      (3L, paraA, false), (4L, paraB, false))
+      .toDF("id", "text", "label")
+    val model = graft.operators.Classifier.trainLogistic(
+      labeled, "text", "label", buckets = 256, iters = 16, lrRate = 3.0)
+    val out = CorpusPipelines.prepareTrainingCorpus(corpus,
+      minQuality = 0.45, allowedLangs = Seq("en"),
+      nearDupThreshold = 0.3,
+      splits = Seq("train" -> 1.0, "val" -> 0.0),
+      classifierModel = Some(model))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(30L), s"classifier gate kept $kept") // only paraC
+    // default (no model) keeps all three — the stage is strictly opt-in
+    val off = CorpusPipelines.prepareTrainingCorpus(corpus,
+      minQuality = 0.45, allowedLangs = Seq("en"),
+      nearDupThreshold = 0.3, splits = Seq("train" -> 1.0, "val" -> 0.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(off == Set(1L, 2L, 30L))
+  }
+
   test("prepareTrainingCorpus: budget caps a source, others unaffected") {
     val out = CorpusPipelines.prepareTrainingCorpus(corpus,
       minQuality = 0.45, allowedLangs = Seq("en"),
