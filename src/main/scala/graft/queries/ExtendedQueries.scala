@@ -462,7 +462,7 @@ object ExtendedQueries {
         .as[Long]
         .map { id =>
           val bin = 20 + (id % 5).toInt * 20          // bins 20..100
-          val frames = 2048 + (id % 3).toInt * 512
+          val frames = 1024 + (id % 3).toInt * 256
           (id, graft.multimodal.Multimodal.encodeSineWav(sr, frames,
             bin.toDouble * sr / frameSize))
         }.toDF("asset_id", "payload")
@@ -1232,7 +1232,7 @@ object ExtendedQueries {
     // id formula — bins {20,40,60,80,100} land in bands {1,2,3,4,6}.
     "q139_audio_spectrogram" ->
       """SELECT doc_id AS asset_id,
-        |  CAST(15 + (doc_id % 3) * 4 AS INTEGER) AS n_frames,
+        |  CAST(7 + (doc_id % 3) * 2 AS INTEGER) AS n_frames,
         |  CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
         |       WHEN 3 THEN 4 ELSE 6 END AS INTEGER) AS dominant_band,
         |  true AS ok

@@ -190,7 +190,10 @@ object ScaleSweep {
         // per-user sequences (×20 user populations), persistent IVF+PQ
         // (×20 embeddings, index = codes only)
         "q136_hard_negatives", "q137_user_sequences",
-        "q138_ivfpq_index_probe")
+        "q138_ivfpq_index_probe",
+        // round 6l: FFT spectrogram (codec-boundary map work over ×20
+        // synthesized assets), JL projection (integer map-side algebra)
+        "q139_audio_spectrogram", "q140_jl_projection")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     for (dir <- Seq(src, out); n <- names) {
