@@ -44,4 +44,93 @@ object Validation {
     completed.count() == nDims * nGroups &&
       completed.filter(col(measure).isNull).isEmpty
   }
+
+  /** Declarative table-constraint rules (the Deequ-shaped surface): each
+    * rule names itself and reports its violation count. */
+  sealed trait Rule { def name: String }
+  /** Column must never be null. */
+  final case class NotNull(column: String) extends Rule {
+    def name = s"not_null($column)"
+  }
+  /** Column (when non-null) must lie in [lo, hi]. */
+  final case class InRange(column: String, lo: Double, hi: Double) extends Rule {
+    def name = s"in_range($column,$lo,$hi)"
+  }
+  /** Column (when non-null) must be one of the listed values. */
+  final case class OneOf(column: String, values: Seq[String]) extends Rule {
+    def name = s"one_of($column)"
+  }
+  /** Column (when non-null) must match the regex in full. */
+  final case class Matches(column: String, pattern: String) extends Rule {
+    def name = s"matches($column)"
+  }
+  /** The column tuple must be unique across the table (violations = rows
+    * beyond the first per duplicated tuple; null-containing tuples
+    * group like values, SQL GROUP BY semantics). */
+  final case class Unique(columns: Seq[String]) extends Rule {
+    def name = s"unique(${columns.mkString("+")})"
+  }
+  /** Every non-null value must exist in `dim`'s `dimColumn` (referential
+    * integrity; violations = orphan rows). */
+  final case class RefIntegrity(column: String, dim: DataFrame,
+                                dimColumn: String) extends Rule {
+    def name = s"ref($column)"
+  }
+
+  /** Evaluate a declarative rule set against a table — the Deequ-lite
+    * data-quality gate a pipeline runs before publishing. Output: one row
+    * per rule, `(rule, violations, n_rows, pass)`, deterministic order.
+    *
+    * Scale shape: every ROW-LOCAL rule (not-null/range/set/regex) folds
+    * into ONE shared aggregate scan — conditional counts, map-side
+    * partial-aggregated, zero shuffle beyond the final 1-row combine.
+    * Each `Unique` adds one groupBy on its key tuple (count>1 mass);
+    * each `RefIntegrity` one anti-join against the dimension (broadcast
+    * when small, the JoinPolicy contract). Rules never fail the job —
+    * they REPORT, and the caller decides (gate, quarantine, alert). */
+  def checkConstraints(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "checkConstraints needs at least one rule")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowLocal: Seq[(String, org.apache.spark.sql.Column)] = rules.collect {
+      case NotNull(c) => (s"not_null($c)", col(c).isNull)
+      case InRange(c, lo, hi) =>
+        (s"in_range($c,$lo,$hi)",
+          col(c).isNotNull && (col(c).cast("double") < lo ||
+            col(c).cast("double") > hi))
+      case OneOf(c, vs) =>
+        (s"one_of($c)", col(c).isNotNull && !col(c).isInCollection(vs))
+      case Matches(c, p) =>
+        (s"matches($c)", col(c).isNotNull && !col(c).rlike(p))
+    }
+    val base =
+      if (rowLocal.isEmpty) df.agg(count(lit(1)).as("n_rows"))
+      else df.agg(count(lit(1)).as("n_rows"),
+        rowLocal.map { case (n, viol) =>
+          sum(when(viol, 1L).otherwise(0L)).as(n)
+        }: _*)
+    val nRows = base.head()
+    val total = nRows.getAs[Long]("n_rows")
+    val localRows = rowLocal.map { case (n, _) =>
+      (n, nRows.getAs[Long](n))
+    }
+    val uniqueRows = rules.collect { case u @ Unique(cols) =>
+      val v = df.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(when(col("__c") > 1, col("__c") - 1L)), lit(0L)))
+        .head().getLong(0)
+      (u.name, v)
+    }
+    val refRows = rules.collect { case r @ RefIntegrity(c, dim, dc) =>
+      val v = df.filter(col(c).isNotNull)
+        .join(JoinPolicy.broadcastIfSmall(
+          dim.select(col(dc).as(c)).distinct()), Seq(c), "left_anti")
+        .count()
+      (r.name, v)
+    }
+    // preserve the caller's rule order (reports read like the rule list)
+    val byName = (localRows ++ uniqueRows ++ refRows).toMap
+    rules.map(r => (r.name, byName(r.name), total, byName(r.name) == 0L))
+      .toDF("rule", "violations", "n_rows", "pass")
+  }
 }

@@ -476,6 +476,34 @@ object ExtendedQueries {
         .orderBy(col("asset_id"))
     }),
 
+    // ── declarative constraint report (the Deequ-shaped quality gate):
+    //    five rule families over lineitem ∪ three PLANTED bad rows — a
+    //    null flag, an out-of-range quantity, an out-of-set flag, a
+    //    duplicated key tuple, and orphan order keys. Row-local rules
+    //    share ONE aggregate scan; unique adds one key groupBy; ref
+    //    integrity one broadcast anti-join. The oracle replays every
+    //    violation count over the same planted union ──
+    "q141_constraint_report" -> ((s, dir) => {
+      import s.implicits._
+      import graft.engine.Validation._
+      val li = Td(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+      val bad = Seq(
+        (-1L, 1, 999.0, "A"),  // out of range + orphan + dup pair (1/2)
+        (-1L, 1, 7.0, "X"),    // out of set + orphan + dup pair (2/2)
+        (-2L, 1, 7.0, null.asInstanceOf[String])) // null flag + orphan
+        .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      val planted = li.unionByName(bad)
+      val orders = Td(s, dir, "orders").select("o_orderkey")
+      checkConstraints(planted, Seq(
+        NotNull("l_returnflag"),
+        InRange("l_quantity", 1.0, 50.0),
+        OneOf("l_returnflag", Seq("A", "N", "R")),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        RefIntegrity("l_orderkey", orders, "o_orderkey")))
+        .orderBy("rule")
+    }),
+
     // ── time resample: hourly (type × hour) matrix with EMPTY buckets
     //    zero-filled — A13's grouped completion on the time axis, the
     //    domain generated as a sequence between observed bounds (a
@@ -1237,6 +1265,39 @@ object ExtendedQueries {
         |       WHEN 3 THEN 4 ELSE 6 END AS INTEGER) AS dominant_band,
         |  true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q141: every violation count replayed over the same planted union;
+    // rule names match Validation.Rule.name exactly.
+    "q141_constraint_report" ->
+      """WITH p AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(l_quantity AS DOUBLE) AS q, l_returnflag
+        |  FROM lineitem
+        |  UNION ALL SELECT -1, 1, 999.0, 'A'
+        |  UNION ALL SELECT -1, 1, 7.0, 'X'
+        |  UNION ALL SELECT -2, 1, 7.0, CAST(NULL AS VARCHAR)),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM p),
+        |r AS (
+        |  SELECT 'not_null(l_returnflag)' AS rule,
+        |    CAST((SELECT COUNT(*) FROM p WHERE l_returnflag IS NULL)
+        |      AS BIGINT) AS violations
+        |  UNION ALL SELECT 'in_range(l_quantity,1.0,50.0)',
+        |    CAST((SELECT COUNT(*) FROM p
+        |          WHERE q IS NOT NULL AND (q < 1.0 OR q > 50.0)) AS BIGINT)
+        |  UNION ALL SELECT 'one_of(l_returnflag)',
+        |    CAST((SELECT COUNT(*) FROM p WHERE l_returnflag IS NOT NULL
+        |          AND l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+        |  UNION ALL SELECT 'unique(l_orderkey+l_linenumber)',
+        |    CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
+        |          (SELECT COUNT(*) AS c FROM p
+        |           GROUP BY l_orderkey, l_linenumber) g
+        |          WHERE c > 1) AS BIGINT)
+        |  UNION ALL SELECT 'ref(l_orderkey)',
+        |    CAST((SELECT COUNT(*) FROM p WHERE l_orderkey IS NOT NULL
+        |          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |      AS BIGINT))
+        |SELECT r.rule, r.violations, tot.n_rows, r.violations = 0 AS pass
+        |FROM tot, r ORDER BY rule""".stripMargin,
 
     // q131: merged == direct is an algebraic identity (elementwise
     // addition distributes over the status partition), so the oracle pins

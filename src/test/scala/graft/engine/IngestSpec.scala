@@ -142,6 +142,37 @@ class IngestSpec extends SparkSpec {
       real.totalAfter == preview.totalAfter)
   }
 
+  test("checkConstraints: per-rule violation counts, rule order kept, " +
+       "all-green table passes everything") {
+    import Validation._
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val df = Seq(
+      (1L, 1, 10.0, "A"),   // clean
+      (1L, 1, 10.0, "A"),   // duplicate tuple (1 extra)
+      (2L, 2, 99.0, "X"),   // range + set violations
+      (9L, 3, 5.0, null.asInstanceOf[String])) // null flag + orphan key
+      .toDF("k", "ln", "qty", "flag")
+    val rules = Seq(
+      NotNull("flag"), InRange("qty", 1.0, 50.0),
+      OneOf("flag", Seq("A", "B")), Matches("flag", "[A-Z]"),
+      Unique(Seq("k", "ln")), RefIntegrity("k", dim, "k"))
+    val out = checkConstraints(df, rules).collect()
+    // caller's rule order preserved
+    assert(out.map(_.getString(0)).toSeq == rules.map(_.name))
+    val got = out.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("not_null(flag)") == ((1L, 4L, false)))
+    assert(got("in_range(qty,1.0,50.0)") == ((1L, 4L, false)))
+    assert(got("one_of(flag)") == ((1L, 4L, false))) // 'X'; null skipped
+    assert(got("matches(flag)") == ((0L, 4L, true))) // 'X' matches [A-Z]
+    assert(got("unique(k+ln)") == ((1L, 4L, false)))
+    assert(got("ref(k)") == ((1L, 4L, false)))      // k=9 orphan; null-free
+    // a clean table passes every rule
+    val clean = Seq((1L, 1, 10.0, "A"), (2L, 2, 20.0, "B"))
+      .toDF("k", "ln", "qty", "flag")
+    assert(checkConstraints(clean, rules).collect().forall(_.getBoolean(3)))
+  }
+
   test("charset fallback: clean utf-8 kept, invalid utf-8 re-read as latin-1") {
     val root = Files.createTempDirectory("whenc").toString
     val wh = new Warehouse(spark, root)
