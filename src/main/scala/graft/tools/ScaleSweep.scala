@@ -192,8 +192,10 @@ object ScaleSweep {
         "q136_hard_negatives", "q137_user_sequences",
         "q138_ivfpq_index_probe",
         // round 6l: FFT spectrogram (codec-boundary map work over ×20
-        // synthesized assets), JL projection (integer map-side algebra)
-        "q139_audio_spectrogram", "q140_jl_projection")
+        // synthesized assets), JL projection (integer map-side algebra),
+        // constraint report (one shared scan + key groupBy + anti-join)
+        "q139_audio_spectrogram", "q140_jl_projection",
+        "q141_constraint_report")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     for (dir <- Seq(src, out); n <- names) {
