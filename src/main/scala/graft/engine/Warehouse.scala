@@ -1174,21 +1174,99 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           .map { case (kept, unknown) => (kept ++ unknown).toSet }
           .reduce(_ intersect _)
           .toSeq.sorted
-        if (files.isEmpty) readPath(p).filter(pred).limit(0)
-        else {
-          val declared = partitioningMarker(p).map(_._2)
-            .orElse(evolvedSchemaMarker(p))
-          val reader = declared match {
-            case Some(schema) =>
-              spark.read.option("basePath", p).schema(schema)
-            case None => spark.read.option("basePath", p)
-          }
-          val df = reader.parquet(files: _*)
-          // restore declared column order (partition discovery reorders)
-          declared.map(s => df.select(s.fieldNames.map(col).toSeq: _*))
-            .getOrElse(df)
-            .filter(pred)
-        }
+        readFileSubset(p, files, pred)
+    }
+  }
+
+  /** Scan only `files` of table directory `p` with the declared-schema
+    * restore [[readPath]] applies, re-applying the precise predicate —
+    * the shared tail of every file-skipping read. */
+  private def readFileSubset(p: String, files: Seq[String],
+                             pred: Column): DataFrame =
+    if (files.isEmpty) readPath(p).filter(pred).limit(0)
+    else {
+      val declared = partitioningMarker(p).map(_._2)
+        .orElse(evolvedSchemaMarker(p))
+      val reader = declared match {
+        case Some(schema) =>
+          spark.read.option("basePath", p).schema(schema)
+        case None => spark.read.option("basePath", p)
+      }
+      val df = reader.parquet(files: _*)
+      // restore declared column order (partition discovery reorders)
+      declared.map(s => df.select(s.fieldNames.map(col).toSeq: _*))
+        .getOrElse(df)
+        .filter(pred)
+    }
+
+  /** Point-lookup data skipping, part 1: per-FILE Bloom filters over a
+    * high-cardinality key — the complement of [[buildZoneMap]] (min/max
+    * zones answer RANGE predicates; on a key whose values interleave
+    * across files, every zone spans the whole domain and prunes nothing,
+    * while a Bloom filter still rules files out for EQUALITY probes).
+    * This is the parquet-bloom / Iceberg-puffin shape: filter bytes live
+    * in a hidden `_bloomindex/<col>` manifest under the current data
+    * directory, one row per file.
+    *
+    * `expectedItemsPerFile` sizes each filter (callers know it from
+    * their target file size — over-sizing costs bitmap bytes, never
+    * correctness; an UNDER-sized filter also stays correct, its fpp just
+    * degrades). The build is one column-pruned scan; nulls are not
+    * indexed (an equality probe can never select a null). Post-build
+    * appends stay correct: unknown files are always scanned. */
+  def buildBloomIndex(table: String, c: String,
+                      expectedItemsPerFile: Long = 1L << 20,
+                      fpp: Double = 0.01): Unit = {
+    val p = dataPath(table)
+    readPath(p)
+      .groupBy(input_file_name().as("file"))
+      .agg(graft.functions.BloomIndexFunctions
+        .bloomAgg(col(c), expectedItemsPerFile, fpp).as("bloom"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$p/_bloomindex/$c")
+  }
+
+  /** Point-lookup skipping, part 2: the files an `c IN (values)` scan
+    * needs — (kept, unknown). A file is kept when its filter claims ANY
+    * probe value might be present; files the manifest has never seen are
+    * always scanned. The membership tests run IN the manifest scan
+    * (filters never ship to the driver — only surviving file NAMES
+    * collect, so driver memory stays at planner metadata scale however
+    * large the bitmaps are). None when no index covers `c`. */
+  def bloomPrunedFiles(table: String, c: String,
+                       values: Seq[Any]): Option[(Seq[String], Seq[String])] = {
+    require(values.nonEmpty, "bloom pruning needs at least one probe value")
+    val p = dataPath(table)
+    val broot = new Path(s"$p/_bloomindex/$c")
+    if (!fs(broot).exists(broot)) None
+    else {
+      val manifest = spark.read.parquet(broot.toString)
+      val hit = values.map(v => graft.functions.BloomIndexFunctions
+        .bloomProbe(col("bloom"), lit(v))).reduce(_ || _)
+      def norm(s: String) = new Path(s).toUri.getPath
+      val known = manifest.select(col("file")).collect()
+        .map(r => norm(r.getString(0))).toSet
+      val keptSet = manifest.filter(hit).select(col("file")).collect()
+        .map(r => norm(r.getString(0))).toSet
+      val actual = listDataFiles(new Path(p)).map(_.getPath.toUri.getPath)
+      val kept = actual.filter(keptSet.contains)
+      val unknown = actual.filterNot(known.contains)
+      Some((kept, unknown))
+    }
+  }
+
+  /** Point-lookup skipping, part 3: `read(table).filter(c IN values)`
+    * scanning only the files [[bloomPrunedFiles]] admits (false positives
+    * are removed by the re-applied precise predicate; false negatives
+    * cannot happen — that is the Bloom guarantee). Falls back to the
+    * plain filtered read when no index covers `c`. */
+  def readBloomPruned(table: String, c: String, values: Seq[Any]): DataFrame = {
+    val p = dataPath(table)
+    val pred = col(c).isin(values: _*)
+    bloomPrunedFiles(table, c, values) match {
+      case None => readPath(p).filter(pred)
+      case Some((kept, unknown)) =>
+        readFileSubset(p, (kept ++ unknown).distinct.sorted, pred)
     }
   }
 

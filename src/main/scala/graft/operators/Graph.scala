@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.Exec
+
+/** Iterative graph analytics over edge lists — the power-iteration
+  * companion to [[Dedup.connectedComponents]]' contraction loop.
+  *
+  * PageRank (Page et al. 1999) in EXACT integer fixed point: ranks live
+  * in parts-per-million longs, per-edge contributions use integer
+  * division, so every iterate is a pure function of the edge SET —
+  * independent of partitioning, summation order, or float rounding, and
+  * replayable in any engine (the q143 DuckDB oracle chains the same
+  * iterations in SQL). The usual float formulation is none of those
+  * things: a 1000-executor sum and a single-node sum disagree in the last
+  * ulps, which compounds over iterations.
+  *
+  * Semantics (standard simplifications, documented not hidden):
+  *  - multi-edges collapse (the edge set is `distinct`);
+  *  - dangling nodes (no out-edges) absorb rank; their mass is NOT
+  *    redistributed, so total mass shrinks toward the reset term — fine
+  *    for RANKING (the use here), not for probability interpretation;
+  *  - integer division truncates each per-edge contribution by < 1 ppm.
+  *
+  * Scale: per iteration, one `src` equi-join of the rank vector against
+  * the degree-annotated edge list and one `groupBy(dst)` partial-agg
+  * shuffle — contributions combine map-side, so shuffle rows are bounded
+  * by |distinct dst per partition|, not |edges|. The edge list and node
+  * set materialize ONCE ([[Exec.materialize]] — cluster-safe past the
+  * size threshold) and every iteration's rank vector materializes to keep
+  * lineage depth constant; state per iteration is |nodes| rows of 16
+  * bytes, never collected to the driver.
+  */
+object Graph {
+
+  val Ppm = 1000000L
+
+  /** Ranks after `iters` power iterations. Input: an edge list with
+    * integral `srcCol`/`dstCol` (null endpoints dropped); output:
+    * `(node, rank_ppm)` for every node appearing as source OR target,
+    * starting from a uniform 1.0 (= 1e6 ppm).
+    *
+    * `rank_{k+1}(n) = (1e6 − damping) + damping · Σ_{u→n} (rank_k(u) div
+    * outdeg(u)) div 1e6` — all longs, all non-negative, so `div` matches
+    * any engine's floor division.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 0, s"iteration count must be >= 0, got $iters")
+    require(dampingPpm >= 0 && dampingPpm <= Ppm,
+      s"damping must sit in [0, $Ppm] ppm, got $dampingPpm")
+    val e = Exec.materialize(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .na.drop().distinct())
+    // out-degree rides beside each edge once, so iterations never re-agg
+    val ed = Exec.materialize(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("__deg")), "src"))
+    val nodes = Exec.materialize(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+    val reset = Ppm - dampingPpm
+    var ranks = nodes.withColumn("rank_ppm", lit(Ppm))
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank_ppm div __deg")).as("__in"))
+      ranks = Exec.materialize(
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(reset) + expr(s"($dampingPpm * coalesce(__in, 0L)) div $Ppm"))
+              .as("rank_ppm")))
+    }
+    ranks
+  }
+}

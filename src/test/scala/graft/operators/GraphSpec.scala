@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Integer fixed-point PageRank: equality with a driver-side reference
+  * replay of the same recurrence (the guarantee that makes the q143
+  * oracle possible), partitioning invariance, and the documented
+  * multi-edge / dangling semantics. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver reference: the exact integer recurrence over an edge set. */
+  private def reference(edges: Set[(Long, Long)], iters: Int,
+                        damping: Long = 850000L): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.toSeq
+        .map { case (s, d) => d -> r(s) / deg(s) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map(n =>
+        n -> ((1000000L - damping) + damping * in.getOrElse(n, 0L) / 1000000L)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches the integer reference on a hand graph, iteration by iteration") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 1L))
+    for (iters <- 0 to 4)
+      assert(run(edges, iters) == reference(edges.toSet, iters), s"iters=$iters")
+  }
+
+  test("random graph: exact equality with the reference after 5 iterations") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    assert(run(edges, 5) == reference(edges.toSet, 5))
+  }
+
+  test("multi-edges collapse: duplicated edge list ranks like the distinct one") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(run(edges ++ edges ++ edges, 3) == run(edges, 3))
+  }
+
+  test("dangling sink keeps absorbing: hub outranks spokes in a star") {
+    val ranks = run(Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L)), 3)
+    assert(ranks(9L) > ranks(1L))
+    // spokes have no in-edges: exactly the reset mass
+    assert(Seq(1L, 2L, 3L, 4L).forall(ranks(_) == 150000L))
+  }
+
+  test("partitioning invariance: a 1-partition and a 16-partition edge list agree") {
+    val rnd = new scala.util.Random(3)
+    val edges = Seq.fill(200)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2)
+    val df1 = edges.toDF("s", "d").coalesce(1)
+    val df16 = edges.toDF("s", "d").repartition(16)
+    val a = Graph.pageRank(df1, "s", "d", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.pageRank(df16, "s", "d", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("null endpoints drop their edge; node set is surviving endpoints") {
+    val edges = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)))
+      .toDF("s", "d")
+    val ranks = Graph.pageRank(edges, "s", "d", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.keySet == Set(1L, 2L))
+  }
+}
