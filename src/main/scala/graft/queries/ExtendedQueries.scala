@@ -915,6 +915,52 @@ object ExtendedQueries {
         .select(col("o.jaccard").as("jaccard"),
           col("o.est_union").as("est_union"),
           col("o.est_intersection").as("est_intersection"))
+    }),
+
+    // ── SCD type-2 dimension history rebuilt from the event change log:
+    //    one version row per (user, distinct consecutive event_type) run,
+    //    half-open validity intervals tiling each user's timeline, version
+    //    numbers per key. ONE user shuffle (plan-asserted in ScdSpec); the
+    //    oracle replays the window formulation, with a lag(TRUE) marker so
+    //    a null first attribute can't masquerade as "no previous row" ──
+    "q142_scd2_history" -> ((s, dir) =>
+      graft.engine.Scd.fromChangeLog(
+        Td(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        Seq("user_id"), "ts", "event_id", Seq("event_type"))),
+
+    // ── PageRank over the supplier↔customer co-transaction graph (both
+    //    directions of every distinct trading pair; suppliers offset to
+    //    their own id namespace). Exact ppm fixed point: 5 integer power
+    //    iterations are a pure function of the edge set, so the oracle
+    //    chains the same recurrence through 5 CTEs and matches every rank
+    //    to the unit ──
+    "q143_pagerank" -> ((s, dir) => {
+      val pairs = Td(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Td(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + 1000000L).as("p"))
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
+    }),
+
+    // ── Bloom-pruned point lookup through the warehouse: publish a
+    //    key-clustered copy of lineitem, index l_orderkey per file, read
+    //    an IN-list through the pruned scan. Pruning is an optimization
+    //    the precise predicate re-checks, so the result must equal the
+    //    plain IN query whatever the filters admitted ──
+    "q144_bloom_lookup" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-bloomq").toString)
+      val li = Td(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      wh.overwrite(li.repartitionByRange(16, col("l_orderkey")), "li")
+      wh.buildBloomIndex("li", "l_orderkey", expectedItemsPerFile = 1L << 17)
+      wh.readBloomPruned("li", "l_orderkey", Seq(1L, 7L, 42L, 599L))
     })
   )
 
@@ -1875,7 +1921,61 @@ object ExtendedQueries {
          |      FROM lex l FULL OUTER JOIN dn d ON l.id = d.id)
          |SELECT id, CAST(row_number() OVER (ORDER BY score_q DESC, id)
          |         AS INT) AS rank, score_q
-         |FROM f ORDER BY score_q DESC, id LIMIT 20""".stripMargin
+         |FROM f ORDER BY score_q DESC, id LIMIT 20""".stripMargin,
+
+    // q142: window replay of the SCD2 rebuild. lag(TRUE) distinguishes
+    // "no previous row" from "previous row with a null attribute" — the
+    // struct-lag on the Spark side makes the same distinction.
+    "q142_scd2_history" ->
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type,
+        |    lag(event_type) OVER w0 AS prev,
+        |    lag(TRUE) OVER w0 AS has_prev
+        |  FROM events
+        |  WINDOW w0 AS (PARTITION BY user_id
+        |                ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |k AS (SELECT user_id, ts, event_id, event_type FROM o
+        |  WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  CAST(row_number() OVER w AS INTEGER) AS version,
+        |  (lead(ts) OVER w IS NULL) AS is_current
+        |FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+        .stripMargin,
+
+    // q143: the same 5 integer power iterations chained through CTEs —
+    // every arithmetic step is long division/multiplication, so the
+    // ranks match exactly, not approximately
+    "q143_pagerank" -> {
+      val iterCtes = (1 to 5).map { k =>
+        s"""r$k AS (SELECT n.node,
+           |  150000 + (850000 * COALESCE(s.t, 0)) // 1000000 AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(r.rank // d.d) AS t
+           |    FROM edges e JOIN r${k - 1} r ON r.node = e.src
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+         |    CAST(l.l_suppkey AS BIGINT) + 1000000 AS p
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |edges AS (SELECT c AS src, p AS dst FROM pairs
+         |          UNION ALL SELECT p, c FROM pairs),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+         |        FROM edges GROUP BY src),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         |$iterCtes
+         |SELECT node, CAST(rank AS BIGINT) AS rank_ppm FROM r5""".stripMargin
+    },
+
+    // q144: file pruning is invisible to semantics — the oracle is the
+    // plain IN query over the same three columns
+    "q144_bloom_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN (1, 7, 42, 599)""".stripMargin
   )
 
   /** Shared q121/q122 replay: DSIR scores for every document. */
