@@ -44,6 +44,15 @@ object GraftFunctions {
       s"$fn: argument <$name> must be an integer literal")
   }
 
+  private def doubleArg(e: Expression, fn: String, name: String): Double =
+    e match {
+      case Literal(v: Double, org.apache.spark.sql.types.DoubleType) => v
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case Literal(v: Int, IntegerType) => v.toDouble
+      case _ => throw new IllegalArgumentException(
+        s"$fn: argument <$name> must be a numeric literal")
+    }
+
   private def fn(name: String, usage: String)(
       builder: Seq[Expression] => Expression)
     : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
@@ -266,6 +275,29 @@ object GraftFunctions {
           intArg(w, "cms_sketch", "width"))
       case args => throw new IllegalArgumentException(
         s"cms_sketch expects 3 arguments, got ${args.length}")
+    },
+
+    fn("bloom_agg",
+      "bloom_agg(key, expected_items[, fpp]) - AGGREGATE: Bloom filter " +
+        "over integral/string/binary keys as bytes. Merge is bitwise OR, " +
+        "so the merged filter equals the single-pass filter exactly; " +
+        "probe with bloom_probe (false = definitely absent).") {
+      case Seq(k, n) =>
+        BloomAgg(k, longArg(n, "bloom_agg", "expected_items"), 0.01)
+      case Seq(k, n, f) =>
+        BloomAgg(k, longArg(n, "bloom_agg", "expected_items"),
+          doubleArg(f, "bloom_agg", "fpp"))
+      case args => throw new IllegalArgumentException(
+        s"bloom_agg expects 2-3 arguments, got ${args.length}")
+    },
+
+    fn("bloom_probe",
+      "bloom_probe(filter_bytes, key) - membership probe against a " +
+        "bloom_agg filter carried in a BINARY column; false = definitely " +
+        "absent, true = present at the filter's fpp.") {
+      case Seq(f, k) => BloomProbeExpr(f, k)
+      case args => throw new IllegalArgumentException(
+        s"bloom_probe expects 2 arguments, got ${args.length}")
     }
   )
 

@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   * log rows (the tie column — an event id, a load sequence — breaks
   * equal-timestamp ties), so the version sequence is a pure function of
   * the log's ROW SET and any engine replays it exactly.
+  *
+  * Streaming: land the raw change rows exactly-once with
+  * [[Warehouse.streamingAppend]] (its promote protocol makes replayed
+  * micro-batches no-ops — no SCD-specific machinery needed), then derive
+  * history as `fromChangeLog(wh.read(logTable))`, or keep a materialized
+  * snapshot current with [[merge]] between stream runs. Because the
+  * version sequence is a pure function of the log's row set, the
+  * streamed-log history is IDENTICAL to the batch one whatever the batch
+  * boundaries were — ScdSpec pins the composition.
   */
 object Scd {
 

@@ -47,31 +47,80 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, dampingPpm: Long = 850000L): DataFrame = {
-    require(iters >= 0, s"iteration count must be >= 0, got $iters")
-    require(dampingPpm >= 0 && dampingPpm <= Ppm,
-      s"damping must sit in [0, $Ppm] ppm, got $dampingPpm")
+    val (ed, nodes) = prepare(edges, srcCol, dstCol)
+    val reset = Ppm - dampingPpm
+    iterate(ed,
+      nodes.withColumn("__base", lit(reset)),
+      nodes.withColumn("rank_ppm", lit(Ppm)),
+      iters, dampingPpm)
+  }
+
+  /** Personalized PageRank (random walk with restart onto a seed set):
+    * the reset mass lands ONLY on `seeds`, so ranks measure proximity to
+    * the seeds instead of global centrality — the "find items related to
+    * this set" primitive (e.g. expand a trusted-document seed set through
+    * a link/similarity graph). Same exact integer recurrence; seeds start
+    * at 1e6 ppm and non-seeds at 0, seeds alone receive the reset term.
+    * Seed ids absent from the edge set are ignored (they have no edges to
+    * propagate through). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String, iters: Int,
+                           dampingPpm: Long = 850000L): DataFrame = {
+    val (ed, nodes) = prepare(edges, srcCol, dstCol)
+    val reset = Ppm - dampingPpm
+    val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
+      .na.drop().distinct()
+      .withColumn("__is_seed", lit(true))
+    // |seeds| << |nodes| in every intended use; let stats broadcast it
+    val tagged = Exec.materialize(
+      nodes.join(seedSet, Seq("node"), "left")
+        .withColumn("__seed", coalesce(col("__is_seed"), lit(false)))
+        .drop("__is_seed"))
+    iterate(ed,
+      tagged.withColumn("__base",
+        when(col("__seed"), lit(reset)).otherwise(lit(0L))).drop("__seed"),
+      tagged.withColumn("rank_ppm",
+        when(col("__seed"), lit(Ppm)).otherwise(lit(0L))).drop("__seed"),
+      iters, dampingPpm)
+  }
+
+  /** Shared edge/node preparation: dropped-null distinct edges with their
+    * out-degree riding beside each edge (so iterations never re-agg), and
+    * the endpoint node set — each materialized once. */
+  private def prepare(edges: DataFrame, srcCol: String,
+                      dstCol: String): (DataFrame, DataFrame) = {
     val e = Exec.materialize(
       edges.select(col(srcCol).cast("long").as("src"),
           col(dstCol).cast("long").as("dst"))
         .na.drop().distinct())
-    // out-degree rides beside each edge once, so iterations never re-agg
     val ed = Exec.materialize(
       e.join(e.groupBy("src").agg(count(lit(1)).as("__deg")), "src"))
     val nodes = Exec.materialize(
       e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
-    val reset = Ppm - dampingPpm
-    var ranks = nodes.withColumn("rank_ppm", lit(Ppm))
+    (ed, nodes)
+  }
+
+  /** The power-iteration core: `rank' = base(n) + damping · Σ inbound
+    * (rank div outdeg) div 1e6`, materializing each iterate so lineage
+    * depth stays constant. `based` carries `(node, __base)`. */
+  private def iterate(ed: DataFrame, based: DataFrame, r0: DataFrame,
+                      iters: Int, dampingPpm: Long): DataFrame = {
+    require(iters >= 0, s"iteration count must be >= 0, got $iters")
+    require(dampingPpm >= 0 && dampingPpm <= Ppm,
+      s"damping must sit in [0, $Ppm] ppm, got $dampingPpm")
+    var ranks = r0
     for (_ <- 1 to iters) {
       val contrib = ed
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank_ppm div __deg")).as("__in"))
       ranks = Exec.materialize(
-        nodes.join(contrib, Seq("node"), "left")
+        based.join(contrib, Seq("node"), "left")
           .select(col("node"),
-            (lit(reset) + expr(s"($dampingPpm * coalesce(__in, 0L)) div $Ppm"))
+            (col("__base") +
+              expr(s"($dampingPpm * coalesce(__in, 0L)) div $Ppm"))
               .as("rank_ppm")))
     }
-    ranks
+    ranks.select(col("node"), col("rank_ppm"))
   }
 }

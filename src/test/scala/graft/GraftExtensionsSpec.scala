@@ -145,6 +145,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql == viaCol && viaSql.nonEmpty)
   }
 
+  test("bloom_agg + bloom_probe via SQL: no false negatives, definite absences") {
+    val df = (1 to 500).map(i => (i % 3, i.toLong)).toDF("g", "k")
+    df.createOrReplaceTempView("bloom_sql")
+    val hits = spark.sql(
+      """WITH f AS (SELECT g, bloom_agg(k, 1000, 0.01) AS bf
+        |           FROM bloom_sql GROUP BY g)
+        |SELECT b.k, bloom_probe(f.bf, b.k) AS hit,
+        |       bloom_probe(f.bf, b.k + 100000000) AS miss
+        |FROM bloom_sql b JOIN f ON b.g = f.g""".stripMargin)
+    assert(hits.filter("NOT hit").count() == 0L)      // Bloom guarantee
+    assert(hits.filter("miss").count() < 50L)         // fpp-bounded
+  }
+
   test("non-literal shape parameters are rejected with a clear error") {
     docs.createOrReplaceTempView("docs_sql2")
     val e = intercept[Exception] {

@@ -96,6 +96,38 @@ class ScdSpec extends SparkSpec {
     assert(at0 == 0L)
   }
 
+  // (micro-batch REPLAY safety is the promote protocol's own contract,
+  // already pinned in PublishSpec — here we pin the SCD composition)
+  test("streamed change log across micro-batches -> identical history; " +
+      "merge keeps the snapshot current") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("wh-scd").toString)
+    val b1 = Seq(("A", 1L, 1L, "x", "p"), ("B", 2L, 2L, "z", "r"))
+    val b2 = Seq(("A", 3L, 3L, "y", "p"), ("C", 4L, 4L, "n", "m"))
+    val stream = MemoryStream[(String, Long, Long, String, String)]
+    stream.addData(b1)
+    val q = wh.streamingAppend(
+      stream.toDF().toDF("k", "ts", "tie", "a", "b"), "log",
+      java.nio.file.Files.createTempDirectory("wh-scd-ck").toString)
+    q.processAllAvailable()
+    stream.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = rows(Scd.fromChangeLog(wh.read("log"), K, "ts", "tie",
+      Seq("a", "b")))
+    val batch = rows(hist((b1 ++ b2).toDF("k", "ts", "tie", "a", "b")))
+    assert(streamed == batch)
+    // snapshot maintenance between stream runs: merge a later batch
+    val b3 = Seq(("B", 9L, 9L, "w", "r")).toDF("k", "ts", "tie", "a", "b")
+    val merged = rows(Scd.merge(
+      Scd.fromChangeLog(wh.read("log"), K, "ts", "tie", Seq("a", "b")),
+      b3, K, "ts", "tie", Seq("a", "b")))
+    assert(merged == rows(hist((b1 ++ b2).toDF("k", "ts", "tie", "a", "b")
+      .unionByName(b3))))
+  }
+
   test("one shuffle: the rebuild plan has exactly one exchange") {
     val log = Seq(("A", 1L, 1L, "x", "p")).toDF("k", "ts", "tie", "a", "b")
     val plan = hist(log).queryExecution.executedPlan.toString

@@ -68,6 +68,46 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  /** Driver reference for the personalized variant: reset/start mass on
+    * seeds only. */
+  private def referencePpr(edges: Set[(Long, Long)], seeds: Set[Long],
+                           iters: Int, damping: Long = 850000L): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(n => n -> (if (seeds(n)) 1000000L else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.toSeq
+        .map { case (s, d) => d -> r(s) / deg(s) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map { n =>
+        val base = if (seeds(n)) 1000000L - damping else 0L
+        n -> (base + damping * in.getOrElse(n, 0L) / 1000000L)
+      }.toMap
+    }
+    r
+  }
+
+  test("personalized: matches the seed-restricted integer reference exactly") {
+    val rnd = new scala.util.Random(19)
+    val edges = Seq.fill(250)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val seeds = Seq(0L, 7L)
+    val got = Graph.personalizedPageRank(edges.toDF("s", "d"), "s", "d",
+        seeds.toDF("n"), "n", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == referencePpr(edges.toSet, seeds.toSet, 4))
+  }
+
+  test("personalized: rank decays with distance from the seed on a path") {
+    // 1 -> 2 -> 3 -> 4: mass flows outward from the seed and shrinks
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val got = Graph.personalizedPageRank(edges.toDF("s", "d"), "s", "d",
+        Seq(1L).toDF("n"), "n", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > got(4L))
+    assert(got(4L) > 0L) // but mass does reach distance 3 after 5 iters
+  }
+
   test("null endpoints drop their edge; node set is surviving endpoints") {
     val edges = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
       (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)))
