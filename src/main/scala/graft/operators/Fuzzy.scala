@@ -79,4 +79,27 @@ object Fuzzy {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("__sa"), col("__sb")).as("dist"))
   }
+
+  /** Entity resolution end-to-end (record linkage): block with the
+    * deletion neighborhood, verify with exact edit distance, cluster the
+    * verified pairs with [[Dedup.connectedComponents]], and label every
+    * input row with its `entity_id` — the cluster's minimum member id;
+    * rows with no near-match label themselves. Transitive by design: a
+    * chain x↔y↔z is ONE entity even when lev(x, z) > maxDist — that is
+    * what makes the clustering stable under re-ordering (any pair-picking
+    * "merge" rule isn't).
+    *
+    * Scale shape: the [[editDistanceJoin]] candidate pipeline + CC over
+    * the verified PAIR list (minuscule relative to the corpus, so the CC
+    * usually takes its driver fast path), then one broadcast-or-key join
+    * back; the corpus itself is never reshuffled. */
+  def resolveEntities(df: DataFrame, idCol: String, strCol: String,
+                      maxDist: Int = 1): DataFrame = {
+    val pairs = editDistanceJoin(df, idCol, strCol, maxDist)
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "__rid")
+    df.join(labels, col(idCol) === col("__rid"), "left")
+      .withColumn("entity_id", coalesce(col("label"), col(idCol)))
+      .drop("__rid", "label")
+  }
 }

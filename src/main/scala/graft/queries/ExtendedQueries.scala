@@ -701,6 +701,30 @@ object ExtendedQueries {
           .repartition(s.sparkContext.defaultParallelism, col("c_custkey")),
         "c_custkey", "c_name", maxDist = 1)),
 
+    // ── entity resolution end-to-end (block → verify → cluster →
+    //    canonical label): names are md5 hex strings (organically sparse —
+    //    no two random 32-hex strings sit within edit distance 1), with
+    //    one planted typo per 50th customer and a SECOND, different typo
+    //    per 100th — distance 2 from the first, so the pair only merges
+    //    TRANSITIVELY through the base row. The oracle replays the planted
+    //    rule: every cluster's entity is its base id ──
+    "q145_entity_resolution" -> ((s, dir) => {
+      val base = Td(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"),
+          md5(col("c_custkey").cast("string")).as("name"))
+      val t1 = base.filter(col("id") % 50 === 0)
+        .select((col("id") + 10000000L).as("id"),
+          concat(lit("x"), substring(col("name"), 2, 31)).as("name"))
+      val t2 = base.filter(col("id") % 100 === 0)
+        .select((col("id") + 20000000L).as("id"),
+          concat(substring(col("name"), 1, 31), lit("x")).as("name"))
+      graft.operators.Fuzzy.resolveEntities(
+        base.unionByName(t1).unionByName(t2)
+          .repartition(s.sparkContext.defaultParallelism, col("id")),
+        "id", "name", maxDist = 1)
+        .select(col("id"), col("entity_id"))
+    }),
+
     // ── the distance-2 path (C(len,2) deletion neighborhood): one
     //    nation's customers — zero-padded key names make digit space
     //    dense, so t=2 on the full table would mostly measure result
@@ -1975,7 +1999,17 @@ object ExtendedQueries {
     // plain IN query over the same three columns
     "q144_bloom_lookup" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE l_orderkey IN (1, 7, 42, 599)""".stripMargin
+        |WHERE l_orderkey IN (1, 7, 42, 599)""".stripMargin,
+
+    // q145: planted-contract replay (the q52/q96 scheme) — md5-hex names
+    // are pairwise FAR apart, so the only distance-<=1 pairs are the
+    // planted typos and every cluster's min id is its base row's id
+    "q145_entity_resolution" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer)
+        |SELECT id, id AS entity_id FROM c
+        |UNION ALL SELECT id + 10000000, id FROM c WHERE id % 50 = 0
+        |UNION ALL SELECT id + 20000000, id FROM c WHERE id % 100 = 0"""
+        .stripMargin
   )
 
   /** Shared q121/q122 replay: DSIR scores for every document. */

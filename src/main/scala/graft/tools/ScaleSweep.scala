@@ -28,7 +28,7 @@ object ScaleSweep {
   private val DocReplicas = 20
   private val LineReplicas = 10
   // bump when generate()'s recipe changes — see the _READY check below
-  private val Generation = "gen4-scaled-embeddings"
+  private val Generation = "gen5-scaled-orders"
 
   private def rotated(s: String, r: Int): String =
     s.drop(r % s.length) + s.take(r % s.length)
@@ -102,8 +102,25 @@ object ScaleSweep {
     emb.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 
+    // orders ×10, keys remapped IN LOCKSTEP with lineitem (same r*10M
+    // orderkey shift, so joins keep matching) and custkey shifted the
+    // same way — each replica is a fresh customer population, so the
+    // q143 co-transaction graph grows linearly in nodes AND edges while
+    // per-replica structure stays the original's. Supplier ids stay
+    // unscaled: each supplier now trades with 10 customer populations —
+    // the realistic hub-degree growth a bigger marketplace has.
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    ord.select((explode(lit((0 until LineReplicas).toArray)).as("r")) +:
+        ord.columns.map(col): _*)
+      .withColumn("o_orderkey",
+        col("r").cast("long") * 10000000L + col("o_orderkey"))
+      .withColumn("o_custkey",
+        col("r").cast("long") * 10000000L + col("o_custkey"))
+      .drop("r")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
     // remaining tables pass through unscaled (file copy)
-    val others = Seq("region", "nation", "supplier", "part", "orders")
+    val others = Seq("region", "nation", "supplier", "part")
     others.foreach { t =>
       val from = Paths.get(s"$src/$t.parquet")
       val to = Paths.get(s"$out/$t.parquet")
@@ -195,7 +212,12 @@ object ScaleSweep {
         // synthesized assets), JL projection (integer map-side algebra),
         // constraint report (one shared scan + key groupBy + anti-join)
         "q139_audio_spectrogram", "q140_jl_projection",
-        "q141_constraint_report")
+        "q141_constraint_report",
+        // round 6m: SCD2 over ×20 event users (linear versions), PageRank
+        // over the ×10 lineitem⋈orders graph (nodes and edges both ×10,
+        // 2 shuffles/iteration), bloom-pruned lookup through a published
+        // ×10 copy (pruned scan must stay a small fraction of files)
+        "q142_scd2_history", "q143_pagerank", "q144_bloom_lookup")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     for (dir <- Seq(src, out); n <- names) {

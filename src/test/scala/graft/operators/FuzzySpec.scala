@@ -48,6 +48,19 @@ class FuzzySpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), plan)
   }
 
+  test("resolveEntities: transitive chains merge, singletons self-label, " +
+      "entity is the min member id") {
+    val rows = Seq(
+      1L -> "kitten", 5L -> "mitten", 9L -> "bitten", // chain: 1-5, 5-9 (1-9 is dist 2)
+      2L -> "cat", 8L -> "cart",                      // pair
+      7L -> "zebra")                                  // singleton
+    val got = Fuzzy.resolveEntities(rows.toDF("id", "name"), "id", "name", 1)
+      .select("id", "entity_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 2L -> 2L, 8L -> 2L,
+      7L -> 7L))
+  }
+
   test("deletionVariants: empty and single-char strings are safe") {
     val got = spark.range(1).select(
         Fuzzy.deletionVariants(lit(""), 2).as("e"),
