@@ -346,6 +346,50 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .select(col("status") +: keys.map(col): _*)
   }
 
+  /** Full-row change-data-capture feed between two published versions:
+    * [[diffVersions]] with payloads. One row per inserted/deleted key
+    * carrying that side's full payload; a changed key emits TWO rows —
+    * `update_pre` (old payload) and `update_post` (new payload) — the
+    * shape a downstream incremental consumer (a type-2 dimension via
+    * [[Scd.merge]], a sync to another store, an audit log) replays
+    * directly. Unchanged keys emit nothing.
+    *
+    * Contract: `keys` must uniquely identify rows in both versions (the
+    * CDC notion of identity; duplicate keys would cross-join in the
+    * match). Same one-full-outer-join scale shape as [[diffVersions]];
+    * the two update rows come from a 4-slot array + explode on the
+    * joined row, never a second join or a plan re-derivation. */
+  def changeFeed(name: String, oldVersion: String, newVersion: String,
+                 keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "change feed needs at least one key column")
+    val o = readVersion(name, oldVersion)
+    val n = readVersion(name, newVersion)
+    require(o.columns.sameElements(n.columns),
+      s"changeFeed '$name': schemas differ between versions " +
+        s"(${o.columns.toSeq} vs ${n.columns.toSeq})")
+    val others = o.columns.filterNot(keys.contains).toSeq
+    def tagged(df: DataFrame, side: String) = {
+      val v = if (others.isEmpty) struct(lit(0).as("__none"))
+              else struct(others.map(col): _*)
+      df.select(keys.map(col) :+ v.as(s"__v_$side"): _*)
+    }
+    val joined = tagged(o, "old").join(tagged(n, "new"), keys, "full_outer")
+    val oldV = col("__v_old")
+    val newV = col("__v_new")
+    val changed = oldV.isNotNull && newV.isNotNull && !(oldV <=> newV)
+    val entries = array(
+      when(oldV.isNull, struct(lit("insert").as("_change"), newV.as("__p"))),
+      when(newV.isNull, struct(lit("delete").as("_change"), oldV.as("__p"))),
+      when(changed, struct(lit("update_pre").as("_change"), oldV.as("__p"))),
+      when(changed, struct(lit("update_post").as("_change"), newV.as("__p"))))
+    val exploded = joined.select(
+      keys.map(col) :+ explode(filter(entries, e => e.isNotNull)).as("__e"): _*)
+    exploded.select(
+      keys.map(col) ++
+        others.map(c => col("__e.__p").getField(c).as(c)) :+
+        col("__e._change").as("_change"): _*)
+  }
+
   def schemaOf(name: String): StructType = read(name).schema
 
   /** Total bytes of the table's CURRENT data files — read live from the

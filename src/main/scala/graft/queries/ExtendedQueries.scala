@@ -941,6 +941,49 @@ object ExtendedQueries {
           col("o.est_intersection").as("est_intersection"))
     }),
 
+    // ── per-type activity trend: exact integer least-squares slope of
+    //    daily event counts — five long sums of state per group, one
+    //    shuffle, slope published as an exact rational + sign-split ppm
+    //    so floor- and truncating-division engines agree ──
+    "q146_trend" -> ((s, dir) => {
+      val daily = Td(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x", datediff(col("d"), to_date(lit("2024-01-01"))))
+      graft.operators.Trend.linearFit(daily, Seq("event_type"), "x", "y")
+    }),
+
+    // ── full-row CDC between two published versions: v2 deletes every
+    //    7th order's rows, bumps qty on line 1, inserts two new keys.
+    //    The feed must contain exactly the delete/update_pre/update_post/
+    //    insert rows the mutation rule implies — the oracle replays the
+    //    RULE over the same unique-key base ──
+    "q147_change_feed" -> ((s, dir) => {
+      import s.implicits._
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-cdcq").toString)
+      val v1 = Td(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(col("l_quantity").cast(D)).cast("double").as("qty"))
+      val va = wh.publish(v1, "t")
+      val planted = Seq((-1L, 1L, 5.0), (-2L, 2L, 6.0))
+        .toDF("l_orderkey", "l_linenumber", "qty")
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast(v1.schema("l_linenumber").dataType),
+          col("qty"))
+      val v2 = v1.filter(col("l_orderkey") % 7 =!= 0)
+        .withColumn("qty", when(col("l_linenumber") === 1,
+          col("qty") + 100.0).otherwise(col("qty")))
+        .unionByName(planted)
+      val vb = wh.publish(v2, "t")
+      wh.changeFeed("t", va, vb, Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("_change"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty").cast(D)).cast("double").as("sum_qty"),
+          count_distinct(col("l_orderkey")).as("n_keys"))
+    }),
+
     // ── SCD type-2 dimension history rebuilt from the event change log:
     //    one version row per (user, distinct consecutive event_type) run,
     //    half-open validity intervals tiling each user's timeline, version
@@ -2000,6 +2043,51 @@ object ExtendedQueries {
     "q144_bloom_lookup" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey IN (1, 7, 42, 599)""".stripMargin,
+
+    // q146: integer sufficient statistics replayed verbatim; ppm slope
+    // sign-split so DuckDB's floor // equals Spark's truncating div
+    "q146_trend" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |daily AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS y
+        |          FROM ev GROUP BY 1, 2),
+        |wx AS (SELECT event_type,
+        |         CAST(d - DATE '2024-01-01' AS BIGINT) AS x, y FROM daily),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |         CAST(SUM(x*y) AS BIGINT) AS sxy
+        |       FROM wx GROUP BY 1)
+        |SELECT event_type, n, CAST(n*sxy - sx*sy AS BIGINT) AS num,
+        |  CAST(n*sxx - sx*sx AS BIGINT) AS den,
+        |  CASE WHEN n*sxx - sx*sx <> 0 THEN
+        |    CAST((CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END) *
+        |      ((1000000 * abs(n*sxy - sx*sy)) // (n*sxx - sx*sx))
+        |      AS BIGINT)
+        |  END AS slope_ppm
+        |FROM st""".stripMargin,
+
+    // q147: the feed replayed from the mutation rule over the same
+    // unique-key base (delete = every 7th order; update = line 1 of the
+    // rest, +100; insert = the two planted keys)
+    "q147_change_feed" ->
+      """WITH v1 AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |feed AS (
+        |  SELECT 'insert' AS _change, CAST(k AS BIGINT) AS okey,
+        |      CAST(q AS DOUBLE) AS qty
+        |    FROM (VALUES (-1, 5.0), (-2, 6.0)) t(k, q)
+        |  UNION ALL SELECT 'delete', l_orderkey, qty FROM v1
+        |    WHERE l_orderkey % 7 = 0
+        |  UNION ALL SELECT 'update_pre', l_orderkey, qty FROM v1
+        |    WHERE l_orderkey % 7 <> 0 AND l_linenumber = 1
+        |  UNION ALL SELECT 'update_post', l_orderkey, qty + 100 FROM v1
+        |    WHERE l_orderkey % 7 <> 0 AND l_linenumber = 1)
+        |SELECT _change, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_keys
+        |FROM feed GROUP BY _change""".stripMargin,
 
     // q145: planted-contract replay (the q52/q96 scheme) — md5-hex names
     // are pairwise FAR apart, so the only distance-<=1 pairs are the

@@ -348,6 +348,40 @@ class PublishSpec extends SparkSpec {
     assert(rev == Set(("added", 1), ("changed", 3), ("removed", 4)))
   }
 
+  test("changeFeed carries full payloads: insert/delete rows once, " +
+      "changed keys as an update_pre/update_post pair, unchanged silent") {
+    val wh = new Warehouse(spark, freshRoot)
+    val va = wh.publish(
+      Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("k", "v", "w"),
+      "t")
+    val vb = wh.publish(
+      Seq((2, "b", 20.0), (3, "C", 31.0), (4, "d", 40.0)).toDF("k", "v", "w"),
+      "t")
+    val got = wh.changeFeed("t", va, vb, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      (1, "a", 10.0, "delete"),
+      (3, "c", 30.0, "update_pre"), (3, "C", 31.0, "update_post"),
+      (4, "d", 40.0, "insert")))
+    // null payloads diff null-safely: null -> value is a real update
+    val v3 = wh.publish(
+      Seq((2, null.asInstanceOf[String], 20.0), (3, "C", 31.0),
+        (4, "d", 40.0)).toDF("k", "v", "w"), "t")
+    val nulled = wh.changeFeed("t", vb, v3, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(3))).toSet
+    assert(nulled == Set((2, "update_pre"), (2, "update_post")))
+  }
+
+  test("changeFeed on an all-key table degenerates to insert/delete only") {
+    val wh = new Warehouse(spark, freshRoot)
+    val va = wh.publish(Seq(1, 2, 3).toDF("k"), "t")
+    val vb = wh.publish(Seq(2, 3, 4).toDF("k"), "t")
+    val got = wh.changeFeed("t", va, vb, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "delete"), (4, "insert")))
+  }
+
   test("append refuses bucketed tables (loose files would break the spec)") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwriteBucketed(
