@@ -88,21 +88,29 @@ object Validation {
     * each `RefIntegrity` one anti-join against the dimension (broadcast
     * when small, the JoinPolicy contract). Rules never fail the job —
     * they REPORT, and the caller decides (gate, quarantine, alert). */
+  /** (rule name, per-row violation predicate) for every ROW-LOCAL rule —
+    * rules a single row can violate on its own. Unique/RefIntegrity need
+    * cross-row context and are deliberately absent. Shared by
+    * [[checkConstraints]] (conditional counts) and
+    * [[streamingQuarantine]] (per-row routing). */
+  private def rowLocalPredicates(rules: Seq[Rule])
+      : Seq[(String, org.apache.spark.sql.Column)] = rules.collect {
+    case NotNull(c) => (s"not_null($c)", col(c).isNull)
+    case InRange(c, lo, hi) =>
+      (s"in_range($c,$lo,$hi)",
+        col(c).isNotNull && (col(c).cast("double") < lo ||
+          col(c).cast("double") > hi))
+    case OneOf(c, vs) =>
+      (s"one_of($c)", col(c).isNotNull && !col(c).isInCollection(vs))
+    case Matches(c, p) =>
+      (s"matches($c)", col(c).isNotNull && !col(c).rlike(p))
+  }
+
   def checkConstraints(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "checkConstraints needs at least one rule")
     val spark = df.sparkSession
     import spark.implicits._
-    val rowLocal: Seq[(String, org.apache.spark.sql.Column)] = rules.collect {
-      case NotNull(c) => (s"not_null($c)", col(c).isNull)
-      case InRange(c, lo, hi) =>
-        (s"in_range($c,$lo,$hi)",
-          col(c).isNotNull && (col(c).cast("double") < lo ||
-            col(c).cast("double") > hi))
-      case OneOf(c, vs) =>
-        (s"one_of($c)", col(c).isNotNull && !col(c).isInCollection(vs))
-      case Matches(c, p) =>
-        (s"matches($c)", col(c).isNotNull && !col(c).rlike(p))
-    }
+    val rowLocal = rowLocalPredicates(rules)
     val base =
       if (rowLocal.isEmpty) df.agg(count(lit(1)).as("n_rows"))
       else df.agg(count(lit(1)).as("n_rows"),
@@ -148,5 +156,62 @@ object Validation {
     val failing = report.filter(!_._3).map(t => (t._1, t._2)).toSeq
     if (failing.nonEmpty) Left(failing)
     else Right(wh.publish(df, name, partitionCols))
+  }
+
+  /** The rule names a row violates, as an array column (empty = clean).
+    * Row-local rules only — see [[rowLocalPredicates]]. */
+  def violatedRules(rules: Seq[Rule]): org.apache.spark.sql.Column = {
+    val preds = rowLocalPredicates(rules)
+    require(preds.nonEmpty, "violatedRules needs at least one row-local rule")
+    filter(array(preds.map { case (n, v) => when(v, lit(n)) }: _*),
+      x => x.isNotNull)
+  }
+
+  /** Streaming constraint gate with a dead-letter path: every micro-batch
+    * splits per row on the ROW-LOCAL rules — clean rows land in `table`,
+    * violating rows land in `quarantineTable` with a `_violated`
+    * rule-name list and a `_batch_id` — quarantined, queryable,
+    * re-ingestable after repair, never silently dropped (the Multimodal
+    * poison contract applied at the table boundary). Cross-row rules
+    * (Unique/RefIntegrity) cannot gate a row in isolation and are
+    * rejected loudly rather than half-applied.
+    *
+    * Exactly-once on BOTH sinks: each lands through the staging+promote
+    * protocol under the same batch id, so a replayed batch re-promotes
+    * nothing on either side, and a crash between the two promotes
+    * resumes idempotently (the completed side no-ops, the other side
+    * lands whole). The split is evaluated once per batch
+    * ([[Exec.materialize]]) — the two sinks never re-run the source.
+    *
+    * Scale: the gate is a map-side projection (same predicates the batch
+    * report counts); per batch cost is the two writes. */
+  def streamingQuarantine(wh: Warehouse, source: DataFrame, table: String,
+                          quarantineTable: String, rules: Seq[Rule],
+                          checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(rules.nonEmpty, "streamingQuarantine needs at least one rule")
+    val rowLocalNames = rowLocalPredicates(rules).map(_._1).toSet
+    val nonLocal = rules.filterNot(r => rowLocalNames.contains(r.name))
+    require(nonLocal.isEmpty,
+      s"streamingQuarantine: rules ${nonLocal.map(_.name)} need cross-row " +
+        "context (Unique/RefIntegrity) — run them in checkConstraints on " +
+        "the landed table instead")
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (bdf: DataFrame, id: Long) =>
+        val tagged = Exec.materialize(
+          bdf.withColumn("__viol", violatedRules(rules)))
+        wh.landStreamBatch(
+          tagged.filter(size(col("__viol")) === 0).drop("__viol"),
+          table, id)
+        wh.landStreamBatch(
+          tagged.filter(size(col("__viol")) > 0)
+            .withColumn("_violated", concat_ws(",", col("__viol")))
+            .withColumn("_batch_id", lit(id))
+            .drop("__viol"),
+          quarantineTable, id)
+      }
+      .start()
   }
 }

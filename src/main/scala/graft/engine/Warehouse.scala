@@ -803,6 +803,20 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     *
     * The path is pinned at stream start (single-writer model); vacuum's
     * grace window covers re-publishes during the stream's life. */
+  /** Land ONE micro-batch into a (flat) table through the exactly-once
+    * staging+promote protocol — the per-batch core of [[streamingAppend]]
+    * exposed for multi-sink foreachBatch composites (e.g. the
+    * [[Validation.streamingQuarantine]] pass/dead-letter split, where one
+    * batch id must land in TWO tables, each idempotently). */
+  private[engine] def landStreamBatch(bdf: DataFrame, name: String,
+                                      id: Long): Unit = {
+    val p = dataPath(name)
+    val staging = s"$p/_stream_staging/b$id"
+    bdf.write.mode(SaveMode.Overwrite).parquet(staging)
+    promoteStaged(staging, p, id)
+    ()
+  }
+
   def streamingAppend(source: DataFrame, name: String, checkpoint: String,
                       zoneCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
     val p = dataPath(name)
@@ -1004,6 +1018,31 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // directory (the write splits the repartitioned data by partition col)
     publish(read(table).repartition(numFiles), table, partitioningOf(table))
     ()
+  }
+
+  /** One-call table maintenance (the OPTIMIZE verb): re-cluster the
+    * current data on `clusterCols` (range+sort for one column, Z-order
+    * for several), publish atomically, then rebuild the data-skipping
+    * artifacts the re-cluster just earned — zone maps over the cluster
+    * columns, Bloom indexes over `bloomCols` — and refresh CBO stats.
+    * Doing all of it in ONE call is the point: a re-cluster without the
+    * rebuild leaves yesterday's manifests covering none of today's files
+    * (correct — unknown files always scan — but skipping-dead); readers
+    * meanwhile see old layout or new, never a mixture. Hive partitioning
+    * is preserved; clustering then applies within partitions. */
+  def optimize(table: String, clusterCols: Seq[String],
+               partitions: Int = 32, bloomCols: Seq[String] = Nil,
+               analyze: Boolean = true): Unit = {
+    require(clusterCols.nonEmpty, "optimize needs at least one cluster column")
+    val df = read(table)
+    val clustered =
+      if (clusterCols.size == 1)
+        df.repartitionByRange(partitions, col(clusterCols.head))
+          .sortWithinPartitions(col(clusterCols.head))
+      else graft.operators.Layout.zorder(df, clusterCols, partitions)
+    publish(clustered, table, partitioningOf(table), analyze = analyze)
+    buildZoneMap(table, clusterCols)
+    bloomCols.foreach(c => buildBloomIndex(table, c))
   }
 
   /** Size-aware compaction: bin-pack the table's current files toward

@@ -168,6 +168,24 @@ object Cms {
     struct((a("n") + b("n")).as("n"),
       zip_with(a("table"), b("table"), (x, y) => x + y).as("table"))
 
+  /** Inner-product estimate from two sketches with the SAME shape/seeds:
+    * per depth-row, the dot product of the two count vectors; the
+    * estimate is the minimum over rows (Cormode-Muthukrishnan). This is
+    * the equi-join CARDINALITY estimator — `Σ_k f_A(k)·f_B(k)` is
+    * exactly the row count of `A ⋈ B` on the sketched key — and the
+    * error is one-sided: collisions only ADD cross terms, so
+    * `est >= true` always, with `est <= true + n_A·n_B·e/width` w.h.p.
+    * Pure column algebra over the stored structs: estimating a join's
+    * size costs two stored sketches and ZERO scans of either table —
+    * the stats a join planner wants at 100 TB. */
+  def innerProduct(a: Column, b: Column, depth: Int, width: Int): Column =
+    least((0 until depth).map { r =>
+      aggregate(
+        zip_with(slice(a("table"), r * width + 1, width),
+          slice(b("table"), r * width + 1, width), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+    }: _*)
+
   /** Roll up a COLUMN of stored sketches to one (the warehouse pattern:
     * per-partition sketches stored, coarser rollups later without
     * rescanning the data). `collect_list` order is nondeterministic, but

@@ -941,6 +941,36 @@ object ExtendedQueries {
           col("o.est_intersection").as("est_intersection"))
     }),
 
+    // ── join-cardinality estimation from stored sketches (Cormode-
+    //    Muthukrishnan inner product): |lineitem ⋈ orders| estimated from
+    //    two CMS structs with ZERO scans of either table at estimate
+    //    time — the stats a join planner wants at 100 TB. One-sided:
+    //    collisions only ADD cross terms, so est >= exact always (pinned
+    //    beside the exact join count the oracle recomputes) ──
+    "q148_join_size" -> ((s, dir) => {
+      import graft.functions.Cms
+      val depth = 4; val width = 256
+      val a = Td(s, dir, "lineitem")
+        .agg(Cms.sketch(col("l_orderkey").cast("string"), depth, width)
+          .as("ska"))
+      val b = Td(s, dir, "orders")
+        .agg(Cms.sketch(col("o_orderkey").cast("string"), depth, width)
+          .as("skb"))
+      val exact = Td(s, dir, "lineitem").select(col("l_orderkey"))
+        .join(Td(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"))
+        .agg(count(lit(1)).as("exact_join_rows"))
+      a.crossJoin(b).crossJoin(exact) // three 1-row frames
+        .select(
+          Cms.innerProduct(col("ska"), col("skb"), depth, width)
+            .as("est_join_rows"),
+          col("exact_join_rows"),
+          col("ska").getField("n").as("n_left"),
+          col("skb").getField("n").as("n_right"))
+        .withColumn("no_undercount",
+          col("est_join_rows") >= col("exact_join_rows"))
+    }),
+
     // ── per-type activity trend: exact integer least-squares slope of
     //    daily event counts — five long sums of state per group, one
     //    shuffle, slope published as an exact rational + sign-split ppm
@@ -2043,6 +2073,35 @@ object ExtendedQueries {
     "q144_bloom_lookup" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey IN (1, 7, 42, 599)""".stripMargin,
+
+    // q148: both sketches rebuilt cell-exactly via the shared md5-word
+    // buckets (the q130 scheme), the per-row dot products and their min
+    // replayed in integer SQL, the exact join count recomputed directly
+    "q148_join_size" ->
+      """WITH rws(r) AS (VALUES (0), (1), (2), (3)),
+        |la AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+        |ob AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+        |ca AS (SELECT r,
+        |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || k),
+        |                         1, 8)) AS BIGINT) % 256 AS b,
+        |    COUNT(*) AS c
+        |  FROM la, rws GROUP BY 1, 2),
+        |cb AS (SELECT r,
+        |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || k),
+        |                         1, 8)) AS BIGINT) % 256 AS b,
+        |    COUNT(*) AS c
+        |  FROM ob, rws GROUP BY 1, 2),
+        |dots AS (SELECT ca.r, SUM(ca.c * cb.c) AS d
+        |         FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b
+        |         GROUP BY ca.r),
+        |est AS (SELECT CAST(MIN(d) AS BIGINT) AS est_join_rows FROM dots),
+        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows
+        |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT est.est_join_rows, ex.exact_join_rows,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_left,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_right,
+        |  est.est_join_rows >= ex.exact_join_rows AS no_undercount
+        |FROM est, ex""".stripMargin,
 
     // q146: integer sufficient statistics replayed verbatim; ppm slope
     // sign-split so DuckDB's floor // equals Spark's truncating div

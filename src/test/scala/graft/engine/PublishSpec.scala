@@ -348,6 +348,39 @@ class PublishSpec extends SparkSpec {
     assert(rev == Set(("added", 1), ("changed", 3), ("removed", 4)))
   }
 
+  test("streamingQuarantine: clean rows land, violators dead-letter with " +
+      "rule names; cross-row rules are rejected loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import Validation._
+    val wh = new Warehouse(spark, freshRoot)
+    val rules = Seq(NotNull("flag"), InRange("qty", 1.0, 50.0))
+    val stream = MemoryStream[(Long, Double, String)]
+    stream.addData(Seq(
+      (1L, 10.0, "A"),                          // clean
+      (2L, 999.0, "A"),                         // range violation
+      (3L, 7.0, null.asInstanceOf[String]),     // null violation
+      (4L, 999.0, null.asInstanceOf[String]))) // both rules
+    val q = streamingQuarantine(wh,
+      stream.toDF().toDF("id", "qty", "flag"), "good", "dead",
+      rules, java.nio.file.Files.createTempDirectory("wh-quar").toString)
+    q.processAllAvailable()
+    q.stop()
+    assert(wh.read("good").select("id").as[Long].collect().toSeq == Seq(1L))
+    val dead = wh.read("dead").select("id", "_violated")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(dead.keySet == Set(2L, 3L, 4L))
+    assert(dead(2L) == "in_range(qty,1.0,50.0)")
+    assert(dead(3L) == "not_null(flag)")
+    assert(dead(4L) == "not_null(flag),in_range(qty,1.0,50.0)")
+    // rules needing cross-row context cannot gate per row
+    val e = intercept[IllegalArgumentException] {
+      streamingQuarantine(wh, stream.toDF().toDF("id", "qty", "flag"),
+        "g2", "d2", Seq(Unique(Seq("id"))), "/tmp/never")
+    }
+    assert(e.getMessage.contains("cross-row"))
+  }
+
   test("changeFeed carries full payloads: insert/delete rows once, " +
       "changed keys as an update_pre/update_post pair, unchanged silent") {
     val wh = new Warehouse(spark, freshRoot)

@@ -21,6 +21,25 @@ class ZoneMapSpec extends SparkSpec {
     wh.overwrite(df.repartitionByRange(8, col("k")), "t")
   }
 
+  test("optimize: one call re-clusters, rebuilds skipping artifacts, " +
+      "preserves every row") {
+    val wh = new Warehouse(spark, freshRoot)
+    // deliberately UNclustered: k scattered across 8 hash partitions
+    val df = (1 to 8000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    wh.overwrite(df.repartition(8), "t")
+    wh.optimize("t", Seq("k"), partitions = 8, bloomCols = Seq("k"))
+    // data intact
+    assert(wh.read("t").orderBy("k").collect().toSeq ==
+      df.orderBy("k").collect().toSeq)
+    // the re-cluster made the zone map selective
+    val Some((kept, unknown)) = wh.zonePrunedFiles("t", "k", 100L, 300L)
+    assert(unknown.isEmpty && kept.size <= 2, s"kept=${kept.size}")
+    // and the bloom index covers point lookups
+    val Some((bkept, bunknown)) = wh.bloomPrunedFiles("t", "k", Seq(4242L))
+    assert(bunknown.isEmpty && bkept.size <= 2)
+    assert(wh.readBloomPruned("t", "k", Seq(4242L)).count() == 1L)
+  }
+
   test("pruned range read skips most files and matches the full scan") {
     val wh = new Warehouse(spark, freshRoot)
     clustered(wh)

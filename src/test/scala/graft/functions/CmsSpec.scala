@@ -92,6 +92,31 @@ class CmsSpec extends SparkSpec {
     assert(n == wantN && t == wantT.toSeq)
   }
 
+  test("innerProduct: equals the driver cell dot product and never " +
+      "undercounts the true join size") {
+    val rnd = new scala.util.Random(23)
+    val as = Seq.fill(400)(s"k${rnd.nextInt(60)}")
+    val bs = Seq.fill(300)(s"k${rnd.nextInt(80)}")
+    val skA = as.toDF("item").agg(Cms.sketch(col("item"), depth, width).as("a"))
+    val skB = bs.toDF("item").agg(Cms.sketch(col("item"), depth, width).as("b"))
+    val est = skA.crossJoin(skB)
+      .select(Cms.innerProduct(col("a"), col("b"), depth, width))
+      .head().getLong(0)
+    // driver replay: per-row dot of the cell-exact tables, min over rows
+    val (_, ta) = refTable(as)
+    val (_, tb) = refTable(bs)
+    val ref = (0 until depth).map { r =>
+      (0 until width).map(j => ta(r * width + j) * tb(r * width + j)).sum
+    }.min
+    assert(est == ref)
+    // true join size = sum over keys of f_A(k) * f_B(k); one-sided bound
+    val fa = as.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fb = bs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val truth = fa.keySet.intersect(fb.keySet).toSeq
+      .map(k => fa(k) * fb(k)).sum
+    assert(est >= truth)
+  }
+
   test("SQL registration: cms_sketch usable from spark.sql") {
     graft.GraftFunctions.register(spark)
     Seq("p", "q", "p").toDF("item").createOrReplaceTempView("cms_in")
