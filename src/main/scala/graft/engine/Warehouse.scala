@@ -296,6 +296,39 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def readVersion(name: String, version: String): DataFrame =
     readPath(s"${dir(name)}/_versions/$version")
 
+  /** Time travel by TIMESTAMP: the latest version published at or before
+    * `utc` (version ids embed their UTC publish instant, so resolution is
+    * a pure id comparison — no extra metadata to maintain or corrupt).
+    * Loud when `utc` predates the oldest retained version: answering
+    * from a later state would be silently wrong, and [[vacuum]] may have
+    * dropped the right one. */
+  def readAsOf(name: String, utc: java.time.Instant): DataFrame = {
+    val stamp = ZonedDateTime.ofInstant(utc, ZoneOffset.UTC)
+      .format(DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmssSSS"))
+    val vs = listVersions(name).filter(_.take(stamp.length) <= stamp)
+    require(vs.nonEmpty,
+      s"readAsOf '$name': no version at or before $utc is retained " +
+        s"(oldest: ${listVersions(name).headOption.getOrElse("none")})")
+    readVersion(name, vs.max)
+  }
+
+  /** DESCRIBE HISTORY: one row per RETAINED version (vacuum prunes
+    * history with the files) — publish instant parsed from the id, file
+    * count and bytes read live from the version directory, current flag.
+    * Driver-side metadata only; never scans data. */
+  def history(name: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(name)
+    listVersions(name).map { v =>
+      val files = listDataFiles(new Path(s"${dir(name)}/_versions/$v"))
+      val ts = java.time.LocalDateTime.parse(v.take(18),
+        DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmssSSS"))
+        .atZone(ZoneOffset.UTC)
+      (v, java.sql.Timestamp.from(ts.toInstant), files.size.toLong,
+        files.map(_.getLen).sum, cur.contains(v))
+    }.toDF("version", "published_at", "n_files", "bytes", "is_current")
+  }
+
   /** Read a concrete data directory with its `_partitioning` marker
     * applied (exact schema restore) when one is present, or its
     * `_evolved_schema` marker (deterministic union schema — footer

@@ -84,6 +84,45 @@ object Graph {
       iters, dampingPpm)
   }
 
+  /** Triangle count per node over an UNDIRECTED graph (direction and
+    * multiplicity of the input collapse; self-loops drop): the classic
+    * clustering-signal primitive. Implementation is the standard
+    * id-ordered wedge join — canonical edges `(lo < hi)`, wedges
+    * `(a < b < c)` from one self-join on the low endpoint, closed by one
+    * membership join against the edge set — which counts every triangle
+    * exactly once and never materializes a high-degree node's full
+    * neighborhood square (wedges form only under the ordering, the
+    * hub-explosion guard every published formulation uses).
+    *
+    * Output: `(node, triangles)` for every node in ≥1 triangle plus a
+    * zero row for other endpoint nodes. Scale: two equi-join shuffles on
+    * edge keys; shuffle rows bounded by wedge count. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val e = Exec.materialize(
+      edges.select(col(srcCol).cast("long").as("a"),
+          col(dstCol).cast("long").as("b"))
+        .na.drop()
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("lo"),
+          greatest(col("a"), col("b")).as("hi"))
+        .distinct())
+    val nodes = e.select(col("lo").as("node")).union(e.select(col("hi")))
+      .distinct()
+    // wedges a<b<c from edges (a,b) and (a,c); closed iff (b,c) exists
+    val wedges = e.select(col("lo").as("a"), col("hi").as("b"))
+      .join(e.select(col("lo").as("a"), col("hi").as("c")), Seq("a"))
+      .filter(col("b") < col("c"))
+    val tri = wedges.join(e.select(col("lo").as("b"), col("hi").as("c")),
+      Seq("b", "c"))
+    // every triangle (a<b<c) found exactly once; credit all three corners
+    val credits = tri.select(explode(array(col("a"), col("b"), col("c")))
+      .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    nodes.join(credits, Seq("node"), "left")
+      .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
   /** Shared edge/node preparation: dropped-null distinct edges with their
     * out-degree riding beside each edge (so iterations never re-agg), and
     * the endpoint node set — each materialized once. */

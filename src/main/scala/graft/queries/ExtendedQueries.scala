@@ -1045,6 +1045,38 @@ object ExtendedQueries {
       graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
     }),
 
+    // ── personalized PageRank on the q143 graph: reset mass restricted
+    //    to every 10th supplier — ranks measure proximity to the seed
+    //    set. Same exact integer recurrence; the oracle chains 4 CTE
+    //    iterations with the seed-gated base term ──
+    "q149_ppr" -> ((s, dir) => {
+      val pairs = Td(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Td(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + 1000000L).as("p"))
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = Td(s, dir, "lineitem")
+        .select((col("l_suppkey").cast("long") + 1000000L).as("n"))
+        .filter(col("n") % 10 === 0).distinct()
+      graft.operators.Graph.personalizedPageRank(edges, "src", "dst",
+        seeds, "n", iters = 4)
+    }),
+
+    // ── per-node triangle counts via the id-ordered wedge join (the
+    //    hub-guarded formulation — wedges only form under a < b < c);
+    //    general graph derived from lineitem key residues, replayed
+    //    edge-for-edge by the oracle ──
+    "q150_triangles" -> ((s, dir) => {
+      val edges = Td(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1)
+        .select((col("l_orderkey") % 2000).as("a"),
+          (col("l_partkey") % 2000).as("b"))
+      graft.operators.Graph.triangleCounts(edges, "a", "b")
+    }),
+
     // ── Bloom-pruned point lookup through the warehouse: publish a
     //    key-clustered copy of lineitem, index l_orderkey per file, read
     //    an IN-list through the pruned scan. Pruning is an optimization
@@ -2067,6 +2099,57 @@ object ExtendedQueries {
          |$iterCtes
          |SELECT node, CAST(rank AS BIGINT) AS rank_ppm FROM r5""".stripMargin
     },
+
+    // q149: q143's CTE chain with the seed-gated base/start terms (seeds
+    // = supplier-namespace nodes ending in 0, the same rule the query's
+    // seed frame reduces to)
+    "q149_ppr" -> {
+      val seed = "(n.node >= 1000000 AND n.node % 10 = 0)"
+      val iterCtes = (1 to 4).map { k =>
+        s"""r$k AS (SELECT n.node,
+           |  (CASE WHEN $seed THEN 150000 ELSE 0 END) +
+           |    (850000 * COALESCE(s.t, 0)) // 1000000 AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(r.rank // d.d) AS t
+           |    FROM edges e JOIN r${k - 1} r ON r.node = e.src
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+         |    CAST(l.l_suppkey AS BIGINT) + 1000000 AS p
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |edges AS (SELECT c AS src, p AS dst FROM pairs
+         |          UNION ALL SELECT p, c FROM pairs),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+         |        FROM edges GROUP BY src),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |r0 AS (SELECT n.node,
+         |         CAST(CASE WHEN $seed THEN 1000000 ELSE 0 END AS BIGINT)
+         |           AS rank FROM nodes n),
+         |$iterCtes
+         |SELECT node, CAST(rank AS BIGINT) AS rank_ppm FROM r4""".stripMargin
+    },
+
+    // q150: the same ordered-wedge formulation replayed relationally —
+    // canonical edges, wedges a<b<c, closure against the edge set, each
+    // triangle crediting its three corners once
+    "q150_triangles" ->
+      """WITH e0 AS (SELECT DISTINCT
+        |    least(l_orderkey % 2000, l_partkey % 2000) AS lo,
+        |    greatest(l_orderkey % 2000, l_partkey % 2000) AS hi
+        |  FROM lineitem
+        |  WHERE l_linenumber = 1 AND l_orderkey % 2000 <> l_partkey % 2000),
+        |n AS (SELECT lo AS node FROM e0 UNION SELECT hi FROM e0),
+        |w AS (SELECT a.lo AS a, a.hi AS b, c.hi AS c
+        |      FROM e0 a JOIN e0 c ON a.lo = c.lo AND a.hi < c.hi),
+        |t AS (SELECT a, b, c FROM w JOIN e0 ON e0.lo = w.b AND e0.hi = w.c),
+        |cr AS (SELECT x AS node, COUNT(*) AS triangles FROM (
+        |         SELECT a AS x FROM t UNION ALL SELECT b FROM t
+        |         UNION ALL SELECT c FROM t) GROUP BY 1)
+        |SELECT n.node, CAST(COALESCE(cr.triangles, 0) AS BIGINT) AS triangles
+        |FROM n LEFT JOIN cr USING (node)""".stripMargin,
 
     // q144: file pruning is invisible to semantics — the oracle is the
     // plain IN query over the same three columns

@@ -517,6 +517,18 @@ object ScaleQueries {
         horizonMinutes = 30)
     }),
 
+    // ── LEFT-OUTER stream-stream join batch twin: clicks that did NOT
+    //    convert inside the horizon survive null-padded — the attribution
+    //    denominator. Same call runs streaming (null rows emit once the
+    //    right watermark passes a_ts + horizon; EventPipelinesSpec) ──
+    "q151_stream_join_outer" -> ((s, dir) => {
+      val ev = Td(s, dir, "events")
+      graft.streaming.EventPipelines.correlateOuter(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        horizonMinutes = 30)
+    }),
+
     // ── streaming near-dup admission screen, batch twin: arriving docs
     //    (doc_id % 10 == 0) are checked against the STORED corpus
     //    signatures exactly as the always-on stream does — same banding,
@@ -1068,6 +1080,16 @@ object ScaleQueries {
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+        | AND CAST(b.ts AS TIMESTAMP) <=
+        |     CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE""".stripMargin,
+
+    "q151_stream_join_outer" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |       CAST(a.ts AS TIMESTAMP) AS a_ts, CAST(b.ts AS TIMESTAMP) AS b_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
         | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
         | AND CAST(b.ts AS TIMESTAMP) <=
         |     CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE""".stripMargin,

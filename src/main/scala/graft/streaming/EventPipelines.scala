@@ -97,6 +97,29 @@ object EventPipelines {
         col("b_ts"))
   }
 
+  /** LEFT-OUTER [[correlate]]: an `a` event with NO qualifying `b` inside
+    * the horizon still emits — once, null-padded — which is the query
+    * shape attribution actually needs ("clicks that did NOT convert").
+    * On a stream the null row can only emit once "no match" is FINAL:
+    * Spark holds the row until the right-side watermark passes
+    * `a_ts + horizon`, which the time-range join condition makes
+    * state-bounded on both sides. On batch frames it is a plain left
+    * join, which is how the oracle-checked twin runs. */
+  def correlateOuter(a: DataFrame, b: DataFrame, horizonMinutes: Int = 30,
+                     watermark: String = "1 hour"): DataFrame = {
+    val l = a.select(col("user_id"), col("event_id").as("a_id"),
+      col("ts").as("a_ts")).withWatermark("a_ts", watermark)
+    val r = b.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+      col("ts").as("b_ts")).withWatermark("b_ts", watermark)
+    l.join(r,
+        col("user_id") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("a_id"), col("b_id"), col("a_ts"),
+        col("b_ts"))
+  }
+
   /** Custom stateful sessionization with flatMapGroupsWithState: a session
     * closes after `gapSeconds` of user inactivity (processing-time timeout
     * flushes stragglers). The streaming twin of the batch lag/cumsum

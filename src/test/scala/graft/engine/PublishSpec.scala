@@ -333,6 +333,26 @@ class PublishSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
+  test("readAsOf resolves the version current at an instant; history " +
+      "lists retained versions with the current flag") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.publish(Seq((1, "a")).toDF("k", "v"), "t")
+    Thread.sleep(5)
+    val mid = java.time.Instant.now()
+    Thread.sleep(5)
+    wh.publish(Seq((1, "a"), (2, "b")).toDF("k", "v"), "t")
+    assert(wh.readAsOf("t", mid).count() == 1L)               // old state
+    assert(wh.readAsOf("t", java.time.Instant.now()).count() == 2L)
+    val e = intercept[IllegalArgumentException] {
+      wh.readAsOf("t", mid.minusSeconds(3600)) // predates all history
+    }
+    assert(e.getMessage.contains("no version"))
+    val h = wh.history("t").orderBy("version")
+      .select("n_files", "is_current")
+      .collect().map(r => (r.getLong(0) > 0, r.getBoolean(1))).toSeq
+    assert(h == Seq((true, false), (true, true)))
+  }
+
   test("diffVersions reports added/removed/changed keys between publishes") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwrite(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), "t")

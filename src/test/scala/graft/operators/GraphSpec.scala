@@ -108,6 +108,36 @@ class GraphSpec extends SparkSpec {
     assert(got(4L) > 0L) // but mass does reach distance 3 after 5 iters
   }
 
+  test("triangles: K4 gives 3 per node; a pendant edge gives 0") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = k4 ++ Seq((4L, 9L)) // pendant node 9
+    val got = Graph.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 9L -> 0L))
+  }
+
+  test("triangles: random graph matches brute-force triple enumeration; " +
+      "direction and multiplicity collapse") {
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(150)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2)
+    val undirected = edges.map(e => (e._1 min e._2, e._1 max e._2)).toSet
+    val nodes = undirected.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expect = nodes.map { n =>
+      n -> (for {
+        x <- nodes; y <- nodes
+        if x < y && x != n && y != n
+        if undirected((n min x, n max x)) && undirected((n min y, n max y)) &&
+          undirected((x, y))
+      } yield 1).size.toLong
+    }.toMap
+    // feed BOTH directions and duplicates: must collapse
+    val noisy = edges ++ edges.map(_.swap)
+    val got = Graph.triangleCounts(noisy.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("null endpoints drop their edge; node set is surviving endpoints") {
     val edges = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
       (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)))

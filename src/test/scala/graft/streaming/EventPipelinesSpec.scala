@@ -205,6 +205,45 @@ class EventPipelinesSpec extends SparkSpec {
     assert(batch == Set(Seq(1L, 1L, 10L))) // only the in-horizon pair
   }
 
+  test("left-outer correlate: unmatched click emits null-padded once the " +
+      "watermark passes its horizon; matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val clickRows = Seq(Event(1, ts(0), 1, "click", 0),   // converts
+      Event(2, ts(0), 2, "click", 0))                      // never converts
+    val buyRows = Seq(Event(10, ts(10), 1, "purchase", 9.0))
+    clicks.addData(clickRows)
+    buys.addData(buyRows)
+    val q = EventPipelines.correlateOuter(clicks.toDF(), buys.toDF(), 30)
+      .writeStream.format("memory").queryName("corro_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // advance BOTH watermarks far past click+horizon so "no match" for
+    // user 2 becomes final, then let the state purge emit the null row
+    clicks.addData(Seq(Event(90, ts(600), 9, "click", 0)))
+    buys.addData(Seq(Event(91, ts(600), 9, "purchase", 0)))
+    q.processAllAvailable()
+    clicks.addData(Seq(Event(92, ts(1200), 9, "click", 0)))
+    buys.addData(Seq(Event(93, ts(1200), 9, "purchase", 0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("corro_out")
+      .select("user_id", "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(streamed.contains((1L, 1L, Some(10L)))) // the match
+    assert(streamed.contains((2L, 2L, None)),      // the null-padded miss
+      s"unmatched click not emitted; got $streamed")
+    // batch twin: a plain left join over the same rows
+    val batch = EventPipelines.correlateOuter(
+        clickRows.toDF(), buyRows.toDF(), 30)
+      .select("user_id", "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(batch == Set((1L, 1L, Some(10L)), (2L, 2L, None)))
+  }
+
   test("stateful sessionize closes sessions on gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
