@@ -1040,6 +1040,56 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     ()
   }
 
+  /** DELETE WHERE: atomically publish the table minus the matching rows,
+    * returning how many were deleted (the audit number a retention/GDPR
+    * job must log). Same reader-safe publish-and-backup contract as
+    * [[merge]]; partitioning survives. The count costs one extra
+    * conditional aggregate over the same scan the rewrite performs. */
+  def deleteWhere(table: String, predicate: Column): Long = {
+    val existing = read(table)
+    val n = existing.filter(predicate).count()
+    if (n > 0L) {
+      backup(table)
+      publish(existing.filter(!coalesce(predicate, lit(false))), table,
+        partitioningOf(table))
+    }
+    n
+  }
+
+  /** UPDATE WHERE: atomically publish the table with `assignments`
+    * applied to matching rows (null-predicate rows are untouched, SQL
+    * UPDATE semantics), returning the matched-row count. Assignment
+    * columns must already exist — an UPDATE that invents columns is a
+    * schema change and belongs to [[appendEvolved]]'s contract, not
+    * here. */
+  def updateWhere(table: String, predicate: Column,
+                  assignments: Map[String, Column]): Long = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val existing = read(table)
+    val unknown = assignments.keySet -- existing.columns.toSet
+    require(unknown.isEmpty,
+      s"updateWhere '$table': unknown columns $unknown — UPDATE cannot " +
+        "add columns (schema evolution is appendEvolved's contract)")
+    val n = existing.filter(predicate).count()
+    if (n > 0L) {
+      val matched = coalesce(predicate, lit(false))
+      // ONE projection: every assignment expression evaluates against the
+      // ORIGINAL row (SQL UPDATE semantics — assignments never see each
+      // other's results)
+      val updated = existing.select(existing.columns.map { c =>
+        assignments.get(c) match {
+          case Some(v) =>
+            when(matched, v.cast(existing.schema(c).dataType))
+              .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }.toSeq: _*)
+      backup(table)
+      publish(updated, table, partitioningOf(table))
+    }
+    n
+  }
+
   /** Compaction: rewrite a table into `numFiles` files — the answer to
     * the small-files problem that incremental appends accumulate (every
     * append adds a file; scans degrade once file count ≫ cores). An

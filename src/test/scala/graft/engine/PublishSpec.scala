@@ -333,6 +333,35 @@ class PublishSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
+  test("deleteWhere removes exactly the matching rows atomically and " +
+      "reports the count; null predicates delete nothing") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwrite(Seq((1, "a"), (2, null.asInstanceOf[String]), (3, "c"))
+      .toDF("k", "v"), "t")
+    assert(wh.deleteWhere("t", col("v") === "a") == 1L)
+    assert(wh.read("t").select("k").as[Int].collect().toSet == Set(2, 3))
+    // v === "x" is NULL for the null row: not matched, not deleted
+    assert(wh.deleteWhere("t", col("v") === "x") == 0L)
+    assert(wh.read("t").count() == 2L)
+  }
+
+  test("updateWhere applies assignments against ORIGINAL values in one " +
+      "pass; unknown columns are rejected") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwrite(Seq((1, 10L, 100L), (2, 20L, 200L)).toDF("k", "a", "b"), "t")
+    // both assignments read the pre-update row: swap semantics hold
+    val n = wh.updateWhere("t", col("k") === 1,
+      Map("a" -> col("b"), "b" -> col("a")))
+    assert(n == 1L)
+    val got = wh.read("t").orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, 100L, 10L), (2, 20L, 200L)))
+    val e = intercept[IllegalArgumentException] {
+      wh.updateWhere("t", col("k") === 1, Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("unknown columns"))
+  }
+
   test("readAsOf resolves the version current at an instant; history " +
       "lists retained versions with the current flag") {
     val wh = new Warehouse(spark, freshRoot)
