@@ -24,6 +24,53 @@ object Validation {
     missing ++ extra ++ mismatched
   }
 
+  /** Schema-registry-style compatibility check between an old and a new
+    * version of a table schema (the contract an evolving producer must
+    * hold so existing consumers keep working):
+    *
+    *  - `"backward"` — consumers on the NEW schema can read OLD data:
+    *    columns may be added only if nullable (old files null-fill them,
+    *    exactly [[Warehouse.appendEvolved]]'s read contract); dropping a
+    *    column is fine (new readers don't ask for it); type changes
+    *    violate.
+    *  - `"forward"` — consumers on the OLD schema can read NEW data:
+    *    additions are fine (old readers ignore them); dropping a column
+    *    old readers still select violates; type changes violate.
+    *  - `"full"` — both.
+    *
+    * Returns violation messages; empty = compatible under the mode.
+    * Nullability relaxation (required → nullable) is allowed in every
+    * mode; tightening (nullable → required) violates backward (old data
+    * may hold nulls). */
+  def schemaCompatViolations(oldSchema: StructType, newSchema: StructType,
+                             mode: String): Seq[String] = {
+    val o = oldSchema.fields.map(f => f.name -> f).toMap
+    val n = newSchema.fields.map(f => f.name -> f).toMap
+    val added = (n.keySet -- o.keySet).toSeq.sorted
+    val removed = (o.keySet -- n.keySet).toSeq.sorted
+    val typeChanged = (o.keySet & n.keySet).toSeq.sorted.filterNot(c =>
+      org.apache.spark.sql.types.DataType.equalsStructurally(
+        o(c).dataType, n(c).dataType, ignoreNullability = true))
+      .map(c => s"type change $c: ${o(c).dataType.simpleString} -> " +
+        s"${n(c).dataType.simpleString}")
+    val tightened = (o.keySet & n.keySet).toSeq.sorted
+      .filter(c => o(c).nullable && !n(c).nullable)
+      .map(c => s"nullability tightened $c: old data may hold nulls")
+    val backward =
+      added.filterNot(n(_).nullable)
+        .map(c => s"added required column $c: unreadable against old data") ++
+        tightened
+    val forward =
+      removed.map(c => s"removed column $c: old consumers still select it")
+    mode match {
+      case "backward" => typeChanged ++ backward
+      case "forward" => typeChanged ++ forward
+      case "full" => typeChanged ++ backward ++ forward
+      case other => throw new IllegalArgumentException(
+        s"unknown compatibility mode '$other' (backward|forward|full)")
+    }
+  }
+
   /** Field-invariant: rows violating a regex format (e.g. transect_point
     * `^[NSEW]\d{1,2}$`, src/point_intercepts_update.py:230). Empty = valid. */
   def regexViolations(df: DataFrame, column: String, pattern: String): DataFrame =

@@ -1436,6 +1436,31 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Consistent MULTI-TABLE snapshot export: every listed table read
+    * [[readAsOf]] the SAME instant, so cross-table invariants (fact rows
+    * ↔ dimension rows published together) hold in the exported set even
+    * while publishes keep landing concurrently — the cross-table
+    * consistency single-table time travel can't give. Loud if any table
+    * has no version at the instant. */
+  def exportSnapshot(tables: Seq[String], utc: java.time.Instant,
+                     outDir: String): Unit = {
+    require(tables.nonEmpty, "exportSnapshot needs at least one table")
+    tables.foreach { t =>
+      readAsOf(t, utc).write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"$outDir/$t")
+    }
+  }
+
+  /** ORC edge (the columnar-interchange sibling of the CSV edge): export
+    * a table as ORC for engines standardized on it. */
+  def exportOrc(name: String, outPath: String): Unit =
+    read(name).write.mode(SaveMode.ErrorIfExists).orc(outPath)
+
+  /** Read an ORC directory with a DECLARED schema (never inferred —
+    * the same discipline every other edge here follows). */
+  def readOrc(path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** S14: timestamped backup of a table before mutation; returns the
     * backup path (restore = read(backupPath) + overwrite). */
   def backup(name: String): String = {

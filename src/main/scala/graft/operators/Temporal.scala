@@ -89,4 +89,38 @@ object Temporal {
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join: all (a, b) pairs sharing `keys` whose closed
+    * intervals `[aStart, aEnd]` and `[bStart, bEnd]` overlap
+    * (`aStart <= bEnd AND bStart <= aEnd`) — sessions × campaign windows,
+    * outage × deploy overlap, any interval-algebra question
+    * [[rangeJoin]]'s point-in-interval shape can't phrase.
+    *
+    * Both sides explode to the time bins they cover and candidates meet
+    * in an equi-join on `(keys, bin)` — but an overlapping pair shares
+    * EVERY bin of its overlap region, so instead of an (expensive)
+    * distinct, each pair is credited exactly once IN the join filter: at
+    * the bin containing `max(aStart, bStart)`, the overlap's first
+    * instant — a point both intervals cover, so both sides are
+    * guaranteed to have exploded that bin. No cartesian anywhere; pick
+    * `binSeconds` near the typical interval length (shuffle ∝ rows ×
+    * span/bin). Rows with `start > end` drop, as in [[rangeJoin]]. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
+                          aStart: String, aEnd: String,
+                          bStart: String, bEnd: String,
+                          binSeconds: Long = 600L): DataFrame = {
+    require(binSeconds > 0, "intervalOverlapJoin: binSeconds must be positive")
+    require(Seq(aStart, aEnd, bStart, bEnd).distinct.size == 4,
+      "interval column names must be distinct across the two sides")
+    def binOf(c: Column): Column = floor(unix_seconds(c) / binSeconds)
+    def explodeBins(df: DataFrame, s: String, e: String) = df
+      .filter(col(s) <= col(e))
+      .withColumn("__bin", explode(sequence(binOf(col(s)), binOf(col(e)))))
+    val ea = explodeBins(a, aStart, aEnd)
+    val eb = explodeBins(b, bStart, bEnd)
+    ea.join(eb, keys :+ "__bin")
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        col("__bin") === greatest(binOf(col(aStart)), binOf(col(bStart))))
+      .drop("__bin")
+  }
 }

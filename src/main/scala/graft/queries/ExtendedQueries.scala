@@ -1077,6 +1077,26 @@ object ExtendedQueries {
       graft.operators.Graph.triangleCounts(edges, "a", "b")
     }),
 
+    // ── interval-OVERLAP join (interval algebra beyond q58's point-in-
+    //    interval): same-user click windows [ts, ts+30m] × view windows
+    //    [ts, ts+10m] that overlap. Binned equi-join; each pair credits
+    //    exactly once at the bin of max(starts) — no distinct, no
+    //    cartesian. The oracle is the plain predicate join ──
+    "q152_interval_join" -> ((s, dir) => {
+      val ev = Td(s, dir, "events")
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("a_id"),
+          col("ts").as("a_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("a_end"))
+      val b = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("b_id"),
+          col("ts").as("b_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("b_end"))
+      graft.operators.Temporal.intervalOverlapJoin(a, b, Seq("user_id"),
+        "a_start", "a_end", "b_start", "b_end", binSeconds = 600)
+        .select(col("user_id"), col("a_id"), col("b_id"))
+    }),
+
     // ── Bloom-pruned point lookup through the warehouse: publish a
     //    key-clustered copy of lineitem, index l_orderkey per file, read
     //    an IN-list through the pruned scan. Pruning is an optimization
@@ -2150,6 +2170,21 @@ object ExtendedQueries {
         |         UNION ALL SELECT c FROM t) GROUP BY 1)
         |SELECT n.node, CAST(COALESCE(cr.triangles, 0) AS BIGINT) AS triangles
         |FROM n LEFT JOIN cr USING (node)""".stripMargin,
+
+    // q152: binning + first-shared-bin crediting are invisible to
+    // semantics — the oracle is the plain overlap-predicate join
+    "q152_interval_join" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id,
+        |    CAST(ts AS TIMESTAMP) AS s,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS b_id,
+        |    CAST(ts AS TIMESTAMP) AS s,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS e
+        |  FROM events WHERE event_type = 'view')
+        |SELECT a.user_id, a.a_id, b.b_id
+        |FROM a JOIN b ON a.user_id = b.user_id
+        | AND a.s <= b.e AND b.s <= a.e""".stripMargin,
 
     // q144: file pruning is invisible to semantics — the oracle is the
     // plain IN query over the same three columns

@@ -217,7 +217,17 @@ object ScaleSweep {
         // over the ×10 lineitem⋈orders graph (nodes and edges both ×10,
         // 2 shuffles/iteration), bloom-pruned lookup through a published
         // ×10 copy (pruned scan must stay a small fraction of files)
-        "q142_scd2_history", "q143_pagerank", "q144_bloom_lookup")
+        "q142_scd2_history", "q143_pagerank", "q144_bloom_lookup",
+        // round 6n: entity resolution over ×20 customers (deletion-
+        // neighborhood + CC over verified pairs), trend/CDC/outer-join/
+        // interval-join over the scaled events/lineitem, PPR on the ×10
+        // graph, join-size sketches over ×10 lineitem. q150's residue
+        // graph deliberately SATURATES at scale (2000-node fixture) —
+        // excluded; the operator's scale shape is wedge-bounded by
+        // construction and GraphSpec covers it
+        "q145_entity_resolution", "q146_trend", "q147_change_feed",
+        "q148_join_size", "q149_ppr", "q151_stream_join_outer",
+        "q152_interval_join")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     for (dir <- Seq(src, out); n <- names) {

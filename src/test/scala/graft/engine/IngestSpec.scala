@@ -360,6 +360,49 @@ class IngestSpec extends SparkSpec {
       .map(_.getString(0)).sorted.toSeq == Seq("s1", "s2", "s3"))
   }
 
+  test("schema compatibility modes: backward/forward/full classify adds, " +
+      "drops, type changes and nullability tightening") {
+    import org.apache.spark.sql.types._
+    import Validation.schemaCompatViolations
+    val old = StructType(Seq(StructField("a", LongType, nullable = true),
+      StructField("b", StringType, nullable = true)))
+    val addNullable = old.add(StructField("c", IntegerType, nullable = true))
+    val addRequired = old.add(StructField("c", IntegerType, nullable = false))
+    val dropped = StructType(old.fields.take(1))
+    val retyped = StructType(Seq(StructField("a", StringType, true),
+      StructField("b", StringType, true)))
+    val tightened = StructType(Seq(StructField("a", LongType, false),
+      StructField("b", StringType, true)))
+    assert(schemaCompatViolations(old, addNullable, "full").isEmpty)
+    assert(schemaCompatViolations(old, addRequired, "backward").nonEmpty)
+    assert(schemaCompatViolations(old, addRequired, "forward").isEmpty)
+    assert(schemaCompatViolations(old, dropped, "forward").nonEmpty)
+    assert(schemaCompatViolations(old, dropped, "backward").isEmpty)
+    assert(schemaCompatViolations(old, retyped, "backward").nonEmpty)
+    assert(schemaCompatViolations(old, tightened, "backward").nonEmpty)
+    assert(schemaCompatViolations(old, tightened, "forward").isEmpty)
+    intercept[IllegalArgumentException] {
+      schemaCompatViolations(old, old, "sideways")
+    }
+  }
+
+  test("ORC edge: export + declared-schema read round-trips values and types") {
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("wh-orc").toString)
+    val df = Seq((1L, "a", 1.5, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, null.asInstanceOf[String], -0.25,
+        java.sql.Timestamp.valueOf("2024-06-15 23:59:59")))
+      .toDF("id", "s", "x", "t")
+    wh.overwrite(df, "t")
+    val out = Files.createTempDirectory("orc-out").toString + "/t"
+    wh.exportOrc("t", out)
+    val back = wh.readOrc(out, df.schema)
+    assert(back.schema == df.schema ||
+      back.schema.map(f => (f.name, f.dataType)) ==
+        df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
   test("warehouse CSV round-trip with latin-1 and date format") {
     val root = Files.createTempDirectory("whcsv").toString
     val csvDir = s"$root/in"

@@ -333,6 +333,26 @@ class PublishSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
+  test("exportSnapshot reads every table as of ONE instant — cross-table " +
+      "consistency under concurrent publishes") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.publish(Seq((1, "f1")).toDF("k", "v"), "fact")
+    wh.publish(Seq((1, "d1")).toDF("k", "v"), "dim")
+    Thread.sleep(5)
+    val snap = java.time.Instant.now()
+    Thread.sleep(5)
+    // later publishes must be invisible to the snapshot
+    wh.publish(Seq((1, "f2"), (2, "f2")).toDF("k", "v"), "fact")
+    wh.publish(Seq((1, "d2"), (2, "d2")).toDF("k", "v"), "dim")
+    val out = java.nio.file.Files.createTempDirectory("wh-snap").toString
+    wh.exportSnapshot(Seq("fact", "dim"), snap, out)
+    for (t <- Seq("fact", "dim")) {
+      val rows = spark.read.parquet(s"$out/$t")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows == Seq((1, s"${t.head}1")), s"table $t: $rows")
+    }
+  }
+
   test("deleteWhere removes exactly the matching rows atomically and " +
       "reports the count; null predicates delete nothing") {
     val wh = new Warehouse(spark, freshRoot)

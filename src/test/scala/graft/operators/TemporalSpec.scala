@@ -90,6 +90,37 @@ class TemporalSpec extends SparkSpec {
     assert(expected.values.exists(_.nonEmpty))
   }
 
+  test("intervalOverlapJoin equals the naive predicate join — each pair " +
+      "exactly once, multi-bin spans included, touching endpoints overlap") {
+    val rnd = new scala.util.Random(13)
+    def iv(n: Int, id0: Int) = (0 until n).map { i =>
+      val s = rnd.nextInt(100000)
+      // spans from sub-bin to many-bin (binSeconds = 600 below)
+      (s"u${rnd.nextInt(4)}", (id0 + i).toLong,
+        new Timestamp(s * 1000L), new Timestamp((s + rnd.nextInt(5000)) * 1000L))
+    }
+    val as = iv(80, 0)
+    val bs = iv(60, 1000)
+    val a = as.toDF("user_id", "a_id", "a_start", "a_end")
+    val b = bs.toDF("user_id", "b_id", "b_start", "b_end")
+    val got = Temporal.intervalOverlapJoin(a, b, Seq("user_id"),
+        "a_start", "a_end", "b_start", "b_end", binSeconds = 600)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(got.size == got.distinct.size, "a pair was credited twice")
+    val expect = for {
+      (ua, ai, s1, e1) <- as; (ub, bi, s2, e2) <- bs
+      if ua == ub && !s1.after(e2) && !s2.after(e1)
+    } yield (ai, bi)
+    assert(got.toSet == expect.toSet && got.size == expect.size)
+    // touching endpoints: closed intervals overlap at the shared instant
+    val t1 = Seq(("u", 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "a_id", "a_start", "a_end")
+    val t2 = Seq(("u", 2L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("user_id", "b_id", "b_start", "b_end")
+    assert(Temporal.intervalOverlapJoin(t1, t2, Seq("user_id"),
+      "a_start", "a_end", "b_start", "b_end").count() == 1L)
+  }
+
   test("rangeJoin equals the naive between-filter join") {
     val points = (0 until 200).map(i =>
       (i.toLong, ts(f"2024-01-01 ${i % 24}%02d:${(i * 13) % 60}%02d:00")))
