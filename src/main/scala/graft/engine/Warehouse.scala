@@ -1043,8 +1043,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** DELETE WHERE: atomically publish the table minus the matching rows,
     * returning how many were deleted (the audit number a retention/GDPR
     * job must log). Same reader-safe publish-and-backup contract as
-    * [[merge]]; partitioning survives. The count costs one extra
-    * conditional aggregate over the same scan the rewrite performs. */
+    * [[merge]]; partitioning survives. The count is one filtered
+    * count pass before the rewrite (two scans total — the price of the
+    * audit number; both read the same immutable version). */
   def deleteWhere(table: String, predicate: Column): Long = {
     val existing = read(table)
     val n = existing.filter(predicate).count()
@@ -1494,8 +1495,52 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * queries run against the warehouse by name (the BigQuery-SQL entry
     * point of the reference, S5/S8 — views also appear in
     * `spark.catalog.listTables`). */
-  def registerAll(): Unit =
+  def registerAll(): Unit = {
     listTables().foreach(t => read(t).createOrReplaceTempView(t))
+    // views after tables: a view's SQL may reference any table (or an
+    // earlier view — listed order is lexicographic, so name accordingly)
+    listViews().foreach { v =>
+      spark.sql(viewSql(v)).createOrReplaceTempView(v)
+    }
+  }
+
+  // ── persisted views: the BigQuery-dataset view surface. A view is a
+  // stored SQL text (not data); registerAll materializes it as a temp
+  // view over the registered tables, so any Warehouse instance on this
+  // root sees the same derived tables.
+
+  private def viewPath(name: String) = new Path(s"$root/_views/$name.sql")
+
+  /** Store (or replace) a named view definition. Atomic: a reader of the
+    * definition sees old or new text, never a torn file. */
+  def createView(name: String, sqlText: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"view name '$name' must be a plain identifier")
+    atomicWrite(viewPath(name), sqlText)
+  }
+
+  def viewSql(name: String): String = {
+    val p = viewPath(name)
+    val f = rawFs(p)
+    require(f.exists(p), s"no view named '$name'")
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  def listViews(): Seq[String] = {
+    val vroot = new Path(s"$root/_views")
+    val f = fs(vroot)
+    if (!f.exists(vroot)) Seq.empty
+    else f.listStatus(vroot).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".sql")).map(_.stripSuffix(".sql")).sorted
+  }
+
+  def dropView(name: String): Unit = {
+    val p = viewPath(name)
+    rawFs(p).delete(p, false)
+    ()
+  }
 
   def sql(query: String): DataFrame = spark.sql(query)
 

@@ -1077,6 +1077,79 @@ object ExtendedQueries {
       graft.operators.Graph.triangleCounts(edges, "a", "b")
     }),
 
+    // ── TPC-H Q3 shape (shipping priority): segment-filtered customer ⋈
+    //    date-cut orders ⋈ lineitem, revenue per order, top 10 — the
+    //    classic selective multi-way join+agg with a broadcast dim and
+    //    both date filters pushed into the scans ──
+    "q153_shipping_priority" -> ((s, dir) => {
+      import s.implicits._
+      val cut = to_timestamp(lit("1996-03-15 00:00:00"))
+      val c = Td(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val o = Td(s, dir, "orders").filter($"o_orderdate" < cut)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+          $"o_orderpriority")
+      val l = Td(s, dir, "lineitem").filter($"l_shipdate" > cut)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(graft.engine.JoinPolicy.broadcastIfSmall(c),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(sum($"l_extendedprice".cast(D) * (lit(1) - $"l_discount".cast(D)))
+          .cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+
+    // ── TPC-H Q5 shape (local supplier volume): the 6-table star chain
+    //    with the SAME-NATION customer/supplier constraint, revenue per
+    //    nation for one region-year — region/nation broadcast, facts
+    //    shuffle once per join key ──
+    "q154_local_volume" -> ((s, dir) => {
+      import s.implicits._
+      val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+      val hi = to_timestamp(lit("1997-01-01 00:00:00"))
+      val nr = Td(s, dir, "nation")
+        .join(Td(s, dir, "region").filter($"r_name" === "ASIA"),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      val su = Td(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+      val cu = Td(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+      val or = Td(s, dir, "orders")
+        .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+        .select($"o_orderkey", $"o_custkey")
+      Td(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+        .join(or, $"l_orderkey" === $"o_orderkey")
+        .join(graft.engine.JoinPolicy.broadcastIfSmall(su),
+          $"l_suppkey" === $"s_suppkey")
+        .join(cu, $"o_custkey" === $"c_custkey")
+        .filter($"c_nationkey" === $"s_nationkey") // LOCAL volume
+        .join(graft.engine.JoinPolicy.broadcastIfSmall(nr),
+          $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(sum($"l_extendedprice".cast(D) * (lit(1) - $"l_discount".cast(D)))
+          .cast("double").as("revenue"))
+    }),
+
+    // ── window-rank family: rank/dense_rank over a TIED ordering (the
+    //    bucket), ntile/row_number over the tie-broken total order —
+    //    both windows share ONE priority shuffle ──
+    "q155_window_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val bucket = floor($"o_totalprice" / 10000).cast("long")
+      val w1 = Window.partitionBy($"o_orderpriority").orderBy(bucket.desc)
+      val w2 = Window.partitionBy($"o_orderpriority")
+        .orderBy(bucket.desc, $"o_orderkey")
+      Td(s, dir, "orders")
+        .select($"o_orderpriority", $"o_orderkey", bucket.as("price_bucket"),
+          rank().over(w1).as("rnk"), dense_rank().over(w1).as("drnk"),
+          ntile(4).over(w2).as("quartile"),
+          row_number().over(w2).as("rn"))
+        .filter($"rn" <= 50)
+    }),
+
     // ── interval-OVERLAP join (interval algebra beyond q58's point-in-
     //    interval): same-user click windows [ts, ts+30m] × view windows
     //    [ts, ts+10m] that overlap. Binned equi-join; each pair credits
@@ -2170,6 +2243,56 @@ object ExtendedQueries {
         |         UNION ALL SELECT c FROM t) GROUP BY 1)
         |SELECT n.node, CAST(COALESCE(cr.triangles, 0) AS BIGINT) AS triangles
         |FROM n LEFT JOIN cr USING (node)""".stripMargin,
+
+    // q153/q154: decimal-cast products before the sum (the q01 float-
+    // determinism contract); ordering tie-broken by unique keys
+    "q153_shipping_priority" ->
+      """SELECT l.l_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |  o.o_orderpriority,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND CAST(o.o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-03-15'
+        |  AND CAST(l.l_shipdate AS TIMESTAMP) > TIMESTAMP '1996-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
+
+    "q154_local_volume" ->
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+        |  AND CAST(o.o_orderdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+        |  AND CAST(o.o_orderdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q155_window_ranks" ->
+      """WITH b AS (SELECT o_orderpriority, o_orderkey,
+        |    CAST(floor(o_totalprice / 10000) AS BIGINT) AS price_bucket
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, price_bucket,
+        |    CAST(rank() OVER w1 AS INTEGER) AS rnk,
+        |    CAST(dense_rank() OVER w1 AS INTEGER) AS drnk,
+        |    CAST(ntile(4) OVER w2 AS INTEGER) AS quartile,
+        |    CAST(row_number() OVER w2 AS INTEGER) AS rn
+        |  FROM b
+        |  WINDOW w1 AS (PARTITION BY o_orderpriority
+        |                ORDER BY price_bucket DESC),
+        |         w2 AS (PARTITION BY o_orderpriority
+        |                ORDER BY price_bucket DESC, o_orderkey))
+        |WHERE rn <= 50""".stripMargin,
 
     // q152: binning + first-shared-bin crediting are invisible to
     // semantics — the oracle is the plain overlap-predicate join

@@ -333,6 +333,27 @@ class PublishSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
+  test("persisted views: definitions survive a fresh Warehouse instance " +
+      "and registerAll materializes them over the registered tables") {
+    val root = freshRoot
+    val wh = new Warehouse(spark, root)
+    wh.overwrite(Seq((1, 10.0), (2, 20.0)).toDF("k", "x"), "vw_base")
+    wh.createView("vw_sum",
+      "SELECT CAST(SUM(x) AS DOUBLE) AS s FROM vw_base")
+    val wh2 = new Warehouse(spark, root) // a different session/process
+    wh2.registerAll()
+    assert(spark.sql("SELECT s FROM vw_sum").head().getDouble(0) == 30.0)
+    assert(wh2.listViews() == Seq("vw_sum"))
+    // replace is atomic; the new text wins
+    wh2.createView("vw_sum",
+      "SELECT CAST(COUNT(*) AS BIGINT) AS s FROM vw_base")
+    wh2.registerAll()
+    assert(spark.sql("SELECT s FROM vw_sum").head().getLong(0) == 2L)
+    wh2.dropView("vw_sum")
+    assert(wh2.listViews().isEmpty)
+    intercept[IllegalArgumentException] { wh2.createView("bad name", "x") }
+  }
+
   test("exportSnapshot reads every table as of ONE instant — cross-table " +
       "consistency under concurrent publishes") {
     val wh = new Warehouse(spark, freshRoot)
