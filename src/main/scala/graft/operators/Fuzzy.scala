@@ -102,4 +102,56 @@ object Fuzzy {
       .withColumn("entity_id", coalesce(col("label"), col(idCol)))
       .drop("__rid", "label")
   }
+
+  /** INCREMENTAL entity resolution: attach a `batch` of new records to an
+    * already-`resolved` population (the [[resolveEntities]] output shape:
+    * `idCol`, `strCol`, `entity_id`) without re-resolving it.
+    *
+    * Semantics — the standard production contract:
+    *  - existing `entity_id`s are FROZEN: a batch record within `maxDist`
+    *    of existing records joins their entity; batch-only clusters mint
+    *    the cluster's min batch id as a new entity;
+    *  - batch chains propagate (a→b→existing all land on the existing
+    *    entity);
+    *  - a batch record bridging TWO existing entities does NOT merge them
+    *    (that would rewrite frozen history); it attaches to the smaller
+    *    label. Periodic full re-resolution reconciles such bridges — the
+    *    same compact-to-heal cycle the incremental near-dup path uses.
+    *
+    * Id contract: batch ids must exceed every existing entity id
+    * (monotone id allocation — true of any sequence/snowflake scheme), so
+    * min-labeling can never prefer a batch id over an existing entity.
+    *
+    * Scale: the deletion-neighborhood candidate join runs batch↔resolved
+    * and batch↔batch — NEVER resolved↔resolved, which is what makes the
+    * incremental path cheap (cost ∝ batch, not population). Components
+    * form over the verified pair list only. */
+  def resolveIncremental(resolved: DataFrame, batch: DataFrame,
+                         idCol: String, strCol: String,
+                         maxDist: Int = 1): DataFrame = {
+    // candidates via the shared variant key; the resolved side carries its
+    // ENTITY as the node, so CC directly connects batch ids to entities
+    def keyed(df: DataFrame, node: Column) =
+      graft.functions.Generates.explodeOnce(
+        df.select(node.as("__node"), col(strCol).as("__s"))
+          .where(col("__s").isNotNull),
+        Seq(col("__node"), col("__s")),
+        deletionVariants(col("__s"), maxDist), "__k")
+    val rk = keyed(resolved, col("entity_id"))
+      .select(col("__k"), col("__node").as("id_a"), col("__s").as("__sa"))
+    val bk = keyed(batch, col(idCol))
+    val bkA = bk.select(col("__k"), col("__node").as("id_a"), col("__s").as("__sa"))
+    val bkB = bk.select(col("__k"), col("__node").as("id_b"), col("__s").as("__sb"))
+    val pairs = rk.unionByName(bkA).join(bkB, Seq("__k"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb")).distinct()
+      .where(levenshtein(col("__sa"), col("__sb")) <= maxDist)
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "__rid")
+    val labeledBatch = batch.join(labels, col(idCol) === col("__rid"), "left")
+      .withColumn("entity_id", coalesce(col("label"), col(idCol)))
+      .drop("__rid", "label")
+    resolved.unionByName(labeledBatch.select(resolved.columns.map(col): _*))
+  }
 }

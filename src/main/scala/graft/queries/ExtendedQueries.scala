@@ -725,6 +725,33 @@ object ExtendedQueries {
         .select(col("id"), col("entity_id"))
     }),
 
+    // ── INCREMENTAL entity resolution on the q145 planted scheme: the
+    //    resolved population is base ∪ first-typo; the batch brings a
+    //    SECOND typo per 100th customer (distance 2 from the first — it
+    //    attaches through the frozen base entity, never re-resolving the
+    //    population) and fresh far-away records that mint themselves ──
+    "q156_entity_incremental" -> ((s, dir) => {
+      val base = Td(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"),
+          md5(col("c_custkey").cast("string")).as("name"))
+      val t1 = base.filter(col("id") % 50 === 0)
+        .select((col("id") + 10000000L).as("id"),
+          concat(lit("x"), substring(col("name"), 2, 31)).as("name"))
+      val resolved = graft.operators.Fuzzy.resolveEntities(
+        base.unionByName(t1)
+          .repartition(s.sparkContext.defaultParallelism, col("id")),
+        "id", "name", maxDist = 1)
+      val t2 = base.filter(col("id") % 100 === 0)
+        .select((col("id") + 20000000L).as("id"),
+          concat(substring(col("name"), 1, 31), lit("x")).as("name"))
+      val fresh = base.filter(col("id") % 75 === 0)
+        .select((col("id") + 30000000L).as("id"),
+          concat(lit("zz"), substring(col("name"), 1, 30)).as("name"))
+      graft.operators.Fuzzy.resolveIncremental(resolved,
+        t2.unionByName(fresh), "id", "name", maxDist = 1)
+        .select(col("id"), col("entity_id"))
+    }),
+
     // ── the distance-2 path (C(len,2) deletion neighborhood): one
     //    nation's customers — zero-padded key names make digit space
     //    dense, so t=2 on the full table would mostly measure result
@@ -2388,6 +2415,17 @@ object ExtendedQueries {
         |  CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_keys
         |FROM feed GROUP BY _change""".stripMargin,
+
+    // q156: the incremental planted contract — typos resolve to their
+    // base id whether they arrived with the population or in the batch;
+    // fresh far-away records mint their own ids
+    "q156_entity_incremental" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer)
+        |SELECT id, id AS entity_id FROM c
+        |UNION ALL SELECT id + 10000000, id FROM c WHERE id % 50 = 0
+        |UNION ALL SELECT id + 20000000, id FROM c WHERE id % 100 = 0
+        |UNION ALL SELECT id + 30000000, id + 30000000 FROM c
+        |  WHERE id % 75 = 0""".stripMargin,
 
     // q145: planted-contract replay (the q52/q96 scheme) — md5-hex names
     // are pairwise FAR apart, so the only distance-<=1 pairs are the

@@ -61,6 +61,37 @@ class FuzzySpec extends SparkSpec {
       7L -> 7L))
   }
 
+  test("resolveIncremental: batch attaches through chains, mints new " +
+      "entities, equals the full rebuild when no bridges exist") {
+    val base = Seq(1L -> "kitten", 2L -> "kittex", 5L -> "zebra")
+      .toDF("id", "name")
+    val resolved = Fuzzy.resolveEntities(base, "id", "name", 1)
+    val batch = Seq(
+      10L -> "mitten",   // dist 1 of kitten -> entity 1
+      11L -> "mittex",   // chains through 10 -> entity 1
+      12L -> "orange", 13L -> "orangu") // fresh cluster -> entity 12
+      .toDF("id", "name")
+    val got = Fuzzy.resolveIncremental(resolved, batch, "id", "name", 1)
+      .select("id", "entity_id").as[(Long, Long)].collect().toMap
+    val full = Fuzzy.resolveEntities(base.unionByName(batch), "id", "name", 1)
+      .select("id", "entity_id").as[(Long, Long)].collect().toMap
+    assert(got == full)
+    assert(got(10L) == 1L && got(11L) == 1L && got(13L) == 12L
+      && got(5L) == 5L)
+  }
+
+  test("resolveIncremental: a bridging record attaches to the SMALLER " +
+      "frozen entity and never merges the two") {
+    val base = Seq(1L -> "abcd", 3L -> "abef").toDF("id", "name")
+    val resolved = Fuzzy.resolveEntities(base, "id", "name", 1)
+    // distinct entities: lev(abcd, abef) = 2
+    assert(resolved.select("entity_id").as[Long].collect().toSet == Set(1L, 3L))
+    val batch = Seq(10L -> "abcf").toDF("id", "name") // dist 1 of BOTH
+    val got = Fuzzy.resolveIncremental(resolved, batch, "id", "name", 1)
+      .select("id", "entity_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 3L, 10L -> 1L))
+  }
+
   test("deletionVariants: empty and single-char strings are safe") {
     val got = spark.range(1).select(
         Fuzzy.deletionVariants(lit(""), 2).as("e"),
