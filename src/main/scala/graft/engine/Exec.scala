@@ -65,4 +65,27 @@ object Exec {
       spark.read.schema(df.schema).parquet(path)
     }
   }
+
+  /** In-flight pipeline metrics via Spark's Observation API: attach
+    * aggregate expressions (row counts, null counts, min/max watermarks)
+    * that are computed DURING whatever action consumes the returned
+    * frame — a 100 TB pipeline reports its audit numbers for free,
+    * instead of paying a second full scan per metric the way a separate
+    * `df.count()` / `agg()` would.
+    *
+    * Returns the instrumented frame and a thunk that yields the metric
+    * map; call the thunk AFTER an action has run the frame (it blocks
+    * briefly until the observation lands). Metrics observe the rows
+    * flowing at THIS point of the plan — before downstream filters,
+    * after upstream ones — which is exactly what a stage-level audit
+    * wants. */
+  def observed(df: DataFrame, name: String,
+               metrics: Map[String, org.apache.spark.sql.Column])
+      : (DataFrame, () => Map[String, Any]) = {
+    require(metrics.nonEmpty, "observed needs at least one metric column")
+    val obs = new org.apache.spark.sql.Observation(name)
+    val cols = metrics.map { case (n, c) => c.as(n) }.toSeq
+    val out = df.observe(obs, cols.head, cols.tail: _*)
+    (out, () => obs.get)
+  }
 }

@@ -136,4 +136,40 @@ object Quality {
       .withColumn("__ord", collation)
       .orderBy(col("__ord")).drop("__ord")
   }
+
+  /** Robust per-group outlier audit: rows farther than `k` MADs from the
+    * group median — the data-quality screen that, unlike mean/stddev
+    * z-scores, outliers cannot poison (breakdown point 50%).
+    *
+    * Median and MAD come from the BOUNDED-STATE histogram percentiles
+    * ([[graft.operators.Percentiles.histogramPercentiles]] — state is
+    * |groups|×|bins| counts at `binWidth` resolution, never a value
+    * buffer), so the audit holds its plan at any scale AND stays
+    * engine-deterministic: every number is integer counts × exact bin
+    * arithmetic, which is what lets q157's oracle replay it verbatim.
+    * Cost: three map-side-combined scans (median pass, deviation-median
+    * pass, final count) with only histogram-sized shuffles; the two
+    * percentile frames broadcast back.
+    *
+    * Output: keys ++ (med, mad, n, n_outliers); nulls excluded. A
+    * degenerate group (≥ half its mass in one bin of deviations) has
+    * mad = 0 and counts every nonzero-deviation row — interpret with the
+    * returned mad in hand. */
+  def robustOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+                     binWidth: Double, k: Double = 3.0): DataFrame = {
+    import graft.operators.Percentiles.histogramPercentiles
+    val rows = df.filter(col(valueCol).isNotNull)
+    val med = histogramPercentiles(rows, keys, valueCol, binWidth,
+      Seq("med" -> 0.5)).select((keys.map(col) :+ col("med")): _*)
+    val dev = rows.join(JoinPolicy.broadcastIfSmall(med), keys)
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    val mad = histogramPercentiles(dev, keys, "__dev", binWidth,
+      Seq("mad" -> 0.5)).select((keys.map(col) :+ col("mad")): _*)
+    dev.join(JoinPolicy.broadcastIfSmall(mad), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("__dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

@@ -1104,6 +1104,15 @@ object ExtendedQueries {
       graft.operators.Graph.triangleCounts(edges, "a", "b")
     }),
 
+    // ── robust outlier audit: |x − median| > 3·MAD per returnflag, both
+    //    statistics from the BOUNDED-STATE histogram percentiles (q86's
+    //    machinery), so the whole audit is integer counts × exact bin
+    //    arithmetic and the oracle replays it verbatim ──
+    "q157_robust_outliers" -> ((s, dir) =>
+      graft.engine.Quality.robustOutliers(
+        Td(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        binWidth = 100.0, k = 3.0)),
+
     // ── TPC-H Q3 shape (shipping priority): segment-filtered customer ⋈
     //    date-cut orders ⋈ lineitem, revenue per order, top 10 — the
     //    classic selective multi-way join+agg with a broadcast dim and
@@ -2270,6 +2279,34 @@ object ExtendedQueries {
         |         UNION ALL SELECT c FROM t) GROUP BY 1)
         |SELECT n.node, CAST(COALESCE(cr.triangles, 0) AS BIGINT) AS triangles
         |FROM n LEFT JOIN cr USING (node)""".stripMargin,
+
+    // q157: q86's histogram replay twice (value median, deviation
+    // median), then the deterministic threshold count
+    "q157_robust_outliers" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS x
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b1 AS (SELECT g, CAST(floor(x / 100.0) AS BIGINT) AS bin,
+        |         COUNT(*) AS c FROM v GROUP BY 1, 2),
+        |w1 AS (SELECT g, bin,
+        |         SUM(c) OVER (PARTITION BY g ORDER BY bin) AS cum,
+        |         SUM(c) OVER (PARTITION BY g) AS n FROM b1),
+        |med AS (SELECT g, MIN(CASE WHEN cum >= n * 0.5 THEN bin END) * 100.0
+        |          AS med FROM w1 GROUP BY g),
+        |d AS (SELECT v.g, abs(v.x - med.med) AS dev
+        |      FROM v JOIN med USING (g)),
+        |b2 AS (SELECT g, CAST(floor(dev / 100.0) AS BIGINT) AS bin,
+        |         COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |w2 AS (SELECT g, bin,
+        |         SUM(c) OVER (PARTITION BY g ORDER BY bin) AS cum,
+        |         SUM(c) OVER (PARTITION BY g) AS n FROM b2),
+        |mad AS (SELECT g, MIN(CASE WHEN cum >= n * 0.5 THEN bin END) * 100.0
+        |          AS mad FROM w2 GROUP BY g)
+        |SELECT d.g AS l_returnflag, MAX(med.med) AS med, MAX(mad.mad) AS mad,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_outliers
+        |FROM d JOIN mad ON d.g = mad.g JOIN med ON d.g = med.g
+        |GROUP BY d.g""".stripMargin,
 
     // q153/q154: decimal-cast products before the sum (the q01 float-
     // determinism contract); ordering tie-broken by unique keys

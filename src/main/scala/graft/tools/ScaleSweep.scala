@@ -227,7 +227,11 @@ object ScaleSweep {
         // construction and GraphSpec covers it
         "q145_entity_resolution", "q146_trend", "q147_change_feed",
         "q148_join_size", "q149_ppr", "q151_stream_join_outer",
-        "q152_interval_join")
+        "q152_interval_join",
+        // round 6o: classic selective join+agg shapes over the lockstep-
+        // scaled lineitem⋈orders, incremental ER over ×20 customers
+        "q153_shipping_priority", "q154_local_volume",
+        "q156_entity_incremental")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     for (dir <- Seq(src, out); n <- names) {

@@ -10,6 +10,35 @@ class ExecSpec extends SparkSpec {
     (1L, "alpha", Some(1.5)), (2L, "beta", None), (3L, "gamma", Some(-2.0)))
     .toDF("id", "name", "x")
 
+  test("observed: metrics land during the consuming action — no second " +
+      "scan, values exact, observation point respects the plan position") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (df, get) = Exec.observed(
+        fixture.filter(col("id") > 1), // observation sits ABOVE this filter
+        "audit",
+        Map("n" -> count(lit(1)), "nulls_x" -> count(when(col("x").isNull, 1)),
+          "max_id" -> max(col("id"))))
+      // downstream filter must NOT affect the observed numbers
+      val consumed = df.filter(col("name") =!= "beta")
+      jobs.set(0)
+      val rows = consumed.count()
+      val m = get() // blocks until the observation lands
+      Thread.sleep(200) // let the job-start listener drain
+      assert(rows == 1L)
+      assert(m("n") == 2L && m("nulls_x") == 1L && m("max_id") == 3L)
+      assert(jobs.get() <= 2, s"metrics must ride the consuming action, " +
+        s"not extra jobs (saw ${jobs.get()})")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("materialize: small frames take the localCheckpoint path, same rows") {
     val df = fixture.filter(col("id") > 0)
     val m = Exec.materialize(df)

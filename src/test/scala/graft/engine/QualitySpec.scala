@@ -92,6 +92,22 @@ class QualitySpec extends SparkSpec {
     assert(rows.last.getAs[String]("status") == "Match")
   }
 
+  test("robustOutliers: histogram median/MAD, planted extreme flagged, " +
+      "clean group silent, nulls excluded") {
+    val rows = Seq(
+      ("g", 0.0), ("g", 100.0), ("g", 200.0), ("g", 300.0), ("g", 400.0),
+      ("g", 10000.0), // the planted outlier: dev 9800 > 3 * mad 100
+      ("h", 0.0), ("h", 0.0), ("h", 0.0)) // constant group: zero devs, silent
+      .toDF("k", "x")
+      .unionByName(Seq(("g", null.asInstanceOf[java.lang.Double]))
+        .toDF("k", "x"))
+    val got = Quality.robustOutliers(rows, Seq("k"), "x", binWidth = 100.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("g") == ((200.0, 100.0, 6L, 1L)))
+    assert(got("h") == ((0.0, 0.0, 3L, 0L))) // bin floor(50/100)=0 -> med 0.0
+  }
+
   test("null profile and dropNullRows") {
     val df = Seq((Some("a"), Some(1)), (None, Some(2)), (Some("c"), None))
       .toDF("k", "v")
