@@ -339,4 +339,99 @@ object OperatorProperties extends Properties("graft.operators") {
         toks.length <= norm.length &&
         (norm.isEmpty || toks.length >= words.count(_.nonEmpty))
     }
+
+  // arbitrary change log + arbitrary GLOBAL time cut: the incremental
+  // merge must reproduce the full rebuild row-for-row (the property that
+  // lets closed SCD history stay immutable)
+  property("Scd.merge over any monotone split equals the full rebuild") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(for {
+        k <- Gen.oneOf("a", "b", "c")
+        t <- Gen.choose(0L, 20L)
+        v <- Gen.oneOf("x", "y", "z")
+      } yield (k, t, v)),
+      Gen.choose(0L, 20L)) { (raw, cut) =>
+      val log = raw.zipWithIndex.map { case ((k, t, v), i) =>
+        (k, t, i.toLong, v)
+      }
+      def hist(rows: Seq[(String, Long, Long, String)]) =
+        graft.engine.Scd.fromChangeLog(rows.toDF("k", "ts", "tie", "a"),
+          Seq("k"), "ts", "tie", Seq("a"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      val prefix = log.filter(_._2 <= cut)
+      val batch = log.filter(_._2 > cut)
+      val merged =
+        if (prefix.isEmpty) hist(batch)
+        else if (batch.isEmpty) hist(prefix)
+        else graft.engine.Scd.merge(hist(prefix),
+          batch.toDF("k", "ts", "tie", "a"), Seq("k"), "ts", "tie", Seq("a"))
+      canon(merged) == canon(hist(log))
+    }
+
+  property("triangleCounts equals brute-force triple enumeration") =
+    Prop.forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))) {
+      edges0 =>
+      val edges = edges0.filter(e => e._1 != e._2)
+      val und = edges.map(e => (e._1 min e._2, e._1 max e._2)).toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val expect = nodes.map { n =>
+        n -> (for {
+          x <- nodes; y <- nodes
+          if x < y && x != n && y != n
+          if und((n min x, n max x)) && und((n min y, n max y)) && und((x, y))
+        } yield 1).size.toLong
+      }.toMap
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else Graph.triangleCounts(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expect
+    }
+
+  property("Cms.innerProduct never undercounts the true join size and " +
+      "matches the cell dot product") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e")),
+      Gen.nonEmptyListOf(Gen.oneOf("c", "d", "e", "f", "g"))) { (as, bs) =>
+      {
+        val (depth, width) = (3, 8)
+        val skA = as.toDF("item")
+          .agg(graft.functions.Cms.sketch($"item", depth, width).as("a"))
+        val skB = bs.toDF("item")
+          .agg(graft.functions.Cms.sketch($"item", depth, width).as("b"))
+        val est = skA.crossJoin(skB)
+          .select(graft.functions.Cms.innerProduct($"a", $"b", depth, width))
+          .head().getLong(0)
+        val fa = as.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val fb = bs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val truth = fa.keySet.intersect(fb.keySet).toSeq
+          .map(k => fa(k) * fb(k)).sum
+        est >= truth
+      }
+    }
+
+  property("intervalOverlapJoin equals the naive predicate join, " +
+      "exactly once per pair, for any bin width") =
+    Prop.forAll(
+      Gen.listOfN(12, Gen.zip(Gen.choose(0L, 3000L), Gen.choose(0L, 2500L))),
+      Gen.listOfN(10, Gen.zip(Gen.choose(0L, 3000L), Gen.choose(0L, 2500L))),
+      Gen.oneOf(60L, 600L, 3600L)) { (ivA, ivB, bin) =>
+      def rows(iv: Seq[(Long, Long)], id0: Long) = iv.zipWithIndex.map {
+        case ((s, len), i) =>
+          (s"u${i % 2}", id0 + i, new java.sql.Timestamp(s * 1000L),
+            new java.sql.Timestamp((s + len) * 1000L))
+      }
+      val as = rows(ivA, 0); val bs = rows(ivB, 100)
+      val got = Temporal.intervalOverlapJoin(
+          as.toDF("u", "a_id", "a_s", "a_e"),
+          bs.toDF("u", "b_id", "b_s", "b_e"),
+          Seq("u"), "a_s", "a_e", "b_s", "b_e", binSeconds = bin)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq
+      val expect = for {
+        (ua, ai, s1, e1) <- as; (ub, bi, s2, e2) <- bs
+        if ua == ub && !s1.after(e2) && !s2.after(e1)
+      } yield (ai, bi)
+      got.size == got.distinct.size && got.toSet == expect.toSet &&
+        got.size == expect.size
+    }
 }
