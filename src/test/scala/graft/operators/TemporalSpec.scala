@@ -121,6 +121,18 @@ class TemporalSpec extends SparkSpec {
       "a_start", "a_end", "b_start", "b_end").count() == 1L)
   }
 
+  test("intervalOverlapJoin plans an equi-join — no cartesian, no " +
+      "nested-loop anywhere") {
+    val a = Seq(("u", 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "a_id", "a_start", "a_end")
+    val b = Seq(("u", 2L, ts("2024-01-01 10:30:00"), ts("2024-01-01 12:00:00")))
+      .toDF("user_id", "b_id", "b_start", "b_end")
+    val plan = Temporal.intervalOverlapJoin(a, b, Seq("user_id"),
+      "a_start", "a_end", "b_start", "b_end").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("rangeJoin equals the naive between-filter join") {
     val points = (0 until 200).map(i =>
       (i.toLong, ts(f"2024-01-01 ${i % 24}%02d:${(i * 13) % 60}%02d:00")))
