@@ -95,4 +95,37 @@ object Ingest {
     newRows.unpersist()
     AppendReport(nIncoming, nExisting, nNew, nDup, after)
   }
+
+  /** Recursively flatten nested STRUCT columns into top-level columns
+    * named `parent_child[_grandchild…]` — the normalization step every
+    * nested-JSON ingest needs before the relational operators apply.
+    * Pure projection (map-side, zero shuffle, codegen'd field accesses);
+    * arrays and maps pass through unflattened (exploding them changes
+    * row multiplicity — that is a modeling decision, not a rename, so it
+    * stays explicit at the call site). Name collisions between a
+    * flattened field and an existing column are rejected loudly instead
+    * of silently shadowing. */
+  def flatten(df: DataFrame, sep: String = "_"): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    def expand(prefix: String, path: String,
+               dt: org.apache.spark.sql.types.DataType): Seq[(String, Column)] =
+      dt match {
+        case st: StructType => st.fields.toSeq.flatMap(f =>
+          expand(s"$prefix$sep${f.name}", s"$path.`${f.name}`", f.dataType))
+        case _ => Seq((prefix, col(path)))
+      }
+    val cols = df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case st: StructType => st.fields.toSeq.flatMap(c =>
+          expand(s"${f.name}$sep${c.name}", s"`${f.name}`.`${c.name}`",
+            c.dataType))
+        case _ => Seq((f.name, col(s"`${f.name}`")))
+      }
+    }
+    val dups = cols.map(_._1).groupBy(identity).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"flatten: name collisions ${dups.toSeq.sorted} — pick a different " +
+        "separator or rename before flattening")
+    df.select(cols.map { case (n, c) => c.as(n) }: _*)
+  }
 }

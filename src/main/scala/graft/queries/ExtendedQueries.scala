@@ -1104,6 +1104,39 @@ object ExtendedQueries {
       graft.operators.Graph.triangleCounts(edges, "a", "b")
     }),
 
+    // ── nested-struct flattening (the JSON-ingest normalization step):
+    //    flatten(nest(x)) must be the plain projection — a pure map-side
+    //    rename, which is exactly what the oracle states ──
+    "q158_flatten_nested" -> ((s, dir) => {
+      val nested = Td(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        struct(col("l_linenumber").as("line"),
+          struct(col("l_quantity").as("qty"),
+            col("l_extendedprice").as("price")).as("amounts")).as("item"),
+        struct(col("l_returnflag").as("flag")).as("status"))
+      graft.engine.Ingest.flatten(nested)
+    }),
+
+    // ── multi-granularity distinct users in ONE pass: grouping sets ×
+    //    HLL registers — per type, per day, and global sketches all come
+    //    off a single Expand scan (register max partial-aggregates like
+    //    any max), where exact COUNT(DISTINCT) per set would shuffle the
+    //    full id set once per granularity ──
+    "q159_multiset_distinct" -> ((s, dir) => {
+      import graft.functions.Hll
+      import s.implicits._
+      val m = 64
+      val ev = Td(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+        .withColumn("__b", Hll.bucketCol(col("user_id"), "gs", m))
+        .withColumn("__r", Hll.rankCol(col("user_id"), "gs"))
+      ev.groupingSets(Seq(Seq($"event_type"), Seq($"d"), Seq()),
+          $"event_type", $"d")
+        .agg(Hll.registers(col("__b"), col("__r"), m).as("regs"))
+        .select(col("event_type"), col("d").cast("timestamp").as("d"),
+          Hll.estimate(col("regs"), m).as("est_users"))
+    }),
+
     // ── robust outlier audit: |x − median| > 3·MAD per returnflag, both
     //    statistics from the BOUNDED-STATE histogram percentiles (q86's
     //    machinery), so the whole audit is integer counts × exact bin
@@ -2279,6 +2312,54 @@ object ExtendedQueries {
         |         UNION ALL SELECT c FROM t) GROUP BY 1)
         |SELECT n.node, CAST(COALESCE(cr.triangles, 0) AS BIGINT) AS triangles
         |FROM n LEFT JOIN cr USING (node)""".stripMargin,
+
+    // q158: flatten(nest(x)) == plain projection, stated directly
+    "q158_flatten_nested" ->
+      """SELECT l_orderkey, l_linenumber AS item_line,
+        |  l_quantity AS item_amounts_qty,
+        |  l_extendedprice AS item_amounts_price,
+        |  l_returnflag AS status_flag
+        |FROM lineitem""".stripMargin,
+
+    // q159: the q100 register replay once per grouping set over the
+    // SAME hashed words, unioned with the set's null pattern
+    "q159_multiset_distinct" -> {
+      val m = 64
+      val rankCase = (1 to 24)
+        .map(k => s"WHEN w >= ${1L << (24 - k)} THEN $k").mkString(" ")
+      val am = s"CAST(${graft.functions.Hll.alpha(m) * m * m} AS DOUBLE)"
+      def set(selOut: String, grpCols: Seq[String]): String = {
+        val grpSel =
+          if (grpCols.isEmpty) "" else grpCols.mkString(", ") + ", "
+        val grpBy =
+          if (grpCols.isEmpty) "" else "GROUP BY " + grpCols.mkString(", ")
+        val rGrpBy = "GROUP BY " + (grpCols :+ "bucket").mkString(", ")
+        s"""SELECT $selOut,
+           |  round(CASE WHEN zeros > 0 AND
+           |    $am / ssum <= CAST(${(2.5 * m).toInt} AS DOUBLE)
+           |    THEN $m * ln(CAST($m AS DOUBLE) / zeros)
+           |    ELSE $am / ssum END, 4) AS est_users
+           |FROM (SELECT ${grpSel}SUM(CAST(1 AS DOUBLE) / (1 << rnk)) +
+           |        CAST($m - COUNT(*) AS DOUBLE) AS ssum,
+           |        $m - COUNT(*) AS zeros
+           |      FROM (SELECT ${grpSel}bucket,
+           |              MAX(CASE $rankCase ELSE 25 END) AS rnk
+           |            FROM h $rGrpBy) rr
+           |      $grpBy) aa""".stripMargin
+      }
+      s"""WITH h AS (SELECT event_type,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         |    ${hashWordSql("gs|b", "user_id")} % $m AS bucket,
+         |    ${hashWordSql("gs|r", "user_id")} % ${1L << 24} AS w
+         |  FROM events)
+         |${set("event_type, CAST(NULL AS TIMESTAMP) AS d", Seq("event_type"))}
+         |UNION ALL
+         |${set("CAST(NULL AS VARCHAR) AS event_type, CAST(d AS TIMESTAMP) AS d",
+           Seq("d"))}
+         |UNION ALL
+         |${set("CAST(NULL AS VARCHAR) AS event_type, " +
+           "CAST(NULL AS TIMESTAMP) AS d", Seq())}""".stripMargin
+    },
 
     // q157: q86's histogram replay twice (value median, deviation
     // median), then the deterministic threshold count

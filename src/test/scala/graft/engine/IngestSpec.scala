@@ -360,6 +360,28 @@ class IngestSpec extends SparkSpec {
       .map(_.getString(0)).sorted.toSeq == Seq("s1", "s2", "s3"))
   }
 
+  test("flatten: nested structs expand recursively, arrays pass through, " +
+      "collisions rejected") {
+    val df = Seq((1L, ("a", (2.5, 7)), Seq(1, 2)))
+      .toDF("id", "nest", "arr")
+    val flat = Ingest.flatten(df)
+    assert(flat.columns.toSeq ==
+      Seq("id", "nest__1", "nest__2__1", "nest__2__2", "arr"))
+    val named = df.select(col("id"),
+      struct(col("nest._1").as("s"),
+        struct(col("nest._2._1").as("x"), col("nest._2._2").as("y"))
+          .as("inner")).as("n"),
+      col("arr"))
+    val f2 = Ingest.flatten(named)
+    assert(f2.columns.toSeq ==
+      Seq("id", "n_s", "n_inner_x", "n_inner_y", "arr"))
+    assert(f2.head().toSeq == Seq(1L, "a", 2.5, 7, Seq(1, 2)))
+    // collision: a column literally named like a flattened child
+    val clash = named.withColumn("n_s", lit("shadow"))
+    val e = intercept[IllegalArgumentException] { Ingest.flatten(clash) }
+    assert(e.getMessage.contains("collision"))
+  }
+
   test("schema compatibility modes: backward/forward/full classify adds, " +
       "drops, type changes and nullability tightening") {
     import org.apache.spark.sql.types._
