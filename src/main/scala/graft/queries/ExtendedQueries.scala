@@ -1104,6 +1104,43 @@ object ExtendedQueries {
       graft.operators.Graph.triangleCounts(edges, "a", "b")
     }),
 
+    // ── bucketed co-located join through the warehouse: both sides
+    //    published CLUSTERED+SORTED on the join key, so the join plans
+    //    exchange-free (plan-asserted in IngestSpec) — the 100 TB
+    //    repeated-join lever, here made oracle-visible end to end ──
+    "q160_bucketed_join" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-bktq").toString)
+      val li = Td(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val or = Td(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      wh.overwriteBucketed(li, "g160_li", Seq("l_orderkey"), numBuckets = 8)
+      wh.overwriteBucketed(or, "g160_or", Seq("l_orderkey"), numBuckets = 8)
+      wh.readBucketed("g160_li")
+        .join(wh.readBucketed("g160_or"), Seq("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"))
+    }),
+
+    // ── partition-pruned day slice through the warehouse: events
+    //    published hive-partitioned by day, one day read back (the scan
+    //    lists ONE directory — PartitionFilters-asserted in IngestSpec);
+    //    declared-schema restore keeps the date type and column order ──
+    "q161_partition_pruned" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-prtq").toString)
+      val ev = Td(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          to_date(col("ts")).as("d"))
+      wh.overwritePartitioned(ev, "g161_ev", Seq("d"))
+      wh.read("g161_ev")
+        .filter(col("d") === lit(java.sql.Date.valueOf("2024-01-05")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"))
+    }),
+
     // ── nested-struct flattening (the JSON-ingest normalization step):
     //    flatten(nest(x)) must be the plain projection — a pure map-side
     //    rename, which is exactly what the oracle states ──
@@ -2312,6 +2349,22 @@ object ExtendedQueries {
         |         UNION ALL SELECT c FROM t) GROUP BY 1)
         |SELECT n.node, CAST(COALESCE(cr.triangles, 0) AS BIGINT) AS triangles
         |FROM n LEFT JOIN cr USING (node)""".stripMargin,
+
+    // q160/q161: bucketing and partitioning are physical layout — the
+    // oracles are the plain join/filter over the same logical data
+    "q160_bucketed_join" ->
+      """SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "q161_partition_pruned" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-05'
+        |GROUP BY 1""".stripMargin,
 
     // q158: flatten(nest(x)) == plain projection, stated directly
     "q158_flatten_nested" ->
