@@ -93,4 +93,26 @@ object JoinPolicy {
         joinType)
     else facts.join(dim, keys.toSeq, joinType)
   }
+
+  /** Pre-flight equi-join OUTPUT-size estimate (rows), from one CMS
+    * sketch per side — the third planning signal beside size-gated
+    * broadcast (input bytes) and the hot-key sketch (skew):
+    * `Σ_k f_A(k)·f_B(k)` IS the join's row count, and the sketch inner
+    * product over-estimates it one-sidedly (collisions only add), so
+    * "estimate is small" is a SAFE go-signal while a huge estimate warns
+    * of a fan-out join before any shuffle is paid. One aggregation scan
+    * per side (sketches are storable/mergeable — per-partition sketches
+    * from ingest time answer without any scan; see q148). */
+  def estimateJoinRows(a: DataFrame, aKey: String, b: DataFrame,
+                       bKey: String, depth: Int = 4,
+                       width: Int = 4096): Long = {
+    import graft.functions.Cms
+    val skA = a.agg(Cms.sketch(col(aKey).cast("string"), depth, width)
+      .as("a"))
+    val skB = b.agg(Cms.sketch(col(bKey).cast("string"), depth, width)
+      .as("b"))
+    skA.crossJoin(skB)
+      .select(Cms.innerProduct(col("a"), col("b"), depth, width))
+      .head().getLong(0)
+  }
 }

@@ -79,6 +79,20 @@ class JoinPolicySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("__salt"), plan)
   }
 
+  test("estimateJoinRows: never undercounts the real join, tight at " +
+      "ample width, flags a fan-out join") {
+    val a = (1L to 2000L).map(i => (i % 100, i)).toDF("k", "x") // 20 per key
+    val b = (0L until 100L).map(i => (i, s"d$i")).toDF("k", "label")
+    val exact = a.join(b, "k").count() // 2000 (dim is unique per key)
+    val est = JoinPolicy.estimateJoinRows(a, "k", b, "k")
+    assert(est >= exact && est <= exact * 2, s"est=$est exact=$exact")
+    // fan-out: both sides multiply per key -> estimate must blow up too
+    val b2 = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "y") // 10 per key
+    val fanExact = a.join(b2, "k").count() // 100 keys * 20 * 10 = 20000
+    val fanEst = JoinPolicy.estimateJoinRows(a, "k", b2, "k")
+    assert(fanEst >= fanExact && fanEst >= est * 5)
+  }
+
   test("wrangle pipeline dims demote when broadcast is off (no forced hints)") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)
