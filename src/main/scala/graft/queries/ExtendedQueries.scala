@@ -1104,6 +1104,46 @@ object ExtendedQueries {
       graft.operators.Graph.triangleCounts(edges, "a", "b")
     }),
 
+    // ── time travel made oracle-visible: publish v1, capture an instant,
+    //    publish a mutated v2 — reading AS OF the instant must aggregate
+    //    exactly v1, whatever landed after ──
+    "q162_time_travel" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-ttq").toString)
+      val v1 = Td(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(col("l_quantity").cast(D)).cast("double").as("qty"))
+      wh.publish(v1, "t")
+      Thread.sleep(5)
+      val mid = java.time.Instant.now()
+      Thread.sleep(5)
+      wh.publish(v1.filter(col("l_orderkey") % 2 === 0)
+        .withColumn("qty", col("qty") * 2), "t")
+      wh.readAsOf("t", mid)
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty").cast(D)).cast("double").as("sum_qty"),
+          count_distinct(col("l_orderkey")).as("n_keys"))
+    }),
+
+    // ── the DML verbs end to end: DELETE WHERE then UPDATE WHERE on a
+    //    published table; the final table must equal the mutation rule
+    //    (and the verbs' audit counts are asserted in PublishSpec) ──
+    "q163_dml_verbs" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-dmlq").toString)
+      val v1 = Td(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(col("l_quantity").cast(D)).cast("double").as("qty"))
+      wh.publish(v1, "t")
+      wh.deleteWhere("t", col("l_orderkey") % 7 === 0)
+      wh.updateWhere("t", col("l_linenumber") === 1,
+        Map("qty" -> (col("qty") + 100.0)))
+      wh.read("t")
+        .groupBy(col("l_linenumber"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty").cast(D)).cast("double").as("sum_qty"))
+    }),
+
     // ── bucketed co-located join through the warehouse: both sides
     //    published CLUSTERED+SORTED on the join key, so the join plans
     //    exchange-free (plan-asserted in IngestSpec) — the 100 TB
@@ -2349,6 +2389,29 @@ object ExtendedQueries {
         |         UNION ALL SELECT c FROM t) GROUP BY 1)
         |SELECT n.node, CAST(COALESCE(cr.triangles, 0) AS BIGINT) AS triangles
         |FROM n LEFT JOIN cr USING (node)""".stripMargin,
+
+    // q162: AS OF the captured instant == v1, stated as v1's aggregate
+    "q162_time_travel" ->
+      """WITH v1 AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys
+        |FROM v1""".stripMargin,
+
+    // q163: the final table equals the delete-then-update rule applied
+    // to v1 (assignments read pre-update values; here only one column)
+    "q163_dml_verbs" ->
+      """WITH v1 AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |f AS (SELECT l_linenumber,
+        |    CASE WHEN l_linenumber = 1 THEN qty + 100 ELSE qty END AS qty
+        |  FROM v1 WHERE l_orderkey % 7 <> 0)
+        |SELECT l_linenumber, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM f GROUP BY 1""".stripMargin,
 
     // q160/q161: bucketing and partitioning are physical layout — the
     // oracles are the plain join/filter over the same logical data
