@@ -115,4 +115,53 @@ object JoinPolicy {
       .select(Cms.innerProduct(col("a"), col("b"), depth, width))
       .head().getLong(0)
   }
+
+  /** One joinable side of a multi-way join: `dim` joins the fact on
+    * `factKey = dimKey`. */
+  final case class JoinSide(dim: DataFrame, factKey: String, dimKey: String,
+                            joinType: String = "inner")
+
+  /** The CMS estimate as a CONSUMED planning signal: greedy join ordering
+    * for a fact with several dims (the TPC-H Q9/Q18 shape — one fact,
+    * 2-5 joinable sides, where running the most SELECTIVE join first
+    * shrinks every later join's probe input).
+    *
+    * [[estimateJoinRows]] per side (sketch inner product = predicted
+    * output rows, one-sided over-estimate), then sides join ascending by
+    * estimate. This is the greedy heuristic a cost-based optimizer seeds
+    * from, driven by the engine's own sketches instead of unavailable
+    * column stats — exactly the decision the stored-sketch path (q148)
+    * exists to answer without scanning. Order is returned so callers and
+    * tests can assert WHICH plan the signal picked; estimates are taken
+    * once against the original fact (re-sketching the shrinking fact
+    * after each join would pay a scan per step for a second-order
+    * refinement).
+    *
+    * Each dim still passes [[broadcastIfSmall]] — the ordering signal
+    * composes with, not replaces, the size-gated broadcast. */
+  def orderJoinsBySketch(facts: DataFrame, sides: Seq[JoinSide],
+                         depth: Int = 4, width: Int = 4096): Seq[Int] = {
+    require(sides.nonEmpty, "orderJoinsBySketch needs at least one side")
+    sides.zipWithIndex
+      .map { case (s, i) =>
+        (estimateJoinRows(facts, s.factKey, s.dim, s.dimKey, depth, width), i)
+      }
+      .sortBy { case (est, i) => (est, i) } // deterministic tiebreak
+      .map(_._2)
+  }
+
+  /** Apply [[orderJoinsBySketch]]'s plan: the fact joins every side,
+    * most-selective first. Returns the joined frame and the chosen order
+    * (for plan assertions). */
+  def joinBySketchOrder(facts: DataFrame, sides: Seq[JoinSide],
+                        depth: Int = 4,
+                        width: Int = 4096): (DataFrame, Seq[Int]) = {
+    val order = orderJoinsBySketch(facts, sides, depth, width)
+    val joined = order.foldLeft(facts) { (acc, i) =>
+      val s = sides(i)
+      acc.join(broadcastIfSmall(s.dim),
+        acc(s.factKey) === s.dim(s.dimKey), s.joinType)
+    }
+    (joined, order)
+  }
 }

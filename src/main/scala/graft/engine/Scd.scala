@@ -99,11 +99,32 @@ object Scd {
     * `tieCol` must be integral (the MinValue sentinel needs an order
     * floor). Scale: one `keys` shuffle over `open ∪ batch` + one
     * |keys|-sized offset join; `closed` is never shuffled.
-    */
+    *
+    * `validate = true` (default) ENFORCES the late-row contract with one
+    * EAGER aggregate over `batch ⋈ open` before anything is built: a
+    * batch row with `tsCol` strictly before its key's open `valid_from`
+    * would otherwise silently corrupt history — versions interleaved
+    * before the open row while closed rows stay untouched, yielding
+    * overlapping validity intervals. Violations raise, directing the
+    * caller to a [[fromChangeLog]] rebuild. The check costs one keyed
+    * join at the merge's own scale; pass `validate = false` only when an
+    * upstream watermark already proves the contract. */
   def merge(hist: DataFrame, batch: DataFrame, keys: Seq[String], tsCol: String,
-            tieCol: String, attrs: Seq[String]): DataFrame = {
+            tieCol: String, attrs: Seq[String],
+            validate: Boolean = true): DataFrame = {
     val open = hist.filter(col("is_current"))
     val closed = hist.filter(!col("is_current"))
+    if (validate) {
+      val openFrom = open.select(
+        keys.map(col) :+ col("valid_from").as("__open_from"): _*)
+      val late = batch.join(openFrom, keys)
+        .filter(col(tsCol) < col("__open_from")).count()
+      require(late == 0L,
+        s"Scd.merge: $late batch rows sort before their key's open " +
+          "valid_from — late-arriving history cannot merge incrementally " +
+          "(closed rows are immutable); rebuild via fromChangeLog over " +
+          "the full log")
+    }
     val openLog = open.select(
       (keys.map(col) :+ col("valid_from").as(tsCol) :+
         lit(Long.MinValue).as(tieCol)) ++ attrs.map(col): _*)

@@ -553,52 +553,24 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * (tmp + rename-over) and BEFORE the data files: a crash between the
     * two leaves a marker naming not-yet-visible columns — harmless, they
     * read as null — never a mixed-schema directory with no marker.
-    * Still refused for bucketed layouts — the bucket spec pins the file
-    * schema; evolve those via [[overwriteBucketed]].
+    * Bucketed layouts evolve by REWRITE ([[appendEvolvedBucketed]]): the
+    * bucket spec pins the file schema, so a loose evolved file cannot
+    * ride along — the whole table re-buckets under the union schema.
     */
   def appendEvolved(df: DataFrame, name: String): Unit = {
     if (!exists(name)) { append(df, name); return }
-    require(!isBucketedCatalogTable(name),
-      s"appendEvolved to '$name': bucketed tables pin their file schema — " +
-        "evolve via overwriteBucketed")
+    if (isBucketedCatalogTable(name)) { appendEvolvedBucketed(df, name); return }
     val p = dataPath(name)
     val partMarker = partitioningMarker(p)
     // the marker (not a sampled footer) is the source of truth once the
     // table has ever evolved — footer sampling is nondeterministic
     val expected = partMarker.map(_._2)
       .orElse(evolvedSchemaMarker(p)).getOrElse(schemaOf(name))
-    val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
-    def canon(n: String) =
-      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
-    val byCanon = df.schema.fields.groupBy(f => canon(f.name))
-    val dups = byCanon.collect { case (_, fs) if fs.length > 1 => fs.map(_.name).toSeq }
-    require(dups.isEmpty,
-      s"appendEvolved to '$name': ambiguous incoming columns — ${dups.toSeq}")
-    val drift = expected.fields.filter(f =>
-      byCanon.get(canon(f.name)).exists(_.head.dataType != f.dataType))
-    require(drift.isEmpty,
-      s"appendEvolved to '$name': type drift in ${drift.map(f =>
-        s"${f.name} (table ${f.dataType.simpleString} vs incoming " +
-          s"${byCanon(canon(f.name)).head.dataType.simpleString})").toSeq} — " +
-        "evolution adds columns, it never changes a type")
-    val expectedCanon = expected.fields.map(f => canon(f.name)).toSet
-    val aligned = expected.fields.map { f =>
-      byCanon.get(canon(f.name)) match {
-        case Some(in) => col(in.head.name).as(f.name)
-        case None => lit(null).cast(f.dataType).as(f.name)
-      }
-    }
-    val addedFields = df.schema.fields
-      .filterNot(f => expectedCanon.contains(canon(f.name)))
-    val out = df.select((aligned ++ addedFields.map(f => col(f.name))).toSeq: _*)
-    // the union schema (everything nullable — any column may be absent
-    // from some files) keeps reads off footer sampling; written FIRST so
-    // no crash window leaves evolved files behind an unevolved marker
-    val union = StructType(
-      (expected.fields ++ addedFields).map(_.copy(nullable = true)))
+    val (out, union) = evolveAlign(df, expected, name)
     partMarker match {
       case Some((parts, _)) =>
-        val missingParts = parts.filterNot(c => byCanon.contains(canon(c)))
+        val missingParts = parts.filterNot(c =>
+          df.schema.fieldNames.exists(n => canonName(n) == canonName(c)))
         require(missingParts.isEmpty,
           s"appendEvolved to '$name': incoming batch lacks partition " +
             s"columns $missingParts — a null partition value would land " +
@@ -610,6 +582,75 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         atomicWrite(new Path(s"$p/_evolved_schema"), s"schema=${union.toDDL}\n")
         out.write.mode(SaveMode.Append).parquet(p)
     }
+  }
+
+  /** The session's column-name canonicalization rule (Spark resolves
+    * case-insensitively by default). */
+  private def canonName(n: String): String =
+    if (spark.sessionState.conf.caseSensitiveAnalysis) n
+    else n.toLowerCase(java.util.Locale.ROOT)
+
+  /** The shared evolution core: reject ambiguous incoming names and type
+    * drift, align known columns to the table's canonical names (absent
+    * ones null-fill), append genuinely-new columns after them, and return
+    * the aligned frame plus the union schema (everything nullable — any
+    * column may be absent from some files). */
+  private def evolveAlign(df: DataFrame, expected: StructType,
+                          name: String): (DataFrame, StructType) = {
+    val byCanon = df.schema.fields.groupBy(f => canonName(f.name))
+    val dups = byCanon.collect { case (_, fs) if fs.length > 1 => fs.map(_.name).toSeq }
+    require(dups.isEmpty,
+      s"appendEvolved to '$name': ambiguous incoming columns — ${dups.toSeq}")
+    val drift = expected.fields.filter(f =>
+      byCanon.get(canonName(f.name)).exists(_.head.dataType != f.dataType))
+    require(drift.isEmpty,
+      s"appendEvolved to '$name': type drift in ${drift.map(f =>
+        s"${f.name} (table ${f.dataType.simpleString} vs incoming " +
+          s"${byCanon(canonName(f.name)).head.dataType.simpleString})").toSeq} — " +
+        "evolution adds columns, it never changes a type")
+    val expectedCanon = expected.fields.map(f => canonName(f.name)).toSet
+    val aligned = expected.fields.map { f =>
+      byCanon.get(canonName(f.name)) match {
+        case Some(in) => col(in.head.name).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    val addedFields = df.schema.fields
+      .filterNot(f => expectedCanon.contains(canonName(f.name)))
+    val out = df.select((aligned ++ addedFields.map(f => col(f.name))).toSeq: _*)
+    val union = StructType(
+      (expected.fields ++ addedFields).map(_.copy(nullable = true)))
+    (out, union)
+  }
+
+  /** Schema evolution for BUCKETED layouts — rewrite-on-evolve: the
+    * bucket spec pins every file's schema (bucket ids live in file names
+    * and readers trust each file to follow the spec), so an evolved batch
+    * cannot land as loose files. Instead the WHOLE table rewrites under
+    * the union schema through [[overwriteBucketed]] — same spec, same
+    * keys, old rows null-filled in the new columns, one atomic versioned
+    * publish.
+    *
+    * Cost contract, loudly: this is `O(|table|)`, not `O(|batch|)` — one
+    * full re-bucket per schema change (NOT per append; same-schema
+    * appends are refused by [[append]] anyway for bucketed tables, which
+    * stay rewrite-only). At 100 TB reserve bucketed layouts for
+    * stable-schema fact tables and evolve them rarely; the alternative —
+    * evolve into a fresh bucketed table and swap — costs the identical
+    * rewrite without the atomic history. */
+  private def appendEvolvedBucketed(df: DataFrame, name: String): Unit = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+    val spec = meta.bucketSpec.get
+    val expected = read(name).schema
+    val (out, union) = evolveAlign(df, expected, name)
+    val expectedCanon = expected.fieldNames.map(canonName).toSet
+    // widen existing rows to the union: old rows read null in new columns
+    val widened = read(name).select(union.fields.map(f =>
+      if (expectedCanon.contains(canonName(f.name))) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    overwriteBucketed(widened.unionByName(out), name,
+      spec.bucketColumnNames, spec.numBuckets)
   }
 
   /** The `_evolved_schema` marker of a data directory, if present: the
@@ -817,6 +858,20 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .schema(schema)
       .csv(path)
 
+  /** Land ONE micro-batch into a (flat) table through the exactly-once
+    * staging+promote protocol — the per-batch core of [[streamingAppend]]
+    * exposed for multi-sink foreachBatch composites (e.g. the
+    * [[Validation.streamingQuarantine]] pass/dead-letter split, where one
+    * batch id must land in TWO tables, each idempotently). */
+  private[engine] def landStreamBatch(bdf: DataFrame, name: String,
+                                      id: Long): Unit = {
+    val p = dataPath(name)
+    val staging = s"$p/_stream_staging/b$id"
+    bdf.write.mode(SaveMode.Overwrite).parquet(staging)
+    promoteStaged(staging, p, id)
+    ()
+  }
+
   /** Streaming append sink: exactly-once parquet appends into a warehouse
     * table, checkpointed so a restarted query resumes where it left off —
     * the streaming twin of [[append]].
@@ -836,20 +891,6 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     *
     * The path is pinned at stream start (single-writer model); vacuum's
     * grace window covers re-publishes during the stream's life. */
-  /** Land ONE micro-batch into a (flat) table through the exactly-once
-    * staging+promote protocol — the per-batch core of [[streamingAppend]]
-    * exposed for multi-sink foreachBatch composites (e.g. the
-    * [[Validation.streamingQuarantine]] pass/dead-letter split, where one
-    * batch id must land in TWO tables, each idempotently). */
-  private[engine] def landStreamBatch(bdf: DataFrame, name: String,
-                                      id: Long): Unit = {
-    val p = dataPath(name)
-    val staging = s"$p/_stream_staging/b$id"
-    bdf.write.mode(SaveMode.Overwrite).parquet(staging)
-    promoteStaged(staging, p, id)
-    ()
-  }
-
   def streamingAppend(source: DataFrame, name: String, checkpoint: String,
                       zoneCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
     val p = dataPath(name)
@@ -1071,9 +1112,30 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     require(unknown.isEmpty,
       s"updateWhere '$table': unknown columns $unknown — UPDATE cannot " +
         "add columns (schema evolution is appendEvolved's contract)")
-    val n = existing.filter(predicate).count()
+    // one pass computes the matched count AND per-assignment cast
+    // validation: an assignment value the column's type cannot represent
+    // (e.g. a non-numeric string into a numeric column) would otherwise
+    // cast to null on every matched row — silent corruption published
+    // atomically. try_cast-style check: non-null value, null after cast.
+    val matchedPred = coalesce(predicate, lit(false))
+    val assigns = assignments.toSeq
+    val auditCols = count(when(matchedPred, lit(1))).as("__n") +:
+      assigns.zipWithIndex.map { case ((c, v), i) =>
+        count(when(matchedPred && v.isNotNull &&
+          v.try_cast(existing.schema(c).dataType).isNull, lit(1)))
+          .as(s"__bad$i")
+      }
+    val audit = existing.agg(auditCols.head, auditCols.tail: _*).head()
+    assigns.zipWithIndex.foreach { case ((c, _), i) =>
+      require(audit.getLong(i + 1) == 0L,
+        s"updateWhere '$table': assignment to '$c' produces values the " +
+          s"column's ${existing.schema(c).dataType.simpleString} cannot " +
+          s"represent on ${audit.getLong(i + 1)} matched rows — refusing " +
+          "to publish nulls in their place")
+    }
+    val n = audit.getLong(0)
     if (n > 0L) {
-      val matched = coalesce(predicate, lit(false))
+      val matched = matchedPred
       // ONE projection: every assignment expression evaluates against the
       // ORIGINAL row (SQL UPDATE semantics — assignments never see each
       // other's results)
@@ -1293,20 +1355,68 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val p = dataPath(table)
     findZoneMap(p, c).map { zp =>
       val zm = spark.read.parquet(zp)
-      val rows = zm.select(col("file"),
-          (!(col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi)))
-            .as("keep"))
-        .collect() // |files| rows — planner-scale metadata, bounded
+      val keepExpr =
+        !(col(s"max_$c") < lit(lo) || col(s"min_$c") > lit(hi))
+      resolvePruned(zm.select(col("file"), keepExpr.as("keep")), p)
+    }
+  }
+
+  /** How many manifest/actual file names the driver may hold as plain
+    * in-memory sets when reconciling a skipping manifest against the
+    * directory listing. Below the gate the membership checks are driver
+    * sets (no extra jobs); above it they become semi/anti JOINS, so the
+    * driver only ever materializes SURVIVING file names — at 10⁵-10⁷
+    * manifest rows the full known/kept sets would be the one
+    * planner-side structure that grows with table size. Same
+    * read-per-call idiom as [[Exec.MaxLocalBytesKey]]. */
+  val MaxDriverPruneFilesKey = "spark.graft.prune.maxDriverFiles"
+  private val DefaultMaxDriverPruneFiles = 100000
+
+  /** Resolve a `(file, keep)` skipping manifest against the directory's
+    * actual files into `(kept, unknown)`:
+    *  - kept    = manifest rows with keep=true whose file still exists
+    *              (null keep — e.g. an all-null zone — skips the file);
+    *  - unknown = actual files the manifest has never seen (post-build
+    *              appends/compactions) — ALWAYS scanned.
+    * Manifest entries whose file no longer exists are dropped — their
+    * rows live in rewritten files, which are unknown and thus scanned.
+    *
+    * Membership runs as driver sets below [[MaxDriverPruneFilesKey]] and
+    * as distributed semi/anti joins above it. On the join path file names
+    * are normalized with a scheme-stripping expression rather than
+    * `Path.toUri.getPath`; a representation the expression cannot
+    * reconcile degrades CONSERVATIVELY — the file drops out of `kept`
+    * and into `unknown`, so it is scanned, never lost. */
+  private def resolvePruned(manifest: DataFrame,
+                            p: String): (Seq[String], Seq[String]) = {
+    val actual = listDataFiles(new Path(p)).map(_.getPath.toUri.getPath)
+    val gate = spark.conf.get(MaxDriverPruneFilesKey,
+      DefaultMaxDriverPruneFiles.toString).toInt
+    if (actual.length <= gate) {
+      val rows = manifest.collect() // bounded by the gate
       def norm(s: String) = new Path(s).toUri.getPath
       val known = rows.map(r => norm(r.getString(0))).toSet
-      val actual = listDataFiles(new Path(p)).map(_.getPath.toUri.getPath)
       val actualSet = actual.toSet
       val kept = rows
-        .filter(r => !r.isNullAt(1) && r.getBoolean(1)) // null range → skip
+        .filter(r => !r.isNullAt(1) && r.getBoolean(1))
         .map(r => norm(r.getString(0)))
         .filter(actualSet.contains)
-      val unknown = actual.filterNot(known.contains)
-      (kept.toSeq, unknown)
+      (kept.toSeq, actual.filterNot(known.contains))
+    } else {
+      import spark.implicits._
+      // strip `scheme://authority` / `scheme:` prefixes in-plan — the
+      // distributed analogue of Path.toUri.getPath for well-formed URIs
+      val normExpr = regexp_replace(col("file"),
+        lit("^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"), lit(""))
+      val actualDf = actual.toDF("file")
+      val known = manifest.select(normExpr.as("file"), col("keep"))
+      val kept = known.filter(coalesce(col("keep"), lit(false)))
+        .join(actualDf, Seq("file"), "left_semi")
+        .select("file").as[String].collect().toSeq // survivors only
+      val unknown = actualDf
+        .join(known, Seq("file"), "left_anti")
+        .select("file").as[String].collect().toSeq
+      (kept, unknown)
     }
   }
 
@@ -1408,18 +1518,43 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     if (!fs(broot).exists(broot)) None
     else {
       val manifest = spark.read.parquet(broot.toString)
-      val hit = values.map(v => graft.functions.BloomIndexFunctions
-        .bloomProbe(col("bloom"), lit(v))).reduce(_ || _)
-      def norm(s: String) = new Path(s).toUri.getPath
-      val known = manifest.select(col("file")).collect()
-        .map(r => norm(r.getString(0))).toSet
-      val keptSet = manifest.filter(hit).select(col("file")).collect()
-        .map(r => norm(r.getString(0))).toSet
-      val actual = listDataFiles(new Path(p)).map(_.getPath.toUri.getPath)
-      val kept = actual.filter(keptSet.contains)
-      val unknown = actual.filterNot(known.contains)
-      Some((kept, unknown))
+      val probes = castProbes(table, c, values)
+      val hit = probes.map(graft.functions.BloomIndexFunctions
+        .bloomProbe(col("bloom"), _)).reduce(_ || _)
+      Some(resolvePruned(manifest.select(col("file"), hit.as("keep")), p))
     }
+  }
+
+  /** Reconcile probe literals with the indexed column's type: the Bloom
+    * build hashes the COLUMN's domain (integrals via putLong, strings/
+    * binary via putBinary — [[graft.functions.BloomAgg]]), so a probe of
+    * a string column with an Int (or a long column with "42") would hash
+    * in a different domain than the build and prune every file away —
+    * while the no-index fallback's implicit-cast `isin` would match.
+    * Each probe is cast to the column type; a probe the cast cannot
+    * represent (e.g. "abc" against a long column) fails LOUDLY here
+    * instead of silently returning empty. Null probes pass through (an
+    * equality probe never selects null; the filter never indexed them).
+    * The same cast list feeds the precise predicate, so the pruned and
+    * unpruned reads answer identically by construction. */
+  private def castProbes(table: String, c: String,
+                         values: Seq[Any]): Seq[Column] = {
+    val dt = schemaOf(table)(c).dataType
+    // try_cast: malformed values must surface as nulls HERE (for the loud
+    // check below) whatever the session's ANSI mode says about plain cast
+    val casted = spark.range(1)
+      .select(values.zipWithIndex.map { case (v, i) =>
+        lit(v).try_cast(dt).as(s"v$i")
+      }.toSeq: _*).head() // literals only — one driver-local row
+    values.zipWithIndex.foreach { case (v, i) =>
+      require(v == null || !casted.isNullAt(i),
+        s"bloom probe on '$table.$c': value '$v' " +
+          s"(${v.getClass.getSimpleName}) is not representable as the " +
+          s"indexed column's ${dt.simpleString} — an uncastable probe " +
+          "would hash outside the build domain and silently prune " +
+          "every file")
+    }
+    values.map(v => lit(v).cast(dt))
   }
 
   /** Point-lookup skipping, part 3: `read(table).filter(c IN values)`
@@ -1429,7 +1564,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * plain filtered read when no index covers `c`. */
   def readBloomPruned(table: String, c: String, values: Seq[Any]): DataFrame = {
     val p = dataPath(table)
-    val pred = col(c).isin(values: _*)
+    // the SAME casts on both paths — indexed and index-free reads must
+    // answer identically whatever implicit-cast rule a bare isin would
+    // have picked
+    val pred = col(c).isin(castProbes(table, c, values): _*)
     bloomPrunedFiles(table, c, values) match {
       case None => readPath(p).filter(pred)
       case Some((kept, unknown)) =>
@@ -1446,9 +1584,38 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def exportSnapshot(tables: Seq[String], utc: java.time.Instant,
                      outDir: String): Unit = {
     require(tables.nonEmpty, "exportSnapshot needs at least one table")
-    tables.foreach { t =>
-      readAsOf(t, utc).write.mode(SaveMode.ErrorIfExists)
-        .parquet(s"$outDir/$t")
+    // all-or-nothing across tables: every table lands in a staging
+    // sibling first, ONE rename exposes the set. A failure mid-list
+    // leaves only the staging dir (junk, fresh per attempt — a retry is
+    // never blocked by a torn half-export), and a directory existing at
+    // `outDir` is by construction a COMPLETE snapshot.
+    val out = new Path(outDir)
+    val f = fs(out)
+    // an EMPTY pre-created target (mkdtemp-style callers) is fine — it is
+    // replaced by the rename; anything non-empty is by construction a
+    // complete snapshot and immutable
+    if (f.exists(out)) {
+      require(f.getFileStatus(out).isDirectory &&
+          f.listStatus(out).isEmpty,
+        s"exportSnapshot: '$outDir' already exists and is non-empty — " +
+          "exports are immutable (a dir at the target path is always a " +
+          "complete snapshot)")
+      f.delete(out, false)
+      ()
+    }
+    val staging = new Path(s"$outDir.inprogress-${newVersionId()}")
+    try {
+      tables.foreach { t =>
+        readAsOf(t, utc).write.mode(SaveMode.ErrorIfExists)
+          .parquet(s"$staging/$t")
+      }
+      val parent = out.getParent
+      if (parent != null && !f.exists(parent)) f.mkdirs(parent)
+      require(f.rename(staging, out),
+        s"exportSnapshot: rename $staging -> $outDir failed")
+    } finally {
+      if (f.exists(staging)) f.delete(staging, true) // failed attempt only
+      ()
     }
   }
 

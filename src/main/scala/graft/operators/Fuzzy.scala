@@ -121,25 +121,75 @@ object Fuzzy {
     * Id contract: batch ids must exceed every existing entity id
     * (monotone id allocation — true of any sequence/snowflake scheme), so
     * min-labeling can never prefer a batch id over an existing entity.
+    * `validate = true` (default) ENFORCES it with one eager two-scalar
+    * aggregate (max existing entity vs min batch id) — a violating batch
+    * would otherwise silently relabel an existing entity, the same silent
+    * history corruption [[graft.engine.Scd.merge]]'s guard closes.
     *
     * Scale: the deletion-neighborhood candidate join runs batch↔resolved
-    * and batch↔batch — NEVER resolved↔resolved, which is what makes the
-    * incremental path cheap (cost ∝ batch, not population). Components
-    * form over the verified pair list only. */
+    * and batch↔batch — NEVER resolved↔resolved — but the RESOLVED side is
+    * still exploded per call here. A 100 TB nightly should pay that
+    * explode once: persist [[blockingKeys]] and call
+    * [[resolveIncrementalKeyed]], whose per-increment cost is one
+    * batch-sized explode + one band-join against the store. */
   def resolveIncremental(resolved: DataFrame, batch: DataFrame,
                          idCol: String, strCol: String,
-                         maxDist: Int = 1): DataFrame = {
-    // candidates via the shared variant key; the resolved side carries its
+                         maxDist: Int = 1,
+                         validate: Boolean = true): DataFrame =
+    resolveIncrementalKeyed(resolved, blockingKeys(resolved, strCol, maxDist),
+      batch, idCol, strCol, maxDist, validate)
+
+  /** The stored-blocking-key side of incremental resolution: every
+    * resolved row's deletion-neighborhood variants, one row per
+    * `(block_key, entity_id, <strCol>)`. Compute ONCE after a full
+    * [[resolveEntities]] pass and persist next to the population (e.g.
+    * `wh.publish(blockingKeys(resolved, "name"), "name_block_keys")`);
+    * each increment then explodes ONLY its batch and equi-joins the
+    * store — the corpus is never re-exploded. Same pattern as the stored
+    * near-dup signatures (q74): index once, probe per batch. Keep the
+    * store fresh by appending the keys of each labeled batch (the
+    * frozen-entity contract means existing rows never change). */
+  def blockingKeys(resolved: DataFrame, strCol: String,
+                   maxDist: Int = 1): DataFrame =
+    graft.functions.Generates.explodeOnce(
+      resolved.select(col("entity_id").as("__node"), col(strCol).as("__s"))
+        .where(col("__s").isNotNull),
+      Seq(col("__node"), col("__s")),
+      deletionVariants(col("__s"), maxDist), "__k")
+      .select(col("__k").as("block_key"), col("__node").as("entity_id"),
+        col("__s").as(strCol))
+
+  /** [[resolveIncremental]] against a PERSISTED key store
+    * ([[blockingKeys]] shape): the batch explodes, the base population
+    * does not — per-increment cost is `O(|batch| · len)` explode + one
+    * equi-join on the variant key, independent of population size. The
+    * `storedKeys` frame must cover exactly `resolved` at the SAME
+    * `maxDist` (a narrower store silently misses matches — the usual
+    * index-freshness contract). */
+  def resolveIncrementalKeyed(resolved: DataFrame, storedKeys: DataFrame,
+                              batch: DataFrame, idCol: String, strCol: String,
+                              maxDist: Int = 1,
+                              validate: Boolean = true): DataFrame = {
+    if (validate) {
+      val hi = resolved.agg(max(col("entity_id").cast("long"))).head()
+      val lo = batch.agg(min(col(idCol).cast("long"))).head()
+      if (!hi.isNullAt(0) && !lo.isNullAt(0))
+        require(lo.getLong(0) > hi.getLong(0),
+          s"resolveIncremental: batch ids start at ${lo.getLong(0)} but " +
+            s"entities reach ${hi.getLong(0)} — the monotone-id contract " +
+            "(batch ids above every existing entity) is violated; " +
+            "min-labeling would silently relabel existing entities. " +
+            "Re-resolve from scratch instead")
+    }
+    // candidates via the shared variant key; the stored side carries its
     // ENTITY as the node, so CC directly connects batch ids to entities
-    def keyed(df: DataFrame, node: Column) =
-      graft.functions.Generates.explodeOnce(
-        df.select(node.as("__node"), col(strCol).as("__s"))
-          .where(col("__s").isNotNull),
-        Seq(col("__node"), col("__s")),
-        deletionVariants(col("__s"), maxDist), "__k")
-    val rk = keyed(resolved, col("entity_id"))
-      .select(col("__k"), col("__node").as("id_a"), col("__s").as("__sa"))
-    val bk = keyed(batch, col(idCol))
+    val rk = storedKeys.select(col("block_key").as("__k"),
+      col("entity_id").as("id_a"), col(strCol).as("__sa"))
+    val bk = graft.functions.Generates.explodeOnce(
+      batch.select(col(idCol).as("__node"), col(strCol).as("__s"))
+        .where(col("__s").isNotNull),
+      Seq(col("__node"), col("__s")),
+      deletionVariants(col("__s"), maxDist), "__k")
     val bkA = bk.select(col("__k"), col("__node").as("id_a"), col("__s").as("__sa"))
     val bkB = bk.select(col("__k"), col("__node").as("id_b"), col("__s").as("__sb"))
     val pairs = rk.unionByName(bkA).join(bkB, Seq("__k"))

@@ -737,10 +737,14 @@ object ExtendedQueries {
       val t1 = base.filter(col("id") % 50 === 0)
         .select((col("id") + 10000000L).as("id"),
           concat(lit("x"), substring(col("name"), 2, 31)).as("name"))
-      val resolved = graft.operators.Fuzzy.resolveEntities(
-        base.unionByName(t1)
-          .repartition(s.sparkContext.defaultParallelism, col("id")),
-        "id", "name", maxDist = 1)
+      // materialize: the resolved population is consumed three times
+      // (monotone-id guard, blocking-key explode, final union) — left
+      // lazy, Catalyst re-derives the whole resolve per consumer
+      val resolved = graft.engine.Exec.materialize(
+        graft.operators.Fuzzy.resolveEntities(
+          base.unionByName(t1)
+            .repartition(s.sparkContext.defaultParallelism, col("id")),
+          "id", "name", maxDist = 1))
       val t2 = base.filter(col("id") % 100 === 0)
         .select((col("id") + 20000000L).as("id"),
           concat(substring(col("name"), 1, 31), lit("x")).as("name"))
@@ -955,6 +959,9 @@ object ExtendedQueries {
       val k = 256
       val sh = graft.functions.Generates.explodeOnce(
         Td(s, dir, "documents")
+          // widen the one-file parquet layout before the shingle explode —
+          // the sketch is a set-function, so the hash is layout-invariant
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("side", (col("doc_id") % 2).cast("int")),
         Seq(col("side")),
         graft.functions.TextFunctions.shingles(col("text"), 3), "shingle")
@@ -1069,7 +1076,14 @@ object ExtendedQueries {
           (col("l_suppkey").cast("long") + 1000000L).as("p"))
       val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
         .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
-      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
+      // co-partitioned iterate: the prepared edge list stages ONCE into a
+      // bucketed-by-src layout, so none of the 5 iterations re-exchanges
+      // it (ranks are an exact integer function of the edge set — staged
+      // and unstaged runs are row-identical, hash unchanged)
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-prstg").toString)
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5,
+        staging = Some(graft.operators.Graph.EdgeStage(wh, "g143_edges", 32)))
     }),
 
     // ── personalized PageRank on the q143 graph: reset mass restricted
@@ -1088,8 +1102,13 @@ object ExtendedQueries {
       val seeds = Td(s, dir, "lineitem")
         .select((col("l_suppkey").cast("long") + 1000000L).as("n"))
         .filter(col("n") % 10 === 0).distinct()
+      // same staged-edge layout as q143 — 4 iterations, zero edge
+      // re-exchanges after the one bucketed write
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-pprstg").toString)
       graft.operators.Graph.personalizedPageRank(edges, "src", "dst",
-        seeds, "n", iters = 4)
+        seeds, "n", iters = 4,
+        staging = Some(graft.operators.Graph.EdgeStage(wh, "g149_edges", 32)))
     }),
 
     // ── per-node triangle counts via the id-ordered wedge join (the
@@ -1329,6 +1348,101 @@ object ExtendedQueries {
       wh.overwrite(li.repartitionByRange(16, col("l_orderkey")), "li")
       wh.buildBloomIndex("li", "l_orderkey", expectedItemsPerFile = 1L << 17)
       wh.readBloomPruned("li", "l_orderkey", Seq(1L, 7L, 42L, 599L))
+    }),
+
+    // ── incremental ER against a PERSISTED blocking-key store (the q74
+    //    stored-signature pattern applied to entities): the resolved
+    //    population's deletion-neighborhood keys are published once and
+    //    read back; the increment explodes ONLY its batch and band-joins
+    //    the store — the base corpus is never re-exploded. Same planted
+    //    contract as q156 ──
+    "q164_entity_incremental_keyed" -> ((s, dir) => {
+      val base = Td(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"),
+          md5(col("c_custkey").cast("string")).as("name"))
+      // the nightly's STORED state, constructed from the planted contract
+      // (base rows own their entity; first-typo rows resolve to their
+      // base) — re-resolving it here would measure resolution, not the
+      // increment
+      val t1 = base.filter(col("id") % 50 === 0)
+        .select((col("id") + 10000000L).as("id"),
+          concat(lit("x"), substring(col("name"), 2, 31)).as("name"),
+          col("id").as("entity_id"))
+      val resolved = base.withColumn("entity_id", col("id"))
+        .unionByName(t1)
+        .repartition(s.sparkContext.defaultParallelism, col("id"))
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-erkeys").toString)
+      wh.publish(graft.operators.Fuzzy.blockingKeys(resolved, "name"),
+        "g164_keys")
+      val t2 = base.filter(col("id") % 100 === 0)
+        .select((col("id") + 20000000L).as("id"),
+          concat(substring(col("name"), 1, 31), lit("x")).as("name"))
+      val fresh = base.filter(col("id") % 75 === 0)
+        .select((col("id") + 30000000L).as("id"),
+          concat(lit("zz"), substring(col("name"), 1, 30)).as("name"))
+      graft.operators.Fuzzy.resolveIncrementalKeyed(
+        resolved, wh.read("g164_keys"),
+        t2.unionByName(fresh), "id", "name", maxDist = 1)
+        .select(col("id"), col("entity_id"))
+    }),
+
+    // ── the CMS join-size estimate CONSUMED as a planning signal: TPC-H
+    //    Q18 shape (large-quantity orders) where the sketch inner product
+    //    ranks the two joinable sides and the most selective (the >300-
+    //    quantity order set) joins first — JoinPolicySpec asserts the
+    //    pick; the oracle replays the order-independent semantics ──
+    "q165_sketch_join_order" -> ((s, dir) => {
+      import s.implicits._
+      val big = Td(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity".cast(D)).as("q"))
+        .filter($"q" > 300)
+        .select($"l_orderkey", $"q".cast("double").as("sum_qty"))
+      val cust = Td(s, dir, "customer").select($"c_custkey", $"c_name")
+      val (joined, _) = graft.engine.JoinPolicy.joinBySketchOrder(
+        Td(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+        Seq(
+          graft.engine.JoinPolicy.JoinSide(big, "o_orderkey", "l_orderkey"),
+          graft.engine.JoinPolicy.JoinSide(cust, "o_custkey", "c_custkey")))
+      joined.select($"c_name", $"c_custkey", $"o_orderkey",
+        $"o_totalprice".cast("double").as("total_price"), $"sum_qty")
+    }),
+
+    // ── the standard warehouse nightly, composed end to end: dimension
+    //    publish v1 → v2, CDC feed between the versions, feed replayed as
+    //    a change-log batch into the SCD2 merge (deletes tombstone, the
+    //    update_pre rows drop — they are the old state, not a new
+    //    observation). The oracle rebuilds the full expected history from
+    //    the mutation rules ──
+    "q166_cdc_scd2_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-cdcscd").toString)
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+      val v1 = Td(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+      val va = wh.publish(v1, "dim")
+      val v2 = v1.filter($"c_custkey" % 13 =!= 0)
+        .withColumn("c_mktsegment",
+          when($"c_custkey" % 10 === 0, lit("CHANGED"))
+            .otherwise($"c_mktsegment"))
+        .unionByName(Seq((-1L, "NEW1"), (-2L, "NEW2"))
+          .toDF("c_custkey", "c_mktsegment"))
+      val vb = wh.publish(v2, "dim")
+      val feed = wh.changeFeed("dim", va, vb, Seq("c_custkey"))
+      val hist0 = graft.engine.Scd.fromChangeLog(
+        v1.select($"c_custkey", lit(t0).as("ts"), lit(0L).as("seq"),
+          $"c_mktsegment", lit(false).as("is_deleted")),
+        Seq("c_custkey"), "ts", "seq", Seq("c_mktsegment", "is_deleted"))
+      val batch = feed.filter($"_change" =!= "update_pre")
+        .select($"c_custkey", lit(t1).as("ts"), lit(1L).as("seq"),
+          when($"_change" === "delete", lit(null).cast("string"))
+            .otherwise($"c_mktsegment").as("c_mktsegment"),
+          ($"_change" === "delete").as("is_deleted"))
+      graft.engine.Scd.merge(hist0, batch, Seq("c_custkey"), "ts", "seq",
+        Seq("c_mktsegment", "is_deleted"))
     })
   )
 
@@ -2669,6 +2783,64 @@ object ExtendedQueries {
         |SELECT id, id AS entity_id FROM c
         |UNION ALL SELECT id + 10000000, id FROM c WHERE id % 50 = 0
         |UNION ALL SELECT id + 20000000, id FROM c WHERE id % 100 = 0"""
+        .stripMargin,
+
+    // q164: the q156 planted contract, reached through the stored-key
+    // path — the result is the same population ∪ labeled batch
+    "q164_entity_incremental_keyed" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer)
+        |SELECT id, id AS entity_id FROM c
+        |UNION ALL SELECT id + 10000000, id FROM c WHERE id % 50 = 0
+        |UNION ALL SELECT id + 20000000, id FROM c WHERE id % 100 = 0
+        |UNION ALL SELECT id + 30000000, id + 30000000 FROM c
+        |  WHERE id % 75 = 0""".stripMargin,
+
+    // q165: Q18 semantics are join-order independent — the oracle is the
+    // plain three-way join; the ORDER the sketch picked is asserted at
+    // plan level in JoinPolicySpec
+    "q165_sketch_join_order" ->
+      """SELECT c.c_name AS c_name, c.c_custkey AS c_custkey,
+        |  o.o_orderkey AS o_orderkey,
+        |  CAST(o.o_totalprice AS DOUBLE) AS total_price, t.sum_qty
+        |FROM orders o
+        |JOIN (SELECT l_orderkey,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |          AS sum_qty
+        |      FROM lineitem GROUP BY 1
+        |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) t
+        |  ON o.o_orderkey = t.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+
+    // q166: the expected SCD2 history rebuilt directly from the mutation
+    // rules — unchanged keys one open row, changed keys closed v1 + open
+    // v2, deleted keys closed v1 + open tombstone, inserts open at t1
+    "q166_cdc_scd2_roundtrip" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer)
+        |SELECT c_custkey, c_mktsegment, FALSE AS is_deleted,
+        |    TIMESTAMP '2024-01-01' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to,
+        |    CAST(1 AS INTEGER) AS version, TRUE AS is_current
+        |  FROM c WHERE c_custkey % 13 <> 0 AND c_custkey % 10 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, FALSE,
+        |    TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', 1, FALSE
+        |  FROM c WHERE c_custkey % 13 <> 0 AND c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'CHANGED', FALSE,
+        |    TIMESTAMP '2024-02-01', NULL, 2, TRUE
+        |  FROM c WHERE c_custkey % 13 <> 0 AND c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, FALSE,
+        |    TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', 1, FALSE
+        |  FROM c WHERE c_custkey % 13 = 0
+        |UNION ALL
+        |SELECT c_custkey, CAST(NULL AS VARCHAR), TRUE,
+        |    TIMESTAMP '2024-02-01', NULL, 2, TRUE
+        |  FROM c WHERE c_custkey % 13 = 0
+        |UNION ALL
+        |SELECT CAST(k AS BIGINT), seg, FALSE,
+        |    TIMESTAMP '2024-02-01', NULL, 1, TRUE
+        |  FROM (VALUES (-1, 'NEW1'), (-2, 'NEW2')) t(k, seg)"""
         .stripMargin
   )
 

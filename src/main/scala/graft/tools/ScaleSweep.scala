@@ -30,6 +30,46 @@ object ScaleSweep {
   // bump when generate()'s recipe changes — see the _READY check below
   private val Generation = "gen5-scaled-orders"
 
+  /** One completed stage: (stageId, tasks, taskTimeMs, wallMs,
+    * shufWriteB, shufReadB, inputB). */
+  type StageRow = (Int, Int, Long, Long, Long, Long, Long)
+
+  /** Per-stage telemetry collector — the sweep's measurement core,
+    * factored out so the single-task GATE below is spec-testable. */
+  final class StageAudit(sc: org.apache.spark.SparkContext) {
+    private val q = new java.util.concurrent.ConcurrentLinkedQueue[StageRow]()
+    private val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val i = e.stageInfo
+        val wall = (for { s <- i.submissionTime; c <- i.completionTime }
+          yield c - s).getOrElse(-1L)
+        val m = i.taskMetrics
+        q.add((i.stageId, i.numTasks, m.executorRunTime, wall,
+          m.shuffleWriteMetrics.bytesWritten,
+          m.shuffleReadMetrics.localBytesRead +
+            m.shuffleReadMetrics.remoteBytesRead,
+          m.inputMetrics.bytesRead))
+      }
+    }
+    sc.addSparkListener(listener)
+    def clear(): Unit = q.clear()
+    def snapshot(): Seq[StageRow] = {
+      Thread.sleep(300) // let the listener bus drain
+      q.toArray(Array.empty[StageRow]).toSeq
+    }
+    def detach(): Unit = sc.removeSparkListener(listener)
+  }
+
+  /** The zero-single-task invariant as a GATE, not prose: stages that ran
+    * on ONE task while doing real work (> `minTaskTimeMs` of executor
+    * time). At scale such a stage is a serial bottleneck whatever the
+    * wall clock says — the q33/q70/q129 artifact class. [[main]] exits
+    * non-zero when any scaled run trips it, so the class cannot recur
+    * silently. */
+  def slowSingleTaskStages(stages: Seq[StageRow],
+                           minTaskTimeMs: Long = 1000L): Seq[StageRow] =
+    stages.filter(s => s._2 == 1 && s._3 > minTaskTimeMs)
+
   private def rotated(s: String, r: Int): String =
     s.drop(r % s.length) + s.take(r % s.length)
 
@@ -157,21 +197,7 @@ object ScaleSweep {
       generate(spark, src, out)
     }
 
-    // (stageId, tasks, taskTimeMs, wallMs, shufWriteB, shufReadB, inputB)
-    val stages =
-      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long, Long, Long, Long)]()
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
-        val i = e.stageInfo
-        val wall = (for { s <- i.submissionTime; c <- i.completionTime }
-          yield c - s).getOrElse(-1L)
-        val m = i.taskMetrics
-        stages.add((i.stageId, i.numTasks, m.executorRunTime, wall,
-          m.shuffleWriteMetrics.bytesWritten,
-          m.shuffleReadMetrics.localBytesRead + m.shuffleReadMetrics.remoteBytesRead,
-          m.inputMetrics.bytesRead))
-      }
-    })
+    val audit = new StageAudit(spark.sparkContext)
 
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q12_grouped_completion", "q30_dedup_minhash",
@@ -231,25 +257,35 @@ object ScaleSweep {
         // round 6o: classic selective join+agg shapes over the lockstep-
         // scaled lineitem⋈orders, incremental ER over ×20 customers
         "q153_shipping_priority", "q154_local_volume",
-        "q156_entity_incremental")
+        "q156_entity_incremental",
+        // round 7: stored-blocking-key incremental ER (batch-only
+        // explode), sketch-ordered Q18 joins, CDC→SCD2 nightly composite
+        "q164_entity_incremental_keyed", "q165_sketch_join_order",
+        "q166_cdc_scd2_roundtrip")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     for (dir <- Seq(src, out); n <- names) {
-      stages.clear()
+      audit.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let the listener bus drain
-      val all = stages.toArray(Array.empty[(Int, Int, Long, Long, Long, Long, Long)])
+      val all = audit.snapshot()
       val totW = all.map(_._5).sum
       val totR = all.map(_._6).sum
       val totIn = all.map(_._7).sum
-      val oneTask = all.count(s => s._2 == 1 && s._3 > 1000)
+      val slow = slowSingleTaskStages(all)
       val tag = if (dir == src) "sf0.1" else "scaled"
+      // the GATE watches the scaled runs: a one-file sf0.1 input layout
+      // can legitimately serialize its first scan, a ×10/×20 32-file
+      // copy cannot
+      if (dir == out)
+        violations ++= slow.map(s =>
+          f"$n: stage=${s._1} taskTime=${s._3 / 1000.0}%.2fs ran on 1 task")
       println(f"===== $n [$tag] wall=$wall%.2fs stages=${all.length} " +
         f"shufWrite=${gb(totW)}%.1fMB shufRead=${gb(totR)}%.1fMB " +
-        f"input=${gb(totIn)}%.1fMB slowSingleTaskStages=$oneTask")
+        f"input=${gb(totIn)}%.1fMB slowSingleTaskStages=${slow.length}")
       all.sortBy(-_._3).take(8).foreach {
         case (id, tasks, run, w, sw, sr, in) =>
           println(f"  stage=$id%-5d tasks=$tasks%-3d taskTime=${run / 1000.0}%8.2fs " +
@@ -261,5 +297,10 @@ object ScaleSweep {
     // metric the planted-copy gates can't see (VERDICT r3 item 5)
     AnnRecall.run(spark, assertFloor = false)
     spark.stop()
+    if (violations.nonEmpty) {
+      println("SWEEP GATE FAILED — slow single-task stages at scale:")
+      violations.foreach(v => println(s"  $v"))
+      sys.exit(1)
+    }
   }
 }

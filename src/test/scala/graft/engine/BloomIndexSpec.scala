@@ -68,6 +68,31 @@ class BloomIndexSpec extends SparkSpec {
     assert(wh.readBloomPruned("t", "v", Seq("v7")).count() == 1L)
   }
 
+  test("probe literals reconcile with the indexed column's type: " +
+      "castable cross-type probes match, uncastable ones fail loudly") {
+    val wh = new Warehouse(spark, freshRoot)
+    clustered(wh) // k is LONG
+    wh.buildBloomIndex("t", "k", expectedItemsPerFile = 2000)
+    val want = wh.read("t").filter(col("k") === 4242L).collect().toSeq
+    // a STRING probe of the long column hashes in the long domain after
+    // the cast — same files, same rows as the native-typed probe
+    assert(wh.readBloomPruned("t", "k", Seq("4242")).collect().toSeq == want)
+    // an INT probe likewise
+    assert(wh.readBloomPruned("t", "k", Seq(4242)).collect().toSeq == want)
+    // an unrepresentable probe raises instead of silently pruning all
+    val e = intercept[IllegalArgumentException] {
+      wh.readBloomPruned("t", "k", Seq("not-a-number"))
+    }
+    assert(e.getMessage.contains("not representable"))
+    // string-typed column probed with an int: cast to string, found
+    val sw = new Warehouse(spark, freshRoot)
+    sw.overwrite((1 to 4000).map(i => (i.toLong, i.toString))
+      .toDF("k", "s").repartitionByRange(8, col("k")), "ts")
+    sw.buildBloomIndex("ts", "s", expectedItemsPerFile = 1000)
+    assert(sw.readBloomPruned("ts", "s", Seq(777)).count() == 1L)
+    assert(sw.readBloomPruned("ts", "s", Seq("777")).count() == 1L)
+  }
+
   test("aggregate: no false negatives, merge-built == membership-complete, string keys") {
     val df = (1 to 5000).map(i => (i % 7, s"key$i")).toDF("g", "k")
       .repartition(13) // force map-side partial merges

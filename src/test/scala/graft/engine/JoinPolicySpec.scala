@@ -93,6 +93,39 @@ class JoinPolicySpec extends SparkSpec {
     assert(fanEst >= fanExact && fanEst >= est * 5)
   }
 
+  test("orderJoinsBySketch: the CMS estimate picks the selective side " +
+      "first, and the applied plan joins in that order") {
+    // fact: 2000 rows over 100 keys. Side A matches 3 keys (selective:
+    // ~60 output rows); side B matches every key (2000 output rows).
+    val facts = (1L to 2000L).map(i => (i % 100, (i % 100) + 1000, i))
+      .toDF("ka", "kb", "x")
+    val selective = Seq(0L, 1L, 2L).map(k => (k, s"s$k")).toDF("k", "s_label")
+    val wide = (0L until 100L).map(k => (k + 1000, s"w$k")).toDF("k", "w_label")
+    val sides = Seq(
+      JoinPolicy.JoinSide(wide, "kb", "k"),
+      JoinPolicy.JoinSide(selective, "ka", "k"))
+    val order = JoinPolicy.orderJoinsBySketch(facts, sides)
+    assert(order == Seq(1, 0),
+      s"the sketch must rank the selective side first, got $order")
+    val (joined, applied) = JoinPolicy.joinBySketchOrder(facts, sides)
+    assert(applied == order)
+    // plan level: the FIRST-applied join is the DEEPEST — the bottom-most
+    // Join's right side must be the selective dim
+    val joins = joined.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    assert(joins.last.right.output.map(_.name).contains("s_label"),
+      joined.queryExecution.optimizedPlan.toString)
+    // order never changes the result set
+    val plain = facts
+      .join(wide, facts("kb") === wide("k"))
+      .join(selective, facts("ka") === selective("k"))
+      .select("x", "s_label", "w_label").collect().map(_.toSeq).toSet
+    assert(joined.select("x", "s_label", "w_label")
+      .collect().map(_.toSeq).toSet == plain)
+  }
+
   test("wrangle pipeline dims demote when broadcast is off (no forced hints)") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)

@@ -403,6 +403,87 @@ class PublishSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown columns"))
   }
 
+  test("updateWhere refuses values the column type cannot represent " +
+      "instead of publishing nulls") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwrite(Seq((1, 10L), (2, 20L)).toDF("k", "a"), "t")
+    val e = intercept[IllegalArgumentException] {
+      wh.updateWhere("t", col("k") === 1, Map("a" -> lit("not-a-number")))
+    }
+    assert(e.getMessage.contains("cannot represent"))
+    // nothing published: table unchanged
+    assert(wh.read("t").orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 10L), (2, 20L)))
+    // a castable string is fine (the value, not the static type, decides)
+    assert(wh.updateWhere("t", col("k") === 1, Map("a" -> lit("42"))) == 1L)
+    assert(wh.read("t").filter(col("k") === 1).head().getLong(1) == 42L)
+    // unmatched rows never gate: a bad value on a predicate matching
+    // nothing is a no-op, not an error
+    assert(wh.updateWhere("t", col("k") === 99,
+      Map("a" -> lit("nope"))) == 0L)
+  }
+
+  test("exportSnapshot is all-or-nothing: a failed export leaves no " +
+      "target dir and a retry succeeds; complete exports are immutable") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.publish(Seq((1, "x")).toDF("k", "v"), "good")
+    val snap = java.time.Instant.now()
+    val out = s"${freshRoot}/snap-out" // does NOT exist yet
+    intercept[Exception] {
+      wh.exportSnapshot(Seq("good", "no_such_table"), snap, out)
+    }
+    val p = new org.apache.hadoop.fs.Path(out)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!f.exists(p), "a torn export must not land at the target path")
+    // retry with a correct list lands whole
+    wh.exportSnapshot(Seq("good"), snap, out)
+    assert(spark.read.parquet(s"$out/good").count() == 1)
+    // and the complete snapshot refuses overwrite
+    val e = intercept[IllegalArgumentException] {
+      wh.exportSnapshot(Seq("good"), snap, out)
+    }
+    assert(e.getMessage.contains("immutable"))
+  }
+
+  test("appendEvolved on a bucketed table rewrites under the union " +
+      "schema, preserving the bucket spec and old rows") {
+    val wh = new Warehouse(spark, freshRoot)
+    try {
+      wh.overwriteBucketed((1 to 8).map(i => (i.toLong, i % 2))
+        .toDF("id", "k"), "tbe", Seq("k"), 2)
+      wh.appendEvolved(Seq((100L, 0, "tagged")).toDF("id", "k", "tag"), "tbe")
+      val got = wh.read("tbe").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.get(2))).toSeq
+      assert(got.size == 9)
+      assert(got.last == ((100L, 0, "tagged")))
+      assert(got.take(8).forall(_._3 == null), "old rows read null in tag")
+      // the spec SURVIVED the rewrite: catalog still bucketed (k, 2)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("tbe"))
+      assert(meta.bucketSpec.exists(b =>
+        b.numBuckets == 2 && b.bucketColumnNames == Seq("k")))
+      // and bucket metadata still real after evolution: co-located join
+      // plans no exchange on either bucketed side
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        wh.overwriteBucketed((1 to 50).map(i => (i.toLong, i % 2))
+          .toDF("id2", "k"), "tbe2", Seq("k"), 2)
+        val joined = wh.readBucketed("tbe").join(wh.readBucketed("tbe2"),
+          Seq("k"))
+        joined.count()
+        assert(!joined.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // type drift still refuses loudly on the bucketed path
+      val e = intercept[IllegalArgumentException] {
+        wh.appendEvolved(Seq(("oops", 1)).toDF("id", "k"), "tbe")
+      }
+      assert(e.getMessage.contains("type drift"))
+    } finally Seq("tbe", "tbe2")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   test("readAsOf resolves the version current at an instant; history " +
       "lists retained versions with the current flag") {
     val wh = new Warehouse(spark, freshRoot)

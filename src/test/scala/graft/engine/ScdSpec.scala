@@ -128,6 +128,25 @@ class ScdSpec extends SparkSpec {
       .unionByName(b3))))
   }
 
+  test("merge guard: a batch row sorting before its key's open " +
+      "valid_from raises; validate=false restores the unchecked path") {
+    val h = hist(Seq(("A", 5L, 1L, "x", "p")).toDF("k", "ts", "tie", "a", "b"))
+    val late = Seq(("A", 3L, 2L, "y", "q")).toDF("k", "ts", "tie", "a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Scd.merge(h, late, K, "ts", "tie", Seq("a", "b"))
+    }
+    assert(e.getMessage.contains("fromChangeLog"))
+    // equal timestamps are NOT late (the MinValue tie orders open first)
+    val tie = Seq(("A", 5L, 2L, "y", "q")).toDF("k", "ts", "tie", "a", "b")
+    assert(Scd.merge(h, tie, K, "ts", "tie", Seq("a", "b")).count() == 2)
+    // new keys have no open row and never trip the guard
+    val fresh = Seq(("B", 1L, 1L, "z", "r")).toDF("k", "ts", "tie", "a", "b")
+    assert(Scd.merge(h, fresh, K, "ts", "tie", Seq("a", "b")).count() == 2)
+    // explicit opt-out computes (the documented corrupt-history mode)
+    assert(Scd.merge(h, late, K, "ts", "tie", Seq("a", "b"),
+      validate = false).count() == 2)
+  }
+
   test("one shuffle: the rebuild plan has exactly one exchange") {
     val log = Seq(("A", 1L, 1L, "x", "p")).toDF("k", "ts", "tie", "a", "b")
     val plan = hist(log).queryExecution.executedPlan.toString

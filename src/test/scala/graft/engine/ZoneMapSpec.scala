@@ -121,6 +121,34 @@ class ZoneMapSpec extends SparkSpec {
       .count())
   }
 
+  test("distributed membership past the driver gate: join path answers " +
+      "identically to the driver-set path, stale files included") {
+    val wh = new Warehouse(spark, freshRoot)
+    clustered(wh)
+    wh.buildZoneMap("t", Seq("k"))
+    // post-build append -> a genuinely unknown file on both paths
+    wh.append((9001 to 9100).map(i => (i.toLong, i % 97, s"v$i"))
+      .toDF("k", "grp", "v").coalesce(1), "t")
+    val Some((keptSets, unkSets)) = wh.zonePrunedFiles("t", "k", 100L, 300L)
+    val gateKey = wh.MaxDriverPruneFilesKey
+    try {
+      spark.conf.set(gateKey, "0") // every listing exceeds the gate
+      val Some((keptJoin, unkJoin)) = wh.zonePrunedFiles("t", "k", 100L, 300L)
+      assert(keptJoin.toSet == keptSets.toSet &&
+        unkJoin.toSet == unkSets.toSet,
+        s"join path diverged: kept $keptJoin vs $keptSets")
+      // and the read itself stays exact
+      assert(wh.readZonePruned("t", "k", 100L, 300L).count() ==
+        wh.read("t").filter(col("k").between(100, 300)).count())
+      // bloom shares the helper: same equivalence for point probes
+      wh.buildBloomIndex("t", "k", expectedItemsPerFile = 1L << 12)
+      val Some((bk, bu)) = wh.bloomPrunedFiles("t", "k", Seq(150L, 9050L))
+      spark.conf.unset(gateKey)
+      val Some((bk2, bu2)) = wh.bloomPrunedFiles("t", "k", Seq(150L, 9050L))
+      assert(bk.toSet == bk2.toSet && bu.toSet == bu2.toSet)
+    } finally spark.conf.unset(gateKey)
+  }
+
   test("streamed batches self-register their zone-map rows") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwrite((1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")

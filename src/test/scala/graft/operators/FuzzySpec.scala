@@ -92,6 +92,43 @@ class FuzzySpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 3L -> 3L, 10L -> 1L))
   }
 
+  test("resolveIncrementalKeyed: a persisted key store replays " +
+      "resolveIncremental exactly — batch-only explode path") {
+    val base = Seq(1L -> "kitten", 2L -> "kittex", 5L -> "zebra")
+      .toDF("id", "name")
+    val resolved = Fuzzy.resolveEntities(base, "id", "name", 1)
+    val batch = Seq(10L -> "mitten", 11L -> "mittex", 12L -> "orange")
+      .toDF("id", "name")
+    // the production shape: keys computed once, ROUND-TRIPPED through
+    // parquet (the store is a table, not a plan), then probed
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy-keys").toString
+    Fuzzy.blockingKeys(resolved, "name", 1).write.parquet(s"$dir/keys")
+    val stored = spark.read.parquet(s"$dir/keys")
+    val got = Fuzzy.resolveIncrementalKeyed(resolved, stored, batch,
+        "id", "name", 1)
+      .select("id", "entity_id").as[(Long, Long)].collect().toMap
+    val inline = Fuzzy.resolveIncremental(resolved, batch, "id", "name", 1)
+      .select("id", "entity_id").as[(Long, Long)].collect().toMap
+    assert(got == inline)
+    assert(got(10L) == 1L && got(11L) == 1L && got(12L) == 12L)
+  }
+
+  test("monotone-id guard: a batch id at or below an existing entity " +
+      "raises; validate=false restores the old silent behavior") {
+    val base = Seq(5L -> "kitten", 9L -> "zebra").toDF("id", "name")
+    val resolved = Fuzzy.resolveEntities(base, "id", "name", 1)
+    val badBatch = Seq(3L -> "mitten").toDF("id", "name") // 3 <= max entity 9
+    val e = intercept[IllegalArgumentException] {
+      Fuzzy.resolveIncremental(resolved, badBatch, "id", "name", 1)
+    }
+    assert(e.getMessage.contains("monotone-id"))
+    // opt-out still computes (the caller takes responsibility)
+    val got = Fuzzy.resolveIncremental(resolved, badBatch, "id", "name", 1,
+        validate = false)
+      .select("id", "entity_id").as[(Long, Long)].collect().toMap
+    assert(got.contains(3L))
+  }
+
   test("deletionVariants: empty and single-char strings are safe") {
     val got = spark.range(1).select(
         Fuzzy.deletionVariants(lit(""), 2).as("e"),

@@ -138,6 +138,39 @@ class GraphSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("staged iterate: bucketed edge layout is row-identical to the " +
+      "unstaged run, and the edge side of the iteration join plans no " +
+      "exchange") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val wh = new graft.engine.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graph-stage").toString)
+    val staged = Graph.pageRank(edges.toDF("s", "d"), "s", "d", 5,
+        staging = Some(Graph.EdgeStage(wh, "gs_pr_edges", 4)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(staged == reference(edges.toSet, 5))
+    // the load-bearing plan property: joining the staged (bucketed-by-src)
+    // edge list against a rank vector on `src` exchanges ONLY the rank
+    // side — the per-iteration edge shuffle is gone
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // forbid broadcast: the exchange count is the test
+      val ed = wh.readBucketed("gs_pr_edges")
+      val ranks = edges.map(_._1).distinct.map(n => (n, 1000000L))
+        .toDF("src", "rank_ppm")
+      val joined = ed.join(ranks, "src")
+      joined.collect()
+      // AQE prints the final AND the initial plan — count in the final one
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected the single rank-side exchange:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+    } finally spark.conf.set(key, old)
+  }
+
   test("null endpoints drop their edge; node set is surviving endpoints") {
     val edges = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
       (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)))
