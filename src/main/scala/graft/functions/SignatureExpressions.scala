@@ -584,7 +584,8 @@ case class PqEncodeExpr(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   * spread, not the global scale. */
 case class PqResidualEncodeExpr(child: Expression,
                                 centroids: Seq[Seq[Double]],
-                                codebooks: Seq[Seq[Seq[Double]]])
+                                codebooks: Seq[Seq[Seq[Double]]],
+                                rotation: Seq[Seq[Double]] = Nil)
     extends UnaryExpression {
   private val m = codebooks.length
   private val ksub = codebooks.head.length
@@ -595,6 +596,9 @@ case class PqResidualEncodeExpr(child: Expression,
     "pq_residual_encode: ksub must be <= 256 and equal across subspaces")
   require(codebooks.forall(_.forall(_.length == ds)),
     "pq_residual_encode: all codebook entries must share the subvector length")
+  require(rotation.isEmpty ||
+    (rotation.length == m * ds && rotation.forall(_.length == m * ds)),
+    "pq_residual_encode: rotation must be a dim x dim matrix")
   override def dataType: DataType = StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
     StructField("code", LongType, nullable = false)))
@@ -604,6 +608,8 @@ case class PqResidualEncodeExpr(child: Expression,
     centroids.map(_.toArray).toArray
   @transient private lazy val cb: Array[Array[Array[Double]]] =
     codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val rot: Array[Array[Double]] =
+    rotation.map(_.toArray).toArray
 
   def compute(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val v = VecArgs.toDoubles(a, VecArgs.elemType(child), "pq_residual_encode")
@@ -620,6 +626,30 @@ case class PqResidualEncodeExpr(child: Expression,
       i += 1
     }
     val cent = cs(cell)
+    val dim = m * ds
+    // materialize the residual (zero-padded to dim), then optionally
+    // rotate it — dot(q, v−C) = dot(Rq, R(v−C)) for orthonormal R, so a
+    // rotated-residual code scores against a rotated-query LUT exactly
+    var res = new Array[Double](dim)
+    var t0 = 0
+    while (t0 < dim) {
+      res(t0) = (if (t0 < v.length) v(t0) else 0.0) -
+        (if (t0 < cent.length) cent(t0) else 0.0)
+      t0 += 1
+    }
+    if (rot.nonEmpty) {
+      val out = new Array[Double](dim)
+      var r = 0
+      while (r < dim) {
+        val row = rot(r)
+        var d = 0.0
+        var t = 0
+        while (t < dim) { d += row(t) * res(t); t += 1 }
+        out(r) = d
+        r += 1
+      }
+      res = out
+    }
     var code = 0L
     var j = 0
     while (j < m) {
@@ -633,8 +663,7 @@ case class PqResidualEncodeExpr(child: Expression,
         var d = 0.0
         var t = 0
         while (t < ds) {
-          val r = (if (off + t < v.length) v(off + t) else 0.0) -
-            (if (off + t < cent.length) cent(off + t) else 0.0) - e(t)
+          val r = res(off + t) - e(t)
           d += r * r
           t += 1
         }
@@ -651,6 +680,49 @@ case class PqResidualEncodeExpr(child: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqResidualEncode", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Dense rotation of a numeric vector: `out = M · v` (v zero-padded to
+  * the matrix width). The OPQ query-side companion of
+  * [[PqResidualEncodeExpr]]'s rotated residuals — a rotated-query LUT
+  * scores rotated-residual codes with the exact unrotated inner product
+  * (orthonormal M preserves dot products). The matrix ships as a plan
+  * constant like every codebook here. */
+case class VecRotateExpr(child: Expression, matrix: Seq[Seq[Double]])
+    extends UnaryExpression {
+  require(matrix.nonEmpty && matrix.forall(_.length == matrix.length),
+    "vec_rotate: matrix must be square and non-empty")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_rotate"
+
+  @transient private lazy val mat: Array[Array[Double]] =
+    matrix.map(_.toArray).toArray
+
+  def compute(a: ArrayData): ArrayData = {
+    val v = VecArgs.toDoubles(a, VecArgs.elemType(child), "vec_rotate")
+    val dim = mat.length
+    val out = new Array[Double](dim)
+    var r = 0
+    while (r < dim) {
+      val row = mat(r)
+      val n = math.min(v.length, dim)
+      var d = 0.0
+      var t = 0
+      while (t < n) { d += row(t) * v(t); t += 1 }
+      out(r) = d
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecRotate", this)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
@@ -935,6 +1007,10 @@ object SignatureExpressions {
     toCol(PqAdcExpr(toExpr(lut), toExpr(code), m, ksub))
 
   def pqResidualEncode(v: Column, centroids: Seq[Seq[Double]],
-                       codebooks: Seq[Seq[Seq[Double]]]): Column =
-    toCol(PqResidualEncodeExpr(toExpr(v), centroids, codebooks))
+                       codebooks: Seq[Seq[Seq[Double]]],
+                       rotation: Seq[Seq[Double]] = Nil): Column =
+    toCol(PqResidualEncodeExpr(toExpr(v), centroids, codebooks, rotation))
+
+  def vecRotate(v: Column, matrix: Seq[Seq[Double]]): Column =
+    toCol(VecRotateExpr(toExpr(v), matrix))
 }

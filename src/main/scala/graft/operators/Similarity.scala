@@ -492,12 +492,198 @@ object Similarity {
       sampleVectors(corpus, idCol, vecCol, sampleSize, seed),
       dim, centroids, m, ksub, iters, seed)
 
+  /** How (whether) to transform residuals before product quantization —
+    * the OPQ-lite family (Ge et al., CVPR 2013: the full method LEARNS
+    * the rotation; these are its two cheap, exact endpoints). Any
+    * orthonormal transform preserves inner products, so the ADC score of
+    * a transformed code against a transformed-query LUT is EXACTLY the
+    * untransformed score — the mode changes which vectors share a code,
+    * never what a code scores.
+    *
+    * Measured on the AnnRecall harness (clustered fixtures, 20k corpus):
+    *  - [[OpqMode.Balance]] — variance-balancing coordinate permutation
+    *    (eigenvalue-allocation-lite): the tool for DECAYING spectra,
+    *    where natural subspace order starves most codebooks of variance.
+    *  - [[OpqMode.Rotate]] — seeded random rotation: the tool for
+    *    CORRELATED/adversarial coordinate layouts; on decaying spectra
+    *    it measured as a wash (it spreads variance but also inflates
+    *    intrinsic dimensionality per subspace), so it is not the
+    *    default.
+    *  - [[OpqMode.Off]] — natural coordinate order. */
+  sealed trait OpqMode
+  object OpqMode {
+    case object Off extends OpqMode
+    final case class Rotate(seed: Long) extends OpqMode
+    case object Balance extends OpqMode
+  }
+
+  /** Seeded random orthonormal rotation: Gram-Schmidt over a seeded
+    * Gaussian matrix. Deterministic per (dim, seed). */
+  private[operators] def randomRotation(dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    val rows = Array.fill(dim)(Array.fill(dim)(rng.nextGaussian()))
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < i) { // subtract projections onto earlier rows
+        var d = 0.0
+        var t = 0
+        while (t < dim) { d += rows(i)(t) * rows(j)(t); t += 1 }
+        t = 0
+        while (t < dim) { rows(i)(t) -= d * rows(j)(t); t += 1 }
+        j += 1
+      }
+      var n = 0.0
+      var t = 0
+      while (t < dim) { n += rows(i)(t) * rows(i)(t); t += 1 }
+      val s = 1.0 / math.sqrt(n) // Gaussian rows: degeneracy has measure 0
+      t = 0
+      while (t < dim) { rows(i)(t) *= s; t += 1 }
+      i += 1
+    }
+    rows.map(_.toSeq).toSeq
+  }
+
+  /** Variance-balancing coordinate PERMUTATION (eigenvalue-allocation-
+    * lite): per-coordinate residual variance from the training sample,
+    * then greedy longest-processing-time assignment — highest-variance
+    * coordinate to the subspace with the least accumulated variance and
+    * a free slot — so every subspace's codebook sees a comparable share.
+    * A permutation matrix is orthonormal, so it rides the exact same
+    * rotated-encode / rotated-LUT path as [[randomRotation]]; unlike a
+    * dense rotation it costs ds reads per output coordinate and never
+    * inflates a subspace's intrinsic dimensionality. Deterministic from
+    * the hash-ordered sample. */
+  private[operators] def balancedPermutation(residuals: Array[Array[Double]],
+                                             dim: Int,
+                                             m: Int): Seq[Seq[Double]] = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val ds = dim / m
+    val vars = new Array[Double](dim)
+    if (residuals.nonEmpty) {
+      val means = new Array[Double](dim)
+      residuals.foreach { r =>
+        var t = 0
+        while (t < dim) { means(t) += (if (t < r.length) r(t) else 0.0); t += 1 }
+      }
+      var t = 0
+      while (t < dim) { means(t) /= residuals.length; t += 1 }
+      residuals.foreach { r =>
+        var u = 0
+        while (u < dim) {
+          val d = (if (u < r.length) r(u) else 0.0) - means(u)
+          vars(u) += d * d
+          u += 1
+        }
+      }
+    }
+    val order = (0 until dim).sortBy(c => (-vars(c), c))
+    val totals = new Array[Double](m)
+    val slots = new Array[Int](m)
+    val perm = new Array[Int](dim) // output position -> source coordinate
+    order.foreach { c =>
+      var best = -1
+      var j = 0
+      while (j < m) {
+        if (slots(j) < ds && (best < 0 || totals(j) < totals(best))) best = j
+        j += 1
+      }
+      perm(best * ds + slots(best)) = c
+      slots(best) += 1
+      totals(best) += vars(c)
+    }
+    (0 until dim).map(pos =>
+      (0 until dim).map(c => if (perm(pos) == c) 1.0 else 0.0))
+  }
+
+  /** Mean squared PQ reconstruction error of `codebooks` over
+    * `residuals` (each transformed by `rotation` first, when given) —
+    * the DIRECT quantizer-quality metric the [[OpqMode]]s move. Recall
+    * on margin-starved fixtures is rerank-bound whatever the code
+    * allocation (measured — see AnnRecall), so distortion, not recall,
+    * is the honest regression gate for the transform itself. */
+  private[operators] def reconstructionError(residuals: Array[Array[Double]],
+                                             codebooks: Seq[Seq[Seq[Double]]],
+                                             rotation: Seq[Seq[Double]])
+      : Double = {
+    val cb = codebooks.map(_.map(_.toArray).toArray).toArray
+    val rot = rotation.map(_.toArray).toArray
+    val m = cb.length
+    val ds = cb.head.head.length
+    val dim = m * ds
+    var total = 0.0
+    residuals.foreach { r0 =>
+      val r =
+        if (rot.isEmpty)
+          Array.tabulate(dim)(t => if (t < r0.length) r0(t) else 0.0)
+        else Array.tabulate(dim) { i =>
+          val row = rot(i)
+          var d = 0.0
+          var t = 0
+          val n = math.min(r0.length, dim)
+          while (t < n) { d += row(t) * r0(t); t += 1 }
+          d
+        }
+      var j = 0
+      while (j < m) {
+        val off = j * ds
+        val book = cb(j)
+        var best = Double.PositiveInfinity
+        var c = 0
+        while (c < book.length) {
+          val e = book(c)
+          var d = 0.0
+          var t = 0
+          while (t < ds) {
+            val x = r(off + t) - e(t)
+            d += x * x
+            t += 1
+          }
+          if (d < best) best = d
+          c += 1
+        }
+        total += best
+        j += 1
+      }
+    }
+    if (residuals.isEmpty) 0.0 else total / residuals.length
+  }
+
+  /** Residuals of the training sample against its nearest centroids —
+    * the input both [[balancedPermutation]] and the codebook trainer
+    * quantize. */
+  private def sampleResiduals(sample: Array[Array[Double]],
+                              centroids: Seq[Seq[Double]],
+                              dim: Int): Array[Array[Double]] = {
+    val cents = centroids.map(_.toArray).toArray
+    sample.map { v =>
+      var best = 0
+      var bestDot = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        val c = cents(i)
+        val n = math.min(v.length, c.length)
+        var d = 0.0
+        var j = 0
+        while (j < n) { d += v(j) * c(j); j += 1 }
+        if (d > bestDot) { bestDot = d; best = i }
+        i += 1
+      }
+      val c = cents(best)
+      Array.tabulate(dim)(t =>
+        (if (t < v.length) v(t) else 0.0) - (if (t < c.length) c(t) else 0.0))
+    }
+  }
+
   private[operators] def residualBooksFromSample(rawSample: Array[Array[Double]],
                                       dim: Int,
                                       centroids: Seq[Seq[Double]], m: Int,
                                       ksub: Int, iters: Int,
-                                      seed: Long): Seq[Seq[Seq[Double]]] = {
+                                      seed: Long,
+                                      rotation: Seq[Seq[Double]] = Nil)
+      : Seq[Seq[Seq[Double]]] = {
     val cents = centroids.map(_.toArray).toArray
+    val rot = rotation.map(_.toArray).toArray
     val sample = rawSample
       .map { v =>
         var best = 0
@@ -513,8 +699,18 @@ object Similarity {
           i += 1
         }
         val c = cents(best)
-        Array.tabulate(math.max(v.length, math.min(c.length, dim)))(t =>
+        val res = Array.tabulate(
+          math.max(dim, math.max(v.length, math.min(c.length, dim))))(t =>
           (if (t < v.length) v(t) else 0.0) - (if (t < c.length) c(t) else 0.0))
+        if (rot.isEmpty) res
+        else Array.tabulate(dim) { r =>
+          val row = rot(r)
+          var d = 0.0
+          var t = 0
+          val n = math.min(res.length, dim)
+          while (t < n) { d += row(t) * res(t); t += 1 }
+          d
+        }
       }
     kmeansSubspaces(sample, dim, m, ksub, iters, seed)
   }
@@ -537,7 +733,8 @@ object Similarity {
                 vecCol: String, dim: Int, k: Int = 5, nlist: Int = 64,
                 nprobe: Int = 8, m: Int = 8, ksub: Int = 256,
                 rerank: Int = 64, trainIters: Int = 4,
-                sampleSize: Int = 4096, seed: Long = 42L): DataFrame = {
+                sampleSize: Int = 4096, seed: Long = 42L,
+                opq: OpqMode = OpqMode.Off): DataFrame = {
     import graft.functions.SignatureExpressions
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     // ONE bounded sampling pass feeds both quantizers — the coarse and
@@ -545,19 +742,34 @@ object Similarity {
     // and the sample job is a full corpus scan + sort
     val sample = sampleVectors(corpus, idCol, vecCol, sampleSize, seed)
     val cents = trainIvfFromSample(sample, dim, nlist, trainIters, seed)
+    // OPQ-lite: train and encode over TRANSFORMED residuals; the query's
+    // residual LUT transforms the same way, so ADC scores are exact and
+    // only the code allocation changes (see [[OpqMode]])
+    val rotation: Seq[Seq[Double]] = opq match {
+      case OpqMode.Off => Nil
+      case OpqMode.Rotate(s) => randomRotation(dim, s)
+      case OpqMode.Balance =>
+        balancedPermutation(sampleResiduals(sample, cents, dim), dim, m)
+    }
     val books = residualBooksFromSample(sample, dim, cents, m, ksub,
-      trainIters, seed)
+      trainIters, seed, rotation)
     val enc = corpus.select(col(idCol).as("neighbor_id"),
-      SignatureExpressions.pqResidualEncode(col(vecCol), cents, books)
+      SignatureExpressions.pqResidualEncode(col(vecCol), cents, books,
+          rotation)
         .as("enc"))
       .select(col("neighbor_id"), col("enc.cell").as("cell"),
         col("enc.code").as("code"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     // per-query tables: dot(q, C_c) for every cell (PqLutExpr with the
     // centroid list as a single dim-wide "subspace") + the residual LUT
+    // (over the ROTATED query when OPQ is on)
+    val qLut =
+      if (rotation.isEmpty) SignatureExpressions.pqLut(col("qv"), books)
+      else SignatureExpressions.pqLut(
+        SignatureExpressions.vecRotate(col("qv"), rotation), books)
     val qTables = q.select(col("query_id"),
       SignatureExpressions.pqLut(col("qv"), Seq(cents)).as("cell_dots"),
-      SignatureExpressions.pqLut(col("qv"), books).as("lut"),
+      qLut.as("lut"),
       SignatureExpressions.ivfAssign(col("qv"), cents, nprobe).as("cells"))
     val probes = graft.functions.Generates.explodeOnce(
       qTables, Seq(col("query_id"), col("cell_dots"), col("lut")),

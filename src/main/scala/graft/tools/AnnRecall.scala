@@ -23,9 +23,18 @@ object AnnRecall {
     * spread `sigma`. Same seed → identical fixture at any scale, and the
     * 1× fixture is a prefix of the 20× one (point i's cluster and noise
     * depend only on i), so scaling the corpus only ADDS points. */
+  /** Per-coordinate noise scale: `decay = 1.0` is the isotropic fixture;
+    * `decay < 1` concentrates intra-cluster variance in the low
+    * coordinates (`decay^t` on coordinate t) — the ANISOTROPIC shape
+    * real embedding spectra take (PCA-like decay), where subspace-even
+    * product quantization wastes its codebooks on dead coordinates and
+    * an OPQ rotation is the published fix (Ge et al., CVPR 2013). */
+  private def noiseScale(decay: Double, dim: Int): Array[Double] =
+    Array.tabulate(dim)(t => math.pow(decay, t))
+
   def clusteredFixture(spark: SparkSession, n: Int, dim: Int = 64,
                        clusters: Int = 16, sigma: Double = 0.05,
-                       seed: Long = 77L): DataFrame = {
+                       seed: Long = 77L, decay: Double = 1.0): DataFrame = {
     import spark.implicits._
     val rng = new scala.util.Random(seed)
     val centers = Array.fill(clusters) {
@@ -33,12 +42,14 @@ object AnnRecall {
       val norm = math.sqrt(v.map(x => x * x).sum)
       v.map(x => (x / norm).toFloat)
     }
+    val scale = noiseScale(decay, dim)
     // per-point noise from a point-indexed RNG: point i is identical
     // whether the fixture holds 5k or 100k vectors
     (0 until n).map { i =>
       val prng = new scala.util.Random(seed * 31 + i)
       val c = centers(i % clusters)
-      (i.toLong, c.map(x => x + (sigma * prng.nextGaussian()).toFloat))
+      (i.toLong, c.indices.map(t =>
+        c(t) + (sigma * scale(t) * prng.nextGaussian()).toFloat).toArray)
     }.toDF("vec_id", "embedding")
   }
 
@@ -46,7 +57,7 @@ object AnnRecall {
     * members — a member's top-1 is trivially itself-adjacent). */
   def queryFixture(spark: SparkSession, nQueries: Int, dim: Int = 64,
                    clusters: Int = 16, sigma: Double = 0.05,
-                   seed: Long = 77L): DataFrame = {
+                   seed: Long = 77L, decay: Double = 1.0): DataFrame = {
     import spark.implicits._
     val rng = new scala.util.Random(seed)
     val centers = Array.fill(clusters) {
@@ -54,10 +65,12 @@ object AnnRecall {
       val norm = math.sqrt(v.map(x => x * x).sum)
       v.map(x => (x / norm).toFloat)
     }
+    val scale = noiseScale(decay, dim)
     (0 until nQueries).map { i =>
       val prng = new scala.util.Random(seed * 131 + 7 + i)
       val c = centers(i % clusters)
-      (1000000L + i, c.map(x => x + (sigma * prng.nextGaussian()).toFloat))
+      (1000000L + i, c.indices.map(t =>
+        c(t) + (sigma * scale(t) * prng.nextGaussian()).toFloat).toArray)
     }.toDF("vec_id", "embedding")
   }
 
@@ -104,6 +117,19 @@ object AnnRecall {
     r
   }
 
+  /** IVF+PQ alone vs brute force — the A/B harness for the OPQ rotation
+    * (everything shared except `opqSeed`). */
+  def measureIvfPq(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                   nlist: Int, nprobe: Int, rerank: Int, sampleSize: Int,
+                   opq: Similarity.OpqMode): Double = {
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+      "embedding", k).localCheckpoint()
+    val ivfpq = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      dim, k, nlist = nlist, nprobe = nprobe, m = 8, ksub = 256,
+      rerank = rerank, sampleSize = sampleSize, opq = opq)
+    Similarity.recallAtK(ivfpq, exact, k)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -118,17 +144,20 @@ object AnnRecall {
   def run(spark: SparkSession, assertFloor: Boolean): Unit = {
     val (dim, k, nq) = (64, 5, 50)
     // PQ floors are SCALE-AWARE regression tripwires, set just under the
-    // measured plateaus (ivfpq 0.980/0.700, flat pq 0.972/0.516 at 1x/20x
-    // with rerank scaling 256→1024). The 20x fixture packs 6,250
-    // near-equidistant points per cluster — true-top-5 cosine margins
-    // ~1e-4, below what ANY 8-byte ADC code can order; LSH/IVF keep full
-    // vectors and hold 0.9 at both scales. The documented recovery lever
-    // is rerank depth (exact rerank never reorders what the candidate
-    // pass surfaces); residual codes stay ahead of global codes at equal
-    // budget, which is why ivfPqTopK carries the higher floor.
+    // measured plateaus. The 20x fixture packs 6,250 near-equidistant
+    // points per cluster — true-top-5 cosine margins ~1e-4, below what
+    // ANY 8-byte ADC code can order; LSH/IVF keep full vectors and hold
+    // 0.9 at both scales. The documented recovery lever is RERANK DEPTH
+    // (exact rerank never reorders what the candidate pass surfaces):
+    // round 7 moved the 20x operating point 1024→2048, measured ivfpq
+    // 0.700→0.844, and raised its floor 0.65→0.8 accordingly (the
+    // rerank-starvation diagnosis, applied; the OPQ transforms measured
+    // recall-neutral here — see the aniso row below). Residual codes
+    // stay ahead of global codes at equal budget, hence ivfPqTopK's
+    // higher floor.
     for ((tag, n, nlist, nprobe, rerank, sample, pqIvfFloor, pqFlatFloor) <-
         Seq(("1x", 5000, 64, 16, 256, 4096, 0.9, 0.9),
-          ("20x", 100000, 256, 64, 1024, 16384, 0.65, 0.5))) {
+          ("20x", 100000, 256, 64, 2048, 16384, 0.8, 0.55))) {
       val t0 = System.nanoTime()
       val (lsh, ivf, pq, ivfpq) = measure(spark,
         clusteredFixture(spark, n, dim), queryFixture(spark, nq, dim), dim, k,
@@ -143,6 +172,41 @@ object AnnRecall {
           f"IVFPQ recall@$k regressed to $ivfpq%.3f at $tag (floor $pqIvfFloor%.2f)")
         assert(pq >= pqFlatFloor,
           f"flat-PQ recall@$k regressed to $pq%.3f at $tag (floor $pqFlatFloor%.2f)")
+      }
+    }
+    // OPQ A/B on an anisotropic spectrum (decay 0.93 — variance
+    // concentrated in the low coordinates, the realistic embedding
+    // shape). Measured conclusion, pinned here so it cannot silently
+    // drift: on these margin-starved fixtures candidate ordering is
+    // RERANK-bound for ANY 8-byte code — plain, rotated, and balanced
+    // codes recall within noise of each other (sweeps at decay
+    // 0.7/0.8/0.9/0.93 × rerank 64..512 all within ±0.06) — so the
+    // recall floors live on the rerank axis (rows above), not on the
+    // transform. The transform's own gate is DISTORTION: Balance cuts
+    // mean reconstruction error materially on decaying spectra
+    // (SimilaritySpec asserts the cut). Here we assert only that no
+    // mode DEGRADES recall beyond measurement noise.
+    {
+      import graft.operators.Similarity.OpqMode
+      val (n, nlist, nprobe, rerank, sample) = (20000, 64, 16, 512, 8192)
+      val c = clusteredFixture(spark, n, dim, decay = 0.93).cache()
+      val q = queryFixture(spark, nq, dim, decay = 0.93).cache()
+      val t0 = System.nanoTime()
+      val plain = measureIvfPq(c, q, dim, k, nlist, nprobe, rerank, sample,
+        OpqMode.Off)
+      val bal = measureIvfPq(c, q, dim, k, nlist, nprobe, rerank, sample,
+        OpqMode.Balance)
+      val rot = measureIvfPq(c, q, dim, k, nlist, nprobe, rerank, sample,
+        OpqMode.Rotate(7L))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"===== ann-recall [aniso] corpus=$n queries=$nq k=$k " +
+        f"ivfpq=$plain%.3f ivfpq_balance=$bal%.3f ivfpq_rotate=$rot%.3f " +
+        f"wall=$sec%.1fs")
+      c.unpersist(); q.unpersist()
+      if (assertFloor) {
+        assert(bal >= plain - 0.1 && rot >= plain - 0.1,
+          f"an OPQ mode degraded recall beyond noise: " +
+            f"plain=$plain%.3f balance=$bal%.3f rotate=$rot%.3f")
       }
     }
   }

@@ -172,6 +172,73 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("OPQ rotation: seeded matrix is orthonormal, vec_rotate preserves " +
+      "dot products, rotated IVF+PQ still retrieves planted copies") {
+    import graft.tools.AnnRecall
+    val dim = 64
+    // orthonormality: R·Rᵀ = I within float headroom
+    val r = Similarity.randomRotation(dim, 7L).map(_.toArray).toArray
+    for (i <- 0 until dim; j <- i until dim) {
+      val d = (0 until dim).map(t => r(i)(t) * r(j)(t)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9, s"($i,$j)=$d")
+    }
+    // determinism
+    assert(Similarity.randomRotation(dim, 7L) == Similarity.randomRotation(dim, 7L))
+    // dot preservation through the expression (the ADC-exactness premise)
+    val vecs = Seq((1L, Array.fill(dim)(0.3f)), (2L, Array.tabulate(dim)(t =>
+      (math.sin(t + 1) / 3).toFloat))).toDF("id", "v")
+    val rot = Similarity.randomRotation(dim, 7L)
+    val got = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(
+        graft.functions.VectorFunctions.cosine(col("a.v"), col("b.v")).as("c0"),
+        graft.functions.VectorFunctions.cosine(
+          graft.functions.SignatureExpressions.vecRotate(col("a.v"), rot),
+          graft.functions.SignatureExpressions.vecRotate(col("b.v"), rot))
+          .as("c1"))
+      .collect()
+    got.foreach(row =>
+      assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-6, row))
+    // end-to-end: rotation changes codes, not retrieval of exact copies
+    val corpus = AnnRecall.clusteredFixture(spark, n = 2000, dim = dim)
+    val probes = corpus.filter(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val top = Similarity.ivfPqTopK(corpus, probes, "vec_id", "embedding",
+        dim, k = 1, nlist = 64, nprobe = 16, m = 8, ksub = 256,
+        rerank = 128, opq = Similarity.OpqMode.Rotate(7L))
+      .filter(col("rank") === 1)
+    val rows = top.collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_id") - 1000000L ==
+        r.getAs[Long]("neighbor_id"), s"planted copy not retrieved: $r")
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9)
+    }
+  }
+
+  test("Balance-OPQ cuts PQ reconstruction distortion on a decaying " +
+      "spectrum; rotation leaves total variance intact") {
+    val (dim, m, ksub) = (64, 8, 16)
+    val rng = new scala.util.Random(5)
+    // decaying residual spectrum: natural subspace order starves 7 of 8
+    // codebooks of variance (the anisotropic shape real embeddings have)
+    val sample = Array.fill(2048)(
+      Array.tabulate(dim)(t => math.pow(0.8, t) * rng.nextGaussian()))
+    val zeroCent = Seq(Seq.fill(dim)(0.0)) // residual == the vector itself
+    val plainBooks = Similarity.residualBooksFromSample(sample, dim,
+      zeroCent, m, ksub, iters = 4, seed = 42L)
+    val perm = Similarity.balancedPermutation(sample, dim, m)
+    val balBooks = Similarity.residualBooksFromSample(sample, dim,
+      zeroCent, m, ksub, iters = 4, seed = 42L, rotation = perm)
+    val ePlain = Similarity.reconstructionError(sample, plainBooks, Nil)
+    val eBal = Similarity.reconstructionError(sample, balBooks, perm)
+    assert(eBal < ePlain * 0.8,
+      f"balance should cut distortion materially: $eBal%.5f vs $ePlain%.5f")
+    // permutation preserves total energy (orthonormal): distortion can
+    // never exceed the variance it re-arranges
+    val energy = sample.map(v => v.map(x => x * x).sum).sum / sample.length
+    assert(eBal < energy && ePlain < energy)
+  }
+
   test("PQ codebooks train deterministically; codes pack m bytes") {
     import graft.functions.SignatureExpressions
     import graft.tools.AnnRecall
