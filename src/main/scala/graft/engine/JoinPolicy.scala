@@ -116,6 +116,48 @@ object JoinPolicy {
       .head().getLong(0)
   }
 
+  /** ZERO-SCAN join-output-size estimate from the PERSISTED sketch
+    * catalog ([[Warehouse.analyzeSketches]]): the planning question
+    * [[estimateJoinRows]] answers with two aggregation scans, answered
+    * here from two manifest-scale stat reads — the 100 TB operating
+    * mode. None when either side lacks CURRENT stats (never analyzed,
+    * or stale per the file-census freshness contract) or the sketch
+    * geometries differ; callers fall back to the scanning estimate or
+    * skip the signal. Same one-sided guarantee: collisions only ADD,
+    * so the estimate never undercounts the true join size. */
+  def estimateJoinRowsStored(wh: Warehouse, a: String, aKey: String,
+                             b: String, bKey: String): Option[Long] =
+    for {
+      sa <- wh.readSketchStats(a, aKey)
+      sb <- wh.readSketchStats(b, bKey)
+      ga = sa.select(col("depth"), col("width")).head()
+      gb = sb.select(col("depth"), col("width")).head()
+      if ga == gb
+    } yield {
+      import graft.functions.Cms
+      sa.select(col("cms").as("a"))
+        .crossJoin(sb.select(col("cms").as("b"))) // two 1-row stat frames
+        .select(Cms.innerProduct(col("a"), col("b"),
+          ga.getInt(0), ga.getInt(1)))
+        .head().getLong(0)
+    }
+
+  /** The [[shouldSalt]] question answered from the PERSISTED hot-key
+    * candidates — zero scans of the fact table. None when stats are
+    * absent or stale. */
+  def shouldSaltStored(wh: Warehouse, table: String, key: String,
+                       minShare: Double = 0.05): Option[Boolean] = {
+    require(minShare > 0 && minShare <= 1, "minShare must be in (0, 1]")
+    wh.readSketchStats(table, key).map { st =>
+      val hits = st
+        .select(explode(col("hot")).as("e"), col("n_values"))
+        .filter(col("n_values") > 0 &&
+          col("e.est").cast("double") / col("n_values") >= minShare)
+        .limit(1).count()
+      hits > 0
+    }
+  }
+
   /** One joinable side of a multi-way join: `dim` joins the fact on
     * `factKey = dimKey`. */
   final case class JoinSide(dim: DataFrame, factKey: String, dimKey: String,

@@ -1476,6 +1476,66 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         .filter(pred)
     }
 
+  /** ANALYZE for join planning: ONE aggregation scan per listed column
+    * builds and persists, under `_stats/<col>/` of the CURRENT data
+    * version, the column's sketch statistics:
+    *  - a CMS frequency sketch (join-output-size estimation via the
+    *    Cormode-Muthukrishnan inner product — see
+    *    [[JoinPolicy.estimateJoinRowsStored]]);
+    *  - its Space-Saving hot-key candidates (salt planning —
+    *    [[JoinPolicy.shouldSaltStored]]);
+    *  - value/row counts.
+    * At 100 TB this is the difference between answering a planning
+    * question from two manifest-scale reads and paying two full scans
+    * per question — the stored-sketch path q148 proves the estimator
+    * for, landed as a catalog.
+    *
+    * Freshness contract: the stats row records the data-file census
+    * (count + total bytes) it described; [[readSketchStats]] returns
+    * None when the census no longer matches (post-analyze appends,
+    * compactions, or a republish), so a consumer can never plan from
+    * stale sketches — re-analyze after mutations, the same discipline
+    * as [[optimize]]'s artifact rebuild. */
+  def analyzeSketches(table: String, cols: Seq[String], depth: Int = 4,
+                      width: Int = 4096, hotCapacity: Int = 1024): Unit = {
+    require(cols.nonEmpty, "analyzeSketches needs at least one column")
+    val p = dataPath(table)
+    val files = listDataFiles(new Path(p))
+    val (nf, tb) = (files.size.toLong, files.map(_.getLen).sum)
+    cols.foreach { c =>
+      read(table).agg(
+          graft.functions.Cms.sketch(col(c).cast("string"), depth, width)
+            .as("cms"),
+          graft.functions.Freq.spaceSaving(col(c).cast("string"), hotCapacity)
+            .as("hot"),
+          count(col(c)).as("n_values"),
+          count(lit(1)).as("n_rows"))
+        .select(lit(depth).as("depth"), lit(width).as("width"),
+          lit(hotCapacity).as("hot_capacity"),
+          lit(nf).as("n_files"), lit(tb).as("data_bytes"),
+          col("cms"), col("hot"), col("n_values"), col("n_rows"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$p/_stats/$c")
+    }
+  }
+
+  /** The persisted sketch statistics of `table.c` — None when never
+    * analyzed on this version or STALE (the data-file census moved since
+    * the analyze; see [[analyzeSketches]]'s freshness contract). */
+  def readSketchStats(table: String, c: String): Option[DataFrame] = {
+    val p = dataPath(table)
+    val sp = new Path(s"$p/_stats/$c")
+    if (!fs(sp).exists(sp)) None
+    else {
+      val df = spark.read.parquet(sp.toString)
+      val census = df.select(col("n_files"), col("data_bytes")).head()
+      val files = listDataFiles(new Path(p))
+      if (census.getLong(0) != files.size.toLong ||
+          census.getLong(1) != files.map(_.getLen).sum) None
+      else Some(df)
+    }
+  }
+
   /** Point-lookup data skipping, part 1: per-FILE Bloom filters over a
     * high-cardinality key — the complement of [[buildZoneMap]] (min/max
     * zones answer RANGE predicates; on a key whose values interleave

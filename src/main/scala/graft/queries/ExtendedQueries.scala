@@ -1443,6 +1443,37 @@ object ExtendedQueries {
           ($"_change" === "delete").as("is_deleted"))
       graft.engine.Scd.merge(hist0, batch, Seq("c_custkey"), "ts", "seq",
         Seq("c_mktsegment", "is_deleted"))
+    }),
+
+    // ── the sketch CATALOG end to end: publish both join sides, ANALYZE
+    //    them once (persisted CMS + hot-key stats beside the data
+    //    version), then answer the join-size planning question with ZERO
+    //    scans — JoinPolicy.estimateJoinRowsStored reads two stat rows.
+    //    The estimate is the exact deterministic q148 number (same
+    //    geometry), so the oracle replays it hash-for-hash ──
+    "q167_stored_stats" -> ((s, dir) => {
+      import s.implicits._
+      val depth = 4; val width = 256
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-statsq").toString)
+      wh.publish(Td(s, dir, "lineitem").select(col("l_orderkey")), "li")
+      wh.publish(Td(s, dir, "orders").select(col("o_orderkey")), "ord")
+      wh.analyzeSketches("li", Seq("l_orderkey"), depth, width)
+      wh.analyzeSketches("ord", Seq("o_orderkey"), depth, width)
+      val est = graft.engine.JoinPolicy
+        .estimateJoinRowsStored(wh, "li", "l_orderkey", "ord", "o_orderkey")
+        .getOrElse(sys.error("stored stats missing or stale"))
+      // hot-key probe off the same catalog: uniform orderkeys never salt
+      val salt = graft.engine.JoinPolicy
+        .shouldSaltStored(wh, "li", "l_orderkey")
+        .getOrElse(sys.error("stored stats missing or stale"))
+      val exact = wh.read("li")
+        .join(wh.read("ord").withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"))
+        .agg(count(lit(1)).as("exact_join_rows"))
+      exact.select(lit(est).as("est_join_rows"), col("exact_join_rows"),
+        (lit(est) >= col("exact_join_rows")).as("no_undercount"),
+        lit(salt).as("should_salt"))
     })
   )
 
@@ -2841,7 +2872,36 @@ object ExtendedQueries {
         |SELECT CAST(k AS BIGINT), seg, FALSE,
         |    TIMESTAMP '2024-02-01', NULL, 1, TRUE
         |  FROM (VALUES (-1, 'NEW1'), (-2, 'NEW2')) t(k, seg)"""
-        .stripMargin
+        .stripMargin,
+
+    // q167: the q148 CMS replay (the published copies hold exactly the
+    // source keys, so the STORED-sketch estimate is the same exact
+    // number); should_salt pinned FALSE — max orderkey share is ~50x
+    // under the 5% threshold even with full Space-Saving error
+    "q167_stored_stats" ->
+      """WITH rws(r) AS (VALUES (0), (1), (2), (3)),
+        |la AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+        |ob AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+        |ca AS (SELECT r,
+        |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || k),
+        |                         1, 8)) AS BIGINT) % 256 AS b,
+        |    COUNT(*) AS c
+        |  FROM la, rws GROUP BY 1, 2),
+        |cb AS (SELECT r,
+        |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || k),
+        |                         1, 8)) AS BIGINT) % 256 AS b,
+        |    COUNT(*) AS c
+        |  FROM ob, rws GROUP BY 1, 2),
+        |dots AS (SELECT ca.r, SUM(ca.c * cb.c) AS d
+        |         FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b
+        |         GROUP BY ca.r),
+        |est AS (SELECT CAST(MIN(d) AS BIGINT) AS est_join_rows FROM dots),
+        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows
+        |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT est.est_join_rows, ex.exact_join_rows,
+        |  est.est_join_rows >= ex.exact_join_rows AS no_undercount,
+        |  FALSE AS should_salt
+        |FROM est, ex""".stripMargin
   )
 
   /** Shared q121/q122 replay: DSIR scores for every document. */

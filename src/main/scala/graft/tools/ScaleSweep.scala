@@ -261,7 +261,7 @@ object ScaleSweep {
         // round 7: stored-blocking-key incremental ER (batch-only
         // explode), sketch-ordered Q18 joins, CDC→SCD2 nightly composite
         "q164_entity_incremental_keyed", "q165_sketch_join_order",
-        "q166_cdc_scd2_roundtrip")
+        "q166_cdc_scd2_roundtrip", "q167_stored_stats")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -126,6 +126,43 @@ class JoinPolicySpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == plain)
   }
 
+  test("sketch catalog: zero-scan stored estimate equals the scanning " +
+      "one; absence, staleness, and geometry mismatch all return None") {
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("wh-stats").toString)
+    val fa = (1L to 3000L).map(i => (i % 300, i)).toDF("k", "x")
+    val fb = (0L until 300L).map(i => (i, s"d$i")).toDF("k", "label")
+    wh.publish(fa, "fa")
+    wh.publish(fb, "fb")
+    // never analyzed -> no signal
+    assert(JoinPolicy.estimateJoinRowsStored(wh, "fa", "k", "fb", "k").isEmpty)
+    assert(JoinPolicy.shouldSaltStored(wh, "fa", "k").isEmpty)
+    wh.analyzeSketches("fa", Seq("k"), depth = 4, width = 1024)
+    wh.analyzeSketches("fb", Seq("k"), depth = 4, width = 1024)
+    val stored = JoinPolicy.estimateJoinRowsStored(wh, "fa", "k", "fb", "k")
+    // deterministic hashing: the stored sketch IS the scanning sketch
+    val scanned = JoinPolicy.estimateJoinRows(
+      wh.read("fa"), "k", wh.read("fb"), "k", depth = 4, width = 1024)
+    assert(stored.contains(scanned))
+    val exact = wh.read("fa").join(wh.read("fb"), Seq("k")).count()
+    assert(stored.get >= exact, s"${stored.get} < $exact")
+    // uniform keys (0.33% share each) must not salt — from the catalog
+    assert(JoinPolicy.shouldSaltStored(wh, "fa", "k").contains(false))
+    // a skewed table's stored candidates DO trip the signal
+    val skewed = (1L to 2000L)
+      .map(i => (if (i <= 1200) 7L else i % 40, i)).toDF("k", "x")
+    wh.publish(skewed, "fs")
+    wh.analyzeSketches("fs", Seq("k"))
+    assert(JoinPolicy.shouldSaltStored(wh, "fs", "k").contains(true))
+    // staleness: any mutation moves the file census -> stats withdraw
+    wh.append(Seq((7L, 9999L)).toDF("k", "x"), "fa")
+    assert(JoinPolicy.estimateJoinRowsStored(wh, "fa", "k", "fb", "k").isEmpty)
+    assert(wh.readSketchStats("fa", "k").isEmpty)
+    // geometry mismatch between two FRESH sides -> no signal either
+    wh.analyzeSketches("fa", Seq("k"), depth = 4, width = 512)
+    assert(JoinPolicy.estimateJoinRowsStored(wh, "fa", "k", "fb", "k").isEmpty)
+  }
+
   test("wrangle pipeline dims demote when broadcast is off (no forced hints)") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)
