@@ -192,6 +192,30 @@ object JoinPolicy {
       .map(_._2)
   }
 
+  /** [[orderJoinsBySketch]] answered from the CATALOG: fact and dims are
+    * warehouse tables, and every side with CURRENT stats on its key pair
+    * costs zero scans to estimate; a side without them falls back to the
+    * scanning estimate (the planner never silently guesses). Geometry
+    * (depth/width) must match [[Warehouse.analyzeSketches]]'s for the
+    * stored path to engage. Returns the join order over `sides` indices,
+    * ascending by estimated output. */
+  def orderJoinsBySketchStored(wh: Warehouse, factTable: String,
+                               sides: Seq[(String, String, String)],
+                               depth: Int = 4,
+                               width: Int = 4096): Seq[Int] = {
+    require(sides.nonEmpty, "orderJoinsBySketchStored needs at least one side")
+    sides.zipWithIndex
+      .map { case ((dimTable, factKey, dimKey), i) =>
+        val est = estimateJoinRowsStored(wh, factTable, factKey,
+            dimTable, dimKey)
+          .getOrElse(estimateJoinRows(wh.read(factTable), factKey,
+            wh.read(dimTable), dimKey, depth, width))
+        (est, i)
+      }
+      .sortBy { case (est, i) => (est, i) }
+      .map(_._2)
+  }
+
   /** Apply [[orderJoinsBySketch]]'s plan: the fact joins every side,
     * most-selective first. Returns the joined frame and the chosen order
     * (for plan assertions). */

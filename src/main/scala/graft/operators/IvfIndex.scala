@@ -90,16 +90,27 @@ object IvfIndex {
   def buildPq(wh: Warehouse, corpus: DataFrame, idCol: String, vecCol: String,
               dim: Int, nlist: Int = 64, m: Int = 8, ksub: Int = 256,
               trainIters: Int = 4, sampleSize: Int = 4096,
-              name: String = "ivfpq_index", seed: Long = 42L): String = {
+              name: String = "ivfpq_index", seed: Long = 42L,
+              opq: Similarity.OpqMode = Similarity.OpqMode.Off): String = {
     import wh.spark.implicits._
     val sample = Similarity.sampleVectors(corpus, idCol, vecCol,
       sampleSize, seed)
     val cents = Similarity.trainIvfFromSample(sample, dim, nlist,
       trainIters, seed)
+    // OPQ transform persists WITH the codes (`_rotation` below): the
+    // on-disk index is self-describing, so a probe can never score
+    // transformed codes with an untransformed LUT
+    val rotation: Seq[Seq[Double]] = opq match {
+      case Similarity.OpqMode.Off => Nil
+      case Similarity.OpqMode.Rotate(s) => Similarity.randomRotation(dim, s)
+      case Similarity.OpqMode.Balance => Similarity.balancedPermutation(
+        Similarity.sampleResiduals(sample, cents, dim), dim, m)
+    }
     val books = Similarity.residualBooksFromSample(sample, dim, cents, m,
-      ksub, trainIters, seed)
+      ksub, trainIters, seed, rotation)
     val enc = corpus.select(col(idCol),
-      SignatureExpressions.pqResidualEncode(col(vecCol), cents, books)
+      SignatureExpressions.pqResidualEncode(col(vecCol), cents, books,
+          rotation)
         .as("enc"))
       .select(col(idCol), col("enc.cell").as("cell"),
         col("enc.code").as("code"))
@@ -112,6 +123,10 @@ object IvfIndex {
           book.zipWithIndex.map { case (c, idx) => (sub, idx, c) }
         }.toDF("sub", "idx", "centroid")
           .coalesce(1).write.parquet(s"$vdir/_codebooks")
+        if (rotation.nonEmpty)
+          rotation.zipWithIndex.map { case (r, i) => (i, r) }
+            .toDF("row", "coeffs")
+            .coalesce(1).write.parquet(s"$vdir/_rotation")
       })
   }
 
@@ -139,10 +154,23 @@ object IvfIndex {
     val books: Seq[Seq[Seq[Double]]] = booksDf
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2): Seq[Double]).toSeq)
+    // an OPQ-built index carries its transform; the residual LUT must
+    // see the transformed query (cell dots and assignment stay raw)
+    val rotPath = new org.apache.hadoop.fs.Path(s"$vdir/_rotation")
+    val rotation: Seq[Seq[Double]] =
+      if (!rotPath.getFileSystem(wh.spark.sessionState.newHadoopConf())
+            .exists(rotPath)) Nil
+      else wh.spark.read.parquet(rotPath.toString)
+        .orderBy("row").select("coeffs")
+        .collect().map(_.getSeq[Double](0): Seq[Double]).toSeq
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qLut =
+      if (rotation.isEmpty) SignatureExpressions.pqLut(col("qv"), books)
+      else SignatureExpressions.pqLut(
+        SignatureExpressions.vecRotate(col("qv"), rotation), books)
     val qTables = q.select(col("query_id"), col("qv"),
         SignatureExpressions.pqLut(col("qv"), Seq(cents)).as("cell_dots"),
-        SignatureExpressions.pqLut(col("qv"), books).as("lut"),
+        qLut.as("lut"),
         SignatureExpressions.ivfAssign(col("qv"), cents, nprobe).as("cells"))
     val probes = graft.functions.Generates.explodeOnce(
         qTables, Seq(col("query_id"), col("cell_dots"), col("lut")),

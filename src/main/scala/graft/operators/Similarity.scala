@@ -652,7 +652,7 @@ object Similarity {
   /** Residuals of the training sample against its nearest centroids —
     * the input both [[balancedPermutation]] and the codebook trainer
     * quantize. */
-  private def sampleResiduals(sample: Array[Array[Double]],
+  private[operators] def sampleResiduals(sample: Array[Array[Double]],
                               centroids: Seq[Seq[Double]],
                               dim: Int): Array[Array[Double]] = {
     val cents = centroids.map(_.toArray).toArray

@@ -163,6 +163,29 @@ class JoinPolicySpec extends SparkSpec {
     assert(JoinPolicy.estimateJoinRowsStored(wh, "fa", "k", "fb", "k").isEmpty)
   }
 
+  test("stored-stats join ordering agrees with the scanning ordering " +
+      "and engages without stats via fallback") {
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("wh-order").toString)
+    val facts = (1L to 2000L).map(i => (i % 100, (i % 100) + 1000, i))
+      .toDF("ka", "kb", "x")
+    val selective = Seq(0L, 1L, 2L).map(k => (k, s"s$k")).toDF("k", "s")
+    val wide = (0L until 100L).map(k => (k + 1000, s"w$k")).toDF("k", "w")
+    wh.publish(facts, "facts")
+    wh.publish(selective, "sel")
+    wh.publish(wide, "wide")
+    val sides = Seq(("wide", "kb", "k"), ("sel", "ka", "k"))
+    // no stats anywhere: fallback path still orders correctly
+    assert(JoinPolicy.orderJoinsBySketchStored(wh, "facts", sides)
+      == Seq(1, 0))
+    // full catalog: zero-scan path, same decision
+    wh.analyzeSketches("facts", Seq("ka", "kb"))
+    wh.analyzeSketches("sel", Seq("k"))
+    wh.analyzeSketches("wide", Seq("k"))
+    assert(JoinPolicy.orderJoinsBySketchStored(wh, "facts", sides)
+      == Seq(1, 0))
+  }
+
   test("wrangle pipeline dims demote when broadcast is off (no forced hints)") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)

@@ -96,6 +96,31 @@ class IvfIndexSpec extends SparkSpec {
     assert(Similarity.recallAtK(viaIndex, exact, 5) >= 0.85)
   }
 
+  test("OPQ-built PQ index is self-describing: the persisted transform " +
+      "is applied at probe time, planted copies still pin rank 1") {
+    val wh = freshWh
+    val dim = 32
+    // decaying spectrum — the regime the Balance permutation exists for
+    val corpus = AnnRecall.clusteredFixture(spark, n = 1500, dim = dim,
+      decay = 0.85)
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim,
+      nlist = 16, m = 8, ksub = 64, name = "pq_opq_idx",
+      opq = Similarity.OpqMode.Balance)
+    // the transform rode the publish: probes need no out-of-band config
+    val vdir = s"${wh.root}/pq_opq_idx/_versions/" +
+      wh.currentVersion("pq_opq_idx").get
+    assert(spark.read.parquet(s"$vdir/_rotation").count() == dim)
+    val probes = corpus.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val top1 = IvfIndex.probePq(wh, probes, corpus, "vec_id", "embedding",
+        "pq_opq_idx", k = 1, nprobe = 2, rerank = 192)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    assert(top1.size == 150)
+    assert(top1.forall { case (q, n) => n == q - 100000L })
+  }
+
   test("index probe matches inline ivfTopK recall on clustered data") {
     val wh = freshWh
     val dim = 32
