@@ -15,6 +15,21 @@ import graft.engine.Td
 object ExtendedQueries {
   private val D = DecimalType(18, 2)
 
+  /** Planted-id offset for the entity-resolution fixtures (q145/q156/
+    * q164): the smallest power of ten STRICTLY above the population's
+    * max `id`, floored at 1e7 — the value the sf<=0.1 oracles replay
+    * verbatim. Data-derived so the planted scheme stays collision-free
+    * on scaled copies whose base ids exceed 1e7 (the r7 monotone-id
+    * guard caught exactly that collision in the ×20 sweep: base ids
+    * reach 1.9e8 there, and a fixed +1e7 offset lands typo ids INSIDE
+    * the base id range). */
+  private def plantOffset(base: DataFrame): Long = {
+    val maxId = base.agg(max(col("id"))).head().getLong(0)
+    var off = 10000000L
+    while (off <= maxId) off *= 10
+    off
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── ROLLUP hierarchy totals (returnflag → linestatus) ──
     "q43_rollup" -> ((s, dir) => {
@@ -712,11 +727,12 @@ object ExtendedQueries {
       val base = Td(s, dir, "customer")
         .select(col("c_custkey").cast("long").as("id"),
           md5(col("c_custkey").cast("string")).as("name"))
+      val off = plantOffset(base)
       val t1 = base.filter(col("id") % 50 === 0)
-        .select((col("id") + 10000000L).as("id"),
+        .select((col("id") + off).as("id"),
           concat(lit("x"), substring(col("name"), 2, 31)).as("name"))
       val t2 = base.filter(col("id") % 100 === 0)
-        .select((col("id") + 20000000L).as("id"),
+        .select((col("id") + 2 * off).as("id"),
           concat(substring(col("name"), 1, 31), lit("x")).as("name"))
       graft.operators.Fuzzy.resolveEntities(
         base.unionByName(t1).unionByName(t2)
@@ -734,8 +750,9 @@ object ExtendedQueries {
       val base = Td(s, dir, "customer")
         .select(col("c_custkey").cast("long").as("id"),
           md5(col("c_custkey").cast("string")).as("name"))
+      val off = plantOffset(base)
       val t1 = base.filter(col("id") % 50 === 0)
-        .select((col("id") + 10000000L).as("id"),
+        .select((col("id") + off).as("id"),
           concat(lit("x"), substring(col("name"), 2, 31)).as("name"))
       // materialize: the resolved population is consumed three times
       // (monotone-id guard, blocking-key explode, final union) — left
@@ -746,10 +763,10 @@ object ExtendedQueries {
             .repartition(s.sparkContext.defaultParallelism, col("id")),
           "id", "name", maxDist = 1))
       val t2 = base.filter(col("id") % 100 === 0)
-        .select((col("id") + 20000000L).as("id"),
+        .select((col("id") + 2 * off).as("id"),
           concat(substring(col("name"), 1, 31), lit("x")).as("name"))
       val fresh = base.filter(col("id") % 75 === 0)
-        .select((col("id") + 30000000L).as("id"),
+        .select((col("id") + 3 * off).as("id"),
           concat(lit("zz"), substring(col("name"), 1, 30)).as("name"))
       graft.operators.Fuzzy.resolveIncremental(resolved,
         t2.unionByName(fresh), "id", "name", maxDist = 1)
@@ -1360,12 +1377,13 @@ object ExtendedQueries {
       val base = Td(s, dir, "customer")
         .select(col("c_custkey").cast("long").as("id"),
           md5(col("c_custkey").cast("string")).as("name"))
+      val off = plantOffset(base)
       // the nightly's STORED state, constructed from the planted contract
       // (base rows own their entity; first-typo rows resolve to their
       // base) — re-resolving it here would measure resolution, not the
       // increment
       val t1 = base.filter(col("id") % 50 === 0)
-        .select((col("id") + 10000000L).as("id"),
+        .select((col("id") + off).as("id"),
           concat(lit("x"), substring(col("name"), 2, 31)).as("name"),
           col("id").as("entity_id"))
       val resolved = base.withColumn("entity_id", col("id"))
@@ -1376,10 +1394,10 @@ object ExtendedQueries {
       wh.publish(graft.operators.Fuzzy.blockingKeys(resolved, "name"),
         "g164_keys")
       val t2 = base.filter(col("id") % 100 === 0)
-        .select((col("id") + 20000000L).as("id"),
+        .select((col("id") + 2 * off).as("id"),
           concat(substring(col("name"), 1, 31), lit("x")).as("name"))
       val fresh = base.filter(col("id") % 75 === 0)
-        .select((col("id") + 30000000L).as("id"),
+        .select((col("id") + 3 * off).as("id"),
           concat(lit("zz"), substring(col("name"), 1, 30)).as("name"))
       graft.operators.Fuzzy.resolveIncrementalKeyed(
         resolved, wh.read("g164_keys"),
