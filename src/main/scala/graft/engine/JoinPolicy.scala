@@ -192,6 +192,36 @@ object JoinPolicy {
       .map(_._2)
   }
 
+  /** [[autoSalt]] with the catalog consulted first: the skew decision
+    * comes from the persisted hot-key candidates when the fact table
+    * has CURRENT single-key stats (zero extra scans — at 100 TB the
+    * detection scan is the expensive half of autoSalt), falling back to
+    * the detection sketch pass otherwise. Facts are read from the
+    * warehouse, so the decision and the data come from the same
+    * version. Multi-column keys always take the scanning path (the
+    * catalog is per-column). */
+  def autoSaltStored(wh: Warehouse, factTable: String, dim: DataFrame,
+                     keys: Seq[String], saltOn: String,
+                     minShare: Double = 0.05, saltFactor: Int = 8,
+                     joinType: String = "inner",
+                     capacity: Int = 1024): DataFrame = {
+    require(keys.nonEmpty, "autoSaltStored needs at least one key column")
+    val facts = wh.read(factTable)
+    val t = broadcastThreshold(dim)
+    if (t > 0 && estimatedSizeBytes(dim) <= BigInt(t))
+      facts.join(broadcast(dim), keys.toSeq, joinType)
+    else {
+      val salt = (if (keys.size == 1)
+          shouldSaltStored(wh, factTable, keys.head, minShare)
+        else None)
+        .getOrElse(shouldSalt(facts, keys, minShare, capacity))
+      if (salt)
+        graft.operators.Skew.saltedJoin(facts, dim, keys, saltOn,
+          saltFactor, joinType)
+      else facts.join(dim, keys.toSeq, joinType)
+    }
+  }
+
   /** [[orderJoinsBySketch]] answered from the CATALOG: fact and dims are
     * warehouse tables, and every side with CURRENT stats on its key pair
     * costs zero scans to estimate; a side without them falls back to the

@@ -186,6 +186,39 @@ class JoinPolicySpec extends SparkSpec {
       == Seq(1, 0))
   }
 
+  test("autoSaltStored: catalog decides the salted plan without a " +
+      "detection scan; result identical to the plain join") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("wh-salt").toString)
+    try {
+      spark.conf.set(key, "-1") // shuffle regime: the salt decision counts
+      val skewed = (1L to 1000L).map(i =>
+        (i, if (i <= 600) 7L else i % 40)).toDF("row_id", "k")
+      wh.publish(skewed, "facts_skew")
+      wh.analyzeSketches("facts_skew", Seq("k"))
+      val salted = JoinPolicy.autoSaltStored(wh, "facts_skew", dimL,
+        Seq("k"), saltOn = "row_id")
+      salted.collect()
+      assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
+      val plain = wh.read("facts_skew").join(dimL, Seq("k"))
+        .collect().map(_.toSeq).toSet
+      assert(salted.collect().map(_.toSeq).toSet == plain)
+      // uniform stored stats -> plain single-join plan
+      val uniform = (1L to 1000L).map(i => (i, i % 40)).toDF("row_id", "k")
+      wh.publish(uniform, "facts_uni")
+      wh.analyzeSketches("facts_uni", Seq("k"))
+      val un = JoinPolicy.autoSaltStored(wh, "facts_uni", dimL,
+        Seq("k"), saltOn = "row_id")
+      un.collect()
+      assert(!un.queryExecution.executedPlan.toString.contains("__salt"))
+    } finally spark.conf.set(key, old)
+  }
+
+  private lazy val dimL = (0L until 50L).map(i => (i, s"d$i"))
+    .toDF("k", "name")
+
   test("wrangle pipeline dims demote when broadcast is off (no forced hints)") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)

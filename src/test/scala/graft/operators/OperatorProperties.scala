@@ -434,4 +434,49 @@ object OperatorProperties extends Properties("graft.operators") {
       got.size == got.distinct.size && got.toSet == expect.toSet &&
         got.size == expect.size
     }
+
+  // resolveIncrementalKeyed: the stored-key path is EQUIVALENT to the
+  // inline incremental path for arbitrary populations/batches — the
+  // property that makes persisting the blocking keys safe
+  private val erCase = for {
+    pop <- Gen.listOfN(8,
+      Gen.listOfN(4, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    batch <- Gen.nonEmptyListOf(
+      Gen.listOfN(4, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+      .map(_.take(4))
+  } yield (pop.distinct.zipWithIndex.map { case (s, i) => (i.toLong + 1, s) },
+    batch.distinct.zipWithIndex.map { case (s, i) => (i.toLong + 100, s) })
+
+  property("resolveIncrementalKeyed over stored blocking keys equals " +
+      "the inline incremental path") =
+    Prop.forAll(erCase) { case (pop, batch) =>
+      val resolved = Fuzzy.resolveEntities(
+        pop.toDF("id", "name"), "id", "name", 1).localCheckpoint()
+      val bdf = batch.toDF("id", "name")
+      val keyed = Fuzzy.resolveIncrementalKeyed(resolved,
+          Fuzzy.blockingKeys(resolved, "name", 1), bdf, "id", "name", 1)
+        .select("id", "entity_id").as[(Long, Long)].collect().toMap
+      val inline = Fuzzy.resolveIncremental(resolved, bdf, "id", "name", 1)
+        .select("id", "entity_id").as[(Long, Long)].collect().toMap
+      keyed == inline
+    }
+
+  // balancedPermutation: always a permutation matrix (orthonormal by
+  // construction — the OPQ exactness premise), deterministic, and every
+  // subspace receives exactly dim/m coordinates
+  private val permCase = for {
+    n <- Gen.choose(2, 24)
+    sample <- Gen.listOfN(n,
+      Gen.listOfN(16, Gen.choose(-3.0, 3.0)).map(_.toArray))
+  } yield sample.toArray
+
+  property("balancedPermutation is a deterministic permutation matrix") =
+    Prop.forAll(permCase) { sample =>
+      val m1 = Similarity.balancedPermutation(sample, 16, 4)
+      val m2 = Similarity.balancedPermutation(sample, 16, 4)
+      val rowsOk = m1.forall(r =>
+        r.count(_ == 1.0) == 1 && r.count(_ == 0.0) == 15)
+      val colsOk = (0 until 16).forall(c => m1.count(_(c) == 1.0) == 1)
+      m1 == m2 && rowsOk && colsOk
+    }
 }
