@@ -208,6 +208,76 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (Chaudhuri et
+    * al. ICDE'06 "A Primitive Operator for Similarity Joins"; Xiao et
+    * al. WWW'08 PPJoin): every pair of documents whose word-k-shingle
+    * Jaccard ≥ `threshold`, with guaranteed recall — the deterministic
+    * complement of [[minHashLSH]], whose banding is probabilistic and
+    * can miss a boundary pair.
+    *
+    * Prefix theorem: fix ONE global ordering of the shingle universe
+    * and sort every document's shingle set by it; if J(x,y) ≥ t then
+    * the first |x| − ⌈t·|x|⌉ + 1 shingles of x and the same-length
+    * prefix of y share at least one element — so pairs sharing a
+    * prefix shingle are a SUPERSET of the true result, and an exact
+    * verify finishes the job. The ordering used is document frequency
+    * ASCENDING (rarest shingle first, shingle string as tiebreak):
+    * prefixes then hold the corpus' rarest shingles, so the candidate
+    * join's posting lists stay short and the hot boilerplate shingles
+    * sort last — out of every prefix — where a naive shared-shingle
+    * join explodes on exactly those.
+    *
+    * Scale shape: one df aggregation (shuffle keyed by shingle), one
+    * per-doc sort (shuffle keyed by id, state = that doc's shingles),
+    * the prefix self-join (shuffle keyed by prefix shingle), a size
+    * filter (J ≥ t forces t·|x| ≤ |y| ≤ |x|/t), then candidate-only
+    * exact verification — all-pairs never materializes. Prefix lengths
+    * and size bounds carry a 1e-9 slack so float rounding can only ADD
+    * candidates, never drop a true pair. */
+  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, k: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    // shingle sets are referenced by BOTH the prefix build and the final
+    // verify; materialized so shingling runs once, spread wide (CPU-bound)
+    val sh = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(n, col("id"))
+      .select(col("id"),
+        graft.functions.SignatureExpressions.wordShingles(col("__text"), k)
+          .as("sh"))
+      .transform(Exec.materialize)
+    val posts = sh.select(col("id"), explode(col("sh")).as("tok"))
+    val dfreq = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = posts.join(dfreq, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("o"))
+      .select(col("id"),
+        transform(col("o"), x => x.getField("tok")).as("toks"),
+        size(col("o")).as("n"))
+    val prefLen = (col("n") -
+      ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int")
+    val pref = ordered
+      .select(col("id"), col("n"),
+        explode(slice(col("toks"), lit(1), prefLen)).as("tok"))
+    val cand = pref
+      .select(col("id").as("id_a"), col("n").as("n_a"), col("tok"))
+      .join(pref.select(col("id").as("id_b"), col("n").as("n_b"),
+        col("tok")), Seq("tok"))
+      .filter(col("id_a") < col("id_b") &&
+        col("n_b") >= col("n_a") * threshold - lit(1e-9) &&
+        col("n_a") >= col("n_b") * threshold - lit(1e-9))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Order-insensitive fingerprint of a canonical (lo, hi) edge set: row
     * count plus two decimal sums of per-edge hashes (decimal, because ANSI
     * mode makes a bigint SUM overflow throw). Two consecutive rounds with

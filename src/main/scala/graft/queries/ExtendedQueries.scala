@@ -1492,6 +1492,39 @@ object ExtendedQueries {
       exact.select(lit(est).as("est_join_rows"), col("exact_join_rows"),
         (lit(est) >= col("exact_join_rows")).as("no_undercount"),
         lit(salt).as("should_salt"))
+    }),
+
+    // ── the catalog-backed skew policy end to end: a fact table where
+    //    one key owns ~80% of the rows is published and ANALYZEd once;
+    //    `shouldSaltStored` answers the salt question from the persisted
+    //    hot-key candidates with ZERO fact scans (41 distinct keys fit
+    //    the Space-Saving capacity, so the stored estimates are EXACT
+    //    and the oracle replays the decision as max-share ≥ minShare),
+    //    and `autoSaltStored` runs the join under the layered policy —
+    //    at this dim size the broadcast gate correctly short-circuits
+    //    (a broadcast join is skew-immune; the salted PLAN under a
+    //    shuffle regime is asserted in JoinPolicySpec) ──
+    "q168_catalog_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-saltq").toString)
+      val facts = Td(s, dir, "lineitem").select(
+        when($"l_orderkey" % 5 =!= 0, lit(7L))
+          .otherwise($"l_orderkey" % 40).as("k"),
+        $"l_extendedprice".as("price"))
+      wh.publish(facts, "facts_skewed")
+      wh.analyzeSketches("facts_skewed", Seq("k"))
+      val salted = graft.engine.JoinPolicy
+        .shouldSaltStored(wh, "facts_skewed", "k")
+        .getOrElse(sys.error("stored stats missing or stale"))
+      val dim = Td(s, dir, "nation")
+        .select($"n_nationkey".cast("long").as("k"), $"n_name")
+      graft.engine.JoinPolicy.autoSaltStored(wh, "facts_skewed", dim,
+          Seq("k"), saltOn = "price")
+        .groupBy($"n_name")
+        .agg(sum($"price".cast(D)).cast("double").as("total_price"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("salted", lit(salted))
     })
   )
 
@@ -2919,7 +2952,28 @@ object ExtendedQueries {
         |SELECT est.est_join_rows, ex.exact_join_rows,
         |  est.est_join_rows >= ex.exact_join_rows AS no_undercount,
         |  FALSE AS should_salt
-        |FROM est, ex""".stripMargin
+        |FROM est, ex""".stripMargin,
+
+    // q168: 41 distinct keys fit the Space-Saving capacity, so the
+    // stored hot-key estimates are exact and the catalog's salt
+    // decision replays as "max key share >= 0.05"; the join aggregate
+    // replays directly
+    "q168_catalog_salted_join" ->
+      """WITH facts AS (
+        |  SELECT CASE WHEN l_orderkey % 5 <> 0 THEN 7
+        |              ELSE l_orderkey % 40 END AS k,
+        |         l_extendedprice AS price
+        |  FROM lineitem),
+        |shares AS (
+        |  SELECT CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS share
+        |  FROM (SELECT count(*) AS cnt FROM facts GROUP BY k))
+        |SELECT n.n_name AS n_name,
+        |       CAST(SUM(CAST(f.price AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price,
+        |       count(*) AS n_rows,
+        |       (SELECT share >= 0.05 FROM shares) AS salted
+        |FROM facts f JOIN nation n ON f.k = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin
   )
 
   /** Shared q121/q122 replay: DSIR scores for every document. */

@@ -40,6 +40,14 @@ object ScaleQueries {
       Dedup.ngramJaccard(Td(s, dir, "documents"), "doc_id", "text",
         threshold = 0.3)),
 
+    // ── the same ≥0.3-Jaccard pair contract as q32, but through the
+    //    EXACT prefix-filter join (guaranteed recall, no LSH banding):
+    //    both queries replaying the identical all-pairs oracle pins
+    //    that LSH missed nothing here AND that the exact path is exact ──
+    "q169_jaccard_join_exact" -> ((s, dir) =>
+      Dedup.jaccardJoinExact(Td(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.3)),
+
     // ── embedding near-dup via SRP-LSH + cosine (rows-only) ──
     "q33_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(Td(s, dir, "embeddings"), "vec_id", "embedding",
@@ -759,6 +767,20 @@ object ScaleQueries {
     },
 
     "q32_ngram_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM tok),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |          AS jaccard
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.3""".stripMargin,
+
+    // q169: the exact prefix-filter join answers the SAME all-pairs
+    // ground truth q32's LSH path is checked against — here the Spark
+    // side guarantees recall by construction, so the replay is the
+    // operator's full contract, not a lucky-banding coincidence
+    "q169_jaccard_join_exact" ->
       s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
          |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM tok),
          |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -261,7 +261,12 @@ object ScaleSweep {
         // round 7: stored-blocking-key incremental ER (batch-only
         // explode), sketch-ordered Q18 joins, CDC→SCD2 nightly composite
         "q164_entity_incremental_keyed", "q165_sketch_join_order",
-        "q166_cdc_scd2_roundtrip", "q167_stored_stats")
+        "q166_cdc_scd2_roundtrip", "q167_stored_stats",
+        // round 7b: catalog-backed salt decision (publish+analyze per
+        // run), exact prefix-filter similarity join over ×20 documents
+        // (df-ascending prefixes keep the candidate join's posting
+        // lists short — the skew story the gate watches)
+        "q168_catalog_salted_join", "q169_jaccard_join_exact")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -470,6 +470,36 @@ object OperatorProperties extends Properties("graft.operators") {
       Gen.listOfN(16, Gen.choose(-3.0, 3.0)).map(_.toArray))
   } yield sample.toArray
 
+  // jaccardJoinExact: prefix filtering must be EXACT — identical pairs
+  // and values to brute-force all-pairs Jaccard, at any threshold
+  private val jaccCase = for {
+    n <- Gen.choose(2, 10)
+    docs <- Gen.listOfN(n, Gen.nonEmptyListOf(
+      Gen.oneOf("red", "blue", "fox", "dog", "runs", "fast", "home", "far"))
+      .map(_.take(12).mkString(" ")))
+    t <- Gen.oneOf(0.2, 0.4, 0.6, 0.8)
+  } yield (docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }, t)
+
+  property("jaccardJoinExact equals brute-force all-pairs Jaccard") =
+    Prop.forAll(jaccCase) { case (docs, t) =>
+      val df = docs.toDF("id", "text")
+      val sets = df.select($"id",
+          graft.functions.SignatureExpressions.wordShingles($"text", 2)
+            .as("sh"))
+        .as[(Long, Seq[String])].collect()
+        .map { case (id, sh) => id -> sh.toSet }.toMap
+      val expect = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        j = sets(a).intersect(sets(b)).size.toDouble /
+          sets(a).union(sets(b)).size
+        if j >= t
+      } yield ((a, b), j)).toMap
+      val got = Dedup.jaccardJoinExact(df, "id", "text", t, k = 2)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => ((a, b), j) }.toMap
+      got == expect
+    }
+
   property("balancedPermutation is a deterministic permutation matrix") =
     Prop.forAll(permCase) { sample =>
       val m1 = Similarity.balancedPermutation(sample, 16, 4)
