@@ -172,4 +172,46 @@ object Quality {
         sum(when(col("__dev") > lit(k) * col("mad"), 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /** k-anonymity / l-diversity AUDIT over quasi-identifier columns
+    * (Sweeney IJUFKS'02; Machanavajjhala TKDD'07): one aggregate keyed
+    * by the quasi tuple — per group its size, the number of DISTINCT
+    * sensitive values it exposes, and whether it violates k-anonymity
+    * (size < k: the group's members are re-identifiable within fewer
+    * than k candidates) or l-diversity (fewer than l distinct sensitive
+    * values: knowing someone is IN the group reveals their attribute
+    * even when k holds). Nulls group like values — a null quasi cell is
+    * itself identifying.
+    *
+    * Scale shape: one shuffle keyed by the quasi tuple with map-side
+    * partial aggregation; the distinct-count state is bounded by each
+    * group's own sensitive-value set. This is the audit a training-data
+    * release runs before publishing user-derived metadata columns. */
+  def anonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Int,
+                     sensitiveCol: String, l: Int = 2): DataFrame = {
+    require(quasiCols.nonEmpty, "anonymityAudit needs quasi columns")
+    require(k >= 1 && l >= 1, "k and l must be positive")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("violates_k", col("n") < k)
+      .withColumn("violates_l", col("l_distinct") < l)
+  }
+
+  /** k-anonymity ENFORCEMENT by suppression: keep only rows whose quasi
+    * group has at least k members — the released table is k-anonymous
+    * by construction (every surviving quasi tuple matches ≥ k rows).
+    * One window count over the quasi partition (a single keyed shuffle,
+    * constant per-group state — no join, no second scan); generalize-
+    * then-suppress ladders compose by coarsening the quasi columns
+    * BEFORE calling this. */
+  def suppressSmallGroups(df: DataFrame, quasiCols: Seq[String],
+                          k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "suppressSmallGroups needs quasi columns")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__gn",
+        count(lit(1)).over(Window.partitionBy(quasiCols.map(col): _*)))
+      .filter(col("__gn") >= k)
+      .drop("__gn")
+  }
 }

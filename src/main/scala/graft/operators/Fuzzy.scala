@@ -204,4 +204,48 @@ object Fuzzy {
       .drop("__rid", "label")
     resolved.unionByName(labeledBatch.select(resolved.columns.map(col): _*))
   }
+
+  /** Streaming-capable entity ATTACHMENT against the persisted
+    * [[blockingKeys]] store: each arriving record is matched to every
+    * existing entity within `maxDist` edits, emitting one
+    * `(<idCol>, <tsCol>, entity_id)` row per matched entity (a record
+    * can reach one entity through SEVERAL stored strings at different
+    * distances, so a per-match distance would be dedup-order-dependent
+    * — the contract is the entity set, not the path). The online
+    * admission twin of [[resolveIncrementalKeyed]] with the CC step
+    * dropped — a stream cannot connect arrivals to each other, so this
+    * is pure lookup: arrivals that match nothing emit nothing (route
+    * them to a batch resolve), and the store stays frozen under the
+    * frozen-entity contract.
+    *
+    * Stream shape: the micro-batch explodes its own deletion variants
+    * map-side and equi-joins the STATIC store (stream-static join — no
+    * streaming state); the verify predicate rides in the same stage. A
+    * record can reach the same entity through several variant keys, so
+    * matches dedupe per (id, entity) — `dropDuplicatesWithinWatermark`
+    * on a stream (state expires), plain distinct on a batch frame. The
+    * store side is never exploded and never broadcast-forced: a small
+    * store broadcasts under the usual threshold, a 100 TB one runs
+    * shuffled (pre-bucket it by `block_key` to one-side that exchange). */
+  def attachEntities(stream: DataFrame, idCol: String, strCol: String,
+                     tsCol: String, storedKeys: DataFrame,
+                     maxDist: Int = 1,
+                     watermark: String = "1 hour"): DataFrame = {
+    val bk = graft.functions.Generates.explodeOnce(
+      stream.select(col(idCol).as("__id"), col(tsCol).as("__ts"),
+          col(strCol).as("__s"))
+        .where(col("__s").isNotNull),
+      Seq(col("__id"), col("__ts"), col("__s")),
+      deletionVariants(col("__s"), maxDist), "__k")
+    val st = storedKeys.select(col("block_key").as("__k"),
+      col("entity_id"), col(strCol).as("__stored"))
+    val matched = bk.join(st, Seq("__k"))
+      .where(levenshtein(col("__s"), col("__stored")) <= maxDist)
+      .select(col("__id").as(idCol), col("__ts").as(tsCol),
+        col("entity_id"))
+    if (matched.isStreaming)
+      matched.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(Seq(idCol, "entity_id"))
+    else matched.dropDuplicates(Seq(idCol, "entity_id"))
+  }
 }

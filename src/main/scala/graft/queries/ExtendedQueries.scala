@@ -1525,6 +1525,49 @@ object ExtendedQueries {
         .agg(sum($"price".cast(D)).cast("double").as("total_price"),
           count(lit(1)).as("n_rows"))
         .withColumn("salted", lit(salted))
+    }),
+
+    // ── the privacy audit a training-data release runs before
+    //    publishing user-derived metadata: per (lang, source) quasi
+    //    tuple, group size and sensitive-value diversity, with the
+    //    k-anonymity and l-diversity violation flags ──
+    "q170_anonymity_audit" -> ((s, dir) =>
+      graft.engine.Quality.anonymityAudit(Td(s, dir, "documents"),
+        Seq("lang", "source"), k = 5, sensitiveCol = "n_chars", l = 3)),
+
+    // ── k-anonymity ENFORCEMENT by suppression: the released rows are
+    //    exactly those whose quasi group has ≥ k members — k-anonymous
+    //    by construction ──
+    "q171_k_suppression" -> ((s, dir) =>
+      graft.engine.Quality.suppressSmallGroups(Td(s, dir, "documents"),
+        Seq("lang", "source"), k = 5)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // ── streaming entity ATTACHMENT over the persisted blocking-key
+    //    store (batch path of the stream-static lookup; MemoryStream
+    //    parity in CorpusStreamsSpec): arrivals are end-typos at
+    //    distance 1 from their base name and distance 2 from the stored
+    //    first-typo strings, so each attaches to EXACTLY its base
+    //    entity — the planted contract the oracle replays ──
+    "q172_stream_entity_attach" -> ((s, dir) => {
+      val base = Td(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"),
+          md5(col("c_custkey").cast("string")).as("name"))
+      val off = plantOffset(base)
+      val t1 = base.filter(col("id") % 50 === 0)
+        .select((col("id") + off).as("id"),
+          concat(lit("x"), substring(col("name"), 2, 31)).as("name"),
+          col("id").as("entity_id"))
+      val resolved = base.withColumn("entity_id", col("id"))
+        .unionByName(t1)
+        .repartition(s.sparkContext.defaultParallelism, col("id"))
+      val store = graft.operators.Fuzzy.blockingKeys(resolved, "name")
+      val arrivals = base.filter(col("id") % 100 === 0)
+        .select((col("id") + 2 * off).as("id"),
+          concat(substring(col("name"), 1, 31), lit("x")).as("name"),
+          lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")).as("ts"))
+      graft.operators.Fuzzy.attachEntities(arrivals, "id", "name", "ts",
+        store)
     })
   )
 
@@ -2973,7 +3016,31 @@ object ExtendedQueries {
         |       count(*) AS n_rows,
         |       (SELECT share >= 0.05 FROM shares) AS salted
         |FROM facts f JOIN nation n ON f.k = n.n_nationkey
-        |GROUP BY n.n_name""".stripMargin
+        |GROUP BY n.n_name""".stripMargin,
+
+    "q170_anonymity_audit" ->
+      """SELECT lang, source, count(*) AS n,
+        |       count(DISTINCT n_chars) AS l_distinct,
+        |       count(*) < 5 AS violates_k,
+        |       count(DISTINCT n_chars) < 3 AS violates_l
+        |FROM documents GROUP BY lang, source""".stripMargin,
+
+    "q171_k_suppression" ->
+      """SELECT doc_id, lang, source
+        |FROM (SELECT doc_id, lang, source,
+        |             count(*) OVER (PARTITION BY lang, source) AS gn
+        |      FROM documents)
+        |WHERE gn >= 5""".stripMargin,
+
+    // q172: the planted attach contract — every arriving end-typo is at
+    // distance 1 from exactly its base name (md5 names are pairwise far
+    // apart; the stored first-typo strings sit at distance 2)
+    "q172_stream_entity_attach" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer)
+        |SELECT id + 20000000 AS id,
+        |       TIMESTAMP '2024-03-01 00:00:00' AS ts,
+        |       id AS entity_id
+        |FROM c WHERE id % 100 = 0""".stripMargin
   )
 
   /** Shared q121/q122 replay: DSIR scores for every document. */

@@ -266,7 +266,13 @@ object ScaleSweep {
         // run), exact prefix-filter similarity join over ×20 documents
         // (df-ascending prefixes keep the candidate join's posting
         // lists short — the skew story the gate watches)
-        "q168_catalog_salted_join", "q169_jaccard_join_exact")
+        "q168_catalog_salted_join", "q169_jaccard_join_exact",
+        // round 7c: anonymity audit/suppression over ×20 documents (one
+        // keyed aggregate / one window count), streaming-style entity
+        // attach against the ×20 population's key store (batch path —
+        // the store explodes the population once, arrivals stay small)
+        "q170_anonymity_audit", "q171_k_suppression",
+        "q172_stream_entity_attach")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -7,11 +7,12 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 object CorpusStreamsSpec {
   case class Doc(doc_id: Long, ts: Timestamp, text: String)
+  case class Rec(id: Long, ts: Timestamp, name: String)
 }
 
 class CorpusStreamsSpec extends SparkSpec {
   import spark.implicits._
-  import CorpusStreamsSpec.Doc
+  import CorpusStreamsSpec.{Doc, Rec}
 
   private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
 
@@ -117,5 +118,41 @@ class CorpusStreamsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     assert(streamed == batch) // byte-identical margins, stream ≡ batch
     assert(streamed(20L)._2 && !streamed(21L)._2)
+  }
+
+  test("attachEntities: stream-static lookup over the stored blocking " +
+      "keys matches the batch twin; re-deliveries deduped") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Fuzzy
+    // resolved population: two far-apart names + a labeled typo of the
+    // first; its key store is the static side
+    val resolved = Seq(
+      (1L, "alphaville", 1L), (2L, "zephyrgate", 2L),
+      (3L, "alphavillx", 1L)).toDF("id", "name", "entity_id")
+    val store = Fuzzy.blockingKeys(resolved, "name").localCheckpoint(true)
+    val arrivals = Seq(
+      Rec(10L, ts(1), "alphavillo"), // 1 edit from base AND stored typo
+      Rec(11L, ts(2), "zephyrgatx"), // 1 edit from entity 2's name
+      Rec(12L, ts(3), "qqqqqqqqqq")) // matches nothing -> emits nothing
+    val stream = MemoryStream[Rec]
+    stream.addData(arrivals)
+    stream.addData(Seq(arrivals.head)) // re-delivered arrival
+    val q = Fuzzy.attachEntities(stream.toDF(), "id", "name", "ts", store)
+      .writeStream.format("memory").queryName("att_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("att_out")
+      .select("id", "entity_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // arrival 10 reaches entity 1 through TWO stored strings -> one row;
+    // the re-delivery and the no-match arrival add nothing
+    assert(streamed == Set((10L, 1L), (11L, 2L)))
+    assert(spark.table("att_out").count() == 2)
+    val batch = Fuzzy.attachEntities(
+        arrivals.toDF(), "id", "name", "ts", store)
+      .select("id", "entity_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == streamed)
   }
 }
