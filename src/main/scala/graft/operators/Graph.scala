@@ -142,6 +142,59 @@ object Graph {
       .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. Phys. Rev. E 76, 2007), made DETERMINISTIC: the graph is
+    * undirected (input edges symmetrize, self-loops and nulls drop),
+    * labels start at the node id, and each of `iters` synchronous
+    * rounds re-labels every node with the most frequent label among its
+    * neighbors PLUS ITS OWN current label (one self-vote), ties broken
+    * toward the smallest label. The classic formulation is
+    * run-order-dependent (async sweeps) or oscillation-prone (pure
+    * synchronous flip-flops on bipartite structure); the self-vote
+    * damps the flip and the min tie-break plus fixed iteration count
+    * make the result an exact integer function of the edge set — any
+    * engine replays it row for row.
+    *
+    * Output: `(node, label)` for every endpoint node; nodes sharing a
+    * label after convergence are one community (labels are always SOME
+    * member's id).
+    *
+    * Scale shape per round: one labels⋈edges join on `src` (the edge
+    * side is exchange-free under `staging`, exactly as [[pageRank]] —
+    * only the |nodes|-sized label vector moves), one `(node, label)`
+    * count with map-side partials, one argmax agg whose state is each
+    * node's distinct neighbor-label set, then a node-keyed update.
+    * Iterates are materialized so lineage depth stays constant. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int,
+                       staging: Option[EdgeStage] = None): DataFrame = {
+    require(iters >= 0, s"iteration count must be >= 0, got $iters")
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .na.drop().filter(col("a") =!= col("b"))
+    val sym = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+    val (ed, nodes) = prepare(sym, "src", "dst", staging)
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      // neighbor votes + the node's own single vote (the self-edge)
+      val votes = ed.select(col("src"), col("dst"))
+        .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val win = votes.groupBy("node")
+        .agg(min(struct((-col("__c")).as("__nc"), col("label").as("__l")))
+          .as("__m"))
+        .select(col("node"), col("__m.__l").as("__new"))
+      labels = Exec.materialize(
+        labels.join(win, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__new"), col("label")).as("label")))
+    }
+    labels.select("node", "label")
+  }
+
   /** Shared edge/node preparation: dropped-null distinct edges with their
     * out-degree riding beside each edge (so iterations never re-agg), and
     * the endpoint node set — each materialized once. With `staging` the

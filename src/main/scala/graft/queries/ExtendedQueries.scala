@@ -1568,6 +1568,26 @@ object ExtendedQueries {
           lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")).as("ts"))
       graft.operators.Fuzzy.attachEntities(arrivals, "id", "name", "ts",
         store)
+    }),
+
+    // ── deterministic label-propagation communities over the q143
+    //    customer↔supplier graph, staged through the same bucketed
+    //    layout (no per-round edge exchange). The self-vote +
+    //    min-tiebreak synchronous form is an exact integer function of
+    //    the edge set — the oracle chains 4 CTE rounds verbatim ──
+    "q173_label_propagation" -> ((s, dir) => {
+      val pairs = Td(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Td(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + 1000000L).as("p"))
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-lpastg").toString)
+      graft.operators.Graph.labelPropagation(
+        pairs.select(col("c").as("src"), col("p").as("dst")),
+        "src", "dst", iters = 4,
+        staging = Some(graft.operators.Graph.EdgeStage(wh, "g173_edges", 32)))
     })
   )
 
@@ -3040,7 +3060,35 @@ object ExtendedQueries {
         |SELECT id + 20000000 AS id,
         |       TIMESTAMP '2024-03-01 00:00:00' AS ts,
         |       id AS entity_id
-        |FROM c WHERE id % 100 = 0""".stripMargin
+        |FROM c WHERE id % 100 = 0""".stripMargin,
+
+    // q173: the synchronous self-vote LPA rounds replayed as chained
+    // CTEs — neighbor votes + one self vote, max count with min-label
+    // tiebreak, exactly the engine's integer recurrence
+    "q173_label_propagation" -> {
+      val iterCtes = (1 to 4).map { k =>
+        s"""c$k AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+           |  FROM ev e JOIN l${k - 1} l ON l.node = e.src GROUP BY 1, 2),
+           |w$k AS (SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (
+           |      PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |    FROM c$k) WHERE rn = 1),
+           |l$k AS (SELECT n.node, COALESCE(w.label, n.label) AS label
+           |  FROM l${k - 1} n LEFT JOIN w$k w ON w.node = n.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+         |    CAST(l.l_suppkey AS BIGINT) + 1000000 AS p
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |nodes AS (SELECT c AS node FROM pairs UNION SELECT p FROM pairs),
+         |ev AS (SELECT c AS src, p AS dst FROM pairs
+         |       UNION ALL SELECT p, c FROM pairs
+         |       UNION ALL SELECT node, node FROM nodes),
+         |l0 AS (SELECT node, node AS label FROM nodes),
+         |$iterCtes
+         |SELECT node, label FROM l4""".stripMargin
+    }
   )
 
   /** Shared q121/q122 replay: DSIR scores for every document. */

@@ -272,7 +272,10 @@ object ScaleSweep {
         // attach against the ×20 population's key store (batch path —
         // the store explodes the population once, arrivals stay small)
         "q170_anonymity_audit", "q171_k_suppression",
-        "q172_stream_entity_attach")
+        "q172_stream_entity_attach",
+        // round 7d: LPA communities over the ×10 co-transaction graph
+        // (staged edge layout — per-round exchange is the label vector)
+        "q173_label_propagation")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -470,6 +470,41 @@ object OperatorProperties extends Properties("graft.operators") {
       Gen.listOfN(16, Gen.choose(-3.0, 3.0)).map(_.toArray))
   } yield sample.toArray
 
+  // labelPropagation: the synchronous self-vote recurrence must equal a
+  // driver-side reference on arbitrary small graphs, at any round count
+  private val lpaCase = for {
+    nEdges <- Gen.choose(1, 15)
+    edges <- Gen.listOfN(nEdges, for {
+      a <- Gen.choose(0L, 9L)
+      b <- Gen.choose(0L, 9L)
+    } yield (a, b))
+    iters <- Gen.choose(0, 3)
+  } yield (edges.filter { case (a, b) => a != b }.distinct, iters)
+
+  property("labelPropagation equals the driver-side synchronous " +
+      "self-vote reference") =
+    Prop.forAll(lpaCase) { case (rawEdges, iters) =>
+      // re-filter: shrinking may reintroduce self-loops the generator
+      // removed — the operator drops them, the reference must too
+      val edges = rawEdges.filter { case (a, b) => a != b }.distinct
+      val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      val nodes = sym.flatMap { case (a, b) => Seq(a, b) }.distinct
+      var ref = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        ref = nodes.map { n =>
+          val votes = sym.filter(_._2 == n).map(e => ref(e._1)) :+ ref(n)
+          val byLabel = votes.groupBy(identity).toSeq
+            .map { case (l, v) => (v.size, l) }
+          val maxC = byLabel.map(_._1).max
+          n -> byLabel.filter(_._1 == maxC).map(_._2).min
+        }.toMap
+      }
+      val got = Graph.labelPropagation(
+          edges.toDF("src", "dst"), "src", "dst", iters)
+        .as[(Long, Long)].collect().toMap
+      got == ref
+    }
+
   // jaccardJoinExact: prefix filtering must be EXACT — identical pairs
   // and values to brute-force all-pairs Jaccard, at any threshold
   private val jaccCase = for {
