@@ -320,4 +320,38 @@ object CorpusStats {
         (col("pos") + 1).cast("int").as("rank"),
         col("col.score_q").as("score_q"), col("col.dl").as("dl"))
   }
+
+  /** Item co-occurrence mining (the A-Priori pair-counting stage,
+    * Agrawal–Srikant VLDB'94): canonical item pairs `(item_a < item_b)`
+    * with the number of distinct baskets containing BOTH, support-
+    * filtered by `minCount` — the market-basket / related-items /
+    * term-coocurrence primitive.
+    *
+    * Scale shape: one distinct on `(basket, item)`, one basket-keyed
+    * self-join whose fan-out is quadratic in basket size — bounded by
+    * the `maxBasketSize` guard (oversized baskets are dropped whole:
+    * a degenerate mega-basket — a crawler session, a bot cart — would
+    * otherwise square; every published basket miner caps or samples
+    * them), then a pair-keyed count with map-side partials. The pair
+    * space never materializes beyond observed co-occurrences. */
+  def cooccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
+                        minCount: Long = 1L,
+                        maxBasketSize: Int = 1024): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(maxBasketSize >= 2, "maxBasketSize must allow a pair")
+    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .na.drop().distinct()
+    val sized = items
+      .withColumn("__n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__b"))))
+      .filter(col("__n") <= maxBasketSize)
+      .drop("__n")
+    sized.select(col("__b"), col("__i").as("item_a"))
+      .join(sized.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minCount)
+  }
 }

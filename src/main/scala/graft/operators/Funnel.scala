@@ -73,4 +73,31 @@ object Funnel {
       .select(col(userCol), col(usCol).as("final_us"),
         col("__m").as("start_us"))
   }
+
+  /** First-order event-transition matrix: per user, events order by
+    * `(tsCol, tieCol)` (the tiebreak makes equal-timestamp order
+    * deterministic — same discipline as sessionization) and every
+    * consecutive pair contributes one `from → to` observation; output is
+    * `(from_type, to_type, n, p_ppm)` where `p_ppm` is the integer-exact
+    * row-normalized transition probability (`n·1e6 div Σ n over from`) —
+    * the Markov-chain summary of user journeys that seeds next-event
+    * prediction and anomaly screens.
+    *
+    * Scale shape: one shuffle keyed by user for the lag window (per-user
+    * state only), then a transition-pair aggregate with map-side
+    * partials; the matrix itself is |types|² — driver-scale. Integer ppm
+    * instead of a float ratio so any engine replays the division. */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val wFrom = Window.partitionBy(col("from_type"))
+    events.withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(wFrom))
+      .withColumn("p_ppm", expr("(n * 1000000) div __tot"))
+      .drop("__tot")
+  }
 }

@@ -1588,7 +1588,19 @@ object ExtendedQueries {
         pairs.select(col("c").as("src"), col("p").as("dst")),
         "src", "dst", iters = 4,
         staging = Some(graft.operators.Graph.EdgeStage(wh, "g173_edges", 32)))
-    })
+    }),
+
+    // ── market-basket co-occurrence over orders: part pairs ordered
+    //    together in ≥3 distinct orders (the A-Priori pair stage) ──
+    "q174_cooccurrence" -> ((s, dir) =>
+      graft.operators.CorpusStats.cooccurrencePairs(
+        Td(s, dir, "lineitem"), "l_orderkey", "l_partkey", minCount = 3L)),
+
+    // ── first-order user-journey transition matrix over the event
+    //    stream, integer-ppm row-normalized for exact replay ──
+    "q175_transition_matrix" -> ((s, dir) =>
+      graft.operators.Funnel.transitionMatrix(Td(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id"))
   )
 
   /** DuckDB analogue of Sampling.hashWord: first 4 md5 bytes of "salt|id"
@@ -3088,7 +3100,29 @@ object ExtendedQueries {
          |l0 AS (SELECT node, node AS label FROM nodes),
          |$iterCtes
          |SELECT node, label FROM l4""".stripMargin
-    }
+    },
+
+    "q174_cooccurrence" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+        |       count(*) AS n_baskets
+        |FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    // q175: the lag window replayed with the same (ts, event_id)
+    // deterministic ordering as q42; integer ppm division on both sides
+    "q175_transition_matrix" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |c AS (SELECT from_type, event_type AS to_type, count(*) AS n
+        |      FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       (n * 1000000) // sum(n) OVER (PARTITION BY from_type)
+        |         AS p_ppm
+        |FROM c""".stripMargin
   )
 
   /** Shared q121/q122 replay: DSIR scores for every document. */

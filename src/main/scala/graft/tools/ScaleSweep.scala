@@ -275,7 +275,10 @@ object ScaleSweep {
         "q172_stream_entity_attach",
         // round 7d: LPA communities over the ×10 co-transaction graph
         // (staged edge layout — per-round exchange is the label vector)
-        "q173_label_propagation")
+        "q173_label_propagation",
+        // round 7e: basket co-occurrence over ×10 lineitem (basket-keyed
+        // self-join, fan-out capped), transition matrix over ×20 events
+        "q174_cooccurrence", "q175_transition_matrix")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -212,4 +212,27 @@ class CorpusStatsSpec extends SparkSpec {
       "doc_id", "text", Seq("alpha", "alpha"), k = 5).collect().toSeq
     assert(once == twice)
   }
+
+  test("cooccurrencePairs: duplicate items count once per basket; an " +
+      "oversized basket drops whole under the quadratic guard") {
+    // basket 1: {a,b,c}; basket 2: {a,b} with b duplicated; basket 3:
+    // a 5-item mega-basket that must not contribute under the cap
+    val rows = Seq((1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "b")) ++
+      (0 until 5).map(i => (3L, s"m$i"))
+    val df = rows.toDF("basket", "item")
+    val capped = CorpusStats.cooccurrencePairs(df, "basket", "item",
+        minCount = 1L, maxBasketSize = 4)
+      .as[(String, String, Long)].collect().toSet
+    assert(capped == Set(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+    // without the cap the mega-basket's 10 pairs appear
+    val full = CorpusStats.cooccurrencePairs(df, "basket", "item",
+      minCount = 1L, maxBasketSize = 1024)
+    assert(full.count() == 13)
+    // support filter
+    val supported = CorpusStats.cooccurrencePairs(df, "basket", "item",
+        minCount = 2L, maxBasketSize = 4)
+      .as[(String, String, Long)].collect().toSet
+    assert(supported == Set(("a", "b", 2L)))
+  }
 }
