@@ -270,4 +270,16 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(out == Map(7L -> a))
   }
+
+  test("jaccardJoinExact: candidate generation is equi-join only — no " +
+      "cartesian/nested-loop anywhere in the plan") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"alpha beta w$i x${i % 7} y${i % 3} gamma")).toDF("id", "text")
+    val out = Dedup.jaccardJoinExact(docs, "id", "text", threshold = 0.5,
+      k = 2)
+    out.collect() // force execution so the final adaptive plan exists
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
