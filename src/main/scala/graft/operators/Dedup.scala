@@ -267,6 +267,10 @@ object Dedup {
         col("n_b") >= col("n_a") * threshold - lit(1e-9) &&
         col("n_a") >= col("n_b") * threshold - lit(1e-9))
       .select("id_a", "id_b").distinct()
+      // explicit width: the candidate set is BYTE-small but each row
+      // pays an exact set intersection downstream — AQE coalesces the
+      // distinct's exchange by size and would serialize that CPU work
+      .repartition(n, col("id_a"), col("id_b"))
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")),
         Seq("id_a"))
