@@ -1536,6 +1536,68 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** [[append]] plus sketch-statistics MAINTENANCE in one call: the
+    * batch is sketched ONCE and merged into the persisted per-column
+    * stats, so the catalog stays CURRENT across appends without ever
+    * rescanning the table — the incremental-ANALYZE a 100 TB nightly
+    * needs (a full [[analyzeSketches]] after every append pays one
+    * table scan per column per day).
+    *
+    * Merge exactness: CMS is LINEAR (cell-wise sums), so the merged
+    * sketch is bit-identical to a fresh whole-table sketch — stored
+    * join-size estimates after an append equal the full re-analyze.
+    * Space-Saving merges under the mergeable-summaries rule
+    * ([[graft.functions.Freq.mergeStored]]): exact below capacity,
+    * Metwally bounds above. Counts add.
+    *
+    * Crash consistency: stats are written AFTER the data lands,
+    * stamped with the post-append file census. Dying between the two
+    * leaves the OLD stats behind a moved census — exactly the staleness
+    * [[readSketchStats]] already withdraws — so a consumer can never
+    * plan from half-updated numbers; re-run the append's analyze or a
+    * full [[analyzeSketches]] to recover. Requires CURRENT stats for
+    * every column (merging into stale stats would silently double- or
+    * under-count); call sites without them should append then analyze. */
+  def appendAnalyzed(df: DataFrame, table: String,
+                     cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "appendAnalyzed needs at least one column")
+    // detach the old stats rows from their files BEFORE the append
+    // moves the census (and before Overwrite replaces the directory)
+    val preserved = cols.map { c =>
+      c -> Exec.materialize(readSketchStats(table, c).getOrElse(sys.error(
+        s"appendAnalyzed: no CURRENT sketch stats for '$table.$c' — " +
+          "run analyzeSketches first, or append() then analyzeSketches()")))
+    }
+    append(df, table)
+    val p = dataPath(table)
+    val files = listDataFiles(new Path(p))
+    val (nf, tb) = (files.size.toLong, files.map(_.getLen).sum)
+    preserved.foreach { case (c, old) =>
+      val geo = old.select(col("depth"), col("width"), col("hot_capacity"))
+        .head()
+      val (depth, width, cap) = (geo.getInt(0), geo.getInt(1), geo.getInt(2))
+      val batchAgg = df.agg(
+        graft.functions.Cms.sketch(col(c).cast("string"), depth, width)
+          .as("cms_b"),
+        graft.functions.Freq.spaceSaving(col(c).cast("string"), cap)
+          .as("hot_b"),
+        count(col(c)).as("nv_b"), count(lit(1)).as("nr_b"))
+      old.select(col("cms").as("cms_a"), col("hot").as("hot_a"),
+          col("n_values").as("nv_a"), col("n_rows").as("nr_a"))
+        .crossJoin(batchAgg) // 1 row × 1 row
+        .select(lit(depth).as("depth"), lit(width).as("width"),
+          lit(cap).as("hot_capacity"),
+          lit(nf).as("n_files"), lit(tb).as("data_bytes"),
+          graft.functions.Cms.merge2(col("cms_a"), col("cms_b")).as("cms"),
+          graft.functions.Freq.mergeStored(col("hot_a"), col("hot_b"), cap)
+            .as("hot"),
+          (col("nv_a") + col("nv_b")).as("n_values"),
+          (col("nr_a") + col("nr_b")).as("n_rows"))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$p/_stats/$c")
+    }
+  }
+
   /** Point-lookup data skipping, part 1: per-FILE Bloom filters over a
     * high-cardinality key — the complement of [[buildZoneMap]] (min/max
     * zones answer RANGE predicates; on a key whose values interleave

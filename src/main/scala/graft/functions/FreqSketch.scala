@@ -207,6 +207,47 @@ object Freq {
   def spaceSaving(item: Column, capacity: Int): Column =
     toCol(SpaceSavingAgg(toExpr(item), capacity).toAggregateExpression())
 
+  /** Combine two STORED sketch arrays (the [[spaceSaving]] output shape:
+    * entries sorted by `(-est, item)`) under the same mergeable-summaries
+    * rule the aggregation buffer uses (Agarwal et al. PODS'12): an item
+    * absent from one side contributes that side's absent bound (its
+    * min-count when full, 0 otherwise) to both the estimate and the
+    * error, and the top `capacity` by `(-est, item)` survive — so a
+    * merge tree's shape can never change the result, and below capacity
+    * the merge is EXACT (est = true count of the concatenated stream,
+    * err = 0). Pure built-in column algebra over the stored arrays
+    * (map_zip_with union + sort + slice): maintaining persisted hot-key
+    * stats across an append costs a batch-only scan, never a rescan of
+    * the table. */
+  def mergeStored(a: Column, b: Column, capacity: Int): Column = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    // entries arrive sorted by (-est, item), so a full sketch's min
+    // count is the LAST entry's est
+    def bound(x: Column) =
+      when(size(x) >= capacity, element_at(x, size(x)).getField("est"))
+        .otherwise(lit(0L))
+    val bA = bound(a)
+    val bB = bound(b)
+    def asMap(x: Column) = map_from_entries(transform(x, e =>
+      struct(e.getField("item").as("k"),
+        struct(e.getField("est").as("est"),
+          e.getField("err").as("err")).as("v"))))
+    val merged = map_zip_with(asMap(a), asMap(b), (_, va, vb) =>
+      struct(
+        (coalesce(va.getField("est"), bA) +
+          coalesce(vb.getField("est"), bB)).as("est"),
+        (coalesce(va.getField("err"), bA) +
+          coalesce(vb.getField("err"), bB)).as("err")))
+    val ordered = sort_array(transform(map_entries(merged), e =>
+      struct((-e.getField("value").getField("est")).as("neg_est"),
+        e.getField("key").as("item"),
+        e.getField("value").getField("est").as("est"),
+        e.getField("value").getField("err").as("err"))))
+    slice(transform(ordered, e =>
+      struct(e.getField("item").as("item"), e.getField("est").as("est"),
+        e.getField("err").as("err"))), 1, capacity)
+  }
+
   /** Heavy hitters per group: one output row per kept counter with
     * `est >= minEst`, exploded to (groupCols..., item, est, err). In the
     * exact regime (distinct items per final group <= capacity and no

@@ -1600,7 +1600,36 @@ object ExtendedQueries {
     //    stream, integer-ppm row-normalized for exact replay ──
     "q175_transition_matrix" -> ((s, dir) =>
       graft.operators.Funnel.transitionMatrix(Td(s, dir, "events"),
-        "user_id", "event_type", "ts", "event_id"))
+        "user_id", "event_type", "ts", "event_id")),
+
+    // ── the catalog maintained ACROSS an append with zero table
+    //    rescans: publish 2/3 of lineitem, ANALYZE, append the last 1/3
+    //    through appendAnalyzed (batch-only sketch, merged in). CMS is
+    //    linear, so the merged sketch is bit-identical to a full
+    //    re-analyze — the stored join-size answer after the append
+    //    replays as the q167 formula over ALL of lineitem ──
+    "q176_stats_maintained" -> ((s, dir) => {
+      import s.implicits._
+      val depth = 4; val width = 256
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-statsm").toString)
+      val li = Td(s, dir, "lineitem").select(col("l_orderkey"))
+      wh.publish(li.filter($"l_orderkey" % 3 =!= 0), "li")
+      wh.publish(Td(s, dir, "orders").select(col("o_orderkey")), "ord")
+      wh.analyzeSketches("li", Seq("l_orderkey"), depth, width)
+      wh.analyzeSketches("ord", Seq("o_orderkey"), depth, width)
+      wh.appendAnalyzed(li.filter($"l_orderkey" % 3 === 0), "li",
+        Seq("l_orderkey"))
+      val est = graft.engine.JoinPolicy
+        .estimateJoinRowsStored(wh, "li", "l_orderkey", "ord", "o_orderkey")
+        .getOrElse(sys.error("stats stale after appendAnalyzed"))
+      val exact = wh.read("li")
+        .join(wh.read("ord").withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"))
+        .agg(count(lit(1)).as("exact_join_rows"))
+      exact.select(lit(est).as("est_join_rows"), col("exact_join_rows"),
+        (lit(est) >= col("exact_join_rows")).as("no_undercount"))
+    })
   )
 
   /** DuckDB analogue of Sampling.hashWord: first 4 md5 bytes of "salt|id"
@@ -3122,7 +3151,33 @@ object ExtendedQueries {
         |SELECT from_type, to_type, n,
         |       (n * 1000000) // sum(n) OVER (PARTITION BY from_type)
         |         AS p_ppm
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // q176: identical replay to q167's estimate (CMS linearity — the
+    // append-merged sketch IS the whole-table sketch) over all lineitem
+    "q176_stats_maintained" ->
+      """WITH rws(r) AS (VALUES (0), (1), (2), (3)),
+        |la AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+        |ob AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+        |ca AS (SELECT r,
+        |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || k),
+        |                         1, 8)) AS BIGINT) % 256 AS b,
+        |    COUNT(*) AS c
+        |  FROM la, rws GROUP BY 1, 2),
+        |cb AS (SELECT r,
+        |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || k),
+        |                         1, 8)) AS BIGINT) % 256 AS b,
+        |    COUNT(*) AS c
+        |  FROM ob, rws GROUP BY 1, 2),
+        |dots AS (SELECT ca.r, SUM(ca.c * cb.c) AS d
+        |         FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b
+        |         GROUP BY ca.r),
+        |est AS (SELECT CAST(MIN(d) AS BIGINT) AS est_join_rows FROM dots),
+        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows
+        |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT est.est_join_rows, ex.exact_join_rows,
+        |  est.est_join_rows >= ex.exact_join_rows AS no_undercount
+        |FROM est, ex""".stripMargin
   )
 
   /** Shared q121/q122 replay: DSIR scores for every document. */

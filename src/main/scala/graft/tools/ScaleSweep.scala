@@ -278,7 +278,10 @@ object ScaleSweep {
         "q173_label_propagation",
         // round 7e: basket co-occurrence over ×10 lineitem (basket-keyed
         // self-join, fan-out capped), transition matrix over ×20 events
-        "q174_cooccurrence", "q175_transition_matrix")
+        "q174_cooccurrence", "q175_transition_matrix",
+        // round 7f: incremental ANALYZE across an append at ×10 —
+        // batch-only sketch scans, maintained estimate ≡ full re-analyze
+        "q176_stats_maintained")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

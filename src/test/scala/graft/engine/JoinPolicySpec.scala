@@ -219,6 +219,47 @@ class JoinPolicySpec extends SparkSpec {
   private lazy val dimL = (0L until 50L).map(i => (i, s"d$i"))
     .toDF("k", "name")
 
+  test("appendAnalyzed: merged stats stay CURRENT, are exact below " +
+      "capacity, flip the salt signal, and equal a full re-analyze") {
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("wh-statsm").toString)
+    val base = (1L to 600L).map(i => (i, i % 40)).toDF("row_id", "k")
+    wh.publish(base, "facts_m")
+    wh.publish((0L until 40L).map(i => (i, s"d$i")).toDF("k", "name"),
+      "dim_m")
+    wh.analyzeSketches("facts_m", Seq("k"), 4, 128, hotCapacity = 64)
+    wh.analyzeSketches("dim_m", Seq("k"), 4, 128, hotCapacity = 64)
+    // uniform base: max share 15/600 — stored salt says no
+    assert(JoinPolicy.shouldSaltStored(wh, "facts_m", "k")
+      .contains(false))
+    // merging into MISSING stats must refuse loudly
+    intercept[RuntimeException] {
+      wh.appendAnalyzed(Seq((0L, 0L)).toDF("row_id", "k"), "facts_m",
+        Seq("row_id"))
+    }
+    // skewed batch: 400 more rows, all on key 7
+    val batch = (601L to 1000L).map(i => (i, 7L)).toDF("row_id", "k")
+    wh.appendAnalyzed(batch, "facts_m", Seq("k"))
+    val st = wh.readSketchStats("facts_m", "k")
+    assert(st.nonEmpty, "stats must be CURRENT right after appendAnalyzed")
+    // 40 distinct keys < capacity 64: the merged hot list is EXACT
+    val hot = st.get.select(explode(col("hot")).as("e"))
+      .select(col("e.item"), col("e.est"), col("e.err"))
+      .as[(String, Long, Long)].collect()
+    assert(hot.forall(_._3 == 0L), "below capacity the merge has no error")
+    val counts = hot.map(h => h._1 -> h._2).toMap
+    assert(counts("7") == 415L && counts("6") == 15L && counts.size == 40)
+    // the batch's skew flips the stored decision
+    assert(JoinPolicy.shouldSaltStored(wh, "facts_m", "k").contains(true))
+    // CMS linearity: the maintained estimate equals a full re-analyze
+    val merged = JoinPolicy.estimateJoinRowsStored(wh, "facts_m", "k",
+      "dim_m", "k")
+    wh.analyzeSketches("facts_m", Seq("k"), 4, 128, hotCapacity = 64)
+    val fresh = JoinPolicy.estimateJoinRowsStored(wh, "facts_m", "k",
+      "dim_m", "k")
+    assert(merged.nonEmpty && merged == fresh)
+  }
+
   test("wrangle pipeline dims demote when broadcast is off (no forced hints)") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)
