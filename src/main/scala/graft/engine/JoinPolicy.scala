@@ -142,6 +142,35 @@ object JoinPolicy {
         .head().getLong(0)
     }
 
+  /** Range-predicate row-count BOUND from the persisted histogram
+    * ([[Warehouse.analyzeHistogram]]): the sum of every bin overlapping
+    * `[lo, hi]` — a one-sided OVER-estimate (a touched bin contributes
+    * all its rows, in- or out-of-range), exact when the range aligns
+    * with bin edges, 0 when the range misses the recorded domain. Long
+    * arithmetic end to end, so any engine replays the number; zero
+    * scans of the table. None when no CURRENT histogram covers the
+    * column. This is the selectivity signal a filter-ordering /
+    * scan-vs-index decision wants beside the CMS join-size estimate. */
+  def estimateRangeRowsStored(wh: Warehouse, table: String, c: String,
+                              lo: Long, hi: Long): Option[Long] = {
+    require(lo <= hi, s"empty range: lo=$lo > hi=$hi")
+    wh.readHistogram(table, c).map { st =>
+      val r = st.select(col("bins"), col("v_min"), col("v_max"),
+        col("bin_w"), col("counts")).head()
+      val (bins, vmin, vmax, w) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val counts = r.getSeq[Long](4)
+      if (hi < vmin || lo > vmax) 0L
+      else {
+        // operands are non-negative, so Java's truncating / is floor —
+        // the same value as the build's `div`
+        val bLo = (math.max(lo, vmin) - vmin) / w
+        val bHi = math.min(bins - 1L, (math.min(hi, vmax) - vmin) / w)
+        (bLo to bHi).map(b => counts(b.toInt)).sum
+      }
+    }
+  }
+
   /** The [[shouldSalt]] question answered from the PERSISTED hot-key
     * candidates — zero scans of the fact table. None when stats are
     * absent or stale. */

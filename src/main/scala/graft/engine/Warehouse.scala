@@ -1598,6 +1598,70 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Range-selectivity HISTOGRAM for the sketch catalog — the third
+    * planner signal beside CMS (equi-join size) and Space-Saving hot
+    * keys (skew): an equi-width bin-count table over an INTEGRAL
+    * column, persisted beside the data version under the same
+    * file-census freshness contract as [[analyzeSketches]].
+    *
+    * Integral-only by design: bin width `w = (max−min) div bins + 1`
+    * and bin index `(v−min) div w` are pure long arithmetic, so the
+    * stored counts — and every estimate derived from them — replay
+    * bit-exactly on any engine (a float-edged histogram's boundary
+    * rounding is libm-flavored). The domain is pinned at analyze time,
+    * which is why appends don't maintain histograms the way
+    * [[appendAnalyzed]] maintains CMS/hot stats: a batch value outside
+    * [min, max] has no bin; re-analyze after appends (the census gate
+    * withdraws the stale histogram automatically). */
+  def analyzeHistogram(table: String, c: String, bins: Int = 256): Unit = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val p = dataPath(table)
+    val files = listDataFiles(new Path(p))
+    val (nf, tb) = (files.size.toLong, files.map(_.getLen).sum)
+    val t = read(table)
+    val mm = t.agg(min(col(c).cast("long")).as("lo"),
+      max(col(c).cast("long")).as("hi")).head()
+    require(!mm.isNullAt(0),
+      s"analyzeHistogram: '$table.$c' has no non-null values")
+    val (vmin, vmax) = (mm.getLong(0), mm.getLong(1))
+    val w = (vmax - vmin) / bins + 1
+    t.filter(col(c).isNotNull)
+      // `div`, not `/`: long / long is true division through DOUBLE in
+      // Spark and mis-bins past 2^53 — the bin index must be exact
+      .groupBy(expr(s"(CAST(`$c` AS BIGINT) - ${vmin}L) div ${w}L")
+        .as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("cnt"))))
+        .as("bm"),
+        sum(col("cnt")).as("n_values"))
+      .select(lit(bins).as("bins"), lit(vmin).as("v_min"),
+        lit(vmax).as("v_max"), lit(w).as("bin_w"),
+        lit(nf).as("n_files"), lit(tb).as("data_bytes"),
+        // dense count array, zero-filled (bins is small, driver-free)
+        expr(s"transform(sequence(0, ${bins - 1}), " +
+          "b -> coalesce(element_at(bm, cast(b AS bigint)), 0L))")
+          .as("counts"),
+        col("n_values"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$p/_stats_hist/$c")
+  }
+
+  /** The persisted histogram of `table.c` — None when never analyzed on
+    * this version or stale under the file-census contract. */
+  def readHistogram(table: String, c: String): Option[DataFrame] = {
+    val p = dataPath(table)
+    val sp = new Path(s"$p/_stats_hist/$c")
+    if (!fs(sp).exists(sp)) None
+    else {
+      val df = spark.read.parquet(sp.toString)
+      val census = df.select(col("n_files"), col("data_bytes")).head()
+      val files = listDataFiles(new Path(p))
+      if (census.getLong(0) != files.size.toLong ||
+          census.getLong(1) != files.map(_.getLen).sum) None
+      else Some(df)
+    }
+  }
+
   /** Point-lookup data skipping, part 1: per-FILE Bloom filters over a
     * high-cardinality key — the complement of [[buildZoneMap]] (min/max
     * zones answer RANGE predicates; on a key whose values interleave

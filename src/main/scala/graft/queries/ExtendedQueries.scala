@@ -1629,6 +1629,29 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("exact_join_rows"))
       exact.select(lit(est).as("est_join_rows"), col("exact_join_rows"),
         (lit(est) >= col("exact_join_rows")).as("no_undercount"))
+    }),
+
+    // ── the catalog's third planner signal: range selectivity from the
+    //    persisted integer histogram — touched-bin sum, a one-sided
+    //    over-estimate in pure long arithmetic, answered with ZERO
+    //    scans and replayed bin-for-bin by the oracle ──
+    "q177_range_estimate" -> ((s, dir) => {
+      import s.implicits._
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-histq").toString)
+      val cents = Td(s, dir, "orders").select(
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      wh.publish(cents, "ord_cents")
+      wh.analyzeHistogram("ord_cents", "cents", bins = 256)
+      val (lo, hi) = (5000000L, 15000000L) // $50k..$150k in cents
+      val est = graft.engine.JoinPolicy
+        .estimateRangeRowsStored(wh, "ord_cents", "cents", lo, hi)
+        .getOrElse(sys.error("histogram missing or stale"))
+      wh.read("ord_cents")
+        .filter($"cents" >= lo && $"cents" <= hi)
+        .agg(count(lit(1)).as("exact_rows"))
+        .select(lit(est).as("est_rows"), col("exact_rows"),
+          (lit(est) >= col("exact_rows")).as("no_undercount"))
     })
   )
 
@@ -3177,6 +3200,27 @@ object ExtendedQueries {
         |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
         |SELECT est.est_join_rows, ex.exact_join_rows,
         |  est.est_join_rows >= ex.exact_join_rows AS no_undercount
+        |FROM est, ex""".stripMargin,
+
+    // q177: the histogram replayed bin-for-bin — integer width/index
+    // arithmetic (// == div on non-negatives), touched-bin sum
+    "q177_range_estimate" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |             AS v FROM orders),
+        |mm AS (SELECT min(v) AS vmin, max(v) AS vmax FROM c),
+        |geo AS (SELECT vmin, vmax, (vmax - vmin) // 256 + 1 AS w FROM mm),
+        |b AS (SELECT (v - g.vmin) // g.w AS bin, count(*) AS cnt
+        |      FROM c, geo g GROUP BY 1),
+        |rng AS (SELECT (greatest(5000000, g.vmin) - g.vmin) // g.w AS blo,
+        |          least(CAST(255 AS BIGINT),
+        |                (least(15000000, g.vmax) - g.vmin) // g.w) AS bhi
+        |        FROM geo g),
+        |est AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS est_rows
+        |        FROM b, rng WHERE b.bin BETWEEN rng.blo AND rng.bhi),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_rows FROM c
+        |       WHERE v BETWEEN 5000000 AND 15000000)
+        |SELECT est.est_rows, ex.exact_rows,
+        |       est.est_rows >= ex.exact_rows AS no_undercount
         |FROM est, ex""".stripMargin
   )
 

@@ -281,7 +281,10 @@ object ScaleSweep {
         "q174_cooccurrence", "q175_transition_matrix",
         // round 7f: incremental ANALYZE across an append at ×10 —
         // batch-only sketch scans, maintained estimate ≡ full re-analyze
-        "q176_stats_maintained")
+        "q176_stats_maintained",
+        // round 7g: range-selectivity histogram (one scan builds, zero
+        // scans answer; bounded bins-sized state)
+        "q177_range_estimate")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

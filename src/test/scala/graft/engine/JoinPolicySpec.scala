@@ -219,6 +219,31 @@ class JoinPolicySpec extends SparkSpec {
   private lazy val dimL = (0L until 50L).map(i => (i, s"d$i"))
     .toDF("k", "name")
 
+  test("histogram range estimates: aligned ranges exact, never an " +
+      "undercount, appends withdraw the stale histogram") {
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("wh-hist").toString)
+    // 0..999 once each; bins=10 → w = 999 div 10 + 1 = 100, 100/bin
+    wh.publish((0L until 1000L).map(Tuple1(_)).toDF("v"), "h")
+    wh.analyzeHistogram("h", "v", bins = 10)
+    // [100, 199] aligns with bin 1 exactly
+    assert(JoinPolicy.estimateRangeRowsStored(wh, "h", "v", 100L, 199L)
+      .contains(100L))
+    // [150, 249] touches bins 1 and 2 → 200, a one-sided over-estimate
+    assert(JoinPolicy.estimateRangeRowsStored(wh, "h", "v", 150L, 249L)
+      .contains(200L))
+    // a range past the recorded domain estimates 0
+    assert(JoinPolicy.estimateRangeRowsStored(wh, "h", "v", 2000L, 3000L)
+      .contains(0L))
+    // the full domain recovers the row count
+    assert(JoinPolicy.estimateRangeRowsStored(wh, "h", "v", 0L, 999L)
+      .contains(1000L))
+    // an append moves the file census → the histogram is withdrawn
+    wh.append(Seq(Tuple1(5L)).toDF("v"), "h")
+    assert(wh.readHistogram("h", "v").isEmpty)
+    assert(JoinPolicy.estimateRangeRowsStored(wh, "h", "v", 0L, 10L).isEmpty)
+  }
+
   test("appendAnalyzed: merged stats stay CURRENT, are exact below " +
       "capacity, flip the salt signal, and equal a full re-analyze") {
     val wh = new Warehouse(spark,
