@@ -142,6 +142,20 @@ object JoinPolicy {
         .head().getLong(0)
     }
 
+  /** n_distinct from the PERSISTED stats row — the selectivity
+    * denominator every classic formula wants (`rows / n_distinct` for an
+    * equality predicate, containment for joins), answered in zero scans
+    * from the catalog's 64-register HLL (±~13% at m=64; registers merge
+    * by max, so [[Warehouse.appendAnalyzed]]-maintained stats answer
+    * IDENTICALLY to a full re-analyze). None when stats are absent or
+    * stale. */
+  def estimateDistinctStored(wh: Warehouse, table: String,
+                             c: String): Option[Double] =
+    wh.readSketchStats(table, c).map { st =>
+      st.select(graft.functions.Hll.estimate(col("hll"), wh.HllM))
+        .head().getDouble(0)
+    }
+
   /** Range-predicate row-count BOUND from the persisted histogram
     * ([[Warehouse.analyzeHistogram]]): the sum of every bin overlapping
     * `[lo, hi]` — a one-sided OVER-estimate (a touched bin contributes

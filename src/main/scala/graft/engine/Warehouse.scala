@@ -1508,16 +1508,30 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             .as("cms"),
           graft.functions.Freq.spaceSaving(col(c).cast("string"), hotCapacity)
             .as("hot"),
+          // HLL distinct registers: the n_distinct every selectivity
+          // formula wants, in m=64 bytes of state, mergeable on append
+          // (register max) — same md5-word hash family as q100/q104
+          graft.functions.Hll.registers(
+            graft.functions.Hll.bucketCol(col(c).cast("string"), "stats",
+              HllM),
+            graft.functions.Hll.rankCol(col(c).cast("string"), "stats"),
+            HllM).as("hll"),
           count(col(c)).as("n_values"),
           count(lit(1)).as("n_rows"))
         .select(lit(depth).as("depth"), lit(width).as("width"),
           lit(hotCapacity).as("hot_capacity"),
           lit(nf).as("n_files"), lit(tb).as("data_bytes"),
-          col("cms"), col("hot"), col("n_values"), col("n_rows"))
+          col("cms"), col("hot"), col("hll"), col("n_values"),
+          col("n_rows"))
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$p/_stats/$c")
     }
   }
+
+  /** Register count for the catalog's distinct-count sketch — shared by
+    * [[analyzeSketches]], [[appendAnalyzed]], and the stored-estimate
+    * reader so geometry can never drift between build and probe. */
+  val HllM = 64
 
   /** The persisted sketch statistics of `table.c` — None when never
     * analyzed on this version or STALE (the data-file census moved since
@@ -1581,8 +1595,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           .as("cms_b"),
         graft.functions.Freq.spaceSaving(col(c).cast("string"), cap)
           .as("hot_b"),
+        graft.functions.Hll.registers(
+          graft.functions.Hll.bucketCol(col(c).cast("string"), "stats",
+            HllM),
+          graft.functions.Hll.rankCol(col(c).cast("string"), "stats"),
+          HllM).as("hll_b"),
         count(col(c)).as("nv_b"), count(lit(1)).as("nr_b"))
       old.select(col("cms").as("cms_a"), col("hot").as("hot_a"),
+          col("hll").as("hll_a"),
           col("n_values").as("nv_a"), col("n_rows").as("nr_a"))
         .crossJoin(batchAgg) // 1 row × 1 row
         .select(lit(depth).as("depth"), lit(width).as("width"),
@@ -1591,6 +1611,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           graft.functions.Cms.merge2(col("cms_a"), col("cms_b")).as("cms"),
           graft.functions.Freq.mergeStored(col("hot_a"), col("hot_b"), cap)
             .as("hot"),
+          // register max is associative: the merged sketch IS the
+          // whole-table sketch, so the maintained distinct estimate
+          // equals a full re-analyze exactly
+          zip_with(col("hll_a"), col("hll_b"), (x, y) => greatest(x, y))
+            .as("hll"),
           (col("nv_a") + col("nv_b")).as("n_values"),
           (col("nr_a") + col("nr_b")).as("n_rows"))
         .coalesce(1)

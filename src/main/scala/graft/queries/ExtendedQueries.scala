@@ -1652,6 +1652,29 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("exact_rows"))
         .select(lit(est).as("est_rows"), col("exact_rows"),
           (lit(est) >= col("exact_rows")).as("no_undercount"))
+    }),
+
+    // ── n_distinct from the catalog, maintained across an append:
+    //    analyze half of orders' custkeys, appendAnalyzed the other
+    //    half (HLL registers merge by max — associative, so the
+    //    maintained sketch IS the whole-stream sketch), then answer the
+    //    distinct-count question with zero scans; the oracle rebuilds
+    //    the registers over ALL orders and replays the estimate ──
+    "q178_stats_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-distq").toString)
+      val ck = Td(s, dir, "orders").select(col("o_custkey"))
+      wh.publish(ck.filter($"o_custkey" % 2 === 0), "ord_ck")
+      wh.analyzeSketches("ord_ck", Seq("o_custkey"))
+      wh.appendAnalyzed(ck.filter($"o_custkey" % 2 =!= 0), "ord_ck",
+        Seq("o_custkey"))
+      val est = graft.engine.JoinPolicy
+        .estimateDistinctStored(wh, "ord_ck", "o_custkey")
+        .getOrElse(sys.error("stats missing or stale"))
+      wh.read("ord_ck")
+        .agg(count_distinct(col("o_custkey")).as("exact_distinct"))
+        .select(lit(est).as("est_distinct"), col("exact_distinct"))
     })
   )
 
@@ -3221,7 +3244,34 @@ object ExtendedQueries {
         |       WHERE v BETWEEN 5000000 AND 15000000)
         |SELECT est.est_rows, ex.exact_rows,
         |       est.est_rows >= ex.exact_rows AS no_undercount
-        |FROM est, ex""".stripMargin
+        |FROM est, ex""".stripMargin,
+
+    // q178: the catalog HLL replay — register-max associativity means
+    // the append-maintained registers equal the whole-stream build, so
+    // the oracle rebuilds them over ALL orders at the "stats" salt
+    "q178_stats_distinct" -> {
+      val m = 64
+      val rankCase = (1 to 24)
+        .map(k => s"WHEN w >= ${1L << (24 - k)} THEN $k").mkString(" ")
+      val am = s"CAST(${graft.functions.Hll.alpha(m) * m * m} AS DOUBLE)"
+      s"""WITH h AS (
+         |  SELECT ${hashWordSql("stats|b", "o_custkey")} % $m AS bucket,
+         |         ${hashWordSql("stats|r", "o_custkey")} % ${1L << 24} AS w
+         |  FROM orders),
+         |r AS (SELECT bucket, MAX(CASE $rankCase ELSE 25 END) AS rnk
+         |      FROM h GROUP BY 1),
+         |a AS (SELECT SUM(CAST(1 AS DOUBLE) / (1 << rnk)) +
+         |        CAST($m - COUNT(*) AS DOUBLE) AS ssum,
+         |        $m - COUNT(*) AS zeros
+         |      FROM r)
+         |SELECT round(CASE WHEN zeros > 0 AND $am / ssum <=
+         |           CAST(${(2.5 * m).toInt} AS DOUBLE)
+         |         THEN $m * ln(CAST($m AS DOUBLE) / zeros)
+         |         ELSE $am / ssum END, 4) AS est_distinct,
+         |       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+         |        FROM orders) AS exact_distinct
+         |FROM a""".stripMargin
+    }
   )
 
   /** Shared q121/q122 replay: DSIR scores for every document. */

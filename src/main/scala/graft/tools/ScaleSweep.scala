@@ -283,8 +283,9 @@ object ScaleSweep {
         // batch-only sketch scans, maintained estimate ≡ full re-analyze
         "q176_stats_maintained",
         // round 7g: range-selectivity histogram (one scan builds, zero
-        // scans answer; bounded bins-sized state)
-        "q177_range_estimate")
+        // scans answer; bounded bins-sized state), catalog n_distinct
+        // maintained across an append (64-byte mergeable registers)
+        "q177_range_estimate", "q178_stats_distinct")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

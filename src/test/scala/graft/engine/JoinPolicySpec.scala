@@ -276,13 +276,20 @@ class JoinPolicySpec extends SparkSpec {
     assert(counts("7") == 415L && counts("6") == 15L && counts.size == 40)
     // the batch's skew flips the stored decision
     assert(JoinPolicy.shouldSaltStored(wh, "facts_m", "k").contains(true))
-    // CMS linearity: the maintained estimate equals a full re-analyze
+    // CMS linearity / HLL register-max associativity: the maintained
+    // estimates equal a full re-analyze exactly
     val merged = JoinPolicy.estimateJoinRowsStored(wh, "facts_m", "k",
       "dim_m", "k")
+    val mergedD = JoinPolicy.estimateDistinctStored(wh, "facts_m", "k")
     wh.analyzeSketches("facts_m", Seq("k"), 4, 128, hotCapacity = 64)
     val fresh = JoinPolicy.estimateJoinRowsStored(wh, "facts_m", "k",
       "dim_m", "k")
+    val freshD = JoinPolicy.estimateDistinctStored(wh, "facts_m", "k")
     assert(merged.nonEmpty && merged == fresh)
+    assert(mergedD.nonEmpty && mergedD == freshD)
+    // 40 true distincts; m=64 linear-counting regime keeps the estimate
+    // in a sane band
+    assert(mergedD.get > 20.0 && mergedD.get < 80.0)
   }
 
   test("wrangle pipeline dims demote when broadcast is off (no forced hints)") {
