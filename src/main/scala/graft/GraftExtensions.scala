@@ -298,8 +298,91 @@ object GraftFunctions {
       case Seq(f, k) => BloomProbeExpr(f, k)
       case args => throw new IllegalArgumentException(
         s"bloom_probe expects 2 arguments, got ${args.length}")
+    },
+
+    fn("hll_registers",
+      "hll_registers(item[, m]) - AGGREGATE: HyperLogLog register array " +
+        "(array<int> of length m, default 64) over items hashed by the " +
+        "engine's md5-word family (salt 'hll' — the q100/q104 replay " +
+        "convention). Merge is elementwise max, so stored registers roll " +
+        "up to coarser groups exactly; feed hll_estimate.") {
+      case Seq(item) => hllRegistersAgg(item, 64)
+      case Seq(item, m) =>
+        hllRegistersAgg(item, intArg(m, "hll_registers", "m"))
+      case args => throw new IllegalArgumentException(
+        s"hll_registers expects 1-2 arguments, got ${args.length}")
+    },
+
+    fn("hll_estimate",
+      "hll_estimate(registers, m) - distinct-count estimate from an " +
+        "hll_registers array: harmonic-mean raw estimate with the " +
+        "small-range linear-counting correction, rounded to 4 decimals " +
+        "for cross-engine determinism.") {
+      case Seq(r, m) => HllEstimateExpr(r, intArg(m, "hll_estimate", "m"))
+      case args => throw new IllegalArgumentException(
+        s"hll_estimate expects 2 arguments, got ${args.length}")
+    },
+
+    fn("cms_estimate",
+      "cms_estimate(sketch, item, depth, width) - one-sided point " +
+        "estimate (min of the item's depth cells) from a stored " +
+        "cms_sketch struct; true <= est always.") {
+      case Seq(sk, item, d, w) =>
+        CmsEstimateExpr(sk,
+          org.apache.spark.sql.catalyst.expressions.Cast(item,
+            org.apache.spark.sql.types.StringType),
+          intArg(d, "cms_estimate", "depth"),
+          intArg(w, "cms_estimate", "width"))
+      case args => throw new IllegalArgumentException(
+        s"cms_estimate expects 4 arguments, got ${args.length}")
+    },
+
+    fn("ss_merge",
+      "ss_merge(a, b, capacity) - combine two stored space_saving arrays " +
+        "under the mergeable-summaries rule: absent sides contribute " +
+        "their min-count bound, top `capacity` by (est desc, item) " +
+        "survive. Exact below capacity; merge-tree-shape independent.") {
+      case Seq(a, b, cap) =>
+        SsMergeExpr(a, b, intArg(cap, "ss_merge", "capacity"))
+      case args => throw new IllegalArgumentException(
+        s"ss_merge expects 3 arguments, got ${args.length}")
     }
   )
+
+  /** The md5-word hash as a RESOLVED catalyst tree (the SQL registry
+    * path cannot carry Column-DSL nodes): identical composition to
+    * [[graft.operators.Sampling.hashWord]] — conv(substr(md5(
+    * concat_ws('|', salt, cast(item AS string))), 1, 8), 16, 10). */
+  private def hashWordExpr(item: Expression, salt: String): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, ConcatWs, Conv,
+      Md5, Substring}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Cast(new Conv(
+      Substring(Md5(ConcatWs(Seq(Literal("|"), Literal(salt),
+        Cast(item, StringType)))), Literal(1), Literal(8)),
+      Literal(16), Literal(10)), LongType)
+  }
+
+  private def hllRegistersAgg(item: Expression, m: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen,
+      GreaterThanOrEqual, Pmod}
+    require((m & (m - 1)) == 0,
+      s"hll_registers: m must be a power of two, got $m")
+    // bucket = hashWord(item, "hll|b") % m; rank = leading-zeros ladder
+    // over hashWord(item, "hll|r") % 2^24 — the exact Column-API
+    // composition (hash words are non-negative, so Pmod == %)
+    val bucket = new Pmod(hashWordExpr(item, "hll|b"), Literal(m.toLong))
+    val w = new Pmod(hashWordExpr(item, "hll|r"),
+      Literal(1L << graft.functions.Hll.RankBits))
+    val ladder = (1 to graft.functions.Hll.RankBits).map { k =>
+      (GreaterThanOrEqual(w,
+        Literal(1L << (graft.functions.Hll.RankBits - k))): Expression,
+        Literal(k): Expression)
+    }
+    val rank = CaseWhen(ladder,
+      Some(Literal(graft.functions.Hll.RankBits + 1)))
+    HllRegistersAgg(bucket, rank, m)
+  }
 
   private val bridge = org.apache.spark.sql.GraftColumnBridge
 

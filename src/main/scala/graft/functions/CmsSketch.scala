@@ -133,6 +133,50 @@ case class CmsAgg(item: Expression, depth: Int, width: Int,
     copy(item = c(0))
 }
 
+/** Scalar sibling of [[Cms.estimate]] for the SQL function surface: the
+  * same md5-word bucket (`"cms" + r + "|"` prefix, first 8 hex chars as
+  * an unsigned value) and min-over-depth-cells lookup, evaluated in the
+  * JVM — GraftExtensionsSpec pins the one-sided bound on shared data. */
+case class CmsEstimateExpr(sk: Expression, item: Expression,
+                           depth: Int, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def left: Expression = sk
+  override def right: Expression = item
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (sk.dataType, item.dataType) match {
+      case (s: StructType, StringType)
+          if s.fieldNames.contains("table") => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate needs (cms_sketch struct, string item), got " +
+          s"(${l.simpleString(4)}, ${r.simpleString(4)})")
+    }
+
+  @transient private lazy val tableIdx =
+    sk.dataType.asInstanceOf[StructType].fieldIndex("table")
+
+  override def nullSafeEval(s: Any, it: Any): Any = {
+    val table = s.asInstanceOf[InternalRow].getArray(tableIdx)
+    val str = it.asInstanceOf[UTF8String].toString
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val d = Md5Words.digest(UTF8String.fromString(s"cms$r|$str"))
+      val b = (Md5Words.word(d, 0) % width).toInt
+      val v = table.getLong(r * width + b)
+      if (v < best) best = v
+      r += 1
+    }
+    best
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(sk = l, item = r)
+}
+
 object Cms {
   import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
 

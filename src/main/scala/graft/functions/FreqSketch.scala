@@ -200,6 +200,78 @@ case class SpaceSavingAgg(item: Expression, capacity: Int,
     copy(item = c(0))
 }
 
+/** Stored-array Space-Saving combine as a scalar expression (shared by
+  * [[Freq.mergeStored]] and the SQL surface's `ss_merge`): the
+  * mergeable-summaries rule (Agarwal et al. PODS'12) — an item absent
+  * from one side contributes that side's absent bound (its min count
+  * when full, 0 otherwise) to both estimate and error; the top
+  * `capacity` by `(-est, item)` survive, so a merge tree's shape can
+  * never change the result; below capacity the merge is EXACT. Inputs
+  * are [[SpaceSavingAgg]] outputs, whose entries arrive sorted by
+  * `(-est, item)` — the min count is the last entry's est. */
+case class SsMergeExpr(left: Expression, right: Expression, capacity: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+  override def dataType: DataType = left.dataType
+  override def prettyName: String = "ss_merge"
+
+  private def isEntries(t: DataType): Boolean = t match {
+    case ArrayType(s: StructType, _) =>
+      s.fieldNames.sameElements(Array("item", "est", "err"))
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isEntries(left.dataType) && isEntries(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "ss_merge needs two space_saving arrays " +
+        s"(array<struct<item,est,err>>), got (${left.dataType.simpleString(4)}, " +
+        s"${right.dataType.simpleString(4)})")
+
+  private def entries(v: Any): Seq[(String, Long, Long)] = {
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until a.numElements()).map { i =>
+      val r = a.getStruct(i, 3)
+      (r.getUTF8String(0).toString, r.getLong(1), r.getLong(2))
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val ea = entries(l)
+    val eb = entries(r)
+    val bA = if (ea.size >= capacity) ea.last._2 else 0L
+    val bB = if (eb.size >= capacity) eb.last._2 else 0L
+    val combined = mutable.HashMap.empty[String, (Long, Long)]
+    ea.foreach { case (k, c, e) => combined(k) = (c, e) }
+    eb.foreach { case (k, c, e) =>
+      combined.get(k) match {
+        case Some((c0, e0)) => combined(k) = (c0 + c, e0 + e)
+        case None           => combined(k) = (c + bA, e + bA)
+      }
+    }
+    val bKeys = eb.map(_._1).toSet
+    ea.foreach { case (k, _, _) =>
+      if (!bKeys.contains(k)) {
+        val (c0, e0) = combined(k)
+        combined(k) = (c0 + bB, e0 + bB)
+      }
+    }
+    val kept = combined.toSeq
+      .sortBy { case (k, (c, _)) => (-c, k) }
+      .take(capacity)
+      .map { case (k, (c, e)) =>
+        InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(k),
+          c, e)
+      }
+    new GenericArrayData(kept.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 object Freq {
   import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
 
@@ -215,38 +287,11 @@ object Freq {
     * error, and the top `capacity` by `(-est, item)` survive — so a
     * merge tree's shape can never change the result, and below capacity
     * the merge is EXACT (est = true count of the concatenated stream,
-    * err = 0). Pure built-in column algebra over the stored arrays
-    * (map_zip_with union + sort + slice): maintaining persisted hot-key
-    * stats across an append costs a batch-only scan, never a rescan of
-    * the table. */
-  def mergeStored(a: Column, b: Column, capacity: Int): Column = {
-    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
-    // entries arrive sorted by (-est, item), so a full sketch's min
-    // count is the LAST entry's est
-    def bound(x: Column) =
-      when(size(x) >= capacity, element_at(x, size(x)).getField("est"))
-        .otherwise(lit(0L))
-    val bA = bound(a)
-    val bB = bound(b)
-    def asMap(x: Column) = map_from_entries(transform(x, e =>
-      struct(e.getField("item").as("k"),
-        struct(e.getField("est").as("est"),
-          e.getField("err").as("err")).as("v"))))
-    val merged = map_zip_with(asMap(a), asMap(b), (_, va, vb) =>
-      struct(
-        (coalesce(va.getField("est"), bA) +
-          coalesce(vb.getField("est"), bB)).as("est"),
-        (coalesce(va.getField("err"), bA) +
-          coalesce(vb.getField("err"), bB)).as("err")))
-    val ordered = sort_array(transform(map_entries(merged), e =>
-      struct((-e.getField("value").getField("est")).as("neg_est"),
-        e.getField("key").as("item"),
-        e.getField("value").getField("est").as("est"),
-        e.getField("value").getField("err").as("err"))))
-    slice(transform(ordered, e =>
-      struct(e.getField("item").as("item"), e.getField("est").as("est"),
-        e.getField("err").as("err"))), 1, capacity)
-  }
+    * err = 0). One implementation serves the Column API, the SQL
+    * surface (`ss_merge`), and appendAnalyzed's stats maintenance —
+    * see [[SsMergeExpr]]. */
+  def mergeStored(a: Column, b: Column, capacity: Int): Column =
+    toCol(SsMergeExpr(toExpr(a), toExpr(b), capacity))
 
   /** Heavy hitters per group: one output row per kept counter with
     * `est >= minEst`, exploded to (groupCols..., item, est, err). In the

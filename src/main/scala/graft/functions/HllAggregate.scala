@@ -90,6 +90,47 @@ case class HllRegistersAgg(bucket: Expression, rank: Expression, m: Int,
     copy(bucket = c(0), rank = c(1))
 }
 
+/** Scalar sibling of [[Hll.estimate]] for the SQL function surface (the
+  * registry path cannot carry Column-DSL trees): same accumulation order
+  * (register index), exact dyadic 2^-rank terms, `Math.log`, and HALF_UP
+  * rounding to 4 decimals — GraftExtensionsSpec pins exact equality
+  * against the Column composition on shared data. */
+case class HllEstimateExpr(child: Expression, m: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hll_estimate"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hll_estimate needs an hll_registers array<int>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var ssum = 0.0
+    var zeros = 0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val r = a.getInt(i)
+      ssum += 1.0 / (1L << r)
+      if (r == 0) zeros += 1
+      i += 1
+    }
+    val raw = Hll.alpha(m) * m * m / ssum
+    val est =
+      if (zeros > 0 && raw <= 2.5 * m)
+        m.toDouble * math.log(m.toDouble / zeros)
+      else raw
+    BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object Hll {
   import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
 

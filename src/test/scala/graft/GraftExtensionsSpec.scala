@@ -158,6 +158,53 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(hits.filter("miss").count() < 50L)         // fpp-bounded
   }
 
+  test("hll_registers/hll_estimate + cms_estimate + ss_merge via SQL " +
+      "match the Column API") {
+    val df = (1 to 400).map(i => (i % 2, (i % 57).toLong)).toDF("g", "k")
+    df.createOrReplaceTempView("sk_sql")
+    // HLL: SQL registers == Column registers, estimate in a sane band
+    val viaSql = spark.sql(
+      """SELECT g, hll_registers(k) AS regs,
+        |       hll_estimate(hll_registers(k), 64) AS est
+        |FROM sk_sql GROUP BY g""".stripMargin)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getSeq[Int](1).toList, r.getDouble(2)))).toMap
+    val viaCol = df.groupBy($"g")
+      .agg(graft.functions.Hll.registers(
+        graft.functions.Hll.bucketCol($"k".cast("string"), "hll", 64),
+        graft.functions.Hll.rankCol($"k".cast("string"), "hll"), 64)
+        .as("regs"))
+      .select($"g", $"regs",
+        graft.functions.Hll.estimate($"regs", 64).as("est"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getSeq[Int](1).toList, r.getDouble(2)))).toMap
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    viaSql.values.foreach { case (_, est) => assert(est > 30 && est < 90) }
+    // CMS: the stored-sketch point estimate never undercounts
+    val under = spark.sql(
+      """WITH s AS (SELECT cms_sketch(CAST(k AS STRING), 4, 64) AS sk
+        |           FROM sk_sql),
+        |t AS (SELECT CAST(k AS STRING) AS item, count(*) AS truth
+        |      FROM sk_sql GROUP BY 1)
+        |SELECT count(*) AS bad FROM t, s
+        |WHERE cms_estimate(s.sk, t.item, 4, 64) < t.truth""".stripMargin)
+      .head().getLong(0)
+    assert(under == 0L)
+    // ss_merge: two half-stream sketches merge to the exact full counts
+    val merged = spark.sql(
+      """WITH a AS (SELECT space_saving(CAST(k AS STRING), 64) AS s
+        |           FROM sk_sql WHERE g = 0),
+        |b AS (SELECT space_saving(CAST(k AS STRING), 64) AS s
+        |      FROM sk_sql WHERE g = 1)
+        |SELECT explode(ss_merge(a.s, b.s, 64)) AS e FROM a, b""".stripMargin)
+      .selectExpr("e.item", "e.est", "e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val truth = (1 to 400).groupBy(i => (i % 57).toString)
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(merged.forall(_._3 == 0L))
+    assert(merged.map(e => e._1 -> e._2).toMap == truth)
+  }
+
   test("non-literal shape parameters are rejected with a clear error") {
     docs.createOrReplaceTempView("docs_sql2")
     val e = intercept[Exception] {
