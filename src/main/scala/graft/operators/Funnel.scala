@@ -100,4 +100,42 @@ object Funnel {
       .withColumn("p_ppm", expr("(n * 1000000) div __tot"))
       .drop("__tot")
   }
+
+  /** Top-k event-type n-grams across user journeys — the sequence-
+    * pattern summary beside [[transitionMatrix]]'s first-order view
+    * (which paths actually happen, not just which steps follow which).
+    * Each user's events order by the deterministic `(tsCol, tieCol)`
+    * pair; every length-`n` window of consecutive types contributes one
+    * occurrence of its `'>'`-joined gram; output is the top `k` grams
+    * by `(count desc, gram asc)` — a total order, so the selected set
+    * is engine-replayable.
+    *
+    * Scale shape: one user-keyed shuffle whose per-user state is that
+    * user's journey, CAPPED at `maxEvents` (a bot with a million-event
+    * "journey" would otherwise make one group's state unbounded — the
+    * same degenerate-key guard as the basket miner); gram counting
+    * aggregates with map-side partials; the global top-k runs as
+    * Spark's TakeOrdered (per-partition heaps, never a global sort). */
+  def journeyNgrams(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, tieCol: String, n: Int = 3,
+                    k: Int = 20, maxEvents: Int = 10000): DataFrame = {
+    require(n >= 2, s"n-grams need n >= 2, got $n")
+    require(k >= 1 && maxEvents >= n, "k >= 1 and maxEvents >= n required")
+    val seqs = events.groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("t"),
+        col(tieCol).as("e"), col(typeCol).as("y")))).as("o"))
+      .select(slice(transform(col("o"), x => x.getField("y")),
+        1, maxEvents).as("seq"))
+      // guard BEFORE sequence(): sequence(1, 0) is the DESCENDING
+      // [1, 0] in Spark, not empty
+      .filter(size(col("seq")) >= n)
+    seqs
+      .select(explode(expr(
+        s"transform(sequence(1, size(seq) - ${n - 1}), " +
+          s"i -> array_join(slice(seq, i, $n), '>'))")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+  }
 }

@@ -1675,7 +1675,14 @@ object ExtendedQueries {
       wh.read("ord_ck")
         .agg(count_distinct(col("o_custkey")).as("exact_distinct"))
         .select(lit(est).as("est_distinct"), col("exact_distinct"))
-    })
+    }),
+
+    // ── the top event-type trigrams across user journeys (sequence
+    //    patterns beside q175's first-order transitions); (count desc,
+    //    gram asc) is a total order, so the top-20 set replays ──
+    "q179_journey_ngrams" -> ((s, dir) =>
+      graft.operators.Funnel.journeyNgrams(Td(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id", n = 3, k = 20))
   )
 
   /** DuckDB analogue of Sampling.hashWord: first 4 md5 bytes of "salt|id"
@@ -3271,7 +3278,22 @@ object ExtendedQueries {
          |       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
          |        FROM orders) AS exact_distinct
          |FROM a""".stripMargin
-    }
+    },
+
+    // q179: journeys replayed with the same (ts, event_id) ordering as
+    // q42/q175; trigram windows i..i+2 (1-based inclusive slices), the
+    // maxEvents cap is a no-op at oracle scale and the top-20 selection
+    // is totally ordered
+    "q179_journey_ngrams" ->
+      """WITH s AS (SELECT user_id,
+        |    (list(event_type ORDER BY ts, event_id))[1:10000] AS seq
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT unnest([array_to_string(seq[i:i+2], '>')
+        |                     for i in range(1, len(seq) - 1)]) AS gram
+        |      FROM s WHERE len(seq) >= 3)
+        |SELECT gram, count(*) AS n_occurrences
+        |FROM g GROUP BY gram
+        |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin
   )
 
   /** Shared q121/q122 replay: DSIR scores for every document. */

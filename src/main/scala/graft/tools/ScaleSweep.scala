@@ -285,7 +285,10 @@ object ScaleSweep {
         // round 7g: range-selectivity histogram (one scan builds, zero
         // scans answer; bounded bins-sized state), catalog n_distinct
         // maintained across an append (64-byte mergeable registers)
-        "q177_range_estimate", "q178_stats_distinct")
+        "q177_range_estimate", "q178_stats_distinct",
+        // round 7h: journey trigrams over ×20 events (user-keyed
+        // shuffle with capped per-user state, TakeOrdered top-k)
+        "q179_journey_ngrams")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
