@@ -1681,7 +1681,12 @@ object ExtendedQueries {
     //    patterns beside q175's first-order transitions); (count desc,
     //    gram asc) is a total order, so the top-20 set replays ──
     "q179_journey_ngrams" -> ((s, dir) =>
-      graft.operators.Funnel.journeyNgrams(Td(s, dir, "events"),
+      // standard one-file-input widening (the q70/q129 call-site
+      // pattern): the per-user collect is CPU-heavy, and a single-file
+      // sf layout would otherwise serialize it behind the scan task
+      graft.operators.Funnel.journeyNgrams(
+        Td(s, dir, "events")
+          .repartition(s.sparkContext.defaultParallelism, col("user_id")),
         "user_id", "event_type", "ts", "event_id", n = 3, k = 20))
   )
 
