@@ -258,14 +258,29 @@ object Dedup {
       ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int")
     val pref = ordered
       .select(col("id"), col("n"),
-        explode(slice(col("toks"), lit(1), prefLen)).as("tok"))
+        posexplode(slice(col("toks"), lit(1), prefLen)))
+      .select(col("id"), col("n"), (col("pos") + 1).as("p"),
+        col("col").as("tok"))
+    // positional filter (PPJoin): J ≥ t forces overlap O ≥
+    // ⌈t/(1+t)·(|x|+|y|)⌉, and a match at 1-based prefix positions
+    // (pa, pb) can still reach at most 1 + min(|x|−pa, |y|−pb) common
+    // tokens — for a TRUE pair the FIRST common token (which the prefix
+    // theorem places inside both prefixes, with no common tokens before
+    // it) always satisfies the bound, so keeping pairs where ANY
+    // matching row passes loses nothing while pruning candidates whose
+    // only shared prefix tokens sit too deep to reach the overlap
+    val alpha = ceil((col("n_a") + col("n_b")) *
+      (threshold / (1.0 + threshold)) - lit(1e-9))
     val cand = pref
-      .select(col("id").as("id_a"), col("n").as("n_a"), col("tok"))
+      .select(col("id").as("id_a"), col("n").as("n_a"),
+        col("p").as("p_a"), col("tok"))
       .join(pref.select(col("id").as("id_b"), col("n").as("n_b"),
-        col("tok")), Seq("tok"))
+        col("p").as("p_b"), col("tok")), Seq("tok"))
       .filter(col("id_a") < col("id_b") &&
         col("n_b") >= col("n_a") * threshold - lit(1e-9) &&
-        col("n_a") >= col("n_b") * threshold - lit(1e-9))
+        col("n_a") >= col("n_b") * threshold - lit(1e-9) &&
+        lit(1) + least(col("n_a") - col("p_a"),
+          col("n_b") - col("p_b")) >= alpha)
       .select("id_a", "id_b").distinct()
       // explicit width: the candidate set is BYTE-small but each row
       // pays an exact set intersection downstream — AQE coalesces the
