@@ -535,6 +535,80 @@ object OperatorProperties extends Properties("graft.operators") {
       got == expect
     }
 
+  // shared event-stream generator: (user, ts-seconds, unique eid, type)
+  private val evCase = Gen.nonEmptyListOf(for {
+    u <- Gen.choose(1L, 4L)
+    t <- Gen.choose(0L, 20L)
+    y <- Gen.oneOf("a", "b", "c")
+  } yield (u, t, y)).map(_.zipWithIndex.map {
+    case ((u, t, y), i) => (u, t, i.toLong, y)
+  })
+
+  private def evDf(events: Seq[(Long, Long, Long, String)]) =
+    events.toDF("u", "t", "eid", "y")
+      .select($"u", timestamp_seconds($"t").as("ts"), $"eid", $"y")
+
+  property("transitionMatrix equals the driver-side lag reference") =
+    Prop.forAll(evCase) { events =>
+      val got = Funnel.transitionMatrix(evDf(events), "u", "y", "ts", "eid")
+        .as[(String, String, Long, Long)].collect().toSet
+      val trans = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e._2, e._3)).map(_._4)
+        sorted.zip(sorted.drop(1))
+      }
+      val counts = trans.groupBy(identity).toSeq
+        .map { case ((f, t2), v) => (f, t2, v.size.toLong) }
+      val tot = counts.groupBy(_._1)
+        .map { case (f, v) => f -> v.map(_._3).sum }
+      val expect = counts
+        .map { case (f, t2, n) => (f, t2, n, n * 1000000L / tot(f)) }.toSet
+      got == expect
+    }
+
+  property("journeyNgrams equals the driver reference, including the " +
+      "journey cap and total-order tie-breaks") =
+    Prop.forAll(evCase, Gen.choose(2, 3), Gen.choose(1, 5),
+      Gen.oneOf(3, 10000)) { (events, n, k, cap) =>
+      val got = Funnel.journeyNgrams(evDf(events), "u", "y", "ts", "eid",
+          n, k, cap)
+        .as[(String, Long)].collect().toSet
+      val grams = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        val seq = es.sortBy(e => (e._2, e._3)).map(_._4).take(cap)
+        if (seq.size >= n) seq.sliding(n).map(_.mkString(">")).toSeq
+        else Nil
+      }
+      val expect = grams.groupBy(identity).toSeq
+        .map { case (g, v) => (g, v.size.toLong) }
+        .sortBy { case (g, c) => (-c, g) }.take(k).toSet
+      got == expect
+    }
+
+  private val basketCase = for {
+    rows <- Gen.nonEmptyListOf(for {
+      b <- Gen.choose(1L, 6L)
+      i <- Gen.oneOf("x", "y", "z", "w")
+    } yield (b, i))
+    minC <- Gen.choose(1L, 3L)
+    cap <- Gen.oneOf(2, 3, 1024)
+  } yield (rows, minC, cap)
+
+  property("cooccurrencePairs equals brute force under the basket cap " +
+      "and support filter") =
+    Prop.forAll(basketCase) { case (rows, minC, cap) =>
+      val got = CorpusStats.cooccurrencePairs(rows.toDF("b", "i"),
+          "b", "i", minC, cap)
+        .as[(String, String, Long)].collect().toSet
+      val baskets = rows.distinct.groupBy(_._1)
+        .map { case (_, v) => v.map(_._2).toSet }
+        .filter(_.size <= cap)
+      val pairs = baskets.toSeq.flatMap(s =>
+        s.toSeq.sorted.combinations(2).map(c => (c(0), c(1))))
+      val expect = pairs.groupBy(identity).toSeq
+        .collect { case (p, v) if v.size >= minC =>
+          (p._1, p._2, v.size.toLong) }.toSet
+      got == expect
+    }
+
   property("balancedPermutation is a deterministic permutation matrix") =
     Prop.forAll(permCase) { sample =>
       val m1 = Similarity.balancedPermutation(sample, 16, 4)
