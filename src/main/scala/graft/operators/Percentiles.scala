@@ -215,4 +215,42 @@ object Percentiles {
           org.apache.spark.sql.types.StructField("value",
             org.apache.spark.sql.types.DoubleType))))
   }
+
+  /** Equal-FREQUENCY discretization from the catalog's persisted
+    * histogram ([[graft.engine.Warehouse.analyzeHistogram]]): the
+    * ntile-without-a-global-sort. Spark's `ntile` ranks every row in
+    * one window partition — a single-task global sort at any real
+    * scale; here the `nBins − 1` boundaries come from the STORED bin
+    * counts (boundary j = the smallest histogram bin whose cumulative
+    * count reaches `j·n div nBins` — pure long arithmetic, zero data
+    * scans), and row assignment is a map-side comparison chain against
+    * those driver-literal boundaries. Bin populations are equal up to
+    * histogram-bin granularity — the classic sampled-boundary
+    * trade every distributed range partitioner makes; re-analyze after
+    * appends (the census gate withdraws a stale histogram loudly). */
+  def discretizeByHistogram(wh: graft.engine.Warehouse, table: String,
+                            c: String, nBins: Int,
+                            binCol: String = "bin"): DataFrame = {
+    require(nBins >= 2, s"need at least 2 bins, got $nBins")
+    val st = wh.readHistogram(table, c).getOrElse(sys.error(
+      s"discretizeByHistogram: no CURRENT histogram for '$table.$c' — " +
+        "run analyzeHistogram first (or re-run it after appends)"))
+    val r = st.select(col("bins"), col("v_min"), col("bin_w"),
+      col("counts"), col("n_values")).head()
+    val (bins, vmin, w) = (r.getInt(0), r.getLong(1), r.getLong(2))
+    val counts = r.getSeq[Long](3)
+    val n = r.getLong(4)
+    require(n >= nBins, s"only $n values for $nBins bins")
+    val cum = counts.scanLeft(0L)(_ + _).drop(1)
+    val bounds = (1 until nBins).map { j =>
+      val tgt = j * n / nBins
+      cum.indexWhere(_ >= tgt).toLong
+    }
+    val rawIdx = expr(s"(CAST(`$c` AS BIGINT) - ${vmin}L) div ${w}L")
+    val idx = least(greatest(rawIdx, lit(0L)), lit(bins - 1L))
+    val bin = bounds.foldLeft(lit(1L)) { (acc, b) =>
+      acc + when(idx > b, 1L).otherwise(0L)
+    }
+    wh.read(table).withColumn(binCol, bin)
+  }
 }

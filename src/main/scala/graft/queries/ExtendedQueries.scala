@@ -1687,7 +1687,22 @@ object ExtendedQueries {
       graft.operators.Funnel.journeyNgrams(
         Td(s, dir, "events")
           .repartition(s.sparkContext.defaultParallelism, col("user_id")),
-        "user_id", "event_type", "ts", "event_id", n = 3, k = 20))
+        "user_id", "event_type", "ts", "event_id", n = 3, k = 20)),
+
+    // ── ntile without the global sort: equal-frequency bins whose
+    //    boundaries come from the PERSISTED histogram (zero extra
+    //    scans), assignment a map-side comparison chain — the oracle
+    //    replays histogram, boundary rule, and assignment verbatim ──
+    "q180_equal_freq_bins" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-efreq").toString)
+      val cents = Td(s, dir, "orders").select(
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      wh.publish(cents, "ord_cents")
+      wh.analyzeHistogram("ord_cents", "cents", bins = 256)
+      graft.operators.Percentiles.discretizeByHistogram(
+        wh, "ord_cents", "cents", nBins = 8)
+    })
   )
 
   /** DuckDB analogue of Sampling.hashWord: first 4 md5 bytes of "salt|id"
@@ -3298,7 +3313,27 @@ object ExtendedQueries {
         |      FROM s WHERE len(seq) >= 3)
         |SELECT gram, count(*) AS n_occurrences
         |FROM g GROUP BY gram
-        |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin
+        |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
+
+    // q180: the q177 histogram replay extended with the boundary rule
+    // (smallest bin whose cumulative count reaches j*n div 8) and the
+    // per-row comparison-chain assignment
+    "q180_equal_freq_bins" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |             AS cents FROM orders),
+        |mm AS (SELECT min(cents) AS vmin, max(cents) AS vmax FROM c),
+        |geo AS (SELECT vmin, (vmax - vmin) // 256 + 1 AS w FROM mm),
+        |hb AS (SELECT (cents - g.vmin) // g.w AS bin, count(*) AS cnt
+        |       FROM c, geo g GROUP BY 1),
+        |cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hb),
+        |tot AS (SELECT count(*) AS n FROM c),
+        |bnd AS (SELECT (SELECT min(bin) FROM cum
+        |                WHERE cum >= (r.j * t.n) // 8) AS bj
+        |        FROM range(1, 8) r(j), tot t)
+        |SELECT c.cents,
+        |       1 + (SELECT count(*) FROM bnd
+        |            WHERE bnd.bj < (c.cents - g.vmin) // g.w) AS bin
+        |FROM c, geo g""".stripMargin
   )
 
   /** Shared q121/q122 replay: DSIR scores for every document. */

@@ -287,8 +287,9 @@ object ScaleSweep {
         // maintained across an append (64-byte mergeable registers)
         "q177_range_estimate", "q178_stats_distinct",
         // round 7h: journey trigrams over ×20 events (user-keyed
-        // shuffle with capped per-user state, TakeOrdered top-k)
-        "q179_journey_ngrams")
+        // shuffle with capped per-user state, TakeOrdered top-k);
+        // ntile-without-a-sort from the stored histogram at ×10
+        "q179_journey_ngrams", "q180_equal_freq_bins")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -115,4 +115,27 @@ class PercentilesSpec extends SparkSpec {
     assert(got.getDouble(1) == 0.0)
     assert(got.getDouble(2) == 20.0)
   }
+
+  test("discretizeByHistogram: equal bin populations on uniform data, " +
+      "no sort or window in the plan, stale histogram refuses") {
+    import spark.implicits._
+    val wh = new graft.engine.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("wh-efreq").toString)
+    wh.publish((0L until 10000L).map(Tuple1(_)).toDF("v"), "d")
+    wh.analyzeHistogram("d", "v", bins = 100)
+    val out = Percentiles.discretizeByHistogram(wh, "d", "v", nBins = 10)
+    val sizes = out.groupBy("bin").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes.keys.toSet == (1L to 10L).toSet)
+    // uniform data aligned with bin width: exactly n/nBins per bin
+    assert(sizes.values.forall(_ == 1000L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort ") && !plan.contains("Window"))
+    // an append moves the census: the stale histogram refuses loudly
+    wh.append(Seq(Tuple1(5L)).toDF("v"), "d")
+    val e = intercept[RuntimeException] {
+      Percentiles.discretizeByHistogram(wh, "d", "v", nBins = 10)
+    }
+    assert(e.getMessage.contains("no CURRENT histogram"))
+  }
 }
