@@ -126,13 +126,23 @@ object JoinPolicy {
     * skip the signal. Same one-sided guarantee: collisions only ADD,
     * so the estimate never undercounts the true join size. */
   def estimateJoinRowsStored(wh: Warehouse, a: String, aKey: String,
-                             b: String, bKey: String): Option[Long] =
+                             b: String, bKey: String,
+                             requireGeometry: Option[(Int, Int)] = None)
+      : Option[Long] =
     for {
       sa <- wh.readSketchStats(a, aKey)
       sb <- wh.readSketchStats(b, bKey)
       ga = sa.select(col("depth"), col("width")).head()
       gb = sb.select(col("depth"), col("width")).head()
-      if ga == gb
+      // both stored sides must share one geometry; a standalone estimate
+      // is then valid at that (self-describing) geometry. Callers that
+      // COMPARE stored estimates against scanning fallbacks (join
+      // ordering) additionally pin requireGeometry: CMS collision
+      // inflation scales with 1/width, so an estimate at a stored 4x256
+      // is not comparable with a fallback at 4x4096 — a mixed ordering
+      // would be driven by collision mass, not selectivity.
+      if ga == gb &&
+        requireGeometry.forall(g => ga.getInt(0) == g._1 && ga.getInt(1) == g._2)
     } yield {
       import graft.functions.Cms
       sa.select(col("cms").as("a"))
@@ -280,7 +290,7 @@ object JoinPolicy {
     sides.zipWithIndex
       .map { case ((dimTable, factKey, dimKey), i) =>
         val est = estimateJoinRowsStored(wh, factTable, factKey,
-            dimTable, dimKey)
+            dimTable, dimKey, requireGeometry = Some((depth, width)))
           .getOrElse(estimateJoinRows(wh.read(factTable), factKey,
             wh.read(dimTable), dimKey, depth, width))
         (est, i)

@@ -644,6 +644,16 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val spec = meta.bucketSpec.get
     val expected = read(name).schema
     val (out, union) = evolveAlign(df, expected, name)
+    // Only a batch that actually EVOLVES the schema may trigger the
+    // O(|table|) rewrite. A same-schema batch routed through here (the
+    // defensive call-everything-appendEvolved ingest pattern) would
+    // silently rewrite a 100 TB table per nightly append — keep that
+    // refusal as loud as append's, and make the rewrite a deliberate act.
+    require(union.length > expected.length,
+      s"appendEvolved to '$name': batch adds no columns, but the table " +
+        "is bucketed — same-schema appends to bucketed layouts are " +
+        "rewrite-only; call overwriteBucketed(read(name).unionByName" +
+        "(batch), ...) if a full re-bucket is intended")
     val expectedCanon = expected.fieldNames.map(canonName).toSet
     // widen existing rows to the union: old rows read null in new columns
     val widened = read(name).select(union.fields.map(f =>

@@ -160,6 +160,12 @@ case class CmsEstimateExpr(sk: Expression, item: Expression,
 
   override def nullSafeEval(s: Any, it: Any): Any = {
     val table = s.asInstanceOf[InternalRow].getArray(tableIdx)
+    // Geometry must match the build, or the min runs over the wrong cells
+    // and the one-sided `true <= est` bound silently breaks. Loud > wrong.
+    require(table.numElements() == depth * width,
+      s"cms_estimate: sketch table has ${table.numElements()} cells but " +
+        s"depth=$depth width=$width expects ${depth * width} — probe " +
+        "geometry must match the geometry the sketch was built with")
     val str = it.asInstanceOf[UTF8String].toString
     var best = Long.MaxValue
     var r = 0

@@ -109,6 +109,12 @@ case class HllEstimateExpr(child: Expression, m: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // m scales both alpha·m² and the linear-counting branch; a register
+    // array of a different size would skew the estimate silently.
+    require(a.numElements() == m,
+      s"hll_estimate: register array has ${a.numElements()} entries but " +
+        s"m=$m — the m parameter must match the array the registers were " +
+        "built with")
     var ssum = 0.0
     var zeros = 0
     var i = 0

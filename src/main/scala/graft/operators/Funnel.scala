@@ -111,21 +111,29 @@ object Funnel {
     * is engine-replayable.
     *
     * Scale shape: one user-keyed shuffle whose per-user state is that
-    * user's journey, CAPPED at `maxEvents` (a bot with a million-event
-    * "journey" would otherwise make one group's state unbounded — the
-    * same degenerate-key guard as the basket miner); gram counting
-    * aggregates with map-side partials; the global top-k runs as
-    * Spark's TakeOrdered (per-partition heaps, never a global sort). */
+    * user's journey, CAPPED at `maxEvents` — and the cap applies BEFORE
+    * aggregation, via a row_number window over the same user key (the
+    * window buffer spills; a collect_list aggregation buffer does not,
+    * so capping the collected array after the fact would still let a
+    * bot with a million-event "journey" OOM one group's state). The
+    * groupBy then reuses the window's hash partitioning — still one
+    * shuffle. Gram counting aggregates with map-side partials; the
+    * global top-k runs as Spark's TakeOrdered (per-partition heaps,
+    * never a global sort). */
   def journeyNgrams(events: DataFrame, userCol: String, typeCol: String,
                     tsCol: String, tieCol: String, n: Int = 3,
                     k: Int = 20, maxEvents: Int = 10000): DataFrame = {
     require(n >= 2, s"n-grams need n >= 2, got $n")
     require(k >= 1 && maxEvents >= n, "k >= 1 and maxEvents >= n required")
-    val seqs = events.groupBy(col(userCol))
-      .agg(sort_array(collect_list(struct(col(tsCol).as("t"),
-        col(tieCol).as("e"), col(typeCol).as("y")))).as("o"))
-      .select(slice(transform(col("o"), x => x.getField("y")),
-        1, maxEvents).as("seq"))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val seqs = events
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxEvents)
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col("__rn").as("t"),
+        col(typeCol).as("y")))).as("o"))
+      .select(transform(col("o"), x => x.getField("y")).as("seq"))
       // guard BEFORE sequence(): sequence(1, 0) is the DESCENDING
       // [1, 0] in Spark, not empty
       .filter(size(col("seq")) >= n)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Exact edit-distance (Levenshtein) self-join without all-pairs.
   *
@@ -171,8 +172,12 @@ object Fuzzy {
                               maxDist: Int = 1,
                               validate: Boolean = true): DataFrame = {
     if (validate) {
-      val hi = resolved.agg(max(col("entity_id").cast("long"))).head()
-      val lo = batch.agg(min(col(idCol).cast("long"))).head()
+      // try_cast, not cast: under ANSI (Spark 4 default) a plain cast
+      // THROWS on non-numeric ids (UUIDs, 'cust-000042'), which would
+      // make the isNullAt skip-branch below unreachable — the contract
+      // check only applies where ids are numerically comparable at all
+      val hi = resolved.agg(max(col("entity_id").try_cast(LongType))).head()
+      val lo = batch.agg(min(col(idCol).try_cast(LongType))).head()
       if (!hi.isNullAt(0) && !lo.isNullAt(0))
         require(lo.getLong(0) > hi.getLong(0),
           s"resolveIncremental: batch ids start at ${lo.getLong(0)} but " +

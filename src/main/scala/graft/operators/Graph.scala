@@ -177,11 +177,20 @@ object Graph {
     val (ed, nodes) = prepare(sym, "src", "dst", staging)
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
-      // neighbor votes + the node's own single vote (the self-edge)
-      val votes = ed.select(col("src"), col("dst"))
-        .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+      // Neighbor votes come from the edge join; the node's own single
+      // vote unions in AFTER it, straight from the label vector. Order
+      // matters for the plan: a union(ed, self-loops) BEFORE the join
+      // would wrap the staged edge list in a Union node, discard its
+      // bucket-aligned output partitioning, and re-shuffle the full
+      // edge side every round — exactly the exchange staging exists to
+      // avoid. The self-vote row (node, own label) is what the self-
+      // loop would have produced through the join, so results match.
+      val neighborVotes = ed.select(col("src"), col("dst"))
         .join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"), col("label"))
+        .select(col("dst").as("node"), col("label"))
+      val votes = neighborVotes
+        .union(labels.select(col("node"), col("label")))
+        .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
       val win = votes.groupBy("node")
         .agg(min(struct((-col("__c")).as("__nc"), col("label").as("__l")))

@@ -251,6 +251,11 @@ object Percentiles {
     val bin = bounds.foldLeft(lit(1L)) { (acc, b) =>
       acc + when(idx > b, 1L).otherwise(0L)
     }
-    wh.read(table).withColumn(binCol, bin)
+    // NULL values stay NULL-binned: greatest/least SKIP null arguments,
+    // so without the guard a null value would clamp to idx 0 and pool
+    // silently with the genuine lowest-quantile rows in bin 1 (the
+    // histogram itself only counted non-null values)
+    wh.read(table).withColumn(binCol,
+      when(col(c).isNull, lit(null).cast("long")).otherwise(bin))
   }
 }

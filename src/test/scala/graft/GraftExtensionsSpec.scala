@@ -205,6 +205,33 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(merged.map(e => e._1 -> e._2).toMap == truth)
   }
 
+  test("mismatched probe geometry fails loudly instead of estimating " +
+      "over the wrong cells") {
+    val df = (1 to 50).map(i => (i % 7).toLong).toDF("k")
+    df.createOrReplaceTempView("sk_geo")
+    def chainMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    // a 4x64 sketch probed at width 32 stays in array bounds — without
+    // the check it would silently min over the WRONG cells and could
+    // undercount, breaking the one-sided bound planners rely on
+    val eCms = intercept[Throwable] {
+      spark.sql(
+        """SELECT cms_estimate(cms_sketch(CAST(k AS STRING), 4, 64),
+          |                    '3', 4, 32) FROM sk_geo""".stripMargin).collect()
+    }
+    assert(chainMsg(eCms).contains("geometry"), chainMsg(eCms))
+    // 64 registers scored as if m=128 would skew alpha*m^2 ~4x high
+    val eHll = intercept[Throwable] {
+      spark.sql("SELECT hll_estimate(hll_registers(k), 128) FROM sk_geo")
+        .collect()
+    }
+    assert(chainMsg(eHll).contains("m=128"), chainMsg(eHll))
+  }
+
   test("non-literal shape parameters are rejected with a clear error") {
     docs.createOrReplaceTempView("docs_sql2")
     val e = intercept[Exception] {

@@ -146,6 +146,13 @@ class JoinPolicySpec extends SparkSpec {
     assert(stored.contains(scanned))
     val exact = wh.read("fa").join(wh.read("fb"), Seq("k")).count()
     assert(stored.get >= exact, s"${stored.get} < $exact")
+    // a caller that pins its geometry (the join-ORDERING path, where
+    // stored and scanning estimates must share one collision regime to
+    // be comparable) gets None from this 4x1024 pair and falls back
+    assert(JoinPolicy.estimateJoinRowsStored(wh, "fa", "k", "fb", "k",
+      requireGeometry = Some((4, 4096))).isEmpty)
+    assert(JoinPolicy.estimateJoinRowsStored(wh, "fa", "k", "fb", "k",
+      requireGeometry = Some((4, 1024))).contains(scanned))
     // uniform keys (0.33% share each) must not salt — from the catalog
     assert(JoinPolicy.shouldSaltStored(wh, "fa", "k").contains(false))
     // a skewed table's stored candidates DO trip the signal

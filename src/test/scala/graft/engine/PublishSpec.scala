@@ -480,6 +480,13 @@ class PublishSpec extends SparkSpec {
         wh.appendEvolved(Seq(("oops", 1)).toDF("id", "k"), "tbe")
       }
       assert(e.getMessage.contains("type drift"))
+      // a SAME-schema batch must not silently trigger the O(|table|)
+      // rewrite — the defensive call-everything-appendEvolved pattern
+      // gets append's loud refusal back
+      val e2 = intercept[IllegalArgumentException] {
+        wh.appendEvolved(Seq((101L, 1, "t2")).toDF("id", "k", "tag"), "tbe")
+      }
+      assert(e2.getMessage.contains("rewrite-only"))
     } finally Seq("tbe", "tbe2")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }

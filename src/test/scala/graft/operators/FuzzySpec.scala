@@ -92,6 +92,20 @@ class FuzzySpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 3L -> 3L, 10L -> 1L))
   }
 
+  test("resolveIncremental: non-numeric ids skip the monotone check " +
+      "instead of crashing under ANSI casts") {
+    // CC labels by min over the id's own ordering, so string ids are a
+    // legitimate population; validation must fall back gracefully
+    val base = Seq("cust-001" -> "kitten", "cust-002" -> "kittex")
+      .toDF("id", "name")
+    val resolved = Fuzzy.resolveEntities(base, "id", "name", 1)
+    val batch = Seq("cust-910" -> "mitten").toDF("id", "name")
+    val got = Fuzzy.resolveIncremental(resolved, batch, "id", "name", 1)
+      .select("id", "entity_id").as[(String, String)].collect().toMap
+    assert(got == Map("cust-001" -> "cust-001", "cust-002" -> "cust-001",
+      "cust-910" -> "cust-001"))
+  }
+
   test("resolveIncrementalKeyed: a persisted key store replays " +
       "resolveIncremental exactly — batch-only explode path") {
     val base = Seq(1L -> "kitten", 2L -> "kittex", 5L -> "zebra")

@@ -171,6 +171,20 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("staged labelPropagation is row-identical to the unstaged run") {
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val wh = new graft.engine.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graph-lp-stage").toString)
+    val plain = Graph.labelPropagation(edges.toDF("s", "d"), "s", "d", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val staged = Graph.labelPropagation(edges.toDF("s", "d"), "s", "d", 3,
+        staging = Some(Graph.EdgeStage(wh, "gs_lp_edges", 4)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(staged == plain)
+  }
+
   test("null endpoints drop their edge; node set is surviving endpoints") {
     val edges = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
       (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)))

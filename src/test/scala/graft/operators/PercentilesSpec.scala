@@ -138,4 +138,22 @@ class PercentilesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no CURRENT histogram"))
   }
+
+  test("discretizeByHistogram keeps NULL values NULL-binned") {
+    import spark.implicits._
+    val wh = new graft.engine.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("wh-efreq-null").toString)
+    val vals = (0L until 1000L).map(v => Tuple1(java.lang.Long.valueOf(v))) ++
+      Seq(Tuple1(null.asInstanceOf[java.lang.Long]),
+        Tuple1(null.asInstanceOf[java.lang.Long]))
+    wh.publish(vals.toDF("v"), "dn")
+    wh.analyzeHistogram("dn", "v", bins = 50)
+    val out = Percentiles.discretizeByHistogram(wh, "dn", "v", nBins = 4)
+    // nulls surface as null bins, never pooled with the lowest quantile
+    assert(out.filter("v IS NULL AND bin IS NOT NULL").count() == 0L)
+    assert(out.filter("bin IS NULL").count() == 2L)
+    // 50 bins over 0..999 -> width 20; the j=1 boundary snaps to the
+    // first histogram bin reaching cum >= 250, i.e. bin 12 (cum 260)
+    assert(out.filter("v IS NOT NULL AND bin = 1").count() == 260L)
+  }
 }
