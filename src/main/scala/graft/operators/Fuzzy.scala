@@ -253,4 +253,77 @@ object Fuzzy {
         .dropDuplicatesWithinWatermark(Seq(idCol, "entity_id"))
     else matched.dropDuplicates(Seq(idCol, "entity_id"))
   }
+
+  /** One compared field of a probabilistic linkage (Fellegi & Sunter,
+    * JASA 64, 1969): `m` = P(fields agree | records match), `u` =
+    * P(fields agree | non-match). Both are caller parameters — reviewed
+    * estimates or [[chanceAgreement]] output — so the log-likelihood
+    * weights are DRIVER-computed constants, and the distributed part of
+    * scoring is pure integer column algebra any engine replays. */
+  final case class LinkField(aCol: String, bCol: String,
+                             m: Double, u: Double) {
+    require(m > 0 && m < 1 && u > 0 && u < 1,
+      s"m and u must be in (0,1): m=$m u=$u")
+    require(m > u, s"a field where matches agree LESS often than " +
+      s"non-matches carries no linkage evidence as parameterized: m=$m u=$u")
+    /** Agreement weight, micro-bits: round(log2(m/u)·1e6). */
+    def agreePpm: Long = math.floor(math.log(m / u) / math.log(2.0)
+      * 1e6 + 0.5).toLong
+    /** Disagreement weight (negative), micro-bits. */
+    def disagreePpm: Long = math.floor(
+      math.log((1 - m) / (1 - u)) / math.log(2.0) * 1e6 + 0.5).toLong
+  }
+
+  /** Score candidate record pairs with Fellegi-Sunter log-likelihood
+    * weights: per field, agreement adds `log2(m/u)`, disagreement adds
+    * `log2((1-m)/(1-u))` (negative), and a NULL on either side adds 0 —
+    * missing data is no evidence either way, the standard treatment.
+    * Weights are micro-bit integers computed on the driver from the
+    * field parameters, so the whole score is exact long arithmetic.
+    * Output: the pair frame plus `score_ppm` and `decision`
+    * (`match` / `possible` / `non_match` against the caller's
+    * upper/lower thresholds, also micro-bits).
+    *
+    * This COMPOSES with the blocking machinery rather than replacing
+    * it: candidates come from [[editDistanceJoin]], [[blockingKeys]],
+    * or any equi-join blocking; this ranks them. Scale shape: zero
+    * shuffles beyond what produced `pairs` — scoring is a map-side
+    * projection. */
+  def linkageScore(pairs: DataFrame, fields: Seq[LinkField],
+                   upperPpm: Long, lowerPpm: Long): DataFrame = {
+    require(fields.nonEmpty, "linkageScore needs at least one field")
+    require(upperPpm >= lowerPpm, "upper threshold below lower")
+    val score = fields.map { f =>
+      when(col(f.aCol).isNull || col(f.bCol).isNull, 0L)
+        .when(col(f.aCol) === col(f.bCol), f.agreePpm)
+        .otherwise(f.disagreePpm)
+    }.reduce(_ + _)
+    pairs.withColumn("score_ppm", score)
+      .withColumn("decision",
+        when(col("score_ppm") >= upperPpm, "match")
+          .when(col("score_ppm") <= lowerPpm, "non_match")
+          .otherwise("possible"))
+  }
+
+  /** Chance-agreement probability of a column, in ppm — the classic
+    * data-driven `u` estimate for [[LinkField]]: two random records
+    * agree on the field with probability `Σ_v f_v² / n²` (f_v = value
+    * frequency over non-null rows). All arithmetic is exact: the
+    * frequency squares sum in DECIMAL(38,0) (order-independent, unlike
+    * a double sum), and the final ppm is one integer division — any
+    * engine replays the number bit for bit. One count shuffle over the
+    * distinct values; the squares sum is a |values|-row aggregate. */
+  def chanceAgreement(df: DataFrame, c: String): DataFrame = {
+    val f = df.where(col(c).isNotNull).groupBy(col(c)).agg(
+      count(lit(1)).as("__f"))
+    f.agg(
+        sum(col("__f").cast("decimal(38,0)") * col("__f")).as("__s2"),
+        sum(col("__f")).as("__n"))
+      .select(lit(c).as("field"),
+        // integral div, not `/`: decimal true-division rounds at an
+        // engine-chosen scale — floor semantics replay everywhere
+        expr("CAST((__s2 * 1000000) div " +
+          "(CAST(__n AS DECIMAL(38,0)) * __n) AS BIGINT)").as("u_ppm"),
+        col("__n").cast("long").as("n_values"))
+  }
 }

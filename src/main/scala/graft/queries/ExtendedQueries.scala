@@ -1702,8 +1702,57 @@ object ExtendedQueries {
       wh.analyzeHistogram("ord_cents", "cents", bins = 256)
       graft.operators.Percentiles.discretizeByHistogram(
         wh, "ord_cents", "cents", nBins = 8)
+    }),
+
+    // ── Fellegi-Sunter groundwork: the data-driven chance-agreement
+    //    `u` per field, EXACT (decimal frequency-squares sum + one
+    //    integral division — order-independent, replayable to the bit) ──
+    "q181_linkage_u" -> ((s, dir) => {
+      val c = linkageView(s, dir)
+      Seq("seg", "bal", "ex")
+        .map(f => graft.operators.Fuzzy.chanceAgreement(c, f))
+        .reduce(_ unionByName _)
+        .orderBy(col("field"))
+    }),
+
+    // ── probabilistic record linkage scored over nation-blocked
+    //    candidate pairs: per-field log2(m/u) micro-bit weights are
+    //    DRIVER constants, so the 40k-pair score sum is exact long
+    //    arithmetic the oracle replays with the same literals ──
+    "q182_linkage_score" -> ((s, dir) => {
+      val c = linkageView(s, dir)
+      val a = c.toDF("id_a", "nat", "seg_a", "bal_a", "ex_a")
+      val b = c.toDF("id_b", "nat", "seg_b", "bal_b", "ex_b")
+      val pairs = a.join(b, "nat").where(col("id_a") < col("id_b"))
+      graft.operators.Fuzzy.linkageScore(pairs, linkFields,
+          upperPpm = 2000000L, lowerPpm = -2000000L)
+        .groupBy(col("decision"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("score_ppm")).as("sum_score_ppm"))
+        .orderBy(col("decision"))
     })
   )
+
+  /** Shared base of q181/q182: one comparable view of customer — the
+    * market segment, a thousand-unit balance bucket, and a 1000-valued
+    * md5 pseudo-identifier standing in for a high-cardinality contact
+    * field (the testdata customer has no phone column; the salted hash
+    * is the repo's engine-replayable stand-in). */
+  private def linkageView(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame =
+    Td(s, dir, "customer").select(
+      col("c_custkey").as("id"), col("c_nationkey").as("nat"),
+      col("c_mktsegment").as("seg"),
+      expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal"),
+      graft.operators.Sampling.hashBucket(col("c_custkey"), "lk", 1000)
+        .as("ex"))
+
+  /** q182's field parameters — m/u reviewed a priori (NOT data-derived,
+    * so the weights are static literals in engine and oracle alike). */
+  private lazy val linkFields = Seq(
+    graft.operators.Fuzzy.LinkField("seg_a", "seg_b", m = 0.9, u = 0.2),
+    graft.operators.Fuzzy.LinkField("bal_a", "bal_b", m = 0.85, u = 0.08),
+    graft.operators.Fuzzy.LinkField("ex_a", "ex_b", m = 0.95, u = 0.001))
 
   /** DuckDB analogue of Sampling.hashWord: first 4 md5 bytes of "salt|id"
     * as an unsigned 32-bit value. */
@@ -3333,7 +3382,49 @@ object ExtendedQueries {
         |SELECT c.cents,
         |       1 + (SELECT count(*) FROM bnd
         |            WHERE bnd.bj < (c.cents - g.vmin) // g.w) AS bin
-        |FROM c, geo g""".stripMargin
+        |FROM c, geo g""".stripMargin,
+
+    // q181: chance-agreement u per field — frequency-squares sum over
+    // value counts, floor-divided into ppm; all-integer, so exact
+    "q181_linkage_u" -> {
+      def one(field: String, vExpr: String) =
+        s"""SELECT '$field' AS field,
+           |  CAST((SUM(f * f) * 1000000) // (SUM(f) * SUM(f)) AS BIGINT)
+           |    AS u_ppm,
+           |  CAST(SUM(f) AS BIGINT) AS n_values
+           |FROM (SELECT $vExpr AS v, count(*) AS f FROM customer
+           |      WHERE $vExpr IS NOT NULL GROUP BY 1)""".stripMargin
+      Seq(one("bal", "CAST(floor(c_acctbal / 1000) AS BIGINT)"),
+        one("ex", s"${hashWordSql("lk", "c_custkey")} % 1000"),
+        one("seg", "c_mktsegment")).mkString("", "\nUNION ALL\n",
+        "\nORDER BY field")
+    },
+
+    // q182: Fellegi-Sunter decisions over nation-blocked pairs — the
+    // same driver-computed micro-bit weights interpolated as literals
+    "q182_linkage_score" -> {
+      val Seq(fSeg, fBal, fEx) = linkFields
+      def term(a: String, b: String, ag: Long, dis: Long) =
+        s"(CASE WHEN $a IS NULL OR $b IS NULL THEN 0 " +
+          s"WHEN $a = $b THEN $ag ELSE $dis END)"
+      s"""WITH c AS (SELECT c_custkey AS id, c_nationkey AS nat,
+         |             c_mktsegment AS seg,
+         |             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal,
+         |             ${hashWordSql("lk", "c_custkey")} % 1000 AS ex
+         |           FROM customer),
+         |p AS (SELECT ${term("a.seg", "b.seg", fSeg.agreePpm, fSeg.disagreePpm)}
+         |           + ${term("a.bal", "b.bal", fBal.agreePpm, fBal.disagreePpm)}
+         |           + ${term("a.ex", "b.ex", fEx.agreePpm, fEx.disagreePpm)}
+         |             AS score_ppm
+         |      FROM c a JOIN c b ON a.nat = b.nat AND a.id < b.id),
+         |d AS (SELECT CASE WHEN score_ppm >= 2000000 THEN 'match'
+         |                  WHEN score_ppm <= -2000000 THEN 'non_match'
+         |                  ELSE 'possible' END AS decision, score_ppm
+         |      FROM p)
+         |SELECT decision, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(SUM(score_ppm) AS BIGINT) AS sum_score_ppm
+         |FROM d GROUP BY 1 ORDER BY decision""".stripMargin
+    }
   )
 
   /** Shared q121/q122 replay: DSIR scores for every document. */

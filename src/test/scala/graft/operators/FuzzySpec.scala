@@ -92,6 +92,43 @@ class FuzzySpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 3L -> 3L, 10L -> 1L))
   }
 
+  test("linkageScore: agreement/disagreement/null-evidence arithmetic " +
+      "and threshold decisions are exact") {
+    val f = Fuzzy.LinkField("a", "b", m = 0.9, u = 0.2)
+    // log2(0.9/0.2) = log2(4.5); log2(0.1/0.8) = -3 exactly
+    assert(f.agreePpm == math.floor(math.log(4.5) / math.log(2.0) * 1e6
+      + 0.5).toLong)
+    assert(f.disagreePpm == -3000000L)
+    val pairs = Seq(
+      (1L, "x", "x", "p", "p"),   // both agree
+      (2L, "x", "y", "p", "p"),   // one disagrees
+      (3L, null, "y", "p", "q")). // null = no evidence, one disagrees
+      toDF("id", "a", "b", "c", "d")
+    val fields = Seq(f, Fuzzy.LinkField("c", "d", m = 0.8, u = 0.1))
+    val got = Fuzzy.linkageScore(pairs, fields,
+        upperPpm = 4000000L, lowerPpm = 0L)
+      .select("id", "score_ppm", "decision")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    val g2 = fields(1).agreePpm
+    assert(got(1L) == ((f.agreePpm + g2, "match")))
+    assert(got(2L) == ((f.disagreePpm + g2, "non_match")))
+    assert(got(3L) == ((0L + fields(1).disagreePpm, "non_match")))
+    // a field parameterized with m <= u carries no evidence: loud
+    intercept[IllegalArgumentException] {
+      Fuzzy.LinkField("a", "b", m = 0.2, u = 0.9)
+    }
+  }
+
+  test("chanceAgreement: exact ppm from value frequencies, nulls " +
+      "excluded") {
+    // values a,a,b (one null): f = (2,1), n = 3 -> (4+1)*1e6 // 9
+    val df = Seq(Some("a"), Some("a"), Some("b"), None).toDF("v")
+    val got = Fuzzy.chanceAgreement(df, "v")
+      .as[(String, Long, Long)].head()
+    assert(got == (("v", 5000000L / 9L, 3L)))
+  }
+
   test("resolveIncremental: non-numeric ids skip the monotone check " +
       "instead of crashing under ANSI casts") {
     // CC labels by min over the id's own ordering, so string ids are a
