@@ -112,7 +112,11 @@ object Scd {
   def merge(hist: DataFrame, batch: DataFrame, keys: Seq[String], tsCol: String,
             tieCol: String, attrs: Seq[String],
             validate: Boolean = true): DataFrame = {
-    val open = hist.filter(col("is_current"))
+    // open feeds THREE consumers (the validate count, openLog, offsets);
+    // without materializing, a non-trivial hist plan — fromChangeLog
+    // over a large log, not a plain table read — re-executes per
+    // consumer. closed has one consumer and keeps its lineage.
+    val open = Exec.materialize(hist.filter(col("is_current")))
     val closed = hist.filter(!col("is_current"))
     if (validate) {
       val openFrom = open.select(

@@ -220,8 +220,11 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * than it is NEVER dropped, whatever `keep` says — a long-running
     * reader (a pinned [[streamingAppend]] source, a multi-hour scan) that
     * resolved its path before the latest publish keeps its files until
-    * the window expires. Set it to comfortably above the longest
-    * scan/stream-restart interval; 0 trusts `keep` alone. */
+    * the window expires. The same window gates the loose-file cleanup,
+    * so a root-pinned stream's landed batches and replay markers survive
+    * while the stream is alive. Set it to comfortably above the longest
+    * scan/stream-restart interval; 0 trusts `keep` alone (and sweeps all
+    * loose files — don't pass 0 while a root-pinned stream runs). */
   def vacuum(name: String, keep: Int = 1, olderThanMs: Long = 0L): Unit = {
     require(keep >= 1, "vacuum must keep at least the current version")
     require(olderThanMs >= 0L, "grace window must be >= 0")
@@ -244,10 +247,17 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         .foreach(v => f.delete(new Path(s"${dir(name)}/_versions/$v"), true))
       // everything else in the table dir — loose legacy files from before
       // the first publish, checksum droppings, dead swap temps — is stale
+      // ONCE THE GRACE WINDOW PASSES. The window must apply here too: a
+      // streamingAppend pinned to the table root before its first publish
+      // lands `stream-b*` files and `_stream_promoted`/`_stream_attempt`
+      // replay markers here, and deleting them ungated would drop a live
+      // stream's batches and its exactly-once protection (marker dirs
+      // stay young while the stream is alive — children keep arriving)
       f.listStatus(new Path(dir(name))).toSeq
         .filter { st =>
           val n = st.getPath.getName
-          n != "_versions" && n != "_current"
+          n != "_versions" && n != "_current" &&
+            st.getModificationTime < cutoff
         }
         .foreach(st => f.delete(st.getPath, true))
     }
@@ -698,10 +708,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val got = df.schema
     // name matching follows the session's resolution rule — Spark is
     // case-insensitive by default, so a column differing only in case
-    // must align, not be rejected as missing+unexpected
-    val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
-    def canon(n: String) =
-      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    // must align, not be rejected as missing+unexpected — ONE shared
+    // canonicalization rule for append and appendEvolved alike
+    def canon(n: String) = canonName(n)
     val byCanon = got.fields.groupBy(f => canon(f.name))
     val dups = byCanon.collect { case (_, fs) if fs.length > 1 => fs.map(_.name).toSeq }
     require(dups.isEmpty,
@@ -813,12 +822,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .saveAsTable(stagingName)
     spark.sql(s"DROP TABLE IF EXISTS `$stagingName`")
     swapManifest(name, version)
+    // the cheap SET LOCATION path needs spec AND schema unchanged: the
+    // catalog entry carries the column list, so repointing the location
+    // after a schema evolution would leave spark.table() readers blind
+    // to the new columns (silent column loss, no error)
     val specUnchanged = try {
       spark.catalog.tableExists(name) && {
         val meta = spark.sessionState.catalog
           .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
         meta.bucketSpec.exists(b => b.numBuckets == numBuckets &&
-          b.bucketColumnNames == bucketKeys)
+          b.bucketColumnNames == bucketKeys) &&
+          org.apache.spark.sql.types.DataType.equalsStructurally(
+            meta.schema, df.schema, ignoreNullability = true)
       }
     } catch { case _: Exception => false }
     if (specUnchanged)
@@ -1402,8 +1417,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val actual = listDataFiles(new Path(p)).map(_.getPath.toUri.getPath)
     val gate = spark.conf.get(MaxDriverPruneFilesKey,
       DefaultMaxDriverPruneFiles.toString).toInt
-    if (actual.length <= gate) {
-      val rows = manifest.collect() // bounded by the gate
+    // BOTH sides must clear the gate: the manifest accumulates rows for
+    // files later compacted away, so its row count is NOT bounded by the
+    // live file count — a 100-file table can carry a 10^7-row manifest.
+    // The count is a parquet-footer metadata read, not a data scan.
+    if (actual.length <= gate && manifest.count() <= gate) {
+      val rows = manifest.collect() // bounded by the gate (both counted)
       def norm(s: String) = new Path(s).toUri.getPath
       val known = rows.map(r => norm(r.getString(0))).toSet
       val actualSet = actual.toSet
@@ -1853,21 +1872,35 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** S14: timestamped backup of a table before mutation; returns the
     * backup path (restore = read(backupPath) + overwrite). */
   def backup(name: String): String = {
-    // millisecond resolution + random suffix: two backups of the same
-    // table in the same second must not collide on the output path
-    val ts = ZonedDateTime.now(ZoneOffset.UTC)
-      .format(DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmssSSS")) +
-      f"-${scala.util.Random.nextInt(0x1000000)}%06x"
-    val out = s"$root/_backups/$name/$ts"
+    // millisecond resolution + random suffix (the version-id format):
+    // two backups of the same table in the same second must not collide
+    val out = s"$root/_backups/$name/${newVersionId()}"
     read(name).write.parquet(out)
     out
   }
 
   /** Restore a table from a path produced by [[backup]] — the other half
     * of the reference's extract-table safety net. The backup lives in a
-    * different directory, so a direct overwrite is safe (no self-read). */
-  def restore(name: String, backupPath: String): Unit =
-    overwrite(spark.read.parquet(backupPath), name)
+    * different directory, so a direct overwrite is safe (no self-read).
+    *
+    * The restored version keeps the table's LAYOUT: a partitioned table
+    * republishes under its partition columns (the backup carries them as
+    * data columns) and a bucketed table re-buckets under its catalog
+    * spec — a plain overwrite would silently strip partition pruning,
+    * and for bucketed tables would leave the catalog pointing at the
+    * pre-restore version while `read()` resolves the restored one. */
+  def restore(name: String, backupPath: String): Unit = {
+    val df = spark.read.parquet(backupPath)
+    if (isBucketedCatalogTable(name)) {
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .bucketSpec.get
+      overwriteBucketed(df, name, spec.bucketColumnNames, spec.numBuckets)
+    } else partitioningOf(name) match {
+      case Seq() => overwrite(df, name)
+      case parts => overwritePartitioned(df, name, parts)
+    }
+  }
 
   /** S8: catalog listing (INFORMATION_SCHEMA.TABLES analogue). */
   def listTables(): Seq[String] = {

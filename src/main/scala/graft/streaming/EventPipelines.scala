@@ -123,14 +123,23 @@ object EventPipelines {
   /** Custom stateful sessionization with flatMapGroupsWithState: a session
     * closes after `gapSeconds` of user inactivity (processing-time timeout
     * flushes stragglers). The streaming twin of the batch lag/cumsum
-    * sessionize query.
-    */
+    * sessionize query — and on a BATCH Dataset the open tail session per
+    * user flushes at group end (batch runs invoke the function once per
+    * key and never fire timeouts, so without the flush every user's last
+    * session would silently vanish).
+    *
+    * A late event (cross-batch, above watermark) with a timestamp inside
+    * the open session joins it without MOVING the session clock backward
+    * (`lastUs` only advances): letting a straggler rewind `lastUs` would
+    * make the next on-time event measure its gap against the straggler
+    * and split a session the ordered stream keeps whole. */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
                  timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
                 (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
     val gapUs = gapSeconds * 1000000L
     val useTimeout = timeout != GroupStateTimeout.NoTimeout
+    val streaming = events.isStreaming
 
     def flush(userId: Long, st: SessionState): Session =
       Session(userId, st.nEvents, st.startUs, st.lastUs)
@@ -153,11 +162,14 @@ object EventPipelines {
               else if (us - st.lastUs > gapUs) {
                 closed += flush(userId, st)
                 st = SessionState(1, us, us)
-              } else st = SessionState(st.nEvents + 1, st.startUs, us)
+              } else st = SessionState(st.nEvents + 1,
+                math.min(st.startUs, us), math.max(st.lastUs, us))
             }
             if (st != null) {
-              state.update(st)
-              if (useTimeout) state.setTimeoutDuration(gapSeconds * 1000)
+              if (streaming) {
+                state.update(st)
+                if (useTimeout) state.setTimeoutDuration(gapSeconds * 1000)
+              } else closed += flush(userId, st) // batch: group is final
             }
             closed.iterator
           }
@@ -191,8 +203,9 @@ object EventPipelines {
     * can never complete a step from pre-idle state (every window check is
     * `lastQual >= t − stepUs`, and surviving post-watermark events have
     * t above watermark), so their state is dropped via an event-time
-    * timeout at last-event + stepUs. Unbounded user sets therefore cost
-    * bounded state. Runs identically over a batch Dataset (no watermark,
+    * timeout at latest-qualified-step + stepUs (a monotone deadline —
+    * late straggler batches never pull it earlier). Unbounded user sets
+    * therefore cost bounded state. Runs identically over a batch Dataset (no watermark,
     * no timeout — batch state dies with the job).
     */
   def funnelHits(events: Dataset[Event], stepUs: Long = 3600L * 1000000L,
@@ -244,9 +257,16 @@ object EventPipelines {
             if (lastQual.exists(_ != Long.MinValue)) {
               state.update(FunnelStepsState(lastQual.toSeq))
               if (streaming) {
-                val lastMs = micros(sorted.last.ts) / 1000L
-                state.setTimeoutTimestamp(math.max(lastMs + stepUs / 1000L + 1L,
-                  state.getCurrentWatermarkMs() + 1L))
+                // the expiry clock is the LATEST QUALIFIED step, not this
+                // batch's max event: a late (above-watermark) straggler
+                // batch would otherwise RESET the timeout earlier than
+                // max(lastQual)+stepUs and drop state that could still
+                // complete the funnel. lastQual only ever advances, so
+                // the deadline is monotone
+                val newestQualMs = lastQual.max / 1000L
+                state.setTimeoutTimestamp(
+                  math.max(newestQualMs + stepUs / 1000L + 1L,
+                    state.getCurrentWatermarkMs() + 1L))
               }
             }
             hits.iterator

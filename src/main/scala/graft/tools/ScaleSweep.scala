@@ -289,7 +289,11 @@ object ScaleSweep {
         // round 7h: journey trigrams over ×20 events (user-keyed
         // shuffle with capped per-user state, TakeOrdered top-k);
         // ntile-without-a-sort from the stored histogram at ×10
-        "q179_journey_ngrams", "q180_equal_freq_bins")
+        "q179_journey_ngrams", "q180_equal_freq_bins",
+        // round 7i: Fellegi-Sunter — exact chance-agreement u (one count
+        // shuffle per field), nation-blocked pair scoring (the blocking
+        // join dominates; scoring itself is map-side long arithmetic)
+        "q181_linkage_u", "q182_linkage_score")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -462,6 +462,9 @@ class PublishSpec extends SparkSpec {
         org.apache.spark.sql.catalyst.TableIdentifier("tbe"))
       assert(meta.bucketSpec.exists(b =>
         b.numBuckets == 2 && b.bucketColumnNames == Seq("k")))
+      // and the CATALOG schema evolved with the files: spark.table
+      // readers must see the new column, not the pre-evolution list
+      assert(wh.readBucketed("tbe").columns.contains("tag"))
       // and bucket metadata still real after evolution: co-located join
       // plans no exchange on either bucketed side
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -706,6 +709,44 @@ class PublishSpec extends SparkSpec {
     assert(err.getMessage.contains("type drift") ||
       String.valueOf(err.getCause).contains("type drift"), err.getMessage)
     assert(wh.read("t").count() == 1) // nothing landed
+  }
+
+  test("vacuum grace window also spares young loose files — a " +
+      "root-pinned stream's batches and replay markers") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.append((1 to 3).toDF("n"), "t")      // pre-publish loose layout
+    wh.overwrite((1 to 6).toDF("n"), "t")   // first publish
+    // a streamingAppend pinned to the root before that publish keeps
+    // landing batches + exactly-once markers as root-level entries
+    val mk = new java.io.File(s"${wh.root}/t/_stream_promoted")
+    mk.mkdirs()
+    new java.io.File(mk, "b0").createNewFile()
+    wh.vacuum("t", keep = 1, olderThanMs = 3600 * 1000L)
+    val entries = new java.io.File(s"${wh.root}/t").listFiles()
+      .map(_.getName).toSet
+    assert(entries.contains("_stream_promoted"), entries.toString)
+    // grace 0 = trust keep alone: now the sweep is total
+    wh.vacuum("t", keep = 1)
+    val after = new java.io.File(s"${wh.root}/t").listFiles()
+      .map(_.getName).toSet
+    assert(after == Set("_versions", "_current"), after.toString)
+  }
+
+  test("restore preserves the table's partitioned layout and pruning") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwritePartitioned(
+      Seq((1L, "a", 2020), (2L, "b", 2021)).toDF("k", "v", "year"),
+      "ptr", Seq("year"))
+    val bak = wh.backup("ptr")
+    wh.overwritePartitioned(Seq((9L, "x", 2022)).toDF("k", "v", "year"),
+      "ptr", Seq("year"))
+    wh.restore("ptr", bak)
+    assert(wh.partitioningOf("ptr") == Seq("year"),
+      "restore must republish under the partition columns, not flat")
+    assert(wh.read("ptr").count() == 2)
+    val plan = wh.read("ptr").filter($"year" === 2020)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
   }
 
   test("vacuum grace window spares freshly retired versions") {

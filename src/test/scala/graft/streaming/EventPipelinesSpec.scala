@@ -264,6 +264,38 @@ class EventPipelinesSpec extends SparkSpec {
     assert(closed.exists(s => s.user_id == 2 && s.n_events == 1))
   }
 
+  test("batch sessionize flushes the open tail session of every user") {
+    implicit val s = spark
+    // batch runs never fire timeouts, so the tail sessions must flush at
+    // group end or every user's LAST session silently vanishes
+    val got = EventPipelines.sessionize(sample.toDS(), gapSeconds = 1800)
+      .collect().map(x => (x.user_id, x.n_events)).toSeq.sorted
+    // user 1: [0,1] then [40]; user 2: [2] then [41]
+    assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("a late in-session straggler never rewinds the session clock") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventPipelines.sessionize(stream.toDS(), gapSeconds = 1800,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    stream.addData(Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(10), 7, "click", 1.0))
+    q.processAllAvailable()
+    stream.addData(Event(3, ts(1), 7, "click", 1.0)) // late, in-session
+    q.processAllAvailable()
+    stream.addData(Event(4, ts(35), 7, "click", 1.0)) // 25 min after t=10
+    q.processAllAvailable()
+    q.stop()
+    // ordered stream (0,1,10,35) has max gap 25 min < 30 — ONE session,
+    // still open: nothing may close. A rewound clock (lastUs=1) would
+    // wrongly split at the t=35 event
+    assert(spark.table("sess_late").isEmpty)
+  }
+
   test("batch sessionize query (q42) agrees with streaming session boundaries") {
     val ev = sample.toDF()
       .withColumn("us", unix_micros($"ts"))
