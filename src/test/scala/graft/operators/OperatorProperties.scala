@@ -583,6 +583,32 @@ object OperatorProperties extends Properties("graft.operators") {
       got == expect
     }
 
+  // batch sessionize must equal the ordered single-scan reference —
+  // including every user's TAIL session, which batch runs of
+  // flatMapGroupsWithState can only emit via the explicit group-end
+  // flush (timeouts never fire in batch)
+  property("batch sessionize equals the ordered-scan reference, tail " +
+      "sessions included") =
+    Prop.forAll(evCase, Gen.choose(1L, 10L)) { (events, gapSec) =>
+      import graft.streaming.EventPipelines
+      val ds = events.toDF("u", "t", "eid", "y")
+        .select($"eid".as("event_id"), timestamp_seconds($"t").as("ts"),
+          $"u".as("user_id"), $"y".as("event_type"), lit(0.0).as("value"))
+        .as[EventPipelines.Event]
+      val got = EventPipelines.sessionize(ds, gapSec)(spark)
+        .collect().map(s => (s.user_id, s.n_events, s.start_us, s.end_us))
+        .toSeq.sorted
+      val gapUs = gapSec * 1000000L
+      val expect = events.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        val times = es.sortBy(e => (e._2, e._3)).map(_._2 * 1000000L)
+        times.tail.foldLeft(List(List(times.head))) { (acc, t) =>
+          if (t - acc.head.head > gapUs) List(t) :: acc
+          else (t :: acc.head) :: acc.tail
+        }.map(sess => (u, sess.size.toLong, sess.last, sess.head)).reverse
+      }.sorted
+      got == expect
+    }
+
   private val basketCase = for {
     rows <- Gen.nonEmptyListOf(for {
       b <- Gen.choose(1L, 6L)
