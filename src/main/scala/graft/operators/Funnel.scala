@@ -101,6 +101,54 @@ object Funnel {
       .drop("__tot")
   }
 
+  /** Evaluate [[transitionMatrix]] as a next-event predictor: split
+    * USERS (never rows — the leakage-safe discipline of
+    * `Sampling.leakageSafeSplit`) into train/test by salted md5 hash,
+    * fit the transition counts on train users only, predict each test
+    * transition's `to_type` as the argmax-count successor of its
+    * `from_type` (ties break toward the smallest type — a total order,
+    * so the model is an exact function of the train set), and score
+    * top-1 accuracy per `from_type` in integer ppm. The output is the
+    * model-evaluation summary (`from_type, n_test, n_correct, acc_ppm`)
+    * — test transitions whose `from_type` was never seen in training
+    * count as incorrect (no prediction), surfacing coverage gaps instead
+    * of dropping them.
+    *
+    * Scale shape: one user-keyed shuffle for the lag window shared by
+    * both splits, the train matrix is |types|² (driver-scale,
+    * broadcast), and scoring is one map-side join + aggregate. */
+  def nextEventAccuracy(events: DataFrame, userCol: String, typeCol: String,
+                        tsCol: String, tieCol: String,
+                        testPpm: Long = 250000L,
+                        salt: String = "nea"): DataFrame = {
+    require(testPpm > 0 && testPpm < 1000000L,
+      s"test fraction must be inside (0, 1e6) ppm, got $testPpm")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val trans = events
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .select(col("__from").as("from_type"), col(typeCol).as("to_type"),
+        (graft.operators.Sampling.hashBucket(col(userCol), salt,
+          graft.operators.Sampling.Resolution) < testPpm).as("__test"))
+    val model = trans.filter(!col("__test"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("from_type"))
+      .agg(min(struct((-col("__n")).as("__nc"), col("to_type").as("__t")))
+        .as("__m"))
+      .select(col("from_type"), col("__m.__t").as("__pred"))
+    trans.filter(col("__test"))
+      .join(graft.engine.JoinPolicy.broadcastIfSmall(model),
+        Seq("from_type"), "left")
+      .groupBy(col("from_type"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("to_type") === col("__pred"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr("(n_correct * 1000000) div n_test"))
+      .orderBy(col("from_type"))
+  }
+
   /** Top-k event-type n-grams across user journeys — the sequence-
     * pattern summary beside [[transitionMatrix]]'s first-order view
     * (which paths actually happen, not just which steps follow which).

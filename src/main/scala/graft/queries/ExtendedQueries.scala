@@ -1730,7 +1730,17 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("score_ppm")).as("sum_score_ppm"))
         .orderBy(col("decision"))
-    })
+    }),
+
+    // ── model evaluation in-engine: the q175 Markov model as a next-
+    //    event predictor, fit on train USERS and scored top-1 on
+    //    held-out users (leakage-safe split, argmax with a total-order
+    //    tiebreak, integer-ppm accuracy — replayable end to end) ──
+    "q183_next_event_accuracy" -> ((s, dir) =>
+      graft.operators.Funnel.nextEventAccuracy(
+        Td(s, dir, "events")
+          .repartition(s.sparkContext.defaultParallelism, col("user_id")),
+        "user_id", "event_type", "ts", "event_id"))
   )
 
   /** Shared base of q181/q182: one comparable view of customer — the
@@ -3424,7 +3434,34 @@ object ExtendedQueries {
          |SELECT decision, CAST(count(*) AS BIGINT) AS n,
          |       CAST(SUM(score_ppm) AS BIGINT) AS sum_score_ppm
          |FROM d GROUP BY 1 ORDER BY decision""".stripMargin
-    }
+    },
+
+    // q183: the q175 lag replay + md5 user split + argmax-with-tiebreak
+    // model + integer-ppm top-1 accuracy on the held-out users
+    "q183_next_event_accuracy" ->
+      s"""WITH tr AS (
+         |  SELECT lag(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id) AS from_type,
+         |         event_type AS to_type,
+         |         (${hashWordSql("nea", "user_id")} % 1000000) < 250000
+         |           AS is_test
+         |  FROM events),
+         |t2 AS (SELECT * FROM tr WHERE from_type IS NOT NULL),
+         |m AS (SELECT from_type, to_type, count(*) AS n
+         |      FROM t2 WHERE NOT is_test GROUP BY 1, 2),
+         |pred AS (SELECT from_type, to_type AS p FROM (
+         |           SELECT from_type, to_type, row_number() OVER (
+         |             PARTITION BY from_type ORDER BY n DESC, to_type)
+         |             AS rk FROM m) WHERE rk = 1)
+         |SELECT t.from_type, CAST(count(*) AS BIGINT) AS n_test,
+         |       CAST(SUM(CASE WHEN t.to_type = pred.p THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_correct,
+         |       (CAST(SUM(CASE WHEN t.to_type = pred.p THEN 1 ELSE 0 END)
+         |         AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+         |         AS acc_ppm
+         |FROM t2 t LEFT JOIN pred ON t.from_type = pred.from_type
+         |WHERE t.is_test
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared q121/q122 replay: DSIR scores for every document. */

@@ -293,7 +293,10 @@ object ScaleSweep {
         // round 7i: Fellegi-Sunter — exact chance-agreement u (one count
         // shuffle per field), nation-blocked pair scoring (the blocking
         // join dominates; scoring itself is map-side long arithmetic)
-        "q181_linkage_u", "q182_linkage_score")
+        "q181_linkage_u", "q182_linkage_score",
+        // round 7j: Markov next-event eval over ×20 events (one user-
+        // keyed window shuffle shared by both splits, broadcast model)
+        "q183_next_event_accuracy")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

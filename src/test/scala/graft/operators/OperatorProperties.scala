@@ -609,6 +609,33 @@ object OperatorProperties extends Properties("graft.operators") {
       got == expect
     }
 
+  property("nextEventAccuracy equals the driver reference, unseen " +
+      "from_types counted incorrect") =
+    Prop.forAll(evCase.suchThat(_.nonEmpty)) { events =>
+      val got = Funnel.nextEventAccuracy(evDf(events), "u", "y", "ts", "eid")
+        .as[(String, Long, Long, Long)].collect().toSet
+      // the same salted md5 word the engine and the DuckDB oracle share
+      def ppm(u: Long): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"nea|$u".getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          d.take(4).map(b => f"$b%02x").mkString, 16) % 1000000L
+      }
+      val trans = events.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        val s = es.sortBy(e => (e._2, e._3)).map(_._4)
+        s.zip(s.drop(1)).map { case (f, t) => (f, t, ppm(u) < 250000L) }
+      }
+      val model = trans.filter(!_._3).groupBy(x => (x._1, x._2)).toSeq
+        .map { case ((f, t), v) => (f, t, v.size) }
+        .groupBy(_._1).map { case (f, v) =>
+          f -> v.sortBy(x => (-x._3, x._2)).head._2 }
+      val expect = trans.filter(_._3).groupBy(_._1).map { case (f, v) =>
+        val correct = v.count(x => model.get(f).contains(x._2)).toLong
+        (f, v.size.toLong, correct, correct * 1000000L / v.size)
+      }.toSet
+      got == expect
+    }
+
   private val basketCase = for {
     rows <- Gen.nonEmptyListOf(for {
       b <- Gen.choose(1L, 6L)
