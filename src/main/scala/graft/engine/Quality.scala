@@ -33,6 +33,15 @@ object Quality {
   def repairDatesFrom(facts: DataFrame, meta: DataFrame, key: String,
                       dateCol: String, yearCol: String,
                       corrupt: Column): DataFrame = {
+    // the reference's pandas map(set_index) RAISES on a duplicate meta
+    // key; a left join would instead silently multiply every matching
+    // fact row (corrupt or not) — keep the loud contract
+    val metaDups = meta.groupBy(col(key)).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(metaDups == 0L,
+      s"repairDatesFrom: metadata has duplicate '$key' values — a " +
+        "multi-match UPDATE would duplicate fact rows; deduplicate the " +
+        "metadata side first")
     val m = JoinPolicy.broadcastIfSmall(
       meta.select(col(key), col(dateCol).as("__fix_date")))
     // UPDATE…FROM semantics: only rows that are corrupt AND have a metadata

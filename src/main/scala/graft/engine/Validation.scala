@@ -39,9 +39,11 @@ object Validation {
     *  - `"full"` — both.
     *
     * Returns violation messages; empty = compatible under the mode.
-    * Nullability relaxation (required → nullable) is allowed in every
-    * mode; tightening (nullable → required) violates backward (old data
-    * may hold nulls). */
+    * Nullability is checked per direction: tightening (nullable →
+    * required) violates BACKWARD (old data may hold nulls the new
+    * reader forbids); relaxing (required → nullable) violates FORWARD
+    * (new data may hold nulls an old consumer assumes absent) — the
+    * standard registry asymmetry. */
   def schemaCompatViolations(oldSchema: StructType, newSchema: StructType,
                              mode: String): Seq[String] = {
     val o = oldSchema.fields.map(f => f.name -> f).toMap
@@ -56,12 +58,17 @@ object Validation {
     val tightened = (o.keySet & n.keySet).toSeq.sorted
       .filter(c => o(c).nullable && !n(c).nullable)
       .map(c => s"nullability tightened $c: old data may hold nulls")
+    val relaxed = (o.keySet & n.keySet).toSeq.sorted
+      .filter(c => !o(c).nullable && n(c).nullable)
+      .map(c => s"nullability relaxed $c: new data may hold nulls old " +
+        "consumers assume absent")
     val backward =
       added.filterNot(n(_).nullable)
         .map(c => s"added required column $c: unreadable against old data") ++
         tightened
     val forward =
-      removed.map(c => s"removed column $c: old consumers still select it")
+      removed.map(c => s"removed column $c: old consumers still select it") ++
+        relaxed
     mode match {
       case "backward" => typeChanged ++ backward
       case "forward" => typeChanged ++ forward
@@ -144,13 +151,19 @@ object Validation {
       : Seq[(String, org.apache.spark.sql.Column)] = rules.collect {
     case NotNull(c) => (s"not_null($c)", col(c).isNull)
     case InRange(c, lo, hi) =>
+      // try_cast, double-barreled: under ANSI a plain cast THROWS on a
+      // non-numeric value mid-scan, and with ANSI off it would yield
+      // null and the comparison would silently PASS the row — an
+      // unparseable value is exactly what a range rule must flag
       (s"in_range($c,$lo,$hi)",
-        col(c).isNotNull && (col(c).cast("double") < lo ||
-          col(c).cast("double") > hi))
+        col(c).isNotNull && (col(c).try_cast("double").isNull ||
+          col(c).try_cast("double") < lo || col(c).try_cast("double") > hi))
     case OneOf(c, vs) =>
       (s"one_of($c)", col(c).isNotNull && !col(c).isInCollection(vs))
     case Matches(c, p) =>
-      (s"matches($c)", col(c).isNotNull && !col(c).rlike(p))
+      // anchored: the rule contract is "matches in full"; bare rlike is
+      // substring search and would pass "junkAB1234junk" for [A-Z]{2}\d{4}
+      (s"matches($c)", col(c).isNotNull && !col(c).rlike(s"^(?:$p)$$"))
   }
 
   def checkConstraints(df: DataFrame, rules: Seq[Rule]): DataFrame = {

@@ -167,11 +167,15 @@ object Dedup {
       col("b"), col("key"))
     val bb = banded.select(col("id").as("id_b"), col("simhash").as("sh_b"),
       col("b"), col("key"))
+    // hamming filter BEFORE the dedup exchange: the bit_count is
+    // map-side-cheap and a pure function of the pair, so filtering
+    // first shrinks the distinct's shuffle to surviving pairs only,
+    // with identical results
     a.join(bb, Seq("b", "key")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for LSH candidate pairs: re-joins the
@@ -185,7 +189,11 @@ object Dedup {
     // joins) — eager materialization computes it exactly once
     // (a lazy one would still recompute the lineage per reference inside
     // the single downstream job)
-    val cand = minHashLSH(df, idCol, textCol, threshold = 0.2, k = k)
+    // candidate gate at min(0.2, threshold): the LSH screen must never
+    // be TIGHTER than the exact threshold, or pairs the caller asked
+    // for (threshold < 0.2) would silently skip the verify step
+    val cand = minHashLSH(df, idCol, textCol,
+        threshold = math.min(0.2, threshold), k = k)
       .select("id_a", "id_b").transform(Exec.materialize)
     // only candidate ids pay for exact shingle sets (semi-join prune);
     // semi-join first so shingling runs on the pruned set, repartitioned
@@ -522,14 +530,23 @@ object Dedup {
     val docShingles = graft.functions.Generates.explodeOnce(
       df, Seq(col(idCol)),
       array_distinct(concat(shingleSets: _*)), "__sh")
+    // drop the empty shingle: a token-less benchmark row ("###",
+    // whitespace) would otherwise emit "" and mark every token-less
+    // corpus doc as "sharing a k-gram" it does not share
     val benchShingles = graft.functions.Generates.explodeOnce(
         benchmark, Nil,
         SignatureExpressions.wordShingles(col(benchTextCol), k), "__sh")
+      .filter(length(col("__sh")) > 0)
       .distinct()
+    // contaminated is CORPUS-bounded (a boilerplate k-gram in one bench
+    // item can mark a large corpus fraction) — size-gate the broadcast
+    // instead of forcing it; the bench side stays hint-broadcast (it is
+    // benchmark-bounded by construction)
     val contaminated = docShingles
       .join(broadcast(benchShingles), Seq("__sh"))
       .select(col(idCol)).distinct()
-    df.join(broadcast(contaminated), Seq(idCol), "left_anti")
+    df.join(graft.engine.JoinPolicy.broadcastIfSmall(contaminated),
+      Seq(idCol), "left_anti")
   }
 
   /** Span-level decontamination: instead of DROPPING every document that

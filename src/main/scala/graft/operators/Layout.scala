@@ -44,9 +44,15 @@ object Layout {
     * clustering key is dropped — it's a layout artifact, not data.
     */
   def zorder(df: DataFrame, colNames: Seq[String], partitions: Int,
-             bits: Int = 16): DataFrame =
+             bits: Int = 16): DataFrame = {
+    // the scratch key must not shadow (and then silently DROP) a real
+    // column — same guard discipline as upsampleMixture's epoch column
+    require(!df.columns.contains("__z"),
+      "zorder: input already has a '__z' column — rename it first " +
+        "(the Z-value scratch key would overwrite and drop it)")
     df.withColumn("__z", zValue(colNames.map(col), bits))
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+  }
 }

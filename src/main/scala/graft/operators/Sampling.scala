@@ -333,10 +333,14 @@ object Sampling {
     base.join(broadcast(offsets), Seq("__blk"))
       .withColumn("__cum",
         col("__off") + sum(col(tokenCol).cast("long")).over(wCum))
-      .withColumn("shard", toCol(
+      // clamp to nShards-1: a zero-token row sorting after ALL token
+      // mass has cum_before == total, which divides to the phantom
+      // shard id nShards — it belongs in the last real shard
+      .withColumn("shard", least(toCol(
         org.apache.spark.sql.catalyst.expressions.IntegralDivide(
           toExpr(cumBefore * nShards),
-          toExpr(greatest(col("__tot"), lit(1L))))))
+          toExpr(greatest(col("__tot"), lit(1L))))),
+        lit(nShards.toLong - 1L)))
       .drop("__blk", "__ord", "__off", "__cum", "__tot")
   }
 

@@ -1715,15 +1715,21 @@ object ExtendedQueries {
         .orderBy(col("field"))
     }),
 
-    // ── probabilistic record linkage scored over nation-blocked
-    //    candidate pairs: per-field log2(m/u) micro-bit weights are
-    //    DRIVER constants, so the 40k-pair score sum is exact long
-    //    arithmetic the oracle replays with the same literals ──
+    // ── probabilistic record linkage: BLOCK on the selective fields
+    //    (nation + the 1000-valued contact bucket — the classic "block
+    //    on what identifies, score the rest" discipline; nation alone
+    //    is 25-way and makes the candidate set QUADRATIC per block,
+    //    measured 49 s at the ×20 sweep before this key), then score
+    //    the remaining fields with driver-constant log2(m/u) micro-bit
+    //    weights — exact long arithmetic the oracle replays ──
     "q182_linkage_score" -> ((s, dir) => {
       val c = linkageView(s, dir)
-      val a = c.toDF("id_a", "nat", "seg_a", "bal_a", "ex_a")
-      val b = c.toDF("id_b", "nat", "seg_b", "bal_b", "ex_b")
-      val pairs = a.join(b, "nat").where(col("id_a") < col("id_b"))
+        // standard one-file widening: the blocked self-join is
+        // CPU-bound and would otherwise serialize behind the scan
+        .repartition(s.sparkContext.defaultParallelism, col("id"))
+      val a = c.toDF("id_a", "nat", "seg_a", "bal_a", "ex")
+      val b = c.toDF("id_b", "nat", "seg_b", "bal_b", "ex")
+      val pairs = a.join(b, Seq("nat", "ex")).where(col("id_a") < col("id_b"))
       graft.operators.Fuzzy.linkageScore(pairs, linkFields,
           upperPpm = 2000000L, lowerPpm = -2000000L)
         .groupBy(col("decision"))
@@ -1757,12 +1763,13 @@ object ExtendedQueries {
       graft.operators.Sampling.hashBucket(col("c_custkey"), "lk", 1000)
         .as("ex"))
 
-  /** q182's field parameters — m/u reviewed a priori (NOT data-derived,
-    * so the weights are static literals in engine and oracle alike). */
+  /** q182's SCORED fields — m/u reviewed a priori (NOT data-derived, so
+    * the weights are static literals in engine and oracle alike). The
+    * contact bucket is deliberately absent: it is a BLOCKING key, and a
+    * field that agrees by construction carries no evidence. */
   private lazy val linkFields = Seq(
     graft.operators.Fuzzy.LinkField("seg_a", "seg_b", m = 0.9, u = 0.2),
-    graft.operators.Fuzzy.LinkField("bal_a", "bal_b", m = 0.85, u = 0.08),
-    graft.operators.Fuzzy.LinkField("ex_a", "ex_b", m = 0.95, u = 0.001))
+    graft.operators.Fuzzy.LinkField("bal_a", "bal_b", m = 0.85, u = 0.08))
 
   /** DuckDB analogue of Sampling.hashWord: first 4 md5 bytes of "salt|id"
     * as an unsigned 32-bit value. */
@@ -2079,7 +2086,8 @@ object ExtendedQueries {
          |    SUM(n_chars) OVER () AS tot
          |  FROM d)
          |SELECT doc_id, n_chars,
-         |  CAST(((cum - n_chars) * 8) // GREATEST(tot, 1) AS BIGINT) AS shard
+         |  LEAST(CAST(((cum - n_chars) * 8) // GREATEST(tot, 1) AS BIGINT),
+         |        7) AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
 
     // q135: deflate lengths are a zlib build's pure function — the
@@ -3410,10 +3418,11 @@ object ExtendedQueries {
         "\nORDER BY field")
     },
 
-    // q182: Fellegi-Sunter decisions over nation-blocked pairs — the
-    // same driver-computed micro-bit weights interpolated as literals
+    // q182: Fellegi-Sunter decisions over (nation, contact-bucket)-
+    // blocked pairs — the same driver-computed micro-bit weights
+    // interpolated as literals; the blocked fields are not scored
     "q182_linkage_score" -> {
-      val Seq(fSeg, fBal, fEx) = linkFields
+      val Seq(fSeg, fBal) = linkFields
       def term(a: String, b: String, ag: Long, dis: Long) =
         s"(CASE WHEN $a IS NULL OR $b IS NULL THEN 0 " +
           s"WHEN $a = $b THEN $ag ELSE $dis END)"
@@ -3424,9 +3433,9 @@ object ExtendedQueries {
          |           FROM customer),
          |p AS (SELECT ${term("a.seg", "b.seg", fSeg.agreePpm, fSeg.disagreePpm)}
          |           + ${term("a.bal", "b.bal", fBal.agreePpm, fBal.disagreePpm)}
-         |           + ${term("a.ex", "b.ex", fEx.agreePpm, fEx.disagreePpm)}
          |             AS score_ppm
-         |      FROM c a JOIN c b ON a.nat = b.nat AND a.id < b.id),
+         |      FROM c a JOIN c b
+         |        ON a.nat = b.nat AND a.ex = b.ex AND a.id < b.id),
          |d AS (SELECT CASE WHEN score_ppm >= 2000000 THEN 'match'
          |                  WHEN score_ppm <= -2000000 THEN 'non_match'
          |                  ELSE 'possible' END AS decision, score_ppm

@@ -403,6 +403,14 @@ class IngestSpec extends SparkSpec {
     assert(schemaCompatViolations(old, retyped, "backward").nonEmpty)
     assert(schemaCompatViolations(old, tightened, "backward").nonEmpty)
     assert(schemaCompatViolations(old, tightened, "forward").isEmpty)
+    // the registry asymmetry's other half: RELAXING required -> nullable
+    // breaks old consumers reading new data (forward), never backward
+    val strictOld = StructType(Seq(StructField("a", LongType, false),
+      StructField("b", StringType, true)))
+    val relaxed = StructType(Seq(StructField("a", LongType, true),
+      StructField("b", StringType, true)))
+    assert(schemaCompatViolations(strictOld, relaxed, "forward").nonEmpty)
+    assert(schemaCompatViolations(strictOld, relaxed, "backward").isEmpty)
     intercept[IllegalArgumentException] {
       schemaCompatViolations(old, old, "sideways")
     }
