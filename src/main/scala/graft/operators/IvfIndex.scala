@@ -130,6 +130,54 @@ object IvfIndex {
       })
   }
 
+  /** The frozen quantizer artifacts riding in an index version dir —
+    * bounded by construction (nlist / m·ksub / dim rows), read by every
+    * consumer from INSIDE the version so quantizers can never mix. */
+  private def loadCentroids(wh: Warehouse, vdir: String): Seq[Seq[Double]] =
+    wh.spark.read.parquet(s"$vdir/_centroids")
+      .orderBy("cell").select("centroid")
+      .collect().map(_.getSeq[Double](0): Seq[Double]).toSeq
+
+  private def loadBooks(wh: Warehouse, vdir: String): Seq[Seq[Seq[Double]]] =
+    wh.spark.read.parquet(s"$vdir/_codebooks")
+      .orderBy("sub", "idx").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2): Seq[Double]).toSeq)
+
+  private def loadRotation(wh: Warehouse, vdir: String): Seq[Seq[Double]] = {
+    val rotPath = new org.apache.hadoop.fs.Path(s"$vdir/_rotation")
+    if (!rotPath.getFileSystem(wh.spark.sessionState.newHadoopConf())
+          .exists(rotPath)) Nil
+    else wh.spark.read.parquet(rotPath.toString)
+      .orderBy("row").select("coeffs")
+      .collect().map(_.getSeq[Double](0): Seq[Double]).toSeq
+  }
+
+  /** [[append]] for the coded layout: add vectors to a PQ index WITHOUT
+    * retraining. The batch is encoded against the CURRENT version's
+    * frozen centroids, codebooks, AND OPQ transform (all read from
+    * inside the version dir — a batch can never mix quantizer
+    * generations), then appended as partition-aligned (id, cell, code)
+    * entries into the existing cell directories. ADC probes score old
+    * and new entries identically because both sides were coded by the
+    * same frozen quantizers; a new vector is visible to any probe that
+    * starts after the append lands. Occupancy/residual drift still
+    * calls for a scheduled [[buildPq]] rebuild — same contract and
+    * drift signals as [[append]]. */
+  def appendPq(wh: Warehouse, newVectors: DataFrame, idCol: String,
+               vecCol: String, name: String = "ivfpq_index"): Unit = {
+    val version = wh.currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"IVF+PQ index '$name' was never built"))
+    val vdir = s"${wh.root}/$name/_versions/$version"
+    val enc = newVectors.select(col(idCol),
+        SignatureExpressions.pqResidualEncode(col(vecCol),
+          loadCentroids(wh, vdir), loadBooks(wh, vdir),
+          loadRotation(wh, vdir)).as("enc"))
+      .select(col(idCol), col("enc.cell").as("cell"),
+        col("enc.code").as("code"))
+    wh.append(enc, name)
+  }
+
   /** Probe the published PQ index: ADC candidate scoring over the
     * `nprobe` pruned cells' CODES (the only thing read from disk), then
     * exact-cosine rerank of the top-`rerank` against the base corpus.
@@ -144,25 +192,13 @@ object IvfIndex {
     val version = wh.currentVersion(name).getOrElse(
       throw new IllegalStateException(s"IVF+PQ index '$name' was never built"))
     val vdir = s"${wh.root}/$name/_versions/$version"
-    val cents: Seq[Seq[Double]] = wh.spark.read.parquet(s"$vdir/_centroids")
-      .orderBy("cell").select("centroid")
-      .collect().map(_.getSeq[Double](0)).toSeq
-    val booksDf = wh.spark.read.parquet(s"$vdir/_codebooks")
-      .orderBy("sub", "idx").collect()
-    val m = booksDf.map(_.getInt(0)).max + 1
-    val ksub = booksDf.map(_.getInt(1)).max + 1
-    val books: Seq[Seq[Seq[Double]]] = booksDf
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2): Seq[Double]).toSeq)
+    val cents = loadCentroids(wh, vdir)
+    val books = loadBooks(wh, vdir)
+    val m = books.length
+    val ksub = books.head.length
     // an OPQ-built index carries its transform; the residual LUT must
     // see the transformed query (cell dots and assignment stay raw)
-    val rotPath = new org.apache.hadoop.fs.Path(s"$vdir/_rotation")
-    val rotation: Seq[Seq[Double]] =
-      if (!rotPath.getFileSystem(wh.spark.sessionState.newHadoopConf())
-            .exists(rotPath)) Nil
-      else wh.spark.read.parquet(rotPath.toString)
-        .orderBy("row").select("coeffs")
-        .collect().map(_.getSeq[Double](0): Seq[Double]).toSeq
+    val rotation = loadRotation(wh, vdir)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val qLut =
       if (rotation.isEmpty) SignatureExpressions.pqLut(col("qv"), books)

@@ -437,6 +437,28 @@ object ScaleQueries {
         .select("query_id", "neighbor_id")
     }),
 
+    // ── the q138 contract across an INCREMENTAL index: two-thirds of the
+    //    corpus builds the PQ index, the last third lands via appendPq —
+    //    coded by the frozen quantizers into the existing cell tree, no
+    //    rebuild. Planted copies from BOTH generations must come back at
+    //    rank 1 (the %10 probe set straddles the build/append split), so
+    //    a batch coded by anything but the index's own quantizers fails ──
+    "q184_ivfpq_append_probe" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfpqa").toString)
+      val emb = Td(s, dir, "embeddings")
+      IvfIndex.buildPq(wh, emb.filter(col("vec_id") % 3 =!= 0), "vec_id",
+        "embedding", dim = 64, nlist = 64, m = 8, ksub = 64, name = "pq_idx")
+      IvfIndex.appendPq(wh, emb.filter(col("vec_id") % 3 === 0), "vec_id",
+        "embedding", "pq_idx")
+      val probes = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      IvfIndex.probePq(wh, probes, emb, "vec_id", "embedding", "pq_idx",
+          k = 1, nprobe = 8, rerank = 192)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+    }),
+
     // ── two-stage PQ ANN on planted probes: an exact copy must survive
     //    the 8-byte ADC candidate pass (its code equals its original's,
     //    so its ADC score is the query's own maximal reconstruction — a
@@ -1149,6 +1171,12 @@ object ScaleQueries {
 
     // q138: same planted contract through the persistent PQ layout
     "q138_ivfpq_index_probe" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+
+    // q184: same planted contract with the corpus split across a build
+    // and an incremental appendPq — the probe set straddles the split
+    "q184_ivfpq_append_probe" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
 

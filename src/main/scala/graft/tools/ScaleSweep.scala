@@ -296,7 +296,11 @@ object ScaleSweep {
         "q181_linkage_u", "q182_linkage_score",
         // round 7j: Markov next-event eval over ×20 events (one user-
         // keyed window shuffle shared by both splits, broadcast model)
-        "q183_next_event_accuracy")
+        "q183_next_event_accuracy",
+        // round 7k: incremental IVF+PQ — build on two-thirds, appendPq
+        // the rest (batch-sized encode, frozen quantizers), probe both
+        // generations through the partition-pruned ADC path
+        "q184_ivfpq_append_probe")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

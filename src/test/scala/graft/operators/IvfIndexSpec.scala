@@ -158,6 +158,63 @@ class IvfIndexSpec extends SparkSpec {
     assert(wh.partitioningOf("idx") == Seq("cell"))
   }
 
+  test("PQ incremental append: batch coded by the frozen quantizers, " +
+       "probe-visible, cells aligned, no vectors stored") {
+    val wh = freshWh
+    val dim = 32
+    val corpus = AnnRecall.clusteredFixture(spark, n = 1200, dim = dim)
+    val base = corpus.filter($"vec_id" % 3 =!= 0)
+    val late = corpus.filter($"vec_id" % 3 === 0)
+    IvfIndex.buildPq(wh, base, "vec_id", "embedding", dim,
+      nlist = 16, m = 8, ksub = 64, name = "pq_idx")
+    val baseCount = wh.read("pq_idx").count()
+    IvfIndex.appendPq(wh, late, "vec_id", "embedding", "pq_idx")
+    // appended entries are codes in the existing hive tree, not vectors
+    assert(wh.read("pq_idx").count() == corpus.count())
+    assert(wh.read("pq_idx").count() > baseCount)
+    assert(wh.read("pq_idx").columns.toSet == Set("vec_id", "cell", "code"))
+    assert(wh.partitioningOf("pq_idx") == Seq("cell"))
+    // planted copies of APPENDED vectors: the copy encodes to exactly its
+    // original's (cell, code) under the same frozen quantizers, so ADC
+    // keeps it and the exact rerank pins rank 1 — proof the append used
+    // the index's own quantizers, not retrained ones
+    val probes = late.filter($"vec_id" % 30 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val n = probes.count()
+    val top1 = IvfIndex.probePq(wh, probes, corpus, "vec_id", "embedding",
+        "pq_idx", k = 1, nprobe = 2, rerank = 192)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    assert(top1.size == n)
+    assert(top1.forall { case (q, nb) => nb == q - 100000L })
+  }
+
+  test("PQ incremental append applies the persisted OPQ transform") {
+    val wh = freshWh
+    val dim = 32
+    val corpus = AnnRecall.clusteredFixture(spark, n = 1200, dim = dim,
+      decay = 0.85)
+    IvfIndex.buildPq(wh, corpus.filter($"vec_id" % 3 =!= 0), "vec_id",
+      "embedding", dim, nlist = 16, m = 8, ksub = 64, name = "pq_opq_idx",
+      opq = Similarity.OpqMode.Balance)
+    IvfIndex.appendPq(wh, corpus.filter($"vec_id" % 3 === 0), "vec_id",
+      "embedding", "pq_opq_idx")
+    // if the append skipped the rotation, an appended vector's code would
+    // come from an untransformed residual and its planted copy could not
+    // reproduce it through the probe path's transformed LUT
+    val probes = corpus.filter($"vec_id" % 30 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val n = probes.count()
+    val top1 = IvfIndex.probePq(wh, probes, corpus, "vec_id", "embedding",
+        "pq_opq_idx", k = 1, nprobe = 2, rerank = 192)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    assert(top1.size == n)
+    assert(top1.forall { case (q, nb) => nb == q - 100000L })
+  }
+
   test("rebuild is atomic: a pinned probe plan survives re-publish") {
     val wh = freshWh
     val dim = 16
