@@ -1743,6 +1743,78 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .write.mode(SaveMode.Overwrite).parquet(s"$p/_bloomindex/$c")
   }
 
+  /** Read specific data files of a table directory with the directory's
+    * declared-schema discipline ([[readPath]]) and partition values
+    * restored via basePath — the file-subset reader the incremental
+    * skipping refresh needs. */
+  private def readDataFileSubset(p: String, files: Seq[String]): DataFrame = {
+    val base = spark.read.option("basePath", p)
+    (partitioningMarker(p) match {
+      case Some((_, schema)) => base.schema(schema)
+      case None => evolvedSchemaMarker(p) match {
+        case Some(schema) => base.schema(schema)
+        case None => base
+      }
+    }).parquet(files: _*)
+  }
+
+  /** Incremental maintenance for the data-skipping artifacts — the batch
+    * twin of [[streamingAppend]]'s self-registering zone maps, and the
+    * [[analyzeTable]] maintained-stats story extended to skipping:
+    * every stored zone map AND Bloom index gains rows for exactly the
+    * files its manifest has never seen (batch appends since the last
+    * build/refresh). Unknown files were always scanned (correctness
+    * never needed this), but each append batch erodes PRUNING until a
+    * rebuild; a refresh restores full skipping at append-batch cost —
+    * only the unknown files are read, and only the indexed columns'
+    * pages (column-pruned scans, one per artifact).
+    *
+    * Idempotent: a second refresh finds nothing unknown and writes
+    * nothing. Entries for files that vanished (compaction/re-cluster)
+    * stay in the manifest but are dropped at READ time
+    * ([[resolvePruned]]) — they cost manifest rows, never wrong pruning;
+    * [[optimize]]'s full rebuild remains the answer after a rewrite.
+    * New Bloom rows are sized by the given parameters (each file's
+    * filter is self-describing, so mixed sizings probe correctly). */
+  def refreshSkippingIndexes(table: String,
+                             bloomExpectedItemsPerFile: Long = 1L << 20,
+                             bloomFpp: Double = 0.01): Unit = {
+    val p = dataPath(table)
+    // keep=false: resolvePruned then returns (∅, manifest-unknown files),
+    // on the gate-aware driver-set/join path shared with the readers
+    def unknownOf(manifest: DataFrame): Seq[String] =
+      resolvePruned(manifest.select(col("file"), lit(false).as("keep")), p)._2
+    val zroot = new Path(s"$p/_zonemap")
+    if (fs(zroot).exists(zroot))
+      fs(zroot).listStatus(zroot).toSeq.map(_.getPath).foreach { kp =>
+        val cols = kp.getName.split("__").toSeq
+        val unknown = unknownOf(spark.read.parquet(kp.toString))
+        if (unknown.nonEmpty) {
+          val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c =>
+            Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+          readDataFileSubset(p, unknown)
+            .groupBy(input_file_name().as("file"))
+            .agg(aggs.head, aggs.tail: _*)
+            .coalesce(1)
+            .write.mode(SaveMode.Append).parquet(kp.toString)
+        }
+      }
+    val broot = new Path(s"$p/_bloomindex")
+    if (fs(broot).exists(broot))
+      fs(broot).listStatus(broot).toSeq.map(_.getPath).foreach { bp =>
+        val c = bp.getName
+        val unknown = unknownOf(spark.read.parquet(bp.toString))
+        if (unknown.nonEmpty)
+          readDataFileSubset(p, unknown)
+            .groupBy(input_file_name().as("file"))
+            .agg(graft.functions.BloomIndexFunctions
+              .bloomAgg(col(c), bloomExpectedItemsPerFile, bloomFpp)
+              .as("bloom"))
+            .coalesce(1)
+            .write.mode(SaveMode.Append).parquet(bp.toString)
+      }
+  }
+
   /** Point-lookup skipping, part 2: the files an `c IN (values)` scan
     * needs — (kept, unknown). A file is kept when its filter claims ANY
     * probe value might be present; files the manifest has never seen are

@@ -1746,7 +1746,34 @@ object ExtendedQueries {
       graft.operators.Funnel.nextEventAccuracy(
         Td(s, dir, "events")
           .repartition(s.sparkContext.defaultParallelism, col("user_id")),
-        "user_id", "event_type", "ts", "event_id"))
+        "user_id", "event_type", "ts", "event_id")),
+
+    // ── incremental skipping maintenance end to end: a range-clustered
+    //    publish gets zone map + bloom index, a later batch lands via
+    //    plain append (manifest-unknown), refreshSkippingIndexes
+    //    registers exactly the new files, and BOTH pruned read paths
+    //    must answer the precise predicates over the union — rows from
+    //    the build generation and the appended one ──
+    "q185_skipping_refresh" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-skipref").toString)
+      val li = Td(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      wh.publish(li.filter(col("l_orderkey") % 5 =!= 0)
+        .repartitionByRange(8, col("l_orderkey")), "li")
+      wh.buildZoneMap("li", Seq("l_orderkey"))
+      wh.buildBloomIndex("li", "l_orderkey")
+      wh.append(li.filter(col("l_orderkey") % 5 === 0)
+        .repartitionByRange(4, col("l_orderkey")), "li")
+      wh.refreshSkippingIndexes("li")
+      val ranged = wh.readZonePruned("li", "l_orderkey", 100L, 2000L)
+      val pointed = wh.readBloomPruned("li", "l_orderkey",
+        Seq(5L, 100L, 1000L))
+      ranged.unionByName(pointed)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("l_linenumber").cast("long")).as("sum_line"))
+    })
   )
 
   /** Shared base of q181/q182: one comparable view of customer — the
@@ -3470,7 +3497,21 @@ object ExtendedQueries {
          |         AS acc_ppm
          |FROM t2 t LEFT JOIN pred ON t.from_type = pred.from_type
          |WHERE t.is_test
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q185: pruning is an optimization, never a semantics change — the
+    // pruned range read and the pruned point read must answer exactly
+    // the plain predicates over build ∪ appended rows (UNION ALL keeps
+    // the overlap duplicates the engine-side unionByName keeps)
+    "q185_skipping_refresh" ->
+      """WITH r AS (SELECT l_orderkey, l_linenumber FROM lineitem
+        |           WHERE l_orderkey BETWEEN 100 AND 2000),
+        |     p AS (SELECT l_orderkey, l_linenumber FROM lineitem
+        |           WHERE l_orderkey IN (5, 100, 1000)),
+        |     u AS (SELECT * FROM r UNION ALL SELECT * FROM p)
+        |SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(SUM(l_linenumber) AS BIGINT) AS sum_line
+        |FROM u GROUP BY 1""".stripMargin
   )
 
   /** Shared q121/q122 replay: DSIR scores for every document. */

@@ -300,7 +300,11 @@ object ScaleSweep {
         // round 7k: incremental IVF+PQ — build on two-thirds, appendPq
         // the rest (batch-sized encode, frozen quantizers), probe both
         // generations through the partition-pruned ADC path
-        "q184_ivfpq_append_probe")
+        "q184_ivfpq_append_probe",
+        // round 7l: incremental skipping maintenance — refresh reads
+        // ONLY the appended files' indexed columns; pruned reads answer
+        // the precise predicates over build ∪ appended generations
+        "q185_skipping_refresh")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -149,6 +149,56 @@ class ZoneMapSpec extends SparkSpec {
     } finally spark.conf.unset(gateKey)
   }
 
+  test("refreshSkippingIndexes registers appended files incrementally: " +
+      "pruning restored without a rebuild, idempotent, blooms included") {
+    val wh = new Warehouse(spark, freshRoot)
+    clustered(wh)
+    wh.buildZoneMap("t", Seq("k"))
+    wh.buildBloomIndex("t", "k", expectedItemsPerFile = 1L << 12)
+    // appended rows far OUTSIDE the queried band, landed after the build
+    wh.append((20001 to 20100).map(i => (i.toLong, i % 97, s"v$i"))
+      .toDF("k", "grp", "v").coalesce(1), "t")
+    assert(wh.zonePrunedFiles("t", "k", 100L, 300L).get._2.nonEmpty)
+    wh.refreshSkippingIndexes("t", bloomExpectedItemsPerFile = 1L << 12)
+    // nothing is manifest-unknown anymore, so the disjoint-range appended
+    // file is PRUNED again instead of conservatively scanned
+    val Some((kept, unknown)) = wh.zonePrunedFiles("t", "k", 100L, 300L)
+    assert(unknown.isEmpty, s"unknown after refresh: $unknown")
+    assert(kept.size <= 2, s"kept ${kept.size}")
+    // the appended band is reachable through its own fresh manifest row
+    assert(wh.readZonePruned("t", "k", 20001L, 20100L).count() == 100)
+    val Some((bandKept, _)) = wh.zonePrunedFiles("t", "k", 20001L, 20100L)
+    assert(bandKept.size == 1, s"band kept $bandKept")
+    // the bloom index was refreshed in the same call
+    val Some((bkept, bunknown)) = wh.bloomPrunedFiles("t", "k", Seq(20050L))
+    assert(bunknown.isEmpty, s"bloom unknown after refresh: $bunknown")
+    assert(bkept.size == 1, s"bloom kept $bkept")
+    assert(wh.readBloomPruned("t", "k", Seq(20050L)).count() == 1)
+    // idempotent: a second refresh registers nothing twice (a duplicate
+    // row would double the full-range kept list)
+    val all = wh.zonePrunedFiles("t", "k", Long.MinValue, Long.MaxValue)
+      .get._1.size
+    wh.refreshSkippingIndexes("t", bloomExpectedItemsPerFile = 1L << 12)
+    assert(wh.zonePrunedFiles("t", "k", Long.MinValue, Long.MaxValue)
+      .get._1.size == all)
+  }
+
+  test("refreshSkippingIndexes on a hive-partitioned table keeps " +
+      "partition typing and answers exactly") {
+    val wh = new Warehouse(spark, freshRoot)
+    val df = (1 to 2000).map(i => (i.toLong, i % 4, s"v$i"))
+      .toDF("k", "part", "v")
+    wh.overwritePartitioned(df.repartitionByRange(4, col("k")), "t4",
+      Seq("part"))
+    wh.buildZoneMap("t4", Seq("k"))
+    wh.append(Seq((9001L, 1, "late")).toDF("k", "part", "v"), "t4")
+    wh.refreshSkippingIndexes("t4")
+    val Some((_, unknown)) = wh.zonePrunedFiles("t4", "k", 1L, 10L)
+    assert(unknown.isEmpty, s"unknown after refresh: $unknown")
+    assert(wh.readZonePruned("t4", "k", 9000L, 9100L).count() == 1)
+    assert(wh.readZonePruned("t4", "k", 10L, 20L).count() == 11)
+  }
+
   test("streamed batches self-register their zone-map rows") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwrite((1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
