@@ -917,7 +917,10 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * The path is pinned at stream start (single-writer model); vacuum's
     * grace window covers re-publishes during the stream's life. */
   def streamingAppend(source: DataFrame, name: String, checkpoint: String,
-                      zoneCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+                      zoneCols: Seq[String] = Nil,
+                      bloomCols: Seq[String] = Nil,
+                      bloomExpectedItemsPerFile: Long = 1L << 20,
+                      bloomFpp: Double = 0.01): org.apache.spark.sql.streaming.StreamingQuery = {
     val p = dataPath(name)
     val parts = partitioningMarker(p).map(_._1)
     // the target schema is pinned with the path: a micro-batch whose
@@ -948,16 +951,34 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         // a replayed id promotes nothing → registers nothing (no double
         // rows); a crash between promote and register leaves the files
         // UNKNOWN to the manifest — scanned conservatively, never missed.
-        if (zoneCols.nonEmpty && promoted.nonEmpty) {
-          val aggs = count(lit(1)).as("n_rows") +: zoneCols.flatMap(c =>
-            Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-          spark.read.option("basePath", p)
+        if ((zoneCols.nonEmpty || bloomCols.nonEmpty) && promoted.nonEmpty) {
+          val newFiles = spark.read.option("basePath", p)
             .parquet(promoted.map(_.toString): _*)
-            .groupBy(input_file_name().as("file"))
-            .agg(aggs.head, aggs.tail: _*)
-            .coalesce(1)
-            .write.mode(SaveMode.Append)
-            .parquet(s"$p/_zonemap/${zoneKey(zoneCols)}")
+          if (zoneCols.nonEmpty) {
+            val aggs = count(lit(1)).as("n_rows") +: zoneCols.flatMap(c =>
+              Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+            newFiles
+              .groupBy(input_file_name().as("file"))
+              .agg(aggs.head, aggs.tail: _*)
+              .coalesce(1)
+              .write.mode(SaveMode.Append)
+              .parquet(s"$p/_zonemap/${zoneKey(zoneCols)}")
+          }
+          // Bloom indexes self-register under the SAME crash contract as
+          // the zone rows above: replayed ids promote nothing → register
+          // nothing; a crash between promote and register leaves the
+          // files manifest-unknown — scanned conservatively, and
+          // [[refreshSkippingIndexes]] repairs the gap offline
+          bloomCols.foreach { c =>
+            newFiles
+              .groupBy(input_file_name().as("file"))
+              .agg(graft.functions.BloomIndexFunctions
+                .bloomAgg(col(c), bloomExpectedItemsPerFile, bloomFpp)
+                .as("bloom"))
+              .coalesce(1)
+              .write.mode(SaveMode.Append)
+              .parquet(s"$p/_bloomindex/$c")
+          }
         }
       }
       .start()
@@ -1813,6 +1834,54 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             .coalesce(1)
             .write.mode(SaveMode.Append).parquet(bp.toString)
       }
+  }
+
+  /** Manifest hygiene for the skipping artifacts: rewrite every zone-map
+    * and Bloom manifest keeping only rows whose data file still exists,
+    * collapsed back to ONE parquet file. Needed over a table's life
+    * because [[refreshSkippingIndexes]] and the streaming
+    * self-registration add a small manifest file per batch, and
+    * compaction/re-cluster strands rows for vanished files — read-time
+    * reconciliation drops them ([[resolvePruned]]), but the manifest
+    * itself accumulates the very small-files problem it exists to
+    * mitigate (at 10⁵-10⁷ manifest rows the dead weight is real).
+    *
+    * The rewrite is stage-then-rename per manifest; the delete→rename
+    * window degrades readers CONSERVATIVELY (no manifest → plain
+    * filtered scan, never wrong rows). Returns
+    * (manifest dir, rows before, rows after) per manifest compacted. */
+  def compactSkippingManifests(table: String): Seq[(String, Long, Long)] = {
+    import spark.implicits._
+    val p = dataPath(table)
+    val actualDf = listDataFiles(new Path(p))
+      .map(_.getPath.toUri.getPath).toDF("__live")
+    // same scheme-stripping normalization as the readers' join path
+    val normExpr = regexp_replace(col("file"),
+      lit("^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"), lit(""))
+    def compactDir(dir: Path): (String, Long, Long) = {
+      val manifest = spark.read.parquet(dir.toString)
+      val before = manifest.count()
+      val live = manifest
+        .join(actualDf, normExpr === col("__live"), "left_semi")
+      val f = fs(dir)
+      val staging = new Path(dir.getParent, s"_${dir.getName}.compact.tmp")
+      if (f.exists(staging)) f.delete(staging, true)
+      // the staging write MATERIALIZES the filtered manifest before the
+      // source dir is touched — ordering is what makes this safe
+      live.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val after = spark.read.parquet(staging.toString).count()
+      f.delete(dir, true)
+      require(f.rename(staging, dir),
+        s"compactSkippingManifests: rename $staging -> $dir failed")
+      (dir.toString, before, after)
+    }
+    Seq("_zonemap", "_bloomindex").flatMap { root =>
+      val r = new Path(s"$p/$root")
+      if (!fs(r).exists(r)) Nil
+      else fs(r).listStatus(r).toSeq.map(_.getPath)
+        .filter(d => !d.getName.endsWith(".compact.tmp"))
+        .map(compactDir)
+    }
   }
 
   /** Point-lookup skipping, part 2: the files an `c IN (values)` scan

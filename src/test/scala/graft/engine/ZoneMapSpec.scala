@@ -199,6 +199,46 @@ class ZoneMapSpec extends SparkSpec {
     assert(wh.readZonePruned("t4", "k", 10L, 20L).count() == 11)
   }
 
+  test("compactSkippingManifests: per-batch manifest files collapse to " +
+      "one, vanished-file rows drop, pruning answers unchanged") {
+    val wh = new Warehouse(spark, freshRoot)
+    clustered(wh)
+    wh.buildZoneMap("t", Seq("k"))
+    wh.buildBloomIndex("t", "k", expectedItemsPerFile = 1L << 12)
+    // three append+refresh cycles -> a manifest parquet file per cycle
+    for (i <- 1 to 3) {
+      wh.append(Seq((20000L + i, i, s"late$i")).toDF("k", "grp", "v")
+        .coalesce(1), "t")
+      wh.refreshSkippingIndexes("t", bloomExpectedItemsPerFile = 1L << 12)
+    }
+    val p = new org.apache.hadoop.fs.Path(wh.dataPath("t"))
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def manifestParts(sub: String): Int =
+      f.listStatus(new org.apache.hadoop.fs.Path(p, sub)).count(st =>
+        st.getPath.getName.endsWith(".parquet"))
+    assert(manifestParts("_zonemap/k") >= 4)
+    // vanish one appended data file (crash-repair/manual-delete analogue):
+    // its rows leave the DATA too, so reads agree with the slimmer manifest
+    val victim = f.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .maxBy(_.getName) // any one data file — the invariants hold for all
+    f.delete(victim, false)
+    val report = wh.compactSkippingManifests("t")
+    assert(report.size == 2, report.toString) // zone "k" + bloom "k"
+    report.foreach { case (dir, before, after) =>
+      assert(after == before - 1, s"$dir: $before -> $after")
+    }
+    assert(manifestParts("_zonemap/k") == 1)
+    assert(manifestParts("_bloomindex/k") == 1)
+    // reads still answer the precise predicates, nothing manifest-unknown
+    assert(wh.readZonePruned("t", "k", 100L, 300L).count() ==
+      wh.read("t").filter(col("k").between(100L, 300L)).count())
+    assert(wh.zonePrunedFiles("t", "k", 1L, 10L).get._2.isEmpty)
+    assert(wh.bloomPrunedFiles("t", "k", Seq(150L)).get._2.isEmpty)
+    assert(wh.readBloomPruned("t", "k", Seq(150L)).count() ==
+      wh.read("t").filter(col("k") === 150L).count())
+  }
+
   test("streamed batches self-register their zone-map rows") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwrite((1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
@@ -213,8 +253,10 @@ class ZoneMapSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType)))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/a.csv"),
       "k,v\n" + (5000L to 5010L).map(k => s"$k,s$k").mkString("\n") + "\n")
+    wh.buildBloomIndex("ts", "k", expectedItemsPerFile = 1L << 12)
     val q = wh.streamingAppend(wh.readCsvStream(in, schema), "ts",
-      s"${wh.root}/_chk_zm", zoneCols = Seq("k"))
+      s"${wh.root}/_chk_zm", zoneCols = Seq("k"),
+      bloomCols = Seq("k"), bloomExpectedItemsPerFile = 1L << 12)
     q.processAllAvailable()
     q.stop()
     // the streamed file registered itself: nothing is manifest-unknown,
@@ -226,6 +268,12 @@ class ZoneMapSpec extends SparkSpec {
     assert(kept.size == 1, s"kept $kept")
     assert(wh.readZonePruned("ts", "k", 5000L, 6000L).count() == 11)
     assert(wh.read("ts").count() == 1011)
+    // the bloom index self-registered too: a streamed value probes
+    // through exactly its own file, nothing unknown
+    val Some((bkept, bunknown)) = wh.bloomPrunedFiles("ts", "k", Seq(5005L))
+    assert(bunknown.isEmpty, s"stream left bloom-unknown files: $bunknown")
+    assert(bkept.size == 1, s"bloom kept $bkept")
+    assert(wh.readBloomPruned("ts", "k", Seq(5005L)).count() == 1)
   }
 
   test("zone-pruned read of a hive-partitioned table keeps schema order") {
