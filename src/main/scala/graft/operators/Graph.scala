@@ -210,6 +210,48 @@ object Graph {
     * edge list lands in a bucketed-by-`src` layout instead of a plain
     * materialize, making every iteration's `src` join exchange-free on
     * the edge side. */
+  /** k-round neighborhood feature propagation — exact integer message
+    * passing, `h_k = (Aᵀ)ᵏ · h_0` over the distinct edge set: each round
+    * replaces every node's value with the SUM of its in-neighbors'
+    * previous values. [[pageRank]] is the degree-normalized damped
+    * cousin; here values are raw sums — the GNN-style neighborhood
+    * aggregates feature pipelines precompute (k-hop label counts, fraud
+    * proximity signals, path multiplicities), and they stay EXACT
+    * because inputs are integral longs and addition is order-free, so
+    * the result is a pure function of (edge set, feature vector) —
+    * partition- and engine-independent, SQL-replayable as k chained
+    * joins. Nodes the feature frame misses start at 0; duplicate
+    * feature rows per node pre-combine by sum. The caller bounds
+    * overflow: |h_k| ≤ max|h_0| · maxInDegreeᵏ.
+    *
+    * Scale: identical shape to [[pageRank]] — per round, one `src`
+    * equi-join of the |nodes|-row value vector against the edge list
+    * and one `dst` partial-agg shuffle; pass an [[EdgeStage]] to stage
+    * the edge list bucketed by `src` once and run every round's join
+    * exchange-free. */
+  def propagate(edges: DataFrame, srcCol: String, dstCol: String,
+                features: DataFrame, nodeCol: String, featCol: String,
+                iters: Int, staging: Option[EdgeStage] = None): DataFrame = {
+    require(iters >= 1, s"iteration count must be >= 1, got $iters")
+    val (ed, nodes) = prepare(edges, srcCol, dstCol, staging)
+    val f = features
+      .select(col(nodeCol).cast("long").as("node"),
+        col(featCol).cast("long").as("h"))
+      .na.drop()
+      .groupBy("node").agg(sum(col("h")).as("h"))
+    var h = Exec.materialize(nodes.join(f, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("h")))
+    for (_ <- 1 to iters) {
+      val msg = ed
+        .join(h.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("h")).as("__in"))
+      h = Exec.materialize(nodes.join(msg, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__in"), lit(0L)).as("h")))
+    }
+    h
+  }
+
   private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
                       staging: Option[EdgeStage] = None)
       : (DataFrame, DataFrame) = {

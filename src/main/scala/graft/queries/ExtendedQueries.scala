@@ -1103,6 +1103,30 @@ object ExtendedQueries {
         staging = Some(graft.operators.Graph.EdgeStage(wh, "g143_edges", 32)))
     }),
 
+    // ── k-hop feature propagation on the q143 co-purchase graph: every
+    //    customer node starts with indicator 1, suppliers with 0; after
+    //    2 exact integer message-passing rounds a customer's value is
+    //    its count of 2-hop co-purchase paths (via shared suppliers) —
+    //    the GNN-style neighborhood aggregate, engine-replayable as two
+    //    chained SQL joins because sums of longs are order-free ──
+    "q186_graph_propagate" -> ((s, dir) => {
+      val pairs = Td(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Td(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + 1000000L).as("p"))
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+      val feats = Td(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("node"), lit(1L).as("x"))
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-propstg").toString)
+      graft.operators.Graph.propagate(edges, "src", "dst", feats, "node",
+        "x", iters = 2,
+        staging = Some(graft.operators.Graph.EdgeStage(wh, "g186_edges", 32)))
+    }),
+
     // ── personalized PageRank on the q143 graph: reset mass restricted
     //    to every 10th supplier — ranks measure proximity to the seed
     //    set. Same exact integer recurrence; the oracle chains 4 CTE
@@ -2804,6 +2828,33 @@ object ExtendedQueries {
          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
          |$iterCtes
          |SELECT node, CAST(rank AS BIGINT) AS rank_ppm FROM r5""".stripMargin
+    },
+
+    // q186: the q143 graph with raw-sum message passing — two chained
+    // join rounds from a customer-indicator start vector; output column
+    // h matches the engine's value vector
+    "q186_graph_propagate" -> {
+      val iterCtes = (1 to 2).map { k =>
+        s"""h$k AS (SELECT n.node, COALESCE(s.t, 0) AS h
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(h.h) AS t
+           |    FROM edges e JOIN h${k - 1} h ON h.node = e.src
+           |    GROUP BY e.dst) s USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+         |    CAST(l.l_suppkey AS BIGINT) + 1000000 AS p
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |edges AS (SELECT c AS src, p AS dst FROM pairs
+         |          UNION ALL SELECT p, c FROM pairs),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |h0 AS (SELECT n.node,
+         |         CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS h
+         |       FROM nodes n LEFT JOIN customer c
+         |         ON n.node = CAST(c.c_custkey AS BIGINT)),
+         |$iterCtes
+         |SELECT node, CAST(h AS BIGINT) AS h FROM h2""".stripMargin
     },
 
     // q149: q143's CTE chain with the seed-gated base/start terms (seeds

@@ -304,7 +304,11 @@ object ScaleSweep {
         // round 7l: incremental skipping maintenance — refresh reads
         // ONLY the appended files' indexed columns; pruned reads answer
         // the precise predicates over build ∪ appended generations
-        "q185_skipping_refresh")
+        "q185_skipping_refresh",
+        // round 7m: 2-round integer message passing on the ×10 staged
+        // co-purchase graph — per-round exchange is the value vector,
+        // the bucketed edge list never reshuffles
+        "q186_graph_propagate")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -185,6 +185,54 @@ class GraphSpec extends SparkSpec {
     assert(staged == plain)
   }
 
+  /** Driver reference for propagate: h_k = (Aᵀ)ᵏ·h_0 over the edge SET. */
+  private def propRef(edges: Set[(Long, Long)], h0: Map[Long, Long],
+                      iters: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    var h = nodes.map(n => n -> h0.getOrElse(n, 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.toSeq.map { case (s, d) => d -> h(s) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      h = nodes.map(n => n -> in.getOrElse(n, 0L)).toMap
+    }
+    h
+  }
+
+  test("propagate: exact equality with the driver reference, features " +
+      "defaulting to 0 off-support, duplicates pre-combined") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(250)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    // features cover only even nodes, with a deliberate duplicate row
+    val feats = (0 to 28 by 2).map(n => (n.toLong, (n % 7 + 1).toLong)) :+
+      (4L, 10L)
+    val h0 = feats.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    for (iters <- 1 to 3) {
+      val got = Graph.propagate(edges.toDF("s", "d"), "s", "d",
+          feats.toDF("n", "x"), "n", "x", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == propRef(edges.toSet, h0, iters), s"iters=$iters")
+    }
+  }
+
+  test("propagate: one round of an indicator feature counts distinct " +
+      "in-neighbors carrying it; staged run is row-identical") {
+    // star: spokes 1..4 -> hub 9, plus 9 -> 1 back-edge
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (9L, 1L))
+    val feats = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)) // hub carries 0
+    val got = Graph.propagate(edges.toDF("s", "d"), "s", "d",
+        feats.toDF("n", "x"), "n", "x", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(9L -> 4L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    val wh = new graft.engine.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graph-prop-stage").toString)
+    val staged = Graph.propagate(edges.toDF("s", "d"), "s", "d",
+        feats.toDF("n", "x"), "n", "x", iters = 1,
+        staging = Some(Graph.EdgeStage(wh, "gs_prop_edges", 4)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(staged == got)
+  }
+
   test("null endpoints drop their edge; node set is surviving endpoints") {
     val edges = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
       (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)))
