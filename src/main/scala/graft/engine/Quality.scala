@@ -223,4 +223,55 @@ object Quality {
       .filter(col("__gn") >= k)
       .drop("__gn")
   }
+
+  /** Cohen's kappa (Cohen 1960) for two categorical label columns —
+    * inter-annotator agreement, the label-quality gate for supervised
+    * training data. One row out:
+    * `(n, n_agree, po_ppm, pe_ppm, kappa_num_ppm, kappa_den_ppm)` with
+    * `po = n_agree/n` (observed agreement),
+    * `pe = Σ_k rowsum_k·colsum_k / n²` (chance agreement), and
+    * `kappa = kappa_num_ppm / kappa_den_ppm = (po−pe)/(1−pe)`.
+    *
+    * The kappa RATIO ships as exact integer numerator/denominator rather
+    * than a divided value: kappa is legitimately negative (worse than
+    * chance), and signed integer division floors in one engine and
+    * truncates in another — every division performed here is over
+    * non-negative integers, so the row replays bit-exactly anywhere.
+    * `pe`'s Σ rowsum·colsum runs in DECIMAL(38,0) (products reach n²).
+    * Null labels on either side drop (no evidence). Shape at scale: one
+    * |labels|²-bounded contingency aggregate; everything after is
+    * algebra over that tiny frame. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.na.drop(Seq(aCol, bCol))
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val rows = cells.groupBy("__a")
+      .agg(sum(col("__n")).as("__ra"))
+    val cols_ = cells.groupBy("__b")
+      .agg(sum(col("__n")).as("__cb"))
+    val pe = rows.join(cols_, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__ra").cast("decimal(38,0)") *
+        col("__cb").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+        .as("__s"))
+    val totals = cells.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__n"))), lit(0L))
+        .as("n_agree"))
+    totals.crossJoin(pe)
+      .select(col("n"), col("n_agree"),
+        // n = 0 (nothing labeled on both sides) answers 0s, not a
+        // division error — the caller sees the empty evidence in `n`
+        when(col("n") === 0L, 0L)
+          .otherwise(expr("(1000000 * n_agree) div n")).as("po_ppm"),
+        // integral `div` over non-negative DECIMALs — exact floor in both
+        // engines (a decimal `/` would ROUND at its result scale first)
+        when(col("n") === 0L, 0L)
+          .otherwise(expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * __s) div
+               |(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+               |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("pe_ppm"))
+      .select(col("n"), col("n_agree"), col("po_ppm"), col("pe_ppm"),
+        (col("po_ppm") - col("pe_ppm")).as("kappa_num_ppm"),
+        (lit(1000000L) - col("pe_ppm")).as("kappa_den_ppm"))
+  }
 }

@@ -334,6 +334,44 @@ object CorpusStats {
     * otherwise square; every published basket miner caps or samples
     * them), then a pair-keyed count with map-side partials. The pair
     * space never materializes beyond observed co-occurrences. */
+  /** Corpus data card: the per-slice summary a dataset release ships —
+    * for each `groupCols` tuple (source, language, …): document count,
+    * whitespace-token and character mass, exact-duplicate count (docs
+    * whose content hash repeats CORPUS-wide, so a slice is charged for
+    * copies it shares with other slices), and integer-ppm shares of the
+    * corpus token mass and of in-slice duplicates. Every number is exact
+    * integer arithmetic — the card is reproducible in any engine.
+    *
+    * Shape at scale: one map-side projection (hash + token count), one
+    * content-hash aggregate joined back on the hash (the exact-dedup
+    * shuffle), one `groupCols` partial aggregate, and a broadcast 1-row
+    * corpus total. Nothing collects to the driver. */
+  def dataCard(df: DataFrame, idCol: String, textCol: String,
+               groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "dataCard needs at least one group column")
+    val withFp = df.select(groupCols.map(col) ++ Seq(
+      md5(col(textCol)).as("__fp"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("__toks"),
+      length(col(textCol)).cast("long").as("__chars")): _*)
+    val fpCounts = withFp.groupBy("__fp")
+      .agg(count(lit(1)).as("__nfp"))
+    val card = withFp.join(fpCounts, "__fp")
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("sum_tokens"),
+        sum(col("__chars")).as("sum_chars"),
+        sum(when(col("__nfp") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+    val total = card.agg(sum(col("sum_tokens")).as("__total_tokens"))
+    card.crossJoin(broadcast(total))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_docs"), col("sum_tokens"), col("sum_chars"),
+        col("n_dup_docs"),
+        when(col("__total_tokens") === 0L, 0L)
+          .otherwise(expr("(1000000 * sum_tokens) div __total_tokens"))
+          .as("token_share_ppm"),
+        expr("(1000000 * n_dup_docs) div n_docs").as("dup_ppm")): _*)
+  }
+
   def cooccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
                         minCount: Long = 1L,
                         maxBasketSize: Int = 1024): DataFrame = {

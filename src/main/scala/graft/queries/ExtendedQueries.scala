@@ -1778,6 +1778,27 @@ object ExtendedQueries {
     //    registers exactly the new files, and BOTH pruned read paths
     //    must answer the precise predicates over the union — rows from
     //    the build generation and the appended one ──
+    // ── corpus data card per (source, lang): doc/token/char mass,
+    //    corpus-wide exact-duplicate counts, integer-ppm shares — the
+    //    per-slice summary a dataset release ships, exact in any engine ──
+    "q187_data_card" -> ((s, dir) =>
+      graft.operators.CorpusStats.dataCard(Td(s, dir, "documents"),
+        "doc_id", "text", Seq("source", "lang"))
+        .orderBy(col("source"), col("lang"))),
+
+    // ── Cohen's kappa between the corpus language labels and a
+    //    deterministically corrupted copy (20% of docs by salted md5
+    //    flip to 'zz') — inter-annotator agreement with the kappa ratio
+    //    shipped as exact integer numerator/denominator ──
+    "q188_cohen_kappa" -> ((s, dir) => {
+      val d = Td(s, dir, "documents")
+      val rated = d.select(col("lang").as("a"),
+        when(graft.operators.Sampling.hashWord(col("doc_id"), "kappa")
+            % 10 < 2, lit("zz"))
+          .otherwise(col("lang")).as("b"))
+      graft.engine.Quality.cohenKappa(rated, "a", "b")
+    }),
+
     "q185_skipping_refresh" -> ((s, dir) => {
       val wh = new graft.engine.Warehouse(s,
         java.nio.file.Files.createTempDirectory("graft-skipref").toString)
@@ -3549,6 +3570,57 @@ object ExtendedQueries {
          |FROM t2 t LEFT JOIN pred ON t.from_type = pred.from_type
          |WHERE t.is_test
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q187: the whole card is integer arithmetic over md5 fingerprints
+    // and whitespace token counts (the q60 token rule) — replayed exactly
+    "q187_data_card" ->
+      """WITH d AS (SELECT source, lang, md5(text) AS fp,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |         AS BIGINT) END AS toks,
+        |  CAST(length(text) AS BIGINT) AS chars
+        |  FROM documents),
+        |fp AS (SELECT fp, COUNT(*) AS nfp FROM d GROUP BY fp),
+        |g AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+        |        CAST(SUM(chars) AS BIGINT) AS sum_chars,
+        |        CAST(SUM(CASE WHEN nfp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_dup_docs
+        |      FROM d JOIN fp USING (fp) GROUP BY source, lang),
+        |t AS (SELECT SUM(sum_tokens) AS tot FROM g)
+        |SELECT source, lang, n_docs, sum_tokens, sum_chars, n_dup_docs,
+        |  CAST(CASE WHEN t.tot = 0 THEN 0
+        |    ELSE (1000000 * sum_tokens) // t.tot END AS BIGINT)
+        |    AS token_share_ppm,
+        |  CAST((1000000 * n_dup_docs) // n_docs AS BIGINT) AS dup_ppm
+        |FROM g, t ORDER BY source, lang""".stripMargin,
+
+    // q188: contingency algebra replayed with HUGEINT products; kappa
+    // ships as numerator/denominator so no signed division is performed
+    "q188_cohen_kappa" -> {
+      val corrupt = s"CASE WHEN (${hashWordSql("kappa", "doc_id")} % 10) < 2" +
+        " THEN 'zz' ELSE lang END"
+      s"""WITH r AS (SELECT lang AS a, $corrupt AS b FROM documents),
+         |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+         |          FROM r GROUP BY a, b),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+         |          CAST(COALESCE(SUM(CASE WHEN a = b THEN n END), 0)
+         |            AS BIGINT) AS n_agree FROM cells),
+         |ra AS (SELECT a, SUM(n) AS ra FROM cells GROUP BY a),
+         |cb AS (SELECT b, SUM(n) AS cb FROM cells GROUP BY b),
+         |s AS (SELECT COALESCE(SUM(CAST(ra.ra AS HUGEINT) *
+         |        CAST(cb.cb AS HUGEINT)), 0) AS s
+         |      FROM ra JOIN cb ON ra.a = cb.b),
+         |k AS (SELECT t.n, t.n_agree,
+         |        CAST((1000000 * t.n_agree) // t.n AS BIGINT) AS po_ppm,
+         |        CAST((1000000 * s.s) //
+         |          (CAST(t.n AS HUGEINT) * t.n) AS BIGINT) AS pe_ppm
+         |      FROM tot t, s)
+         |SELECT n, n_agree, po_ppm, pe_ppm,
+         |  CAST(po_ppm - pe_ppm AS BIGINT) AS kappa_num_ppm,
+         |  CAST(1000000 - pe_ppm AS BIGINT) AS kappa_den_ppm
+         |FROM k""".stripMargin
+    },
 
     // q185: pruning is an optimization, never a semantics change — the
     // pruned range read and the pruned point read must answer exactly

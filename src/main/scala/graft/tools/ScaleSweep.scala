@@ -308,7 +308,11 @@ object ScaleSweep {
         // round 7m: 2-round integer message passing on the ×10 staged
         // co-purchase graph — per-round exchange is the value vector,
         // the bucketed edge list never reshuffles
-        "q186_graph_propagate")
+        "q186_graph_propagate",
+        // round 7n: corpus data card (one fp shuffle + one slice agg)
+        // and Cohen's kappa (|labels|²-bounded contingency) over ×20
+        // documents — both flat, bounded-state sweeps
+        "q187_data_card", "q188_cohen_kappa")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

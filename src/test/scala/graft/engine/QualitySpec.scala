@@ -128,4 +128,34 @@ class QualitySpec extends SparkSpec {
     assert(out(0).getAs[Long]("status_count") == 2)
     assert(out(2).getAs[String]("status") == "Match")
   }
+
+  test("cohenKappa: textbook contingency, perfect agreement, " +
+      "worse-than-chance negative numerator, null labels drop") {
+    import spark.implicits._
+    // classic 2x2: raters agree on 20 yes + 15 no of 50; marginals
+    // a:(25 yes,25 no), b:(30 yes,20 no) -> po=0.70, pe=0.50, kappa=0.40
+    val rows =
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(5)(("y", "n")) ++ Seq.fill(10)(("n", "y"))
+    val r = Quality.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getAs[Long]("n") == 50 && r.getAs[Long]("n_agree") == 35)
+    assert(r.getAs[Long]("po_ppm") == 700000L)
+    assert(r.getAs[Long]("pe_ppm") == 500000L) // (25*30 + 25*20)/2500
+    assert(r.getAs[Long]("kappa_num_ppm") == 200000L)
+    assert(r.getAs[Long]("kappa_den_ppm") == 500000L) // kappa = 0.4
+    // perfect agreement: numerator == denominator (kappa = 1)
+    val p = Quality.cohenKappa(Seq(("x", "x"), ("y", "y"), ("x", "x"))
+      .toDF("a", "b"), "a", "b").head()
+    assert(p.getAs[Long]("po_ppm") == 1000000L)
+    assert(p.getAs[Long]("kappa_num_ppm") == p.getAs[Long]("kappa_den_ppm"))
+    // systematic disagreement scores BELOW chance: negative numerator
+    val w = Quality.cohenKappa(Seq(("x", "y"), ("y", "x"), ("x", "y"),
+      ("y", "x")).toDF("a", "b"), "a", "b").head()
+    assert(w.getAs[Long]("n_agree") == 0L)
+    assert(w.getAs[Long]("kappa_num_ppm") < 0L)
+    // null on either side is no evidence
+    val n = Quality.cohenKappa(Seq(("x", "x"), (null, "x"), ("x", null))
+      .toDF("a", "b"), "a", "b").head()
+    assert(n.getAs[Long]("n") == 1L && n.getAs[Long]("n_agree") == 1L)
+  }
 }

@@ -235,4 +235,33 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(supported == Set(("a", "b", 2L)))
   }
+
+  test("dataCard: duplicates are charged corpus-wide (cross-slice copies " +
+      "count in BOTH slices), shares are exact ppm") {
+    val df = Seq(
+      (1L, "alpha beta", "web", "en"),    // dup of doc 3 (other slice)
+      (2L, "unique one here", "web", "en"),
+      (3L, "alpha beta", "book", "en"),   // dup of doc 1
+      (4L, "gamma", "book", "de"),
+      (5L, "gamma", "book", "de")         // in-slice dup pair
+    ).toDF("doc_id", "text", "source", "lang")
+    val card = CorpusStats.dataCard(df, "doc_id", "text",
+        Seq("source", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val webEn = card(("web", "en"))
+    assert(webEn.getAs[Long]("n_docs") == 2)
+    assert(webEn.getAs[Long]("sum_tokens") == 5)   // 2 + 3
+    assert(webEn.getAs[Long]("n_dup_docs") == 1)   // doc 1 via doc 3
+    assert(webEn.getAs[Long]("dup_ppm") == 500000L)
+    val bookEn = card(("book", "en"))
+    assert(bookEn.getAs[Long]("n_dup_docs") == 1)  // doc 3 via doc 1
+    val bookDe = card(("book", "de"))
+    assert(bookDe.getAs[Long]("n_dup_docs") == 2)  // the in-slice pair
+    assert(bookDe.getAs[Long]("dup_ppm") == 1000000L)
+    // token shares: total tokens = 5 + 2 + 1 + 1 = 9
+    assert(webEn.getAs[Long]("token_share_ppm") == 1000000L * 5 / 9)
+    assert(bookDe.getAs[Long]("token_share_ppm") == 1000000L * 2 / 9)
+    // chars: "alpha beta" = 10, "unique one here" = 15
+    assert(webEn.getAs[Long]("sum_chars") == 25)
+  }
 }
