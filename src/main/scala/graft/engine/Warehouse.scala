@@ -1863,13 +1863,20 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       val before = manifest.count()
       val live = manifest
         .join(actualDf, normExpr === col("__live"), "left_semi")
+      val after = live.count()
       val f = fs(dir)
+      if (after == 0) {
+        // every indexed file vanished: an empty manifest dir can be
+        // schema-unreadable — drop the manifest entirely (no manifest =
+        // no pruning, the correct conservative answer)
+        f.delete(dir, true)
+        return (dir.toString, before, 0L)
+      }
       val staging = new Path(dir.getParent, s"_${dir.getName}.compact.tmp")
       if (f.exists(staging)) f.delete(staging, true)
       // the staging write MATERIALIZES the filtered manifest before the
       // source dir is touched — ordering is what makes this safe
       live.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      val after = spark.read.parquet(staging.toString).count()
       f.delete(dir, true)
       require(f.rename(staging, dir),
         s"compactSkippingManifests: rename $staging -> $dir failed")

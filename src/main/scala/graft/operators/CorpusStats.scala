@@ -342,25 +342,34 @@ object CorpusStats {
     * corpus token mass and of in-slice duplicates. Every number is exact
     * integer arithmetic — the card is reproducible in any engine.
     *
-    * Shape at scale: one map-side projection (hash + token count), one
-    * content-hash aggregate joined back on the hash (the exact-dedup
-    * shuffle), one `groupCols` partial aggregate, and a broadcast 1-row
-    * corpus total. Nothing collects to the driver. */
+    * Shape at scale: rows collapse FIRST to (slice, fingerprint) partial
+    * aggregates — a dominant fingerprint (the empty document, a
+    * boilerplate page) becomes ≤|slices| rows instead of a hot join key —
+    * then the corpus-wide duplicate counts join fingerprint-to-
+    * fingerprint, one `groupCols` aggregate rolls the card up, and the
+    * 1-row corpus total broadcasts. Nothing collects to the driver. */
   def dataCard(df: DataFrame, idCol: String, textCol: String,
                groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "dataCard needs at least one group column")
-    val withFp = df.select(groupCols.map(col) ++ Seq(
-      md5(col(textCol)).as("__fp"),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("__toks"),
-      length(col(textCol)).cast("long").as("__chars")): _*)
-    val fpCounts = withFp.groupBy("__fp")
-      .agg(count(lit(1)).as("__nfp"))
-    val card = withFp.join(fpCounts, "__fp")
+    // same fp => same text => same token/char counts, so per-(slice, fp)
+    // sums lose nothing
+    val perFp = df.select(groupCols.map(col) ++ Seq(
+        md5(col(textCol)).as("__fp"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__toks"),
+        length(col(textCol)).cast("long").as("__chars")): _*)
+      .groupBy(groupCols.map(col) :+ col("__fp"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__toks")).as("__t"),
+        sum(col("__chars")).as("__c"))
+    val fpCounts = perFp.groupBy("__fp")
+      .agg(sum(col("__n")).as("__nfp"))
+    val card = perFp.join(fpCounts, "__fp")
       .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("__toks")).as("sum_tokens"),
-        sum(col("__chars")).as("sum_chars"),
-        sum(when(col("__nfp") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .agg(sum(col("__n")).as("n_docs"),
+        sum(col("__t")).as("sum_tokens"),
+        sum(col("__c")).as("sum_chars"),
+        sum(when(col("__nfp") > 1, col("__n")).otherwise(0L))
+          .as("n_dup_docs"))
     val total = card.agg(sum(col("sum_tokens")).as("__total_tokens"))
     card.crossJoin(broadcast(total))
       .select(groupCols.map(col) ++ Seq(

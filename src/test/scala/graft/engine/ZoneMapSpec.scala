@@ -239,6 +239,26 @@ class ZoneMapSpec extends SparkSpec {
       wh.read("t").filter(col("k") === 150L).count())
   }
 
+  test("compactSkippingManifests drops a manifest whose files ALL " +
+      "vanished; reads fall back to the plain scan") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.overwrite((1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(1), "tv")
+    wh.buildZoneMap("tv", Seq("k"))
+    val p = new org.apache.hadoop.fs.Path(wh.dataPath("tv"))
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    f.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).foreach(f.delete(_, false))
+    val report = wh.compactSkippingManifests("tv")
+    assert(report.size == 1, report.toString)
+    val (dir, before, after) = report.head
+    assert(dir.endsWith(s"${wh.dataPath("tv")}/_zonemap/k") &&
+      before == 1L && after == 0L, report.toString)
+    // no manifest left -> zonePrunedFiles reports no coverage (readers
+    // take the plain-scan fallback path, never a schema-unreadable dir)
+    assert(wh.zonePrunedFiles("tv", "k", 1L, 10L).isEmpty)
+  }
+
   test("streamed batches self-register their zone-map rows") {
     val wh = new Warehouse(spark, freshRoot)
     wh.overwrite((1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
