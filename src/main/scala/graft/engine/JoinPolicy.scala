@@ -152,6 +152,32 @@ object JoinPolicy {
         .head().getLong(0)
     }
 
+  /** The stored estimate as a SAFETY RAIL: prove a bound on a join's
+    * output size before running it. The CMS inner product NEVER
+    * undercounts, so `estimate <= maxRows` proves `true <= maxRows` —
+    * collision inflation can only make the guard refuse a safe join
+    * (conservative), never admit an explosion. Absent/stale stats refuse
+    * loudly too: an unguardable join is not a guarded one. Returns the
+    * estimate (for logs/metrics) when the bound holds.
+    *
+    * This is the rail a 100 TB pipeline puts in front of generated or
+    * user-supplied join keys, where a key-quality regression (nulls
+    * coalesced to a sentinel, a truncated hash) turns an equi-join into
+    * an accidental near-cartesian that runs for hours before failing. */
+  def requireJoinBounded(wh: Warehouse, a: String, aKey: String,
+                         b: String, bKey: String, maxRows: Long): Long = {
+    require(maxRows > 0, s"maxRows must be positive, got $maxRows")
+    val est = estimateJoinRowsStored(wh, a, aKey, b, bKey).getOrElse(
+      throw new IllegalStateException(
+        s"requireJoinBounded: no current stats for '$a.$aKey' × " +
+          s"'$b.$bKey' — ANALYZE both sides (analyzeSketches) first"))
+    require(est <= maxRows,
+      s"requireJoinBounded: '$a.$aKey' × '$b.$bKey' estimated at $est " +
+        s"output rows > bound $maxRows (the CMS estimate never " +
+        "undercounts, so the true size may exceed the bound)")
+    est
+  }
+
   /** n_distinct from the PERSISTED stats row — the selectivity
     * denominator every classic formula wants (`rows / n_distinct` for an
     * equality predicate, containment for joins), answered in zero scans

@@ -299,6 +299,37 @@ class JoinPolicySpec extends SparkSpec {
     assert(mergedD.get > 20.0 && mergedD.get < 80.0)
   }
 
+  test("requireJoinBounded: sound rail — passes under the bound, refuses " +
+      "an estimated explosion, refuses unguardable (no-stats) joins") {
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("wh-rail").toString)
+    val fa = (1L to 3000L).map(i => (i % 300, i)).toDF("k", "x")
+    val fb = (0L until 300L).map(i => (i, s"d$i")).toDF("k", "label")
+    wh.publish(fa, "ra"); wh.publish(fb, "rb")
+    // unguardable before ANALYZE: loud, not a silent pass
+    intercept[IllegalStateException] {
+      JoinPolicy.requireJoinBounded(wh, "ra", "k", "rb", "k", 1000000L)
+    }
+    wh.analyzeSketches("ra", Seq("k"))
+    wh.analyzeSketches("rb", Seq("k"))
+    // true join size is 3000 (each fa row matches exactly one dim row);
+    // the never-undercounting estimate admits a generous bound...
+    val est = JoinPolicy.requireJoinBounded(wh, "ra", "k", "rb", "k",
+      maxRows = 100000L)
+    val exact = wh.read("ra").join(wh.read("rb"), Seq("k")).count()
+    assert(est >= exact && exact == 3000L)
+    // ...and refuses a bound the estimate exceeds (explosion guard):
+    // a degenerate single-key pair estimates at |ra|·|rb| = 9,000,000
+    val boom = (1L to 3000L).map(i => (1L, i)).toDF("k", "x")
+    wh.publish(boom, "rc"); wh.publish(boom.select(col("k"),
+      col("x").cast("string").as("label")), "rd")
+    wh.analyzeSketches("rc", Seq("k")); wh.analyzeSketches("rd", Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      JoinPolicy.requireJoinBounded(wh, "rc", "k", "rd", "k", 1000000L)
+    }
+    assert(e.getMessage.contains("never"), e.getMessage)
+  }
+
   test("wrangle pipeline dims demote when broadcast is off (no forced hints)") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val old = spark.conf.get(key)
