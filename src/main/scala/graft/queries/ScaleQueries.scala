@@ -171,6 +171,14 @@ object ScaleQueries {
     "q48_event_sliding" -> ((s, dir) =>
       graft.streaming.EventPipelines.slidingRate(Td(s, dir, "events"))),
 
+    // ── streaming cardinality at bounded state: per-hour distinct-user
+    //    HLL estimates (the register aggregate merges identically between
+    //    micro-batch partials and a batch run — this batch execution IS
+    //    the streamed answer, and the oracle rebuilds the registers) ──
+    "q189_windowed_distinct" -> ((s, dir) =>
+      graft.streaming.EventPipelines.windowedDistinctUsers(
+        Td(s, dir, "events"))),
+
     // ── the full dedup endgame: LSH candidates → exact-Jaccard verify →
     //    connected components → (doc, canonical group) labels ──
     "q63_dup_groups" -> ((s, dir) => {
@@ -1370,6 +1378,37 @@ object ScaleQueries {
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q189: the per-window HLL registers rebuilt from the two salted hash
+    // words (the q100 replay grouped by the hour window), then the
+    // harmonic/linear-counting estimate with divisions forced to DOUBLE
+    "q189_windowed_distinct" -> {
+      val m = 64
+      val rankCase = (1 to 24)
+        .map(k => s"WHEN w >= ${1L << (24 - k)} THEN $k").mkString(" ")
+      val am = s"CAST(${graft.functions.Hll.alpha(m) * m * m} AS DOUBLE)"
+      def hw(salt: String) =
+        s"CAST(('0x' || substr(md5('$salt|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+      s"""WITH h AS (
+         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+         |         ${hw("wdu|b")} % $m AS bucket,
+         |         ${hw("wdu|r")} % ${1L << 24} AS w
+         |  FROM events),
+         |r AS (
+         |  SELECT win_start, bucket, MAX(CASE $rankCase ELSE 25 END) AS rnk
+         |  FROM h GROUP BY 1, 2),
+         |a AS (
+         |  SELECT win_start,
+         |         SUM(CAST(1 AS DOUBLE) / (1 << rnk)) +
+         |           CAST($m - COUNT(*) AS DOUBLE) AS ssum,
+         |         $m - COUNT(*) AS zeros
+         |  FROM r GROUP BY 1)
+         |SELECT win_start,
+         |       round(CASE WHEN zeros > 0 AND $am / ssum <= CAST(${(2.5 * m).toInt} AS DOUBLE)
+         |                  THEN $m * ln(CAST($m AS DOUBLE) / zeros)
+         |                  ELSE $am / ssum END, 4) AS est_users
+         |FROM a""".stripMargin
+    },
 
     "q42_sessionize" ->
       """WITH t AS (

@@ -52,6 +52,30 @@ object EventPipelines {
         col("e.est").as("est"), col("e.err").as("err"))
       .filter(col("est") >= minEst)
 
+  /** Windowed distinct-user ESTIMATES at bounded state: per tumbling
+    * event-time window, the m-register HLL sketch of user ids and its
+    * estimate. Streaming exact COUNT(DISTINCT) is unsupported for a
+    * reason — per-window distinct SETS are unbounded state — while the
+    * registers are a fixed m-byte buffer per open window and merge by
+    * register max between micro-batch partials and the state store, so
+    * the streamed answer is IDENTICAL to a batch replay (register max is
+    * associative and commutative; the spec pins stream ≡ batch). Same
+    * code path in batch, where the DuckDB oracle rebuilds the registers
+    * from the two salted hash words. */
+  def windowedDistinctUsers(events: DataFrame, window_ : String = "1 hour",
+                            watermark: String = "2 hours",
+                            salt: String = "wdu", m: Int = 64): DataFrame = {
+    import graft.functions.Hll
+    events
+      .withColumn("__b", Hll.bucketCol(col("user_id"), salt, m))
+      .withColumn("__r", Hll.rankCol(col("user_id"), salt))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(Hll.registers(col("__b"), col("__r"), m).as("regs"))
+      .select(col("window.start").as("win_start"),
+        Hll.estimate(col("regs"), m).as("est_users"))
+  }
+
   /** Sliding-window event rate (5-minute windows every minute). */
   def slidingRate(events: DataFrame): DataFrame =
     events

@@ -312,7 +312,10 @@ object ScaleSweep {
         // round 7n: corpus data card (one fp shuffle + one slice agg)
         // and Cohen's kappa (|labels|²-bounded contingency) over ×20
         // documents — both flat, bounded-state sweeps
-        "q187_data_card", "q188_cohen_kappa")
+        "q187_data_card", "q188_cohen_kappa",
+        // round 7o: per-window HLL distinct users over ×20 events —
+        // state per window is 64 registers, never the user set
+        "q189_windowed_distinct")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

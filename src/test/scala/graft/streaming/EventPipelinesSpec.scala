@@ -37,6 +37,30 @@ class EventPipelinesSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("windowedDistinctUsers: streamed HLL registers equal the batch " +
+      "replay; small windows count exactly via linear counting") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // two windows; window 1 has users {1,2} (user 1 twice), window 2 {1,2}
+    stream.addData(sample)
+    val q = EventPipelines.windowedDistinctUsers(stream.toDF(),
+        "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("wdu_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wdu_out").collect().map(_.toSeq).toSet
+    val batch = EventPipelines.windowedDistinctUsers(sample.toDF(),
+      "30 minutes", "1 hour").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.size == 2)
+    // m=64 registers, 2 true distinct users: the linear-counting branch
+    // answers EXACTLY 2.0 at this range unless both users collide into
+    // one bucket (they don't, under the fixed salt)
+    val ests = spark.table("wdu_out").collect()
+      .map(_.getAs[Double]("est_users")).toSet
+    assert(ests.forall(e => math.abs(e - 2.0) < 0.1), ests.toString)
+  }
+
   test("trendingItems as a real streaming query matches the batch run") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Event]
