@@ -175,9 +175,12 @@ object ScaleQueries {
     //    HLL estimates (the register aggregate merges identically between
     //    micro-batch partials and a batch run — this batch execution IS
     //    the streamed answer, and the oracle rebuilds the registers) ──
+    //    (standard call-site widening: the sf0.1 events table is one
+    //    file, which would run the map-side hash stage single-task)
     "q189_windowed_distinct" -> ((s, dir) =>
       graft.streaming.EventPipelines.windowedDistinctUsers(
-        Td(s, dir, "events"))),
+        Td(s, dir, "events")
+          .repartition(s.sparkContext.defaultParallelism, col("user_id")))),
 
     // ── the full dedup endgame: LSH candidates → exact-Jaccard verify →
     //    connected components → (doc, canonical group) labels ──
