@@ -1805,9 +1805,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // on the gate-aware driver-set/join path shared with the readers
     def unknownOf(manifest: DataFrame): Seq[String] =
       resolvePruned(manifest.select(col("file"), lit(false).as("keep")), p)._2
-    val zroot = new Path(s"$p/_zonemap")
-    if (fs(zroot).exists(zroot))
-      fs(zroot).listStatus(zroot).toSeq.map(_.getPath).foreach { kp =>
+    // `_`/`.`-prefixed children are never manifests (a crashed
+    // compaction's staging dir, a stray marker) — reading one as a
+    // zone key would fail on its nonexistent columns
+    def manifestDirs(root: Path): Seq[Path] =
+      if (!fs(root).exists(root)) Nil
+      else fs(root).listStatus(root).toSeq.map(_.getPath)
+        .filter(d => !d.getName.startsWith("_") && !d.getName.startsWith("."))
+    manifestDirs(new Path(s"$p/_zonemap")).foreach { kp =>
         val cols = kp.getName.split("__").toSeq
         val unknown = unknownOf(spark.read.parquet(kp.toString))
         if (unknown.nonEmpty) {
@@ -1820,20 +1825,18 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             .write.mode(SaveMode.Append).parquet(kp.toString)
         }
       }
-    val broot = new Path(s"$p/_bloomindex")
-    if (fs(broot).exists(broot))
-      fs(broot).listStatus(broot).toSeq.map(_.getPath).foreach { bp =>
-        val c = bp.getName
-        val unknown = unknownOf(spark.read.parquet(bp.toString))
-        if (unknown.nonEmpty)
-          readDataFileSubset(p, unknown)
-            .groupBy(input_file_name().as("file"))
-            .agg(graft.functions.BloomIndexFunctions
-              .bloomAgg(col(c), bloomExpectedItemsPerFile, bloomFpp)
-              .as("bloom"))
-            .coalesce(1)
-            .write.mode(SaveMode.Append).parquet(bp.toString)
-      }
+    manifestDirs(new Path(s"$p/_bloomindex")).foreach { bp =>
+      val c = bp.getName
+      val unknown = unknownOf(spark.read.parquet(bp.toString))
+      if (unknown.nonEmpty)
+        readDataFileSubset(p, unknown)
+          .groupBy(input_file_name().as("file"))
+          .agg(graft.functions.BloomIndexFunctions
+            .bloomAgg(col(c), bloomExpectedItemsPerFile, bloomFpp)
+            .as("bloom"))
+          .coalesce(1)
+          .write.mode(SaveMode.Append).parquet(bp.toString)
+    }
   }
 
   /** Manifest hygiene for the skipping artifacts: rewrite every zone-map
@@ -1886,7 +1889,9 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       val r = new Path(s"$p/$root")
       if (!fs(r).exists(r)) Nil
       else fs(r).listStatus(r).toSeq.map(_.getPath)
-        .filter(d => !d.getName.endsWith(".compact.tmp"))
+        // hidden children are never manifests — in particular a crashed
+        // compaction's own `_<key>.compact.tmp` staging dir
+        .filter(d => !d.getName.startsWith("_") && !d.getName.startsWith("."))
         .map(compactDir)
     }
   }
