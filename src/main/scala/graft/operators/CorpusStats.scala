@@ -381,6 +381,39 @@ object CorpusStats {
         expr("(1000000 * n_dup_docs) div n_docs").as("dup_ppm")): _*)
   }
 
+  /** Clipped n-gram precision (the BLEU-n modified-precision term,
+    * Papineni et al. ACL'02) between candidate and reference texts
+    * joined by id: per document,
+    * `precision = Σ_g min(count_cand(g), count_ref(g)) / Σ_g count_cand(g)`
+    * — each candidate n-gram is credited at most as often as the
+    * reference uses it, so repeating a matched phrase cannot inflate the
+    * score. All counts are exact integers and the ratio ships in ppm
+    * (non-negative integral division — engine-identical), making the
+    * metric a pure function of the two text columns: the
+    * generation-eval twin of [[graft.operators.Funnel]]'s
+    * next-event accuracy. Candidates with no reference row score 0.
+    *
+    * Shape at scale: two explode → (id, gram) partial-count aggregates
+    * and one (id, gram)-keyed join — linear in token mass, no windows,
+    * no driver state. */
+  def ngramPrecision(cand: DataFrame, ref: DataFrame, idCol: String,
+                     textCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("__id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("__gram"))
+      .groupBy("__id", "__gram").agg(count(lit(1)).as("__c"))
+    val c = grams(cand)
+    val r = grams(ref).withColumnRenamed("__c", "__rc")
+    c.join(r, Seq("__id", "__gram"), "left")
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("n_cand"),
+        sum(least(col("__c"), coalesce(col("__rc"), lit(0L))))
+          .as("n_clipped"))
+      .select(col("__id").as(idCol), col("n_cand"), col("n_clipped"),
+        expr("(1000000 * n_clipped) div n_cand").as("precision_ppm"))
+  }
+
   def cooccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
                         minCount: Long = 1L,
                         maxBasketSize: Int = 1024): DataFrame = {

@@ -1786,6 +1786,22 @@ object ExtendedQueries {
         "doc_id", "text", Seq("source", "lang"))
         .orderBy(col("source"), col("lang"))),
 
+    // ── BLEU-style clipped bigram precision: candidates are the corpus
+    //    texts with a planted two-token tail, references the originals —
+    //    every original bigram clips to a full match, the tail's bigrams
+    //    to 0 (unless the document genuinely contains them), so the
+    //    metric is an exact integer function of the text column ──
+    //    (standard call-site widening: the sf0.1 documents table is one
+    //    file, which would run both gram-explode stages single-task)
+    "q190_ngram_precision" -> ((s, dir) => {
+      val docs = Td(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val cand = docs.select(col("doc_id"),
+        concat(col("text"), lit(" planted tail")).as("text"))
+      graft.operators.CorpusStats.ngramPrecision(cand,
+        docs.select(col("doc_id"), col("text")), "doc_id", "text", n = 2)
+    }),
+
     // ── Cohen's kappa between the corpus language labels and a
     //    deterministically corrupted copy (20% of docs by salted md5
     //    flip to 'zz') — inter-annotator agreement with the kappa ratio
@@ -3594,6 +3610,35 @@ object ExtendedQueries {
         |    AS token_share_ppm,
         |  CAST((1000000 * n_dup_docs) // n_docs AS BIGINT) AS dup_ppm
         |FROM g, t ORDER BY source, lang""".stripMargin,
+
+    // q190: tokenize → NON-distinct bigrams (whole text when < 2 tokens,
+    // the TextFunctions.shingles rule) → per-doc clipped-count join; the
+    // ppm division is non-negative integral division on both engines
+    "q190_ngram_precision" -> {
+      val biSql =
+        """CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+          |     ELSE [array_to_string(toks[i:i+1], ' ')
+          |           for i in range(1, len(toks))] END""".stripMargin
+      s"""WITH c0 AS (SELECT doc_id, text || ' planted tail' AS text
+         |            FROM documents),
+         |ct AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks FROM c0),
+         |cg AS (SELECT doc_id, unnest($biSql) AS gram FROM ct),
+         |cc AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM cg GROUP BY 1, 2),
+         |rt AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks
+         |       FROM documents),
+         |rg AS (SELECT doc_id, unnest($biSql) AS gram FROM rt),
+         |rc AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS rc
+         |       FROM rg GROUP BY 1, 2)
+         |SELECT cc.doc_id, CAST(SUM(c) AS BIGINT) AS n_cand,
+         |  CAST(SUM(LEAST(c, COALESCE(rc.rc, 0))) AS BIGINT) AS n_clipped,
+         |  CAST((1000000 * CAST(SUM(LEAST(c, COALESCE(rc.rc, 0)))
+         |    AS BIGINT)) // CAST(SUM(c) AS BIGINT) AS BIGINT)
+         |    AS precision_ppm
+         |FROM cc LEFT JOIN rc
+         |  ON cc.doc_id = rc.doc_id AND cc.gram = rc.gram
+         |GROUP BY 1""".stripMargin
+    },
 
     // q188: contingency algebra replayed with HUGEINT products; kappa
     // ships as numerator/denominator so no signed division is performed

@@ -315,7 +315,10 @@ object ScaleSweep {
         "q187_data_card", "q188_cohen_kappa",
         // round 7o: per-window HLL distinct users over ×20 events —
         // state per window is 64 registers, never the user set
-        "q189_windowed_distinct")
+        "q189_windowed_distinct",
+        // round 7p: clipped bigram precision over ×20 documents — two
+        // (id, gram) partial counts + one keyed join, linear in tokens
+        "q190_ngram_precision")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -236,6 +236,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(supported == Set(("a", "b", 2L)))
   }
 
+  test("ngramPrecision: clipping caps repeated matches at the reference " +
+      "count; missing reference scores 0; identity scores 1") {
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "alpha beta gamma"),
+      (3L, "short")
+    ).toDF("doc_id", "text")
+    val cand = Seq(
+      // "the cat" x2 but the reference has it once -> clipped to 1.
+      // bigrams: [the cat, cat the, the cat, cat sat] -> n_cand=4,
+      // clipped: the cat=min(2,1)=1, cat the=0, cat sat=1 -> 2/4
+      (1L, "the cat the cat sat"),
+      (2L, "alpha beta gamma"),            // identity -> 1.0
+      (4L, "no reference here at all")     // no ref row -> 0
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.ngramPrecision(cand, ref, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((4L, 2L, 500000L)), out.toString)
+    assert(out(2L) == ((2L, 2L, 1000000L)))
+    assert(out(4L)._2 == 0L && out(4L)._3 == 0L)
+    assert(!out.contains(3L)) // reference-only docs produce no row
+  }
+
   test("dataCard: duplicates are charged corpus-wide (cross-slice copies " +
       "count in BOTH slices), shares are exact ppm") {
     val df = Seq(
