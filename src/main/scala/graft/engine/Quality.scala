@@ -224,6 +224,42 @@ object Quality {
       .drop("__gn")
   }
 
+  /** Ranking AUC (the Mann-Whitney U statistic with the standard ½-credit
+    * for ties) of a score column against a boolean label, per group — the
+    * did-the-quality-score-actually-rank-the-labels eval for classifier
+    * and heuristic scores. Ships EXACT integers:
+    * `auc = auc_num / auc_den` with `auc_num = 2U = 2·(#concordant
+    * pos>neg pairs) + #tied pairs` and `auc_den = 2·n_pos·n_neg` — no
+    * division runs, so the row replays bit-exactly in any engine and a
+    * degenerate group (no positives or no negatives) ships den = 0
+    * instead of an error.
+    *
+    * Shape at scale: rows collapse FIRST to per-(group, distinct score)
+    * counts, then ONE ordered window per group accumulates negatives
+    * strictly below each score — window state is |distinct scores| per
+    * group, never |rows|. Null scores/labels drop (no evidence). */
+  def rankingAuc(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+                 labelCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "rankingAuc needs at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val byScore = df.na.drop(Seq(scoreCol, labelCol))
+      .groupBy(groupCols.map(col) :+ col(scoreCol).as("__s"): _*)
+      .agg(sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("__p"),
+        sum(when(col(labelCol).cast("boolean"), 0L).otherwise(1L))
+          .as("__n"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("__cumn", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__p")).as("n_pos"),
+        sum(col("__n")).as("n_neg"),
+        sum(col("__p") * lit(2L) * col("__cumn") +
+          col("__p") * col("__n")).as("auc_num"))
+      .withColumn("auc_den", lit(2L) * col("n_pos") * col("n_neg"))
+  }
+
   /** Cohen's kappa (Cohen 1960) for two categorical label columns —
     * inter-annotator agreement, the label-quality gate for supervised
     * training data. One row out:

@@ -1802,6 +1802,16 @@ object ExtendedQueries {
         docs.select(col("doc_id"), col("text")), "doc_id", "text", n = 2)
     }),
 
+    // ── exact ranking AUC per source: does document LENGTH rank the
+    //    English label? Mann-Whitney with ½-tie credit as integer
+    //    num/den — a pure function of (score, label) pairs ──
+    "q191_ranking_auc" -> ((s, dir) =>
+      graft.engine.Quality.rankingAuc(
+        Td(s, dir, "documents")
+          .withColumn("is_en", col("lang") === "en"),
+        Seq("source"), "n_chars", "is_en")
+        .orderBy(col("source"))),
+
     // ── Cohen's kappa between the corpus language labels and a
     //    deterministically corrupted copy (20% of docs by salted md5
     //    flip to 'zz') — inter-annotator agreement with the kappa ratio
@@ -3639,6 +3649,27 @@ object ExtendedQueries {
          |  ON cc.doc_id = rc.doc_id AND cc.gram = rc.gram
          |GROUP BY 1""".stripMargin
     },
+
+    // q191: per-(source, distinct length) counts, cumulative negatives
+    // strictly below via an ordered ROWS window, then the 2U algebra —
+    // all integers, no division
+    "q191_ranking_auc" ->
+      """WITH d AS (SELECT source, n_chars AS s, (lang = 'en') AS y
+        |           FROM documents),
+        |bs AS (SELECT source, s,
+        |         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n
+        |       FROM d GROUP BY 1, 2),
+        |c AS (SELECT source, s, p, n,
+        |        COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cumn
+        |      FROM bs)
+        |SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+        |  CAST(SUM(n) AS BIGINT) AS n_neg,
+        |  CAST(SUM(p * 2 * cumn + p * n) AS BIGINT) AS auc_num,
+        |  CAST(2 * SUM(p) * SUM(n) AS BIGINT) AS auc_den
+        |FROM c GROUP BY 1 ORDER BY source""".stripMargin,
 
     // q188: contingency algebra replayed with HUGEINT products; kappa
     // ships as numerator/denominator so no signed division is performed

@@ -318,7 +318,10 @@ object ScaleSweep {
         "q189_windowed_distinct",
         // round 7p: clipped bigram precision over ×20 documents — two
         // (id, gram) partial counts + one keyed join, linear in tokens
-        "q190_ngram_precision")
+        "q190_ngram_precision",
+        // round 7q: exact ranking AUC over ×20 documents — window state
+        // is |distinct scores| per group after the first collapse
+        "q191_ranking_auc")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

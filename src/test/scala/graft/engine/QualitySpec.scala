@@ -129,6 +129,32 @@ class QualitySpec extends SparkSpec {
     assert(out(2).getAs[String]("status") == "Match")
   }
 
+  test("rankingAuc: hand-computed U with ties; perfect and reversed " +
+      "rankings; degenerate one-class group ships den = 0") {
+    import spark.implicits._
+    // group g: scores/labels (1,-), (2,+), (2,-), (3,+)
+    // pairs (pos, neg): (2+,1-)>, (2+,2-)=, (3+,1-)>, (3+,2-)> ->
+    // U = 3 + 0.5 = 3.5 -> num = 7, den = 2*2*2 = 8
+    val df = Seq(("g", 1.0, false), ("g", 2.0, true), ("g", 2.0, false),
+      ("g", 3.0, true)).toDF("grp", "s", "y")
+    val r = Quality.rankingAuc(df, Seq("grp"), "s", "y").head()
+    assert((r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+      r.getAs[Long]("auc_num"), r.getAs[Long]("auc_den")) == ((2L, 2L, 7L, 8L)))
+    // perfect: every positive above every negative -> num == den
+    val perfect = Quality.rankingAuc(Seq(("g", 1.0, false), ("g", 2.0, false),
+      ("g", 3.0, true), ("g", 4.0, true)).toDF("grp", "s", "y"),
+      Seq("grp"), "s", "y").head()
+    assert(perfect.getAs[Long]("auc_num") == perfect.getAs[Long]("auc_den"))
+    // reversed -> num == 0
+    val rev = Quality.rankingAuc(Seq(("g", 9.0, false), ("g", 1.0, true))
+      .toDF("grp", "s", "y"), Seq("grp"), "s", "y").head()
+    assert(rev.getAs[Long]("auc_num") == 0L)
+    // one-class group: den = 0, no division ran
+    val one = Quality.rankingAuc(Seq(("g", 1.0, true), ("g", 2.0, true))
+      .toDF("grp", "s", "y"), Seq("grp"), "s", "y").head()
+    assert(one.getAs[Long]("auc_den") == 0L)
+  }
+
   test("cohenKappa: textbook contingency, perfect agreement, " +
       "worse-than-chance negative numerator, null labels drop") {
     import spark.implicits._
