@@ -260,6 +260,32 @@ object Quality {
       .withColumn("auc_den", lit(2L) * col("n_pos") * col("n_neg"))
   }
 
+  /** Calibration-bin evidence (the reliability-diagram table): scores in
+    * integer ppm [0, 1e6] bucket into `bins` equal-width bins; each bin
+    * reports its population, positive count, and score mass — enough to
+    * compare predicted probability (sum_score_ppm / n) against observed
+    * rate (n_pos / n) per bin, and to compute ECE downstream, all without
+    * performing a division in-engine. `bins` must divide 1e6 so the bin
+    * boundary arithmetic is exact integral division in any engine; the
+    * top boundary (exactly 1e6) folds into the last bin. One partial
+    * aggregate; state = `bins` rows per group-less call. */
+  def calibrationBins(df: DataFrame, scorePpmCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && 1000000 % bins == 0,
+      s"bins must divide 1e6, got $bins")
+    val width = 1000000 / bins
+    df.na.drop(Seq(scorePpmCol, labelCol))
+      // integral `div`, not `/` (which is DOUBLE division on longs)
+      .select(least(expr(s"CAST(`$scorePpmCol` AS BIGINT) div $width"),
+          lit(bins - 1L)).as("bin"),
+        col(labelCol).cast("boolean").as("__y"),
+        col(scorePpmCol).cast("long").as("__s"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__s")).as("sum_score_ppm"))
+  }
+
   /** Cohen's kappa (Cohen 1960) for two categorical label columns —
     * inter-annotator agreement, the label-quality gate for supervised
     * training data. One row out:

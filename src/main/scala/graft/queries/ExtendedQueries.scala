@@ -1802,6 +1802,19 @@ object ExtendedQueries {
         docs.select(col("doc_id"), col("text")), "doc_id", "text", n = 2)
     }),
 
+    // ── calibration bins for a deterministic length-based pseudo-score
+    //    against the English label: per decile bin, the population,
+    //    positives, and score mass — the reliability-diagram evidence,
+    //    shipped division-free ──
+    "q192_calibration_bins" -> ((s, dir) =>
+      graft.engine.Quality.calibrationBins(
+        Td(s, dir, "documents")
+          .withColumn("score_ppm",
+            least(col("n_chars") * lit(1000L), lit(1000000L)))
+          .withColumn("is_en", col("lang") === "en"),
+        "score_ppm", "is_en", bins = 10)
+        .orderBy(col("bin"))),
+
     // ── exact ranking AUC per source: does document LENGTH rank the
     //    English label? Mann-Whitney with ½-tie credit as integer
     //    num/den — a pure function of (score, label) pairs ──
@@ -3649,6 +3662,19 @@ object ExtendedQueries {
          |  ON cc.doc_id = rc.doc_id AND cc.gram = rc.gram
          |GROUP BY 1""".stripMargin
     },
+
+    // q192: decile binning by exact integral division (top boundary folds
+    // into the last bin), then one aggregate — no division anywhere
+    "q192_calibration_bins" ->
+      """WITH d AS (SELECT LEAST(CAST(LEAST(n_chars * 1000, 1000000)
+        |                 AS BIGINT) // 100000, 9) AS bin,
+        |         (lang = 'en') AS y,
+        |         CAST(LEAST(n_chars * 1000, 1000000) AS BIGINT) AS s
+        |       FROM documents)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(SUM(s) AS BIGINT) AS sum_score_ppm
+        |FROM d GROUP BY 1 ORDER BY bin""".stripMargin,
 
     // q191: per-(source, distinct length) counts, cumulative negatives
     // strictly below via an ordered ROWS window, then the 2U algebra —

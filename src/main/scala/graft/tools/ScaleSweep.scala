@@ -321,7 +321,9 @@ object ScaleSweep {
         "q190_ngram_precision",
         // round 7q: exact ranking AUC over ×20 documents — window state
         // is |distinct scores| per group after the first collapse
-        "q191_ranking_auc")
+        "q191_ranking_auc",
+        // round 7r: calibration bins — one partial aggregate, 10 rows out
+        "q192_calibration_bins")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

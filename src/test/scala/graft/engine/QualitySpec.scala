@@ -129,6 +129,23 @@ class QualitySpec extends SparkSpec {
     assert(out(2).getAs[String]("status") == "Match")
   }
 
+  test("calibrationBins: exact decile assignment, top boundary folds " +
+      "into the last bin, sums are exact") {
+    import spark.implicits._
+    val df = Seq((0L, false), (99999L, false), (100000L, true),
+      (999999L, true), (1000000L, true)).toDF("s", "y")
+    val out = Quality.calibrationBins(df, "s", "y", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((2L, 0L, 99999L)))       // 0 and 99999
+    assert(out(1L) == ((1L, 1L, 100000L)))      // exact lower boundary
+    assert(out(9L) == ((2L, 2L, 1999999L)))     // 999999 + folded 1e6
+    assert(out.size == 3)
+    intercept[IllegalArgumentException] {
+      Quality.calibrationBins(df, "s", "y", bins = 7) // 7 does not divide 1e6
+    }
+  }
+
   test("rankingAuc: hand-computed U with ties; perfect and reversed " +
       "rankings; degenerate one-class group ships den = 0") {
     import spark.implicits._
