@@ -1802,6 +1802,54 @@ object ExtendedQueries {
         docs.select(col("doc_id"), col("text")), "doc_id", "text", n = 2)
     }),
 
+    // ── the NIGHTLY MAINTENANCE capstone, composing the round's tier end
+    //    to end: day-0 publish (range-clustered fact + dim) with ANALYZE
+    //    and skipping artifacts; the nightly batch lands via
+    //    appendAnalyzed (stats maintained, not re-scanned),
+    //    refreshSkippingIndexes registers exactly the new files,
+    //    compactSkippingManifests collapses the manifests; then the serve
+    //    join is RAIL-GUARDED (requireJoinBounded proves the bound from
+    //    the maintained stats — the estimate itself is oracle-visible,
+    //    pinned to the full-corpus CMS formula because maintained ≡
+    //    re-analyze exactly) and reads through the refreshed zone map ──
+    "q193_nightly_maintenance" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-nightly").toString)
+      val li = Td(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      wh.publish(li.filter(col("l_orderkey") % 7 =!= 0)
+        .repartitionByRange(8, col("l_orderkey")), "fact")
+      wh.analyzeSketches("fact", Seq("l_orderkey"), depth = 4, width = 4096)
+      wh.buildZoneMap("fact", Seq("l_orderkey"))
+      // widened like the fact side: a one-file dim would run its ANALYZE
+      // sketch scan single-task
+      wh.publish(Td(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .repartition(8, col("o_orderkey")), "dim")
+      wh.analyzeSketches("dim", Seq("o_orderkey"), depth = 4, width = 4096)
+      // the nightly batch: maintained stats + refreshed skipping
+      wh.appendAnalyzed(li.filter(col("l_orderkey") % 7 === 0), "fact",
+        Seq("l_orderkey"))
+      wh.refreshSkippingIndexes("fact")
+      wh.compactSkippingManifests("fact")
+      // the CMS one-sided error is ~|fact|·|dim|/width, so a rail bound
+      // must budget for the geometry's resolution — 1e10 holds from
+      // sf0.001 through the x20 sweep while still refusing a key collapse
+      // (a single-key fact estimates at |fact|·|dim| = well past 1e10)
+      val est = graft.engine.JoinPolicy.requireJoinBounded(wh,
+        "fact", "l_orderkey", "dim", "o_orderkey", maxRows = 10000000000L)
+      wh.readZonePruned("fact", "l_orderkey", 100L, 5000L)
+        .join(graft.engine.JoinPolicy.broadcastIfSmall(wh.read("dim")
+          .withColumnRenamed("o_orderkey", "l_orderkey")), Seq("l_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_qty"))
+        .withColumn("est_join_rows", lit(est))
+        .orderBy(col("o_year"))
+    }),
+
     // ── calibration bins for a deterministic length-based pseudo-score
     //    against the English label: per decile bin, the population,
     //    positives, and score mass — the reliability-diagram evidence,
@@ -3662,6 +3710,38 @@ object ExtendedQueries {
          |  ON cc.doc_id = rc.doc_id AND cc.gram = rc.gram
          |GROUP BY 1""".stripMargin
     },
+
+    // q193: the serve join replays as the plain predicate+join+aggregate
+    // (pruning never changes semantics; maintained stats ≡ re-analyze
+    // makes the rail's estimate the q167 CMS formula over the FULL fact)
+    "q193_nightly_maintenance" ->
+      """WITH rws(r) AS (VALUES (0), (1), (2), (3)),
+        |fa AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+        |ob AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+        |ca AS (SELECT r,
+        |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || k),
+        |                         1, 8)) AS BIGINT) % 4096 AS b,
+        |    COUNT(*) AS c
+        |  FROM fa, rws GROUP BY 1, 2),
+        |cb AS (SELECT r,
+        |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || k),
+        |                         1, 8)) AS BIGINT) % 4096 AS b,
+        |    COUNT(*) AS c
+        |  FROM ob, rws GROUP BY 1, 2),
+        |dots AS (SELECT ca.r, SUM(ca.c * cb.c) AS d
+        |         FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b
+        |         GROUP BY ca.r),
+        |est AS (SELECT CAST(MIN(d) AS BIGINT) AS est_join_rows FROM dots)
+        |SELECT CAST(year(CAST(o.o_orderdate AS TIMESTAMP)) AS INTEGER)
+        |         AS o_year,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       est.est_join_rows
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |     CROSS JOIN est
+        |WHERE l.l_orderkey BETWEEN 100 AND 5000
+        |GROUP BY 1, est.est_join_rows ORDER BY o_year""".stripMargin,
 
     // q192: decile binning by exact integral division (top boundary folds
     // into the last bin), then one aggregate — no division anywhere

@@ -323,7 +323,11 @@ object ScaleSweep {
         // is |distinct scores| per group after the first collapse
         "q191_ranking_auc",
         // round 7r: calibration bins — one partial aggregate, 10 rows out
-        "q192_calibration_bins")
+        "q192_calibration_bins",
+        // round 7s: the nightly maintenance capstone at ×10 — publish,
+        // ANALYZE-maintained append, skipping refresh+compact, rail-
+        // guarded pruned serve join
+        "q193_nightly_maintenance")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
