@@ -36,6 +36,21 @@ object Sampling {
   def hashBucket(id: Column, salt: String, buckets: Int): Column =
     hashWord(id, salt) % buckets
 
+  /** Driver-side twin of [[hashWord]]/[[hashBucket]] for literal values —
+    * used when a query-sized list must be mapped to its hash partitions
+    * without running a job (e.g. [[TextIndex.searchAll]]'s term→bucket
+    * routing). Bit-identical to the Column form: first 4 md5 bytes of
+    * `"salt|id"` big-endian as an unsigned 32-bit value. */
+  def hashWordOf(id: String, salt: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt|$id".getBytes("UTF-8"))
+    ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+      ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+  }
+
+  def hashBucketOf(id: String, salt: String, buckets: Int): Long =
+    hashWordOf(id, salt) % buckets
+
   /** Fraction resolution: rates are exact multiples of 1e-6, so the
     * bucket-vs-threshold comparison is integer-exact in every engine (a
     * raw `fraction * buckets` double literal could round differently). */

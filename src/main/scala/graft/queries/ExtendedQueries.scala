@@ -1802,6 +1802,21 @@ object ExtendedQueries {
         docs.select(col("doc_id"), col("text")), "doc_id", "text", n = 2)
     }),
 
+    // ── persistent inverted text index (the full-text sibling of q88's
+    //    IVF layout): postings publish partitioned by token-hash bucket,
+    //    a conjunctive search reads ONLY the query terms' partitions and
+    //    must return exactly the docs containing ALL terms ──
+    "q194_text_search" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-tix").toString)
+      graft.operators.TextIndex.build(wh,
+        Td(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", "tix", nBuckets = 64)
+      graft.operators.TextIndex.searchAll(wh, Seq("merge", "vector"),
+        "tix", nBuckets = 64).orderBy(col("doc_id"))
+    }),
+
     // ── the NIGHTLY MAINTENANCE capstone, composing the round's tier end
     //    to end: day-0 publish (range-clustered fact + dim) with ANALYZE
     //    and skipping artifacts; the nightly batch lands via
@@ -3710,6 +3725,15 @@ object ExtendedQueries {
          |  ON cc.doc_id = rc.doc_id AND cc.gram = rc.gram
          |GROUP BY 1""".stripMargin
     },
+
+    // q194: AND-of-terms containment over the same tokenizer — the index
+    // is a layout, never a semantics change
+    "q194_text_search" ->
+      s"""WITH tok AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks
+         |            FROM documents)
+         |SELECT doc_id FROM tok
+         |WHERE list_has_all(toks, ['merge', 'vector'])
+         |ORDER BY doc_id""".stripMargin,
 
     // q193: the serve join replays as the plain predicate+join+aggregate
     // (pruning never changes semantics; maintained stats ≡ re-analyze

@@ -327,7 +327,10 @@ object ScaleSweep {
         // round 7s: the nightly maintenance capstone at ×10 — publish,
         // ANALYZE-maintained append, skipping refresh+compact, rail-
         // guarded pruned serve join
-        "q193_nightly_maintenance")
+        "q193_nightly_maintenance",
+        // round 7t: inverted text index over ×20 documents — build is
+        // one posting publish, search reads only the terms' buckets
+        "q194_text_search")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.engine.Warehouse
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWh =
+    new Warehouse(spark, Files.createTempDirectory("tix").toString)
+
+  private def allNodes(plan: SparkPlan): Seq[SparkPlan] = {
+    val children = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case p                        => p.children
+    }
+    plan +: children.flatMap(allNodes)
+  }
+
+  test("driver-side hash twin equals the Column hash for every token") {
+    val toks = Seq("alpha", "beta", "the", "zebra", "q", "42")
+    val viaCol = toks.toDF("t")
+      .select(col("t"), Sampling.hashBucket(col("t"), "tix", 64).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    toks.foreach { t =>
+      assert(Sampling.hashBucketOf(t, "tix", 64) == viaCol(t), t)
+    }
+  }
+
+  test("conjunctive search returns exactly the docs containing ALL terms, " +
+      "case-insensitively, and the scan is partition-pruned") {
+    val wh = freshWh
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick red fox"),
+      (3L, "quick foxes everywhere"),
+      (4L, "The QUICK brown FOX jumps"),
+      (5L, "nothing relevant")
+    ).toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tix", nBuckets = 16)
+    val out = TextIndex.searchAll(wh, Seq("quick", "FOX"), "tix",
+      nBuckets = 16)
+    assert(out.as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // single term
+    assert(TextIndex.searchAll(wh, Seq("brown"), "tix", nBuckets = 16)
+      .as[Long].collect().toSet == Set(1L, 4L))
+    // duplicate query terms collapse (not double-counted)
+    assert(TextIndex.searchAll(wh, Seq("quick", "quick", "fox"), "tix",
+      nBuckets = 16).as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // absent term -> empty
+    assert(TextIndex.searchAll(wh, Seq("quick", "unicorn"), "tix",
+      nBuckets = 16).count() == 0)
+    // the posting scan lists at most |terms| of the 16 bucket partitions
+    out.collect()
+    val scan = allNodes(out.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.partitionSchema.fieldNames.contains("bucket") => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    assert(scan.selectedPartitions.partitionCount <= 2,
+      s"scanned ${scan.selectedPartitions.partitionCount} of 16 buckets")
+  }
+
+  test("rebuild is an atomic publish: searches never mix generations") {
+    val wh = freshWh
+    TextIndex.build(wh, Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text", "tix2", nBuckets = 4)
+    assert(TextIndex.searchAll(wh, Seq("alpha"), "tix2", nBuckets = 4)
+      .count() == 1)
+    TextIndex.build(wh, Seq((2L, "alpha gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", "tix2", nBuckets = 4)
+    assert(TextIndex.searchAll(wh, Seq("alpha"), "tix2", nBuckets = 4)
+      .as[Long].collect().toSeq == Seq(2L))
+  }
+}
