@@ -38,6 +38,24 @@ object TextIndex {
     wh.publish(postings, name, partitionCols = Seq("bucket"))
   }
 
+  /** Incremental maintenance: index a batch of NEW documents without a
+    * rebuild — postings append partition-aligned into the existing
+    * bucket tree (the same frozen hash routes them), so a search that
+    * starts after the append sees old and new documents identically.
+    * Re-indexing CHANGED documents needs a rebuild (or a doc-id
+    * tombstone layer this index deliberately does not have) — the same
+    * contract as [[IvfIndex.append]]'s frozen quantizers. */
+  def append(wh: Warehouse, newDocs: DataFrame, idCol: String,
+             textCol: String, name: String = "text_index",
+             nBuckets: Int = 64): Unit = {
+    val postings = newDocs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol))))
+          .as("token"))
+      .withColumn("bucket",
+        Sampling.hashBucket(col("token"), "tix", nBuckets).cast("int"))
+    wh.append(postings, name)
+  }
+
   /** Conjunctive search: documents containing ALL `terms`. The term list
     * is a query-sized driver literal (same contract as [[IvfIndex]]'s
     * probe cells): its buckets reach the scan as a static

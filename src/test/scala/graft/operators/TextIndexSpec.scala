@@ -66,6 +66,24 @@ class TextIndexSpec extends SparkSpec {
       s"scanned ${scan.selectedPartitions.partitionCount} of 16 buckets")
   }
 
+  test("incremental append: new docs searchable through the same frozen " +
+      "hash routing, partitions stay bucket-aligned") {
+    val wh = freshWh
+    TextIndex.build(wh, Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tix3", nBuckets = 8)
+    TextIndex.append(wh, Seq((3L, "alpha gamma"), (4L, "delta"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tix3", nBuckets = 8)
+    // searches see both generations identically
+    assert(TextIndex.searchAll(wh, Seq("alpha"), "tix3", nBuckets = 8)
+      .as[Long].collect().toSet == Set(1L, 3L))
+    assert(TextIndex.searchAll(wh, Seq("gamma"), "tix3", nBuckets = 8)
+      .as[Long].collect().toSet == Set(2L, 3L))
+    assert(TextIndex.searchAll(wh, Seq("delta"), "tix3", nBuckets = 8)
+      .as[Long].collect().toSet == Set(4L))
+    // the appended postings landed inside the hive bucket tree
+    assert(wh.partitioningOf("tix3") == Seq("bucket"))
+  }
+
   test("rebuild is an atomic publish: searches never mix generations") {
     val wh = freshWh
     TextIndex.build(wh, Seq((1L, "alpha beta")).toDF("doc_id", "text"),
