@@ -24,15 +24,23 @@ object TextIndex {
     * search side must hash the same strings the build side stored. */
   private def normTerm(t: String): String = t.trim.toLowerCase
 
-  /** Build: distinct (doc, token) postings partitioned by token-hash
-    * bucket, published atomically. Returns the version id. */
+  /** Build: (doc, token, tf) postings — one row per distinct doc-token
+    * pair carrying its term frequency — partitioned by token-hash
+    * bucket, published atomically WITH a `<name>_doclen` companion
+    * (doc_id, dl) so ranked retrieval needs nothing beyond the index.
+    * Returns the posting table's version id. */
   def build(wh: Warehouse, corpus: DataFrame, idCol: String,
             textCol: String, name: String = "text_index",
             nBuckets: Int = 64): String = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
-    val postings = corpus.select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextFunctions.tokens(col(textCol))))
-          .as("token"))
+    val toks = corpus.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    wh.publish(toks.select(col("doc_id"),
+        size(col("__toks")).cast("long").as("dl")), s"${name}_doclen")
+    val postings = toks
+      .select(col("doc_id"), explode(col("__toks")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
       .withColumn("bucket",
         Sampling.hashBucket(col("token"), "tix", nBuckets).cast("int"))
     wh.publish(postings, name, partitionCols = Seq("bucket"))
@@ -48,12 +56,70 @@ object TextIndex {
   def append(wh: Warehouse, newDocs: DataFrame, idCol: String,
              textCol: String, name: String = "text_index",
              nBuckets: Int = 64): Unit = {
-    val postings = newDocs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextFunctions.tokens(col(textCol))))
-          .as("token"))
+    val toks = newDocs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    wh.append(toks.select(col("doc_id"),
+      size(col("__toks")).cast("long").as("dl")), s"${name}_doclen")
+    val postings = toks
+      .select(col("doc_id"), explode(col("__toks")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
       .withColumn("bucket",
         Sampling.hashBucket(col("token"), "tix", nBuckets).cast("int"))
     wh.append(postings, name)
+  }
+
+  /** Ranked retrieval FROM the index: BM25 top-k over the query terms'
+    * postings only — tf rides the posting row, df is each term's exact
+    * posting count, N/avgdl come from the doclen companion, and the
+    * quantized scoring (milli-nat idf, milli contributions) is
+    * arithmetic-identical to [[CorpusStats.bm25TopK]], so index-backed
+    * and scan-backed retrieval return THE SAME rows. The corpus-sized
+    * side is touched exactly once (the doclen join); everything else is
+    * bounded by Σ df(term). */
+  def searchRanked(wh: Warehouse, terms: Seq[String],
+                   name: String = "text_index", nBuckets: Int = 64,
+                   k: Int = 10, k1: Double = 1.2,
+                   b: Double = 0.75): DataFrame = {
+    import graft.functions.TopKAggregate
+    val toks = terms.map(normTerm).distinct
+    require(toks.nonEmpty && toks.forall(_.nonEmpty),
+      s"searchRanked needs non-blank terms, got $terms")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val buckets = toks
+      .map(t => Sampling.hashBucketOf(t, "tix", nBuckets).toInt).distinct
+    val posts = graft.engine.Exec.materialize(
+      wh.read(name)
+        .filter(col("bucket").isin(buckets: _*) &&
+          col("token").isin(toks: _*))
+        .select(col("doc_id"), col("token"), col("tf")))
+    val dfs = posts.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val dl = wh.read(s"${name}_doclen")
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      sum(col("dl")).as("__sumdl"))
+    val small = posts.join(broadcast(dfs), Seq("token"))
+      .crossJoin(broadcast(stats))
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val idfQ = floor(lit(1000.0) * log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)).cast("double") /
+        (col("__df") + lit(0.5)).cast("double")) + lit(0.5)).cast("long")
+    val tf = col("tf").cast("double")
+    val contribQ = floor(idfQ.cast("double") * (tf * (k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double")
+        / avgdl)) * lit(1000.0) + lit(0.5)).cast("long")
+    dl.join(graft.engine.JoinPolicy.broadcastIfSmall(small), Seq("doc_id"))
+      .withColumn("__contrib", contribQ)
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("__contrib")).as("score_q"))
+      .filter(col("score_q") > 0)
+      .groupBy()
+      .agg(TopKAggregate.topKStructs(
+        struct(col("score_q"), col("doc_id"), col("dl")), k,
+        desc = Seq(false, true)).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score_q").as("score_q"), col("col.dl").as("dl"))
   }
 
   /** Conjunctive search: documents containing ALL `terms`. The term list

@@ -1817,6 +1817,22 @@ object ExtendedQueries {
         "tix", nBuckets = 64).orderBy(col("doc_id"))
     }),
 
+    // ── ranked retrieval FROM the persisted index: BM25 computed from
+    //    the query terms' postings + the doclen companion — arithmetic-
+    //    identical to the q123 corpus-scan BM25, so the oracle is the
+    //    SAME replay; only the access path changed (pruned posting scan
+    //    + one doclen join instead of a full corpus tf scan) ──
+    "q195_text_search_ranked" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-tixr").toString)
+      graft.operators.TextIndex.build(wh,
+        Td(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", "tix", nBuckets = 64)
+      graft.operators.TextIndex.searchRanked(wh,
+        Seq("spark", "join", "vector"), "tix", nBuckets = 64, k = 20)
+    }),
+
     // ── the NIGHTLY MAINTENANCE capstone, composing the round's tier end
     //    to end: day-0 publish (range-clustered fact + dim) with ANALYZE
     //    and skipping artifacts; the nightly batch lands via
@@ -3725,6 +3741,10 @@ object ExtendedQueries {
          |  ON cc.doc_id = rc.doc_id AND cc.gram = rc.gram
          |GROUP BY 1""".stripMargin
     },
+
+    // q195: the q123 BM25 replay verbatim — the index changes the access
+    // path, never the arithmetic
+    "q195_text_search_ranked" -> bm25Sql(20),
 
     // q194: AND-of-terms containment over the same tokenizer — the index
     // is a layout, never a semantics change

@@ -329,8 +329,9 @@ object ScaleSweep {
         // guarded pruned serve join
         "q193_nightly_maintenance",
         // round 7t: inverted text index over ×20 documents — build is
-        // one posting publish, search reads only the terms' buckets
-        "q194_text_search")
+        // one posting publish, search reads only the terms' buckets;
+        // ranked retrieval adds one doclen join, Σdf-bounded otherwise
+        "q194_text_search", "q195_text_search_ranked")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -84,6 +84,25 @@ class TextIndexSpec extends SparkSpec {
     assert(wh.partitioningOf("tix3") == Seq("bucket"))
   }
 
+  test("searchRanked from the index equals the corpus-scan bm25TopK " +
+      "row for row (same quantized arithmetic, different access path)") {
+    val wh = freshWh
+    val rnd = new scala.util.Random(17)
+    val vocab = Seq("spark", "join", "vector", "table", "row", "scan",
+      "fast", "slow")
+    val docs = (1L to 200L).map { i =>
+      (i, Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tixr", nBuckets = 16)
+    val viaIndex = TextIndex.searchRanked(wh, Seq("spark", "vector"),
+      "tixr", nBuckets = 16, k = 10).collect().map(_.toSeq).toSeq
+    val viaScan = CorpusStats.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "vector"), k = 10).collect().map(_.toSeq).toSeq
+    assert(viaIndex == viaScan)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("rebuild is an atomic publish: searches never mix generations") {
     val wh = freshWh
     TextIndex.build(wh, Seq((1L, "alpha beta")).toDF("doc_id", "text"),
