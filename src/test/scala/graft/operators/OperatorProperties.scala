@@ -662,6 +662,56 @@ object OperatorProperties extends Properties("graft.operators") {
       got == expect
     }
 
+  private val aucCase = Gen.nonEmptyListOf(for {
+    g <- Gen.oneOf("g1", "g2")
+    s <- Gen.choose(0, 6) // small score domain forces ties
+    y <- Gen.oneOf(true, false)
+  } yield (g, s.toDouble, y))
+
+  property("rankingAuc equals the brute-force pairwise 2U count") =
+    Prop.forAll(aucCase) { rows =>
+      val got = graft.engine.Quality.rankingAuc(rows.toDF("g", "s", "y"),
+          Seq("g"), "s", "y")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      rows.groupBy(_._1).forall { case (g, v) =>
+        val pos = v.filter(_._3).map(_._2)
+        val neg = v.filterNot(_._3).map(_._2)
+        val twoU = pos.flatMap(p => neg.map(n =>
+          if (p > n) 2L else if (p == n) 1L else 0L)).sum
+        got(g) == ((pos.size.toLong, neg.size.toLong, twoU,
+          2L * pos.size * neg.size))
+      }
+    }
+
+  private val ngpCase = for {
+    vocab <- Gen.const(Seq("a", "b", "c", "d"))
+    docs <- Gen.nonEmptyListOf(for {
+      id <- Gen.choose(0L, 5L)
+      cw <- Gen.listOfN(6, Gen.oneOf(vocab))
+      rw <- Gen.listOfN(6, Gen.oneOf(vocab))
+    } yield (id, cw.mkString(" "), rw.mkString(" ")))
+  } yield docs.groupBy(_._1).map(_._2.head).toSeq // one row per id
+
+  property("ngramPrecision equals the brute-force clipped-count formula") =
+    Prop.forAll(ngpCase) { docs =>
+      val cand = docs.map(d => (d._1, d._2)).toDF("id", "text")
+      val ref = docs.map(d => (d._1, d._3)).toDF("id", "text")
+      val got = CorpusStats.ngramPrecision(cand, ref, "id", "text", n = 2)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      def bigrams(t: String) =
+        t.split(" ").toSeq.sliding(2).map(_.mkString(" ")).toSeq
+      docs.forall { case (id, c, r) =>
+        val cb = bigrams(c).groupBy(identity).view.mapValues(_.size)
+        val rb = bigrams(r).groupBy(identity).view.mapValues(_.size)
+        val nCand = cb.values.sum.toLong
+        val clipped = cb.map { case (g, n) =>
+          math.min(n, rb.getOrElse(g, 0)).toLong }.sum
+        got(id) == ((nCand, clipped, 1000000L * clipped / nCand))
+      }
+    }
+
   property("balancedPermutation is a deterministic permutation matrix") =
     Prop.forAll(permCase) { sample =>
       val m1 = Similarity.balancedPermutation(sample, 16, 4)
