@@ -26,24 +26,30 @@ object TextIndex {
 
   /** Build: (doc, token, tf) postings — one row per distinct doc-token
     * pair carrying its term frequency — partitioned by token-hash
-    * bucket, published atomically WITH a `<name>_doclen` companion
-    * (doc_id, dl) so ranked retrieval needs nothing beyond the index.
-    * Returns the posting table's version id. */
+    * bucket, published atomically WITH a doclen companion (doc_id, dl)
+    * riding INSIDE the version dir (`_doclen`, underscore-invisible to
+    * posting scans, written before the manifest swap — the
+    * [[IvfIndex]] `_centroids` pattern), so postings and doc lengths
+    * become visible in the SAME atomic step and ranked retrieval can
+    * never pair one generation's postings with another's lengths.
+    * Returns the version id. */
   def build(wh: Warehouse, corpus: DataFrame, idCol: String,
             textCol: String, name: String = "text_index",
             nBuckets: Int = 64): String = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     val toks = corpus.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("__toks"))
-    wh.publish(toks.select(col("doc_id"),
-        size(col("__toks")).cast("long").as("dl")), s"${name}_doclen")
     val postings = toks
       .select(col("doc_id"), explode(col("__toks")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket",
         Sampling.hashBucket(col("token"), "tix", nBuckets).cast("int"))
-    wh.publish(postings, name, partitionCols = Seq("bucket"))
+    wh.publish(postings, name, partitionCols = Seq("bucket"),
+      beforeSwap = vdir =>
+        toks.select(col("doc_id"), size(col("__toks")).cast("long")
+            .as("dl"))
+          .write.parquet(s"$vdir/_doclen"))
   }
 
   /** Incremental maintenance: index a batch of NEW documents without a
@@ -58,8 +64,12 @@ object TextIndex {
              nBuckets: Int = 64): Unit = {
     val toks = newDocs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("__toks"))
-    wh.append(toks.select(col("doc_id"),
-      size(col("__toks")).cast("long").as("dl")), s"${name}_doclen")
+    // doclen rows FIRST, postings second: a crash between the two leaves
+    // extra doclen rows (N/avgdl marginally off until a rebuild) rather
+    // than postings whose documents are missing from the length table
+    toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"${wh.dataPath(name)}/_doclen")
     val postings = toks
       .select(col("doc_id"), explode(col("__toks")).as("token"))
       .groupBy(col("doc_id"), col("token"))
@@ -94,7 +104,7 @@ object TextIndex {
           col("token").isin(toks: _*))
         .select(col("doc_id"), col("token"), col("tf")))
     val dfs = posts.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    val dl = wh.read(s"${name}_doclen")
+    val dl = wh.spark.read.parquet(s"${wh.dataPath(name)}/_doclen")
     val stats = dl.agg(count(lit(1)).as("__n"),
       sum(col("dl")).as("__sumdl"))
     val small = posts.join(broadcast(dfs), Seq("token"))

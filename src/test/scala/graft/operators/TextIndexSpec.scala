@@ -82,6 +82,11 @@ class TextIndexSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(4L))
     // the appended postings landed inside the hive bucket tree
     assert(wh.partitioningOf("tix3") == Seq("bucket"))
+    // ranked retrieval sees the appended generation too (its doclen rows
+    // landed in the same version's _doclen companion)
+    val ranked = TextIndex.searchRanked(wh, Seq("gamma"), "tix3",
+      nBuckets = 8, k = 5).select("doc_id").as[Long].collect().toSet
+    assert(ranked == Set(2L, 3L), ranked.toString)
   }
 
   test("searchRanked from the index equals the corpus-scan bm25TopK " +
