@@ -40,9 +40,11 @@ object TextIndex {
     val toks = corpus.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("__toks"))
     val postings = toks
-      .select(col("doc_id"), explode(col("__toks")).as("token"))
+      .select(col("doc_id"),
+        posexplode(col("__toks")).as(Seq("__pos", "token")))
       .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("__pos"))).as("pos"))
       .withColumn("bucket",
         Sampling.hashBucket(col("token"), "tix", nBuckets).cast("int"))
     wh.publish(postings, name, partitionCols = Seq("bucket"),
@@ -71,9 +73,11 @@ object TextIndex {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"${wh.dataPath(name)}/_doclen")
     val postings = toks
-      .select(col("doc_id"), explode(col("__toks")).as("token"))
+      .select(col("doc_id"),
+        posexplode(col("__toks")).as(Seq("__pos", "token")))
       .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("__pos"))).as("pos"))
       .withColumn("bucket",
         Sampling.hashBucket(col("token"), "tix", nBuckets).cast("int"))
     wh.append(postings, name)
@@ -130,6 +134,41 @@ object TextIndex {
       .select(col("col.doc_id").as("doc_id"),
         (col("pos") + 1).cast("int").as("rank"),
         col("col.score_q").as("score_q"), col("col.dl").as("dl"))
+  }
+
+  /** Phrase search: documents containing `phrase`'s terms CONSECUTIVELY,
+    * resolved from the stored position lists — a rolling adjacency
+    * intersection: after step i, `__run` holds the positions where the
+    * first i+1 terms end as a contiguous run; each step is one doc-keyed
+    * join of Σdf-bounded posting frames and an array intersect (shift the
+    * run by one, meet the next term's positions). Repeated terms in the
+    * phrase are handled naturally by the position algebra. Same pruned
+    * access path as [[searchAll]]. */
+  def searchPhrase(wh: Warehouse, phrase: Seq[String],
+                   name: String = "text_index",
+                   nBuckets: Int = 64): DataFrame = {
+    val toks = phrase.map(normTerm)
+    require(toks.nonEmpty && toks.forall(_.nonEmpty),
+      s"searchPhrase needs non-blank terms, got $phrase")
+    val buckets = toks
+      .map(t => Sampling.hashBucketOf(t, "tix", nBuckets).toInt).distinct
+    val posts = graft.engine.Exec.materialize(
+      wh.read(name)
+        .filter(col("bucket").isin(buckets: _*) &&
+          col("token").isin(toks.distinct: _*))
+        .select(col("doc_id"), col("token"), col("pos")))
+    def postsOf(t: String, as: String) = posts
+      .filter(col("token") === lit(t))
+      .select(col("doc_id"), col("pos").as(as))
+    var cur = postsOf(toks.head, "__run")
+    toks.zipWithIndex.drop(1).foreach { case (t, i) =>
+      cur = cur.join(postsOf(t, s"__p$i"), Seq("doc_id"))
+        .select(col("doc_id"),
+          array_intersect(transform(col("__run"), x => x + 1),
+            col(s"__p$i")).as("__run"))
+        .filter(size(col("__run")) > 0)
+    }
+    cur.select(col("doc_id")).distinct()
   }
 
   /** Conjunctive search: documents containing ALL `terms`. The term list

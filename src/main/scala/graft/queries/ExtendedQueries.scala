@@ -1817,6 +1817,21 @@ object ExtendedQueries {
         "tix", nBuckets = 64).orderBy(col("doc_id"))
     }),
 
+    // ── phrase search from the stored positions: docs where the terms
+    //    appear CONSECUTIVELY — the rolling adjacency intersection over
+    //    Σdf-bounded posting frames; the oracle is token-space phrase
+    //    containment on the space-joined token string ──
+    "q196_text_search_phrase" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-tixp").toString)
+      graft.operators.TextIndex.build(wh,
+        Td(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", "tix", nBuckets = 64)
+      graft.operators.TextIndex.searchPhrase(wh, Seq("merge", "vector"),
+        "tix", nBuckets = 64).orderBy(col("doc_id"))
+    }),
+
     // ── ranked retrieval FROM the persisted index: BM25 computed from
     //    the query terms' postings + the doclen companion — arithmetic-
     //    identical to the q123 corpus-scan BM25, so the oracle is the
@@ -3745,6 +3760,16 @@ object ExtendedQueries {
     // q195: the q123 BM25 replay verbatim — the index changes the access
     // path, never the arithmetic
     "q195_text_search_ranked" -> bm25Sql(20),
+
+    // q196: token-space phrase containment — adjacency in positions ⟺
+    // the phrase appears in the space-joined token string
+    "q196_text_search_phrase" ->
+      s"""WITH tok AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks
+         |            FROM documents)
+         |SELECT doc_id FROM tok
+         |WHERE (' ' || array_to_string(toks, ' ') || ' ')
+         |      LIKE '% merge vector %'
+         |ORDER BY doc_id""".stripMargin,
 
     // q194: AND-of-terms containment over the same tokenizer — the index
     // is a layout, never a semantics change

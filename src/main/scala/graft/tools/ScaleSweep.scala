@@ -331,7 +331,8 @@ object ScaleSweep {
         // round 7t: inverted text index over ×20 documents — build is
         // one posting publish, search reads only the terms' buckets;
         // ranked retrieval adds one doclen join, Σdf-bounded otherwise
-        "q194_text_search", "q195_text_search_ranked")
+        "q194_text_search", "q195_text_search_ranked",
+        "q196_text_search_phrase")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -108,6 +108,30 @@ class TextIndexSpec extends SparkSpec {
     assert(viaIndex.nonEmpty)
   }
 
+  test("searchPhrase: adjacency from stored positions — order matters, " +
+      "repeated terms handled, AND-match without adjacency excluded") {
+    val wh = freshWh
+    val docs = Seq(
+      (1L, "merge the vector table"),       // "merge vector" NOT adjacent
+      (2L, "we merge vector columns"),      // adjacent
+      (3L, "vector merge again"),           // reversed order only
+      (4L, "a a b ends"),                   // repeated-term phrase target
+      (5L, "a b a starts")                  // "a a" not present
+    ).toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tixp", nBuckets = 8)
+    assert(TextIndex.searchPhrase(wh, Seq("merge", "vector"), "tixp",
+      nBuckets = 8).as[Long].collect().toSet == Set(2L))
+    assert(TextIndex.searchPhrase(wh, Seq("vector", "merge"), "tixp",
+      nBuckets = 8).as[Long].collect().toSet == Set(3L))
+    assert(TextIndex.searchPhrase(wh, Seq("a", "a"), "tixp",
+      nBuckets = 8).as[Long].collect().toSet == Set(4L))
+    assert(TextIndex.searchPhrase(wh, Seq("a", "b", "a"), "tixp",
+      nBuckets = 8).as[Long].collect().toSet == Set(5L))
+    // single-term phrase degenerates to containment
+    assert(TextIndex.searchPhrase(wh, Seq("vector"), "tixp",
+      nBuckets = 8).as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("rebuild is an atomic publish: searches never mix generations") {
     val wh = freshWh
     TextIndex.build(wh, Seq((1L, "alpha beta")).toDF("doc_id", "text"),
