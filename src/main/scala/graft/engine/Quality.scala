@@ -286,6 +286,31 @@ object Quality {
         sum(col("__s")).as("sum_score_ppm"))
   }
 
+  /** Precision-recall curve evidence: per score bin (descending — each
+    * row is the operating point "admit everything scoring in this bin or
+    * higher"), the cumulative true/false-positive counts and the global
+    * positive total. Precision = cum_tp/(cum_tp+cum_fp) and recall =
+    * cum_tp/total_pos compute downstream — in-engine the row is pure
+    * integers, so it replays bit-exactly anywhere. Bins follow the
+    * [[calibrationBins]] contract (equal width, `bins` divides 1e6, the
+    * 1e6 top boundary folds into the last bin); the cumulative window
+    * runs over at most `bins` pre-aggregated rows, never over raw rows. */
+  def prCurveEvidence(df: DataFrame, scorePpmCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBin = calibrationBins(df, scorePpmCol, labelCol, bins)
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byBin
+      .withColumn("cum_tp", sum(col("n_pos")).over(w))
+      .withColumn("cum_fp", sum(col("n") - col("n_pos")).over(w))
+      .withColumn("total_pos", sum(col("n_pos")).over(wAll))
+      .select(col("bin"), col("n"), col("n_pos"), col("cum_tp"),
+        col("cum_fp"), col("total_pos"))
+  }
+
   /** Cohen's kappa (Cohen 1960) for two categorical label columns —
     * inter-annotator agreement, the label-quality gate for supervised
     * training data. One row out:

@@ -1909,6 +1909,18 @@ object ExtendedQueries {
         "score_ppm", "is_en", bins = 10)
         .orderBy(col("bin"))),
 
+    // ── PR-curve evidence for the q192 pseudo-score: per descending
+    //    decile bin, cumulative tp/fp and the positive total — every
+    //    operating point's precision/recall as exact integers ──
+    "q197_pr_curve" -> ((s, dir) =>
+      graft.engine.Quality.prCurveEvidence(
+        Td(s, dir, "documents")
+          .withColumn("score_ppm",
+            least(col("n_chars") * lit(1000L), lit(1000000L)))
+          .withColumn("is_en", col("lang") === "en"),
+        "score_ppm", "is_en", bins = 10)
+        .orderBy(col("bin"))),
+
     // ── exact ranking AUC per source: does document LENGTH rank the
     //    English label? Mann-Whitney with ½-tie credit as integer
     //    num/den — a pure function of (score, label) pairs ──
@@ -3824,6 +3836,26 @@ object ExtendedQueries {
         |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  CAST(SUM(s) AS BIGINT) AS sum_score_ppm
         |FROM d GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // q197: the q192 binning + a descending cumulative window over the
+    // 10 bin rows — all integers
+    "q197_pr_curve" ->
+      """WITH d AS (SELECT LEAST(CAST(LEAST(n_chars * 1000, 1000000)
+        |                 AS BIGINT) // 100000, 9) AS bin,
+        |         (lang = 'en') AS y
+        |       FROM documents),
+        |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |      FROM d GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  CAST(SUM(n_pos) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tp,
+        |  CAST(SUM(n - n_pos) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_fp,
+        |  CAST(SUM(n_pos) OVER () AS BIGINT) AS total_pos
+        |FROM g ORDER BY bin""".stripMargin,
 
     // q191: per-(source, distinct length) counts, cumulative negatives
     // strictly below via an ordered ROWS window, then the 2U algebra —

@@ -332,7 +332,10 @@ object ScaleSweep {
         // one posting publish, search reads only the terms' buckets;
         // ranked retrieval adds one doclen join, Σdf-bounded otherwise
         "q194_text_search", "q195_text_search_ranked",
-        "q196_text_search_phrase")
+        "q196_text_search_phrase",
+        // round 7u: PR-curve evidence — the q192 aggregate + a 10-row
+        // cumulative window
+        "q197_pr_curve")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -146,6 +146,19 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("prCurveEvidence: descending cumulative tp/fp, totals consistent") {
+    import spark.implicits._
+    val df = Seq((950000L, true), (950000L, false), (550000L, true),
+      (150000L, false), (150000L, false)).toDF("s", "y")
+    val out = Quality.prCurveEvidence(df, "s", "y", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(9L) == ((1L, 1L, 2L))) // top bin: 1 tp, 1 fp
+    assert(out(5L) == ((2L, 1L, 2L))) // + the 550k positive
+    assert(out(1L) == ((2L, 3L, 2L))) // + two negatives at the bottom
+    assert(out.size == 3)
+  }
+
   test("rankingAuc: hand-computed U with ties; perfect and reversed " +
       "rankings; degenerate one-class group ships den = 0") {
     import spark.implicits._
