@@ -3524,7 +3524,10 @@ object ExtendedQueries {
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     // q175: the lag window replayed with the same (ts, event_id)
-    // deterministic ordering as q42; integer ppm division on both sides
+    // deterministic ordering as q42; integer ppm division on both sides.
+    // The windowed sum(n) promotes to HUGEINT in DuckDB, so the division
+    // must be CAST back to BIGINT or the driver's type-strict hash
+    // diverges on serialization (the q146/q176/q191 discipline).
     "q175_transition_matrix" ->
       """WITH t AS (SELECT user_id, event_type,
         |    lag(event_type) OVER (
@@ -3533,8 +3536,8 @@ object ExtendedQueries {
         |c AS (SELECT from_type, event_type AS to_type, count(*) AS n
         |      FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
-        |       (n * 1000000) // sum(n) OVER (PARTITION BY from_type)
-        |         AS p_ppm
+        |       CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type)
+        |         AS BIGINT) AS p_ppm
         |FROM c""".stripMargin,
 
     // q176: identical replay to q167's estimate (CMS linearity — the

@@ -8,6 +8,7 @@ SQL from oracle_sql.json in DuckDB over the same sf parquet tables, sorts
 columns by name and rows by all columns, and compares values exactly.
 """
 import json, math, sys, glob, os
+from decimal import Decimal
 import duckdb
 import pandas as pd
 
@@ -21,6 +22,28 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=list(df.columns), ignore_index=True,
                             key=lambda s: s.astype(str))
     return df.reset_index(drop=True)
+
+
+def typekind(s: pd.Series) -> str:
+    """Numeric type kind for type-strict compare (the driver's hash is
+    serialization-sensitive: a DuckDB HUGEINT/DECIMAL column hash-diverges
+    from Spark int64 even when every value matches — the q175 class).
+    Object columns are inspected: Decimal values -> 'dec', ints -> 'i'."""
+    k = s.dtype.kind
+    if k != 'O':
+        return k
+    for v in s:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, Decimal):
+            return 'dec'
+        if isinstance(v, int) and not isinstance(v, bool):
+            return 'i'
+        return 'O'
+    return 'O'
+
+
+NUMERIC_KINDS = {'i', 'u', 'f', 'dec'}
 
 
 def main():
@@ -54,6 +77,12 @@ def main():
         bad = []
         for c in a.columns:
             av, bv = a[c], b[c]
+            ka, kb = typekind(av), typekind(bv)
+            if ka != kb and (ka in NUMERIC_KINDS or kb in NUMERIC_KINDS):
+                bad.append(f"{c}: TYPE spark={ka}/{av.dtype} "
+                           f"duck={kb}/{bv.dtype} (driver hash diverges "
+                           f"even on equal values)")
+                continue
             try:
                 eq = (av.astype(object).where(pd.notna(av), None) ==
                       bv.astype(object).where(pd.notna(bv), None)) | \
