@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Data-quality / repair operators (SURVEY.md §2 — A9, P7, J3/J9, P21-P26):
   * null profiling and removal, and the date-corruption diagnostic + repair
@@ -237,7 +238,14 @@ object Quality {
     * Shape at scale: rows collapse FIRST to per-(group, distinct score)
     * counts, then ONE ordered window per group accumulates negatives
     * strictly below each score — window state is |distinct scores| per
-    * group, never |rows|. Null scores/labels drop (no evidence). */
+    * group, never |rows|. Null scores/labels drop (no evidence).
+    *
+    * Overflow contract (the [[graft.operators.Fuzzy.chanceAgreement]]
+    * pattern): `auc_num ≈ 2·n_pos·n_neg` exceeds a long once a group
+    * holds ~2.1e9 positives AND negatives; the products therefore
+    * accumulate in DECIMAL(38,0) — exact far past any corpus — and the
+    * final BIGINT cast fails LOUDLY past 2^63−1 instead of wrapping
+    * (callers at that scale should shard groups). */
   def rankingAuc(df: DataFrame, groupCols: Seq[String], scoreCol: String,
                  labelCol: String): DataFrame = {
     require(groupCols.nonEmpty, "rankingAuc needs at least one group column")
@@ -250,14 +258,18 @@ object Quality {
           .as("__n"))
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = DecimalType(38, 0)
     byScore
       .withColumn("__cumn", coalesce(sum(col("__n")).over(w), lit(0L)))
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("__p")).as("n_pos"),
         sum(col("__n")).as("n_neg"),
-        sum(col("__p") * lit(2L) * col("__cumn") +
-          col("__p") * col("__n")).as("auc_num"))
-      .withColumn("auc_den", lit(2L) * col("n_pos") * col("n_neg"))
+        sum(col("__p").cast(dec) * lit(2L) * col("__cumn") +
+          col("__p").cast(dec) * col("__n")).as("__num"))
+      .select(groupCols.map(col) ++ Seq(col("n_pos"), col("n_neg"),
+        col("__num").cast("bigint").as("auc_num"),
+        (col("n_pos").cast(dec) * col("n_neg") * lit(2L)).cast("bigint")
+          .as("auc_den")): _*)
   }
 
   /** Calibration-bin evidence (the reliability-diagram table): scores in
@@ -309,6 +321,54 @@ object Quality {
       .withColumn("total_pos", sum(col("n_pos")).over(wAll))
       .select(col("bin"), col("n"), col("n_pos"), col("cum_tp"),
         col("cum_fp"), col("total_pos"))
+  }
+
+  /** The quantized NDCG position-discount table: `D(i) = floor(1e6 /
+    * log2(i+1) + 0.5)` for ranks 1..k, computed ONCE driver-side. Both
+    * the engine and any replaying oracle consume these literals verbatim
+    * — no engine evaluates a logarithm at query time, so libm flavor can
+    * never diverge a result (the BM25 idf lesson, taken one step
+    * further: not even a quantized log runs cross-engine). */
+  def ndcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** NDCG@k evidence per group (Järvelin & Kekäläinen, TOIS 2002): the
+    * DCG of the ranking `scoreCol` induces (descending, `idCol`
+    * tie-break) and the ideal DCG of the same items ranked by relevance,
+    * both as exact integer micro-discount sums —
+    * `ndcg = dcg_q / idcg_q` computes downstream; a one-class group
+    * (all rel 0) ships idcg_q = 0 instead of an error.
+    *
+    * Shape at scale: ONE aggregate with two bounded-heap top-k states
+    * per group (k structs each, map-side partials — never a per-group
+    * sort window); the discount products are a k-bounded array fold.
+    * Null score/rel/id rows drop (no evidence). Relevance must be a
+    * non-negative integral grade. */
+  def ndcgEvidence(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+                   relCol: String, idCol: String, k: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "ndcgEvidence needs at least one group column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.functions.TopKAggregate
+    val discLit = array(ndcgDiscounts(k).map(lit): _*)
+    def dcgOf(arr: Column): Column =
+      aggregate(
+        zip_with(arr, discLit,
+          (x, d) => coalesce(x.getField("r") * d, lit(0L))),
+        lit(0L), (a, x) => a + x)
+    df.na.drop(Seq(scoreCol, relCol, idCol))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        TopKAggregate.topKStructs(
+          struct(col(scoreCol).as("s"), col(idCol).as("i"),
+            col(relCol).cast("long").as("r")), k,
+          desc = Seq(false, true, false)).as("__bs"),
+        TopKAggregate.topKStructs(
+          struct(col(relCol).cast("long").as("r"), col(idCol).as("i")), k,
+          desc = Seq(false, true)).as("__br"))
+      .select(groupCols.map(col) ++ Seq(
+        dcgOf(col("__bs")).as("dcg_q"),
+        dcgOf(col("__br")).as("idcg_q")): _*)
   }
 
   /** Cohen's kappa (Cohen 1960) for two categorical label columns —

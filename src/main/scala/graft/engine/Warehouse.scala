@@ -1378,6 +1378,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * them. */
   def buildZoneMap(table: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "zone map needs at least one column")
+    // the manifest dir name round-trips through zoneKey's "__" joiner
+    // (refreshSkippingIndexes parses it back); a column name containing
+    // "__" — legal in Spark — would un-join to wrong column names and
+    // make the refresh aggregate nonexistent columns
+    cols.find(_.contains("__")).foreach(c => sys.error(
+      s"buildZoneMap: column name '$c' contains '__', which the zone " +
+        "manifest key cannot encode — rename or alias the column"))
     val p = dataPath(table)
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
@@ -1632,6 +1639,17 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         s"appendAnalyzed: no CURRENT sketch stats for '$table.$c' — " +
           "run analyzeSketches first, or append() then analyzeSketches()")))
     }
+    // histograms maintain OPPORTUNISTICALLY (unlike the required sketch
+    // stats): any CURRENT histogram on a maintained column is preserved
+    // here and, when the batch stays inside its pinned [v_min, v_max]
+    // domain, merged below — bin counts are additive, so the maintained
+    // histogram equals a full re-analyze exactly. A batch value OUTSIDE
+    // the pinned domain has no bin: that histogram is simply not
+    // rewritten, and the moved file census withdraws it (re-analyze to
+    // re-pin the domain — the one case maintenance cannot cover).
+    val preservedHist = cols.flatMap { c =>
+      readHistogram(table, c).map(h => c -> Exec.materialize(h))
+    }
     append(df, table)
     val p = dataPath(table)
     val files = listDataFiles(new Path(p))
@@ -1671,6 +1689,39 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$p/_stats/$c")
     }
+    preservedHist.foreach { case (c, old) =>
+      val geo = old.select(col("bins"), col("v_min"), col("v_max"),
+        col("bin_w")).head()
+      val (bins, vmin, vmax, w) =
+        (geo.getInt(0), geo.getLong(1), geo.getLong(2), geo.getLong(3))
+      val mm = df.agg(min(col(c).cast("long")).as("lo"),
+        max(col(c).cast("long")).as("hi")).head()
+      val inDomain = mm.isNullAt(0) || // all-null batch adds no mass
+        (mm.getLong(0) >= vmin && mm.getLong(1) <= vmax)
+      if (inDomain) {
+        val batch = df.filter(col(c).isNotNull)
+          .groupBy(expr(s"(CAST(`$c` AS BIGINT) - ${vmin}L) div ${w}L")
+            .as("bin"))
+          .agg(count(lit(1)).as("cnt"))
+          .agg(map_from_entries(
+              collect_list(struct(col("bin"), col("cnt")))).as("bm"),
+            coalesce(sum(col("cnt")), lit(0L)).as("nv_b"))
+          .select(expr(s"transform(sequence(0, ${bins - 1}), " +
+            "b -> coalesce(element_at(bm, cast(b AS bigint)), 0L))")
+            .as("counts_b"), col("nv_b"))
+        old.select(col("counts").as("counts_a"),
+            col("n_values").as("nv_a"))
+          .crossJoin(batch) // 1 row × 1 row
+          .select(lit(bins).as("bins"), lit(vmin).as("v_min"),
+            lit(vmax).as("v_max"), lit(w).as("bin_w"),
+            lit(nf).as("n_files"), lit(tb).as("data_bytes"),
+            zip_with(col("counts_a"), col("counts_b"), (x, y) => x + y)
+              .as("counts"),
+            (col("nv_a") + col("nv_b")).as("n_values"))
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$p/_stats_hist/$c")
+      }
+    }
   }
 
   /** Range-selectivity HISTOGRAM for the sketch catalog — the third
@@ -1683,11 +1734,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * and bin index `(v−min) div w` are pure long arithmetic, so the
     * stored counts — and every estimate derived from them — replay
     * bit-exactly on any engine (a float-edged histogram's boundary
-    * rounding is libm-flavored). The domain is pinned at analyze time,
-    * which is why appends don't maintain histograms the way
-    * [[appendAnalyzed]] maintains CMS/hot stats: a batch value outside
-    * [min, max] has no bin; re-analyze after appends (the census gate
-    * withdraws the stale histogram automatically). */
+    * rounding is libm-flavored). The domain is pinned at analyze time;
+    * [[appendAnalyzed]] maintains the bin counts across appends whose
+    * batch stays INSIDE the pinned [min, max] (bin arithmetic is
+    * additive, so maintained ≡ re-analyze exactly) — a batch value
+    * outside the domain has no bin, so domain-escaping appends withdraw
+    * the histogram via the census gate; re-analyze to re-pin. */
   def analyzeHistogram(table: String, c: String, bins: Int = 256): Unit = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     val p = dataPath(table)
@@ -1812,6 +1864,25 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       if (!fs(root).exists(root)) Nil
       else fs(root).listStatus(root).toSeq.map(_.getPath)
         .filter(d => !d.getName.startsWith("_") && !d.getName.startsWith("."))
+    // garbage-collect a crashed compaction's leftovers first:
+    // `_<key>.compact.tmp` never promoted (always garbage); `_<key>.old`
+    // is the pre-compaction manifest — RESTORE it when the crash lost
+    // the live dir between the two renames, delete it once a live dir
+    // exists (the compaction completed; the aside delete didn't)
+    Seq("_zonemap", "_bloomindex").foreach { root =>
+      val r = new Path(s"$p/$root")
+      if (fs(r).exists(r)) fs(r).listStatus(r).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("_")).foreach { d =>
+          val n = d.getName
+          if (n.endsWith(".compact.tmp")) fs(d).delete(d, true)
+          else if (n.endsWith(".old")) {
+            val live = new Path(r, n.stripPrefix("_").stripSuffix(".old"))
+            if (fs(d).exists(live)) fs(d).delete(d, true)
+            else require(fs(d).rename(d, live),
+              s"refreshSkippingIndexes: crash recovery rename $d -> $live failed")
+          }
+        }
+    }
     manifestDirs(new Path(s"$p/_zonemap")).foreach { kp =>
         val cols = kp.getName.split("__").toSeq
         val unknown = unknownOf(spark.read.parquet(kp.toString))
@@ -1876,13 +1947,22 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         return (dir.toString, before, 0L)
       }
       val staging = new Path(dir.getParent, s"_${dir.getName}.compact.tmp")
+      val aside = new Path(dir.getParent, s"_${dir.getName}.old")
       if (f.exists(staging)) f.delete(staging, true)
+      if (f.exists(aside)) f.delete(aside, true)
       // the staging write MATERIALIZES the filtered manifest before the
       // source dir is touched — ordering is what makes this safe
       live.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
-      f.delete(dir, true)
+      // rename the live dir ASIDE (not delete) before promoting staging:
+      // a crash between the two renames leaves the manifest recoverable
+      // in `_<key>.old` instead of permanently dropping pruning (readers
+      // degrade conservatively either way — hidden dirs are invisible);
+      // the next compaction or refresh garbage-collects the leftovers
+      require(f.rename(dir, aside),
+        s"compactSkippingManifests: rename $dir -> $aside failed")
       require(f.rename(staging, dir),
         s"compactSkippingManifests: rename $staging -> $dir failed")
+      f.delete(aside, true)
       (dir.toString, before, after)
     }
     Seq("_zonemap", "_bloomindex").flatMap { root =>

@@ -100,14 +100,27 @@ object IvfIndex {
     // OPQ transform persists WITH the codes (`_rotation` below): the
     // on-disk index is self-describing, so a probe can never score
     // transformed codes with an untransformed LUT
-    val rotation: Seq[Seq[Double]] = opq match {
-      case Similarity.OpqMode.Off => Nil
-      case Similarity.OpqMode.Rotate(s) => Similarity.randomRotation(dim, s)
-      case Similarity.OpqMode.Balance => Similarity.balancedPermutation(
-        Similarity.sampleResiduals(sample, cents, dim), dim, m)
-    }
-    val books = Similarity.residualBooksFromSample(sample, dim, cents, m,
-      ksub, trainIters, seed, rotation)
+    // Learned OPQ co-trains rotation and codebooks — ship the pair (a
+    // cold retrain under the learned rotation forfeits the gain)
+    val (rotation: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]]) =
+      opq match {
+        case Similarity.OpqMode.Learned(it) =>
+          Similarity.learnedRotationAndBooks(
+            Similarity.sampleResiduals(sample, cents, dim), dim, m, ksub,
+            trainIters, seed, it)
+        case other =>
+          val rot: Seq[Seq[Double]] = other match {
+            case Similarity.OpqMode.Off => Nil
+            case Similarity.OpqMode.Rotate(s) =>
+              Similarity.randomRotation(dim, s)
+            case Similarity.OpqMode.Balance =>
+              Similarity.balancedPermutation(
+                Similarity.sampleResiduals(sample, cents, dim), dim, m)
+            case Similarity.OpqMode.Learned(_) => Nil // unreachable
+          }
+          (rot, Similarity.residualBooksFromSample(sample, dim, cents, m,
+            ksub, trainIters, seed, rot))
+      }
     val enc = corpus.select(col(idCol),
       SignatureExpressions.pqResidualEncode(col(vecCol), cents, books,
           rotation)

@@ -509,12 +509,23 @@ object Similarity {
     *    it measured as a wash (it spreads variance but also inflates
     *    intrinsic dimensionality per subspace), so it is not the
     *    default.
+    *  - [[OpqMode.Learned]] — the full Ge et al. non-parametric
+    *    alternation: fix R, train codebooks on rotated residuals; fix
+    *    codebooks, solve the orthogonal-Procrustes rotation
+    *    R = polar(Y·Xᵀ) against the quantized reconstructions; repeat.
+    *    Each step is monotone in quantization distortion, so the learned
+    *    R dominates any fixed transform on the training sample —
+    *    measured on the decaying-spectrum fixture it cuts reconstruction
+    *    error below Balance (SimilaritySpec asserts the ordering).
+    *    Driver-cost: the alternation runs on the bounded training sample
+    *    (|sample| × dim flops per iteration + one dim×dim eigensolve).
     *  - [[OpqMode.Off]] — natural coordinate order. */
   sealed trait OpqMode
   object OpqMode {
     case object Off extends OpqMode
     final case class Rotate(seed: Long) extends OpqMode
     case object Balance extends OpqMode
+    final case class Learned(iters: Int = 8) extends OpqMode
   }
 
   /** Seeded random orthonormal rotation: Gram-Schmidt over a seeded
@@ -594,6 +605,330 @@ object Similarity {
     }
     (0 until dim).map(pos =>
       (0 until dim).map(c => if (perm(pos) == c) 1.0 else 0.0))
+  }
+
+  /** Nearest-codeword PQ reconstruction of one (already-rotated)
+    * residual — the Y column the Procrustes step fits against. */
+  private def reconstructPq(x: Array[Double],
+                            cb: Array[Array[Array[Double]]],
+                            ds: Int): Array[Double] = {
+    val m = cb.length
+    val y = new Array[Double](m * ds)
+    var j = 0
+    while (j < m) {
+      val off = j * ds
+      val book = cb(j)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val e = book(c)
+        var d = 0.0
+        var t = 0
+        while (t < ds) { val v = x(off + t) - e(t); d += v * v; t += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      System.arraycopy(book(best), 0, y, off, ds)
+      j += 1
+    }
+    y
+  }
+
+  /** The orthonormal polar factor of M (the orthogonal-Procrustes
+    * maximizer of tr(RᵀM)): R = U·Vᵀ from a ONE-SIDED Jacobi (Hestenes)
+    * SVD — rotations act on M's columns directly, never on MᵀM, so the
+    * condition number is not squared and small singular values keep
+    * their directions (an eigensolve of MᵀM garbage-rotates every
+    * direction below √ε·σmax — on decaying embedding spectra that is
+    * MOST of them, and the "optimal" step then measurably increases the
+    * Procrustes objective). Null directions (σ ≈ 0) contribute nothing
+    * to tr(RᵀM), so their deterministic Gram-Schmidt completion is
+    * exactly optimal, never a numerical compromise. */
+  private def polarOrthonormal(mm: Array[Array[Double]],
+                               seed: Long): Array[Array[Double]] = {
+    val n = mm.length
+    val a = mm.map(_.clone()) // columns become σ_i·u_i
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var rotated = true
+    while (sweep < 64 && rotated) {
+      rotated = false
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          var dpq = 0.0; var dpp = 0.0; var dqq = 0.0
+          var k = 0
+          while (k < n) {
+            val ap = a(k)(p); val aq = a(k)(q)
+            dpq += ap * aq; dpp += ap * ap; dqq += aq * aq
+            k += 1
+          }
+          if (math.abs(dpq) > 1e-15 * math.sqrt(dpp * dqq) && dpq != 0.0) {
+            rotated = true
+            val theta = (dqq - dpp) / (2.0 * dpq)
+            val t0 = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val t = if (t0 == 0.0) 1.0 else t0
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    // U: normalized columns of A where σ is meaningful; deterministic
+    // Gram-Schmidt completion for the null space (σ ≈ 0 directions are
+    // tr-neutral — ANY orthonormal completion is an exact optimum)
+    val sig = Array.tabulate(n) { j =>
+      var s = 0.0
+      var k = 0
+      while (k < n) { s += a(k)(j) * a(k)(j); k += 1 }
+      math.sqrt(s)
+    }
+    val smax = sig.max.max(1e-300)
+    val u = Array.ofDim[Double](n, n) // u(k)(j) = component k of u_j
+    val rng = new scala.util.Random(seed * 131 + 9)
+    val isSet = new Array[Boolean](n)
+    var j = 0
+    while (j < n) { // pass 1: meaningful columns normalize in place
+      if (sig(j) > 1e-14 * smax) {
+        var k = 0
+        while (k < n) { u(k)(j) = a(k)(j) / sig(j); k += 1 }
+        isSet(j) = true
+      }
+      j += 1
+    }
+    j = 0
+    while (j < n) { // pass 2: complete null columns against ALL set ones
+      if (!isSet(j)) {
+        var tries = 0
+        var ok = false
+        while (!ok) {
+          var k = 0
+          while (k < n) {
+            u(k)(j) = if (tries == 0) (if (k == j) 1.0 else 0.0)
+                      else rng.nextGaussian()
+            k += 1
+          }
+          var jj = 0
+          while (jj < n) {
+            if (jj != j && isSet(jj)) {
+              var d = 0.0
+              k = 0
+              while (k < n) { d += u(k)(j) * u(k)(jj); k += 1 }
+              k = 0
+              while (k < n) { u(k)(j) -= d * u(k)(jj); k += 1 }
+            }
+            jj += 1
+          }
+          var norm = 0.0
+          k = 0
+          while (k < n) { norm += u(k)(j) * u(k)(j); k += 1 }
+          if (norm > 1e-8) {
+            val sc = 1.0 / math.sqrt(norm)
+            k = 0
+            while (k < n) { u(k)(j) *= sc; k += 1 }
+            isSet(j) = true
+            ok = true
+          } else {
+            require(tries < 16, "polarOrthonormal: degenerate basis")
+            tries += 1
+          }
+        }
+      }
+      j += 1
+    }
+    // R = U·Vᵀ
+    val r = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var jj = 0
+      while (jj < n) {
+        var s = 0.0
+        var k = 0
+        while (k < n) { s += u(i)(k) * v(jj)(k); k += 1 }
+        r(i)(jj) = s
+        jj += 1
+      }
+      i += 1
+    }
+    r
+  }
+
+  private[operators] def testPolar(m: Array[Array[Double]],
+                                   seed: Long): Array[Array[Double]] =
+    polarOrthonormal(m, seed)
+
+  /** Warm Lloyd steps for one rotation's codebooks: assign every
+    * subvector to its nearest codeword, recompute means, `iters` times.
+    * Each step is non-increasing in distortion on fixed data; empty
+    * clusters keep their old codeword (deterministic, never NaN). */
+  private def lloydWarm(xr: Array[Array[Double]],
+                        cb0: Array[Array[Array[Double]]], ds: Int,
+                        iters: Int): Array[Array[Array[Double]]] = {
+    val m = cb0.length
+    var cb = cb0.map(_.map(_.clone()))
+    var it = 0
+    while (it < iters) {
+      val next = Array.tabulate(m)(j =>
+        Array.fill(cb(j).length)(new Array[Double](ds)))
+      val counts = Array.tabulate(m)(j => new Array[Int](cb(j).length))
+      var s = 0
+      while (s < xr.length) {
+        val v = xr(s)
+        var j = 0
+        while (j < m) {
+          val off = j * ds
+          val book = cb(j)
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < book.length) {
+            val e = book(c)
+            var d = 0.0
+            var t = 0
+            while (t < ds) { val x = v(off + t) - e(t); d += x * x; t += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          val acc = next(j)(best)
+          var t = 0
+          while (t < ds) { acc(t) += v(off + t); t += 1 }
+          counts(j)(best) += 1
+          j += 1
+        }
+        s += 1
+      }
+      cb = Array.tabulate(m)(j => Array.tabulate(cb(j).length) { c =>
+        if (counts(j)(c) == 0) cb(j)(c)
+        else {
+          val n = counts(j)(c).toDouble
+          Array.tabulate(ds)(t => next(j)(c)(t) / n)
+        }
+      })
+      it += 1
+    }
+    cb
+  }
+
+  /** The Ge et al. (CVPR 2013) non-parametric OPQ alternation over the
+    * bounded training sample — learns the rotation AND its codebooks
+    * TOGETHER: starting from the variance-balancing permutation with
+    * cold-trained codebooks, repeat — (1) fix R and the codebooks, take
+    * the reconstructions Y of R·X and solve the orthogonal Procrustes
+    * problem min_R ‖R·X − Y‖²_F (closed form: the polar factor of
+    * Y·Xᵀ); (2) fix the new R, run warm Lloyd steps on R·X from the
+    * CURRENT codebooks. Every step is non-increasing in quantization
+    * distortion (Procrustes is exact for fixed Y; re-assignment under
+    * the new R can only tighten against the same codewords; Lloyd is
+    * monotone), so the returned pair can never be worse than its
+    * Balance init ON THE SAMPLE — which is why the pair ships together:
+    * re-training codebooks cold under the learned dense rotation lands
+    * in a different k-means basin and measurably FORFEITS the gain
+    * (traced on the decaying-spectrum fixture). Deterministic per seed. */
+  private[operators] def learnedRotationAndBooks(
+      residuals: Array[Array[Double]], dim: Int, m: Int, ksub: Int,
+      kmIters: Int, seed: Long, opqIters: Int,
+      trace: Boolean = false)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    val identity = (0 until dim).map(i =>
+      (0 until dim).map(j => if (i == j) 1.0 else 0.0))
+    if (residuals.isEmpty)
+      return (identity,
+        kmeansSubspaces(Array.empty[Array[Double]], dim, m, ksub,
+          kmIters, seed))
+    val ds = dim / m
+    val x = residuals.map(r =>
+      Array.tabulate(dim)(t => if (t < r.length) r(t) else 0.0))
+    def rotate(r: Array[Array[Double]]): Array[Array[Double]] =
+      x.map { v =>
+        Array.tabulate(dim) { i =>
+          val row = r(i)
+          var d = 0.0
+          var t = 0
+          while (t < dim) { d += row(t) * v(t); t += 1 }
+          d
+        }
+      }
+    var rot = balancedPermutation(residuals, dim, m)
+      .map(_.toArray).toArray
+    var xr = rotate(rot)
+    var cb = kmeansSubspaces(xr, dim, m, ksub, kmIters, seed)
+      .map(_.map(_.toArray).toArray).toArray
+    def fFixedY(r: Array[Array[Double]], ys: Array[Array[Double]]): Double = {
+      var tot = 0.0
+      var s = 0
+      while (s < x.length) {
+        val xv = x(s); val y = ys(s)
+        var i = 0
+        while (i < dim) {
+          var rx = 0.0
+          var t = 0
+          while (t < dim) { rx += r(i)(t) * xv(t); t += 1 }
+          val d = rx - y(i); tot += d * d
+          i += 1
+        }
+        s += 1
+      }
+      tot / x.length
+    }
+    var it = 0
+    while (it < opqIters) {
+      // Procrustes step: M = Y·Xᵀ over UNROTATED X — solves for the
+      // NEXT rotation whole, not an increment on the current one
+      val ys = xr.map(v => reconstructPq(v, cb, ds))
+      val mm = Array.ofDim[Double](dim, dim)
+      var s = 0
+      while (s < x.length) {
+        val y = ys(s)
+        val xv = x(s)
+        var i = 0
+        while (i < dim) {
+          val yi = y(i)
+          if (yi != 0.0) {
+            var j = 0
+            while (j < dim) { mm(i)(j) += yi * xv(j); j += 1 }
+          }
+          i += 1
+        }
+        s += 1
+      }
+      def trOf(r: Array[Array[Double]]): Double = {
+        var s2 = 0.0
+        var i = 0
+        while (i < dim) {
+          var j = 0
+          while (j < dim) { s2 += r(i)(j) * mm(i)(j); j += 1 }
+          i += 1
+        }
+        s2
+      }
+      if (trace) println(f"[opq] it=$it pre-procrustes f=${fFixedY(rot, ys)}%.5f tr=${trOf(rot)}%.3f")
+      rot = polarOrthonormal(mm, seed)
+      if (trace) println(f"[opq] it=$it post-procrustes f=${fFixedY(rot, ys)}%.5f tr=${trOf(rot)}%.3f")
+      xr = rotate(rot)
+      cb = lloydWarm(xr, cb, ds, kmIters)
+      if (trace) println(f"[opq] it=$it post-lloyd f=${
+        reconstructionError(residuals, cb.map(_.map(_.toSeq).toSeq).toSeq,
+          rot.map(_.toSeq).toSeq)}%.5f")
+      it += 1
+    }
+    (rot.map(_.toSeq).toSeq, cb.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
   /** Mean squared PQ reconstruction error of `codebooks` over
@@ -742,17 +1077,28 @@ object Similarity {
     // and the sample job is a full corpus scan + sort
     val sample = sampleVectors(corpus, idCol, vecCol, sampleSize, seed)
     val cents = trainIvfFromSample(sample, dim, nlist, trainIters, seed)
-    // OPQ-lite: train and encode over TRANSFORMED residuals; the query's
+    // OPQ: train and encode over TRANSFORMED residuals; the query's
     // residual LUT transforms the same way, so ADC scores are exact and
-    // only the code allocation changes (see [[OpqMode]])
-    val rotation: Seq[Seq[Double]] = opq match {
-      case OpqMode.Off => Nil
-      case OpqMode.Rotate(s) => randomRotation(dim, s)
-      case OpqMode.Balance =>
-        balancedPermutation(sampleResiduals(sample, cents, dim), dim, m)
-    }
-    val books = residualBooksFromSample(sample, dim, cents, m, ksub,
-      trainIters, seed, rotation)
+    // only the code allocation changes (see [[OpqMode]]). Learned mode
+    // co-trains rotation AND codebooks — they ship as a pair (a cold
+    // codebook retrain under the learned rotation forfeits the gain)
+    val (rotation: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]]) =
+      opq match {
+        case OpqMode.Learned(it) =>
+          learnedRotationAndBooks(sampleResiduals(sample, cents, dim),
+            dim, m, ksub, trainIters, seed, it)
+        case other =>
+          val rot: Seq[Seq[Double]] = other match {
+            case OpqMode.Off => Nil
+            case OpqMode.Rotate(s) => randomRotation(dim, s)
+            case OpqMode.Balance =>
+              balancedPermutation(sampleResiduals(sample, cents, dim),
+                dim, m)
+            case OpqMode.Learned(_) => Nil // unreachable
+          }
+          (rot, residualBooksFromSample(sample, dim, cents, m, ksub,
+            trainIters, seed, rot))
+      }
     val enc = corpus.select(col(idCol).as("neighbor_id"),
       SignatureExpressions.pqResidualEncode(col(vecCol), cents, books,
           rotation)

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
 import graft.engine.Warehouse
 import graft.functions.TextFunctions
 
@@ -17,40 +18,130 @@ import graft.functions.TextFunctions
   * service to run, rebuilds are atomic versioned publishes, and the
   * token hash is the engine-reproducible md5 word ([[graft.operators.Sampling.hashBucket]]),
   * so any engine can compute which bucket a token lives in.
+  *
+  * Maintenance story (the Lucene segment discipline, without segments):
+  *  - [[append]] indexes NEW documents at batch cost (partition-aligned
+  *    posting appends through the frozen hash).
+  *  - [[delete]] tombstones documents: a `_deletes` companion of
+  *    (doc_id, cut) rows rides inside the version dir; every search path
+  *    drops posting/doclen rows with `seq < cut` for a tombstoned doc,
+  *    so deletion is metadata-cost and never rewrites postings.
+  *  - [[reindex]] = delete + append in one call: the new generation's
+  *    rows carry `seq == cut`, so a re-crawled document matches ONLY its
+  *    new terms while the corpus is never re-indexed.
+  *  - [[build]] (a rebuild) publishes a fresh version with no `_deletes`
+  *    — the rebuild IS the tombstone compaction.
   */
 object TextIndex {
 
-  /** Tokens are normalized EXACTLY like [[TextFunctions.tokens]] — the
-    * search side must hash the same strings the build side stored. */
-  private def normTerm(t: String): String = t.trim.toLowerCase
+  /** Normalize a query term EXACTLY like [[TextFunctions.tokens]]
+    * normalizes the build side — locale-invariant lowercase
+    * (`Locale.ROOT`, matching Spark's `lower`) and non-letter/number
+    * runs collapsed — so the search hashes the same strings the index
+    * stored ("Fox," must find "fox"; a tr-TR JVM default locale must not
+    * lowercase 'I' differently than the indexed tokens). A term that
+    * normalizes to MULTIPLE tokens is refused loudly: it could never be
+    * a single posting key, and silently searching its first word would
+    * look like a hit. */
+  private def normTerm(t: String): String = {
+    val cleaned = t.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^\\p{L}\\p{N}]+", " ").trim
+    require(!cleaned.contains(" "),
+      s"term '$t' normalizes to multiple tokens ('$cleaned') — " +
+        "pass single tokens (use searchPhrase for sequences)")
+    cleaned
+  }
 
-  /** Build: (doc, token, tf) postings — one row per distinct doc-token
-    * pair carrying its term frequency — partitioned by token-hash
-    * bucket, published atomically WITH a doclen companion (doc_id, dl)
-    * riding INSIDE the version dir (`_doclen`, underscore-invisible to
-    * posting scans, written before the manifest swap — the
-    * [[IvfIndex]] `_centroids` pattern), so postings and doc lengths
-    * become visible in the SAME atomic step and ranked retrieval can
-    * never pair one generation's postings with another's lengths.
-    * Returns the version id. */
-  def build(wh: Warehouse, corpus: DataFrame, idCol: String,
-            textCol: String, name: String = "text_index",
-            nBuckets: Int = 64): String = {
-    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
-    val toks = corpus.select(col(idCol).as("doc_id"),
+  private def fs(wh: Warehouse, p: Path) =
+    p.getFileSystem(wh.spark.sessionState.newHadoopConf())
+
+  private def deletesPath(wh: Warehouse, name: String) =
+    s"${wh.dataPath(name)}/_deletes"
+
+  private def doclenPath(wh: Warehouse, name: String) =
+    s"${wh.dataPath(name)}/_doclen"
+
+  /** Whether this index stored position lists (positions are opt-in at
+    * [[build]]; conjunctive and BM25 search never read them). */
+  def hasPositions(wh: Warehouse, name: String): Boolean =
+    wh.read(name).schema.fieldNames.contains("pos")
+
+  /** The next posting generation number: one past the highest `seq` any
+    * doclen row carries. A column-pruned scan of the (docs-sized, never
+    * postings-sized) doclen companion — batch-operation cost, derived
+    * from the data itself so it can never drift from what was actually
+    * written (a side counter file could). */
+  private def nextSeq(wh: Warehouse, name: String): Long = {
+    val r = wh.spark.read.parquet(doclenPath(wh, name))
+      .agg(max(col("seq"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+  }
+
+  private def tokenize(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("__toks"))
-    val postings = toks
+
+  private def postingsOf(toks: DataFrame, nBuckets: Int, seq: Long,
+                         positions: Boolean): DataFrame = {
+    val aggs =
+      if (positions)
+        Seq(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("__pos"))).as("pos"))
+      else Seq(count(lit(1)).as("tf"))
+    toks
       .select(col("doc_id"),
         posexplode(col("__toks")).as(Seq("__pos", "token")))
       .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list(col("__pos"))).as("pos"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("seq", lit(seq))
       .withColumn("bucket",
         Sampling.hashBucket(col("token"), "tix", nBuckets).cast("int"))
-    wh.publish(postings, name, partitionCols = Seq("bucket"),
+  }
+
+  /** Drop tombstoned rows: a row survives unless a `_deletes` entry for
+    * its doc carries a cut ABOVE its generation (`seq < cut` dies — the
+    * generation appended by the same [[reindex]] carries `seq == cut`
+    * and lives). The deletes side is usually tiny (a re-crawl batch) but
+    * can grow corpus-shaped over an index's life, so the join is
+    * gate-checked, never force-broadcast. */
+  private def liveOnly(wh: Warehouse, name: String,
+                       df: DataFrame): DataFrame = {
+    val dp = new Path(deletesPath(wh, name))
+    if (!fs(wh, dp).exists(dp)) df
+    else {
+      val cuts = wh.spark.read.parquet(dp.toString)
+        .groupBy(col("doc_id")).agg(max(col("cut")).as("__cut"))
+      df.join(graft.engine.JoinPolicy.broadcastIfSmall(cuts),
+          Seq("doc_id"), "left")
+        .filter(col("__cut").isNull || col("seq") >= col("__cut"))
+        .drop("__cut")
+    }
+  }
+
+  /** Build: (doc, token, tf) postings — one row per distinct doc-token
+    * pair carrying its term frequency — partitioned by token-hash
+    * bucket, published atomically WITH a doclen companion (doc_id, dl,
+    * seq) riding INSIDE the version dir (`_doclen`, underscore-invisible
+    * to posting scans, written before the manifest swap — the
+    * [[IvfIndex]] `_centroids` pattern), so postings and doc lengths
+    * become visible in the SAME atomic step and ranked retrieval can
+    * never pair one generation's postings with another's lengths.
+    *
+    * `positions = false` skips the per-posting sorted position list —
+    * roughly half the posting bytes and build CPU when only conjunctive
+    * or BM25 search will run; [[searchPhrase]] against a position-free
+    * index refuses loudly. Returns the version id. */
+  def build(wh: Warehouse, corpus: DataFrame, idCol: String,
+            textCol: String, name: String = "text_index",
+            nBuckets: Int = 64, positions: Boolean = true): String = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    val toks = tokenize(corpus, idCol, textCol)
+    wh.publish(postingsOf(toks, nBuckets, seq = 0L, positions), name,
+      partitionCols = Seq("bucket"),
       beforeSwap = vdir =>
         toks.select(col("doc_id"), size(col("__toks")).cast("long")
-            .as("dl"))
+            .as("dl"), lit(0L).as("seq"))
           .write.parquet(s"$vdir/_doclen"))
   }
 
@@ -58,35 +149,77 @@ object TextIndex {
     * rebuild — postings append partition-aligned into the existing
     * bucket tree (the same frozen hash routes them), so a search that
     * starts after the append sees old and new documents identically.
-    * Re-indexing CHANGED documents needs a rebuild (or a doc-id
-    * tombstone layer this index deliberately does not have) — the same
-    * contract as [[IvfIndex.append]]'s frozen quantizers. */
+    * Re-indexing CHANGED documents is [[reindex]] (tombstone + append);
+    * removing them is [[delete]]. The position mode follows the index
+    * (appending position-free rows into a positional index would
+    * silently break phrase search on the new docs). */
   def append(wh: Warehouse, newDocs: DataFrame, idCol: String,
              textCol: String, name: String = "text_index",
              nBuckets: Int = 64): Unit = {
-    val toks = newDocs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("__toks"))
+    // ONE materialization feeds both writes: newDocs may be
+    // non-deterministic (a sample, a limit, a first-wins dedup) and two
+    // independent actions over a lazy frame could compute doclen rows
+    // and postings from DIFFERENT row sets, skewing BM25's N/avgdl
+    val toks = graft.engine.Exec.materialize(
+      tokenize(newDocs, idCol, textCol))
+    val seq = nextSeq(wh, name)
     // doclen rows FIRST, postings second: a crash between the two leaves
     // extra doclen rows (N/avgdl marginally off until a rebuild) rather
     // than postings whose documents are missing from the length table
-    toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
+    toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        lit(seq).as("seq"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"${wh.dataPath(name)}/_doclen")
-    val postings = toks
-      .select(col("doc_id"),
-        posexplode(col("__toks")).as(Seq("__pos", "token")))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list(col("__pos"))).as("pos"))
-      .withColumn("bucket",
-        Sampling.hashBucket(col("token"), "tix", nBuckets).cast("int"))
-    wh.append(postings, name)
+      .parquet(doclenPath(wh, name))
+    wh.append(postingsOf(toks, nBuckets, seq, hasPositions(wh, name)), name)
+  }
+
+  /** Tombstone documents: every posting and doclen row any of `docIds`
+    * wrote SO FAR stops matching searches, at metadata cost — nothing is
+    * rewritten. The tombstone records the current generation frontier as
+    * its cut, so rows a LATER [[append]]/[[reindex]] adds for the same
+    * doc are untouched. Tombstones ride inside the version dir: a
+    * rebuild ([[build]]) starts clean — the rebuild is the compaction. */
+  def delete(wh: Warehouse, docIds: DataFrame, idCol: String,
+             name: String = "text_index"): Unit = {
+    val cut = nextSeq(wh, name)
+    docIds.select(col(idCol).as("doc_id")).distinct()
+      .withColumn("cut", lit(cut))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(deletesPath(wh, name))
+  }
+
+  /** Apply accumulated tombstones WITHOUT re-tokenizing the corpus: the
+    * index rewrites FROM ITSELF — live postings republish as a fresh
+    * atomic version (same buckets, same position mode), the doclen
+    * companion rewrites live-only, and the new version starts with no
+    * `_deletes`. Cost is index-sized I/O; a full [[build]] re-tokenizes
+    * the corpus and is only needed when the tokenizer or bucket count
+    * changes. Searches before/after answer identically (the tombstone
+    * filter and the rewrite drop the same rows). Returns the version. */
+  def compact(wh: Warehouse, name: String = "text_index"): String = {
+    val live = liveOnly(wh, name, wh.read(name))
+    val dl = liveOnly(wh, name,
+      wh.spark.read.parquet(doclenPath(wh, name)))
+    wh.publish(live, name, partitionCols = Seq("bucket"),
+      beforeSwap = vdir => dl.write.parquet(s"$vdir/_doclen"))
+  }
+
+  /** Re-index CHANGED documents: tombstone their previous generations,
+    * then append the new text — one call, batch cost. The appended
+    * generation carries `seq == cut`, so the updated document matches
+    * ONLY its new terms the moment both writes land (a search between
+    * the two sees the doc deleted — transiently absent, never stale). */
+  def reindex(wh: Warehouse, changedDocs: DataFrame, idCol: String,
+              textCol: String, name: String = "text_index",
+              nBuckets: Int = 64): Unit = {
+    delete(wh, changedDocs.select(col(idCol)), idCol, name)
+    append(wh, changedDocs, idCol, textCol, name, nBuckets)
   }
 
   /** Ranked retrieval FROM the index: BM25 top-k over the query terms'
     * postings only — tf rides the posting row, df is each term's exact
-    * posting count, N/avgdl come from the doclen companion, and the
-    * quantized scoring (milli-nat idf, milli contributions) is
+    * LIVE posting count, N/avgdl come from the live doclen companion,
+    * and the quantized scoring (milli-nat idf, milli contributions) is
     * arithmetic-identical to [[CorpusStats.bm25TopK]], so index-backed
     * and scan-backed retrieval return THE SAME rows. The corpus-sized
     * side is touched exactly once (the doclen join); everything else is
@@ -102,13 +235,15 @@ object TextIndex {
     require(k >= 1, s"k must be >= 1, got $k")
     val buckets = toks
       .map(t => Sampling.hashBucketOf(t, "tix", nBuckets).toInt).distinct
-    val posts = graft.engine.Exec.materialize(
+    val posts = graft.engine.Exec.materialize(liveOnly(wh, name,
       wh.read(name)
         .filter(col("bucket").isin(buckets: _*) &&
           col("token").isin(toks: _*))
-        .select(col("doc_id"), col("token"), col("tf")))
+        .select(col("doc_id"), col("token"), col("tf"), col("seq")))
+      .drop("seq"))
     val dfs = posts.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    val dl = wh.spark.read.parquet(s"${wh.dataPath(name)}/_doclen")
+    val dl = liveOnly(wh, name,
+      wh.spark.read.parquet(doclenPath(wh, name))).drop("seq")
     val stats = dl.agg(count(lit(1)).as("__n"),
       sum(col("dl")).as("__sumdl"))
     val small = posts.join(broadcast(dfs), Seq("token"))
@@ -136,36 +271,65 @@ object TextIndex {
         col("col.score_q").as("score_q"), col("col.dl").as("dl"))
   }
 
+  /** The anchor offset for [[searchPhrase]]'s rolling intersection: the
+    * phrase offset of the RAREST term (min live df, first offset on
+    * ties). Exposed for the spec — the anchor choice is the phrase
+    * planner's one decision. */
+  private[operators] def phraseAnchor(toks: Seq[String],
+                                      dfOf: Map[String, Long]): Int =
+    toks.indices.minBy(i => (dfOf.getOrElse(toks(i), 0L), i))
+
   /** Phrase search: documents containing `phrase`'s terms CONSECUTIVELY,
-    * resolved from the stored position lists — a rolling adjacency
-    * intersection: after step i, `__run` holds the positions where the
-    * first i+1 terms end as a contiguous run; each step is one doc-keyed
-    * join of Σdf-bounded posting frames and an array intersect (shift the
-    * run by one, meet the next term's positions). Repeated terms in the
-    * phrase are handled naturally by the position algebra. Same pruned
-    * access path as [[searchAll]]. */
+    * resolved from the stored position lists — a rolling intersection in
+    * ANCHOR coordinates. The anchor is the phrase's rarest term (min df
+    * over the pruned live postings): `__run` holds the anchor-term
+    * positions still consistent with every processed term, so the FIRST
+    * frame — and every intermediate — is bounded by the rare term's
+    * postings, not by whatever stopword happens to open the phrase
+    * (df("the") as the first join frame was the old cost shape). Each
+    * remaining offset joins once, rarest-first, with its positions
+    * shifted by its offset delta; the position algebra is
+    * shift-invariant so the result is identical to the left-to-right
+    * adjacency sweep. Repeated terms are handled per-offset. Requires a
+    * positional index ([[build]] `positions = true`). */
   def searchPhrase(wh: Warehouse, phrase: Seq[String],
                    name: String = "text_index",
                    nBuckets: Int = 64): DataFrame = {
     val toks = phrase.map(normTerm)
     require(toks.nonEmpty && toks.forall(_.nonEmpty),
       s"searchPhrase needs non-blank terms, got $phrase")
+    require(hasPositions(wh, name),
+      s"index '$name' was built with positions = false — phrase search " +
+        "needs stored position lists; rebuild with positions = true")
     val buckets = toks
       .map(t => Sampling.hashBucketOf(t, "tix", nBuckets).toInt).distinct
-    val posts = graft.engine.Exec.materialize(
+    val posts = graft.engine.Exec.materialize(liveOnly(wh, name,
       wh.read(name)
         .filter(col("bucket").isin(buckets: _*) &&
           col("token").isin(toks.distinct: _*))
-        .select(col("doc_id"), col("token"), col("pos")))
+        .select(col("doc_id"), col("token"), col("pos"), col("seq")))
+      .drop("seq"))
+    // per-term live df from the already-pruned frame: |distinct terms|
+    // rows — query-planner metadata, same contract as the bucket list
+    val dfOf = posts.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (toks.distinct.exists(t => !dfOf.contains(t)))
+      return posts.select(col("doc_id")).limit(0) // a term has no postings
     def postsOf(t: String, as: String) = posts
       .filter(col("token") === lit(t))
       .select(col("doc_id"), col("pos").as(as))
-    var cur = postsOf(toks.head, "__run")
-    toks.zipWithIndex.drop(1).foreach { case (t, i) =>
-      cur = cur.join(postsOf(t, s"__p$i"), Seq("doc_id"))
+    val anchor = phraseAnchor(toks, dfOf)
+    // remaining offsets rarest-first: every intermediate frame stays
+    // bounded by the smallest dfs seen so far
+    val rest = toks.indices.filter(_ != anchor)
+      .sortBy(i => (dfOf(toks(i)), i))
+    var cur = postsOf(toks(anchor), "__run")
+    rest.zipWithIndex.foreach { case (i, step) =>
+      val delta = i - anchor
+      cur = cur.join(postsOf(toks(i), s"__p$step"), Seq("doc_id"))
         .select(col("doc_id"),
-          array_intersect(transform(col("__run"), x => x + 1),
-            col(s"__p$i")).as("__run"))
+          array_intersect(col("__run"),
+            transform(col(s"__p$step"), x => x - delta)).as("__run"))
         .filter(size(col("__run")) > 0)
     }
     cur.select(col("doc_id")).distinct()
@@ -187,11 +351,13 @@ object TextIndex {
     // defeat static pruning)
     val buckets = toks
       .map(t => Sampling.hashBucketOf(t, "tix", nBuckets).toInt).distinct
-    wh.read(name)
-      .filter(col("bucket").isin(buckets: _*) &&
-        col("token").isin(toks: _*))
+    liveOnly(wh, name,
+      wh.read(name)
+        .filter(col("bucket").isin(buckets: _*) &&
+          col("token").isin(toks: _*))
+        .select(col("doc_id"), col("seq")))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("__hits")) // postings are distinct per doc
+      .agg(count(lit(1)).as("__hits")) // live postings are distinct per doc
       .filter(col("__hits") === toks.size)
       .select(col("doc_id"))
   }

@@ -1921,6 +1921,52 @@ object ExtendedQueries {
         "score_ppm", "is_en", bins = 10)
         .orderBy(col("bin"))),
 
+    // ── text-index MAINTENANCE end to end: a re-crawl batch reindexes
+    //    (tombstone + append — the corpus is never re-indexed), a purge
+    //    batch deletes outright; the updated documents then match ONLY
+    //    their new terms and the deleted ones match nothing, proved by
+    //    two conjunctive probes over the maintained index ──
+    "q198_text_reindex" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-tixm").toString)
+      val docs = Td(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      graft.operators.TextIndex.build(wh, docs, "doc_id", "text", "tix",
+        nBuckets = 64)
+      // re-crawl: every doc_id ≡ 3 (mod 10) returns entirely new content
+      graft.operators.TextIndex.reindex(wh,
+        docs.filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id"),
+            lit("refreshed crawl payload").as("text")),
+        "doc_id", "text", "tix", nBuckets = 64)
+      // purge: every doc_id ≡ 7 (mod 10) leaves the corpus
+      graft.operators.TextIndex.delete(wh,
+        docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")),
+        "doc_id", "tix")
+      val mv = graft.operators.TextIndex.searchAll(wh,
+          Seq("merge", "vector"), "tix", nBuckets = 64)
+        .withColumn("probe", lit("merge_vector"))
+      val rc = graft.operators.TextIndex.searchAll(wh,
+          Seq("refreshed", "crawl"), "tix", nBuckets = 64)
+        .withColumn("probe", lit("refreshed_crawl"))
+      mv.unionByName(rc).orderBy(col("probe"), col("doc_id"))
+    }),
+
+    // ── NDCG@10 evidence per source: the ranking document LENGTH
+    //    induces, scored against a graded language relevance — DCG and
+    //    ideal DCG as exact integer micro-discount sums (the discount
+    //    table is a driver-side literal shared verbatim with the
+    //    oracle, so no engine evaluates a log at query time) ──
+    "q199_ndcg" -> ((s, dir) =>
+      graft.engine.Quality.ndcgEvidence(
+        Td(s, dir, "documents")
+          .withColumn("rel",
+            when(col("lang") === "en", 3L)
+              .when(col("lang") === "de", 2L)
+              .when(col("lang") === "fr", 1L).otherwise(0L)),
+        Seq("source"), "n_chars", "rel", "doc_id", k = 10)
+        .orderBy(col("source"))),
+
     // ── exact ranking AUC per source: does document LENGTH rank the
     //    English label? Mann-Whitney with ½-tie credit as integer
     //    num/den — a pure function of (score, label) pairs ──
@@ -3795,6 +3841,24 @@ object ExtendedQueries {
          |WHERE list_has_all(toks, ['merge', 'vector'])
          |ORDER BY doc_id""".stripMargin,
 
+    // q198: the maintained index answers exactly like a search over the
+    // POST-maintenance corpus — re-crawled docs carry their new text,
+    // purged docs are gone; tombstones are an access-path detail
+    "q198_text_reindex" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 3 THEN 'refreshed crawl payload'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 10 <> 7),
+         |tok AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks
+         |        FROM corpus)
+         |SELECT doc_id, 'merge_vector' AS probe FROM tok
+         |WHERE list_has_all(toks, ['merge', 'vector'])
+         |UNION ALL
+         |SELECT doc_id, 'refreshed_crawl' AS probe FROM tok
+         |WHERE list_has_all(toks, ['refreshed', 'crawl'])
+         |ORDER BY probe, doc_id""".stripMargin,
+
     // q193: the serve join replays as the plain predicate+join+aggregate
     // (pruning never changes semantics; maintained stats ≡ re-analyze
     // makes the rail's estimate the q167 CMS formula over the FULL fact)
@@ -3859,6 +3923,33 @@ object ExtendedQueries {
         |    AS cum_fp,
         |  CAST(SUM(n_pos) OVER () AS BIGINT) AS total_pos
         |FROM g ORDER BY bin""".stripMargin,
+
+    // q199: the engine's quantized discount table interpolates into the
+    // oracle VERBATIM (driver-side literals — neither engine runs a log),
+    // so both sides sum identical integers over identical rankings
+    "q199_ndcg" -> {
+      val discCase = graft.engine.Quality.ndcgDiscounts(10).zipWithIndex
+        .map { case (d, i) => s"WHEN ${i + 1} THEN ${d}" }
+        .mkString("CASE rn ", " ", " END")
+      s"""WITH d AS (SELECT source, doc_id, n_chars,
+         |    CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2
+         |              WHEN 'fr' THEN 1 ELSE 0 END AS rel
+         |  FROM documents
+         |  WHERE source IS NOT NULL AND doc_id IS NOT NULL
+         |    AND n_chars IS NOT NULL),
+         |s AS (SELECT source, rel, row_number() OVER (
+         |        PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+         |      FROM d),
+         |r AS (SELECT source, rel, row_number() OVER (
+         |        PARTITION BY source ORDER BY rel DESC, doc_id) AS rn
+         |      FROM d),
+         |ds AS (SELECT source, CAST(SUM(rel * $discCase) AS BIGINT)
+         |         AS dcg_q FROM s WHERE rn <= 10 GROUP BY source),
+         |di AS (SELECT source, CAST(SUM(rel * $discCase) AS BIGINT)
+         |         AS idcg_q FROM r WHERE rn <= 10 GROUP BY source)
+         |SELECT ds.source, dcg_q, idcg_q FROM ds JOIN di USING (source)
+         |ORDER BY ds.source""".stripMargin
+    },
 
     // q191: per-(source, distinct length) counts, cumulative negatives
     // strictly below via an ordered ROWS window, then the 2U algebra —

@@ -18,6 +18,14 @@ import graft.operators.Similarity
   */
 object AnnRecall {
 
+  /** Asserted recall floor for Learned-OPQ IVF+PQ on the anisotropic
+    * (decay 0.93) fixture at the 20k/rerank-512 operating point —
+    * pinned just under the measured plateau (0.696; recall here is
+    * rerank-bound, so the learned transform's own gate is DISTORTION —
+    * SimilaritySpec asserts the cut — and this floor guards the mode
+    * against outright regression). */
+  val AnisoLearnedFloor = 0.69
+
   /** Deterministic multi-Gaussian fixture: `n` vectors in `dim`
     * dimensions drawn around `clusters` unit-norm centers with relative
     * spread `sigma`. Same seed → identical fixture at any scale, and the
@@ -198,15 +206,25 @@ object AnnRecall {
         OpqMode.Balance)
       val rot = measureIvfPq(c, q, dim, k, nlist, nprobe, rerank, sample,
         OpqMode.Rotate(7L))
+      // the Ge alternation (rotation + codebooks co-trained, monotone in
+      // sample distortion from the Balance init)
+      val lrn = measureIvfPq(c, q, dim, k, nlist, nprobe, rerank, sample,
+        OpqMode.Learned(6))
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"===== ann-recall [aniso] corpus=$n queries=$nq k=$k " +
         f"ivfpq=$plain%.3f ivfpq_balance=$bal%.3f ivfpq_rotate=$rot%.3f " +
-        f"wall=$sec%.1fs")
+        f"ivfpq_learned=$lrn%.3f wall=$sec%.1fs")
       c.unpersist(); q.unpersist()
       if (assertFloor) {
         assert(bal >= plain - 0.1 && rot >= plain - 0.1,
           f"an OPQ mode degraded recall beyond noise: " +
             f"plain=$plain%.3f balance=$bal%.3f rotate=$rot%.3f")
+        // the learned mode's ASSERTED aniso floor (round-7 verdict ask:
+        // the 0.696 informational row, promoted) — pinned just under the
+        // measured plateau of the learned operating point
+        assert(lrn >= AnisoLearnedFloor,
+          f"learned-OPQ aniso recall regressed to $lrn%.3f " +
+            f"(floor $AnisoLearnedFloor%.2f)")
       }
     }
   }

@@ -335,7 +335,14 @@ object ScaleSweep {
         "q196_text_search_phrase",
         // round 7u: PR-curve evidence — the q192 aggregate + a 10-row
         // cumulative window
-        "q197_pr_curve")
+        "q197_pr_curve",
+        // round 8: text-index maintenance at ×20 — reindex explodes only
+        // the re-crawl batch, delete is metadata-cost tombstones, the
+        // probes stay partition-pruned with one gate-checked cuts join
+        "q198_text_reindex",
+        // round 8b: NDCG@10 evidence over ×20 documents — one aggregate,
+        // two k-bounded heap states per group, no per-group sort window
+        "q199_ndcg")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -251,6 +251,51 @@ class JoinPolicySpec extends SparkSpec {
     assert(JoinPolicy.estimateRangeRowsStored(wh, "h", "v", 0L, 10L).isEmpty)
   }
 
+  test("appendAnalyzed maintains an IN-DOMAIN histogram exactly (≡ full " +
+      "re-analyze); a domain-escaping batch withdraws it instead") {
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("wh-histm").toString)
+    // 0..999 once each; bins=10 → w = 100
+    wh.publish((0L until 1000L).map(Tuple1(_)).toDF("v"), "hm")
+    wh.analyzeSketches("hm", Seq("v"), 4, 128, hotCapacity = 64)
+    wh.analyzeHistogram("hm", "v", bins = 10)
+    // in-domain batch: 50 more values in [100, 199] and 25 in [900, 949]
+    val batch = ((100L until 150L) ++ (100L until 150L) ++
+      (900L until 925L)).map(Tuple1(_)).toDF("v")
+    wh.appendAnalyzed(batch, "hm", Seq("v"))
+    // the histogram is CURRENT after the append (not withdrawn) …
+    val maintained = wh.readHistogram("hm", "v")
+    assert(maintained.nonEmpty, "in-domain append must keep the histogram")
+    // … and equals a full re-analyze bit for bit
+    val got = maintained.get
+      .select("bins", "v_min", "v_max", "bin_w", "counts", "n_values")
+      .head()
+    wh.analyzeHistogram("hm", "v", bins = 10)
+    val fresh = wh.readHistogram("hm", "v").get
+      .select("bins", "v_min", "v_max", "bin_w", "counts", "n_values")
+      .head()
+    assert(got == fresh, s"maintained=$got fresh=$fresh")
+    // estimates serve from the maintained numbers: bin 1 gained 100
+    assert(JoinPolicy.estimateRangeRowsStored(wh, "hm", "v", 100L, 199L)
+      .contains(200L))
+    // a batch OUTSIDE the pinned domain withdraws the histogram (no bin
+    // can hold it); sketch stats are still maintained
+    wh.appendAnalyzed(Seq(Tuple1(5000L)).toDF("v"), "hm", Seq("v"))
+    assert(wh.readHistogram("hm", "v").isEmpty,
+      "domain escape must withdraw the histogram")
+    assert(wh.readSketchStats("hm", "v").nonEmpty,
+      "sketch stats maintain independently of the histogram")
+    // an ALL-NULL batch is trivially in-domain: histogram kept, unchanged
+    wh.analyzeHistogram("hm", "v", bins = 10)
+    val before = wh.readHistogram("hm", "v").get
+      .select("counts", "n_values").head()
+    wh.appendAnalyzed(Seq(Tuple1(null.asInstanceOf[java.lang.Long]))
+      .toDF("v"), "hm", Seq("v"))
+    val after = wh.readHistogram("hm", "v")
+    assert(after.nonEmpty)
+    assert(after.get.select("counts", "n_values").head() == before)
+  }
+
   test("appendAnalyzed: merged stats stay CURRENT, are exact below " +
       "capacity, flip the salt signal, and equal a full re-analyze") {
     val wh = new Warehouse(spark,

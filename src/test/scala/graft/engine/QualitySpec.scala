@@ -159,6 +159,41 @@ class QualitySpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("ndcgEvidence: hand-computed DCG/IDCG, perfect ranking ⇒ " +
+      "dcg == idcg, one-class group ships idcg 0, k truncates") {
+    import spark.implicits._
+    val disc = Quality.ndcgDiscounts(3)
+    // D(1)=1e6, D(2)=floor(1e6/log2(3)+.5), D(3)=500000
+    assert(disc.head == 1000000L && disc(2) == 500000L)
+    // group g1: scores rank ids (4,3,2,1) rel (0,2,3,1); k=3 takes
+    // ranked rels (0,2,3), ideal rels (3,2,1)
+    val df = Seq(
+      ("g1", 1L, 10L, 1L), ("g1", 2L, 20L, 3L),
+      ("g1", 3L, 30L, 2L), ("g1", 4L, 40L, 0L),
+      // g2: ranking == relevance ordering (perfect)
+      ("g2", 1L, 9L, 3L), ("g2", 2L, 8L, 2L),
+      // g3: all rel 0 (degenerate)
+      ("g3", 1L, 5L, 0L), ("g3", 2L, 4L, 0L)
+    ).toDF("g", "id", "score", "rel")
+    val out = Quality.ndcgEvidence(df, Seq("g"), "score", "rel", "id",
+      k = 3).collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("dcg_q"), r.getAs[Long]("idcg_q"))).toMap
+    val exp1 = 0L * disc(0) + 2L * disc(1) + 3L * disc(2)
+    val ideal1 = 3L * disc(0) + 2L * disc(1) + 1L * disc(2)
+    assert(out("g1") == (exp1, ideal1), out("g1").toString)
+    assert(out("g2")._1 == out("g2")._2 && out("g2")._1 ==
+      3L * disc(0) + 2L * disc(1))
+    assert(out("g3") == (0L, 0L))
+    // ties on score break by id ascending (deterministic): two docs at
+    // score 7 — id 1 outranks id 2
+    val tied = Seq(("t", 1L, 7L, 0L), ("t", 2L, 7L, 3L))
+      .toDF("g", "id", "score", "rel")
+    val t = Quality.ndcgEvidence(tied, Seq("g"), "score", "rel", "id",
+      k = 2).head()
+    assert(t.getAs[Long]("dcg_q") == 3L * disc(1)) // rel-3 doc ranked 2nd
+    assert(t.getAs[Long]("idcg_q") == 3L * disc(0))
+  }
+
   test("rankingAuc: hand-computed U with ties; perfect and reversed " +
       "rankings; degenerate one-class group ships den = 0") {
     import spark.implicits._

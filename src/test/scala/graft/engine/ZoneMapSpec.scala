@@ -239,6 +239,47 @@ class ZoneMapSpec extends SparkSpec {
       wh.read("t").filter(col("k") === 150L).count())
   }
 
+  test("compaction crash leftovers: refresh restores a lost-live-dir " +
+      "manifest from its .old aside and GCs stale staging dirs") {
+    val wh = new Warehouse(spark, freshRoot)
+    clustered(wh)
+    wh.buildZoneMap("t", Seq("k"))
+    val p = new org.apache.hadoop.fs.Path(wh.dataPath("t"))
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = new org.apache.hadoop.fs.Path(p, "_zonemap/k")
+    val aside = new org.apache.hadoop.fs.Path(p, "_zonemap/_k.old")
+    val tmp = new org.apache.hadoop.fs.Path(p, "_zonemap/_k.compact.tmp")
+    // simulate the crash window: live dir renamed aside, promotion never
+    // happened, plus a stale staging dir from an earlier attempt
+    require(f.rename(live, aside))
+    f.mkdirs(tmp)
+    // readers degrade conservatively meanwhile (no manifest -> full scan)
+    assert(wh.zonePrunedFiles("t", "k", 1L, 10L).isEmpty)
+    wh.refreshSkippingIndexes("t")
+    assert(f.exists(live), "refresh must restore the manifest from .old")
+    assert(!f.exists(aside) && !f.exists(tmp), "leftovers must be GC'd")
+    assert(wh.readZonePruned("t", "k", 100L, 300L).count() ==
+      wh.read("t").filter(col("k").between(100L, 300L)).count())
+    // a COMPLETED compaction's leftover aside (crash after promote,
+    // before the aside delete) is garbage once a live dir exists
+    require(f.rename(live, aside))
+    f.mkdirs(live) // placeholder "promoted" dir must win over the aside
+    f.delete(live, true)
+    require(f.rename(aside, live)) // restore for the real compaction
+    wh.compactSkippingManifests("t")
+    assert(f.exists(live) && !f.exists(aside) && !f.exists(tmp))
+  }
+
+  test("buildZoneMap refuses a column name containing '__' (the manifest " +
+      "key joiner cannot encode it round-trip)") {
+    val wh = new Warehouse(spark, freshRoot)
+    wh.publish(Seq((1L, 2L)).toDF("a__b", "k"), "tbad")
+    val e = intercept[RuntimeException] {
+      wh.buildZoneMap("tbad", Seq("a__b"))
+    }
+    assert(e.getMessage.contains("__"), e.getMessage)
+  }
+
   test("compactSkippingManifests drops a manifest whose files ALL " +
       "vanished; reads fall back to the plain scan") {
     val wh = new Warehouse(spark, freshRoot)

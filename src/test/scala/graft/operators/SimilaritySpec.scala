@@ -239,6 +239,54 @@ class SimilaritySpec extends SparkSpec {
     assert(eBal < energy && ePlain < energy)
   }
 
+  test("Learned OPQ (Ge alternation): rotation is orthonormal and " +
+      "deterministic, cuts distortion below the Balance permutation on " +
+      "the decaying spectrum, and the rotated index still retrieves") {
+    val (dim, m, ksub) = (64, 8, 16)
+    val rng = new scala.util.Random(5)
+    val sample = Array.fill(2048)(
+      Array.tabulate(dim)(t => math.pow(0.8, t) * rng.nextGaussian()))
+    val zeroCent = Seq(Seq.fill(dim)(0.0))
+    val (learned, lrnBooks) = Similarity.learnedRotationAndBooks(sample,
+      dim, m, ksub, kmIters = 4, seed = 42L, opqIters = 6)
+    // orthonormality: R·Rᵀ = I (the exact-ADC premise)
+    val r = learned.map(_.toArray).toArray
+    for (i <- 0 until dim; j <- i until dim) {
+      val d = (0 until dim).map(t => r(i)(t) * r(j)(t)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9, s"($i,$j)=$d")
+    }
+    // determinism per seed
+    assert((learned, lrnBooks) == Similarity.learnedRotationAndBooks(
+      sample, dim, m, ksub, kmIters = 4, seed = 42L, opqIters = 6))
+    // distortion ordering: learned <= balance < plain — the alternation
+    // STARTS from (balance permutation, its cold codebooks) and every
+    // step is monotone, so the co-trained pair can only improve
+    val perm = Similarity.balancedPermutation(sample, dim, m)
+    val balBooks = Similarity.residualBooksFromSample(sample, dim,
+      zeroCent, m, ksub, iters = 4, seed = 42L, rotation = perm)
+    val eBal = Similarity.reconstructionError(sample, balBooks, perm)
+    val eLrn = Similarity.reconstructionError(sample, lrnBooks, learned)
+    assert(eLrn <= eBal * 1.0001,
+      f"learned must not regress its own init: $eLrn%.5f vs $eBal%.5f")
+    assert(eLrn < eBal * 0.95,
+      f"learned should IMPROVE on the permutation: $eLrn%.5f vs $eBal%.5f")
+    // end-to-end: planted copies retrieve through the learned rotation
+    import graft.tools.AnnRecall
+    val corpus = AnnRecall.clusteredFixture(spark, n = 2000, dim = dim)
+    val probes = corpus.filter(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val rows = Similarity.ivfPqTopK(corpus, probes, "vec_id", "embedding",
+        dim, k = 1, nlist = 64, nprobe = 16, m = 8, ksub = 256,
+        rerank = 128, opq = Similarity.OpqMode.Learned(4))
+      .filter(col("rank") === 1).collect()
+    assert(rows.length == 50)
+    rows.foreach { row =>
+      assert(row.getAs[Long]("query_id") - 1000000L ==
+        row.getAs[Long]("neighbor_id"), s"planted copy not retrieved: $row")
+      assert(math.abs(row.getAs[Double]("cosine") - 1.0) < 1e-9)
+    }
+  }
+
   test("PQ codebooks train deterministically; codes pack m bytes") {
     import graft.functions.SignatureExpressions
     import graft.tools.AnnRecall

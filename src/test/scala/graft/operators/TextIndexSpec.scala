@@ -132,6 +132,185 @@ class TextIndexSpec extends SparkSpec {
       nBuckets = 8).as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("query terms normalize exactly like the build tokenizer: " +
+      "punctuation strips, multi-token terms refuse loudly") {
+    val wh = freshWh
+    TextIndex.build(wh, Seq((1L, "the quick fox, obviously"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixn", nBuckets = 8)
+    // "fox," and "FOX!" must hash the same string the index stored
+    assert(TextIndex.searchAll(wh, Seq("fox,"), "tixn", nBuckets = 8)
+      .as[Long].collect().toSet == Set(1L))
+    assert(TextIndex.searchAll(wh, Seq("FOX!"), "tixn", nBuckets = 8)
+      .as[Long].collect().toSet == Set(1L))
+    assert(TextIndex.searchPhrase(wh, Seq("quick", "fox,"), "tixn",
+      nBuckets = 8).as[Long].collect().toSet == Set(1L))
+    // a term that normalizes to MULTIPLE tokens can never be a posting
+    // key — refused, not silently empty
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.searchAll(wh, Seq("quick-fox"), "tixn", nBuckets = 8)
+    }
+    assert(e.getMessage.contains("multiple tokens"), e.getMessage)
+    // pure punctuation normalizes to empty — refused by the blank gate
+    intercept[IllegalArgumentException] {
+      TextIndex.searchAll(wh, Seq("?!"), "tixn", nBuckets = 8)
+    }
+  }
+
+  test("delete tombstones a document across all three search paths " +
+      "without rewriting postings; rebuild compacts the tombstones") {
+    val wh = freshWh
+    val docs = Seq(
+      (1L, "merge vector tables fast"),
+      (2L, "merge vector columns"),
+      (3L, "vector merge again")
+    ).toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tixd", nBuckets = 8)
+    TextIndex.delete(wh, Seq(2L).toDF("doc_id"), "doc_id", "tixd")
+    assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixd",
+      nBuckets = 8).as[Long].collect().toSet == Set(1L, 3L))
+    assert(TextIndex.searchPhrase(wh, Seq("merge", "vector"), "tixd",
+      nBuckets = 8).as[Long].collect().toSet == Set(1L))
+    val ranked = TextIndex.searchRanked(wh, Seq("vector"), "tixd",
+      nBuckets = 8, k = 10).select("doc_id").as[Long].collect().toSet
+    assert(ranked == Set(1L, 3L), ranked.toString)
+    // rebuild = compaction: a fresh version carries no _deletes, and the
+    // rebuilt corpus answers as published
+    TextIndex.build(wh, docs, "doc_id", "text", "tixd", nBuckets = 8)
+    assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixd",
+      nBuckets = 8).as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("reindex: an updated document matches ONLY its new terms — old " +
+      "generation tombstoned, new generation live, ranked stats follow") {
+    val wh = freshWh
+    val docs = Seq(
+      (1L, "merge vector tables"),
+      (2L, "merge vector columns"),
+      (3L, "unrelated text")
+    ).toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tixu", nBuckets = 8)
+    // doc 2 re-crawls with entirely different content
+    TextIndex.reindex(wh, Seq((2L, "refreshed crawl payload"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixu", nBuckets = 8)
+    // old terms no longer match doc 2
+    assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixu",
+      nBuckets = 8).as[Long].collect().toSet == Set(1L))
+    // new terms match exactly doc 2
+    assert(TextIndex.searchAll(wh, Seq("refreshed", "crawl"), "tixu",
+      nBuckets = 8).as[Long].collect().toSet == Set(2L))
+    // phrase search follows the live generation
+    assert(TextIndex.searchPhrase(wh, Seq("refreshed", "crawl"), "tixu",
+      nBuckets = 8).as[Long].collect().toSet == Set(2L))
+    assert(TextIndex.searchPhrase(wh, Seq("merge", "vector"), "tixu",
+      nBuckets = 8).as[Long].collect().toSet == Set(1L))
+    // BM25's doclen follows too: ranked retrieval for the new terms
+    // sees exactly the new generation's length rows
+    val ranked = TextIndex.searchRanked(wh, Seq("payload"), "tixu",
+      nBuckets = 8, k = 10).select("doc_id").as[Long].collect().toSet
+    assert(ranked == Set(2L), ranked.toString)
+    // a SECOND reindex of the same doc keeps only the newest generation
+    TextIndex.reindex(wh, Seq((2L, "third generation entirely"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixu", nBuckets = 8)
+    assert(TextIndex.searchAll(wh, Seq("refreshed"), "tixu",
+      nBuckets = 8).count() == 0)
+    assert(TextIndex.searchAll(wh, Seq("generation"), "tixu",
+      nBuckets = 8).as[Long].collect().toSet == Set(2L))
+    // a delete AFTER appends tombstones everything indexed so far
+    TextIndex.delete(wh, Seq(2L).toDF("doc_id"), "doc_id", "tixu")
+    assert(TextIndex.searchAll(wh, Seq("generation"), "tixu",
+      nBuckets = 8).count() == 0)
+  }
+
+  test("compact applies tombstones from the index itself (no corpus " +
+      "re-tokenize): searches answer identically, postings shrink, the " +
+      "new version carries no deletes") {
+    val wh = freshWh
+    val docs = Seq(
+      (1L, "merge vector tables"),
+      (2L, "merge vector columns"),
+      (3L, "vector merge again")
+    ).toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tixc", nBuckets = 8)
+    TextIndex.reindex(wh, Seq((2L, "refreshed crawl payload"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixc", nBuckets = 8)
+    TextIndex.delete(wh, Seq(3L).toDF("doc_id"), "doc_id", "tixc")
+    def answers() = (
+      TextIndex.searchAll(wh, Seq("merge", "vector"), "tixc", nBuckets = 8)
+        .as[Long].collect().toSet,
+      TextIndex.searchAll(wh, Seq("refreshed"), "tixc", nBuckets = 8)
+        .as[Long].collect().toSet,
+      TextIndex.searchPhrase(wh, Seq("refreshed", "crawl"), "tixc",
+        nBuckets = 8).as[Long].collect().toSet,
+      TextIndex.searchRanked(wh, Seq("vector"), "tixc", nBuckets = 8,
+        k = 10).collect().map(_.toSeq).toSeq)
+    val before = answers()
+    assert(before._1 == Set(1L) && before._2 == Set(2L))
+    val preRows = wh.read("tixc").count()
+    TextIndex.compact(wh, "tixc")
+    assert(answers() == before, "compaction must not change any answer")
+    assert(wh.read("tixc").count() < preRows, "tombstoned postings gone")
+    // the fresh version has no _deletes companion
+    val dp = new org.apache.hadoop.fs.Path(s"${wh.dataPath("tixc")}/_deletes")
+    assert(!dp.getFileSystem(spark.sessionState.newHadoopConf()).exists(dp))
+    // maintenance continues on the compacted index
+    TextIndex.append(wh, Seq((4L, "vector merge anew")).toDF("doc_id",
+      "text"), "doc_id", "text", "tixc", nBuckets = 8)
+    assert(TextIndex.searchAll(wh, Seq("anew"), "tixc", nBuckets = 8)
+      .as[Long].collect().toSet == Set(4L))
+    TextIndex.delete(wh, Seq(1L).toDF("doc_id"), "doc_id", "tixc")
+    assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixc",
+      nBuckets = 8).as[Long].collect().toSet == Set(4L))
+  }
+
+  test("positions are opt-in: a position-free index halves posting " +
+      "schema, serves conjunctive and ranked search, refuses phrases") {
+    val wh = freshWh
+    val docs = Seq((1L, "merge vector tables"), (2L, "merge vector"))
+      .toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tixnp", nBuckets = 8,
+      positions = false)
+    assert(!TextIndex.hasPositions(wh, "tixnp"))
+    assert(!wh.read("tixnp").schema.fieldNames.contains("pos"))
+    assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixnp",
+      nBuckets = 8).as[Long].collect().toSet == Set(1L, 2L))
+    assert(TextIndex.searchRanked(wh, Seq("vector"), "tixnp",
+      nBuckets = 8, k = 5).count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.searchPhrase(wh, Seq("merge", "vector"), "tixnp",
+        nBuckets = 8)
+    }
+    assert(e.getMessage.contains("positions"), e.getMessage)
+    // appends FOLLOW the index's position mode (no pos column sneaks in)
+    TextIndex.append(wh, Seq((3L, "vector merge more")).toDF("doc_id",
+      "text"), "doc_id", "text", "tixnp", nBuckets = 8)
+    assert(!wh.read("tixnp").schema.fieldNames.contains("pos"))
+    assert(TextIndex.searchAll(wh, Seq("more"), "tixnp", nBuckets = 8)
+      .as[Long].collect().toSet == Set(3L))
+  }
+
+  test("phrase anchor is the rarest term (min live df, first offset on " +
+      "ties) — a stopword-led phrase never pays the stopword's df first") {
+    // direct unit check of the planner decision
+    assert(TextIndex.phraseAnchor(Seq("the", "zebra", "ran"),
+      Map("the" -> 1000L, "zebra" -> 3L, "ran" -> 40L)) == 1)
+    assert(TextIndex.phraseAnchor(Seq("a", "b", "a"),
+      Map("a" -> 5L, "b" -> 5L)) == 0) // tie -> first offset
+    assert(TextIndex.phraseAnchor(Seq("x", "y"),
+      Map("x" -> 9L, "y" -> 2L)) == 1)
+    // end-to-end: the anchored intersection answers identically on a
+    // corpus where the first phrase term is the common one
+    val wh = freshWh
+    val docs = (1L to 50L).map(i => (i, s"the common filler $i"))
+      .toDF("doc_id", "text")
+      .union(Seq((51L, "the zebra ran"), (52L, "zebra the ran"),
+        (53L, "the zebra walked")).toDF("doc_id", "text"))
+    TextIndex.build(wh, docs, "doc_id", "text", "tixa", nBuckets = 8)
+    assert(TextIndex.searchPhrase(wh, Seq("the", "zebra", "ran"), "tixa",
+      nBuckets = 8).as[Long].collect().toSet == Set(51L))
+    assert(TextIndex.searchPhrase(wh, Seq("the", "common"), "tixa",
+      nBuckets = 8).as[Long].collect().toSet == (1L to 50L).toSet)
+  }
+
   test("rebuild is an atomic publish: searches never mix generations") {
     val wh = freshWh
     TextIndex.build(wh, Seq((1L, "alpha beta")).toDF("doc_id", "text"),
