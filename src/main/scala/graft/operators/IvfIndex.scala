@@ -12,7 +12,16 @@ import graft.functions.{SignatureExpressions, VectorFunctions}
   * build step pays the assignment once and PUBLISHES the corpus
   * hive-partitioned by cell id (atomic versioned publish, so rebuilds
   * never break concurrent probes); the trained centroids persist beside it
-  * as a tiny companion table. A probe then:
+  * as a tiny companion table.
+  *
+  * Maintenance mirrors [[TextIndex]]'s tombstone discipline (embeddings
+  * re-crawl exactly like text): [[append]]/[[appendPq]] add NEW ids at
+  * batch cost; [[delete]] tombstones ids via a `_deletes` companion of
+  * (id, cut) rows consulted by every probe; [[reindex]]/[[reindexPq]] =
+  * tombstone + append, so a re-embedded id matches only its new vector;
+  * a rebuild starts clean — the rebuild is the compaction.
+  *
+  * A probe then:
   *
   *  1. loads the centroids (`nlist` rows — bounded by construction),
   *  2. assigns each query its `nprobe` nearest cells,
@@ -30,6 +39,67 @@ import graft.functions.{SignatureExpressions, VectorFunctions}
   */
 object IvfIndex {
 
+  private def fs(wh: Warehouse, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(wh.spark.sessionState.newHadoopConf())
+
+  /** The next entry generation: one past the highest `seq` any current
+    * entry carries — derived from the index DATA itself (one
+    * column-pruned scan at maintenance time; a side counter file could
+    * drift after a crash, the data cannot). */
+  private def nextSeq(wh: Warehouse, name: String): Long = {
+    val r = wh.read(name).agg(max(col("seq"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+  }
+
+  /** Drop tombstoned entries: an entry survives unless a `_deletes` row
+    * for its id carries a cut ABOVE its generation (`seq < cut` dies —
+    * the generation a [[reindex]]/[[reindexPq]] appends carries
+    * `seq == cut` and lives). Deletes are read from INSIDE the resolved
+    * version dir so a probe's snapshot consistency extends to them. */
+  private def liveOnly(wh: Warehouse, vdir: String, df: DataFrame,
+                       idAs: String): DataFrame = {
+    val dp = new org.apache.hadoop.fs.Path(s"$vdir/_deletes")
+    if (!fs(wh, dp).exists(dp)) df.drop("seq")
+    else {
+      val cuts = wh.spark.read.parquet(dp.toString)
+        .groupBy(col("id").as(idAs)).agg(max(col("cut")).as("__cut"))
+      df.join(graft.engine.JoinPolicy.broadcastIfSmall(cuts),
+          Seq(idAs), "left")
+        .filter(col("__cut").isNull || col("seq") >= col("__cut"))
+        .drop("__cut", "seq")
+    }
+  }
+
+  /** Tombstone ids across BOTH index flavors: every entry any of
+    * `ids` wrote SO FAR stops matching probes, at metadata cost. The
+    * tombstone records the current generation frontier as its cut, so
+    * entries a later append/reindex adds for the same id are untouched.
+    * Tombstones ride inside the version dir — a rebuild starts clean. */
+  def delete(wh: Warehouse, ids: DataFrame, idCol: String,
+             name: String): Unit = {
+    val cut = nextSeq(wh, name)
+    ids.select(col(idCol).as("id")).distinct()
+      .withColumn("cut", lit(cut))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"${wh.dataPath(name)}/_deletes")
+  }
+
+  /** Re-embed CHANGED ids in a plain IVF index: tombstone + [[append]]
+    * in one call — the appended generation carries `seq == cut`, so the
+    * updated id matches only its new vector. */
+  def reindex(wh: Warehouse, changed: DataFrame, idCol: String,
+              vecCol: String, name: String = "ivf_index"): Unit = {
+    delete(wh, changed.select(col(idCol)), idCol, name)
+    append(wh, changed, idCol, vecCol, name)
+  }
+
+  /** [[reindex]] for the coded layout: tombstone + [[appendPq]]. */
+  def reindexPq(wh: Warehouse, changed: DataFrame, idCol: String,
+                vecCol: String, name: String = "ivfpq_index"): Unit = {
+    delete(wh, changed.select(col(idCol)), idCol, name)
+    appendPq(wh, changed, idCol, vecCol, name)
+  }
+
   /** Train centroids, assign every corpus vector its cell, publish the
     * corpus partitioned by cell WITH its centroids riding in the same
     * version directory (`_centroids`, underscore-invisible to scans,
@@ -46,6 +116,7 @@ object IvfIndex {
     val assigned = corpus.select(col(idCol), col(vecCol),
       element_at(SignatureExpressions.ivfAssign(col(vecCol), cents, 1), 1)
         .as("cell"))
+      .withColumn("seq", lit(0L))
     wh.publish(assigned, name, partitionCols = Seq("cell"),
       beforeSwap = vdir =>
         cents.zipWithIndex.map { case (c, i) => (i, c) }
@@ -77,6 +148,7 @@ object IvfIndex {
     val assigned = newVectors.select(col(idCol), col(vecCol),
       element_at(SignatureExpressions.ivfAssign(col(vecCol), cents, 1), 1)
         .as("cell"))
+      .withColumn("seq", lit(nextSeq(wh, name)))
     wh.append(assigned, name)
   }
 
@@ -127,6 +199,7 @@ object IvfIndex {
         .as("enc"))
       .select(col(idCol), col("enc.cell").as("cell"),
         col("enc.code").as("code"))
+      .withColumn("seq", lit(0L))
     wh.publish(enc, name, partitionCols = Seq("cell"),
       beforeSwap = vdir => {
         cents.zipWithIndex.map { case (c, i) => (i, c) }
@@ -188,6 +261,7 @@ object IvfIndex {
           loadRotation(wh, vdir)).as("enc"))
       .select(col(idCol), col("enc.cell").as("cell"),
         col("enc.code").as("code"))
+      .withColumn("seq", lit(nextSeq(wh, name)))
     wh.append(enc, name)
   }
 
@@ -227,9 +301,13 @@ object IvfIndex {
       .transform(Exec.materialize)
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val codes = wh.readVersion(name, version)
-      .filter(col("cell").isin(probedCells: _*))
-      .select(col(idCol).as("neighbor_id"), col("cell"), col("code"))
+    val codes = liveOnly(wh, vdir,
+      wh.readVersion(name, version)
+        .filter(col("cell").isin(probedCells: _*))
+        .select(col(idCol).as("neighbor_id"), col("cell"), col("code"),
+          col("seq")),
+      "neighbor_id")
+      .select("neighbor_id", "cell", "code")
     val adc = codes
       .join(graft.engine.JoinPolicy.broadcastIfSmall(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -276,9 +354,13 @@ object IvfIndex {
     // only those directories are listed or read
     val probedCells = q.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val corpus = wh.readVersion(name, version)
-      .filter(col("cell").isin(probedCells: _*))
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
+    val corpus = liveOnly(wh, vdir,
+      wh.readVersion(name, version)
+        .filter(col("cell").isin(probedCells: _*))
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          col("cell"), col("seq")),
+      "neighbor_id")
+      .select("neighbor_id", "cv", "cell")
     val scored = corpus
       .join(graft.engine.JoinPolicy.broadcastIfSmall(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

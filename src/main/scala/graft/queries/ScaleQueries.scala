@@ -470,6 +470,55 @@ object ScaleQueries {
         .select("query_id", "neighbor_id")
     }),
 
+    // ── IVF+PQ index MAINTENANCE end to end (the q198 contract for
+    //    embeddings — vectors re-crawl too): every id ≡ 4 (mod 10)
+    //    re-embeds to EXACTLY its successor's vector via reindexPq
+    //    (tombstone + frozen-quantizer append), every id ≡ 7 purges via
+    //    delete. Probing with a re-embedded id's NEW vector must return
+    //    the pair {id, id+1} at cosine 1 (smallest id first — the old
+    //    generation's code is dead, or id would score its OLD vector);
+    //    probing with purged ids' vectors must never surface a purged
+    //    id (second branch expects ZERO rows) ──
+    "q200_ivfpq_reindex" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfpqm").toString)
+      // standard one-file widening: build/encode/probe passes are
+      // CPU-bound and would otherwise serialize behind a one-file scan
+      val emb = Td(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      val next = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("next_emb"))
+      val changed = emb.filter(col("vec_id") % 10 === 4)
+        .join(next, Seq("vec_id"))
+        .select(col("vec_id"), col("next_emb").as("embedding"))
+      IvfIndex.buildPq(wh, emb, "vec_id", "embedding", dim = 64,
+        nlist = 64, m = 8, ksub = 64, name = "pq_idx")
+      IvfIndex.reindexPq(wh, changed, "vec_id", "embedding", "pq_idx")
+      IvfIndex.delete(wh, emb.filter(col("vec_id") % 10 === 7)
+        .select(col("vec_id")), "vec_id", "pq_idx")
+      // the rerank corpus reflects the maintenance (caller contract)
+      val updated = emb.filter(col("vec_id") % 10 =!= 7)
+        .join(changed.select(col("vec_id"),
+          col("embedding").as("new_emb")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("new_emb"), col("embedding")).as("embedding"))
+      val twins = IvfIndex.probePq(wh,
+          changed.select((col("vec_id") + 200000L).as("vec_id"),
+            col("embedding")),
+          updated, "vec_id", "embedding", "pq_idx", k = 2, nprobe = 8,
+          rerank = 192)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val leaked = IvfIndex.probePq(wh,
+          emb.filter(col("vec_id") % 10 === 7)
+            .select((col("vec_id") + 300000L).as("vec_id"),
+              col("embedding")),
+          updated, "vec_id", "embedding", "pq_idx", k = 1, nprobe = 8,
+          rerank = 192)
+        .filter(col("neighbor_id") % 10 === 7)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      twins.unionByName(leaked)
+    }),
+
     // ── two-stage PQ ANN on planted probes: an exact copy must survive
     //    the 8-byte ADC candidate pass (its code equals its original's,
     //    so its ADC score is the query's own maximal reconstruction — a
@@ -1190,6 +1239,21 @@ object ScaleQueries {
     "q184_ivfpq_append_probe" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+
+    // q200: the maintained PQ index answers for the POST-maintenance
+    // corpus — each re-embedded id ties its twin at cosine 1 (smallest
+    // id first), purged ids never surface (the leak branch is empty)
+    "q200_ivfpq_reindex" ->
+      """WITH chg AS (SELECT e.vec_id FROM embeddings e
+        |             JOIN embeddings n ON n.vec_id = e.vec_id + 1
+        |             WHERE e.vec_id % 10 = 4)
+        |SELECT vec_id + 200000 AS query_id, vec_id AS neighbor_id,
+        |       CAST(1 AS INTEGER) AS rank
+        |FROM chg
+        |UNION ALL
+        |SELECT vec_id + 200000 AS query_id, vec_id + 1 AS neighbor_id,
+        |       CAST(2 AS INTEGER) AS rank
+        |FROM chg""".stripMargin,
 
     "q59_text_clean" ->
       """SELECT doc_id,

@@ -342,7 +342,11 @@ object ScaleSweep {
         "q198_text_reindex",
         // round 8b: NDCG@10 evidence over ×20 documents — one aggregate,
         // two k-bounded heap states per group, no per-group sort window
-        "q199_ndcg")
+        "q199_ndcg",
+        // round 8c: IVF+PQ maintenance at scale — reindex/delete are
+        // batch-cost tombstones, probes stay partition-pruned with one
+        // gate-checked cuts join before ADC
+        "q200_ivfpq_reindex")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

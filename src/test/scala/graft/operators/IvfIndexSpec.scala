@@ -73,7 +73,8 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim,
       nlist = 16, m = 8, ksub = 64, name = "pq_idx")
     // the index table holds (id, cell, code) ONLY — no vector column
-    assert(wh.read("pq_idx").columns.toSet == Set("vec_id", "cell", "code"))
+    assert(wh.read("pq_idx").columns.toSet ==
+      Set("vec_id", "cell", "code", "seq"))
     // planted copies: identical cell AND residual code → ADC keeps them,
     // exact rerank pins rank 1
     val probes = corpus.filter($"vec_id" % 10 === 0)
@@ -158,6 +159,59 @@ class IvfIndexSpec extends SparkSpec {
     assert(wh.partitioningOf("idx") == Seq("cell"))
   }
 
+  test("tombstones: delete removes an id from probes, reindex re-embeds " +
+      "it (old vector dead, new vector live) — both index flavors") {
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 400, dim = dim)
+    // ---- plain IVF flavor ----
+    IvfIndex.build(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      name = "tix")
+    // delete id 1: probing with its exact vector must no longer return it
+    IvfIndex.delete(wh, Seq(1L).toDF("vec_id"), "vec_id", "tix")
+    val probe1 = corpus.filter(col("vec_id") === 1L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val after = IvfIndex.probe(wh, probe1, "vec_id", "embedding", "tix",
+      k = 5, nprobe = 8).select("neighbor_id").as[Long].collect().toSet
+    assert(!after.contains(1L), s"deleted id still probe-visible: $after")
+    // reindex id 2 to EXACTLY id 3's vector: a probe with id 3's vector
+    // must now return both 2 and 3 at cosine 1 (smallest id first);
+    // a probe with id 2's OLD vector must not return 2 at rank 1
+    val v3 = corpus.filter(col("vec_id") === 3L)
+    IvfIndex.reindex(wh, v3.select(lit(2L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", "tix")
+    val got = IvfIndex.probe(wh,
+        v3.select((col("vec_id") + 200000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", "tix", k = 2, nprobe = 2)
+      .orderBy(col("rank")).select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L), s"re-embedded id must tie its new twin: $got")
+    // ---- coded (PQ) flavor: same contract through ADC + rerank ----
+    // the rerank corpus reflects the re-embedding (caller contract)
+    val updated = corpus.filter(col("vec_id") =!= 1L)
+      .filter(col("vec_id") =!= 2L)
+      .unionByName(v3.select(lit(2L).as("vec_id"), col("embedding")))
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "tpq")
+    IvfIndex.delete(wh, Seq(1L).toDF("vec_id"), "vec_id", "tpq")
+    IvfIndex.reindexPq(wh, v3.select(lit(2L).as("vec_id"),
+      col("embedding")), "vec_id", "embedding", "tpq")
+    val afterPq = IvfIndex.probePq(wh, probe1, updated, "vec_id",
+        "embedding", "tpq", k = 5, nprobe = 8, rerank = 64)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!afterPq.contains(1L), s"deleted id in PQ probe: $afterPq")
+    val gotPq = IvfIndex.probePq(wh,
+        v3.select((col("vec_id") + 200000L).as("vec_id"), col("embedding")),
+        updated, "vec_id", "embedding", "tpq", k = 2, nprobe = 2,
+        rerank = 64)
+      .orderBy(col("rank")).select("neighbor_id").as[Long].collect().toSeq
+    assert(gotPq == Seq(2L, 3L), s"PQ re-embed must tie its twin: $gotPq")
+    // rebuild compacts: a fresh publish carries no _deletes
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "tpq")
+    val dp = new org.apache.hadoop.fs.Path(s"${wh.dataPath("tpq")}/_deletes")
+    assert(!dp.getFileSystem(spark.sessionState.newHadoopConf()).exists(dp))
+  }
+
   test("PQ incremental append: batch coded by the frozen quantizers, " +
        "probe-visible, cells aligned, no vectors stored") {
     val wh = freshWh
@@ -172,7 +226,8 @@ class IvfIndexSpec extends SparkSpec {
     // appended entries are codes in the existing hive tree, not vectors
     assert(wh.read("pq_idx").count() == corpus.count())
     assert(wh.read("pq_idx").count() > baseCount)
-    assert(wh.read("pq_idx").columns.toSet == Set("vec_id", "cell", "code"))
+    assert(wh.read("pq_idx").columns.toSet ==
+      Set("vec_id", "cell", "code", "seq"))
     assert(wh.partitioningOf("pq_idx") == Seq("cell"))
     // planted copies of APPENDED vectors: the copy encodes to exactly its
     // original's (cell, code) under the same frozen quantizers, so ADC

@@ -262,6 +262,28 @@ class TextIndexSpec extends SparkSpec {
       nBuckets = 8).as[Long].collect().toSet == Set(4L))
   }
 
+  test("partition pruning survives maintenance: a tombstoned index's " +
+      "posting scan still reads only the query terms' buckets") {
+    val wh = freshWh
+    val docs = (1L to 40L).map(i => (i, s"merge vector doc$i"))
+      .toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tixpp", nBuckets = 16)
+    TextIndex.reindex(wh, Seq((5L, "refreshed crawl payload"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixpp", nBuckets = 16)
+    TextIndex.delete(wh, Seq(6L).toDF("doc_id"), "doc_id", "tixpp")
+    val out = TextIndex.searchAll(wh, Seq("merge", "vector"), "tixpp",
+      nBuckets = 16)
+    assert(out.as[Long].collect().toSet == ((1L to 40L).toSet - 5L - 6L))
+    val scan = allNodes(out.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+        if f.relation.partitionSchema.fieldNames.contains("bucket") => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    assert(scan.selectedPartitions.partitionCount <= 2,
+      s"scanned ${scan.selectedPartitions.partitionCount} of 16 buckets " +
+        "after maintenance — the tombstone join must not defeat pruning")
+  }
+
   test("positions are opt-in: a position-free index halves posting " +
       "schema, serves conjunctive and ranked search, refuses phrases") {
     val wh = freshWh
