@@ -100,6 +100,33 @@ object IvfIndex {
     appendPq(wh, changed, idCol, vecCol, name)
   }
 
+  /** Apply accumulated tombstones WITHOUT re-encoding the corpus: the
+    * index rewrites FROM ITSELF — live entries republish atomically
+    * under the same cell layout, the frozen quantizer artifacts
+    * (`_centroids`, and `_codebooks`/`_rotation` when present) COPY
+    * into the new version dir, and the fresh version carries no
+    * `_deletes`. Works on BOTH flavors; entry generations reset to 0
+    * (the compaction is an epoch boundary). Cost is index-sized I/O —
+    * for the coded layout that is ~12 bytes/vector, the cheapest
+    * possible tombstone GC; a [[build]]/[[buildPq]] rebuild (corpus
+    * scan + re-train) is only needed for drift. Returns the version. */
+  def compact(wh: Warehouse, name: String): String = {
+    val version = wh.currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"index '$name' was never built"))
+    val vdir = s"${wh.root}/$name/_versions/$version"
+    val df = wh.readVersion(name, version)
+    val idName = df.columns.head // build/buildPq select the id first
+    val live = liveOnly(wh, vdir, df, idName).withColumn("seq", lit(0L))
+    wh.publish(live, name, partitionCols = Seq("cell"),
+      beforeSwap = newVdir =>
+        Seq("_centroids", "_codebooks", "_rotation").foreach { art =>
+          val src = new org.apache.hadoop.fs.Path(s"$vdir/$art")
+          if (fs(wh, src).exists(src))
+            wh.spark.read.parquet(src.toString)
+              .coalesce(1).write.parquet(s"$newVdir/$art")
+        })
+  }
+
   /** Train centroids, assign every corpus vector its cell, publish the
     * corpus partitioned by cell WITH its centroids riding in the same
     * version directory (`_centroids`, underscore-invisible to scans,

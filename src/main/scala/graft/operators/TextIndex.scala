@@ -188,6 +188,36 @@ object TextIndex {
       .parquet(deletesPath(wh, name))
   }
 
+  /** Continuous indexing: a streaming crawl becomes searchable batch by
+    * batch. Each micro-batch lands via [[reindex]] — tombstone + append,
+    * NOT a plain append: foreachBatch is at-least-once, and a REPLAYED
+    * batch appended twice would double its docs' postings (breaking the
+    * conjunctive hit-count contract), while a replayed reindex
+    * tombstones its previous attempt first, so the search surface
+    * converges to effectively-once under any replay. Re-crawled doc ids
+    * across batches update naturally (that is what reindex does); a
+    * batch carrying the SAME id twice is refused loudly (two
+    * generations with one cut would merge position lists — dedupe
+    * upstream, last-crawl-wins). [[build]] the index first (an empty
+    * corpus is a valid day-0 build). */
+  def streamingIndex(wh: Warehouse, docs: DataFrame, idCol: String,
+                     textCol: String, checkpoint: String,
+                     name: String = "text_index", nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val n = batch.count()
+        if (n > 0) {
+          require(batch.select(col(idCol)).distinct().count() == n,
+            s"streamingIndex: a micro-batch carries duplicate '$idCol' " +
+              "rows — dedupe upstream (last-crawl-wins) before indexing")
+          reindex(wh, batch, idCol, textCol, name, nBuckets)
+        }
+        ()
+      }
+      .start()
+
   /** Apply accumulated tombstones WITHOUT re-tokenizing the corpus: the
     * index rewrites FROM ITSELF — live postings republish as a fresh
     * atomic version (same buckets, same position mode), the doclen

@@ -212,6 +212,53 @@ class IvfIndexSpec extends SparkSpec {
     assert(!dp.getFileSystem(spark.sessionState.newHadoopConf()).exists(dp))
   }
 
+  test("compact applies tombstones from the index itself: probes answer " +
+      "identically, entries shrink, quantizer artifacts survive the " +
+      "rewrite, maintenance continues") {
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 400, dim = dim)
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "cpq", opq = Similarity.OpqMode.Balance)
+    val v3 = corpus.filter(col("vec_id") === 3L)
+    IvfIndex.reindexPq(wh, v3.select(lit(2L).as("vec_id"),
+      col("embedding")), "vec_id", "embedding", "cpq")
+    IvfIndex.delete(wh, Seq(1L).toDF("vec_id"), "vec_id", "cpq")
+    val updated = corpus.filter(col("vec_id") =!= 1L)
+      .filter(col("vec_id") =!= 2L)
+      .unionByName(v3.select(lit(2L).as("vec_id"), col("embedding")))
+    def twins() = IvfIndex.probePq(wh,
+        v3.select((col("vec_id") + 200000L).as("vec_id"), col("embedding")),
+        updated, "vec_id", "embedding", "cpq", k = 2, nprobe = 2,
+        rerank = 64)
+      .orderBy(col("rank")).select("neighbor_id").as[Long].collect().toSeq
+    assert(twins() == Seq(2L, 3L))
+    val preRows = wh.read("cpq").count()
+    IvfIndex.compact(wh, "cpq")
+    // probes answer identically through the compacted version — which
+    // also proves the frozen centroids/codebooks/ROTATION survived
+    assert(twins() == Seq(2L, 3L))
+    assert(wh.read("cpq").count() < preRows, "tombstoned entries gone")
+    val dp = new org.apache.hadoop.fs.Path(s"${wh.dataPath("cpq")}/_deletes")
+    assert(!dp.getFileSystem(spark.sessionState.newHadoopConf()).exists(dp))
+    // maintenance continues: delete again on the reset epoch — id 2
+    // drops out, rank 1 goes to the remaining exact match (the k=2
+    // second slot falls to an organic neighbor)
+    IvfIndex.delete(wh, Seq(2L).toDF("vec_id"), "vec_id", "cpq")
+    val after = twins()
+    assert(after.head == 3L && !after.contains(2L), after.toString)
+    // plain flavor compacts too
+    IvfIndex.build(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      name = "civ")
+    IvfIndex.delete(wh, Seq(5L).toDF("vec_id"), "vec_id", "civ")
+    IvfIndex.compact(wh, "civ")
+    val probe5 = corpus.filter(col("vec_id") === 5L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val got = IvfIndex.probe(wh, probe5, "vec_id", "embedding", "civ",
+      k = 3, nprobe = 8).select("neighbor_id").as[Long].collect().toSet
+    assert(!got.contains(5L))
+  }
+
   test("PQ incremental append: batch coded by the frozen quantizers, " +
        "probe-visible, cells aligned, no vectors stored") {
     val wh = freshWh

@@ -333,6 +333,58 @@ class TextIndexSpec extends SparkSpec {
       nBuckets = 8).as[Long].collect().toSet == (1L to 50L).toSet)
   }
 
+  test("streamingIndex: a crawl stream becomes searchable batch by " +
+      "batch, re-crawls update in place, replays converge (reindex " +
+      "semantics), duplicate ids in one batch refuse loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = freshWh
+    TextIndex.build(wh, Seq((1L, "merge vector tables"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixs", nBuckets = 8)
+    val stream = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("tixs-ckpt").toString
+    val q = TextIndex.streamingIndex(wh,
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", ckpt,
+      "tixs", nBuckets = 8)
+    try {
+      stream.addData((2L, "merge vector columns"), (3L, "unrelated"))
+      q.processAllAvailable()
+      assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixs",
+        nBuckets = 8).as[Long].collect().toSet == Set(1L, 2L))
+      // a later batch re-crawls doc 2 with different content
+      stream.addData((2L, "refreshed crawl payload"))
+      q.processAllAvailable()
+      assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixs",
+        nBuckets = 8).as[Long].collect().toSet == Set(1L))
+      assert(TextIndex.searchAll(wh, Seq("refreshed"), "tixs",
+        nBuckets = 8).as[Long].collect().toSet == Set(2L))
+      // replay convergence: re-delivering the same rows (at-least-once)
+      // must not change any answer — reindex tombstones the prior attempt
+      TextIndex.reindex(wh, Seq((2L, "refreshed crawl payload"))
+        .toDF("doc_id", "text"), "doc_id", "text", "tixs", nBuckets = 8)
+      assert(TextIndex.searchAll(wh, Seq("refreshed"), "tixs",
+        nBuckets = 8).as[Long].collect().toSet == Set(2L))
+      assert(TextIndex.searchRanked(wh, Seq("refreshed"), "tixs",
+        nBuckets = 8, k = 5).count() == 1) // doclen not double-counted
+    } finally q.stop()
+    // duplicate ids within ONE batch refuse loudly (position lists of
+    // two generations would merge under a single cut)
+    val dup = MemoryStream[(Long, String)]
+    val q2 = TextIndex.streamingIndex(wh,
+      dup.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      Files.createTempDirectory("tixs-ckpt2").toString, "tixs",
+      nBuckets = 8)
+    try {
+      dup.addData((7L, "first crawl"), (7L, "second crawl"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(String.valueOf(e.getMessage).contains("duplicate") ||
+        String.valueOf(e.getCause).contains("duplicate"), e.getMessage)
+    } finally q2.stop()
+  }
+
   test("rebuild is an atomic publish: searches never mix generations") {
     val wh = freshWh
     TextIndex.build(wh, Seq((1L, "alpha beta")).toDF("doc_id", "text"),
