@@ -100,6 +100,34 @@ object IvfIndex {
     appendPq(wh, changed, idCol, vecCol, name)
   }
 
+  /** Continuous embedding ingestion: a vector stream becomes
+    * probe-visible batch by batch. Every micro-batch lands via
+    * [[reindexPq]] — tombstone + frozen-quantizer append, NOT a plain
+    * append: foreachBatch is at-least-once, and a replayed appendPq
+    * would duplicate the batch's entries (the same neighbor id twice in
+    * a top-k), while a replayed reindex tombstones its previous attempt
+    * — effectively-once under any replay (the [[TextIndex.streamingIndex]]
+    * contract, applied to codes). A batch carrying the same id twice is
+    * refused loudly; [[buildPq]] the index first. */
+  def streamingIndexPq(wh: Warehouse, vectors: DataFrame, idCol: String,
+                       vecCol: String, checkpoint: String,
+                       name: String = "ivfpq_index")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val n = batch.count()
+        if (n > 0) {
+          require(batch.select(col(idCol)).distinct().count() == n,
+            s"streamingIndexPq: a micro-batch carries duplicate " +
+              s"'$idCol' rows — dedupe upstream (last-wins) before " +
+              "indexing")
+          reindexPq(wh, batch, idCol, vecCol, name)
+        }
+        ()
+      }
+      .start()
+
   /** Apply accumulated tombstones WITHOUT re-encoding the corpus: the
     * index rewrites FROM ITSELF — live entries republish atomically
     * under the same cell layout, the frozen quantizer artifacts

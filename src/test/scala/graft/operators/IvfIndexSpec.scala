@@ -259,6 +259,63 @@ class IvfIndexSpec extends SparkSpec {
     assert(!got.contains(5L))
   }
 
+  test("streamingIndexPq: a vector stream becomes probe-visible batch " +
+      "by batch, re-embeds update in place, replays converge, duplicate " +
+      "ids in one batch refuse loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 400, dim = dim)
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "spq")
+    val v3 = corpus.filter(col("vec_id") === 3L).head()
+      .getAs[Seq[Float]]("embedding").toArray
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = IvfIndex.streamingIndexPq(wh,
+      stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      Files.createTempDirectory("spq-ckpt").toString, "spq")
+    try {
+      // batch 1: a NEW id carrying id 3's exact vector
+      stream.addData((9001L, v3))
+      q.processAllAvailable()
+      def top2() = IvfIndex.probePq(wh,
+          corpus.filter(col("vec_id") === 3L)
+            .select((col("vec_id") + 200000L).as("vec_id"),
+              col("embedding")),
+          corpus.unionByName(Seq((9001L, v3)).toDF("vec_id", "embedding")),
+          "vec_id", "embedding", "spq", k = 2, nprobe = 2, rerank = 64)
+        .orderBy(col("rank")).select("neighbor_id").as[Long]
+        .collect().toSeq
+      assert(top2() == Seq(3L, 9001L), top2().toString)
+      // batch 2: id 9001 RE-EMBEDS away (to id 0's vector) — it must
+      // stop tying id 3
+      val v0 = corpus.filter(col("vec_id") === 0L).head()
+        .getAs[Seq[Float]]("embedding").toArray
+      stream.addData((9001L, v0))
+      q.processAllAvailable()
+      val after = top2()
+      assert(after.head == 3L && !after.contains(9001L), after.toString)
+      // replay convergence: the same re-embed delivered again changes
+      // nothing (reindex tombstones its previous attempt)
+      IvfIndex.reindexPq(wh, Seq((9001L, v0)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "spq")
+      assert(top2() == after)
+    } finally q.stop()
+    val dup = MemoryStream[(Long, Array[Float])]
+    val q2 = IvfIndex.streamingIndexPq(wh,
+      dup.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      Files.createTempDirectory("spq-ckpt2").toString, "spq")
+    try {
+      dup.addData((7L, v3), (7L, v3))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(String.valueOf(e.getMessage).contains("duplicate") ||
+        String.valueOf(e.getCause).contains("duplicate"), e.getMessage)
+    } finally q2.stop()
+  }
+
   test("PQ incremental append: batch coded by the frozen quantizers, " +
        "probe-visible, cells aligned, no vectors stored") {
     val wh = freshWh
