@@ -1952,6 +1952,36 @@ object ExtendedQueries {
       mv.unionByName(rc).orderBy(col("probe"), col("doc_id"))
     }),
 
+    // ── the q198 maintenance flow THROUGH TOMBSTONE COMPACTION: after
+    //    reindex + delete, compact() rewrites the index from itself
+    //    (live postings republish, no corpus re-tokenize, fresh version
+    //    has no _deletes) — and the same probes must answer identically,
+    //    which is the compaction contract made oracle-visible ──
+    "q201_text_compact" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-tixcq").toString)
+      val docs = Td(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      graft.operators.TextIndex.build(wh, docs, "doc_id", "text", "tix",
+        nBuckets = 64)
+      graft.operators.TextIndex.reindex(wh,
+        docs.filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id"),
+            lit("refreshed crawl payload").as("text")),
+        "doc_id", "text", "tix", nBuckets = 64)
+      graft.operators.TextIndex.delete(wh,
+        docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")),
+        "doc_id", "tix")
+      graft.operators.TextIndex.compact(wh, "tix")
+      val mv = graft.operators.TextIndex.searchAll(wh,
+          Seq("merge", "vector"), "tix", nBuckets = 64)
+        .withColumn("probe", lit("merge_vector"))
+      val rc = graft.operators.TextIndex.searchAll(wh,
+          Seq("refreshed", "crawl"), "tix", nBuckets = 64)
+        .withColumn("probe", lit("refreshed_crawl"))
+      mv.unionByName(rc).orderBy(col("probe"), col("doc_id"))
+    }),
+
     // ── NDCG@10 evidence per source: the ranking document LENGTH
     //    induces, scored against a graded language relevance — DCG and
     //    ideal DCG as exact integer micro-discount sums (the discount
@@ -2036,6 +2066,24 @@ object ExtendedQueries {
 
   /** DuckDB analogue of Sampling.hashWord: first 4 md5 bytes of "salt|id"
     * as an unsigned 32-bit value. */
+  /** Shared by q198 (reindex/delete) and q201 (the same flow THROUGH
+    * compaction): the maintained index answers exactly like a search
+    * over the post-maintenance corpus, and compaction changes nothing. */
+  private lazy val textMaintenanceOracle: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 3 THEN 'refreshed crawl payload'
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id % 10 <> 7),
+       |tok AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks
+       |        FROM corpus)
+       |SELECT doc_id, 'merge_vector' AS probe FROM tok
+       |WHERE list_has_all(toks, ['merge', 'vector'])
+       |UNION ALL
+       |SELECT doc_id, 'refreshed_crawl' AS probe FROM tok
+       |WHERE list_has_all(toks, ['refreshed', 'crawl'])
+       |ORDER BY probe, doc_id""".stripMargin
+
   private def hashWordSql(salt: String, idExpr: String) =
     s"CAST(('0x' || substr(md5('$salt|' || CAST($idExpr AS VARCHAR)), 1, 8)) AS BIGINT)"
 
@@ -3844,20 +3892,12 @@ object ExtendedQueries {
     // q198: the maintained index answers exactly like a search over the
     // POST-maintenance corpus — re-crawled docs carry their new text,
     // purged docs are gone; tombstones are an access-path detail
-    "q198_text_reindex" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 10 = 3 THEN 'refreshed crawl payload'
-         |         ELSE text END AS text
-         |  FROM documents WHERE doc_id % 10 <> 7),
-         |tok AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks
-         |        FROM corpus)
-         |SELECT doc_id, 'merge_vector' AS probe FROM tok
-         |WHERE list_has_all(toks, ['merge', 'vector'])
-         |UNION ALL
-         |SELECT doc_id, 'refreshed_crawl' AS probe FROM tok
-         |WHERE list_has_all(toks, ['refreshed', 'crawl'])
-         |ORDER BY probe, doc_id""".stripMargin,
+    "q198_text_reindex" -> textMaintenanceOracle,
+
+    // q201: the SAME oracle verbatim — compaction rewrites the index
+    // from itself and may change NOTHING about any answer (the q195
+    // "only the access path changed" discipline)
+    "q201_text_compact" -> textMaintenanceOracle,
 
     // q193: the serve join replays as the plain predicate+join+aggregate
     // (pruning never changes semantics; maintained stats ≡ re-analyze

@@ -519,6 +519,49 @@ object ScaleQueries {
       twins.unionByName(leaked)
     }),
 
+    // ── the q200 flow THROUGH TOMBSTONE COMPACTION: compact() rewrites
+    //    the coded index from itself (live entries republish, frozen
+    //    quantizer artifacts copy across, no corpus re-encode) and the
+    //    same probes must answer identically — the cheapest tombstone GC
+    //    an embedding index can have, made oracle-visible ──
+    "q202_ivfpq_compact" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfpqc").toString)
+      val emb = Td(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      val next = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("next_emb"))
+      val changed = emb.filter(col("vec_id") % 10 === 4)
+        .join(next, Seq("vec_id"))
+        .select(col("vec_id"), col("next_emb").as("embedding"))
+      IvfIndex.buildPq(wh, emb, "vec_id", "embedding", dim = 64,
+        nlist = 64, m = 8, ksub = 64, name = "pq_idx")
+      IvfIndex.reindexPq(wh, changed, "vec_id", "embedding", "pq_idx")
+      IvfIndex.delete(wh, emb.filter(col("vec_id") % 10 === 7)
+        .select(col("vec_id")), "vec_id", "pq_idx")
+      IvfIndex.compact(wh, "pq_idx")
+      val updated = emb.filter(col("vec_id") % 10 =!= 7)
+        .join(changed.select(col("vec_id"),
+          col("embedding").as("new_emb")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("new_emb"), col("embedding")).as("embedding"))
+      val twins = IvfIndex.probePq(wh,
+          changed.select((col("vec_id") + 200000L).as("vec_id"),
+            col("embedding")),
+          updated, "vec_id", "embedding", "pq_idx", k = 2, nprobe = 8,
+          rerank = 192)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val leaked = IvfIndex.probePq(wh,
+          emb.filter(col("vec_id") % 10 === 7)
+            .select((col("vec_id") + 300000L).as("vec_id"),
+              col("embedding")),
+          updated, "vec_id", "embedding", "pq_idx", k = 1, nprobe = 8,
+          rerank = 192)
+        .filter(col("neighbor_id") % 10 === 7)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      twins.unionByName(leaked)
+    }),
+
     // ── two-stage PQ ANN on planted probes: an exact copy must survive
     //    the 8-byte ADC candidate pass (its code equals its original's,
     //    so its ADC score is the query's own maximal reconstruction — a
@@ -710,6 +753,21 @@ object ScaleQueries {
   /** DuckDB analogue of [[graft.functions.TextFunctions.tokens]] /
     * [[graft.functions.ShinglesExpr]] tokenization: lowercase, split on
     * non-alphanumeric runs, drop empties. */
+  /** Shared by q200 (reindex/delete) and q202 (the same flow THROUGH
+    * compaction): the maintained coded index answers for the
+    * post-maintenance corpus, and compaction changes nothing. */
+  private lazy val pqMaintenanceOracle: String =
+    """WITH chg AS (SELECT e.vec_id FROM embeddings e
+      |             JOIN embeddings n ON n.vec_id = e.vec_id + 1
+      |             WHERE e.vec_id % 10 = 4)
+      |SELECT vec_id + 200000 AS query_id, vec_id AS neighbor_id,
+      |       CAST(1 AS INTEGER) AS rank
+      |FROM chg
+      |UNION ALL
+      |SELECT vec_id + 200000 AS query_id, vec_id + 1 AS neighbor_id,
+      |       CAST(2 AS INTEGER) AS rank
+      |FROM chg""".stripMargin
+
   private[queries] val tokSql =
     """list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
       |             x -> x <> '')""".stripMargin
@@ -1242,18 +1300,11 @@ object ScaleQueries {
 
     // q200: the maintained PQ index answers for the POST-maintenance
     // corpus — each re-embedded id ties its twin at cosine 1 (smallest
-    // id first), purged ids never surface (the leak branch is empty)
-    "q200_ivfpq_reindex" ->
-      """WITH chg AS (SELECT e.vec_id FROM embeddings e
-        |             JOIN embeddings n ON n.vec_id = e.vec_id + 1
-        |             WHERE e.vec_id % 10 = 4)
-        |SELECT vec_id + 200000 AS query_id, vec_id AS neighbor_id,
-        |       CAST(1 AS INTEGER) AS rank
-        |FROM chg
-        |UNION ALL
-        |SELECT vec_id + 200000 AS query_id, vec_id + 1 AS neighbor_id,
-        |       CAST(2 AS INTEGER) AS rank
-        |FROM chg""".stripMargin,
+    // id first), purged ids never surface (the leak branch is empty).
+    // q202 reuses it VERBATIM: compaction may change no answer.
+    "q202_ivfpq_compact" -> pqMaintenanceOracle,
+
+    "q200_ivfpq_reindex" -> pqMaintenanceOracle,
 
     "q59_text_clean" ->
       """SELECT doc_id,

@@ -346,7 +346,11 @@ object ScaleSweep {
         // round 8c: IVF+PQ maintenance at scale — reindex/delete are
         // batch-cost tombstones, probes stay partition-pruned with one
         // gate-checked cuts join before ADC
-        "q200_ivfpq_reindex")
+        "q200_ivfpq_reindex",
+        // round 8d: the maintenance flows THROUGH compaction — the
+        // rewrite is index-sized (postings / 12-byte codes), never a
+        // corpus re-tokenize/re-encode, and answers are unchanged
+        "q201_text_compact", "q202_ivfpq_compact")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
