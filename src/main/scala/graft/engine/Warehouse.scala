@@ -1632,6 +1632,15 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def appendAnalyzed(df: DataFrame, table: String,
                      cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "appendAnalyzed needs at least one column")
+    // ONE materialization feeds the append AND every maintenance
+    // aggregate below (per-column sketch merge, histogram domain check,
+    // bin counts): the batch may be non-deterministic (a sample, a
+    // limit, a first-wins dedup), and independent actions over a lazy
+    // frame could land one row set while folding a DIFFERENT one into
+    // the maintained stats — the exact hazard TextIndex.append pins
+    // for doclen/postings. Pinning also collapses 2+|cols| evaluations
+    // of the input into one pass.
+    val batch = Exec.materialize(df)
     // detach the old stats rows from their files BEFORE the append
     // moves the census (and before Overwrite replaces the directory)
     val preserved = cols.map { c =>
@@ -1650,7 +1659,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val preservedHist = cols.flatMap { c =>
       readHistogram(table, c).map(h => c -> Exec.materialize(h))
     }
-    append(df, table)
+    append(batch, table)
     val p = dataPath(table)
     val files = listDataFiles(new Path(p))
     val (nf, tb) = (files.size.toLong, files.map(_.getLen).sum)
@@ -1658,7 +1667,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       val geo = old.select(col("depth"), col("width"), col("hot_capacity"))
         .head()
       val (depth, width, cap) = (geo.getInt(0), geo.getInt(1), geo.getInt(2))
-      val batchAgg = df.agg(
+      val batchAgg = batch.agg(
         graft.functions.Cms.sketch(col(c).cast("string"), depth, width)
           .as("cms_b"),
         graft.functions.Freq.spaceSaving(col(c).cast("string"), cap)
@@ -1694,12 +1703,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         col("bin_w")).head()
       val (bins, vmin, vmax, w) =
         (geo.getInt(0), geo.getLong(1), geo.getLong(2), geo.getLong(3))
-      val mm = df.agg(min(col(c).cast("long")).as("lo"),
+      val mm = batch.agg(min(col(c).cast("long")).as("lo"),
         max(col(c).cast("long")).as("hi")).head()
       val inDomain = mm.isNullAt(0) || // all-null batch adds no mass
         (mm.getLong(0) >= vmin && mm.getLong(1) <= vmax)
       if (inDomain) {
-        val batch = df.filter(col(c).isNotNull)
+        val binned = batch.filter(col(c).isNotNull)
           .groupBy(expr(s"(CAST(`$c` AS BIGINT) - ${vmin}L) div ${w}L")
             .as("bin"))
           .agg(count(lit(1)).as("cnt"))
@@ -1711,7 +1720,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
             .as("counts_b"), col("nv_b"))
         old.select(col("counts").as("counts_a"),
             col("n_values").as("nv_a"))
-          .crossJoin(batch) // 1 row × 1 row
+          .crossJoin(binned) // 1 row × 1 row
           .select(lit(bins).as("bins"), lit(vmin).as("v_min"),
             lit(vmax).as("v_max"), lit(w).as("bin_w"),
             lit(nf).as("n_files"), lit(tb).as("data_bytes"),

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import graft.engine.Warehouse
+
+/** The maintenance DECISION for a persistent index ([[TextIndex]],
+  * [[IvfIndex]]) — what an evidence-driven policy recommends doing now.
+  *
+  * Both indexes have had the maintenance MECHANICS (tombstoning
+  * `delete`/`reindex`, tombstone-GC `compact`, retraining rebuilds) since
+  * round 8; this type closes the POLICY level: `maintenanceAdvice` reads
+  * STORED evidence only (tombstone mass from the `_deletes` companion vs
+  * live doclen/entry counts, cell-occupancy skew vs `_centroids`, the
+  * byte mass of `_deletes` itself) and returns one of these three, so a
+  * nightly job can run `maintain()` on every index and pay a rewrite
+  * only when the evidence says the index needs one.
+  */
+sealed trait IndexAdvice
+
+object IndexAdvice {
+
+  /** Evidence within thresholds — do nothing. */
+  case object Healthy extends IndexAdvice
+
+  /** Enough tombstoned mass (or tombstone-file bloat) to be worth the
+    * index-sized rewrite: run `compact()`. Executable by `maintain()` —
+    * compaction needs nothing but the index itself. */
+  case object Compact extends IndexAdvice
+
+  /** Structural drift a compaction cannot fix (cell occupancy skewed
+    * far past the trained layout): re-train with `build`/`buildPq`.
+    * `maintain()` SURFACES this but never executes it — a rebuild needs
+    * the corpus and the training parameters, which only the caller has. */
+  case object Rebuild extends IndexAdvice
+
+  /** One metadata-only pass over an index's resolved version directory:
+    * file count and bytes, split into data files (postings / coded
+    * entries), the `_deletes` tombstone companion, and everything else
+    * (doclen, centroids, codebooks, manifests). The stored health row
+    * (`_health`, excluded here so writing it never moves its own census)
+    * is stamped with (nFiles, totalBytes) and withdrawn the moment any
+    * file changes — the same freshness discipline as the sketch-stats
+    * catalog, so advice can never be served from pre-maintenance
+    * evidence. Listing is proportional to file COUNT, never data size:
+    * "index health without scanning" at 100 TB.
+    */
+  final case class Census(nFiles: Long, totalBytes: Long, dataBytes: Long,
+                          deletesBytes: Long)
+
+  private[operators] def census(wh: Warehouse, name: String): Census = {
+    val base = new Path(wh.dataPath(name))
+    val fs = base.getFileSystem(wh.spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(base, true)
+    var n = 0L; var total = 0L; var data = 0L; var dels = 0L
+    val prefix = base.toUri.getPath
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath.stripPrefix(prefix)
+      if (!rel.startsWith("/_health")) {
+        n += 1; total += s.getLen
+        if (rel.startsWith("/_deletes")) dels += s.getLen
+        // a data file lives under no underscore-prefixed dir and is not
+        // itself underscore-named (_SUCCESS)
+        else if (!rel.split('/').exists(_.startsWith("_"))) data += s.getLen
+      }
+    }
+    Census(n, total, data, dels)
+  }
+}

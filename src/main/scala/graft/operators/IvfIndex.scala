@@ -76,28 +76,58 @@ object IvfIndex {
     * entries a later append/reindex adds for the same id are untouched.
     * Tombstones ride inside the version dir — a rebuild starts clean. */
   def delete(wh: Warehouse, ids: DataFrame, idCol: String,
-             name: String): Unit = {
-    val cut = nextSeq(wh, name)
-    ids.select(col(idCol).as("id")).distinct()
-      .withColumn("cut", lit(cut))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"${wh.dataPath(name)}/_deletes")
+             name: String): Unit =
+    deleteAt(wh, ids.select(col(idCol).as("id")), name,
+      nextSeq(wh, name), onlyExisting = false)
+
+  /** Tombstone write at an already-resolved cut. With `onlyExisting`
+    * the id set first semi-joins against the index's own id column (a
+    * column-pruned entry scan — the cost class `nextSeq` already pays
+    * per maintenance call) and skips the write when nothing survives:
+    * a reindex stream of mostly-NEW vectors then grows no `_deletes`
+    * at all, instead of one useless tombstone file-pair per micro-batch
+    * that every future probe's cuts join would pay for. */
+  private def deleteAt(wh: Warehouse, ids: DataFrame, name: String,
+                       cut: Long, onlyExisting: Boolean): Unit = {
+    val base = ids.distinct()
+    val toTomb =
+      if (!onlyExisting) base
+      else {
+        val idName = wh.read(name).columns.head
+        Exec.materialize(base.join(
+          wh.read(name).select(col(idName).as("id")), Seq("id"),
+          "left_semi"))
+      }
+    if (!onlyExisting || toTomb.head(1).nonEmpty)
+      toTomb.withColumn("cut", lit(cut))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"${wh.dataPath(name)}/_deletes")
   }
 
   /** Re-embed CHANGED ids in a plain IVF index: tombstone + [[append]]
     * in one call — the appended generation carries `seq == cut`, so the
-    * updated id matches only its new vector. */
+    * updated id matches only its new vector. The batch is pinned ONCE
+    * (tombstoned ids and appended vectors must come from the same row
+    * set even for a non-deterministic batch) and the generation
+    * resolves once — one frontier scan per reindex, not two. */
   def reindex(wh: Warehouse, changed: DataFrame, idCol: String,
               vecCol: String, name: String = "ivf_index"): Unit = {
-    delete(wh, changed.select(col(idCol)), idCol, name)
-    append(wh, changed, idCol, vecCol, name)
+    val pinned = Exec.materialize(changed.select(col(idCol), col(vecCol)))
+    val cut = nextSeq(wh, name)
+    deleteAt(wh, pinned.select(col(idCol).as("id")), name, cut,
+      onlyExisting = true)
+    appendAt(wh, pinned, idCol, vecCol, name, cut)
   }
 
-  /** [[reindex]] for the coded layout: tombstone + [[appendPq]]. */
+  /** [[reindex]] for the coded layout: tombstone + [[appendPq]] at one
+    * shared generation, over one pinned batch. */
   def reindexPq(wh: Warehouse, changed: DataFrame, idCol: String,
                 vecCol: String, name: String = "ivfpq_index"): Unit = {
-    delete(wh, changed.select(col(idCol)), idCol, name)
-    appendPq(wh, changed, idCol, vecCol, name)
+    val pinned = Exec.materialize(changed.select(col(idCol), col(vecCol)))
+    val cut = nextSeq(wh, name)
+    deleteAt(wh, pinned.select(col(idCol).as("id")), name, cut,
+      onlyExisting = true)
+    appendPqAt(wh, pinned, idCol, vecCol, name, cut)
   }
 
   /** Continuous embedding ingestion: a vector stream becomes
@@ -108,22 +138,42 @@ object IvfIndex {
     * a top-k), while a replayed reindex tombstones its previous attempt
     * — effectively-once under any replay (the [[TextIndex.streamingIndex]]
     * contract, applied to codes). A batch carrying the same id twice is
-    * refused loudly; [[buildPq]] the index first. */
+    * refused loudly; [[buildPq]] the index first.
+    *
+    * Each micro-batch is pinned ONCE at entry — the count, the
+    * duplicate check, and reindexPq's tombstone + encode + append all
+    * consume the pinned frame (one source read per batch, not 3-4).
+    * Brand-new ids write NO tombstone (reindexPq's existing-only gate),
+    * so an insert-heavy stream grows no `_deletes`; with
+    * `maintainEvery > 0` the sink additionally consults
+    * [[maintenanceAdvice]] every that-many batches and compacts when
+    * the policy fires, bounding `_deletes` growth for re-embed-heavy
+    * streams without any manual compaction (Rebuild advice is surfaced
+    * by `maintain`'s return value elsewhere, never executed here — a
+    * rebuild needs the corpus and training parameters). */
   def streamingIndexPq(wh: Warehouse, vectors: DataFrame, idCol: String,
                        vecCol: String, checkpoint: String,
-                       name: String = "ivfpq_index")
+                       name: String = "ivfpq_index",
+                       maintainEvery: Int = 0,
+                       maxDeadFraction: Double = DefaultMaxDeadFraction,
+                       maxTombstoneBloat: Double = DefaultMaxTombstoneBloat,
+                       maxCellSkew: Double = DefaultMaxCellSkew)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val n = batch.count()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pinned = Exec.materialize(batch)
+        val n = pinned.count()
         if (n > 0) {
-          require(batch.select(col(idCol)).distinct().count() == n,
+          require(pinned.select(col(idCol)).distinct().count() == n,
             s"streamingIndexPq: a micro-batch carries duplicate " +
               s"'$idCol' rows — dedupe upstream (last-wins) before " +
               "indexing")
-          reindexPq(wh, batch, idCol, vecCol, name)
+          reindexPq(wh, pinned, idCol, vecCol, name)
         }
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+          maintain(wh, name, maxDeadFraction, maxTombstoneBloat,
+            maxCellSkew)
         ()
       }
       .start()
@@ -193,7 +243,11 @@ object IvfIndex {
     * column) — rebuilds are atomic publishes, so probes never see a
     * half-rebuilt index. */
   def append(wh: Warehouse, newVectors: DataFrame, idCol: String,
-             vecCol: String, name: String = "ivf_index"): Unit = {
+             vecCol: String, name: String = "ivf_index"): Unit =
+    appendAt(wh, newVectors, idCol, vecCol, name, nextSeq(wh, name))
+
+  private def appendAt(wh: Warehouse, newVectors: DataFrame, idCol: String,
+                       vecCol: String, name: String, seq: Long): Unit = {
     val version = wh.currentVersion(name).getOrElse(
       throw new IllegalStateException(s"IVF index '$name' was never built"))
     val vdir = s"${wh.root}/$name/_versions/$version"
@@ -203,7 +257,7 @@ object IvfIndex {
     val assigned = newVectors.select(col(idCol), col(vecCol),
       element_at(SignatureExpressions.ivfAssign(col(vecCol), cents, 1), 1)
         .as("cell"))
-      .withColumn("seq", lit(nextSeq(wh, name)))
+      .withColumn("seq", lit(seq))
     wh.append(assigned, name)
   }
 
@@ -306,7 +360,12 @@ object IvfIndex {
     * calls for a scheduled [[buildPq]] rebuild — same contract and
     * drift signals as [[append]]. */
   def appendPq(wh: Warehouse, newVectors: DataFrame, idCol: String,
-               vecCol: String, name: String = "ivfpq_index"): Unit = {
+               vecCol: String, name: String = "ivfpq_index"): Unit =
+    appendPqAt(wh, newVectors, idCol, vecCol, name, nextSeq(wh, name))
+
+  private def appendPqAt(wh: Warehouse, newVectors: DataFrame,
+                         idCol: String, vecCol: String, name: String,
+                         seq: Long): Unit = {
     val version = wh.currentVersion(name).getOrElse(
       throw new IllegalStateException(s"IVF+PQ index '$name' was never built"))
     val vdir = s"${wh.root}/$name/_versions/$version"
@@ -316,7 +375,7 @@ object IvfIndex {
           loadRotation(wh, vdir)).as("enc"))
       .select(col(idCol), col("enc.cell").as("cell"),
         col("enc.code").as("code"))
-      .withColumn("seq", lit(nextSeq(wh, name)))
+      .withColumn("seq", lit(seq))
     wh.append(enc, name)
   }
 
@@ -422,5 +481,133 @@ object IvfIndex {
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
     Similarity.rankTopK(scored, k)
+  }
+
+  /** Compaction trigger: compact when at least this fraction of index
+    * entries are tombstone-dead (dead entries still occupy cell
+    * directories and every probe's cuts join). */
+  val DefaultMaxDeadFraction = 0.25
+
+  /** Tombstone-bloat trigger: compact when the `_deletes` companion's
+    * bytes reach this fraction of the coded entry bytes — the rail for
+    * corpus-shaped tombstone growth that inflates probes even when dead
+    * MASS is low. */
+  val DefaultMaxTombstoneBloat = 0.5
+
+  /** Rebuild trigger: the occupancy of the hottest cell vs the mean
+    * over the TRAINED layout (total entries / nlist). Freezing the
+    * coarse quantizer is standard IVF practice; what drifts is
+    * occupancy as the corpus distribution moves, and past this ratio a
+    * probe's nprobe cells stop bounding its work — compaction cannot
+    * fix that, only a [[build]]/[[buildPq]] re-train can. 8× leaves
+    * k-means' natural imbalance alone and fires on genuine drift. */
+  val DefaultMaxCellSkew = 8.0
+
+  /** Measure index health and PERSIST it as a one-row `_health`
+    * companion stamped with the version dir's file census — the stored
+    * signal [[maintenanceAdvice]] reads back at metadata cost. Two
+    * bounded passes, never a vector/code read: dead mass from a
+    * column-pruned (id, seq) scan joined with the tombstone cuts, and
+    * cell occupancy from a partition-column-only scan (parquet footers
+    * — `cell` is a hive partition column, so no data pages are read).
+    * Works on both index flavors. Stale the moment any index file
+    * changes, like the sketch-stats catalog. */
+  def analyzeHealth(wh: Warehouse, name: String): DataFrame = {
+    import wh.spark.implicits._
+    val c = IndexAdvice.census(wh, name)
+    val df = wh.read(name)
+    val idName = df.columns.head // build/buildPq select the id first
+    val dp = new org.apache.hadoop.fs.Path(s"${wh.dataPath(name)}/_deletes")
+    // dead mass AND cell occupancy from ONE column-pruned entry scan:
+    // a per-cell (count, dead) aggregate collapses to ≤ nlist rows
+    // (bounded by construction), rolled up driver-side
+    val base = df.select(col(idName).as("id"), col("seq"), col("cell"))
+    val withDead =
+      if (!fs(wh, dp).exists(dp)) base.withColumn("__dead", lit(0L))
+      else {
+        val cuts = wh.spark.read.parquet(dp.toString)
+          .groupBy(col("id")).agg(max(col("cut")).as("__cut"))
+        base.join(graft.engine.JoinPolicy.broadcastIfSmall(cuts),
+            Seq("id"), "left")
+          .withColumn("__dead", when(col("__cut").isNotNull &&
+            col("seq") < col("__cut"), 1L).otherwise(0L))
+      }
+    val perCell = withDead.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("__dead")).as("d"))
+      .collect()
+    val total = perCell.map(_.getLong(1)).sum
+    val deadRows = perCell.map(_.getLong(2)).sum
+    val liveRows = total - deadRows
+    val maxCell = if (perCell.isEmpty) 0L else perCell.map(_.getLong(1)).max
+    val nlist = wh.spark.read
+      .parquet(s"${wh.dataPath(name)}/_centroids").count()
+    val meanCell = if (nlist == 0L) 0.0 else total.toDouble / nlist
+    val skew = if (meanCell == 0.0) 1.0 else maxCell / meanCell
+    val deadFraction = if (total == 0L) 0.0 else deadRows.toDouble / total
+    val row = Seq((liveRows, deadRows, deadFraction, c.deletesBytes,
+        c.dataBytes, nlist, maxCell, skew, c.nFiles, c.totalBytes))
+      .toDF("live_rows", "dead_rows", "dead_fraction", "deletes_bytes",
+        "data_bytes", "nlist", "max_cell_rows", "cell_skew", "n_files",
+        "census_bytes")
+    row.coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${wh.dataPath(name)}/_health")
+    row // the local row IS what was stored — no read-back needed
+  }
+
+  /** The stored health row — None when never analyzed on this version
+    * or STALE (any index file changed since; the census stamp moved). */
+  def readHealth(wh: Warehouse, name: String): Option[DataFrame] = {
+    val hp = new org.apache.hadoop.fs.Path(s"${wh.dataPath(name)}/_health")
+    if (!fs(wh, hp).exists(hp)) None
+    else {
+      val df = wh.spark.read.parquet(hp.toString)
+      val stamp = df.select(col("n_files"), col("census_bytes")).head()
+      val c = IndexAdvice.census(wh, name)
+      if (stamp.getLong(0) != c.nFiles || stamp.getLong(1) != c.totalBytes)
+        None
+      else Some(df)
+    }
+  }
+
+  /** The maintenance POLICY: what should happen to this index NOW, from
+    * stored evidence only — the fresh `_health` row when one exists,
+    * a bounded re-measure otherwise (which persists, so the next call
+    * is metadata again). Ranked: occupancy drift past `maxCellSkew`
+    * advises Rebuild (structural — compaction cannot fix it, and the
+    * [[append]] scaladoc's "schedule a rebuild on a drift signal" stops
+    * being a comment here); otherwise dead mass / tombstone bloat past
+    * threshold advises Compact; otherwise Healthy. */
+  def maintenanceAdvice(wh: Warehouse, name: String,
+                        maxDeadFraction: Double = DefaultMaxDeadFraction,
+                        maxTombstoneBloat: Double = DefaultMaxTombstoneBloat,
+                        maxCellSkew: Double = DefaultMaxCellSkew)
+      : IndexAdvice = {
+    val h = readHealth(wh, name).getOrElse(analyzeHealth(wh, name))
+      .select(col("dead_fraction"), col("deletes_bytes"),
+        col("data_bytes"), col("cell_skew"))
+      .head()
+    val (deadF, delB, datB, skew) =
+      (h.getDouble(0), h.getLong(1), h.getLong(2), h.getDouble(3))
+    if (skew >= maxCellSkew) IndexAdvice.Rebuild
+    else if (deadF >= maxDeadFraction ||
+        (datB > 0L && delB.toDouble / datB >= maxTombstoneBloat))
+      IndexAdvice.Compact
+    else IndexAdvice.Healthy
+  }
+
+  /** Consult [[maintenanceAdvice]] and ACT on it — the one call a
+    * nightly maintenance job needs per vector index. Compact advice is
+    * executed; Rebuild advice is RETURNED but not executed (a rebuild
+    * needs the corpus and training parameters only the caller has —
+    * act on the return value). */
+  def maintain(wh: Warehouse, name: String,
+               maxDeadFraction: Double = DefaultMaxDeadFraction,
+               maxTombstoneBloat: Double = DefaultMaxTombstoneBloat,
+               maxCellSkew: Double = DefaultMaxCellSkew): IndexAdvice = {
+    val a = maintenanceAdvice(wh, name, maxDeadFraction,
+      maxTombstoneBloat, maxCellSkew)
+    if (a == IndexAdvice.Compact) compact(wh, name)
+    a
   }
 }

@@ -162,10 +162,17 @@ object TextIndex {
     // and postings from DIFFERENT row sets, skewing BM25's N/avgdl
     val toks = graft.engine.Exec.materialize(
       tokenize(newDocs, idCol, textCol))
-    val seq = nextSeq(wh, name)
-    // doclen rows FIRST, postings second: a crash between the two leaves
-    // extra doclen rows (N/avgdl marginally off until a rebuild) rather
-    // than postings whose documents are missing from the length table
+    appendToks(wh, toks, name, nBuckets, nextSeq(wh, name))
+  }
+
+  /** The write half of [[append]]/[[reindex]] over an already-pinned
+    * token frame, at an already-resolved generation. Doclen rows FIRST,
+    * postings second: a crash between the two leaves extra doclen rows
+    * (N/avgdl marginally off, and [[compact]] reconciles them away)
+    * rather than postings whose documents are missing from the length
+    * table. */
+  private def appendToks(wh: Warehouse, toks: DataFrame, name: String,
+                         nBuckets: Int, seq: Long): Unit = {
     toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
         lit(seq).as("seq"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -180,12 +187,29 @@ object TextIndex {
     * doc are untouched. Tombstones ride inside the version dir: a
     * rebuild ([[build]]) starts clean — the rebuild is the compaction. */
   def delete(wh: Warehouse, docIds: DataFrame, idCol: String,
-             name: String = "text_index"): Unit = {
-    val cut = nextSeq(wh, name)
-    docIds.select(col(idCol).as("doc_id")).distinct()
-      .withColumn("cut", lit(cut))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(deletesPath(wh, name))
+             name: String = "text_index"): Unit =
+    deleteAt(wh, docIds.select(col(idCol).as("doc_id")), name,
+      nextSeq(wh, name), onlyExisting = false)
+
+  /** Tombstone write at an already-resolved cut. With `onlyExisting` the
+    * id set first semi-joins against the doclen companion (docs-sized,
+    * column-pruned — the same cost class as the `nextSeq` scan every
+    * maintenance call already pays) and skips the write when nothing
+    * survives: a reindex stream of mostly-NEW documents then grows no
+    * `_deletes` at all, instead of one useless tombstone file-pair per
+    * micro-batch that every future probe's cuts join would pay for. */
+  private def deleteAt(wh: Warehouse, ids: DataFrame, name: String,
+                       cut: Long, onlyExisting: Boolean): Unit = {
+    val base = ids.distinct()
+    val toTomb =
+      if (!onlyExisting) base
+      else graft.engine.Exec.materialize(
+        base.join(wh.spark.read.parquet(doclenPath(wh, name))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    if (!onlyExisting || toTomb.head(1).nonEmpty)
+      toTomb.withColumn("cut", lit(cut))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(deletesPath(wh, name))
   }
 
   /** Continuous indexing: a streaming crawl becomes searchable batch by
@@ -199,21 +223,37 @@ object TextIndex {
     * batch carrying the SAME id twice is refused loudly (two
     * generations with one cut would merge position lists — dedupe
     * upstream, last-crawl-wins). [[build]] the index first (an empty
-    * corpus is a valid day-0 build). */
+    * corpus is a valid day-0 build).
+    *
+    * Each micro-batch is pinned ONCE at entry: the row count, the
+    * duplicate check, and reindex's tombstone + doclen + posting writes
+    * all consume the pinned frame, so a wide crawl batch pays its source
+    * read once instead of 3-4 times per batch. With `maintainEvery > 0`
+    * the sink is SELF-MAINTAINING: every that-many batches it consults
+    * [[maintenanceAdvice]] (stored evidence, metadata cost when nothing
+    * changed) and compacts when the policy fires — re-crawl-heavy
+    * streams then bound their own `_deletes` growth instead of waiting
+    * for a manual compaction. */
   def streamingIndex(wh: Warehouse, docs: DataFrame, idCol: String,
                      textCol: String, checkpoint: String,
-                     name: String = "text_index", nBuckets: Int = 64)
+                     name: String = "text_index", nBuckets: Int = 64,
+                     maintainEvery: Int = 0,
+                     maxDeadFraction: Double = DefaultMaxDeadFraction,
+                     maxTombstoneBloat: Double = DefaultMaxTombstoneBloat)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val n = batch.count()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pinned = graft.engine.Exec.materialize(batch)
+        val n = pinned.count()
         if (n > 0) {
-          require(batch.select(col(idCol)).distinct().count() == n,
+          require(pinned.select(col(idCol)).distinct().count() == n,
             s"streamingIndex: a micro-batch carries duplicate '$idCol' " +
               "rows — dedupe upstream (last-crawl-wins) before indexing")
-          reindex(wh, batch, idCol, textCol, name, nBuckets)
+          reindex(wh, pinned, idCol, textCol, name, nBuckets)
         }
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+          maintain(wh, name, maxDeadFraction, maxTombstoneBloat)
         ()
       }
       .start()
@@ -225,11 +265,27 @@ object TextIndex {
     * `_deletes`. Cost is index-sized I/O; a full [[build]] re-tokenizes
     * the corpus and is only needed when the tokenizer or bucket count
     * changes. Searches before/after answer identically (the tombstone
-    * filter and the rewrite drop the same rows). Returns the version. */
+    * filter and the rewrite drop the same rows).
+    *
+    * Compaction also RECONCILES the doclen companion: [[append]] writes
+    * doclen rows before postings (the crash-safe order), so a crash
+    * between the two leaves doclen generations with no postings behind
+    * them, skewing BM25's N/avgdl until repair — this is that repair. A
+    * live doclen row with `dl > 0` whose (doc_id, seq) generation wrote
+    * no live posting can only be such a torn append and is dropped;
+    * `dl == 0` rows are legitimate (an empty document has a length row
+    * and no postings) and are kept. The generation probe is a
+    * column-pruned (doc_id, seq) scan of the postings — far smaller
+    * than the full posting rewrite this call already pays. Returns the
+    * version. */
   def compact(wh: Warehouse, name: String = "text_index"): String = {
     val live = liveOnly(wh, name, wh.read(name))
-    val dl = liveOnly(wh, name,
+    val dlLive = liveOnly(wh, name,
       wh.spark.read.parquet(doclenPath(wh, name)))
+    val gens = live.select(col("doc_id"), col("seq")).distinct()
+    val dl = dlLive.filter(col("dl") === 0).unionByName(
+      dlLive.filter(col("dl") > 0)
+        .join(gens, Seq("doc_id", "seq"), "left_semi"))
     wh.publish(live, name, partitionCols = Seq("bucket"),
       beforeSwap = vdir => dl.write.parquet(s"$vdir/_doclen"))
   }
@@ -242,8 +298,17 @@ object TextIndex {
   def reindex(wh: Warehouse, changedDocs: DataFrame, idCol: String,
               textCol: String, name: String = "text_index",
               nBuckets: Int = 64): Unit = {
-    delete(wh, changedDocs.select(col(idCol)), idCol, name)
-    append(wh, changedDocs, idCol, textCol, name, nBuckets)
+    // pin the tokenized batch ONCE: the tombstone ids and the appended
+    // postings must come from the same row set (a non-deterministic
+    // batch evaluated twice could tombstone one set and append another),
+    // and the generation resolves once — one doclen frontier scan per
+    // reindex instead of delete's + append's separate scans
+    val toks = graft.engine.Exec.materialize(
+      tokenize(changedDocs, idCol, textCol))
+    val cut = nextSeq(wh, name)
+    deleteAt(wh, toks.select(col("doc_id")), name, cut,
+      onlyExisting = true)
+    appendToks(wh, toks, name, nBuckets, cut)
   }
 
   /** Ranked retrieval FROM the index: BM25 top-k over the query terms'
@@ -390,5 +455,138 @@ object TextIndex {
       .agg(count(lit(1)).as("__hits")) // live postings are distinct per doc
       .filter(col("__hits") === toks.size)
       .select(col("doc_id"))
+  }
+
+  /** Disjunctive / k-of-n search: documents containing at least
+    * `minMatch` DISTINCT terms from `terms` — `minMatch = 1` is boolean
+    * OR, `minMatch = terms.size` degenerates to [[searchAll]], anything
+    * between is the "match most of these" query BM25 can only
+    * approximate through score shaping. Same access path and cost shape
+    * as [[searchAll]] (pruned live postings, one |terms|-bounded count
+    * per doc — the only change is the `>= minMatch` gate); returns
+    * (doc_id, n_matched) so callers can rank by match count. */
+  def searchAny(wh: Warehouse, terms: Seq[String],
+                name: String = "text_index", nBuckets: Int = 64,
+                minMatch: Int = 1): DataFrame = {
+    val toks = terms.map(normTerm).distinct
+    require(toks.nonEmpty && toks.forall(_.nonEmpty),
+      s"searchAny needs non-blank terms, got $terms")
+    require(minMatch >= 1 && minMatch <= toks.size,
+      s"minMatch must be in [1, ${toks.size}] (distinct terms), " +
+        s"got $minMatch")
+    val buckets = toks
+      .map(t => Sampling.hashBucketOf(t, "tix", nBuckets).toInt).distinct
+    liveOnly(wh, name,
+      wh.read(name)
+        .filter(col("bucket").isin(buckets: _*) &&
+          col("token").isin(toks: _*))
+        .select(col("doc_id"), col("seq")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatch)
+      .select(col("doc_id"), col("n_matched"))
+  }
+
+  /** Compaction trigger: compact when at least this fraction of doclen
+    * generations are tombstone-dead (each dead generation holds dead
+    * postings in proportion — the doclen companion is the docs-sized
+    * place to measure posting dead mass without scanning postings). */
+  val DefaultMaxDeadFraction = 0.25
+
+  /** Tombstone-bloat trigger: compact when the `_deletes` companion's
+    * bytes reach this fraction of the live posting data bytes — the
+    * rail for the scaladoc'd "deletes can grow corpus-shaped" failure,
+    * which inflates every search's cuts join even when the DEAD mass is
+    * low (many tombstones over few generations). */
+  val DefaultMaxTombstoneBloat = 0.5
+
+  /** Measure index health and PERSIST it as a one-row `_health`
+    * companion (dead generation mass, tombstone bytes, live counts)
+    * stamped with the version dir's file census — the stored signal
+    * [[maintenanceAdvice]] and data-card consumers read back at
+    * metadata cost. One docs-sized doclen pass (plus the metadata-only
+    * file census); never a posting scan. Stale the moment any index
+    * file changes, exactly like the sketch-stats catalog. */
+  def analyzeHealth(wh: Warehouse,
+                    name: String = "text_index"): DataFrame = {
+    import wh.spark.implicits._
+    val c = IndexAdvice.census(wh, name)
+    val dlv = wh.spark.read.parquet(doclenPath(wh, name))
+    val dp = new Path(deletesPath(wh, name))
+    val (liveRows, deadRows): (Long, Long) =
+      if (!fs(wh, dp).exists(dp)) (dlv.count(), 0L)
+      else {
+        val cuts = wh.spark.read.parquet(dp.toString)
+          .groupBy(col("doc_id")).agg(max(col("cut")).as("__cut"))
+        val r = dlv.join(graft.engine.JoinPolicy.broadcastIfSmall(cuts),
+            Seq("doc_id"), "left")
+          .agg(coalesce(sum(when(col("__cut").isNotNull &&
+              col("seq") < col("__cut"), 1L).otherwise(0L)), lit(0L))
+            .as("dead"), count(lit(1)).as("total"))
+          .head()
+        (r.getLong(1) - r.getLong(0), r.getLong(0))
+      }
+    val deadFraction =
+      if (liveRows + deadRows == 0L) 0.0
+      else deadRows.toDouble / (liveRows + deadRows)
+    val row = Seq((liveRows, deadRows, deadFraction, c.deletesBytes,
+        c.dataBytes, c.nFiles, c.totalBytes))
+      .toDF("live_rows", "dead_rows", "dead_fraction", "deletes_bytes",
+        "data_bytes", "n_files", "census_bytes")
+    row.coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${wh.dataPath(name)}/_health")
+    row // the local row IS what was stored — no read-back needed
+  }
+
+  /** The stored health row — None when never analyzed on this version
+    * or STALE (any index file changed since; the census stamp moved). */
+  def readHealth(wh: Warehouse,
+                 name: String = "text_index"): Option[DataFrame] = {
+    val hp = new Path(s"${wh.dataPath(name)}/_health")
+    if (!fs(wh, hp).exists(hp)) None
+    else {
+      val df = wh.spark.read.parquet(hp.toString)
+      val stamp = df.select(col("n_files"), col("census_bytes")).head()
+      val c = IndexAdvice.census(wh, name)
+      if (stamp.getLong(0) != c.nFiles || stamp.getLong(1) != c.totalBytes)
+        None
+      else Some(df)
+    }
+  }
+
+  /** The maintenance POLICY: what should happen to this index NOW, from
+    * stored evidence only — the fresh `_health` row when one exists
+    * (metadata cost), a doclen-sized re-measure otherwise (which
+    * persists, so the next call is metadata again). Fires [[compact]]
+    * advice when the dead generation fraction or the tombstone byte
+    * bloat crosses its threshold; a text index has no trained layout to
+    * drift, so it never advises Rebuild ([[build]] is only needed when
+    * the tokenizer or bucket count changes — a human decision, not an
+    * evidence threshold). */
+  def maintenanceAdvice(wh: Warehouse, name: String = "text_index",
+                        maxDeadFraction: Double = DefaultMaxDeadFraction,
+                        maxTombstoneBloat: Double = DefaultMaxTombstoneBloat)
+      : IndexAdvice = {
+    val h = readHealth(wh, name).getOrElse(analyzeHealth(wh, name))
+      .select(col("dead_fraction"), col("deletes_bytes"), col("data_bytes"))
+      .head()
+    val (deadF, delB, datB) = (h.getDouble(0), h.getLong(1), h.getLong(2))
+    if (deadF >= maxDeadFraction ||
+        (datB > 0L && delB.toDouble / datB >= maxTombstoneBloat))
+      IndexAdvice.Compact
+    else IndexAdvice.Healthy
+  }
+
+  /** Consult [[maintenanceAdvice]] and ACT on it — the one call a
+    * nightly maintenance job needs per text index. Returns the advice
+    * it acted on (Healthy = nothing to do; Compact = compacted). */
+  def maintain(wh: Warehouse, name: String = "text_index",
+               maxDeadFraction: Double = DefaultMaxDeadFraction,
+               maxTombstoneBloat: Double = DefaultMaxTombstoneBloat)
+      : IndexAdvice = {
+    val a = maintenanceAdvice(wh, name, maxDeadFraction, maxTombstoneBloat)
+    if (a == IndexAdvice.Compact) compact(wh, name)
+    a
   }
 }

@@ -1982,6 +1982,72 @@ object ExtendedQueries {
       mv.unionByName(rc).orderBy(col("probe"), col("doc_id"))
     }),
 
+    // ── the q201 flow where compaction is fired BY THE POLICY, not by
+    //    hand: maintenanceAdvice reads stored evidence only (dead
+    //    generation mass from _deletes vs doclen, tombstone bytes) and
+    //    maintain() acts on it — the engine REQUIRES Healthy on the
+    //    fresh index, Compact after the churn, and Healthy again after
+    //    the fired compaction, then the same probes must answer
+    //    identically (the policy may change no answer). This is the
+    //    index half of the q193 nightly-maintenance loop ──
+    "q203_text_maintain_policy" -> ((s, dir) => {
+      import graft.operators.{IndexAdvice, TextIndex}
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-tixpol").toString)
+      val docs = Td(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      TextIndex.build(wh, docs, "doc_id", "text", "tix", nBuckets = 64)
+      val fresh = TextIndex.maintenanceAdvice(wh, "tix",
+        maxDeadFraction = 0.1)
+      require(fresh == IndexAdvice.Healthy,
+        s"a fresh index must read Healthy, got $fresh")
+      TextIndex.reindex(wh,
+        docs.filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id"),
+            lit("refreshed crawl payload").as("text")),
+        "doc_id", "text", "tix", nBuckets = 64)
+      TextIndex.delete(wh,
+        docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")),
+        "doc_id", "tix")
+      // ~18% of doclen generations are now dead (10% re-crawled, 10%
+      // purged) — past the 0.1 gate, the policy must fire and act
+      val acted = TextIndex.maintain(wh, "tix", maxDeadFraction = 0.1)
+      require(acted == IndexAdvice.Compact,
+        s"churned index must fire Compact, got $acted")
+      val after = TextIndex.maintenanceAdvice(wh, "tix",
+        maxDeadFraction = 0.1)
+      require(after == IndexAdvice.Healthy,
+        s"compacted index must read Healthy, got $after")
+      val mv = TextIndex.searchAll(wh, Seq("merge", "vector"), "tix",
+          nBuckets = 64)
+        .withColumn("probe", lit("merge_vector"))
+      val rc = TextIndex.searchAll(wh, Seq("refreshed", "crawl"), "tix",
+          nBuckets = 64)
+        .withColumn("probe", lit("refreshed_crawl"))
+      mv.unionByName(rc).orderBy(col("probe"), col("doc_id"))
+    }),
+
+    // ── disjunctive / k-of-n membership search from the index: ANY-of
+    //    (boolean OR) and 2-of-3 over the same pruned live postings as
+    //    q194's conjunctive path — only the hit-count gate changes; the
+    //    match count ships so callers can rank by it ──
+    "q205_text_search_any" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-tixany").toString)
+      graft.operators.TextIndex.build(wh,
+        Td(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", "tix", nBuckets = 64)
+      val any = graft.operators.TextIndex.searchAny(wh,
+          Seq("merge", "vector"), "tix", nBuckets = 64, minMatch = 1)
+        .withColumn("probe", lit("any_merge_vector"))
+      val kofn = graft.operators.TextIndex.searchAny(wh,
+          Seq("merge", "vector", "spark"), "tix", nBuckets = 64,
+          minMatch = 2)
+        .withColumn("probe", lit("two_of_mvs"))
+      any.unionByName(kofn).orderBy(col("probe"), col("doc_id"))
+    }),
+
     // ── NDCG@10 evidence per source: the ranking document LENGTH
     //    induces, scored against a graded language relevance — DCG and
     //    ideal DCG as exact integer micro-discount sums (the discount
@@ -1990,6 +2056,11 @@ object ExtendedQueries {
     "q199_ndcg" -> ((s, dir) =>
       graft.engine.Quality.ndcgEvidence(
         Td(s, dir, "documents")
+          // engine/oracle parity on group keys: the oracle filters
+          // `source IS NOT NULL`, so the engine side drops null group
+          // keys too (ndcgEvidence itself only na.drops score/rel/id —
+          // without this a null-source fixture row would diverge)
+          .filter(col("source").isNotNull)
           .withColumn("rel",
             when(col("lang") === "en", 3L)
               .when(col("lang") === "de", 2L)
@@ -3898,6 +3969,31 @@ object ExtendedQueries {
     // from itself and may change NOTHING about any answer (the q195
     // "only the access path changed" discipline)
     "q201_text_compact" -> textMaintenanceOracle,
+
+    // q203: the SAME oracle a third time — when the maintenance POLICY
+    // decides and fires the compaction, the answers still may not move
+    // (the engine side additionally REQUIREs the Healthy→Compact→Healthy
+    // decision sequence, so a mis-threshold fails loudly, not silently)
+    "q203_text_maintain_policy" -> textMaintenanceOracle,
+
+    // q205: k-of-n membership replayed as intersection cardinality over
+    // the distinct token sets — the engine's n_matched counts distinct
+    // live (doc, term) postings, which is exactly |toks ∩ terms|
+    "q205_text_search_any" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  list_distinct(${ScaleQueries.tokSql}) AS toks FROM documents),
+         |a AS (SELECT doc_id, len(list_intersect(toks,
+         |  ['merge', 'vector'])) AS n_matched FROM tok),
+         |k AS (SELECT doc_id, len(list_intersect(toks,
+         |  ['merge', 'vector', 'spark'])) AS n_matched FROM tok)
+         |SELECT doc_id, CAST(n_matched AS BIGINT) AS n_matched,
+         |       'any_merge_vector' AS probe
+         |FROM a WHERE n_matched >= 1
+         |UNION ALL
+         |SELECT doc_id, CAST(n_matched AS BIGINT) AS n_matched,
+         |       'two_of_mvs' AS probe
+         |FROM k WHERE n_matched >= 2
+         |ORDER BY probe, doc_id""".stripMargin,
 
     // q193: the serve join replays as the plain predicate+join+aggregate
     // (pruning never changes semantics; maintained stats ≡ re-analyze

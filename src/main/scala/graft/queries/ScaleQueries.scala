@@ -508,11 +508,17 @@ object ScaleQueries {
           updated, "vec_id", "embedding", "pq_idx", k = 2, nprobe = 8,
           rerank = 192)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
+      // the leak probe reranks against the ORIGINAL (pre-purge) corpus:
+      // rerank inner-joins ADC candidates against its corpus, so a
+      // purged id that leaked past the tombstone filter SURVIVES rerank
+      // (cosine 1 against its own vector) and fails the empty-branch
+      // assertion — reranking against `updated` would silently drop the
+      // leak and pass vacuously
       val leaked = IvfIndex.probePq(wh,
           emb.filter(col("vec_id") % 10 === 7)
             .select((col("vec_id") + 300000L).as("vec_id"),
               col("embedding")),
-          updated, "vec_id", "embedding", "pq_idx", k = 1, nprobe = 8,
+          emb, "vec_id", "embedding", "pq_idx", k = 1, nprobe = 8,
           rerank = 192)
         .filter(col("neighbor_id") % 10 === 7)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -551,11 +557,78 @@ object ScaleQueries {
           updated, "vec_id", "embedding", "pq_idx", k = 2, nprobe = 8,
           rerank = 192)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
+      // the leak probe reranks against the ORIGINAL (pre-purge) corpus:
+      // rerank inner-joins ADC candidates against its corpus, so a
+      // purged id that leaked past the tombstone filter SURVIVES rerank
+      // (cosine 1 against its own vector) and fails the empty-branch
+      // assertion — reranking against `updated` would silently drop the
+      // leak and pass vacuously
       val leaked = IvfIndex.probePq(wh,
           emb.filter(col("vec_id") % 10 === 7)
             .select((col("vec_id") + 300000L).as("vec_id"),
               col("embedding")),
-          updated, "vec_id", "embedding", "pq_idx", k = 1, nprobe = 8,
+          emb, "vec_id", "embedding", "pq_idx", k = 1, nprobe = 8,
+          rerank = 192)
+        .filter(col("neighbor_id") % 10 === 7)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      twins.unionByName(leaked)
+    }),
+
+    // ── the q202 flow where compaction is fired BY THE POLICY:
+    //    maintenanceAdvice reads stored evidence only (dead entry mass
+    //    vs tombstone cuts, tombstone bytes, cell-occupancy skew vs the
+    //    trained layout) and maintain() acts on it — the engine REQUIREs
+    //    Healthy on the fresh index, Compact after the churn, Healthy
+    //    after the fired compaction, then the q200 probes must answer
+    //    identically. Skew is disabled here (1e9) so the FIRED trigger
+    //    is pinned to dead mass — the skew threshold is specced at both
+    //    sides in IvfIndexSpec ──
+    "q204_ivfpq_maintain_policy" -> ((s, dir) => {
+      import graft.operators.IndexAdvice
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfpqp").toString)
+      val emb = Td(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      val next = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("next_emb"))
+      val changed = emb.filter(col("vec_id") % 10 === 4)
+        .join(next, Seq("vec_id"))
+        .select(col("vec_id"), col("next_emb").as("embedding"))
+      IvfIndex.buildPq(wh, emb, "vec_id", "embedding", dim = 64,
+        nlist = 64, m = 8, ksub = 64, name = "pq_idx")
+      val fresh = IvfIndex.maintenanceAdvice(wh, "pq_idx",
+        maxDeadFraction = 0.1, maxCellSkew = 1e9)
+      require(fresh == IndexAdvice.Healthy,
+        s"a fresh index must read Healthy, got $fresh")
+      IvfIndex.reindexPq(wh, changed, "vec_id", "embedding", "pq_idx")
+      IvfIndex.delete(wh, emb.filter(col("vec_id") % 10 === 7)
+        .select(col("vec_id")), "vec_id", "pq_idx")
+      // ~18% of entries are now dead (10% re-embedded, 10% purged) —
+      // past the 0.1 gate, the policy must fire and act
+      val acted = IvfIndex.maintain(wh, "pq_idx", maxDeadFraction = 0.1,
+        maxCellSkew = 1e9)
+      require(acted == IndexAdvice.Compact,
+        s"churned index must fire Compact, got $acted")
+      val after = IvfIndex.maintenanceAdvice(wh, "pq_idx",
+        maxDeadFraction = 0.1, maxCellSkew = 1e9)
+      require(after == IndexAdvice.Healthy,
+        s"compacted index must read Healthy, got $after")
+      val updated = emb.filter(col("vec_id") % 10 =!= 7)
+        .join(changed.select(col("vec_id"),
+          col("embedding").as("new_emb")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("new_emb"), col("embedding")).as("embedding"))
+      val twins = IvfIndex.probePq(wh,
+          changed.select((col("vec_id") + 200000L).as("vec_id"),
+            col("embedding")),
+          updated, "vec_id", "embedding", "pq_idx", k = 2, nprobe = 8,
+          rerank = 192)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val leaked = IvfIndex.probePq(wh,
+          emb.filter(col("vec_id") % 10 === 7)
+            .select((col("vec_id") + 300000L).as("vec_id"),
+              col("embedding")),
+          emb, "vec_id", "embedding", "pq_idx", k = 1, nprobe = 8,
           rerank = 192)
         .filter(col("neighbor_id") % 10 === 7)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -1303,6 +1376,11 @@ object ScaleQueries {
     // id first), purged ids never surface (the leak branch is empty).
     // q202 reuses it VERBATIM: compaction may change no answer.
     "q202_ivfpq_compact" -> pqMaintenanceOracle,
+
+    // q204: the SAME oracle a third time — when the maintenance POLICY
+    // decides and fires the compaction, the probes still may not move
+    // (the engine REQUIREs the Healthy→Compact→Healthy sequence)
+    "q204_ivfpq_maintain_policy" -> pqMaintenanceOracle,
 
     "q200_ivfpq_reindex" -> pqMaintenanceOracle,
 

@@ -350,7 +350,17 @@ object ScaleSweep {
         // round 8d: the maintenance flows THROUGH compaction — the
         // rewrite is index-sized (postings / 12-byte codes), never a
         // corpus re-tokenize/re-encode, and answers are unchanged
-        "q201_text_compact", "q202_ivfpq_compact")
+        "q201_text_compact", "q202_ivfpq_compact",
+        // round 9: POLICY-fired compaction on both index families —
+        // advice reads the stored _health row (metadata cost) or one
+        // docs-/entries-sized evidence pass, never postings/codes; the
+        // Healthy→Compact→Healthy sequence is REQUIREd in-engine at
+        // every scale, so a threshold that stops firing at ×20 fails
+        // the sweep loudly
+        "q203_text_maintain_policy", "q204_ivfpq_maintain_policy",
+        // round 9b: k-of-n membership — same pruned-postings cost shape
+        // as q194, only the hit-count gate differs
+        "q205_text_search_any")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -344,6 +344,50 @@ class JoinPolicySpec extends SparkSpec {
     assert(mergedD.get > 20.0 && mergedD.get < 80.0)
   }
 
+  test("appendAnalyzed pins a NON-DETERMINISTIC batch: the maintained " +
+      "stats and histogram describe exactly the rows that landed") {
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("wh-ndet").toString)
+    // base pins the histogram domain to k ∈ [0, 19] regardless of what
+    // the sample keeps, so the re-analyze below re-pins identically
+    val base = (1L to 400L).map(i => (i, i % 20)).toDF("row_id", "k")
+    wh.publish(base, "nd")
+    wh.analyzeSketches("nd", Seq("k"), 4, 128, hotCapacity = 64)
+    wh.analyzeHistogram("nd", "k", bins = 10)
+    // an UNSEEDED sample re-evaluates to a different row set on every
+    // pass — without the single materialization, the appended rows and
+    // the sketched/binned rows would diverge
+    val batch = (401L to 800L).map(i => (i, i % 20)).toDF("row_id", "k")
+      .sample(0.5)
+    wh.appendAnalyzed(batch, "nd", Seq("k"))
+    def statsRow() = {
+      val st = wh.readSketchStats("nd", "k").get
+      val hot = st.select(explode(col("hot")).as("e"))
+        .select(col("e.item"), col("e.est"))
+        .as[(String, Long)].collect().toMap
+      val rest = st.select("cms", "hll", "n_values", "n_rows").head()
+      (hot, rest)
+    }
+    def histRow() = wh.readHistogram("nd", "k").get
+      .select("bins", "v_min", "v_max", "bin_w", "counts", "n_values")
+      .head()
+    val (mHot, mRest) = statsRow()
+    val mHist = histRow()
+    // the maintained row counts must equal what is actually ON DISK
+    val landed = wh.read("nd").count()
+    assert(mRest.getLong(3) == landed,
+      s"maintained n_rows ${mRest.getLong(3)} != landed $landed")
+    // a full re-analyze of the table as it IS must agree exactly: CMS
+    // linearity / HLL register-max / below-capacity Space-Saving are
+    // exact, so any difference means the batch was evaluated twice
+    wh.analyzeSketches("nd", Seq("k"), 4, 128, hotCapacity = 64)
+    wh.analyzeHistogram("nd", "k", bins = 10)
+    val (fHot, fRest) = statsRow()
+    assert(mHot == fHot, "maintained hot list diverged from the landed rows")
+    assert(mRest == fRest, "maintained cms/hll/counts diverged")
+    assert(mHist == histRow(), "maintained histogram diverged")
+  }
+
   test("requireJoinBounded: sound rail — passes under the bound, refuses " +
       "an estimated explosion, refuses unguardable (no-stats) joins") {
     val wh = new Warehouse(spark,

@@ -316,6 +316,122 @@ class IvfIndexSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maintenance policy: health row census-gated; dead-mass and " +
+      "cell-skew thresholds fire at both sides; maintain compacts on " +
+      "Compact but only SURFACES Rebuild") {
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 400, dim = dim)
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "hpq")
+    assert(IvfIndex.readHealth(wh, "hpq").isEmpty)
+    val h0 = IvfIndex.analyzeHealth(wh, "hpq")
+      .select("live_rows", "dead_rows", "dead_fraction", "nlist",
+        "cell_skew").head()
+    assert(h0.getLong(0) == 400L && h0.getLong(1) == 0L &&
+      h0.getDouble(2) == 0.0 && h0.getLong(3) == 8L)
+    assert(IvfIndex.readHealth(wh, "hpq").nonEmpty)
+    // skew threshold, both sides of the measured occupancy ratio (dead
+    // mass is zero, so only the skew axis can fire)
+    val skew = h0.getDouble(4)
+    assert(skew >= 1.0)
+    assert(IvfIndex.maintenanceAdvice(wh, "hpq",
+      maxCellSkew = skew * 1.01) == IndexAdvice.Healthy)
+    assert(IvfIndex.maintenanceAdvice(wh, "hpq",
+      maxCellSkew = skew * 0.99) == IndexAdvice.Rebuild)
+    // maintain never EXECUTES a rebuild (it needs corpus + params):
+    // advice surfaced, version untouched
+    val v0 = wh.currentVersion("hpq")
+    assert(IvfIndex.maintain(wh, "hpq", maxCellSkew = skew * 0.99) ==
+      IndexAdvice.Rebuild)
+    assert(wh.currentVersion("hpq") == v0)
+    // churn: re-embed 80 of 400 ids -> 80 dead of 480 entries = 1/6
+    IvfIndex.reindexPq(wh, corpus.filter(col("vec_id") < 80L),
+      "vec_id", "embedding", "hpq")
+    assert(IvfIndex.readHealth(wh, "hpq").isEmpty, "stale after churn")
+    val h1 = IvfIndex.analyzeHealth(wh, "hpq")
+      .select("dead_fraction").head()
+    assert(math.abs(h1.getDouble(0) - 80.0 / 480.0) < 1e-12)
+    // dead-mass threshold, both sides (skew + bloat disabled)
+    assert(IvfIndex.maintenanceAdvice(wh, "hpq", maxDeadFraction = 0.17,
+      maxTombstoneBloat = 1e9, maxCellSkew = 1e9) == IndexAdvice.Healthy)
+    assert(IvfIndex.maintenanceAdvice(wh, "hpq", maxDeadFraction = 0.16,
+      maxTombstoneBloat = 1e9, maxCellSkew = 1e9) == IndexAdvice.Compact)
+    // maintain FIRES the compaction; the fresh version reads Healthy
+    assert(IvfIndex.maintain(wh, "hpq", maxDeadFraction = 0.16,
+      maxTombstoneBloat = 1e9, maxCellSkew = 1e9) == IndexAdvice.Compact)
+    val dp = new org.apache.hadoop.fs.Path(s"${wh.dataPath("hpq")}/_deletes")
+    assert(!dp.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(dp))
+    assert(wh.read("hpq").count() == 400L, "dead entries compacted away")
+    assert(IvfIndex.maintenanceAdvice(wh, "hpq", maxDeadFraction = 0.16,
+      maxCellSkew = 1e9) == IndexAdvice.Healthy)
+  }
+
+  test("reindexPq writes no tombstones for brand-new ids; a mixed " +
+      "batch tombstones only the ids that existed") {
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 400, dim = dim)
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "npq")
+    val v3 = corpus.filter(col("vec_id") === 3L).head()
+      .getAs[Seq[Float]]("embedding").toArray
+    val dp = new org.apache.hadoop.fs.Path(s"${wh.dataPath("npq")}/_deletes")
+    val fs = dp.getFileSystem(spark.sessionState.newHadoopConf())
+    // brand-new id: indexed, NO tombstone written
+    IvfIndex.reindexPq(wh, Seq((9001L, v3)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "npq")
+    assert(!fs.exists(dp), "_deletes must not exist after new-id reindex")
+    assert(wh.read("npq").count() == 401L)
+    // mixed batch: id 3 existed (tombstoned), id 9002 is new (not)
+    IvfIndex.reindexPq(wh, Seq((3L, v3), (9002L, v3))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", "npq")
+    assert(fs.exists(dp))
+    val tombs = spark.read.parquet(dp.toString).select("id")
+      .as[Long].collect().toSet
+    assert(tombs == Set(3L), s"only existing ids tombstone: $tombs")
+  }
+
+  test("self-maintaining stream: maintainEvery consults the policy per " +
+      "batch and compacts when re-embed churn crosses the threshold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 400, dim = dim)
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "mpq")
+    val reemb = corpus.filter(col("vec_id") < 80L)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray)).toSeq
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = IvfIndex.streamingIndexPq(wh,
+      stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      Files.createTempDirectory("mpq-ckpt").toString, "mpq",
+      maintainEvery = 1, maxDeadFraction = 0.15,
+      maxTombstoneBloat = 1e9, maxCellSkew = 1e9)
+    def hasDeletes = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"${wh.dataPath("mpq")}/_deletes")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    try {
+      // 80 re-embeds of 400: dead fraction 80/480 ≈ 0.167 ≥ 0.15 —
+      // the post-batch policy pass must have compacted
+      stream.addData(reemb: _*)
+      q.processAllAvailable()
+      assert(!hasDeletes,
+        "the self-maintenance pass must have cleared _deletes")
+      assert(wh.read("mpq").count() == 400L)
+      // an insert-only batch leaves nothing to maintain
+      stream.addData((9001L, reemb.head._2))
+      q.processAllAvailable()
+      assert(!hasDeletes)
+      assert(wh.read("mpq").count() == 401L)
+    } finally q.stop()
+  }
+
   test("PQ incremental append: batch coded by the frozen quantizers, " +
        "probe-visible, cells aligned, no vectors stored") {
     val wh = freshWh

@@ -385,6 +385,202 @@ class TextIndexSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("searchAny: k-of-n membership over the same pruned postings — " +
+      "minMatch=1 is OR, n-of-n equals searchAll, tombstones respected, " +
+      "bounds refused") {
+    val wh = freshWh
+    val docs = Seq(
+      (1L, "merge vector table"),
+      (2L, "merge only here"),
+      (3L, "vector stuff"),
+      (4L, "nothing relevant"),
+      (5L, "merge vector spark")
+    ).toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tixk", nBuckets = 8)
+    def got(terms: Seq[String], m: Int) =
+      TextIndex.searchAny(wh, terms, "tixk", nBuckets = 8, minMatch = m)
+        .as[(Long, Long)].collect().toMap
+    // OR: every doc with at least one term, with its match count
+    assert(got(Seq("merge", "vector"), 1) ==
+      Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 5L -> 2L))
+    // 2-of-3
+    assert(got(Seq("merge", "vector", "spark"), 2) ==
+      Map(1L -> 2L, 5L -> 3L))
+    // n-of-n degenerates to the conjunctive answer
+    assert(got(Seq("merge", "vector"), 2).keySet ==
+      TextIndex.searchAll(wh, Seq("merge", "vector"), "tixk",
+        nBuckets = 8).as[Long].collect().toSet)
+    // duplicate query terms collapse BEFORE the minMatch bound
+    assert(got(Seq("merge", "merge", "vector"), 2).keySet == Set(1L, 5L))
+    // tombstones: a deleted doc stops matching any k
+    TextIndex.delete(wh, Seq(5L).toDF("doc_id"), "doc_id", "tixk")
+    assert(got(Seq("merge", "vector", "spark"), 2) == Map(1L -> 2L))
+    // bounds refused loudly
+    intercept[IllegalArgumentException] {
+      TextIndex.searchAny(wh, Seq("merge"), "tixk", nBuckets = 8,
+        minMatch = 2)
+    }
+    intercept[IllegalArgumentException] {
+      TextIndex.searchAny(wh, Seq("merge"), "tixk", nBuckets = 8,
+        minMatch = 0)
+    }
+  }
+
+  test("maintenance policy: the stored health row is census-gated, the " +
+      "dead-mass and bloat thresholds fire at both sides, maintain acts " +
+      "on Compact and leaves a Healthy index alone") {
+    val wh = freshWh
+    val docs = (1L to 10L).map(i => (i, s"alpha beta doc$i"))
+      .toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tixh", nBuckets = 8)
+    // never analyzed -> no stored row; analyze persists one
+    assert(TextIndex.readHealth(wh, "tixh").isEmpty)
+    val h0 = TextIndex.analyzeHealth(wh, "tixh")
+      .select("live_rows", "dead_rows", "dead_fraction").head()
+    assert(h0.getLong(0) == 10L && h0.getLong(1) == 0L &&
+      h0.getDouble(2) == 0.0)
+    assert(TextIndex.readHealth(wh, "tixh").nonEmpty)
+    assert(TextIndex.maintenanceAdvice(wh, "tixh") == IndexAdvice.Healthy)
+    // a Healthy maintain is a no-op: same version, health row still fresh
+    val v0 = wh.currentVersion("tixh")
+    assert(TextIndex.maintain(wh, "tixh") == IndexAdvice.Healthy)
+    assert(wh.currentVersion("tixh") == v0)
+    // churn: 2 of 10 docs re-crawl -> 2 dead of 12 doclen generations
+    TextIndex.reindex(wh, Seq((1L, "refreshed one"), (2L, "refreshed two"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixh", nBuckets = 8)
+    // the stored row is STALE the moment the index changed
+    assert(TextIndex.readHealth(wh, "tixh").isEmpty)
+    val h1 = TextIndex.analyzeHealth(wh, "tixh")
+      .select("dead_fraction", "deletes_bytes", "data_bytes").head()
+    assert(math.abs(h1.getDouble(0) - 2.0 / 12.0) < 1e-12)
+    // dead-mass threshold, both sides (bloat disabled to isolate it)
+    assert(TextIndex.maintenanceAdvice(wh, "tixh",
+      maxDeadFraction = 0.17, maxTombstoneBloat = 1e9) ==
+      IndexAdvice.Healthy)
+    assert(TextIndex.maintenanceAdvice(wh, "tixh",
+      maxDeadFraction = 0.16, maxTombstoneBloat = 1e9) ==
+      IndexAdvice.Compact)
+    // bloat threshold, both sides around the measured ratio (dead-mass
+    // disabled with a never-reachable fraction)
+    val ratio = h1.getLong(1).toDouble / h1.getLong(2)
+    assert(ratio > 0.0)
+    assert(TextIndex.maintenanceAdvice(wh, "tixh",
+      maxDeadFraction = 1.1, maxTombstoneBloat = ratio * 1.01) ==
+      IndexAdvice.Healthy)
+    assert(TextIndex.maintenanceAdvice(wh, "tixh",
+      maxDeadFraction = 1.1, maxTombstoneBloat = ratio * 0.99) ==
+      IndexAdvice.Compact)
+    // maintain FIRES the compaction and the answers do not move
+    val before = TextIndex.searchAll(wh, Seq("refreshed"), "tixh",
+      nBuckets = 8).as[Long].collect().toSet
+    assert(TextIndex.maintain(wh, "tixh", maxDeadFraction = 0.16,
+      maxTombstoneBloat = 1e9) == IndexAdvice.Compact)
+    val dp = new org.apache.hadoop.fs.Path(
+      s"${wh.dataPath("tixh")}/_deletes")
+    assert(!dp.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(dp))
+    assert(TextIndex.searchAll(wh, Seq("refreshed"), "tixh",
+      nBuckets = 8).as[Long].collect().toSet == before)
+    assert(TextIndex.maintenanceAdvice(wh, "tixh",
+      maxDeadFraction = 0.16) == IndexAdvice.Healthy)
+  }
+
+  test("compact reconciles the torn-append doclen window: a dl>0 " +
+      "generation with no postings is dropped, legitimate dl=0 rows " +
+      "survive, ranked stats heal to a fresh build's") {
+    val wh = freshWh
+    val docs = Seq((1L, "merge vector tables"), (2L, "merge vector"),
+      (3L, "")).toDF("doc_id", "text") // doc 3: legit dl=0, no postings
+    TextIndex.build(wh, docs, "doc_id", "text", "tixt", nBuckets = 8)
+    // simulate the documented crash window: append wrote its doclen
+    // rows (seq=1) and died before the postings landed
+    Seq((9L, 4L, 1L)).toDF("doc_id", "dl", "seq")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"${wh.dataPath("tixt")}/_doclen")
+    val dlPath = s"${wh.dataPath("tixt")}/_doclen"
+    assert(spark.read.parquet(dlPath).count() == 4)
+    TextIndex.compact(wh, "tixt")
+    // the phantom generation is gone, the empty doc's row is kept
+    val dl = spark.read.parquet(s"${wh.dataPath("tixt")}/_doclen")
+      .select("doc_id").as[Long].collect().toSet
+    assert(dl == Set(1L, 2L, 3L), dl.toString)
+    // BM25's N/avgdl healed: ranked rows equal a fresh build's exactly
+    val wh2 = freshWh
+    TextIndex.build(wh2, docs, "doc_id", "text", "tixt", nBuckets = 8)
+    assert(TextIndex.searchRanked(wh, Seq("vector"), "tixt", nBuckets = 8,
+        k = 10).collect().map(_.toSeq).toSeq ==
+      TextIndex.searchRanked(wh2, Seq("vector"), "tixt", nBuckets = 8,
+        k = 10).collect().map(_.toSeq).toSeq)
+  }
+
+  test("reindex writes no tombstones for brand-new ids (insert-heavy " +
+      "streams grow no _deletes); a mixed batch tombstones only the " +
+      "ids that existed") {
+    val wh = freshWh
+    TextIndex.build(wh, Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixnw", nBuckets = 8)
+    // reindex of a brand-new id: indexed, but NO tombstone written
+    TextIndex.reindex(wh, Seq((3L, "delta fresh")).toDF("doc_id", "text"),
+      "doc_id", "text", "tixnw", nBuckets = 8)
+    val dp = new org.apache.hadoop.fs.Path(
+      s"${wh.dataPath("tixnw")}/_deletes")
+    val fs = dp.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(dp), "_deletes must not exist after new-id reindex")
+    assert(TextIndex.searchAll(wh, Seq("delta"), "tixnw", nBuckets = 8)
+      .as[Long].collect().toSet == Set(3L))
+    // mixed batch: id 1 existed (tombstoned), id 4 is new (not)
+    TextIndex.reindex(wh, Seq((1L, "re-crawled one"), (4L, "brand new"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixnw", nBuckets = 8)
+    assert(fs.exists(dp))
+    val tombs = spark.read.parquet(dp.toString).select("doc_id")
+      .as[Long].collect().toSet
+    assert(tombs == Set(1L), s"only existing ids tombstone: $tombs")
+    assert(TextIndex.searchAll(wh, Seq("alpha"), "tixnw", nBuckets = 8)
+      .count() == 0)
+    assert(TextIndex.searchAll(wh, Seq("crawled"), "tixnw", nBuckets = 8)
+      .as[Long].collect().toSet == Set(1L))
+    assert(TextIndex.searchAll(wh, Seq("brand", "new"), "tixnw",
+      nBuckets = 8).as[Long].collect().toSet == Set(4L))
+  }
+
+  test("self-maintaining stream: maintainEvery consults the policy per " +
+      "batch and compacts when the churn crosses the threshold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = freshWh
+    TextIndex.build(wh, (1L to 10L).map(i => (i, s"alpha beta doc$i"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixsm", nBuckets = 8)
+    val stream = MemoryStream[(Long, String)]
+    val q = TextIndex.streamingIndex(wh,
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      Files.createTempDirectory("tixsm-ckpt").toString, "tixsm",
+      nBuckets = 8, maintainEvery = 1, maxDeadFraction = 0.15,
+      maxTombstoneBloat = 1e9)
+    val dp = new org.apache.hadoop.fs.Path(
+      s"${wh.dataPath("tixsm")}/_deletes")
+    def hasDeletes = dp.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(new org.apache.hadoop.fs.Path(
+        s"${wh.dataPath("tixsm")}/_deletes"))
+    try {
+      // a re-crawl batch of 3 of 10 docs: dead fraction 3/13 ≈ 0.23 —
+      // past the gate, so the post-batch policy pass must have compacted
+      stream.addData((1L, "re one"), (2L, "re two"), (3L, "re three"))
+      q.processAllAvailable()
+      assert(!hasDeletes,
+        "the self-maintenance pass must have cleared _deletes")
+      assert(TextIndex.searchAll(wh, Seq("re"), "tixsm", nBuckets = 8)
+        .as[Long].collect().toSet == Set(1L, 2L, 3L))
+      assert(TextIndex.searchAll(wh, Seq("alpha"), "tixsm", nBuckets = 8)
+        .as[Long].collect().toSet == (4L to 10L).toSet)
+      // an insert-only batch leaves nothing to maintain: still no deletes
+      stream.addData((11L, "alpha beta doc11"))
+      q.processAllAvailable()
+      assert(!hasDeletes)
+      assert(TextIndex.searchAll(wh, Seq("alpha"), "tixsm", nBuckets = 8)
+        .as[Long].collect().toSet == ((4L to 11L).toSet))
+    } finally q.stop()
+  }
+
   test("rebuild is an atomic publish: searches never mix generations") {
     val wh = freshWh
     TextIndex.build(wh, Seq((1L, "alpha beta")).toDF("doc_id", "text"),
