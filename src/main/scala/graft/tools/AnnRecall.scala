@@ -20,11 +20,21 @@ object AnnRecall {
 
   /** Asserted recall floor for Learned-OPQ IVF+PQ on the anisotropic
     * (decay 0.93) fixture at the 20k/rerank-512 operating point —
-    * pinned just under the measured plateau (0.696; recall here is
-    * rerank-bound, so the learned transform's own gate is DISTORTION —
-    * SimilaritySpec asserts the cut — and this floor guards the mode
-    * against outright regression). */
+    * pinned just under the measured 0.696. Round 9 measured the full
+    * rerank curve (table in BENCH_NOTES): 0.696 at 512 was NOT a
+    * quantizer plateau but rerank starvation — the same index reads
+    * 0.968 at rerank 1024 and 1.000 at 2048, confirming the documented
+    * diagnosis (recall here is rerank-bound; the learned transform's
+    * own gate is DISTORTION, asserted in SimilaritySpec). */
   val AnisoLearnedFloor = 0.69
+
+  /** The deep operating point the curve exposed: the SAME learned-OPQ
+    * index at rerank 1024 — measured 0.968, floor-asserted at 0.9 so
+    * the recovered headroom cannot silently regress. The 100 TB
+    * guidance this encodes: on margin-starved (anisotropic, dense)
+    * corpora, budget rerank ≥ 5% of the probed candidate mass before
+    * touching the quantizer. */
+  val AnisoLearnedDeepFloor = 0.9
 
   /** Deterministic multi-Gaussian fixture: `n` vectors in `dim`
     * dimensions drawn around `clusters` unit-norm centers with relative
@@ -143,7 +153,8 @@ object AnnRecall {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    run(spark, assertFloor = true)
+    if (args.headOption.contains("rerank-curve")) rerankCurve(spark)
+    else run(spark, assertFloor = true)
     spark.stop()
   }
 
@@ -214,6 +225,13 @@ object AnnRecall {
       println(f"===== ann-recall [aniso] corpus=$n queries=$nq k=$k " +
         f"ivfpq=$plain%.3f ivfpq_balance=$bal%.3f ivfpq_rotate=$rot%.3f " +
         f"ivfpq_learned=$lrn%.3f wall=$sec%.1fs")
+      // the DEEP operating point the round-9 rerank curve exposed:
+      // rerank 1024 recovers the starved recall (measured 0.968 vs
+      // 0.696 at 512) — asserted so the headroom cannot regress
+      val deep = measureIvfPq(c, q, dim, k, nlist, nprobe, 1024, sample,
+        OpqMode.Learned(6))
+      println(f"===== ann-recall [aniso deep] rerank=1024 " +
+        f"ivfpq_learned=$deep%.3f")
       c.unpersist(); q.unpersist()
       if (assertFloor) {
         assert(bal >= plain - 0.1 && rot >= plain - 0.1,
@@ -221,11 +239,39 @@ object AnnRecall {
             f"plain=$plain%.3f balance=$bal%.3f rotate=$rot%.3f")
         // the learned mode's ASSERTED aniso floor (round-7 verdict ask:
         // the 0.696 informational row, promoted) — pinned just under the
-        // measured plateau of the learned operating point
+        // measured value at THIS operating point (rerank 512)
         assert(lrn >= AnisoLearnedFloor,
           f"learned-OPQ aniso recall regressed to $lrn%.3f " +
             f"(floor $AnisoLearnedFloor%.2f)")
+        assert(deep >= AnisoLearnedDeepFloor,
+          f"learned-OPQ deep-rerank recall regressed to $deep%.3f " +
+            f"(floor $AnisoLearnedDeepFloor%.2f)")
       }
     }
+  }
+
+  /** Rerank-depth vs recall curve for learned OPQ on the anisotropic
+    * fixture (round-8 verdict ask 5): COVERAGE claims the learned
+    * operating point is RERANK-bound — this measures the trade-off
+    * directly so the 0.69 floor is tied to a curve, not a single
+    * reading. Everything but the rerank depth is the aniso A/B's exact
+    * setup (20k corpus, decay 0.93, nprobe 16). Run with
+    * `runMain graft.tools.AnnRecall rerank-curve`; results are recorded
+    * in docs/BENCH_NOTES.md. */
+  def rerankCurve(spark: SparkSession): Unit = {
+    import graft.operators.Similarity.OpqMode
+    val (dim, k, nq) = (64, 5, 50)
+    val (n, nlist, nprobe, sample) = (20000, 64, 16, 8192)
+    val c = clusteredFixture(spark, n, dim, decay = 0.93).cache()
+    val q = queryFixture(spark, nq, dim, decay = 0.93).cache()
+    for (rerank <- Seq(64, 128, 192, 256, 384, 512, 1024, 2048)) {
+      val t0 = System.nanoTime()
+      val lrn = measureIvfPq(c, q, dim, k, nlist, nprobe, rerank, sample,
+        OpqMode.Learned(6))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"===== rerank-curve [aniso learned] rerank=$rerank%-5d " +
+        f"recall@$k=$lrn%.3f wall=$sec%.1fs")
+    }
+    c.unpersist(); q.unpersist()
   }
 }

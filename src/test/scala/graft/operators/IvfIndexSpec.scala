@@ -368,6 +368,31 @@ class IvfIndexSpec extends SparkSpec {
       maxCellSkew = 1e9) == IndexAdvice.Healthy)
   }
 
+  test("maintenance policy works on the PLAIN flavor too: churn fires " +
+      "Compact, maintain acts, probes answer through the compacted index") {
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 400, dim = dim)
+    IvfIndex.build(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      name = "hiv")
+    assert(IvfIndex.maintenanceAdvice(wh, "hiv", maxCellSkew = 1e9) ==
+      IndexAdvice.Healthy)
+    IvfIndex.reindex(wh, corpus.filter(col("vec_id") < 80L),
+      "vec_id", "embedding", "hiv")
+    assert(IvfIndex.maintain(wh, "hiv", maxDeadFraction = 0.16,
+      maxTombstoneBloat = 1e9, maxCellSkew = 1e9) == IndexAdvice.Compact)
+    assert(wh.read("hiv").count() == 400L)
+    // the compacted plain index still probes exactly (id 3's vector
+    // finds id 3 at rank 1)
+    val got = IvfIndex.probe(wh,
+        corpus.filter(col("vec_id") === 3L)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")),
+        "vec_id", "embedding", "hiv", k = 1, nprobe = 8)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(3L), got.toString)
+  }
+
   test("reindexPq writes no tombstones for brand-new ids; a mixed " +
       "batch tombstones only the ids that existed") {
     val wh = freshWh
