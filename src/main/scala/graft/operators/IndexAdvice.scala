@@ -47,6 +47,17 @@ object IndexAdvice {
   final case class Census(nFiles: Long, totalBytes: Long, dataBytes: Long,
                           deletesBytes: Long)
 
+  /** Partition count for a metadata-scale companion write (tombstones,
+    * per-batch doclen rows): ONE file while the set is small — these
+    * dirs are listed by every search/probe, so a file per shuffle
+    * partition per maintenance call is the failure mode — and multiple
+    * bounded writers past that, so no single task ever carries a write
+    * that grows with the corpus (AQE's coalescing can't be used here:
+    * with parallelismFirst it keeps ~default-parallelism partitions
+    * even for kilobyte sets). 500k rows/writer ≈ 10-15 MB parquet. */
+  private[operators] def companionShards(n: Long): Int =
+    if (n <= 50000L) 1 else math.max(2L, n / 500000L + 1L).toInt
+
   private[operators] def census(wh: Warehouse, name: String): Census = {
     val base = new Path(wh.dataPath(name))
     val fs = base.getFileSystem(wh.spark.sessionState.newHadoopConf())

@@ -42,6 +42,12 @@ object IvfIndex {
   private def fs(wh: Warehouse, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(wh.spark.sessionState.newHadoopConf())
 
+  /** Explicit shuffle-partition count for writer-side clustering — a
+    * bare `repartition(col)` invites AQE to coalesce a byte-small
+    * exchange to ONE partition, serializing the write at scale. */
+  private def shufflePartitions(wh: Warehouse): Int =
+    wh.spark.conf.get("spark.sql.shuffle.partitions").toInt
+
   /** The next entry generation: one past the highest `seq` any current
     * entry carries — derived from the index DATA itself (one
     * column-pruned scan at maintenance time; a side counter file could
@@ -90,16 +96,20 @@ object IvfIndex {
   private def deleteAt(wh: Warehouse, ids: DataFrame, name: String,
                        cut: Long, onlyExisting: Boolean): Unit = {
     val base = ids.distinct()
-    val toTomb =
+    val toTomb = Exec.materialize(
       if (!onlyExisting) base
       else {
         val idName = wh.read(name).columns.head
-        Exec.materialize(base.join(
-          wh.read(name).select(col(idName).as("id")), Seq("id"),
-          "left_semi"))
-      }
-    if (!onlyExisting || toTomb.head(1).nonEmpty)
+        base.join(wh.read(name).select(col(idName).as("id")), Seq("id"),
+          "left_semi")
+      })
+    val n = toTomb.count()
+    // size-aware file-in (see TextIndex.deleteAt): small batches land
+    // as one file-pair, corpus-shaped delete sets keep bounded
+    // multi-task writers
+    if (n > 0L)
       toTomb.withColumn("cut", lit(cut))
+        .repartition(IndexAdvice.companionShards(n))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(s"${wh.dataPath(name)}/_deletes")
   }
@@ -194,7 +204,10 @@ object IvfIndex {
     val vdir = s"${wh.root}/$name/_versions/$version"
     val df = wh.readVersion(name, version)
     val idName = df.columns.head // build/buildPq select the id first
+    // same writer-side cell clustering as build/buildPq: the rewrite is
+    // the moment to fix file counts, not inherit them
     val live = liveOnly(wh, vdir, df, idName).withColumn("seq", lit(0L))
+      .repartition(shufflePartitions(wh), col("cell"))
     wh.publish(live, name, partitionCols = Seq("cell"),
       beforeSwap = newVdir =>
         Seq("_centroids", "_codebooks", "_rotation").foreach { art =>
@@ -218,10 +231,21 @@ object IvfIndex {
     import wh.spark.implicits._
     val cents = Similarity.trainIvfCentroids(corpus, idCol, vecCol, dim,
       nlist, seed = seed)
+    // writer-side cell clustering: without it every upstream task opens
+    // a writer in every cell dir (tasks × nlist tiny files — measured
+    // ~4 KB/file at sf0.1, and every probe/maintenance listing pays for
+    // all of them); hash-repartitioning on the partition column puts
+    // each cell in ONE task → one right-sized file per cell. The
+    // partition count is EXPLICIT because a bare repartition(col) is
+    // AQE-coalescible and a byte-small coded index would collapse to a
+    // single serial writer at scale. Cost is one entry-sized shuffle at
+    // build time; cell size stays bounded by the layout's own
+    // nlist ~ sqrt(N) sizing lever.
     val assigned = corpus.select(col(idCol), col(vecCol),
       element_at(SignatureExpressions.ivfAssign(col(vecCol), cents, 1), 1)
         .as("cell"))
       .withColumn("seq", lit(0L))
+      .repartition(shufflePartitions(wh), col("cell"))
     wh.publish(assigned, name, partitionCols = Seq("cell"),
       beforeSwap = vdir =>
         cents.zipWithIndex.map { case (c, i) => (i, c) }
@@ -258,6 +282,10 @@ object IvfIndex {
       element_at(SignatureExpressions.ivfAssign(col(vecCol), cents, 1), 1)
         .as("cell"))
       .withColumn("seq", lit(seq))
+      // appends are the file-count growth driver for a long-lived index:
+      // cell-cluster each batch so it adds ≤ |touched cells| files, not
+      // tasks × cells
+      .repartition(shufflePartitions(wh), col("cell"))
     wh.append(assigned, name)
   }
 
@@ -309,6 +337,7 @@ object IvfIndex {
       .select(col(idCol), col("enc.cell").as("cell"),
         col("enc.code").as("code"))
       .withColumn("seq", lit(0L))
+      .repartition(shufflePartitions(wh), col("cell")) // writer-side cell clustering (see build)
     wh.publish(enc, name, partitionCols = Seq("cell"),
       beforeSwap = vdir => {
         cents.zipWithIndex.map { case (c, i) => (i, c) }
@@ -376,6 +405,7 @@ object IvfIndex {
       .select(col(idCol), col("enc.cell").as("cell"),
         col("enc.code").as("code"))
       .withColumn("seq", lit(seq))
+      .repartition(shufflePartitions(wh), col("cell")) // batch cell clustering (see appendAt)
     wh.append(enc, name)
   }
 

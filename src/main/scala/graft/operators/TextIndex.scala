@@ -55,6 +55,12 @@ object TextIndex {
   private def fs(wh: Warehouse, p: Path) =
     p.getFileSystem(wh.spark.sessionState.newHadoopConf())
 
+  /** Explicit shuffle-partition count for writer-side clustering — a
+    * bare `repartition(col)` invites AQE to coalesce a byte-small
+    * exchange to ONE partition, serializing the write at scale. */
+  private def shufflePartitions(wh: Warehouse): Int =
+    wh.spark.conf.get("spark.sql.shuffle.partitions").toInt
+
   private def deletesPath(wh: Warehouse, name: String) =
     s"${wh.dataPath(name)}/_deletes"
 
@@ -137,7 +143,17 @@ object TextIndex {
             nBuckets: Int = 64, positions: Boolean = true): String = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     val toks = tokenize(corpus, idCol, textCol)
-    wh.publish(postingsOf(toks, nBuckets, seq = 0L, positions), name,
+    // writer-side bucket clustering: without it every upstream task
+    // opens a writer in every bucket dir (tasks x nBuckets tiny files,
+    // and every search listing pays for all of them); hash-
+    // repartitioning on the partition column puts each bucket in ONE
+    // task -> one right-sized file per bucket; the partition count is
+    // EXPLICIT because a bare repartition(col) is AQE-coalescible and
+    // would collapse a byte-small posting exchange to one serial
+    // writer. Cost is one posting-sized shuffle at build; bucket size
+    // stays bounded by the layout's own nBuckets sizing lever.
+    wh.publish(postingsOf(toks, nBuckets, seq = 0L, positions)
+        .repartition(shufflePartitions(wh), col("bucket")), name,
       partitionCols = Seq("bucket"),
       beforeSwap = vdir =>
         toks.select(col("doc_id"), size(col("__toks")).cast("long")
@@ -173,11 +189,21 @@ object TextIndex {
     * table. */
   private def appendToks(wh: Warehouse, toks: DataFrame, name: String,
                          nBuckets: Int, seq: Long): Unit = {
+    // size-aware doclen landing: nextSeq and every ranked search scan
+    // this companion, and a long-lived stream would otherwise leave
+    // |shuffle partitions| files per micro-batch — a small batch lands
+    // as one file, a bulk append keeps bounded multi-task writers (the
+    // corpus-sized BUILD write keeps natural parallelism untouched)
     toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
         lit(seq).as("seq"))
+      .repartition(IndexAdvice.companionShards(toks.count()))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(doclenPath(wh, name))
-    wh.append(postingsOf(toks, nBuckets, seq, hasPositions(wh, name)), name)
+    // batch bucket clustering: each append adds <= |touched buckets|
+    // files, not tasks x buckets (appends drive file-count growth for
+    // a long-lived index)
+    wh.append(postingsOf(toks, nBuckets, seq, hasPositions(wh, name))
+      .repartition(shufflePartitions(wh), col("bucket")), name)
   }
 
   /** Tombstone documents: every posting and doclen row any of `docIds`
@@ -201,13 +227,18 @@ object TextIndex {
   private def deleteAt(wh: Warehouse, ids: DataFrame, name: String,
                        cut: Long, onlyExisting: Boolean): Unit = {
     val base = ids.distinct()
-    val toTomb =
+    val toTomb = graft.engine.Exec.materialize(
       if (!onlyExisting) base
-      else graft.engine.Exec.materialize(
-        base.join(wh.spark.read.parquet(doclenPath(wh, name))
-          .select(col("doc_id")), Seq("doc_id"), "left_semi"))
-    if (!onlyExisting || toTomb.head(1).nonEmpty)
+      else base.join(wh.spark.read.parquet(doclenPath(wh, name))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    val n = toTomb.count()
+    // size-aware file-in: a small tombstone batch lands as ONE file-pair
+    // (every search's cuts join lists this dir; one file per shuffle
+    // partition per call was the old shape), a corpus-shaped delete set
+    // keeps bounded multi-task writers
+    if (n > 0L)
       toTomb.withColumn("cut", lit(cut))
+        .repartition(IndexAdvice.companionShards(n))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(deletesPath(wh, name))
   }
@@ -286,7 +317,9 @@ object TextIndex {
     val dl = dlLive.filter(col("dl") === 0).unionByName(
       dlLive.filter(col("dl") > 0)
         .join(gens, Seq("doc_id", "seq"), "left_semi"))
-    wh.publish(live, name, partitionCols = Seq("bucket"),
+    // the rewrite is the moment to fix file counts, not inherit them
+    wh.publish(live.repartition(shufflePartitions(wh), col("bucket")), name,
+      partitionCols = Seq("bucket"),
       beforeSwap = vdir => dl.write.parquet(s"$vdir/_doclen"))
   }
 
