@@ -1559,27 +1559,32 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val p = dataPath(table)
     val files = listDataFiles(new Path(p))
     val (nf, tb) = (files.size.toLong, files.map(_.getLen).sum)
-    cols.foreach { c =>
-      read(table).agg(
-          graft.functions.Cms.sketch(col(c).cast("string"), depth, width)
-            .as("cms"),
-          graft.functions.Freq.spaceSaving(col(c).cast("string"), hotCapacity)
-            .as("hot"),
-          // HLL distinct registers: the n_distinct every selectivity
-          // formula wants, in m=64 bytes of state, mergeable on append
-          // (register max) — same md5-word hash family as q100/q104
-          graft.functions.Hll.registers(
-            graft.functions.Hll.bucketCol(col(c).cast("string"), "stats",
-              HllM),
-            graft.functions.Hll.rankCol(col(c).cast("string"), "stats"),
-            HllM).as("hll"),
-          count(col(c)).as("n_values"),
-          count(lit(1)).as("n_rows"))
-        .select(lit(depth).as("depth"), lit(width).as("width"),
+    // ONE table scan sketches EVERY column: all per-column aggregates
+    // ride a single partial-combined aggregate, so ANALYZE costs
+    // O(scan), not O(|cols| × scan) — at 100 TB the difference between
+    // one nightly pass and one pass per maintained column. The one
+    // wide result row is pinned so the per-column stats writes below
+    // re-read it instead of re-running the scan.
+    def sk(c: String) = col(c).cast("string")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      graft.functions.Cms.sketch(sk(c), depth, width).as(s"__cms_$i"),
+      graft.functions.Freq.spaceSaving(sk(c), hotCapacity).as(s"__hot_$i"),
+      // HLL distinct registers: the n_distinct every selectivity
+      // formula wants, in m=64 bytes of state, mergeable on append
+      // (register max) — same md5-word hash family as q100/q104
+      graft.functions.Hll.registers(
+        graft.functions.Hll.bucketCol(sk(c), "stats", HllM),
+        graft.functions.Hll.rankCol(sk(c), "stats"), HllM).as(s"__hll_$i"),
+      count(col(c)).as(s"__nv_$i"))
+    } :+ count(lit(1)).as("__nr")
+    val row = Exec.materialize(read(table).agg(aggs.head, aggs.tail: _*))
+    cols.zipWithIndex.foreach { case (c, i) =>
+      row.select(lit(depth).as("depth"), lit(width).as("width"),
           lit(hotCapacity).as("hot_capacity"),
           lit(nf).as("n_files"), lit(tb).as("data_bytes"),
-          col("cms"), col("hot"), col("hll"), col("n_values"),
-          col("n_rows"))
+          col(s"__cms_$i").as("cms"), col(s"__hot_$i").as("hot"),
+          col(s"__hll_$i").as("hll"), col(s"__nv_$i").as("n_values"),
+          col("__nr").as("n_rows"))
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$p/_stats/$c")
     }
@@ -1663,25 +1668,36 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val p = dataPath(table)
     val files = listDataFiles(new Path(p))
     val (nf, tb) = (files.size.toLong, files.map(_.getLen).sum)
-    preserved.foreach { case (c, old) =>
+    // geometry can differ per column (each analyze call picks its own),
+    // so resolve them first, then sketch EVERY maintained column in ONE
+    // pass over the pinned batch (the analyzeSketches one-scan shape)
+    val geos = preserved.map { case (c, old) =>
       val geo = old.select(col("depth"), col("width"), col("hot_capacity"))
         .head()
-      val (depth, width, cap) = (geo.getInt(0), geo.getInt(1), geo.getInt(2))
-      val batchAgg = batch.agg(
+      (c, old, geo.getInt(0), geo.getInt(1), geo.getInt(2))
+    }
+    val batchAggs = geos.zipWithIndex.flatMap {
+      case ((c, _, depth, width, cap), i) => Seq(
         graft.functions.Cms.sketch(col(c).cast("string"), depth, width)
-          .as("cms_b"),
+          .as(s"__cms_$i"),
         graft.functions.Freq.spaceSaving(col(c).cast("string"), cap)
-          .as("hot_b"),
+          .as(s"__hot_$i"),
         graft.functions.Hll.registers(
           graft.functions.Hll.bucketCol(col(c).cast("string"), "stats",
             HllM),
           graft.functions.Hll.rankCol(col(c).cast("string"), "stats"),
-          HllM).as("hll_b"),
-        count(col(c)).as("nv_b"), count(lit(1)).as("nr_b"))
+          HllM).as(s"__hll_$i"),
+        count(col(c)).as(s"__nv_$i"))
+    } :+ count(lit(1)).as("__nr")
+    val batchRow = Exec.materialize(
+      batch.agg(batchAggs.head, batchAggs.tail: _*))
+    geos.zipWithIndex.foreach { case ((c, old, depth, width, cap), i) =>
       old.select(col("cms").as("cms_a"), col("hot").as("hot_a"),
           col("hll").as("hll_a"),
           col("n_values").as("nv_a"), col("n_rows").as("nr_a"))
-        .crossJoin(batchAgg) // 1 row × 1 row
+        .crossJoin(batchRow.select(col(s"__cms_$i").as("cms_b"),
+          col(s"__hot_$i").as("hot_b"), col(s"__hll_$i").as("hll_b"),
+          col(s"__nv_$i").as("nv_b"), col("__nr").as("nr_b"))) // 1×1
         .select(lit(depth).as("depth"), lit(width).as("width"),
           lit(cap).as("hot_capacity"),
           lit(nf).as("n_files"), lit(tb).as("data_bytes"),

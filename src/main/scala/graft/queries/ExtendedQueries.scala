@@ -1498,8 +1498,14 @@ object ExtendedQueries {
       val depth = 4; val width = 256
       val wh = new graft.engine.Warehouse(s,
         java.nio.file.Files.createTempDirectory("graft-statsq").toString)
-      wh.publish(Td(s, dir, "lineitem").select(col("l_orderkey")), "li")
-      wh.publish(Td(s, dir, "orders").select(col("o_orderkey")), "ord")
+      // widened publishes (the q193 pattern): a one-file sf input would
+      // run the ANALYZE sketch scan single-task; every stored value the
+      // oracle replays (CMS est, exact count, a uniform-keys salt bool)
+      // is partitioning-invariant
+      wh.publish(Td(s, dir, "lineitem").select(col("l_orderkey"))
+        .repartition(8, col("l_orderkey")), "li")
+      wh.publish(Td(s, dir, "orders").select(col("o_orderkey"))
+        .repartition(8, col("o_orderkey")), "ord")
       wh.analyzeSketches("li", Seq("l_orderkey"), depth, width)
       wh.analyzeSketches("ord", Seq("o_orderkey"), depth, width)
       val est = graft.engine.JoinPolicy
@@ -1536,6 +1542,10 @@ object ExtendedQueries {
         when($"l_orderkey" % 5 =!= 0, lit(7L))
           .otherwise($"l_orderkey" % 40).as("k"),
         $"l_extendedprice".as("price"))
+        // widened (q193 pattern): 41 distinct keys sit below the
+        // Space-Saving capacity, so the stored hot list is EXACT and
+        // partitioning-invariant; the analyze scan parallelizes
+        .repartition(8, $"price")
       wh.publish(facts, "facts_skewed")
       wh.analyzeSketches("facts_skewed", Seq("k"))
       val salted = graft.engine.JoinPolicy
@@ -1637,9 +1647,14 @@ object ExtendedQueries {
       val depth = 4; val width = 256
       val wh = new graft.engine.Warehouse(s,
         java.nio.file.Files.createTempDirectory("graft-statsm").toString)
+      // widened like q167/q193: the analyze, append, and batch-sketch
+      // scans all parallelize; every replayed value is
+      // partitioning-invariant (CMS linearity, count addition)
       val li = Td(s, dir, "lineitem").select(col("l_orderkey"))
+        .repartition(8, col("l_orderkey"))
       wh.publish(li.filter($"l_orderkey" % 3 =!= 0), "li")
-      wh.publish(Td(s, dir, "orders").select(col("o_orderkey")), "ord")
+      wh.publish(Td(s, dir, "orders").select(col("o_orderkey"))
+        .repartition(8, col("o_orderkey")), "ord")
       wh.analyzeSketches("li", Seq("l_orderkey"), depth, width)
       wh.analyzeSketches("ord", Seq("o_orderkey"), depth, width)
       wh.appendAnalyzed(li.filter($"l_orderkey" % 3 === 0), "li",
