@@ -47,6 +47,13 @@ object IndexAdvice {
   final case class Census(nFiles: Long, totalBytes: Long, dataBytes: Long,
                           deletesBytes: Long)
 
+  /** Explicit shuffle-partition count for writer-side clustering — a
+    * bare `repartition(col)` invites AQE to coalesce a byte-small
+    * exchange to ONE partition, serializing the write at scale. Shared
+    * by both index families' build/append/compact writers. */
+  private[operators] def shufflePartitions(wh: Warehouse): Int =
+    wh.spark.conf.get("spark.sql.shuffle.partitions").toInt
+
   /** Partition count for a metadata-scale companion write (tombstones,
     * per-batch doclen rows): ONE file while the set is small — these
     * dirs are listed by every search/probe, so a file per shuffle

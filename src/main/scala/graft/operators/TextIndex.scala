@@ -55,12 +55,6 @@ object TextIndex {
   private def fs(wh: Warehouse, p: Path) =
     p.getFileSystem(wh.spark.sessionState.newHadoopConf())
 
-  /** Explicit shuffle-partition count for writer-side clustering — a
-    * bare `repartition(col)` invites AQE to coalesce a byte-small
-    * exchange to ONE partition, serializing the write at scale. */
-  private def shufflePartitions(wh: Warehouse): Int =
-    wh.spark.conf.get("spark.sql.shuffle.partitions").toInt
-
   private def deletesPath(wh: Warehouse, name: String) =
     s"${wh.dataPath(name)}/_deletes"
 
@@ -153,7 +147,7 @@ object TextIndex {
     // writer. Cost is one posting-sized shuffle at build; bucket size
     // stays bounded by the layout's own nBuckets sizing lever.
     wh.publish(postingsOf(toks, nBuckets, seq = 0L, positions)
-        .repartition(shufflePartitions(wh), col("bucket")), name,
+        .repartition(IndexAdvice.shufflePartitions(wh), col("bucket")), name,
       partitionCols = Seq("bucket"),
       beforeSwap = vdir =>
         toks.select(col("doc_id"), size(col("__toks")).cast("long")
@@ -203,7 +197,7 @@ object TextIndex {
     // files, not tasks x buckets (appends drive file-count growth for
     // a long-lived index)
     wh.append(postingsOf(toks, nBuckets, seq, hasPositions(wh, name))
-      .repartition(shufflePartitions(wh), col("bucket")), name)
+      .repartition(IndexAdvice.shufflePartitions(wh), col("bucket")), name)
   }
 
   /** Tombstone documents: every posting and doclen row any of `docIds`
@@ -314,13 +308,21 @@ object TextIndex {
     val dlLive = liveOnly(wh, name,
       wh.spark.read.parquet(doclenPath(wh, name)))
     val gens = live.select(col("doc_id"), col("seq")).distinct()
-    val dl = dlLive.filter(col("dl") === 0).unionByName(
-      dlLive.filter(col("dl") > 0)
-        .join(gens, Seq("doc_id", "seq"), "left_semi"))
+    // pinned: the reconciled frame feeds a count AND the write (and the
+    // semi-join above must not recompute between them); size-aware
+    // sharding because every ranked search, nextSeq, and deleteAt's
+    // existing-ids probe lists this dir — the rewrite is the moment to
+    // fix companion file counts too, not regrow them shuffle-wide
+    val dl = graft.engine.Exec.materialize(
+      dlLive.filter(col("dl") === 0).unionByName(
+        dlLive.filter(col("dl") > 0)
+          .join(gens, Seq("doc_id", "seq"), "left_semi")))
+    val nDl = dl.count()
     // the rewrite is the moment to fix file counts, not inherit them
-    wh.publish(live.repartition(shufflePartitions(wh), col("bucket")), name,
+    wh.publish(live.repartition(IndexAdvice.shufflePartitions(wh), col("bucket")), name,
       partitionCols = Seq("bucket"),
-      beforeSwap = vdir => dl.write.parquet(s"$vdir/_doclen"))
+      beforeSwap = vdir => dl.repartition(IndexAdvice.companionShards(nDl))
+        .write.parquet(s"$vdir/_doclen"))
   }
 
   /** Re-index CHANGED documents: tombstone their previous generations,
@@ -541,9 +543,12 @@ object TextIndex {
     * file census); never a posting scan. Stale the moment any index
     * file changes, exactly like the sketch-stats catalog. */
   def analyzeHealth(wh: Warehouse,
-                    name: String = "text_index"): DataFrame = {
+                    name: String = "text_index"): DataFrame =
+    analyzeHealthWith(wh, name, IndexAdvice.census(wh, name))
+
+  private def analyzeHealthWith(wh: Warehouse, name: String,
+                                c: IndexAdvice.Census): DataFrame = {
     import wh.spark.implicits._
-    val c = IndexAdvice.census(wh, name)
     val dlv = wh.spark.read.parquet(doclenPath(wh, name))
     val dp = new Path(deletesPath(wh, name))
     val (liveRows, deadRows): (Long, Long) =
@@ -575,13 +580,22 @@ object TextIndex {
   /** The stored health row — None when never analyzed on this version
     * or STALE (any index file changed since; the census stamp moved). */
   def readHealth(wh: Warehouse,
-                 name: String = "text_index"): Option[DataFrame] = {
+                 name: String = "text_index"): Option[DataFrame] =
+    readHealthWith(wh, name, IndexAdvice.census(wh, name))
+
+  /** `c` is by-name so the freshness census runs only when a `_health`
+    * row exists to check — and so [[maintenanceAdvice]] can share ONE
+    * listing between the staleness check and the re-measure (the stale
+    * path would otherwise pay two back-to-back recursive listings, the
+    * dominant cost of the "health without scanning" contract). */
+  private def readHealthWith(wh: Warehouse, name: String,
+                             c: => IndexAdvice.Census)
+      : Option[DataFrame] = {
     val hp = new Path(s"${wh.dataPath(name)}/_health")
     if (!fs(wh, hp).exists(hp)) None
     else {
       val df = wh.spark.read.parquet(hp.toString)
       val stamp = df.select(col("n_files"), col("census_bytes")).head()
-      val c = IndexAdvice.census(wh, name)
       if (stamp.getLong(0) != c.nFiles || stamp.getLong(1) != c.totalBytes)
         None
       else Some(df)
@@ -601,7 +615,9 @@ object TextIndex {
                         maxDeadFraction: Double = DefaultMaxDeadFraction,
                         maxTombstoneBloat: Double = DefaultMaxTombstoneBloat)
       : IndexAdvice = {
-    val h = readHealth(wh, name).getOrElse(analyzeHealth(wh, name))
+    lazy val c = IndexAdvice.census(wh, name) // ONE listing, shared
+    val h = readHealthWith(wh, name, c)
+      .getOrElse(analyzeHealthWith(wh, name, c))
       .select(col("dead_fraction"), col("deletes_bytes"), col("data_bytes"))
       .head()
     val (deadF, delB, datB) = (h.getDouble(0), h.getLong(1), h.getLong(2))

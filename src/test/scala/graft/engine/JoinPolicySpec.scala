@@ -354,12 +354,25 @@ class JoinPolicySpec extends SparkSpec {
     wh.publish(base, "nd")
     wh.analyzeSketches("nd", Seq("k"), 4, 128, hotCapacity = 64)
     wh.analyzeHistogram("nd", "k", bins = 10)
-    // an UNSEEDED sample re-evaluates to a different row set on every
-    // pass — without the single materialization, the appended rows and
-    // the sketched/binned rows would diverge
-    val batch = (401L to 800L).map(i => (i, i % 20)).toDF("row_id", "k")
+    // an unseeded sample is NOT re-evaluation-unstable on its own
+    // (Dataset.sample captures a random seed at plan construction, so
+    // identical re-runs keep the row set) — the real guard is the
+    // accumulator below, which counts per-row evaluations of the batch
+    // across ALL of appendAnalyzed's actions: the append, the sketch
+    // merge, the histogram domain check, and the bin counts must share
+    // ONE evaluation of the input, or a genuinely run-dependent batch
+    // (changing source files, first-wins dedup under racing partitions)
+    // could land one row set while folding a different one into stats
+    val evals = spark.sparkContext.longAccumulator("batch-evals")
+    val tick = udf { (k: Long) => evals.add(1L); k }
+    val batch = (401L to 800L).map(i => (i, i % 20)).toDF("row_id", "k0")
       .sample(0.5)
+      .select(col("row_id"), tick(col("k0")).as("k"))
     wh.appendAnalyzed(batch, "nd", Seq("k"))
+    val batchLanded = wh.read("nd").count() - 400L
+    assert(evals.value == batchLanded,
+      s"batch evaluated ${evals.value} row-passes for $batchLanded " +
+        "landed rows — appendAnalyzed must pin its input exactly once")
     def statsRow() = {
       val st = wh.readSketchStats("nd", "k").get
       val hot = st.select(explode(col("hot")).as("e"))

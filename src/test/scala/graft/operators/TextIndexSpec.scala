@@ -252,6 +252,15 @@ class TextIndexSpec extends SparkSpec {
     // the fresh version has no _deletes companion
     val dp = new org.apache.hadoop.fs.Path(s"${wh.dataPath("tixc")}/_deletes")
     assert(!dp.getFileSystem(spark.sessionState.newHadoopConf()).exists(dp))
+    // ...and the rewritten doclen companion is size-aware like every
+    // other companion write: a small reconciled set lands as ONE file,
+    // not one per shuffle partition (nextSeq and every ranked search
+    // list this dir)
+    val dlp = new org.apache.hadoop.fs.Path(s"${wh.dataPath("tixc")}/_doclen")
+    val dlFiles = dlp.getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(dlp).map(_.getPath.getName)
+      .count(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(dlFiles == 1, s"compacted _doclen holds $dlFiles data files")
     // maintenance continues on the compacted index
     TextIndex.append(wh, Seq((4L, "vector merge anew")).toDF("doc_id",
       "text"), "doc_id", "text", "tixc", nBuckets = 8)
