@@ -42,12 +42,6 @@ object IvfIndex {
   private def fs(wh: Warehouse, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(wh.spark.sessionState.newHadoopConf())
 
-  /** Explicit shuffle-partition count for writer-side clustering — a
-    * bare `repartition(col)` invites AQE to coalesce a byte-small
-    * exchange to ONE partition, serializing the write at scale. */
-  private def shufflePartitions(wh: Warehouse): Int =
-    wh.spark.conf.get("spark.sql.shuffle.partitions").toInt
-
   /** The next entry generation: one past the highest `seq` any current
     * entry carries — derived from the index DATA itself (one
     * column-pruned scan at maintenance time; a side counter file could
@@ -122,7 +116,8 @@ object IvfIndex {
     * resolves once — one frontier scan per reindex, not two. */
   def reindex(wh: Warehouse, changed: DataFrame, idCol: String,
               vecCol: String, name: String = "ivf_index"): Unit = {
-    val pinned = Exec.materialize(changed.select(col(idCol), col(vecCol)))
+    val pinned = Exec.materialize(changed.select(col(idCol) +:
+      col(vecCol) +: attrColsOf(wh, name, idCol, vecCol).map(col): _*))
     val cut = nextSeq(wh, name)
     deleteAt(wh, pinned.select(col(idCol).as("id")), name, cut,
       onlyExisting = true)
@@ -132,8 +127,18 @@ object IvfIndex {
   /** [[reindex]] for the coded layout: tombstone + [[appendPq]] at one
     * shared generation, over one pinned batch. */
   def reindexPq(wh: Warehouse, changed: DataFrame, idCol: String,
-                vecCol: String, name: String = "ivfpq_index"): Unit = {
-    val pinned = Exec.materialize(changed.select(col(idCol), col(vecCol)))
+                vecCol: String, name: String = "ivfpq_index"): Unit =
+    reindexPqPinned(wh,
+      Exec.materialize(changed.select(col(idCol) +: col(vecCol) +:
+        attrColsOf(wh, name, idCol, vecCol).map(col): _*)),
+      idCol, vecCol, name)
+
+  /** [[reindexPq]] over an ALREADY-pinned (idCol, vecCol) frame — the
+    * streaming sink pins each micro-batch once at entry, and a second
+    * materialize here would copy every batch's blocks twice. */
+  private def reindexPqPinned(wh: Warehouse, pinned: DataFrame,
+                              idCol: String, vecCol: String,
+                              name: String): Unit = {
     val cut = nextSeq(wh, name)
     deleteAt(wh, pinned.select(col(idCol).as("id")), name, cut,
       onlyExisting = true)
@@ -172,14 +177,19 @@ object IvfIndex {
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pinned = Exec.materialize(batch)
+        // pin only the columns the index consumes (id, vector, and any
+        // layout attributes) — the count, the duplicate check, and the
+        // reindex share this ONE copy
+        val pinned = Exec.materialize(
+          batch.select(col(idCol) +: col(vecCol) +:
+            attrColsOf(wh, name, idCol, vecCol).map(col): _*))
         val n = pinned.count()
         if (n > 0) {
           require(pinned.select(col(idCol)).distinct().count() == n,
             s"streamingIndexPq: a micro-batch carries duplicate " +
               s"'$idCol' rows — dedupe upstream (last-wins) before " +
               "indexing")
-          reindexPq(wh, pinned, idCol, vecCol, name)
+          reindexPqPinned(wh, pinned, idCol, vecCol, name)
         }
         if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
           maintain(wh, name, maxDeadFraction, maxTombstoneBloat,
@@ -207,7 +217,7 @@ object IvfIndex {
     // same writer-side cell clustering as build/buildPq: the rewrite is
     // the moment to fix file counts, not inherit them
     val live = liveOnly(wh, vdir, df, idName).withColumn("seq", lit(0L))
-      .repartition(shufflePartitions(wh), col("cell"))
+      .repartition(IndexAdvice.shufflePartitions(wh), col("cell"))
     wh.publish(live, name, partitionCols = Seq("cell"),
       beforeSwap = newVdir =>
         Seq("_centroids", "_codebooks", "_rotation").foreach { art =>
@@ -218,17 +228,43 @@ object IvfIndex {
         })
   }
 
+  /** Reserved layout column names an attribute may not shadow. */
+  private def requireAttrs(attrCols: Seq[String], idCol: String,
+                           vecCol: String): Unit = {
+    val reserved = Set("cell", "code", "seq", idCol, vecCol)
+    attrCols.foreach(a => require(!reserved.contains(a),
+      s"attribute column '$a' collides with a reserved index column " +
+        s"(${reserved.mkString(", ")})"))
+  }
+
+  /** The attribute columns an existing index carries — everything in the
+    * published layout that is not the id, the vector/code, the cell, or
+    * the generation. Derived from the index's OWN schema so appends and
+    * reindexes are self-describing (a batch must carry the same
+    * attributes the build declared). */
+  private def attrColsOf(wh: Warehouse, name: String, idCol: String,
+                         vecCol: String): Seq[String] =
+    wh.read(name).columns.toSeq.filterNot(c =>
+      c == idCol || c == vecCol || c == "cell" || c == "code" || c == "seq")
+
   /** Train centroids, assign every corpus vector its cell, publish the
     * corpus partitioned by cell WITH its centroids riding in the same
     * version directory (`_centroids`, underscore-invisible to scans,
     * written before the manifest swap). Corpus and centroids therefore
     * become visible in the SAME atomic step — a probe can never pair a
     * new layout with stale centroids, whichever instant it starts.
-    * Returns the published version id. */
+    * Returns the published version id.
+    *
+    * `attrCols` ride INTO the layout as plain parquet columns beside the
+    * vector, so a FILTERED probe's predicate reaches the pruned cell
+    * scan as an ordinary pushed filter — no metadata join at probe time,
+    * which is the scale-correct shape for attribute-constrained ANN
+    * (filter-then-rank; a post-filtered top-k would lose recall). */
   def build(wh: Warehouse, corpus: DataFrame, idCol: String, vecCol: String,
             dim: Int, nlist: Int = 64, name: String = "ivf_index",
-            seed: Long = 42L): String = {
+            seed: Long = 42L, attrCols: Seq[String] = Nil): String = {
     import wh.spark.implicits._
+    requireAttrs(attrCols, idCol, vecCol)
     val cents = Similarity.trainIvfCentroids(corpus, idCol, vecCol, dim,
       nlist, seed = seed)
     // writer-side cell clustering: without it every upstream task opens
@@ -241,11 +277,12 @@ object IvfIndex {
     // single serial writer at scale. Cost is one entry-sized shuffle at
     // build time; cell size stays bounded by the layout's own
     // nlist ~ sqrt(N) sizing lever.
-    val assigned = corpus.select(col(idCol), col(vecCol),
-      element_at(SignatureExpressions.ivfAssign(col(vecCol), cents, 1), 1)
-        .as("cell"))
+    val assigned = corpus.select(col(idCol) +: col(vecCol) +:
+        attrCols.map(col) :+
+        element_at(SignatureExpressions.ivfAssign(col(vecCol), cents, 1), 1)
+          .as("cell"): _*)
       .withColumn("seq", lit(0L))
-      .repartition(shufflePartitions(wh), col("cell"))
+      .repartition(IndexAdvice.shufflePartitions(wh), col("cell"))
     wh.publish(assigned, name, partitionCols = Seq("cell"),
       beforeSwap = vdir =>
         cents.zipWithIndex.map { case (c, i) => (i, c) }
@@ -278,14 +315,19 @@ object IvfIndex {
     val cents: Seq[Seq[Double]] = wh.spark.read.parquet(s"$vdir/_centroids")
       .orderBy("cell").select("centroid")
       .collect().map(_.getSeq[Double](0)).toSeq
-    val assigned = newVectors.select(col(idCol), col(vecCol),
-      element_at(SignatureExpressions.ivfAssign(col(vecCol), cents, 1), 1)
-        .as("cell"))
+    // an attribute-carrying index appends its attributes too (derived
+    // from the layout's own schema; Warehouse.append's align gate
+    // refuses a batch that lacks them)
+    val attrs = attrColsOf(wh, name, idCol, vecCol)
+    val assigned = newVectors.select(col(idCol) +: col(vecCol) +:
+        attrs.map(col) :+
+        element_at(SignatureExpressions.ivfAssign(col(vecCol), cents, 1), 1)
+          .as("cell"): _*)
       .withColumn("seq", lit(seq))
       // appends are the file-count growth driver for a long-lived index:
       // cell-cluster each batch so it adds ≤ |touched cells| files, not
       // tasks × cells
-      .repartition(shufflePartitions(wh), col("cell"))
+      .repartition(IndexAdvice.shufflePartitions(wh), col("cell"))
     wh.append(assigned, name)
   }
 
@@ -300,8 +342,10 @@ object IvfIndex {
               dim: Int, nlist: Int = 64, m: Int = 8, ksub: Int = 256,
               trainIters: Int = 4, sampleSize: Int = 4096,
               name: String = "ivfpq_index", seed: Long = 42L,
-              opq: Similarity.OpqMode = Similarity.OpqMode.Off): String = {
+              opq: Similarity.OpqMode = Similarity.OpqMode.Off,
+              attrCols: Seq[String] = Nil): String = {
     import wh.spark.implicits._
+    requireAttrs(attrCols, idCol, vecCol)
     val sample = Similarity.sampleVectors(corpus, idCol, vecCol,
       sampleSize, seed)
     val cents = Similarity.trainIvfFromSample(sample, dim, nlist,
@@ -330,14 +374,14 @@ object IvfIndex {
           (rot, Similarity.residualBooksFromSample(sample, dim, cents, m,
             ksub, trainIters, seed, rot))
       }
-    val enc = corpus.select(col(idCol),
-      SignatureExpressions.pqResidualEncode(col(vecCol), cents, books,
-          rotation)
-        .as("enc"))
-      .select(col(idCol), col("enc.cell").as("cell"),
-        col("enc.code").as("code"))
+    val enc = corpus.select(col(idCol) +: attrCols.map(col) :+
+        SignatureExpressions.pqResidualEncode(col(vecCol), cents, books,
+            rotation)
+          .as("enc"): _*)
+      .select(col(idCol) +: attrCols.map(col) :+
+        col("enc.cell").as("cell") :+ col("enc.code").as("code"): _*)
       .withColumn("seq", lit(0L))
-      .repartition(shufflePartitions(wh), col("cell")) // writer-side cell clustering (see build)
+      .repartition(IndexAdvice.shufflePartitions(wh), col("cell")) // writer-side cell clustering (see build)
     wh.publish(enc, name, partitionCols = Seq("cell"),
       beforeSwap = vdir => {
         cents.zipWithIndex.map { case (c, i) => (i, c) }
@@ -398,14 +442,15 @@ object IvfIndex {
     val version = wh.currentVersion(name).getOrElse(
       throw new IllegalStateException(s"IVF+PQ index '$name' was never built"))
     val vdir = s"${wh.root}/$name/_versions/$version"
-    val enc = newVectors.select(col(idCol),
+    val attrs = attrColsOf(wh, name, idCol, vecCol) // see appendAt
+    val enc = newVectors.select(col(idCol) +: attrs.map(col) :+
         SignatureExpressions.pqResidualEncode(col(vecCol),
           loadCentroids(wh, vdir), loadBooks(wh, vdir),
-          loadRotation(wh, vdir)).as("enc"))
-      .select(col(idCol), col("enc.cell").as("cell"),
-        col("enc.code").as("code"))
+          loadRotation(wh, vdir)).as("enc"): _*)
+      .select(col(idCol) +: attrs.map(col) :+
+        col("enc.cell").as("cell") :+ col("enc.code").as("code"): _*)
       .withColumn("seq", lit(seq))
-      .repartition(shufflePartitions(wh), col("cell")) // batch cell clustering (see appendAt)
+      .repartition(IndexAdvice.shufflePartitions(wh), col("cell")) // batch cell clustering (see appendAt)
     wh.append(enc, name)
   }
 
@@ -415,10 +460,20 @@ object IvfIndex {
     * `dot(q,v) = dot(q, C_cell) + dot(q, v − C_cell)` exactly, so a
     * candidate's ADC score is one element_at + m LUT lookups — both
     * per-query tables broadcast with the probe set. Output:
-    * (query_id, neighbor_id, cosine, rank). */
+    * (query_id, neighbor_id, cosine, rank).
+    *
+    * `filter` constrains the search to entries matching a predicate over
+    * the layout's attribute columns ([[buildPq]] `attrCols`) — applied
+    * IN the pruned cell scan (an ordinary pushed parquet filter, no join)
+    * and BEFORE ADC, so excluded entries never occupy candidate or
+    * rerank slots: filter-then-rank semantics, the only shape that keeps
+    * top-k recall under a constraint (post-filtering a top-k loses every
+    * result the excluded entries displaced). */
   def probePq(wh: Warehouse, queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, name: String = "ivfpq_index",
-              k: Int = 5, nprobe: Int = 8, rerank: Int = 64): DataFrame = {
+              k: Int = 5, nprobe: Int = 8, rerank: Int = 64,
+              filter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val version = wh.currentVersion(name).getOrElse(
       throw new IllegalStateException(s"IVF+PQ index '$name' was never built"))
@@ -448,6 +503,10 @@ object IvfIndex {
     val codes = liveOnly(wh, vdir,
       wh.readVersion(name, version)
         .filter(col("cell").isin(probedCells: _*))
+        // attribute predicate INSIDE the scan filter, before the column
+        // pruning drops the attrs — Catalyst pushes it to parquet beside
+        // the cell pruning
+        .filter(filter.getOrElse(lit(true)))
         .select(col(idCol).as("neighbor_id"), col("cell"), col("code"),
           col("seq")),
       "neighbor_id")
@@ -473,10 +532,15 @@ object IvfIndex {
   /** Probe the published index: top-k neighbors per query over the
     * `nprobe` nearest cells, read via partition-pruned scan.
     * Output: (query_id, neighbor_id, cosine, rank) — the [[Similarity]]
-    * shape. */
+    * shape. `filter` constrains the search to entries matching a
+    * predicate over the layout's attribute columns ([[build]]
+    * `attrCols`) — a pushed scan filter applied BEFORE scoring, see
+    * [[probePq]]. */
   def probe(wh: Warehouse, queries: DataFrame, idCol: String, vecCol: String,
             name: String = "ivf_index", k: Int = 5,
-            nprobe: Int = 8): DataFrame = {
+            nprobe: Int = 8,
+            filter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     // resolve the version ONCE and read centroids + corpus from inside it:
     // both halves of the index come from the same immutable snapshot even
     // if a rebuild swaps the manifest mid-probe
@@ -501,6 +565,7 @@ object IvfIndex {
     val corpus = liveOnly(wh, vdir,
       wh.readVersion(name, version)
         .filter(col("cell").isin(probedCells: _*))
+        .filter(filter.getOrElse(lit(true))) // pushed beside the pruning
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
           col("cell"), col("seq")),
       "neighbor_id")
@@ -535,16 +600,19 @@ object IvfIndex {
 
   /** Measure index health and PERSIST it as a one-row `_health`
     * companion stamped with the version dir's file census — the stored
-    * signal [[maintenanceAdvice]] reads back at metadata cost. Two
-    * bounded passes, never a vector/code read: dead mass from a
-    * column-pruned (id, seq) scan joined with the tombstone cuts, and
-    * cell occupancy from a partition-column-only scan (parquet footers
-    * — `cell` is a hive partition column, so no data pages are read).
+    * signal [[maintenanceAdvice]] reads back at metadata cost. One
+    * bounded pass, never a vector/code read: dead mass AND live cell
+    * occupancy from a single column-pruned (id, seq, cell) entry scan
+    * joined with the tombstone cuts (`cell_skew`/`max_cell_rows` count
+    * LIVE entries — dead mass is the Compact axis, not a skew signal).
     * Works on both index flavors. Stale the moment any index file
     * changes, like the sketch-stats catalog. */
-  def analyzeHealth(wh: Warehouse, name: String): DataFrame = {
+  def analyzeHealth(wh: Warehouse, name: String): DataFrame =
+    analyzeHealthWith(wh, name, IndexAdvice.census(wh, name))
+
+  private def analyzeHealthWith(wh: Warehouse, name: String,
+                                c: IndexAdvice.Census): DataFrame = {
     import wh.spark.implicits._
-    val c = IndexAdvice.census(wh, name)
     val df = wh.read(name)
     val idName = df.columns.head // build/buildPq select the id first
     val dp = new org.apache.hadoop.fs.Path(s"${wh.dataPath(name)}/_deletes")
@@ -568,10 +636,17 @@ object IvfIndex {
     val total = perCell.map(_.getLong(1)).sum
     val deadRows = perCell.map(_.getLong(2)).sum
     val liveRows = total - deadRows
-    val maxCell = if (perCell.isEmpty) 0L else perCell.map(_.getLong(1)).max
+    // occupancy skew over LIVE entries only: dead mass measures as
+    // dead_fraction (the Compact axis), never as skew — otherwise
+    // re-embedding the same hot ids could push skew past the Rebuild
+    // threshold, and since Rebuild outranks Compact and `maintain`
+    // never executes it, the policy would wedge on advice it cannot
+    // act on while suppressing the compaction that CURES the reading
+    val maxCell = if (perCell.isEmpty) 0L
+      else perCell.map(r => r.getLong(1) - r.getLong(2)).max
     val nlist = wh.spark.read
       .parquet(s"${wh.dataPath(name)}/_centroids").count()
-    val meanCell = if (nlist == 0L) 0.0 else total.toDouble / nlist
+    val meanCell = if (nlist == 0L) 0.0 else liveRows.toDouble / nlist
     val skew = if (meanCell == 0.0) 1.0 else maxCell / meanCell
     val deadFraction = if (total == 0L) 0.0 else deadRows.toDouble / total
     val row = Seq((liveRows, deadRows, deadFraction, c.deletesBytes,
@@ -587,13 +662,22 @@ object IvfIndex {
 
   /** The stored health row — None when never analyzed on this version
     * or STALE (any index file changed since; the census stamp moved). */
-  def readHealth(wh: Warehouse, name: String): Option[DataFrame] = {
+  def readHealth(wh: Warehouse, name: String): Option[DataFrame] =
+    readHealthWith(wh, name, IndexAdvice.census(wh, name))
+
+  /** `c` is by-name so the freshness census runs only when a `_health`
+    * row exists to check — and so [[maintenanceAdvice]] can share ONE
+    * listing between the staleness check and the re-measure (the stale
+    * path would otherwise pay two back-to-back recursive listings, the
+    * dominant cost of the "health without scanning" contract). */
+  private def readHealthWith(wh: Warehouse, name: String,
+                             c: => IndexAdvice.Census)
+      : Option[DataFrame] = {
     val hp = new org.apache.hadoop.fs.Path(s"${wh.dataPath(name)}/_health")
     if (!fs(wh, hp).exists(hp)) None
     else {
       val df = wh.spark.read.parquet(hp.toString)
       val stamp = df.select(col("n_files"), col("census_bytes")).head()
-      val c = IndexAdvice.census(wh, name)
       if (stamp.getLong(0) != c.nFiles || stamp.getLong(1) != c.totalBytes)
         None
       else Some(df)
@@ -613,7 +697,9 @@ object IvfIndex {
                         maxTombstoneBloat: Double = DefaultMaxTombstoneBloat,
                         maxCellSkew: Double = DefaultMaxCellSkew)
       : IndexAdvice = {
-    val h = readHealth(wh, name).getOrElse(analyzeHealth(wh, name))
+    lazy val c = IndexAdvice.census(wh, name) // ONE listing, shared
+    val h = readHealthWith(wh, name, c)
+      .getOrElse(analyzeHealthWith(wh, name, c))
       .select(col("dead_fraction"), col("deletes_bytes"),
         col("data_bytes"), col("cell_skew"))
       .head()

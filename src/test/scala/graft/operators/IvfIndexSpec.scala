@@ -368,6 +368,105 @@ class IvfIndexSpec extends SparkSpec {
       maxCellSkew = 1e9) == IndexAdvice.Healthy)
   }
 
+  test("cell skew counts LIVE entries only: hot-id churn cannot wedge " +
+      "the policy on Rebuild while suppressing the compaction that " +
+      "cures the reading") {
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 400, dim = dim)
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "wpq")
+    val skew0 = IvfIndex.analyzeHealth(wh, "wpq")
+      .select("cell_skew").head().getDouble(0)
+    // re-embed the SAME 80 ids three times: 240 dead entries pile into
+    // the same cells, but the LIVE occupancy per cell never moves
+    (1 to 3).foreach { _ =>
+      IvfIndex.reindexPq(wh, corpus.filter(col("vec_id") < 80L),
+        "vec_id", "embedding", "wpq")
+    }
+    val h = IvfIndex.analyzeHealth(wh, "wpq")
+      .select("cell_skew", "dead_fraction", "live_rows").head()
+    assert(h.getDouble(0) == skew0,
+      s"live skew moved under pure churn: ${h.getDouble(0)} vs $skew0")
+    assert(h.getLong(2) == 400L)
+    assert(math.abs(h.getDouble(1) - 240.0 / 640.0) < 1e-12)
+    // with a skew gate just above the pristine reading, churn-dead mass
+    // must fire COMPACT (actionable), never Rebuild (which maintain
+    // only surfaces) — the wedge this test exists to prevent
+    assert(IvfIndex.maintain(wh, "wpq", maxDeadFraction = 0.25,
+      maxTombstoneBloat = 1e9, maxCellSkew = skew0 * 1.01) ==
+      IndexAdvice.Compact)
+    assert(IvfIndex.maintenanceAdvice(wh, "wpq", maxDeadFraction = 0.25,
+      maxCellSkew = skew0 * 1.01) == IndexAdvice.Healthy)
+  }
+
+  test("filtered ANN: attributes ride the layout, the predicate is a " +
+      "pushed scan filter applied before ranking, and maintenance " +
+      "carries the attributes through append/reindex") {
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 400, dim = dim)
+      .withColumn("grp", (col("vec_id") % 3).cast("int"))
+    // reserved-name collision refused loudly
+    intercept[IllegalArgumentException] {
+      IvfIndex.build(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+        name = "bad", attrCols = Seq("cell"))
+    }
+    IvfIndex.build(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      name = "fiv", attrCols = Seq("grp"))
+    val probes = corpus.filter(col("vec_id") === 30L) // grp 0
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    // allowed: the original survives the filter and wins at cosine 1
+    val allowed = IvfIndex.probe(wh, probes, "vec_id", "embedding", "fiv",
+      k = 1, nprobe = 8, filter = Some(col("grp") === 0))
+    assert(allowed.select("neighbor_id").as[Long].collect().toSeq ==
+      Seq(30L))
+    // excluded: filter-then-rank — no grp-0 entry may hold a slot
+    val excl = IvfIndex.probe(wh, probes, "vec_id", "embedding", "fiv",
+      k = 5, nprobe = 8, filter = Some(col("grp") =!= 0))
+    val got = excl.select("neighbor_id").as[Long].collect().toSeq
+    assert(got.nonEmpty && got.forall(_ % 3 != 0), got.toString)
+    // the predicate reaches the parquet scan as a pushed filter, beside
+    // the cell pruning — no probe-time join
+    excl.collect()
+    val scans = allNodes(excl.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.exists(_.metadata.getOrElse("PushedFilters", "")
+      .contains("grp")), scans.map(_.metadata).mkString("\n"))
+    // coded flavor: attrs survive buildPq + appendPq (frozen quantizers)
+    IvfIndex.buildPq(wh, corpus.filter(col("vec_id") < 300L), "vec_id",
+      "embedding", dim, nlist = 8, m = 8, ksub = 64, name = "fpq",
+      attrCols = Seq("grp"))
+    IvfIndex.appendPq(wh, corpus.filter(col("vec_id") >= 300L), "vec_id",
+      "embedding", "fpq")
+    val p2 = corpus.filter(col("vec_id") === 330L) // grp 0, appended gen
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    assert(IvfIndex.probePq(wh, p2, corpus, "vec_id", "embedding", "fpq",
+        k = 1, nprobe = 8, rerank = 64, filter = Some(col("grp") === 0))
+      .select("neighbor_id").as[Long].collect().toSeq == Seq(330L))
+    // reindex keeps attrs: 330 re-embeds to 333's vector (both grp 0);
+    // probing with that vector under grp = 0 finds BOTH at cosine 1
+    IvfIndex.reindexPq(wh, corpus.filter(col("vec_id") === 333L)
+        .select(lit(330L).as("vec_id"), col("embedding"), col("grp")),
+      "vec_id", "embedding", "fpq")
+    val twin = corpus.filter(col("vec_id") === 333L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    assert(IvfIndex.probePq(wh, twin,
+        corpus.filter(col("vec_id") =!= 330L).unionByName(
+          corpus.filter(col("vec_id") === 333L)
+            .select(lit(330L).as("vec_id"), col("embedding"), col("grp"))),
+        "vec_id", "embedding", "fpq",
+        k = 2, nprobe = 8, rerank = 64, filter = Some(col("grp") === 0))
+      .select("neighbor_id").as[Long].collect().toSet == Set(330L, 333L))
+    // ...and a batch LACKING a declared attribute is refused loudly
+    intercept[Exception] {
+      IvfIndex.appendPq(wh, corpus.filter(col("vec_id") === 399L)
+        .select(lit(9001L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", "fpq")
+    }
+  }
+
   test("maintenance policy works on the PLAIN flavor too: churn fires " +
       "Compact, maintain acts, probes answer through the compacted index") {
     val wh = freshWh
