@@ -164,21 +164,29 @@ object Similarity {
     // draws to IvfCellsExpr) for the missing cells
     val rng = new scala.util.Random(seed)
     val fallback = Array.fill(nlist, dim)(rng.nextGaussian())
-    // farthest-point init (deterministic k-means++ analogue): starting
-    // from the hash-first sample, each next centroid is the sample point
-    // with the largest cosine distance to its nearest chosen centroid —
-    // naive take-first-nlist init can seed several centroids inside one
-    // cluster and Lloyd then converges to a collapsed, skewed quantizer
-    // (observed: 3× occupancy skew on an 8-cluster fixture)
+    // D²-weighted k-means++ init (Arthur & Vassilvitskii SODA'07),
+    // seeded so it is deterministic over the hash-ordered sample: each
+    // next centroid is drawn with probability proportional to the
+    // squared cosine distance to its nearest chosen centroid. The
+    // D² weighting is MASS-AWARE, which matters for the maintenance
+    // policy's Rebuild arm: the previous farthest-point init allocated
+    // by coverage radius alone, so a dense drift region (a 4×-corpus
+    // bundle appended after training) kept ONE centroid no matter how
+    // many Lloyd iterations followed — the re-trained layout read as
+    // occupancy-skewed as the stale one and Rebuild advice could never
+    // clear. D² still separates clusters (the take-first-nlist collapse
+    // this init originally replaced stays fixed: a cluster already
+    // holding a centroid has near-zero D² mass) while granting dense
+    // regions centroids in proportion to the distortion they carry.
     val unit = sample.map(v => normalize(v.clone()))
     val initIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
     if (unit.nonEmpty) {
       initIdx += 0
-      val nearest = Array.fill(unit.length)(Double.NegativeInfinity)
+      // d2(i): squared cosine distance to the nearest chosen centroid
+      val d2 = Array.fill(unit.length)(Double.PositiveInfinity)
       while (initIdx.length < math.min(nlist, unit.length)) {
         val last = unit(initIdx.last)
-        var far = -1
-        var farDot = Double.PositiveInfinity
+        var total = 0.0
         var i = 0
         while (i < unit.length) {
           val v = unit(i)
@@ -186,13 +194,63 @@ object Similarity {
           var j = 0
           val n = math.min(v.length, last.length)
           while (j < n) { d += v(j) * last(j); j += 1 }
-          if (d > nearest(i)) nearest(i) = d // dot to NEAREST chosen (max dot)
-          if (!initIdx.contains(i) && nearest(i) < farDot) {
-            farDot = nearest(i); far = i
-          }
+          val dist = 1.0 - d
+          val dd = dist * dist
+          if (dd < d2(i)) d2(i) = dd
+          total += d2(i)
           i += 1
         }
-        if (far < 0) initIdx += initIdx.length else initIdx += far
+        if (total <= 0.0) {
+          // every remaining point coincides with a chosen centroid —
+          // any index works, keep it deterministic
+          initIdx += initIdx.length % unit.length
+        } else {
+          // GREEDY k-means++: draw 3 D²-weighted candidates, keep the
+          // one that minimizes the resulting potential (standard greedy
+          // variant — recovers most of farthest-point's coverage
+          // quality while staying mass-aware)
+          def draw(): Int = {
+            var r = rng.nextDouble() * total
+            var pick = -1
+            var best = 0
+            var i2 = 0
+            while (i2 < unit.length) {
+              if (d2(i2) > d2(best)) best = i2
+              if (pick < 0 && d2(i2) > 0.0) {
+                r -= d2(i2)
+                if (r <= 0.0) pick = i2
+              }
+              i2 += 1
+            }
+            if (pick >= 0) pick else best
+          }
+          def potentialWith(c: Int): Double = {
+            val cv = unit(c)
+            var p = 0.0
+            var i2 = 0
+            while (i2 < unit.length) {
+              val v = unit(i2)
+              var d = 0.0
+              var j = 0
+              val n = math.min(v.length, cv.length)
+              while (j < n) { d += v(j) * cv(j); j += 1 }
+              val dist = 1.0 - d
+              p += math.min(d2(i2), dist * dist)
+              i2 += 1
+            }
+            p
+          }
+          var bestPick = -1
+          var bestPot = Double.PositiveInfinity
+          var l = 0
+          while (l < 3) {
+            val c = draw()
+            val p = potentialWith(c)
+            if (p < bestPot) { bestPot = p; bestPick = c }
+            l += 1
+          }
+          initIdx += bestPick
+        }
       }
     }
     var cents: Array[Array[Double]] = Array.tabulate(nlist)(i =>

@@ -635,6 +635,123 @@ object ScaleQueries {
       twins.unionByName(leaked)
     }),
 
+    // ── FILTERED ANN: an attribute column (grp = vec_id % 3) rides the
+    //    coded layout itself, so the probe's predicate reaches the
+    //    pruned cell scan as an ordinary pushed parquet filter and is
+    //    applied BEFORE ADC — filter-then-rank, the only shape that
+    //    keeps top-k recall under a constraint. Probes are planted
+    //    copies of grp-0 vectors: under `grp = 0` the original survives
+    //    the filter and wins at cosine 1; under `grp != 0` the original
+    //    is excluded at the scan, so ANY grp-0 neighbor in the answer is
+    //    a filter leak — that branch of the union must be EMPTY ──
+    "q206_filtered_ann" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-fann").toString)
+      val emb = Td(s, dir, "embeddings")
+        .withColumn("grp", (col("vec_id") % 3).cast("int"))
+      IvfIndex.buildPq(wh, emb, "vec_id", "embedding", dim = 64,
+        nlist = 64, m = 8, ksub = 64, name = "fpq",
+        attrCols = Seq("grp"))
+      val probes = emb.filter(col("vec_id") % 30 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val allowed = IvfIndex.probePq(wh, probes, emb, "vec_id",
+          "embedding", "fpq", k = 1, nprobe = 8, rerank = 192,
+          filter = Some(col("grp") === 0))
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("probe", lit("allowed"))
+      val leaked = IvfIndex.probePq(wh, probes, emb, "vec_id",
+          "embedding", "fpq", k = 1, nprobe = 8, rerank = 192,
+          filter = Some(col("grp") =!= 0))
+        .filter(col("rank") === 1)
+        .filter(col("neighbor_id") % 3 === 0) // leaks only — must be empty
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("probe", lit("leaked"))
+      allowed.unionByName(leaked).orderBy(col("probe"), col("query_id"))
+    }),
+
+    // ── the REBUILD arm of the maintenance policy, executed end to end:
+    //    q203/q204 close Healthy→Compact→Healthy; this closes
+    //    Healthy→Rebuild→(caller re-trains)→Healthy. The drift plant is
+    //    a 6×-corpus append swept around a great circle (Gram-Schmidt
+    //    plane of two corpus anchors): under the ORIGINAL trained layout
+    //    that mass lands in the few cells whose centroids sit near the
+    //    plane (measured live skew 18.2 at sf0.001 — occupancy drift the
+    //    policy must read as Rebuild, which compaction cannot fix and
+    //    maintain() only SURFACES), and a re-train under the greedy
+    //    D²-weighted k-means++ init grants the circle centroids in
+    //    proportion to its distortion mass (measured 6.4 — the
+    //    mass-blind farthest-point init this round replaced kept ONE
+    //    centroid there forever, 51.4 on the chord plant, and the
+    //    Rebuild advice could never clear). The gate is pinned at 10,
+    //    between the two measured readings with ~1.7× margin each
+    //    way; the decision sequence is REQUIREd at every scale, and the
+    //    oracle pins the rebuilt index's answers — planted copies from
+    //    BOTH generations (base ids and circle ids) return themselves at
+    //    rank 1 ──
+    "q207_ivf_rebuild_policy" -> ((s, dir) => {
+      import graft.operators.IndexAdvice
+      val skewGate = 10.0
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-rivf").toString)
+      val emb = Td(s, dir, "embeddings").select("vec_id", "embedding")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      IvfIndex.build(wh, emb, "vec_id", "embedding", dim = 64,
+        nlist = 64, name = "riv")
+      val fresh = IvfIndex.maintenanceAdvice(wh, "riv",
+        maxCellSkew = skewGate)
+      require(fresh == IndexAdvice.Healthy,
+        s"a fresh index must read Healthy, got $fresh")
+      // the drift plant: two bounded single-row collects anchor the
+      // circle's plane
+      val ends = emb.filter(col("vec_id").isin(1L, 2L)).orderBy("vec_id")
+        .select("embedding").collect()
+      val r1 = ends(0).getSeq[Float](0).map(_.toDouble).toArray
+      val r2 = ends(1).getSeq[Float](0).map(_.toDouble).toArray
+      def norm(v: Array[Double]) = {
+        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+      }
+      val u1 = norm(r1)
+      val d12 = u1.indices.map(i => u1(i) * r2(i)).sum
+      val u2 = norm(Array.tabulate(u1.length)(i => r2(i) - d12 * u1(i)))
+      val a = 6L * emb.count()
+      val theta = col("id").cast("double") / lit(a.toDouble) *
+        lit(2.0 * math.Pi)
+      val arc = s.range(a).select((col("id") + 200000L).as("vec_id"),
+        zip_with(typedLit(u1.toSeq), typedLit(u2.toSeq),
+          // double trig — land back on the table's array<float>
+          (x, y) => (x * cos(theta) + y * sin(theta)).cast("float"))
+          .as("embedding"))
+      IvfIndex.append(wh, arc, "vec_id", "embedding", "riv")
+      val drifted = IvfIndex.maintenanceAdvice(wh, "riv",
+        maxCellSkew = skewGate)
+      require(drifted == IndexAdvice.Rebuild,
+        s"the 6x circle append must read Rebuild, got $drifted")
+      // maintain() SURFACES Rebuild and must leave the index untouched
+      val v0 = wh.currentVersion("riv")
+      require(IvfIndex.maintain(wh, "riv", maxCellSkew = skewGate) ==
+        IndexAdvice.Rebuild && wh.currentVersion("riv") == v0,
+        "maintain must surface Rebuild without executing it")
+      // the CALLER executes the rebuild: re-train over the full corpus
+      IvfIndex.build(wh, emb.unionByName(arc), "vec_id", "embedding",
+        dim = 64, nlist = 64, name = "riv")
+      val rebuilt = IvfIndex.maintenanceAdvice(wh, "riv",
+        maxCellSkew = skewGate)
+      require(rebuilt == IndexAdvice.Healthy,
+        s"the re-trained layout must read Healthy, got $rebuilt")
+      // circle probes skip i = 0: that point IS vec 1's direction, and
+      // its double cosine can round to an exact-1.0 tie the smaller id
+      // would win
+      val probes = emb.filter(col("vec_id") % 30 === 0)
+        .unionByName(arc.filter((col("vec_id") - 200000L) % 97 === 0 &&
+          col("vec_id") =!= 200000L))
+        .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+      IvfIndex.probe(wh, probes, "vec_id", "embedding", "riv",
+          k = 1, nprobe = 8)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+    }),
+
     // ── two-stage PQ ANN on planted probes: an exact copy must survive
     //    the 8-byte ADC candidate pass (its code equals its original's,
     //    so its ADC score is the query's own maximal reconstruction — a
@@ -1370,6 +1487,32 @@ object ScaleQueries {
     "q184_ivfpq_append_probe" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+
+    // q206: the planted grp-0 contract under an attribute filter — with
+    // `grp = 0` allowed each probe returns its original at rank 1; the
+    // leaked branch (a grp-0 neighbor surviving `grp != 0`) must be
+    // EMPTY, so the oracle is the allowed rows alone
+    "q206_filtered_ann" ->
+      """SELECT 'allowed' AS probe, vec_id + 100000 AS query_id,
+        |  vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id % 30 = 0""".stripMargin,
+
+    // q207: the REBUILT index answers for BOTH generations — base
+    // planted ids and the drift circle's stride ids (circle size is
+    // 6 x |embeddings|, enumerated from the table itself because
+    // DuckDB's range() takes constant parameters only; i = 0 is
+    // excluded — it coincides with vec 1's direction)
+    "q207_ivf_rebuild_policy" ->
+      """WITH r AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn
+        |           FROM embeddings),
+        |arc AS (SELECT rn * 6 + j AS i
+        |        FROM r CROSS JOIN range(0, 6) t(j))
+        |SELECT vec_id + 500000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id % 30 = 0
+        |UNION ALL
+        |SELECT 200000 + i + 500000 AS query_id,
+        |  200000 + i AS neighbor_id
+        |FROM arc WHERE i % 97 = 0 AND i > 0""".stripMargin,
 
     // q200: the maintained PQ index answers for the POST-maintenance
     // corpus — each re-embedded id ties its twin at cosine 1 (smallest

@@ -360,7 +360,20 @@ object ScaleSweep {
         "q203_text_maintain_policy", "q204_ivfpq_maintain_policy",
         // round 9b: k-of-n membership — same pruned-postings cost shape
         // as q194, only the hit-count gate differs
-        "q205_text_search_any")
+        "q205_text_search_any",
+        // round 9c: filtered ANN — the attribute predicate is a pushed
+        // parquet filter inside the pruned cell scan, applied BEFORE
+        // ADC; no probe-time join
+        "q206_filtered_ann",
+        // round 9d: the Rebuild arm end to end — drift plant, policy
+        // decision (REQUIREd at every scale), caller-executed re-train,
+        // planted probes from both generations
+        "q207_ivf_rebuild_policy",
+        // round 9e: hybrid retrieval from the two persistent indexes —
+        // pruned posting scan + doclen join on the lexical side, the
+        // exact nprobe=nlist probe on the dense side, metadata-scale
+        // RRF fuse
+        "q208_hybrid_indexed")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
