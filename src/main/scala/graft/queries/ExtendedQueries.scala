@@ -2063,6 +2063,37 @@ object ExtendedQueries {
       any.unionByName(kofn).orderBy(col("probe"), col("doc_id"))
     }),
 
+    // ── hybrid retrieval served ENTIRELY from the two persistent
+    //    indexes: the q125 fusion with both candidate lists' access
+    //    paths swapped — lexical BM25 from the inverted text index
+    //    (arithmetic-identical to the corpus-scan BM25, q195's
+    //    contract) and dense cosine from the persistent IVF index at
+    //    full cell coverage (nprobe = nlist makes the pruned probe
+    //    EXACT — same cosine, same bounded-heap tie-break as the q34
+    //    brute force; production probes shrink nprobe and trade recall,
+    //    the AnnRecall harness measures that curve). The oracle is the
+    //    q125 replay VERBATIM: the access path may change no answer ──
+    "q208_hybrid_indexed" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-hyb").toString)
+      graft.operators.TextIndex.build(wh,
+        Td(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", "tix", nBuckets = 64)
+      val lex = graft.operators.TextIndex.searchRanked(wh,
+          Seq("spark", "join", "vector"), "tix", nBuckets = 64, k = 50)
+        .select(col("doc_id").as("id"), col("rank"))
+      val emb = Td(s, dir, "embeddings")
+      graft.operators.IvfIndex.build(wh,
+        emb.repartition(s.sparkContext.defaultParallelism, col("vec_id")),
+        "vec_id", "embedding", dim = 64, nlist = 64, name = "vix")
+      val dense = graft.operators.IvfIndex.probe(wh,
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", "vix",
+          k = 50, nprobe = 64)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      graft.operators.Similarity.rrfFuse(Seq(lex, dense), "id", k = 20)
+    }),
+
     // ── NDCG@10 evidence per source: the ranking document LENGTH
     //    induces, scored against a graded language relevance — DCG and
     //    ideal DCG as exact integer micro-discount sums (the discount
@@ -3108,25 +3139,13 @@ object ExtendedQueries {
     // q125: both candidate lists replayed (the q123 BM25 replay at k=50;
     // the q34-style dense rank replay), then the RRF arithmetic — each
     // contribution an exact integer division, the sum exact
-    "q125_hybrid_rrf" ->
-      s"""WITH bmq AS (${bm25Sql(50)}),
-         |lex AS (SELECT doc_id AS id, rank FROM bmq),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |      FROM embeddings),
-         |s AS (SELECT b.vec_id AS id, list_cosine_similarity(a.v, b.v) AS cos
-         |      FROM e a JOIN e b ON a.vec_id = 0 AND b.vec_id <> 0),
-         |dn AS (SELECT id, rank FROM
-         |         (SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id)
-         |            AS INT) AS rank FROM s)
-         |       WHERE rank <= 50),
-         |f AS (SELECT COALESCE(l.id, d.id) AS id,
-         |        COALESCE(CAST(1000000 // (60 + l.rank) AS BIGINT), 0) +
-         |        COALESCE(CAST(1000000 // (60 + d.rank) AS BIGINT), 0)
-         |          AS score_q
-         |      FROM lex l FULL OUTER JOIN dn d ON l.id = d.id)
-         |SELECT id, CAST(row_number() OVER (ORDER BY score_q DESC, id)
-         |         AS INT) AS rank, score_q
-         |FROM f ORDER BY score_q DESC, id LIMIT 20""".stripMargin,
+    "q125_hybrid_rrf" -> hybridRrfSql,
+
+    // q208: the SAME replay — hybrid retrieval served from the two
+    // persistent indexes may change no answer vs the corpus-scan q125
+    // (searchRanked ≡ the BM25 replay per q195's contract; a
+    // nprobe = nlist IVF probe is the exact q34-style dense ranking)
+    "q208_hybrid_indexed" -> hybridRrfSql,
 
     // q142: window replay of the SCD2 rebuild. lag(TRUE) distinguishes
     // "no previous row" from "previous row with a null attribute" — the
@@ -4227,4 +4246,29 @@ object ExtendedQueries {
        |FROM sc WHERE score_q > 0
        |ORDER BY score_q DESC, doc_id LIMIT $k""".stripMargin
   }
+
+  /** q125/q208 replay — both candidate lists (the BM25 replay at k=50;
+    * the q34-style exact dense ranking), then the RRF arithmetic: each
+    * contribution an exact integer division, the sum exact. Shared
+    * verbatim by the corpus-scan (q125) and index-served (q208)
+    * engines — the access path may change no answer. */
+  private def hybridRrfSql: String =
+    s"""WITH bmq AS (${bm25Sql(50)}),
+       |lex AS (SELECT doc_id AS id, rank FROM bmq),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings),
+       |s AS (SELECT b.vec_id AS id, list_cosine_similarity(a.v, b.v) AS cos
+       |      FROM e a JOIN e b ON a.vec_id = 0 AND b.vec_id <> 0),
+       |dn AS (SELECT id, rank FROM
+       |         (SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id)
+       |            AS INT) AS rank FROM s)
+       |       WHERE rank <= 50),
+       |f AS (SELECT COALESCE(l.id, d.id) AS id,
+       |        COALESCE(CAST(1000000 // (60 + l.rank) AS BIGINT), 0) +
+       |        COALESCE(CAST(1000000 // (60 + d.rank) AS BIGINT), 0)
+       |          AS score_q
+       |      FROM lex l FULL OUTER JOIN dn d ON l.id = d.id)
+       |SELECT id, CAST(row_number() OVER (ORDER BY score_q DESC, id)
+       |         AS INT) AS rank, score_q
+       |FROM f ORDER BY score_q DESC, id LIMIT 20""".stripMargin
 }
