@@ -77,10 +77,32 @@ object TextIndex {
     if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
   }
 
-  private def tokenize(docs: DataFrame, idCol: String,
-                       textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("__toks"))
+  private def tokenize(docs: DataFrame, idCol: String, textCol: String,
+                       attrCols: Seq[String] = Nil): DataFrame =
+    docs.select(col(idCol).as("doc_id") +:
+      TextFunctions.tokens(col(textCol)).as("__toks") +:
+      attrCols.map(col): _*)
+
+  /** Reserved doclen/posting column names an attribute may not shadow. */
+  private def requireAttrs(attrCols: Seq[String], idCol: String,
+                           textCol: String): Unit = {
+    val reserved = Set("doc_id", "dl", "seq", "__toks", "token", "tf",
+      "pos", "bucket", idCol, textCol)
+    attrCols.foreach(a => require(!reserved.contains(a),
+      s"attribute column '$a' collides with a reserved index column " +
+        s"(${reserved.mkString(", ")})"))
+  }
+
+  /** The attribute columns an existing index carries — everything in the
+    * doclen companion that is not the id, the length, or the generation.
+    * Attributes are DOC-level metadata, so they ride the docs-sized
+    * doclen side only (postings stay token-occurrence-shaped — a doc
+    * attribute replicated df times per term would multiply posting
+    * bytes for nothing). Derived from the stored schema so appends and
+    * reindexes are self-describing. */
+  private def attrColsOf(wh: Warehouse, name: String): Seq[String] =
+    wh.spark.read.parquet(doclenPath(wh, name)).columns.toSeq
+      .filterNot(c => c == "doc_id" || c == "dl" || c == "seq")
 
   private def postingsOf(toks: DataFrame, nBuckets: Int, seq: Long,
                          positions: Boolean): DataFrame = {
@@ -131,12 +153,20 @@ object TextIndex {
     * `positions = false` skips the per-posting sorted position list —
     * roughly half the posting bytes and build CPU when only conjunctive
     * or BM25 search will run; [[searchPhrase]] against a position-free
-    * index refuses loudly. Returns the version id. */
+    * index refuses loudly.
+    *
+    * `attrCols` are DOC-level attribute columns (language, source,
+    * license tier…) that ride the doclen companion, so a FILTERED
+    * search's predicate reaches the docs-sized metadata scan as an
+    * ordinary pushed parquet filter — no corpus join at query time.
+    * Returns the version id. */
   def build(wh: Warehouse, corpus: DataFrame, idCol: String,
             textCol: String, name: String = "text_index",
-            nBuckets: Int = 64, positions: Boolean = true): String = {
+            nBuckets: Int = 64, positions: Boolean = true,
+            attrCols: Seq[String] = Nil): String = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
-    val toks = tokenize(corpus, idCol, textCol)
+    requireAttrs(attrCols, idCol, textCol)
+    val toks = tokenize(corpus, idCol, textCol, attrCols)
     // writer-side bucket clustering: without it every upstream task
     // opens a writer in every bucket dir (tasks x nBuckets tiny files,
     // and every search listing pays for all of them); hash-
@@ -150,8 +180,8 @@ object TextIndex {
         .repartition(IndexAdvice.shufflePartitions(wh), col("bucket")), name,
       partitionCols = Seq("bucket"),
       beforeSwap = vdir =>
-        toks.select(col("doc_id"), size(col("__toks")).cast("long")
-            .as("dl"), lit(0L).as("seq"))
+        toks.select(col("doc_id") +: size(col("__toks")).cast("long")
+            .as("dl") +: lit(0L).as("seq") +: attrCols.map(col): _*)
           .write.parquet(s"$vdir/_doclen"))
   }
 
@@ -171,7 +201,7 @@ object TextIndex {
     // independent actions over a lazy frame could compute doclen rows
     // and postings from DIFFERENT row sets, skewing BM25's N/avgdl
     val toks = graft.engine.Exec.materialize(
-      tokenize(newDocs, idCol, textCol))
+      tokenize(newDocs, idCol, textCol, attrColsOf(wh, name)))
     appendToks(wh, toks, name, nBuckets, nextSeq(wh, name))
   }
 
@@ -188,8 +218,12 @@ object TextIndex {
     // |shuffle partitions| files per micro-batch — a small batch lands
     // as one file, a bulk append keeps bounded multi-task writers (the
     // corpus-sized BUILD write keeps natural parallelism untouched)
-    toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
-        lit(seq).as("seq"))
+    // attrs ride along exactly as the tokenized frame carries them (its
+    // tokenize call derived them from the stored doclen schema)
+    val attrs = toks.columns.toSeq
+      .filterNot(c => c == "doc_id" || c == "__toks")
+    toks.select(col("doc_id") +: size(col("__toks")).cast("long")
+        .as("dl") +: lit(seq).as("seq") +: attrs.map(col): _*)
       .repartition(IndexAdvice.companionShards(toks.count()))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(doclenPath(wh, name))
@@ -339,7 +373,7 @@ object TextIndex {
     // and the generation resolves once — one doclen frontier scan per
     // reindex instead of delete's + append's separate scans
     val toks = graft.engine.Exec.materialize(
-      tokenize(changedDocs, idCol, textCol))
+      tokenize(changedDocs, idCol, textCol, attrColsOf(wh, name)))
     val cut = nextSeq(wh, name)
     deleteAt(wh, toks.select(col("doc_id")), name, cut,
       onlyExisting = true)
@@ -356,8 +390,8 @@ object TextIndex {
     * bounded by Σ df(term). */
   def searchRanked(wh: Warehouse, terms: Seq[String],
                    name: String = "text_index", nBuckets: Int = 64,
-                   k: Int = 10, k1: Double = 1.2,
-                   b: Double = 0.75): DataFrame = {
+                   k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                   filter: Option[Column] = None): DataFrame = {
     import graft.functions.TopKAggregate
     val toks = terms.map(normTerm).distinct
     require(toks.nonEmpty && toks.forall(_.nonEmpty),
@@ -365,15 +399,29 @@ object TextIndex {
     require(k >= 1, s"k must be >= 1, got $k")
     val buckets = toks
       .map(t => Sampling.hashBucketOf(t, "tix", nBuckets).toInt).distinct
-    val posts = graft.engine.Exec.materialize(liveOnly(wh, name,
+    // `filter` constrains retrieval to the sub-corpus matching a
+    // predicate over the doclen attribute columns ([[build]] attrCols):
+    // a pushed filter on the docs-sized metadata scan, after which N,
+    // avgdl, AND per-term df all come from the sub-corpus — the result
+    // is row-identical to ranking against an index built on the
+    // filtered corpus, not a post-filtered global top-k (which would
+    // return fewer than k and mis-rank by out-of-scope stats)
+    val dlAll = liveOnly(wh, name,
+      wh.spark.read.parquet(doclenPath(wh, name))).drop("seq")
+    val dl = filter.map(f => dlAll.filter(f)).getOrElse(dlAll)
+      .select(col("doc_id"), col("dl"))
+    val postsAll = liveOnly(wh, name,
       wh.read(name)
         .filter(col("bucket").isin(buckets: _*) &&
           col("token").isin(toks: _*))
         .select(col("doc_id"), col("token"), col("tf"), col("seq")))
-      .drop("seq"))
+      .drop("seq")
+    // sub-corpus df: postings whose doc survives the filter (the semi
+    // side is the docs-sized doclen scan the search already pays)
+    val posts = graft.engine.Exec.materialize(
+      filter.map(_ => postsAll.join(dl.select("doc_id"), Seq("doc_id"),
+        "left_semi")).getOrElse(postsAll))
     val dfs = posts.groupBy(col("token")).agg(count(lit(1)).as("__df"))
-    val dl = liveOnly(wh, name,
-      wh.spark.read.parquet(doclenPath(wh, name))).drop("seq")
     val stats = dl.agg(count(lit(1)).as("__n"),
       sum(col("dl")).as("__sumdl"))
     val small = posts.join(broadcast(dfs), Seq("token"))
@@ -423,8 +471,8 @@ object TextIndex {
     * adjacency sweep. Repeated terms are handled per-offset. Requires a
     * positional index ([[build]] `positions = true`). */
   def searchPhrase(wh: Warehouse, phrase: Seq[String],
-                   name: String = "text_index",
-                   nBuckets: Int = 64): DataFrame = {
+                   name: String = "text_index", nBuckets: Int = 64,
+                   filter: Option[Column] = None): DataFrame = {
     val toks = phrase.map(normTerm)
     require(toks.nonEmpty && toks.forall(_.nonEmpty),
       s"searchPhrase needs non-blank terms, got $phrase")
@@ -462,7 +510,7 @@ object TextIndex {
             transform(col(s"__p$step"), x => x - delta)).as("__run"))
         .filter(size(col("__run")) > 0)
     }
-    cur.select(col("doc_id")).distinct()
+    attrGate(wh, name, cur.select(col("doc_id")).distinct(), filter)
   }
 
   /** Conjunctive search: documents containing ALL `terms`. The term list
@@ -472,8 +520,8 @@ object TextIndex {
     * AND-semantics run as one |terms|-bounded count aggregate per doc.
     * Duplicate query terms collapse; empty/blank terms are refused. */
   def searchAll(wh: Warehouse, terms: Seq[String],
-                name: String = "text_index",
-                nBuckets: Int = 64): DataFrame = {
+                name: String = "text_index", nBuckets: Int = 64,
+                filter: Option[Column] = None): DataFrame = {
     val toks = terms.map(normTerm).distinct
     require(toks.nonEmpty && toks.forall(_.nonEmpty),
       s"searchAll needs non-blank terms, got $terms")
@@ -481,7 +529,7 @@ object TextIndex {
     // defeat static pruning)
     val buckets = toks
       .map(t => Sampling.hashBucketOf(t, "tix", nBuckets).toInt).distinct
-    liveOnly(wh, name,
+    val hits = liveOnly(wh, name,
       wh.read(name)
         .filter(col("bucket").isin(buckets: _*) &&
           col("token").isin(toks: _*))
@@ -490,7 +538,25 @@ object TextIndex {
       .agg(count(lit(1)).as("__hits")) // live postings are distinct per doc
       .filter(col("__hits") === toks.size)
       .select(col("doc_id"))
+    attrGate(wh, name, hits, filter)
   }
+
+  /** Constrain a membership result to documents matching a predicate
+    * over the doclen attribute columns: a semi-join of the (already
+    * Σdf-bounded) candidate set against the filtered docs-sized
+    * metadata scan — attributes are doc-level, so gating after the
+    * hit-count aggregate is semantics-identical and joins the smaller
+    * frame. */
+  private def attrGate(wh: Warehouse, name: String, candidates: DataFrame,
+                       filter: Option[Column]): DataFrame =
+    filter match {
+      case None => candidates
+      case Some(f) =>
+        val allowed = liveOnly(wh, name,
+          wh.spark.read.parquet(doclenPath(wh, name))).drop("seq")
+          .filter(f).select("doc_id")
+        candidates.join(allowed, Seq("doc_id"), "left_semi")
+    }
 
   /** Disjunctive / k-of-n search: documents containing at least
     * `minMatch` DISTINCT terms from `terms` — `minMatch = 1` is boolean
@@ -502,7 +568,8 @@ object TextIndex {
     * (doc_id, n_matched) so callers can rank by match count. */
   def searchAny(wh: Warehouse, terms: Seq[String],
                 name: String = "text_index", nBuckets: Int = 64,
-                minMatch: Int = 1): DataFrame = {
+                minMatch: Int = 1,
+                filter: Option[Column] = None): DataFrame = {
     val toks = terms.map(normTerm).distinct
     require(toks.nonEmpty && toks.forall(_.nonEmpty),
       s"searchAny needs non-blank terms, got $terms")
@@ -511,7 +578,7 @@ object TextIndex {
         s"got $minMatch")
     val buckets = toks
       .map(t => Sampling.hashBucketOf(t, "tix", nBuckets).toInt).distinct
-    liveOnly(wh, name,
+    val hits = liveOnly(wh, name,
       wh.read(name)
         .filter(col("bucket").isin(buckets: _*) &&
           col("token").isin(toks: _*))
@@ -520,6 +587,7 @@ object TextIndex {
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatch)
       .select(col("doc_id"), col("n_matched"))
+    attrGate(wh, name, hits, filter)
   }
 
   /** Compaction trigger: compact when at least this fraction of doclen

@@ -2094,6 +2094,49 @@ object ExtendedQueries {
       graft.operators.Similarity.rrfFuse(Seq(lex, dense), "id", k = 20)
     }),
 
+    // ── attribute-filtered ranked retrieval: the index carries `lang`
+    //    as a doc-level attribute on its doclen companion, and the
+    //    filtered BM25 is row-identical to ranking against an index
+    //    built on the English sub-corpus — N, avgdl, AND per-term df
+    //    all come from the sub-corpus (a post-filtered global top-k
+    //    would return fewer than k and mis-rank by out-of-scope
+    //    stats), so the oracle is the q123 replay with one WHERE ──
+    "q209_filtered_bm25" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-tixf").toString)
+      graft.operators.TextIndex.build(wh,
+        Td(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", "tix", nBuckets = 64,
+        attrCols = Seq("lang"))
+      graft.operators.TextIndex.searchRanked(wh,
+        Seq("spark", "join", "vector"), "tix", nBuckets = 64, k = 20,
+        filter = Some(col("lang") === "en"))
+    }),
+
+    // ── attribute-filtered membership: the q205 shapes constrained to
+    //    a language — the candidate set semi-joins the filtered
+    //    docs-sized doclen scan (attributes are doc-level, so gating
+    //    after the hit-count aggregate is semantics-identical) ──
+    "q210_filtered_membership" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-tixfm").toString)
+      graft.operators.TextIndex.build(wh,
+        Td(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", "tix", nBuckets = 64,
+        attrCols = Seq("lang"))
+      val any = graft.operators.TextIndex.searchAny(wh,
+          Seq("merge", "vector"), "tix", nBuckets = 64, minMatch = 1,
+          filter = Some(col("lang") === "fr"))
+        .withColumn("probe", lit("any_fr"))
+      val kofn = graft.operators.TextIndex.searchAny(wh,
+          Seq("merge", "vector", "spark"), "tix", nBuckets = 64,
+          minMatch = 2, filter = Some(col("lang") === "de"))
+        .withColumn("probe", lit("two_of_three_de"))
+      any.unionByName(kofn).orderBy(col("probe"), col("doc_id"))
+    }),
+
     // ── NDCG@10 evidence per source: the ranking document LENGTH
     //    induces, scored against a graded language relevance — DCG and
     //    ideal DCG as exact integer micro-discount sums (the discount
@@ -3146,6 +3189,30 @@ object ExtendedQueries {
     // (searchRanked ≡ the BM25 replay per q195's contract; a
     // nprobe = nlist IVF probe is the exact q34-style dense ranking)
     "q208_hybrid_indexed" -> hybridRrfSql,
+
+    // q209: attribute-filtered BM25 ≡ the q123 replay over the English
+    // sub-corpus — one WHERE is the whole semantic difference
+    "q209_filtered_bm25" -> bm25Sql(20, "WHERE lang = 'en'"),
+
+    // q210: the q205 membership replay constrained per branch to its
+    // language (attributes are doc-level predicates)
+    "q210_filtered_membership" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |  list_distinct(${ScaleQueries.tokSql}) AS toks FROM documents),
+         |a AS (SELECT doc_id, len(list_intersect(toks,
+         |  ['merge', 'vector'])) AS n_matched FROM tok
+         |  WHERE lang = 'fr'),
+         |k AS (SELECT doc_id, len(list_intersect(toks,
+         |  ['merge', 'vector', 'spark'])) AS n_matched FROM tok
+         |  WHERE lang = 'de')
+         |SELECT doc_id, CAST(n_matched AS BIGINT) AS n_matched,
+         |       'any_fr' AS probe
+         |FROM a WHERE n_matched >= 1
+         |UNION ALL
+         |SELECT doc_id, CAST(n_matched AS BIGINT) AS n_matched,
+         |       'two_of_three_de' AS probe
+         |FROM k WHERE n_matched >= 2
+         |ORDER BY probe, doc_id""".stripMargin,
 
     // q142: window replay of the SCD2 rebuild. lag(TRUE) distinguishes
     // "no previous row" from "previous row with a null attribute" — the
@@ -4215,7 +4282,7 @@ object ExtendedQueries {
 
   /** q123/q125 replay — per-term contribution of (tf, df) over the stats
     * row, top `k`. */
-  private def bm25Sql(k: Int): String = {
+  private def bm25Sql(k: Int, where: String = ""): String = {
     val terms = Seq("spark", "join", "vector")
     val tfs = terms.indices.map(i =>
       s"len(list_filter(toks, x -> x = '${terms(i)}')) AS tf$i").mkString(",\n|           ")
@@ -4229,7 +4296,7 @@ object ExtendedQueries {
          |      / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
          |  * 1000.0 + 0.5) AS BIGINT)""".stripMargin.replace("\n", " ")
     s"""WITH tok AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks
-       |             FROM documents),
+       |             FROM documents $where),
        |base AS (SELECT doc_id, len(toks) AS dl,
        |           $tfs
        |         FROM tok),

@@ -373,7 +373,11 @@ object ScaleSweep {
         // pruned posting scan + doclen join on the lexical side, the
         // exact nprobe=nlist probe on the dense side, metadata-scale
         // RRF fuse
-        "q208_hybrid_indexed")
+        "q208_hybrid_indexed",
+        // round 9f: attribute-filtered retrieval — the language gate is
+        // a pushed filter on the docs-sized doclen scan (BM25) or one
+        // semi-join of the Σdf-bounded candidate set (membership)
+        "q209_filtered_bm25", "q210_filtered_membership")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

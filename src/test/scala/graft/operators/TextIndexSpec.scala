@@ -435,6 +435,79 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("attribute-filtered search: attrs ride the doclen companion, " +
+      "filtered BM25 equals an index built on the sub-corpus, and " +
+      "maintenance carries attributes through append/reindex/compact") {
+    val wh = freshWh
+    val docs = Seq(
+      (1L, "merge vector tables", "en"),
+      (2L, "merge vector columns", "fr"),
+      (3L, "vector merge again", "en"),
+      (4L, "spark join vector merge", "fr")
+    ).toDF("doc_id", "text", "lang")
+    // reserved-name collision refused loudly
+    intercept[IllegalArgumentException] {
+      TextIndex.build(wh, docs, "doc_id", "text", "bad", nBuckets = 8,
+        attrCols = Seq("dl"))
+    }
+    TextIndex.build(wh, docs, "doc_id", "text", "tixa", nBuckets = 8,
+      attrCols = Seq("lang"))
+    // membership under a language gate
+    assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixa",
+      nBuckets = 8, filter = Some(col("lang") === "en"))
+      .as[Long].collect().toSet == Set(1L, 3L))
+    assert(TextIndex.searchAny(wh, Seq("spark", "merge"), "tixa",
+      nBuckets = 8, minMatch = 1, filter = Some(col("lang") === "fr"))
+      .select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
+    // filtered BM25 ≡ an index built on the sub-corpus, row for row
+    // (N, avgdl, AND df from the sub-corpus — not a post-filtered
+    // global top-k)
+    val filtered = TextIndex.searchRanked(wh, Seq("vector", "spark"),
+      "tixa", nBuckets = 8, k = 10, filter = Some(col("lang") === "fr"))
+      .collect().map(_.toSeq).toSeq
+    TextIndex.build(wh, docs.filter(col("lang") === "fr"), "doc_id",
+      "text", "tixsub", nBuckets = 8)
+    val sub = TextIndex.searchRanked(wh, Seq("vector", "spark"),
+      "tixsub", nBuckets = 8, k = 10).collect().map(_.toSeq).toSeq
+    assert(filtered == sub, s"$filtered vs $sub")
+    // append + reindex carry the attribute; a re-crawl can MOVE a doc
+    // between attribute values (the old generation's row dies)
+    TextIndex.append(wh, Seq((5L, "vector merge anew", "en"))
+      .toDF("doc_id", "text", "lang"), "doc_id", "text", "tixa",
+      nBuckets = 8)
+    TextIndex.reindex(wh, Seq((2L, "refreshed vector merge", "de"))
+      .toDF("doc_id", "text", "lang"), "doc_id", "text", "tixa",
+      nBuckets = 8)
+    def en() = TextIndex.searchAll(wh, Seq("merge", "vector"), "tixa",
+      nBuckets = 8, filter = Some(col("lang") === "en"))
+      .as[Long].collect().toSet
+    assert(en() == Set(1L, 3L, 5L))
+    assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixa",
+      nBuckets = 8, filter = Some(col("lang") === "de"))
+      .as[Long].collect().toSet == Set(2L))
+    // doc 2 left fr (re-crawled as de); doc 4 still matches there
+    assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixa",
+      nBuckets = 8, filter = Some(col("lang") === "fr"))
+      .as[Long].collect().toSet == Set(4L))
+    // phrase search takes the same doc-level gate
+    assert(TextIndex.searchPhrase(wh, Seq("refreshed", "vector"), "tixa",
+      nBuckets = 8, filter = Some(col("lang") === "de"))
+      .as[Long].collect().toSet == Set(2L))
+    assert(TextIndex.searchPhrase(wh, Seq("refreshed", "vector"), "tixa",
+      nBuckets = 8, filter = Some(col("lang") === "en"))
+      .as[Long].collect().toSet == Set.empty[Long])
+    // tombstones compose with the gate; compaction preserves attrs
+    TextIndex.delete(wh, Seq(3L).toDF("doc_id"), "doc_id", "tixa")
+    assert(en() == Set(1L, 5L))
+    TextIndex.compact(wh, "tixa")
+    assert(en() == Set(1L, 5L))
+    // a batch lacking the declared attribute is refused loudly
+    intercept[Exception] {
+      TextIndex.append(wh, Seq((9L, "vector merge"))
+        .toDF("doc_id", "text"), "doc_id", "text", "tixa", nBuckets = 8)
+    }
+  }
+
   test("maintenance policy: the stored health row is census-gated, the " +
       "dead-mass and bloat thresholds fire at both sides, maintain acts " +
       "on Compact and leaves a Healthy index alone") {
