@@ -70,6 +70,34 @@ object IvfIndex {
     }
   }
 
+  /** The probe-scoring join: pruned index entries × per-cell probe
+    * rows. Broadcast when the probe side fits the session threshold
+    * (the common case — no shuffle at all, any corpus layout works).
+    * When a big probe sweep demotes to a shuffled join, the bare `cell`
+    * key would cap parallelism at nlist minus hash collisions — the
+    * 80× sweep measured ONE 227 s stage running 512 task-seconds on 9
+    * effective tasks — so the demoted path salts: the entry side gets a
+    * deterministic per-row salt, the (small) probe side explodes across
+    * all salt values, and the exchange carries (cell, salt) keys at
+    * full shuffle width. Probe-side duplication costs |probes| × S tiny
+    * rows; entry-side work is unchanged, just spread. */
+  private def cellJoin(wh: Warehouse, entries: DataFrame,
+                       probes: DataFrame, entryIdCol: String): DataFrame = {
+    val t = graft.engine.JoinPolicy.broadcastThreshold(probes)
+    if (t > 0 &&
+        graft.engine.JoinPolicy.estimatedSizeBytes(probes) <= BigInt(t))
+      entries.join(broadcast(probes), Seq("cell"))
+    else {
+      val s = IndexAdvice.shufflePartitions(wh)
+      entries
+        .withColumn("__salt", pmod(hash(col(entryIdCol)), lit(s)))
+        .join(probes.withColumn("__salt",
+          explode(array((0 until s).map(lit): _*))),
+          Seq("cell", "__salt"))
+        .drop("__salt")
+    }
+  }
+
   /** Tombstone ids across BOTH index flavors: every entry any of
     * `ids` wrote SO FAR stops matching probes, at metadata cost. The
     * tombstone records the current generation frontier as its cut, so
@@ -511,8 +539,7 @@ object IvfIndex {
           col("seq")),
       "neighbor_id")
       .select("neighbor_id", "cell", "code")
-    val adc = codes
-      .join(graft.engine.JoinPolicy.broadcastIfSmall(probes), Seq("cell"))
+    val adc = cellJoin(wh, codes, probes, "neighbor_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (element_at(col("cell_dots"), col("cell") + 1) +
@@ -570,8 +597,7 @@ object IvfIndex {
           col("cell"), col("seq")),
       "neighbor_id")
       .select("neighbor_id", "cv", "cell")
-    val scored = corpus
-      .join(graft.engine.JoinPolicy.broadcastIfSmall(q), Seq("cell"))
+    val scored = cellJoin(wh, corpus, q, "neighbor_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
