@@ -604,6 +604,51 @@ object IvfIndex {
     Similarity.rankTopK(scored, k)
   }
 
+  /** Corpus-scale kNN JOIN through the published index: every query row
+    * finds its top-k neighbors, with NO driver-side cell collection and
+    * NO broadcast requirement — the query side may itself be
+    * corpus-sized (the near-neighbor-graph shape behind SemDeDup
+    * clustering and hard-negative mining at 100 TB, where
+    * [[Similarity.bruteForceTopK]]'s broadcast-the-queries contract and
+    * [[probe]]'s collected-IN-literal cell set both stop fitting). Each
+    * query explodes to its `nprobe` nearest cells under the same frozen
+    * centroids, and ONE cell join against the cell-clustered entries
+    * scores candidates — broadcast when the query side happens to be
+    * small, salted to full shuffle width when it is not ([[cellJoin]]).
+    * Partition pruning is pointless here BY CONSTRUCTION (a
+    * corpus-sized query side probes essentially every cell), which is
+    * exactly why [[probe]]'s bounded-probe-set contract doesn't apply
+    * and this variant exists; recall semantics match [[probe]] (same
+    * assignment, same exact cosine, same bounded-heap top-k).
+    * `filter` constrains candidates like [[probe]]'s. Output:
+    * (query_id, neighbor_id, cosine, rank). */
+  def knnJoin(wh: Warehouse, queries: DataFrame, idCol: String,
+              vecCol: String, name: String = "ivf_index", k: Int = 5,
+              nprobe: Int = 8,
+              filter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    val version = wh.currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"IVF index '$name' was never built"))
+    val vdir = s"${wh.root}/$name/_versions/$version"
+    val cents = loadCentroids(wh, vdir)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        SignatureExpressions.ivfAssign(col(vecCol), cents, nprobe)
+          .as("cells"))
+      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
+    val corpus = liveOnly(wh, vdir,
+      wh.readVersion(name, version)
+        .filter(filter.getOrElse(lit(true)))
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          col("cell"), col("seq")),
+      "neighbor_id")
+      .select("neighbor_id", "cv", "cell")
+    val scored = cellJoin(wh, corpus, q, "neighbor_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
+    Similarity.rankTopK(scored, k)
+  }
+
   /** Compaction trigger: compact when at least this fraction of index
     * entries are tombstone-dead (dead entries still occupy cell
     * directories and every probe's cuts join). */

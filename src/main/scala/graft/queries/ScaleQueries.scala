@@ -752,6 +752,28 @@ object ScaleQueries {
         .select("query_id", "neighbor_id")
     }),
 
+    // ── corpus-scale kNN JOIN through the persistent index: the query
+    //    side is HALF THE CORPUS — far past bruteForceTopK's
+    //    broadcast-the-queries contract and probe()'s driver-collected
+    //    cell set. Each query explodes to its nprobe cells and ONE
+    //    cell join (broadcast when small, salted to full shuffle width
+    //    when not) scores candidates — the near-neighbor-graph shape
+    //    behind SemDeDup clustering and hard-negative mining. Planted
+    //    contract: every copy's rank 1 is its original ──
+    "q211_knn_join_indexed" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-kjoin").toString)
+      val emb = Td(s, dir, "embeddings")
+      IvfIndex.build(wh, emb, "vec_id", "embedding", dim = 64,
+        nlist = 64, name = "kj_idx")
+      val queries = emb.filter(col("vec_id") % 2 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      IvfIndex.knnJoin(wh, queries, "vec_id", "embedding", "kj_idx",
+          k = 1, nprobe = 8)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+    }),
+
     // ── two-stage PQ ANN on planted probes: an exact copy must survive
     //    the 8-byte ADC candidate pass (its code equals its original's,
     //    so its ADC score is the query's own maximal reconstruction — a
@@ -1487,6 +1509,13 @@ object ScaleQueries {
     "q184_ivfpq_append_probe" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
+
+    // q211: the planted contract across a half-corpus query side — the
+    // kNN join probes the same frozen layout, so every copy's top cell
+    // is its original's cell and the exact cosine pins rank 1
+    "q211_knn_join_indexed" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id % 2 = 0""".stripMargin,
 
     // q206: the planted grp-0 contract under an attribute filter — with
     // `grp = 0` allowed each probe returns its original at rank 1; the

@@ -377,7 +377,12 @@ object ScaleSweep {
         // round 9f: attribute-filtered retrieval — the language gate is
         // a pushed filter on the docs-sized doclen scan (BM25) or one
         // semi-join of the Σdf-bounded candidate set (membership)
-        "q209_filtered_bm25", "q210_filtered_membership")
+        "q209_filtered_bm25", "q210_filtered_membership",
+        // round 9g: corpus-scale kNN join — half-corpus query side, no
+        // broadcast contract, no driver cell collect; the scoring join
+        // salts to full shuffle width when the probe side outgrows the
+        // broadcast threshold
+        "q211_knn_join_indexed")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -467,6 +467,39 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("knnJoin: the corpus-scale ANN join matches probe() row-for-row " +
+      "on the same query set, respects tombstones, and composes with " +
+      "the attribute filter") {
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 400, dim = dim)
+      .withColumn("grp", (col("vec_id") % 3).cast("int"))
+    IvfIndex.build(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      name = "kj", attrCols = Seq("grp"))
+    // same assignment, same cosine, same heap: identical rows to probe
+    val queries = AnnRecall.queryFixture(spark, nQueries = 6, dim = dim,
+      clusters = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(rows(IvfIndex.knnJoin(wh, queries, "vec_id", "embedding",
+        "kj", k = 3, nprobe = 4)) ==
+      rows(IvfIndex.probe(wh, queries, "vec_id", "embedding",
+        "kj", k = 3, nprobe = 4)))
+    // planted contract + tombstones
+    val p = corpus.filter(col("vec_id") === 30L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    assert(IvfIndex.knnJoin(wh, p, "vec_id", "embedding", "kj", k = 1)
+      .select("neighbor_id").as[Long].collect().toSeq == Seq(30L))
+    IvfIndex.delete(wh, Seq(30L).toDF("vec_id"), "vec_id", "kj")
+    assert(IvfIndex.knnJoin(wh, p, "vec_id", "embedding", "kj", k = 1)
+      .select("neighbor_id").as[Long].collect().toSeq != Seq(30L))
+    // the attribute filter excludes candidates before scoring
+    val got = IvfIndex.knnJoin(wh, p, "vec_id", "embedding", "kj",
+        k = 5, nprobe = 8, filter = Some(col("grp") =!= 0))
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got.nonEmpty && got.forall(_ % 3 != 0), got.toString)
+  }
+
   test("maintenance policy works on the PLAIN flavor too: churn fires " +
       "Compact, maintain acts, probes answer through the compacted index") {
     val wh = freshWh
