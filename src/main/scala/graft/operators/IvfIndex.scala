@@ -76,25 +76,29 @@ object IvfIndex {
     * When a big probe sweep demotes to a shuffled join, the bare `cell`
     * key would cap parallelism at nlist minus hash collisions — the
     * 80× sweep measured ONE 227 s stage running 512 task-seconds on 9
-    * effective tasks — so the demoted path salts: the entry side gets a
-    * deterministic per-row salt, the (small) probe side explodes across
-    * all salt values, and the exchange carries (cell, salt) keys at
-    * full shuffle width. Probe-side duplication costs |probes| × S tiny
-    * rows; entry-side work is unchanged, just spread. */
+    * effective tasks — so the demoted path runs [[Skew.saltedJoin]]
+    * (entries salted by id, probes replicated across the salt values)
+    * with a BOUNDED factor: enough that nlist × factor comfortably
+    * out-numbers the shuffle width (≥ 8× with a floor of 8), never the
+    * raw partition count — probe-side duplication is |probe rows| ×
+    * factor, and a corpus-sized query side ([[knnJoin]]) or LUT-heavy
+    * PQ probes must not be replicated thousands of times to win
+    * parallelism that ~8 salts already deliver. Per-cell parallelism is
+    * capped at `factor`; a cell hot enough for that to bind is
+    * occupancy drift, which is [[maintenanceAdvice]]'s Rebuild
+    * territory, not the join's. */
   private def cellJoin(wh: Warehouse, entries: DataFrame,
-                       probes: DataFrame, entryIdCol: String): DataFrame = {
+                       probes: DataFrame, entryIdCol: String,
+                       nlist: Int): DataFrame = {
     val t = graft.engine.JoinPolicy.broadcastThreshold(probes)
     if (t > 0 &&
         graft.engine.JoinPolicy.estimatedSizeBytes(probes) <= BigInt(t))
       entries.join(broadcast(probes), Seq("cell"))
     else {
       val s = IndexAdvice.shufflePartitions(wh)
-      entries
-        .withColumn("__salt", pmod(hash(col(entryIdCol)), lit(s)))
-        .join(probes.withColumn("__salt",
-          explode(array((0 until s).map(lit): _*))),
-          Seq("cell", "__salt"))
-        .drop("__salt")
+      val factor = math.min(math.max(8, (8 * s + nlist - 1) / nlist),
+        math.max(s, 1))
+      Skew.saltedJoin(entries, probes, Seq("cell"), entryIdCol, factor)
     }
   }
 
@@ -539,7 +543,7 @@ object IvfIndex {
           col("seq")),
       "neighbor_id")
       .select("neighbor_id", "cell", "code")
-    val adc = cellJoin(wh, codes, probes, "neighbor_id")
+    val adc = cellJoin(wh, codes, probes, "neighbor_id", cents.length)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (element_at(col("cell_dots"), col("cell") + 1) +
@@ -550,7 +554,10 @@ object IvfIndex {
     val rer = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .join(graft.engine.JoinPolicy.broadcastIfSmall(cand), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
+      // size-gated like every other probe-side join: a sweep big enough
+      // to demote the ADC join must not be force-collected here (the
+      // demoted alternative is a high-cardinality query_id equi-join)
+      .join(graft.engine.JoinPolicy.broadcastIfSmall(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
     Similarity.rankTopK(rer, k)
@@ -597,7 +604,7 @@ object IvfIndex {
           col("cell"), col("seq")),
       "neighbor_id")
       .select("neighbor_id", "cv", "cell")
-    val scored = cellJoin(wh, corpus, q, "neighbor_id")
+    val scored = cellJoin(wh, corpus, q, "neighbor_id", cents.length)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
@@ -642,7 +649,7 @@ object IvfIndex {
           col("cell"), col("seq")),
       "neighbor_id")
       .select("neighbor_id", "cv", "cell")
-    val scored = cellJoin(wh, corpus, q, "neighbor_id")
+    val scored = cellJoin(wh, corpus, q, "neighbor_id", cents.length)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
@@ -660,13 +667,16 @@ object IvfIndex {
     * MASS is low. */
   val DefaultMaxTombstoneBloat = 0.5
 
-  /** Rebuild trigger: the occupancy of the hottest cell vs the mean
-    * over the TRAINED layout (total entries / nlist). Freezing the
-    * coarse quantizer is standard IVF practice; what drifts is
-    * occupancy as the corpus distribution moves, and past this ratio a
-    * probe's nprobe cells stop bounding its work — compaction cannot
-    * fix that, only a [[build]]/[[buildPq]] re-train can. 8× leaves
-    * k-means' natural imbalance alone and fires on genuine drift. */
+  /** Rebuild trigger: the LIVE occupancy of the hottest cell vs the
+    * live mean over the trained layout (live entries / nlist) —
+    * tombstone-dead entries count toward `dead_fraction` (the Compact
+    * axis), never toward skew, so hot-id churn can't wedge the policy
+    * on advice `maintain` never executes. Freezing the coarse quantizer
+    * is standard IVF practice; what drifts is occupancy as the corpus
+    * distribution moves, and past this ratio a probe's nprobe cells
+    * stop bounding its work — compaction cannot fix that, only a
+    * [[build]]/[[buildPq]] re-train can. 8× leaves k-means' natural
+    * imbalance alone and fires on genuine drift. */
   val DefaultMaxCellSkew = 8.0
 
   /** Measure index health and PERSIST it as a one-row `_health`
@@ -749,7 +759,9 @@ object IvfIndex {
     else {
       val df = wh.spark.read.parquet(hp.toString)
       val stamp = df.select(col("n_files"), col("census_bytes")).head()
-      if (stamp.getLong(0) != c.nFiles || stamp.getLong(1) != c.totalBytes)
+      val cc = c // force the by-name census exactly once
+      if (stamp.getLong(0) != cc.nFiles ||
+          stamp.getLong(1) != cc.totalBytes)
         None
       else Some(df)
     }

@@ -664,7 +664,9 @@ object TextIndex {
     else {
       val df = wh.spark.read.parquet(hp.toString)
       val stamp = df.select(col("n_files"), col("census_bytes")).head()
-      if (stamp.getLong(0) != c.nFiles || stamp.getLong(1) != c.totalBytes)
+      val cc = c // force the by-name census exactly once
+      if (stamp.getLong(0) != cc.nFiles ||
+          stamp.getLong(1) != cc.totalBytes)
         None
       else Some(df)
     }
