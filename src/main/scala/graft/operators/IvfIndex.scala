@@ -96,8 +96,14 @@ object IvfIndex {
       entries.join(broadcast(probes), Seq("cell"))
     else {
       val s = IndexAdvice.shufflePartitions(wh)
-      val factor = math.min(math.max(8, (8 * s + nlist - 1) / nlist),
-        math.max(s, 1))
+      // absolute cap 64: for a tiny-nlist layout the (8s+nlist-1)/nlist
+      // term approaches 8s, and math.max(s, 1) alone would then let the
+      // factor equal the raw shuffle width — replicating every probe row
+      // (for probePq, with its per-query LUT arrays) |probes| × s times
+      // to win parallelism ~64 salts already deliver
+      val factor = math.min(64,
+        math.min(math.max(8, (8 * s + nlist - 1) / nlist),
+          math.max(s, 1)))
       Skew.saltedJoin(entries, probes, Seq("cell"), entryIdCol, factor)
     }
   }
@@ -275,9 +281,22 @@ object IvfIndex {
     * reindexes are self-describing (a batch must carry the same
     * attributes the build declared). */
   private def attrColsOf(wh: Warehouse, name: String, idCol: String,
-                         vecCol: String): Seq[String] =
-    wh.read(name).columns.toSeq.filterNot(c =>
+                         vecCol: String): Seq[String] = {
+    val cols = wh.read(name).columns.toSeq
+    // a batch invoked with column names the build didn't use would
+    // silently classify the stored id/vector column as an attribute and
+    // surface as a confusing select/align failure downstream — refuse
+    // with the index's declared layout instead
+    require(cols.contains(idCol),
+      s"index '$name' has no id column '$idCol' — its stored layout is " +
+        s"(${cols.mkString(", ")}); pass the names the index was built with")
+    require(cols.contains("code") || cols.contains(vecCol),
+      s"index '$name' has no vector column '$vecCol' — its stored layout " +
+        s"is (${cols.mkString(", ")}); pass the names the index was built " +
+        "with")
+    cols.filterNot(c =>
       c == idCol || c == vecCol || c == "cell" || c == "code" || c == "seq")
+  }
 
   /** Train centroids, assign every corpus vector its cell, publish the
     * corpus partitioned by cell WITH its centroids riding in the same
@@ -654,6 +673,97 @@ object IvfIndex {
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
     Similarity.rankTopK(scored, k)
+  }
+
+  /** [[knnJoin]] through the persistent IVF+PQ CODED layout — the scale
+    * variant for corpora where the index you can afford to keep is the
+    * 12-byte-per-entry one: every query row finds its top-k neighbors
+    * with NO driver-side cell collection and NO broadcast requirement
+    * anywhere (the SemDeDup / hard-negative-mining shape at 100 TB,
+    * where [[probePq]]'s bounded-probe-set contract — a driver-collected
+    * `IN` cell literal and broadcast rerank candidates — stops fitting).
+    *
+    *  - ADC pass: each query carries its per-query tables (nlist cell
+    *    dots + the m×ksub LUT) onto its `nprobe` exploded probe rows,
+    *    and ONE [[cellJoin]] against the cell-clustered codes scores
+    *    candidates — broadcast when the query side happens to be small,
+    *    salted to bounded width when it is not. Shipping the LUT per
+    *    probe row costs nprobe×(m·ksub) doubles per query but amortizes
+    *    over every candidate in the cell (per-candidate ADC is m array
+    *    lookups); the alternative — shipping only the query vector and
+    *    rebuilding the LUT per candidate pair — pays m·ksub·dsub
+    *    multiplies PER PAIR, strictly worse whenever cells hold more
+    *    than one candidate.
+    *  - Rerank: exact cosine of each query's top-`rerank` ADC candidates
+    *    — two plain shuffled equi-joins (candidates × corpus on
+    *    neighbor_id, then × queries on query_id), both full-width and
+    *    AQE-skew-splittable, then the bounded-heap top-k. No
+    *    `broadcastIfSmall` contract: a corpus-sized candidate set joins
+    *    at shuffle width (Catalyst still broadcasts on its own stats
+    *    when a side genuinely fits).
+    *
+    * Partition pruning is pointless here BY CONSTRUCTION (a corpus-sized
+    * query side probes essentially every cell); recall semantics match
+    * [[probePq]] (same frozen quantizers, same ADC arithmetic, same
+    * exact-cosine rerank). `filter` constrains candidates like
+    * [[probePq]]'s — a pushed scan predicate over the layout's attribute
+    * columns, applied before ADC. Output:
+    * (query_id, neighbor_id, cosine, rank). */
+  def knnJoinPq(wh: Warehouse, queries: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String,
+                name: String = "ivfpq_index", k: Int = 5, nprobe: Int = 8,
+                rerank: Int = 64,
+                filter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val version = wh.currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"IVF+PQ index '$name' was never built"))
+    val vdir = s"${wh.root}/$name/_versions/$version"
+    val cents = loadCentroids(wh, vdir)
+    val books = loadBooks(wh, vdir)
+    val m = books.length
+    val ksub = books.head.length
+    val rotation = loadRotation(wh, vdir)
+    // pinned ONCE: the probe explosion and the rerank join must see the
+    // same row set even for a non-deterministic query frame (and the
+    // query-side scan runs once, not twice); Exec.materialize stages a
+    // corpus-sized frame to parquet, so no broadcast/driver contract
+    val q = Exec.materialize(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val qLut =
+      if (rotation.isEmpty) SignatureExpressions.pqLut(col("qv"), books)
+      else SignatureExpressions.pqLut(
+        SignatureExpressions.vecRotate(col("qv"), rotation), books)
+    val probes = graft.functions.Generates.explodeOnce(
+      q.select(col("query_id"),
+        SignatureExpressions.pqLut(col("qv"), Seq(cents)).as("cell_dots"),
+        qLut.as("lut"),
+        SignatureExpressions.ivfAssign(col("qv"), cents, nprobe)
+          .as("cells")),
+      Seq(col("query_id"), col("cell_dots"), col("lut")), col("cells"),
+      "cell")
+    val codes = liveOnly(wh, vdir,
+      wh.readVersion(name, version)
+        .filter(filter.getOrElse(lit(true))) // pushed into the code scan
+        .select(col(idCol).as("neighbor_id"), col("cell"), col("code"),
+          col("seq")),
+      "neighbor_id")
+      .select("neighbor_id", "cell", "code")
+    val adc = cellJoin(wh, codes, probes, "neighbor_id", cents.length)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (element_at(col("cell_dots"), col("cell") + 1) +
+          SignatureExpressions.pqAdc(col("lut"), col("code"), m, ksub))
+          .as("adc"))
+    val cand = Similarity.rankTopK(adc, rerank, "adc")
+      .select("query_id", "neighbor_id")
+    val rer = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
+    Similarity.rankTopK(rer, k)
   }
 
   /** Compaction trigger: compact when at least this fraction of index

@@ -774,6 +774,29 @@ object ScaleQueries {
         .select("query_id", "neighbor_id")
     }),
 
+    // ── q211's planted half-corpus contract through the CODED layout:
+    //    at 100 TB the index you keep is the 12-byte IVF+PQ one, and the
+    //    near-neighbor-graph consumers (SemDeDup, hard-negative mining)
+    //    need the kNN join against it without probePq's driver-collected
+    //    cell set or broadcast rerank — the ADC pass runs the same
+    //    broadcast-or-salted cell join, the rerank two plain shuffled
+    //    equi-joins. Every copy's code equals its original's, so its ADC
+    //    score is the query's own maximal reconstruction (survives the
+    //    rerank-sized candidate pass) and the exact rerank pins rank 1 ──
+    "q212_knn_join_ivfpq" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-kjpq").toString)
+      val emb = Td(s, dir, "embeddings")
+      IvfIndex.buildPq(wh, emb, "vec_id", "embedding", dim = 64,
+        nlist = 64, m = 8, ksub = 64, name = "kjpq_idx")
+      val queries = emb.filter(col("vec_id") % 2 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      IvfIndex.knnJoinPq(wh, queries, emb, "vec_id", "embedding",
+          "kjpq_idx", k = 1, nprobe = 8, rerank = 192)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+    }),
+
     // ── two-stage PQ ANN on planted probes: an exact copy must survive
     //    the 8-byte ADC candidate pass (its code equals its original's,
     //    so its ADC score is the query's own maximal reconstruction — a
@@ -1514,6 +1537,13 @@ object ScaleQueries {
     // kNN join probes the same frozen layout, so every copy's top cell
     // is its original's cell and the exact cosine pins rank 1
     "q211_knn_join_indexed" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id % 2 = 0""".stripMargin,
+
+    // q212: the same planted half-corpus contract through the coded
+    // IVF+PQ layout — a copy shares its original's cell and residual
+    // code, survives the ADC candidate pass, exact rerank pins rank 1
+    "q212_knn_join_ivfpq" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id % 2 = 0""".stripMargin,
 

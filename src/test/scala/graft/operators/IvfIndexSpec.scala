@@ -500,6 +500,62 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_ % 3 != 0), got.toString)
   }
 
+  test("knnJoinPq: the corpus-scale ANN join through the CODED layout " +
+      "matches probePq row-for-row on the same query set, respects " +
+      "tombstones, composes with the attribute filter, and refuses " +
+      "column names the build didn't use") {
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 400, dim = dim)
+      .withColumn("grp", (col("vec_id") % 3).cast("int"))
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "kjp", attrCols = Seq("grp"))
+    val queries = AnnRecall.queryFixture(spark, nQueries = 6, dim = dim,
+      clusters = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    // same quantizers, same ADC arithmetic, same rerank: identical rows
+    assert(rows(IvfIndex.knnJoinPq(wh, queries, corpus, "vec_id",
+        "embedding", "kjp", k = 3, nprobe = 4, rerank = 32)) ==
+      rows(IvfIndex.probePq(wh, queries, corpus, "vec_id", "embedding",
+        "kjp", k = 3, nprobe = 4, rerank = 32)))
+    // planted contract + tombstones
+    val p = corpus.filter(col("vec_id") === 30L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    assert(IvfIndex.knnJoinPq(wh, p, corpus, "vec_id", "embedding",
+        "kjp", k = 1, rerank = 32)
+      .select("neighbor_id").as[Long].collect().toSeq == Seq(30L))
+    IvfIndex.delete(wh, Seq(30L).toDF("vec_id"), "vec_id", "kjp")
+    assert(IvfIndex.knnJoinPq(wh, p, corpus, "vec_id", "embedding",
+        "kjp", k = 1, rerank = 32)
+      .select("neighbor_id").as[Long].collect().toSeq != Seq(30L))
+    // filter-then-rank through the coded path
+    val got = IvfIndex.knnJoinPq(wh, p, corpus, "vec_id", "embedding",
+        "kjp", k = 5, nprobe = 8, rerank = 32,
+        filter = Some(col("grp") =!= 0))
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got.nonEmpty && got.forall(_ % 3 != 0), got.toString)
+    // a maintenance call naming columns the build didn't use fails with
+    // the declared layout, not a confusing select/align error downstream
+    val wrongId = intercept[IllegalArgumentException] {
+      IvfIndex.appendPq(wh, corpus.limit(1)
+        .select(col("vec_id").as("other_id"), col("embedding"),
+          col("grp")), "other_id", "embedding", "kjp")
+    }
+    assert(wrongId.getMessage.contains("no id column") &&
+      wrongId.getMessage.contains("vec_id"), wrongId.getMessage)
+    // plain flavor: a wrong VECTOR name is refused too
+    IvfIndex.build(wh, corpus.select("vec_id", "embedding"), "vec_id",
+      "embedding", dim, nlist = 8, name = "kjv")
+    val wrongVec = intercept[IllegalArgumentException] {
+      IvfIndex.append(wh, corpus.limit(1)
+        .select(col("vec_id"), col("embedding").as("vec")),
+        "vec_id", "vec", "kjv")
+    }
+    assert(wrongVec.getMessage.contains("no vector column"),
+      wrongVec.getMessage)
+  }
+
   test("maintenance policy works on the PLAIN flavor too: churn fires " +
       "Compact, maintain acts, probes answer through the compacted index") {
     val wh = freshWh
