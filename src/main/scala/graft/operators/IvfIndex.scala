@@ -139,11 +139,31 @@ object IvfIndex {
     // size-aware file-in (see TextIndex.deleteAt): small batches land
     // as one file-pair, corpus-shaped delete sets keep bounded
     // multi-task writers
-    if (n > 0L)
+    if (n > 0L) {
+      // capture health + the newly-dead per-cell counts BEFORE the
+      // tombstone write: the delta must count entries live under the
+      // CURRENT cuts (the new cut would make them all read dead), and
+      // the capture's census stamp must predate the file change. The
+      // delta scan is column-pruned (id, cell, seq) — the cost class
+      // the onlyExisting gate already pays — and runs only while
+      // stored health is fresh enough to fold into.
+      val pre = freshCells(wh, name)
+      val deadDelta = pre.map { _ =>
+        val idName = wh.read(name).columns.head
+        liveOnly(wh, wh.dataPath(name),
+            wh.read(name).select(col(idName).as("id"), col("cell"),
+              col("seq")), "id")
+          .join(toTomb, Seq("id"), "left_semi")
+          .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }
       toTomb.withColumn("cut", lit(cut))
         .repartition(IndexAdvice.companionShards(n))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(s"${wh.dataPath(name)}/_deletes")
+      pre.foreach(cells =>
+        foldHealth(wh, name, cells, Map.empty, deadDelta.get))
+    }
   }
 
   /** Re-embed CHANGED ids in a plain IVF index: tombstone + [[append]]
@@ -252,11 +272,16 @@ object IvfIndex {
     val vdir = s"${wh.root}/$name/_versions/$version"
     val df = wh.readVersion(name, version)
     val idName = df.columns.head // build/buildPq select the id first
+    // capture BEFORE the publish swaps the version dir: after a compact
+    // the per-cell evidence folds at pure metadata cost (live counts
+    // unchanged, dead mass zero, no `_deletes`) — a maintain() that
+    // fires Compact therefore leaves the NEW version's health fresh too
+    val pre = freshCells(wh, name)
     // same writer-side cell clustering as build/buildPq: the rewrite is
     // the moment to fix file counts, not inherit them
     val live = liveOnly(wh, vdir, df, idName).withColumn("seq", lit(0L))
       .repartition(IndexAdvice.shufflePartitions(wh), col("cell"))
-    wh.publish(live, name, partitionCols = Seq("cell"),
+    val out = wh.publish(live, name, partitionCols = Seq("cell"),
       beforeSwap = newVdir =>
         Seq("_centroids", "_codebooks", "_rotation").foreach { art =>
           val src = new org.apache.hadoop.fs.Path(s"$vdir/$art")
@@ -264,6 +289,10 @@ object IvfIndex {
             wh.spark.read.parquet(src.toString)
               .coalesce(1).write.parquet(s"$newVdir/$art")
         })
+    pre.foreach(cells => foldHealth(wh, name,
+      cells.collect { case (cl, l, _) if l > 0L => (cl, l, 0L) },
+      Map.empty, Map.empty))
+    out
   }
 
   /** Reserved layout column names an attribute may not shadow. */
@@ -379,7 +408,26 @@ object IvfIndex {
       // cell-cluster each batch so it adds ≤ |touched cells| files, not
       // tasks × cells
       .repartition(IndexAdvice.shufflePartitions(wh), col("cell"))
-    wh.append(assigned, name)
+    appendFolding(wh, assigned, name)
+  }
+
+  /** The write half of [[appendAt]]/[[appendPqAt]]: land the assigned
+    * batch and, when stored health evidence is FRESH, fold the batch's
+    * per-cell live counts into it ([[foldHealth]]) so the append costs
+    * health its batch-sized aggregate, not the staleness that forces
+    * the next [[maintenanceAdvice]] into an entry re-scan. The batch is
+    * pinned only when a fold will consume it twice (write + count). */
+  private def appendFolding(wh: Warehouse, assigned: DataFrame,
+                            name: String): Unit = {
+    val pre = freshCells(wh, name)
+    val batch = if (pre.isDefined) Exec.materialize(assigned) else assigned
+    wh.append(batch, name)
+    pre.foreach { cells =>
+      val delta = batch.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      foldHealth(wh, name, cells, delta, Map.empty)
+    }
   }
 
   /** Persistent IVF+PQ index: the published layout holds 12-byte-scale
@@ -502,7 +550,7 @@ object IvfIndex {
         col("enc.cell").as("cell") :+ col("enc.code").as("code"): _*)
       .withColumn("seq", lit(seq))
       .repartition(IndexAdvice.shufflePartitions(wh), col("cell")) // batch cell clustering (see appendAt)
-    wh.append(enc, name)
+    appendFolding(wh, enc, name)
   }
 
   /** Probe the published PQ index: ADC candidate scoring over the
@@ -803,7 +851,6 @@ object IvfIndex {
 
   private def analyzeHealthWith(wh: Warehouse, name: String,
                                 c: IndexAdvice.Census): DataFrame = {
-    import wh.spark.implicits._
     val df = wh.read(name)
     val idName = df.columns.head // build/buildPq select the id first
     val dp = new org.apache.hadoop.fs.Path(s"${wh.dataPath(name)}/_deletes")
@@ -824,22 +871,43 @@ object IvfIndex {
     val perCell = withDead.groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), sum(col("__dead")).as("d"))
       .collect()
-    val total = perCell.map(_.getLong(1)).sum
-    val deadRows = perCell.map(_.getLong(2)).sum
-    val liveRows = total - deadRows
-    // occupancy skew over LIVE entries only: dead mass measures as
-    // dead_fraction (the Compact axis), never as skew — otherwise
-    // re-embedding the same hot ids could push skew past the Rebuild
-    // threshold, and since Rebuild outranks Compact and `maintain`
-    // never executes it, the policy would wedge on advice it cannot
-    // act on while suppressing the compaction that CURES the reading
-    val maxCell = if (perCell.isEmpty) 0L
-      else perCell.map(r => r.getLong(1) - r.getLong(2)).max
+    persistHealth(wh, name,
+      perCell.map(r => (r.getInt(0), r.getLong(1) - r.getLong(2),
+        r.getLong(2))).toSeq, c)
+  }
+
+  private def cellsPath(wh: Warehouse, name: String) =
+    s"${wh.dataPath(name)}/_health_cells"
+
+  /** Persist the health evidence PAIR: the per-cell (cell, live, dead)
+    * table (`_health_cells`, ≤ nlist rows — the state incremental folds
+    * update) and the one-row `_health` summary derived from it, both
+    * stamped with census `c`. Both companions share the `/_health` path
+    * prefix the census excludes, so persisting health never stales its
+    * own stamp.
+    *
+    * Occupancy skew is over LIVE entries only: dead mass measures as
+    * dead_fraction (the Compact axis), never as skew — otherwise
+    * re-embedding the same hot ids could push skew past the Rebuild
+    * threshold, and since Rebuild outranks Compact and `maintain`
+    * never executes it, the policy would wedge on advice it cannot
+    * act on while suppressing the compaction that CURES the reading. */
+  private def persistHealth(wh: Warehouse, name: String,
+                            cells: Seq[(Int, Long, Long)],
+                            c: IndexAdvice.Census): DataFrame = {
+    import wh.spark.implicits._
+    val liveRows = cells.map(_._2).sum
+    val deadRows = cells.map(_._3).sum
+    val total = liveRows + deadRows
+    val maxCell = if (cells.isEmpty) 0L else cells.map(_._2).max
     val nlist = wh.spark.read
       .parquet(s"${wh.dataPath(name)}/_centroids").count()
     val meanCell = if (nlist == 0L) 0.0 else liveRows.toDouble / nlist
     val skew = if (meanCell == 0.0) 1.0 else maxCell / meanCell
     val deadFraction = if (total == 0L) 0.0 else deadRows.toDouble / total
+    cells.sorted.toDF("cell", "live", "dead").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(cellsPath(wh, name))
     val row = Seq((liveRows, deadRows, deadFraction, c.deletesBytes,
         c.dataBytes, nlist, maxCell, skew, c.nFiles, c.totalBytes))
       .toDF("live_rows", "dead_rows", "dead_fraction", "deletes_bytes",
@@ -849,6 +917,45 @@ object IvfIndex {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"${wh.dataPath(name)}/_health")
     row // the local row IS what was stored — no read-back needed
+  }
+
+  /** The stored per-cell health table, ONLY when the `_health` summary
+    * is fresh for the current census AND the cells companion exists —
+    * the captured state an incremental fold starts from. Costs one
+    * metadata listing when a health row exists, nothing otherwise. */
+  private def freshCells(wh: Warehouse,
+                         name: String): Option[Seq[(Int, Long, Long)]] = {
+    val cp = new org.apache.hadoop.fs.Path(cellsPath(wh, name))
+    readHealthWith(wh, name, IndexAdvice.census(wh, name)).flatMap { _ =>
+      if (!fs(wh, cp).exists(cp)) None // summary from an older engine
+      else Some(wh.spark.read.parquet(cp.toString).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq)
+    }
+  }
+
+  /** Fold a batch's per-cell deltas into captured health evidence and
+    * persist it stamped with a FRESH census (one metadata listing) — the
+    * `appendAnalyzed` mergeable-summary pattern applied to index health:
+    * after any sequence of appends/reindexes/deletes whose folds all
+    * landed, [[maintenanceAdvice]] is metadata-cost instead of an entry
+    * re-scan. `liveDelta` adds live entries (an append); `deadDelta`
+    * moves live entries to dead (a tombstone cut). Single-maintainer
+    * contract, like every index write here: concurrent mutators would
+    * fold against each other's censuses and one fold would lose — the
+    * loser's stamp then reads stale and the next advice re-measures,
+    * so a race degrades to a re-scan, never to wrong advice. */
+  private def foldHealth(wh: Warehouse, name: String,
+                         pre: Seq[(Int, Long, Long)],
+                         liveDelta: Map[Int, Long],
+                         deadDelta: Map[Int, Long]): Unit = {
+    val preMap = pre.map(t => t._1 -> (t._2, t._3)).toMap
+    val keys = preMap.keySet ++ liveDelta.keySet ++ deadDelta.keySet
+    val cells = keys.toSeq.sorted.map { cl =>
+      val (l, d) = preMap.getOrElse(cl, (0L, 0L))
+      val dd = deadDelta.getOrElse(cl, 0L)
+      (cl, l + liveDelta.getOrElse(cl, 0L) - dd, d + dd)
+    }
+    persistHealth(wh, name, cells, IndexAdvice.census(wh, name))
   }
 
   /** The stored health row — None when never analyzed on this version

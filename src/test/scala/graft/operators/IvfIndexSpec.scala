@@ -345,12 +345,15 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.maintain(wh, "hpq", maxCellSkew = skew * 0.99) ==
       IndexAdvice.Rebuild)
     assert(wh.currentVersion("hpq") == v0)
-    // churn: re-embed 80 of 400 ids -> 80 dead of 480 entries = 1/6
+    // churn: re-embed 80 of 400 ids -> 80 dead of 480 entries = 1/6.
+    // The stored evidence was FRESH when the churn ran, so the reindex
+    // FOLDS its per-cell deltas instead of staling the stamp — the
+    // stored row stays fresh and already carries the churned reading
     IvfIndex.reindexPq(wh, corpus.filter(col("vec_id") < 80L),
       "vec_id", "embedding", "hpq")
-    assert(IvfIndex.readHealth(wh, "hpq").isEmpty, "stale after churn")
-    val h1 = IvfIndex.analyzeHealth(wh, "hpq")
-      .select("dead_fraction").head()
+    val folded = IvfIndex.readHealth(wh, "hpq")
+    assert(folded.nonEmpty, "a fold must keep health fresh across churn")
+    val h1 = folded.get.select("dead_fraction").head()
     assert(math.abs(h1.getDouble(0) - 80.0 / 480.0) < 1e-12)
     // dead-mass threshold, both sides (skew + bloat disabled)
     assert(IvfIndex.maintenanceAdvice(wh, "hpq", maxDeadFraction = 0.17,
@@ -366,6 +369,54 @@ class IvfIndexSpec extends SparkSpec {
     assert(wh.read("hpq").count() == 400L, "dead entries compacted away")
     assert(IvfIndex.maintenanceAdvice(wh, "hpq", maxDeadFraction = 0.16,
       maxCellSkew = 1e9) == IndexAdvice.Healthy)
+  }
+
+  test("incremental health: appends/reindexes/deletes fold per-cell " +
+      "deltas — the stored row stays fresh and equals a full re-measure " +
+      "after a mixed sequence, on both index flavors") {
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 400, dim = dim)
+    val fields = Seq("live_rows", "dead_rows", "dead_fraction",
+      "deletes_bytes", "data_bytes", "nlist", "max_cell_rows",
+      "cell_skew", "n_files", "census_bytes")
+    def all(df: org.apache.spark.sql.DataFrame) =
+      df.select(fields.map(col): _*).head().toSeq
+    for ((nm, pq) <- Seq(("finc_pq", true), ("finc_iv", false))) {
+      if (pq) IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim,
+        nlist = 8, m = 8, ksub = 64, name = nm)
+      else IvfIndex.build(wh, corpus, "vec_id", "embedding", dim,
+        nlist = 8, name = nm)
+      IvfIndex.analyzeHealth(wh, nm) // seed the stored evidence
+      // mixed churn: new ids, re-embedded ids, deletes, a double-delete
+      // of an already-dead id (must not double-count)
+      val extra = corpus.filter(col("vec_id") < 50L)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+      if (pq) IvfIndex.appendPq(wh, extra, "vec_id", "embedding", nm)
+      else IvfIndex.append(wh, extra, "vec_id", "embedding", nm)
+      val chg = corpus.filter(col("vec_id") >= 100L &&
+        col("vec_id") < 160L)
+      if (pq) IvfIndex.reindexPq(wh, chg, "vec_id", "embedding", nm)
+      else IvfIndex.reindex(wh, chg, "vec_id", "embedding", nm)
+      IvfIndex.delete(wh, Seq(5L, 6L, 7L, 1005L).toDF("vec_id"),
+        "vec_id", nm)
+      IvfIndex.delete(wh, Seq(5L).toDF("vec_id"), "vec_id", nm)
+      val maintained = IvfIndex.readHealth(wh, nm)
+      assert(maintained.nonEmpty, s"$nm: folds must keep health fresh")
+      val got = all(maintained.get)
+      assert(got == all(IvfIndex.analyzeHealth(wh, nm)),
+        s"$nm: maintained $got != re-measured")
+      // sanity on the folded numbers themselves: 400 + 50 new, 60
+      // re-embeds dead + 4 deletes (one of the 4 already dead twice
+      // counts once) — live = 450 - 4, dead = 60 + 4
+      assert(got(0) == 446L && got(1) == 64L, got.toString)
+      // compact folds too: fresh afterwards and equal to a re-measure
+      IvfIndex.compact(wh, nm)
+      val afterC = IvfIndex.readHealth(wh, nm)
+      assert(afterC.nonEmpty, s"$nm: compact must fold, not stale")
+      assert(all(afterC.get) == all(IvfIndex.analyzeHealth(wh, nm)),
+        s"$nm: post-compact maintained != re-measured")
+    }
   }
 
   test("cell skew counts LIVE entries only: hot-id churn cannot wedge " +
