@@ -2137,6 +2137,37 @@ object ExtendedQueries {
       any.unionByName(kofn).orderBy(col("probe"), col("doc_id"))
     }),
 
+    // ── attribute-filtered PHRASE search — the last corner of the
+    //    filtered retrieval surface (q209 ranked, q210 membership):
+    //    the position-resolved adjacency set takes the same doc-level
+    //    doclen gate, and the engine REQUIREs the filtered result to be
+    //    row-identical to a phrase search on an index BUILT from the
+    //    sub-corpus (the q209 built-on-sub-corpus discipline, asserted
+    //    in-query); the oracle is the q196 phrase replay with one WHERE ──
+    "q214_filtered_phrase" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-tixfp").toString)
+      val docs = Td(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      graft.operators.TextIndex.build(wh, docs, "doc_id", "text", "tix",
+        nBuckets = 64, attrCols = Seq("lang"))
+      val filtered = graft.operators.TextIndex.searchPhrase(wh,
+        Seq("merge", "vector"), "tix", nBuckets = 64,
+        filter = Some(col("lang") === "en"))
+      graft.operators.TextIndex.build(wh,
+        docs.filter(col("lang") === "en"), "doc_id", "text", "sub",
+        nBuckets = 64)
+      val sub = graft.operators.TextIndex.searchPhrase(wh,
+        Seq("merge", "vector"), "sub", nBuckets = 64)
+      require(filtered.select("doc_id").except(sub.select("doc_id"))
+          .unionByName(sub.select("doc_id")
+            .except(filtered.select("doc_id")))
+          .isEmpty,
+        "filtered phrase must be row-identical to a phrase search on " +
+          "an index built from the sub-corpus")
+      filtered.orderBy(col("doc_id"))
+    }),
+
     // ── the text index's REBUILD arm, executed end to end (the q207
     //    shape over the frozen hash_bucket layout): q198/q201/q203
     //    close Healthy→Compact→Healthy; this closes
@@ -4127,6 +4158,16 @@ object ExtendedQueries {
     // POST-maintenance corpus — re-crawled docs carry their new text,
     // purged docs are gone; tombstones are an access-path detail
     "q198_text_reindex" -> textMaintenanceOracle,
+
+    // q214: token-space phrase containment over the English sub-corpus
+    // — the q196 replay with one WHERE (attributes gate doc-level)
+    "q214_filtered_phrase" ->
+      s"""WITH tok AS (SELECT doc_id, ${ScaleQueries.tokSql} AS toks
+         |            FROM documents WHERE lang = 'en')
+         |SELECT doc_id FROM tok
+         |WHERE (' ' || array_to_string(toks, ' ') || ' ')
+         |      LIKE '% merge vector %'
+         |ORDER BY doc_id""".stripMargin,
 
     // q213: the re-bucketed index answers the q194 containment replay
     // verbatim — the drift docs (fresh ids, drift-token-only text)
