@@ -553,6 +553,32 @@ object IvfIndex {
     appendFolding(wh, enc, name)
   }
 
+  /** Rerank-depth guidance distilled from the measured recall curve
+    * (`graft.tools.AnnRecall rerank-curve`, 20k anisotropic corpus,
+    * decay 0.93, nprobe 16, learned OPQ — the HARD case; floors
+    * asserted in AnnRecall at 512 ≥ 0.69 and 1024 ≥ 0.9):
+    *
+    * | rerank | recall@5 |
+    * |---|---|
+    * | 64 | 0.112 |  256 | 0.416 |
+    * | 512 | 0.696 |  1024 | 0.968 |  2048 | 1.000 |
+    *
+    * On margin-starved corpora low recall at shallow depth is candidate
+    * STARVATION, not a quantizer plateau — the curve is still steep at
+    * 512 and the same index reads 0.968 at 1024. Budget
+    * max(8·k, ~5% of the probed candidate mass) before blaming or
+    * re-training the quantizer; `probedCandidates` ≈ live_rows ×
+    * nprobe / nlist, both read from the stored `_health` row at
+    * metadata cost. [[probePq]]'s `rerank = 64` default suits easy
+    * (well-separated) corpora only. */
+  def recommendedRerank(k: Int, probedCandidates: Long): Int = {
+    require(k >= 1 && probedCandidates >= 0,
+      s"k=$k must be >= 1 and probedCandidates=$probedCandidates >= 0")
+    math.max(k.toLong,
+      math.min(probedCandidates, math.max(8L * k, probedCandidates / 20L)))
+      .toInt
+  }
+
   /** Probe the published PQ index: ADC candidate scoring over the
     * `nprobe` pruned cells' CODES (the only thing read from disk), then
     * exact-cosine rerank of the top-`rerank` against the base corpus.
@@ -560,6 +586,11 @@ object IvfIndex {
     * candidate's ADC score is one element_at + m LUT lookups — both
     * per-query tables broadcast with the probe set. Output:
     * (query_id, neighbor_id, cosine, rank).
+    *
+    * The `rerank = 64` default is tuned for easy (well-separated)
+    * corpora; on anisotropic/margin-starved ones it STARVES recall —
+    * see [[recommendedRerank]] for the measured curve and the sizing
+    * rule (≥ ~5% of the probed candidate mass).
     *
     * `filter` constrains the search to entries matching a predicate over
     * the layout's attribute columns ([[buildPq]] `attrCols`) — applied

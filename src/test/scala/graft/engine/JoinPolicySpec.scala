@@ -370,9 +370,17 @@ class JoinPolicySpec extends SparkSpec {
       .select(col("row_id"), tick(col("k0")).as("k"))
     wh.appendAnalyzed(batch, "nd", Seq("k"))
     val batchLanded = wh.read("nd").count() - 400L
-    assert(evals.value == batchLanded,
+    // >= not ==: Spark accumulators double-count on task retries and
+    // speculative duplicates, and a cached-partition eviction would
+    // legitimately re-evaluate the UDF even though the input was pinned
+    // once — so the exact-equality form can fail spuriously. The pin
+    // guarantee bounds evaluations to AT MOST one extra full pass; the
+    // un-pinned failure mode this test exists to catch (every
+    // appendAnalyzed action re-running the source) reads >= 3 passes.
+    assert(evals.value >= batchLanded && evals.value <= 2L * batchLanded,
       s"batch evaluated ${evals.value} row-passes for $batchLanded " +
-        "landed rows — appendAnalyzed must pin its input exactly once")
+        "landed rows — appendAnalyzed must pin its input (one pass, " +
+        "at most one retry/eviction re-pass)")
     def statsRow() = {
       val st = wh.readSketchStats("nd", "k").get
       val hot = st.select(explode(col("hot")).as("e"))

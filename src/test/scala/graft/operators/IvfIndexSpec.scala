@@ -371,6 +371,22 @@ class IvfIndexSpec extends SparkSpec {
       maxCellSkew = 1e9) == IndexAdvice.Healthy)
   }
 
+  test("recommendedRerank encodes the measured curve's sizing rule: " +
+      "~5% of probed candidate mass, floored at 8k, never past the " +
+      "mass itself, never below k") {
+    // the AnnRecall anchors: 20k corpus, nprobe 16 / nlist 64 -> probed
+    // mass 5000; 5% = 250 sits on the steep part of the measured curve
+    // (0.416@256), 8k dominates for small sweeps
+    assert(IvfIndex.recommendedRerank(5, 5000L) == 250)
+    assert(IvfIndex.recommendedRerank(100, 5000L) == 800) // 8k floor
+    assert(IvfIndex.recommendedRerank(5, 100L) == 40) // 8k floor again
+    assert(IvfIndex.recommendedRerank(5, 20L) == 20) // capped at mass
+    assert(IvfIndex.recommendedRerank(5, 0L) == 5) // never below k
+    intercept[IllegalArgumentException] {
+      IvfIndex.recommendedRerank(0, 100L)
+    }
+  }
+
   test("incremental health: appends/reindexes/deletes fold per-cell " +
       "deltas — the stored row stays fresh and equals a full re-measure " +
       "after a mixed sequence, on both index flavors") {
