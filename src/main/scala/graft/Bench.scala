@@ -13,8 +13,23 @@ import org.apache.spark.sql.SparkSession
   * task-time, shuffle bytes) to `docs/BENCH_STAGES.txt` — wall totals on
   * a shared box swing ±2×, stage metrics don't, so a reviewer can tell
   * noise from regression without rerunning.
+  *
+  * The JSON is SELF-ADJUDICATING: it carries per-query `/proc/loadavg`
+  * (1-min, sampled as each query starts) and task-seconds beside each
+  * wall reading, so a co-tenant-loaded recording shows its own tenancy
+  * evidence in the artifact (round 9's recorded number looked like a
+  * 2.1× regression until sidecars proved the box, not the code — the
+  * adjudication now rides in the number's own file). Wall inflated
+  * while task-seconds hold ≈ external load; both inflated ≈ the plan.
   */
 object Bench {
+  /** 1-minute load average from /proc/loadavg; -1 where unreadable
+    * (non-Linux), never a throw — bench must not die on evidence. */
+  private def load1(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -58,8 +73,13 @@ object Bench {
     } catch { case _: Throwable => () }
     val sidecar = new StringBuilder
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val loadStart = load1()
+    // per-query tenancy + plan evidence: (load1 at start, task-seconds)
+    val evidence = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       stages.clear()
+      val ld = load1()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -70,7 +90,10 @@ object Bench {
         Thread.sleep(200)
         val all = stages.toArray(Array.empty[(Int, Int, Long, Long, Long)])
         def mb(b: Long) = b / 1024.0 / 1024.0
+        val taskSec = all.map(_._3).sum / 1000.0
+        evidence += name -> (ld, taskSec)
         sidecar ++= f"===== $name wall=$sec%.2fs stages=${all.length} " +
+          f"taskSec=$taskSec%.1f load1=$ld%.2f " +
           f"shufW=${mb(all.map(_._4).sum)}%.1fMB shufR=${mb(all.map(_._5).sum)}%.1fMB\n"
         all.sortBy(-_._3).take(4).foreach { case (id, tasks, run, sw, sr) =>
           sidecar ++= f"  stage=$id%-5d tasks=$tasks%-3d taskTime=${run / 1000.0}%8.2fs " +
@@ -108,8 +131,12 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val loadEnd = load1()
+    val evJson = evidence.map { case (k, (ld, ts)) =>
+      s"""${jq(k)}:{"load1":$ld,"task_sec":$ts}"""
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson,"load1_start":$loadStart,"load1_end":$loadEnd,"cpus":$cpus,"evidence":$evJson}"""
     println(json)
     // ALSO write the JSON to a file: stdout scraping truncated past rounds'
     // artifacts (BENCH_r03.json stopped at 60/85 queries) — the file is the

@@ -382,7 +382,17 @@ object ScaleSweep {
         // broadcast contract, no driver cell collect; the scoring join
         // salts to full shuffle width when the probe side outgrows the
         // broadcast threshold
-        "q211_knn_join_indexed")
+        "q211_knn_join_indexed",
+        // round 10: the same contract through the CODED layout — salted
+        // ADC cell join, shuffled equi-join rerank, LUT-carrying probes
+        "q212_knn_join_ivfpq",
+        // round 10b: the text index's Rebuild arm at ×20 — the drift
+        // append and both health measurements are posting-column-pruned,
+        // the decision sequence REQUIREd at every scale
+        "q213_text_rebuild_policy",
+        // round 10c: filtered phrase — the doc-level gate is one
+        // semi-join of the position-resolved candidate set
+        "q214_filtered_phrase")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
