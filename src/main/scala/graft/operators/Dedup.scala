@@ -489,6 +489,44 @@ object Dedup {
     df.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup at corpus scale THROUGH the persistent IVF+PQ index
+    * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540 — public
+    * method): embedding-space near-duplicate removal where the
+    * candidate structure comes from the CODED index the corpus already
+    * keeps, not a fresh all-pairs/LSH pass. Every row finds its `k`
+    * nearest through [[IvfIndex.knnJoinPq]] (no driver cell collect,
+    * no broadcast contract — the query side IS the corpus), pairs at
+    * or above `threshold` cosine become canonical edges, components
+    * resolve with the O(log d) large-star/small-star fold, and each
+    * component keeps its MIN id (the [[connectedComponents]]
+    * representative). Returns the surviving rows of `corpus`.
+    *
+    * `k` bounds the near-neighbor graph's OUT-DEGREE, not group size:
+    * transitive closure joins larger near-dup sets through shared
+    * members — in the regime the threshold selects for (internal
+    * cosines above it, external below), every member's top-k is
+    * in-group, so the component is the group. At 100 TB this is the
+    * SemDeDup shape end to end: one index-served kNN join + one
+    * component fold; nothing quadratic, nothing collected. */
+  def semDedupIndexed(wh: graft.engine.Warehouse, corpus: DataFrame,
+                      idCol: String, vecCol: String,
+                      name: String = "ivfpq_index",
+                      threshold: Double = 0.95, k: Int = 2,
+                      nprobe: Int = 8, rerank: Int = 64): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val nn = IvfIndex.knnJoinPq(wh, corpus, corpus, idCol, vecCol, name,
+      k = k, nprobe = nprobe, rerank = rerank)
+    val edges = nn.filter(col("cosine") >= threshold)
+      .select(least(col("query_id"), col("neighbor_id")).as("a"),
+        greatest(col("query_id"), col("neighbor_id")).as("b"))
+    val losers = connectedComponents(edges, "a", "b")
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination: drop every corpus document that shares at
     * least one word k-gram with the benchmark/eval set — the standard
     * guard against test-set leakage into training data.

@@ -820,6 +820,28 @@ object ScaleQueries {
         .select("query_id", "neighbor_id")
     }),
 
+    // ── SemDeDup end to end through the coded index — the consumer
+    //    q212's kNN join exists for: a third of the corpus is planted
+    //    as exact duplicates (offset ids), the index-served
+    //    near-neighbor graph pairs each copy with its original at
+    //    cosine 1 (the max natural off-diagonal cosine in the table is
+    //    0.60 at every SF — measured, so the 0.99 gate can neither leak
+    //    nor over-fire), components keep their min id, and exactly the
+    //    original corpus survives ──
+    "q215_semdedup_indexed" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-sdd").toString)
+      val emb = Td(s, dir, "embeddings").select("vec_id", "embedding")
+      val copies = emb.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(copies)
+      IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim = 64,
+        nlist = 64, m = 8, ksub = 64, name = "sd_idx")
+      graft.operators.Dedup.semDedupIndexed(wh, corpus, "vec_id",
+          "embedding", "sd_idx", threshold = 0.99, k = 2, rerank = 192)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // ── two-stage PQ ANN on planted probes: an exact copy must survive
     //    the 8-byte ADC candidate pass (its code equals its original's,
     //    so its ADC score is the query's own maximal reconstruction — a
@@ -1569,6 +1591,12 @@ object ScaleQueries {
     "q212_knn_join_ivfpq" ->
       """SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id % 2 = 0""".stripMargin,
+
+    // q215: SemDeDup removes exactly the planted copies — every copy's
+    // component contains its (smaller-id) original, so the survivors
+    // are the original corpus verbatim
+    "q215_semdedup_indexed" ->
+      "SELECT vec_id FROM embeddings ORDER BY vec_id",
 
     // q206: the planted grp-0 contract under an attribute filter — with
     // `grp = 0` allowed each probe returns its original at rank 1; the

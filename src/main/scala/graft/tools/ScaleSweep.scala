@@ -392,7 +392,10 @@ object ScaleSweep {
         "q213_text_rebuild_policy",
         // round 10c: filtered phrase — the doc-level gate is one
         // semi-join of the position-resolved candidate set
-        "q214_filtered_phrase")
+        "q214_filtered_phrase",
+        // round 10d: SemDeDup through the coded index — index-served
+        // kNN join + O(log d) component fold; nothing quadratic
+        "q215_semdedup_indexed")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

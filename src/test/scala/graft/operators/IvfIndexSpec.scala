@@ -623,6 +623,45 @@ class IvfIndexSpec extends SparkSpec {
       wrongVec.getMessage)
   }
 
+  test("semDedupIndexed: index-served SemDeDup keeps one representative " +
+      "per embedding near-dup component — transitive groups close " +
+      "through shared members, non-dups survive untouched") {
+    import graft.operators.Dedup
+    val wh = freshWh
+    val dim = 16
+    // seeded GAUSSIAN base (not the clustered fixture, whose packed
+    // clusters legitimately hold natural >= 0.99 pairs): random 16-dim
+    // cosines concentrate near 0, so the only components are planted
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 200L)
+      .map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    // a 3-member identical group: ids {7, 1007, 2007} share 7's vector
+    // (k=2 out-degree still closes the triangle through shared members)
+    val g3 = base.filter(col("vec_id") === 7L)
+    val corpus = base
+      .unionByName(g3.select((col("vec_id") + 1000L).as("vec_id"),
+        col("embedding")))
+      .unionByName(g3.select((col("vec_id") + 2000L).as("vec_id"),
+        col("embedding")))
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "sdd")
+    val kept = Dedup.semDedupIndexed(wh, corpus, "vec_id", "embedding",
+        "sdd", threshold = 0.99, k = 2, rerank = 32)
+      .select("vec_id").as[Long].collect().toSet
+    // the group collapsed to its min id; every other row survived
+    assert(kept == (0L until 200L).toSet, {
+      val missing = (0L until 200L).toSet -- kept
+      val extra = kept -- (0L until 200L).toSet
+      s"missing=$missing extra=$extra"
+    })
+    // out-of-range thresholds refuse loudly
+    intercept[IllegalArgumentException] {
+      Dedup.semDedupIndexed(wh, corpus, "vec_id", "embedding", "sdd",
+        threshold = 1.5)
+    }
+  }
+
   test("maintenance policy works on the PLAIN flavor too: churn fires " +
       "Compact, maintain acts, probes answer through the compacted index") {
     val wh = freshWh
