@@ -74,6 +74,37 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** [[hardNegatives]] served FROM the persistent coded index — the
+    * second consumer [[IvfIndex.knnJoinPq]] exists for (beside
+    * [[Dedup.semDedupIndexed]]): at 100 TB the anchor set is itself
+    * corpus-sized (mine negatives for every training example), which
+    * breaks [[hardNegatives]]' broadcast-the-anchors cross join, and
+    * the candidate structure should be the index the corpus already
+    * keeps. Each anchor fetches its `fetch` nearest through the coded
+    * index (exact-cosine reranked), the dup gate drops candidates at or
+    * above `dupThreshold` ("too similar to be a negative" — the
+    * near-dup band), and the survivors re-rank to the top `k`.
+    *
+    * `fetch` must cover k plus however many dups the gate may exclude
+    * per anchor (a handful for a deduplicated corpus — its own
+    * [[Dedup.semDedupIndexed]] pass); recall follows the index's
+    * operating point like every ANN consumer ([[IvfIndex.recommendedRerank]]).
+    * With `nprobe = nlist` and `rerank` ≥ the corpus size the path is
+    * EXACT and returns [[hardNegatives]]' rows verbatim — the access
+    * path changes, the answer may not (the q208 discipline). */
+  def hardNegativesIndexed(wh: graft.engine.Warehouse, anchors: DataFrame,
+                           corpus: DataFrame, idCol: String, vecCol: String,
+                           name: String = "ivfpq_index", k: Int = 5,
+                           dupThreshold: Double = 0.95, fetch: Int = 20,
+                           nprobe: Int = 8, rerank: Int = 64): DataFrame = {
+    require(dupThreshold > 0.0, s"dupThreshold must be > 0, got $dupThreshold")
+    require(fetch >= k, s"fetch=$fetch must be >= k=$k")
+    val nn = IvfIndex.knnJoinPq(wh, anchors, corpus, idCol, vecCol, name,
+      k = fetch, nprobe = nprobe, rerank = math.max(rerank, fetch))
+    rankTopK(nn.filter(col("cosine") < dupThreshold)
+      .select("query_id", "neighbor_id", "cosine"), k)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of ranked
     * candidate lists — the standard hybrid-retrieval combiner for a
     * lexical ([[CorpusStats.bm25TopK]]) and a dense ([[bruteForceTopK]] /

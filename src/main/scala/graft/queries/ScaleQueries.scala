@@ -82,6 +82,28 @@ object ScaleQueries {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // ── q136 through the coded index (the q208 "only the access path
+    //    changed" discipline): anchors fetch through knnJoinPq at the
+    //    EXACT operating point (nprobe = nlist, rerank ≥ corpus — every
+    //    entry is a candidate, exact cosine reranks all), the dup gate
+    //    drops the planted copies, and the q136 oracle is reused
+    //    VERBATIM ──
+    "q216_hard_negatives_indexed" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-hni").toString)
+      val emb = Td(s, dir, "embeddings").select("vec_id", "embedding")
+      val anchors = emb.filter(col("vec_id") < 8)
+      val copies = anchors.select((col("vec_id") + 100000L).as("vec_id"),
+        col("embedding"))
+      val corpus = emb.unionByName(copies)
+      IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim = 64,
+        nlist = 64, m = 8, ksub = 64, name = "hn_idx")
+      Similarity.hardNegativesIndexed(wh, anchors, corpus, "vec_id",
+          "embedding", "hn_idx", k = 5, dupThreshold = 0.95, fetch = 16,
+          nprobe = 64, rerank = 4096) // ≥ |corpus| at every driver SF
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
     // ── seeded JL sign projection in exact integer arithmetic: inputs
     //    quantized to the 1e-6 grid, ±1 Rademacher rows from the shared
     //    md5-word hash — matrix AND values replay in SQL bit-for-bit ──
@@ -1033,6 +1055,25 @@ object ScaleQueries {
   /** DuckDB analogue of [[graft.functions.TextFunctions.tokens]] /
     * [[graft.functions.ShinglesExpr]] tokenization: lowercase, split on
     * non-alphanumeric runs, drop empties. */
+  /** Shared by q136 (brute-force) and q216 (served from the coded index
+    * at the exact operating point): the dup-gated ranking over
+    * base ∪ planted copies — the copies (cosine 1.0 ≥ 0.95) vanish. */
+  private lazy val hardNegativesOracle: String =
+    """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |              FROM embeddings),
+      |all_v AS (SELECT vec_id, v FROM base
+      |          UNION ALL
+      |          SELECT vec_id + 100000, v FROM base WHERE vec_id < 8),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 8),
+      |s AS (SELECT query_id, a.vec_id AS neighbor_id,
+      |        list_cosine_similarity(qv, a.v) AS cosine
+      |      FROM q CROSS JOIN all_v a WHERE query_id <> a.vec_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |      FROM s WHERE cosine < 0.95)
+      |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin
+
   /** Shared by q200 (reindex/delete) and q202 (the same flow THROUGH
     * compaction): the maintained coded index answers for the
     * post-maintenance corpus, and compaction changes nothing. */
@@ -1366,21 +1407,11 @@ object ScaleQueries {
 
     // q136: same ranking as q34 but over base ∪ planted copies with the
     // dup gate applied — the copies (cosine 1.0 ≥ 0.95) must vanish.
-    "q136_hard_negatives" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |              FROM embeddings),
-        |all_v AS (SELECT vec_id, v FROM base
-        |          UNION ALL
-        |          SELECT vec_id + 100000, v FROM base WHERE vec_id < 8),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 8),
-        |s AS (SELECT query_id, a.vec_id AS neighbor_id,
-        |        list_cosine_similarity(qv, a.v) AS cosine
-        |      FROM q CROSS JOIN all_v a WHERE query_id <> a.vec_id),
-        |r AS (SELECT query_id, neighbor_id,
-        |        CAST(row_number() OVER (PARTITION BY query_id
-        |          ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-        |      FROM s WHERE cosine < 0.95)
-        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q136_hard_negatives" -> hardNegativesOracle,
+
+    // q216: the SAME oracle verbatim — the coded index at the exact
+    // operating point changes the access path, never the answer
+    "q216_hard_negatives_indexed" -> hardNegativesOracle,
 
     "q34_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

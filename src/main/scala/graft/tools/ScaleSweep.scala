@@ -395,7 +395,10 @@ object ScaleSweep {
         "q214_filtered_phrase",
         // round 10d: SemDeDup through the coded index — index-served
         // kNN join + O(log d) component fold; nothing quadratic
-        "q215_semdedup_indexed")
+        "q215_semdedup_indexed",
+        // round 10e: hard negatives through the coded index at the
+        // exact operating point — the q136 ranking, index access path
+        "q216_hard_negatives_indexed")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

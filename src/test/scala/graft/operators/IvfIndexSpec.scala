@@ -660,6 +660,18 @@ class IvfIndexSpec extends SparkSpec {
       Dedup.semDedupIndexed(wh, corpus, "vec_id", "embedding", "sdd",
         threshold = 1.5)
     }
+    // hard negatives through the same index: at the EXACT operating
+    // point (nprobe = nlist, rerank >= corpus) the dup-gated ranking is
+    // row-identical to the brute-force operator — access path only
+    val anchors = base.filter(col("vec_id") < 5L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(rows(Similarity.hardNegativesIndexed(wh, anchors, corpus,
+        "vec_id", "embedding", "sdd", k = 4, dupThreshold = 0.95,
+        fetch = 16, nprobe = 8, rerank = 512)) ==
+      rows(Similarity.hardNegatives(corpus, anchors, "vec_id",
+        "embedding", k = 4, dupThreshold = 0.95)))
   }
 
   test("maintenance policy works on the PLAIN flavor too: churn fires " +
