@@ -210,9 +210,21 @@ object TextIndex {
     * postings second: a crash between the two leaves extra doclen rows
     * (N/avgdl marginally off, and [[compact]] reconciles them away)
     * rather than postings whose documents are missing from the length
-    * table. */
+    * table.
+    *
+    * When the stored health evidence is FRESH, the append FOLDS its
+    * deltas into it (batch doclen rows + per-bucket posting counts —
+    * an append adds only live generations, so the dead axes are
+    * untouched) instead of staling the stamp: a crawl-ingest stream's
+    * [[maintenanceAdvice]] then stays metadata-cost across any number
+    * of appends. Deletes and reindexes stale the stamp as before —
+    * their newly-dead POSTING mass per bucket would need a posting
+    * scan the delete path doesn't otherwise pay (unlike [[IvfIndex]]'s
+    * delete, whose existing-ids gate already scans the entry ids), so
+    * the next advice re-measures once and re-persists. */
   private def appendToks(wh: Warehouse, toks: DataFrame, name: String,
                          nBuckets: Int, seq: Long): Unit = {
+    val pre = freshHealth(wh, name)
     // size-aware doclen landing: nextSeq and every ranked search scan
     // this companion, and a long-lived stream would otherwise leave
     // |shuffle partitions| files per micro-batch — a small batch lands
@@ -222,16 +234,30 @@ object TextIndex {
     // tokenize call derived them from the stored doclen schema)
     val attrs = toks.columns.toSeq
       .filterNot(c => c == "doc_id" || c == "__toks")
+    val nDocs = toks.count()
     toks.select(col("doc_id") +: size(col("__toks")).cast("long")
         .as("dl") +: lit(seq).as("seq") +: attrs.map(col): _*)
-      .repartition(IndexAdvice.companionShards(toks.count()))
+      .repartition(IndexAdvice.companionShards(nDocs))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(doclenPath(wh, name))
     // batch bucket clustering: each append adds <= |touched buckets|
     // files, not tasks x buckets (appends drive file-count growth for
     // a long-lived index)
-    wh.append(postingsOf(toks, nBuckets, seq, hasPositions(wh, name))
-      .repartition(IndexAdvice.shufflePartitions(wh), col("bucket")), name)
+    val posts = postingsOf(toks, nBuckets, seq, hasPositions(wh, name))
+      .repartition(IndexAdvice.shufflePartitions(wh), col("bucket"))
+    val batch = if (pre.isDefined) graft.engine.Exec.materialize(posts)
+      else posts
+    wh.append(batch, name)
+    pre.foreach { case (live, dead, buckets) =>
+      val delta = batch.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val preMap = buckets.toMap
+      val merged = (preMap.keySet ++ delta.keySet).toSeq.sorted
+        .map(b => (b, preMap.getOrElse(b, 0L) + delta.getOrElse(b, 0L)))
+      persistHealth(wh, name, live + nDocs, dead, merged,
+        IndexAdvice.census(wh, name))
+    }
   }
 
   /** Tombstone documents: every posting and doclen row any of `docIds`
@@ -340,6 +366,13 @@ object TextIndex {
     * than the full posting rewrite this call already pays. Returns the
     * version. */
   def compact(wh: Warehouse, name: String = "text_index"): String = {
+    // capture BEFORE the publish swaps the version dir: a compact's
+    // health fold is pure metadata — live posting mass per bucket
+    // carries over 1:1 (the rewrite republishes exactly the live rows),
+    // dead mass zeroes, and the doclen count is the RECONCILED one
+    // (torn-append phantoms dropped below), so a policy-fired
+    // compaction leaves the new version's evidence fresh too
+    val pre = freshHealth(wh, name)
     val live = liveOnly(wh, name, wh.read(name))
     val dlLive = liveOnly(wh, name,
       wh.spark.read.parquet(doclenPath(wh, name)))
@@ -355,10 +388,16 @@ object TextIndex {
           .join(gens, Seq("doc_id", "seq"), "left_semi")))
     val nDl = dl.count()
     // the rewrite is the moment to fix file counts, not inherit them
-    wh.publish(live.repartition(IndexAdvice.shufflePartitions(wh), col("bucket")), name,
+    val out = wh.publish(
+      live.repartition(IndexAdvice.shufflePartitions(wh), col("bucket")), name,
       partitionCols = Seq("bucket"),
       beforeSwap = vdir => dl.repartition(IndexAdvice.companionShards(nDl))
         .write.parquet(s"$vdir/_doclen"))
+    pre.foreach { case (_, _, buckets) =>
+      persistHealth(wh, name, nDl, 0L, buckets,
+        IndexAdvice.census(wh, name))
+    }
+    out
   }
 
   /** Re-index CHANGED documents: tombstone their previous generations,
@@ -669,13 +708,34 @@ object TextIndex {
     val perBucket = liveOnly(wh, name,
         wh.read(name).select(col("doc_id"), col("seq"), col("bucket")))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-      .collect().map(_.getLong(1))
-    val livePostings = perBucket.sum
-    val maxBucket = if (perBucket.isEmpty) 0L else perBucket.max
-    val nBuckets = perBucket.length.toLong
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    persistHealth(wh, name, liveRows, deadRows, perBucket, c)
+  }
+
+  private def bucketsPath(wh: Warehouse, name: String) =
+    s"${wh.dataPath(name)}/_health_buckets"
+
+  /** Persist the health evidence PAIR: the per-bucket (bucket, live
+    * postings) table (`_health_buckets`, ≤ nBuckets rows — the state
+    * append folds update) and the one-row `_health` summary, both
+    * stamped with census `c`. Both share the `/_health` path prefix the
+    * census excludes, so persisting health never stales its own stamp. */
+  private def persistHealth(wh: Warehouse, name: String, liveRows: Long,
+                            deadRows: Long, buckets: Seq[(Int, Long)],
+                            c: IndexAdvice.Census): DataFrame = {
+    import wh.spark.implicits._
+    val deadFraction =
+      if (liveRows + deadRows == 0L) 0.0
+      else deadRows.toDouble / (liveRows + deadRows)
+    val livePostings = buckets.map(_._2).sum
+    val maxBucket = if (buckets.isEmpty) 0L else buckets.map(_._2).max
+    val nBuckets = buckets.length.toLong
     val meanBucket =
       if (nBuckets == 0L) 0.0 else livePostings.toDouble / nBuckets
     val bucketSkew = if (meanBucket == 0.0) 1.0 else maxBucket / meanBucket
+    buckets.toDF("bucket", "live").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(bucketsPath(wh, name))
     val row = Seq((liveRows, deadRows, deadFraction, livePostings,
         maxBucket, nBuckets, bucketSkew, c.deletesBytes,
         c.dataBytes, c.nFiles, c.totalBytes))
@@ -686,6 +746,25 @@ object TextIndex {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"${wh.dataPath(name)}/_health")
     row // the local row IS what was stored — no read-back needed
+  }
+
+  /** The stored evidence an append's fold starts from — (live doclen
+    * rows, dead doclen rows, per-bucket live postings), ONLY when the
+    * `_health` summary is fresh for the current census AND the buckets
+    * companion exists. One metadata listing when a health row exists,
+    * nothing otherwise. */
+  private def freshHealth(wh: Warehouse, name: String)
+      : Option[(Long, Long, Seq[(Int, Long)])] = {
+    val bp = new Path(bucketsPath(wh, name))
+    readHealthWith(wh, name, IndexAdvice.census(wh, name)).flatMap { df =>
+      if (!fs(wh, bp).exists(bp)) None // summary from an older engine
+      else {
+        val r = df.select(col("live_rows"), col("dead_rows")).head()
+        Some((r.getLong(0), r.getLong(1),
+          wh.spark.read.parquet(bp.toString).collect()
+            .map(x => (x.getInt(0), x.getLong(1))).toSeq))
+      }
+    }
   }
 
   /** The stored health row — None when never analyzed on this version

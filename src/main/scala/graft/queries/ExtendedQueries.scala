@@ -2203,7 +2203,11 @@ object ExtendedQueries {
         .select((col("id") + 1000000L).as("doc_id"),
           lit("driftbeta driftdelta driftepsilon driftzeta").as("text"))
       TextIndex.append(wh, drift, "doc_id", "text", "tix", nBuckets = 64)
-      val driftSkew = TextIndex.analyzeHealth(wh, "tix")
+      // the append FOLDED its per-bucket deltas into the stored
+      // evidence, so the drifted reading is already metadata
+      // (re-measure fallback guards a stale stamp only)
+      val driftSkew = TextIndex.readHealth(wh, "tix")
+        .getOrElse(TextIndex.analyzeHealth(wh, "tix"))
         .select("bucket_skew").head().getDouble(0)
       require(driftSkew >= 2.0 * freshSkew,
         s"plant sanity: dominant-term drift must at least double the " +

@@ -625,6 +625,45 @@ class TextIndexSpec extends SparkSpec {
       nBuckets = 1).count() == 100L)
   }
 
+  test("incremental text health: appends fold doclen + per-bucket " +
+      "posting deltas (maintained equals a re-measure), deletes stale " +
+      "the stamp, compact folds at metadata cost") {
+    val wh = freshWh
+    val docs = (1L to 30L).map(i => (i, s"alpha$i beta$i common"))
+      .toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tixf", nBuckets = 8)
+    TextIndex.analyzeHealth(wh, "tixf") // seed the stored evidence
+    val fields = Seq("live_rows", "dead_rows", "dead_fraction",
+      "live_postings", "max_bucket_postings", "n_buckets", "bucket_skew",
+      "deletes_bytes", "data_bytes", "n_files", "census_bytes")
+    def all(df: org.apache.spark.sql.DataFrame) =
+      df.select(fields.map(col): _*).head().toSeq
+    // two appends in a row: each folds, the stamp stays fresh, and the
+    // folded row equals a full re-measure field-for-field
+    TextIndex.append(wh, (31L to 40L).map(i => (i, s"gamma$i common"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixf", nBuckets = 8)
+    TextIndex.append(wh, (41L to 45L).map(i => (i, s"delta$i"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixf", nBuckets = 8)
+    val maintained = TextIndex.readHealth(wh, "tixf")
+    assert(maintained.nonEmpty, "appends must fold, not stale")
+    val got = all(maintained.get)
+    assert(got == all(TextIndex.analyzeHealth(wh, "tixf")),
+      s"maintained $got != re-measured")
+    assert(got(0) == 45L && got(1) == 0L, got.toString)
+    // a delete STALES the stamp (its newly-dead posting mass would need
+    // a posting scan the delete path doesn't otherwise pay)
+    TextIndex.delete(wh, Seq(45L).toDF("doc_id"), "doc_id", "tixf")
+    assert(TextIndex.readHealth(wh, "tixf").isEmpty,
+      "a delete must stale the stamp")
+    TextIndex.analyzeHealth(wh, "tixf") // re-seed over the tombstone
+    // compact folds: dead zeroes, buckets carry over, stamp fresh
+    TextIndex.compact(wh, "tixf")
+    val afterC = TextIndex.readHealth(wh, "tixf")
+    assert(afterC.nonEmpty, "compact must fold, not stale")
+    assert(all(afterC.get) == all(TextIndex.analyzeHealth(wh, "tixf")),
+      "post-compact maintained != re-measured")
+  }
+
   test("compact reconciles the torn-append doclen window: a dl>0 " +
       "generation with no postings is dropped, legitimate dl=0 rows " +
       "survive, ranked stats heal to a fresh build's") {
