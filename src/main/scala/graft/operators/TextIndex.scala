@@ -166,6 +166,7 @@ object TextIndex {
             attrCols: Seq[String] = Nil): String = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     requireAttrs(attrCols, idCol, textCol)
+    import wh.spark.implicits._
     val toks = tokenize(corpus, idCol, textCol, attrCols)
     // writer-side bucket clustering: without it every upstream task
     // opens a writer in every bucket dir (tasks x nBuckets tiny files,
@@ -179,10 +180,37 @@ object TextIndex {
     wh.publish(postingsOf(toks, nBuckets, seq = 0L, positions)
         .repartition(IndexAdvice.shufflePartitions(wh), col("bucket")), name,
       partitionCols = Seq("bucket"),
-      beforeSwap = vdir =>
+      beforeSwap = vdir => {
+        // the layout is SELF-DESCRIBING: the bucket count rides the
+        // version dir, so every later call can refuse a mismatched
+        // nBuckets instead of pruning to the wrong buckets and
+        // silently answering empty (the one parameter whose wrong
+        // value is invisible — positions and attributes already
+        // self-describe through the stored schemas)
+        Seq(nBuckets.toLong).toDF("n_buckets")
+          .coalesce(1).write.parquet(s"$vdir/_layout")
         toks.select(col("doc_id") +: size(col("__toks")).cast("long")
             .as("dl") +: lit(0L).as("seq") +: attrCols.map(col): _*)
-          .write.parquet(s"$vdir/_doclen"))
+          .write.parquet(s"$vdir/_doclen")
+      })
+  }
+
+  /** Refuse an `nBuckets` that disagrees with the stored layout — the
+    * frozen hash routes every posting AND every search through
+    * `token-hash % nBuckets`, so a mismatched value prunes to the wrong
+    * buckets and answers EMPTY with no error. Indexes built before the
+    * `_layout` companion existed validate nothing (as before). */
+  private def requireBuckets(wh: Warehouse, name: String,
+                             nBuckets: Int): Unit = {
+    val lp = new Path(s"${wh.dataPath(name)}/_layout")
+    if (fs(wh, lp).exists(lp)) {
+      val stored = wh.spark.read.parquet(lp.toString)
+        .select(col("n_buckets")).head().getLong(0)
+      require(stored == nBuckets.toLong,
+        s"index '$name' was built with nBuckets = $stored, got " +
+          s"$nBuckets — a mismatched bucket count routes searches to " +
+          "the wrong partitions and silently answers empty")
+    }
   }
 
   /** Incremental maintenance: index a batch of NEW documents without a
@@ -200,6 +228,7 @@ object TextIndex {
     // non-deterministic (a sample, a limit, a first-wins dedup) and two
     // independent actions over a lazy frame could compute doclen rows
     // and postings from DIFFERENT row sets, skewing BM25's N/avgdl
+    requireBuckets(wh, name, nBuckets)
     val toks = graft.engine.Exec.materialize(
       tokenize(newDocs, idCol, textCol, attrColsOf(wh, name)))
     appendToks(wh, toks, name, nBuckets, nextSeq(wh, name))
@@ -391,8 +420,14 @@ object TextIndex {
     val out = wh.publish(
       live.repartition(IndexAdvice.shufflePartitions(wh), col("bucket")), name,
       partitionCols = Seq("bucket"),
-      beforeSwap = vdir => dl.repartition(IndexAdvice.companionShards(nDl))
-        .write.parquet(s"$vdir/_doclen"))
+      beforeSwap = vdir => {
+        val lp = new Path(s"${wh.dataPath(name)}/_layout")
+        if (fs(wh, lp).exists(lp))
+          wh.spark.read.parquet(lp.toString)
+            .coalesce(1).write.parquet(s"$vdir/_layout")
+        dl.repartition(IndexAdvice.companionShards(nDl))
+          .write.parquet(s"$vdir/_doclen")
+      })
     pre.foreach { case (_, _, buckets) =>
       persistHealth(wh, name, nDl, 0L, buckets,
         IndexAdvice.census(wh, name))
@@ -413,6 +448,7 @@ object TextIndex {
     // batch evaluated twice could tombstone one set and append another),
     // and the generation resolves once — one doclen frontier scan per
     // reindex instead of delete's + append's separate scans
+    requireBuckets(wh, name, nBuckets)
     val toks = graft.engine.Exec.materialize(
       tokenize(changedDocs, idCol, textCol, attrColsOf(wh, name)))
     val cut = nextSeq(wh, name)
@@ -438,6 +474,7 @@ object TextIndex {
     require(toks.nonEmpty && toks.forall(_.nonEmpty),
       s"searchRanked needs non-blank terms, got $terms")
     require(k >= 1, s"k must be >= 1, got $k")
+    requireBuckets(wh, name, nBuckets)
     val buckets = toks
       .map(t => Sampling.hashBucketOf(t, "tix", nBuckets).toInt).distinct
     // `filter` constrains retrieval to the sub-corpus matching a
@@ -520,6 +557,7 @@ object TextIndex {
     require(hasPositions(wh, name),
       s"index '$name' was built with positions = false — phrase search " +
         "needs stored position lists; rebuild with positions = true")
+    requireBuckets(wh, name, nBuckets)
     val buckets = toks
       .map(t => Sampling.hashBucketOf(t, "tix", nBuckets).toInt).distinct
     val posts = graft.engine.Exec.materialize(liveOnly(wh, name,
@@ -566,6 +604,7 @@ object TextIndex {
     val toks = terms.map(normTerm).distinct
     require(toks.nonEmpty && toks.forall(_.nonEmpty),
       s"searchAll needs non-blank terms, got $terms")
+    requireBuckets(wh, name, nBuckets)
     // Int literals so the partition filter needs no cast (a cast can
     // defeat static pruning)
     val buckets = toks
@@ -617,6 +656,7 @@ object TextIndex {
     require(minMatch >= 1 && minMatch <= toks.size,
       s"minMatch must be in [1, ${toks.size}] (distinct terms), " +
         s"got $minMatch")
+    requireBuckets(wh, name, nBuckets)
     val buckets = toks
       .map(t => Sampling.hashBucketOf(t, "tix", nBuckets).toInt).distinct
     val hits = liveOnly(wh, name,

@@ -625,6 +625,37 @@ class TextIndexSpec extends SparkSpec {
       nBuckets = 1).count() == 100L)
   }
 
+  test("the layout is self-describing: a mismatched nBuckets is refused " +
+      "loudly on every path instead of pruning to the wrong buckets " +
+      "and answering empty; compaction preserves the marker") {
+    val wh = freshWh
+    val docs = Seq((1L, "merge vector tables"), (2L, "spark joins"))
+      .toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tixb", nBuckets = 8)
+    def refused(f: => Any) = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains("nBuckets = 8"), e.getMessage)
+    }
+    refused(TextIndex.searchAll(wh, Seq("merge"), "tixb", nBuckets = 16))
+    refused(TextIndex.searchAny(wh, Seq("merge"), "tixb", nBuckets = 16))
+    refused(TextIndex.searchRanked(wh, Seq("merge"), "tixb",
+      nBuckets = 16))
+    refused(TextIndex.searchPhrase(wh, Seq("merge", "vector"), "tixb",
+      nBuckets = 16))
+    refused(TextIndex.append(wh, Seq((3L, "more text"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixb", nBuckets = 16))
+    refused(TextIndex.reindex(wh, Seq((1L, "new text"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixb", nBuckets = 16))
+    // the right count still answers, and survives compaction
+    assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixb",
+      nBuckets = 8).as[Long].collect().toSeq == Seq(1L))
+    TextIndex.delete(wh, Seq(2L).toDF("doc_id"), "doc_id", "tixb")
+    TextIndex.compact(wh, "tixb")
+    refused(TextIndex.searchAll(wh, Seq("merge"), "tixb", nBuckets = 16))
+    assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixb",
+      nBuckets = 8).as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("incremental text health: appends fold doclen + per-bucket " +
       "posting deltas (maintained equals a re-measure), deletes stale " +
       "the stamp, compact folds at metadata cost") {
