@@ -513,7 +513,8 @@ object Dedup {
                       idCol: String, vecCol: String,
                       name: String = "ivfpq_index",
                       threshold: Double = 0.95, k: Int = 2,
-                      nprobe: Int = 8, rerank: Int = 64): DataFrame = {
+                      nprobe: Int = 8, rerank: Int = 64,
+                      scoreCol: Option[String] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val nn = IvfIndex.knnJoinPq(wh, corpus, corpus, idCol, vecCol, name,
@@ -521,9 +522,27 @@ object Dedup {
     val edges = nn.filter(col("cosine") >= threshold)
       .select(least(col("query_id"), col("neighbor_id")).as("a"),
         greatest(col("query_id"), col("neighbor_id")).as("b"))
-    val losers = connectedComponents(edges, "a", "b")
-      .filter(col("id") =!= col("label"))
-      .select(col("id").as(idCol))
+    val members = connectedComponents(edges, "a", "b")
+    // with `scoreCol` the survivor is the HIGHEST-score member (ties →
+    // lowest id) — the [[keepBestPerGroup]] "keep the cleanest copy"
+    // semantics a training pipeline wants when near-dups differ in
+    // boilerplate or truncation; the member/score join is
+    // group-members-sized, never corpus-sized
+    val losers = scoreCol match {
+      case None => members.filter(col("id") =!= col("label"))
+        .select(col("id").as(idCol))
+      case Some(sc) =>
+        import graft.functions.TopKAggregate
+        val scored = members.join(corpus.select(col(idCol).as("id"),
+          col(sc).cast("double").as("__s")), Seq("id"))
+        val canonical = scored.groupBy(col("label"))
+          .agg(TopKAggregate.topKStructs(struct(col("__s"), col("id")), 1,
+            desc = Seq(false, true)).as("t"))
+          .select(element_at(col("t"), 1).getField("id").as("id"))
+        members.select(col("id"))
+          .join(canonical, Seq("id"), "left_anti")
+          .select(col("id").as(idCol))
+    }
     corpus.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -660,6 +660,17 @@ class IvfIndexSpec extends SparkSpec {
       Dedup.semDedupIndexed(wh, corpus, "vec_id", "embedding", "sdd",
         threshold = 1.5)
     }
+    // quality-aware survivor: with a score column the HIGHEST-score
+    // member wins, not the min id (1007 outscores 7 and 2007)
+    val scoredCorpus = corpus.withColumn("quality",
+      when(col("vec_id") === 1007L, 9.0).otherwise(1.0))
+    val keptBest = Dedup.semDedupIndexed(wh, scoredCorpus, "vec_id",
+        "embedding", "sdd", threshold = 0.99, k = 2, rerank = 32,
+        scoreCol = Some("quality"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptBest.contains(1007L) && !keptBest.contains(7L) &&
+      !keptBest.contains(2007L), keptBest.toString)
+    assert(keptBest.size == 200, s"size=${keptBest.size}") // 199 + best
     // hard negatives through the same index: at the EXACT operating
     // point (nprobe = nlist, rerank >= corpus) the dup-gated ranking is
     // row-identical to the brute-force operator — access path only
