@@ -146,8 +146,17 @@ object IvfIndex {
       // the capture's census stamp must predate the file change. The
       // delta scan is column-pruned (id, cell, seq) — the cost class
       // the onlyExisting gate already pays — and runs only while
-      // stored health is fresh enough to fold into.
-      val pre = freshCells(wh, name)
+      // stored health is fresh enough to fold into AND the batch is
+      // big enough to earn it: a fold must never cost more scans than
+      // it saves, and a re-embed-heavy STREAM of micro-batches each
+      // under 1/10000 of the index would otherwise pay an index-column
+      // scan PER BATCH where the stale-stamp path pays one re-measure
+      // per advice consultation — tiny batches stale the stamp instead
+      // (exactly the pre-fold behavior).
+      val pre = freshCells(wh, name).filter { cells =>
+        val total = cells.map(c => c._2 + c._3).sum
+        n >= total / MinDeleteFoldRatio
+      }
       val deadDelta = pre.map { _ =>
         val idName = wh.read(name).columns.head
         liveOnly(wh, wh.dataPath(name),
@@ -844,6 +853,12 @@ object IvfIndex {
         VectorFunctions.cosine(col("qv"), col("cv")).as("cosine"))
     Similarity.rankTopK(rer, k)
   }
+
+  /** A delete's health fold runs only when the tombstone batch is at
+    * least 1/this of the index's entries — below that, the fold's
+    * column-pruned delta scan per call costs more than the single
+    * re-measure the stale stamp defers to (see deleteAt). */
+  val MinDeleteFoldRatio = 10000L
 
   /** Compaction trigger: compact when at least this fraction of index
     * entries are tombstone-dead (dead entries still occupy cell

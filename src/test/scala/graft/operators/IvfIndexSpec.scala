@@ -435,6 +435,30 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("the delete fold is size-gated: a micro-batch under 1/10000 of " +
+      "the index stales the stamp instead of paying an index scan per " +
+      "call; a batch at the gate folds") {
+    val wh = freshWh
+    val corpus = AnnRecall.clusteredFixture(spark, n = 20001, dim = 4)
+    IvfIndex.build(wh, corpus, "vec_id", "embedding", dim = 4,
+      nlist = 8, name = "giv")
+    IvfIndex.analyzeHealth(wh, "giv")
+    // 1 < 20001/10000 = 2 -> the fold skips, the stamp stales
+    IvfIndex.delete(wh, Seq(5L).toDF("vec_id"), "vec_id", "giv")
+    assert(IvfIndex.readHealth(wh, "giv").isEmpty,
+      "a sub-gate delete must stale the stamp, not scan the index")
+    // the deferred re-measure sees the tombstone; a 2-id batch then
+    // folds (2 >= 2) and equals a fresh re-measure
+    IvfIndex.analyzeHealth(wh, "giv")
+    IvfIndex.delete(wh, Seq(6L, 7L).toDF("vec_id"), "vec_id", "giv")
+    val maintained = IvfIndex.readHealth(wh, "giv")
+    assert(maintained.nonEmpty, "an at-gate delete must fold")
+    assert(maintained.get.select("dead_rows").head().getLong(0) == 3L)
+    assert(maintained.get.select("dead_rows").head().getLong(0) ==
+      IvfIndex.analyzeHealth(wh, "giv")
+        .select("dead_rows").head().getLong(0))
+  }
+
   test("cell skew counts LIVE entries only: hot-id churn cannot wedge " +
       "the policy on Rebuild while suppressing the compaction that " +
       "cures the reading") {
