@@ -135,8 +135,12 @@ object Bench {
     val evJson = evidence.map { case (k, (ld, ts)) =>
       s"""${jq(k)}:{"load1":$ld,"task_sec":$ts}"""
     }.mkString("{", ",", "}")
+    // cpus is a raw env string ("32", but also legitimately "*") —
+    // emit it as a number only when it IS one, else quoted, so the
+    // artifact stays parseable exactly when its failure evidence matters
+    val cpusJson = scala.util.Try(cpus.trim.toInt.toString).getOrElse(jq(cpus))
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson,"load1_start":$loadStart,"load1_end":$loadEnd,"cpus":$cpus,"evidence":$evJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_errors":${errors.size},"errors":$errJson,"load1_start":$loadStart,"load1_end":$loadEnd,"cpus":$cpusJson,"evidence":$evJson}"""
     println(json)
     // ALSO write the JSON to a file: stdout scraping truncated past rounds'
     // artifacts (BENCH_r03.json stopped at 60/85 queries) — the file is the

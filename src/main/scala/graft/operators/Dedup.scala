@@ -470,22 +470,33 @@ object Dedup {
     * window sort); the resulting non-canonical id set anti-joins back
     * against the corpus, which itself never shuffles.
     */
-  def keepBestPerGroup(df: DataFrame, idCol: String, textCol: String,
-                       scoreCol: String, threshold: Double = 0.5,
-                       k: Int = 3): DataFrame = {
+  /** The non-canonical member ids of each component when the survivor
+    * is the HIGHEST-score member (ties → lowest id) — the keep-the-
+    * cleanest-copy selection shared by [[keepBestPerGroup]] (text
+    * near-dups) and [[semDedupIndexed]] (embedding near-dups).
+    * `members` is [[connectedComponents]]' (id, label) output; `scores`
+    * maps id → score. Group-members-sized throughout. */
+  private def bestLosers(members: DataFrame, scores: DataFrame,
+                         idCol: String): DataFrame = {
     import graft.functions.TopKAggregate
-    val pairs = ngramJaccard(df, idCol, textCol, threshold, k)
-    val members = connectedComponents(pairs, "id_a", "id_b")
-      .join(df.select(col(idCol).as("id"),
-        col(scoreCol).cast("double").as("__s")), Seq("id"))
-    val canonical = members.groupBy(col("label"))
+    val scored = members.join(scores, Seq("id"))
+    val canonical = scored.groupBy(col("label"))
       .agg(TopKAggregate.topKStructs(struct(col("__s"), col("id")), 1,
         // keep max score; flipped id breaks ties toward the smallest id
         desc = Seq(false, true)).as("t"))
       .select(element_at(col("t"), 1).getField("id").as("id"))
-    val dropIds = members.select(col("id"))
+    members.select(col("id"))
       .join(canonical, Seq("id"), "left_anti")
       .select(col("id").as(idCol))
+  }
+
+  def keepBestPerGroup(df: DataFrame, idCol: String, textCol: String,
+                       scoreCol: String, threshold: Double = 0.5,
+                       k: Int = 3): DataFrame = {
+    val pairs = ngramJaccard(df, idCol, textCol, threshold, k)
+    val members = connectedComponents(pairs, "id_a", "id_b")
+    val dropIds = bestLosers(members, df.select(col(idCol).as("id"),
+      col(scoreCol).cast("double").as("__s")), idCol)
     df.join(dropIds, Seq(idCol), "left_anti")
   }
 
@@ -524,24 +535,15 @@ object Dedup {
         greatest(col("query_id"), col("neighbor_id")).as("b"))
     val members = connectedComponents(edges, "a", "b")
     // with `scoreCol` the survivor is the HIGHEST-score member (ties →
-    // lowest id) — the [[keepBestPerGroup]] "keep the cleanest copy"
-    // semantics a training pipeline wants when near-dups differ in
-    // boilerplate or truncation; the member/score join is
-    // group-members-sized, never corpus-sized
+    // lowest id) — [[bestLosers]], the "keep the cleanest copy"
+    // selection shared with [[keepBestPerGroup]]; the member/score join
+    // is group-members-sized, never corpus-sized
     val losers = scoreCol match {
       case None => members.filter(col("id") =!= col("label"))
         .select(col("id").as(idCol))
-      case Some(sc) =>
-        import graft.functions.TopKAggregate
-        val scored = members.join(corpus.select(col(idCol).as("id"),
-          col(sc).cast("double").as("__s")), Seq("id"))
-        val canonical = scored.groupBy(col("label"))
-          .agg(TopKAggregate.topKStructs(struct(col("__s"), col("id")), 1,
-            desc = Seq(false, true)).as("t"))
-          .select(element_at(col("t"), 1).getField("id").as("id"))
-        members.select(col("id"))
-          .join(canonical, Seq("id"), "left_anti")
-          .select(col("id").as(idCol))
+      case Some(sc) => bestLosers(members,
+        corpus.select(col(idCol).as("id"),
+          col(sc).cast("double").as("__s")), idCol)
     }
     corpus.join(losers, Seq(idCol), "left_anti")
   }

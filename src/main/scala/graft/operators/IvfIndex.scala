@@ -155,7 +155,10 @@ object IvfIndex {
       // (exactly the pre-fold behavior).
       val pre = freshCells(wh, name).filter { cells =>
         val total = cells.map(c => c._2 + c._3).sum
-        n >= total / MinDeleteFoldRatio
+        // multiplied form, not integer division: `n >= total / ratio`
+        // rounds the gate DOWN (a 9999-entry index would fold on every
+        // 1-row delete; a 19999-entry one at half the documented ratio)
+        n * MinDeleteFoldRatio >= total
       }
       val deadDelta = pre.map { _ =>
         val idName = wh.read(name).columns.head
@@ -583,9 +586,13 @@ object IvfIndex {
   def recommendedRerank(k: Int, probedCandidates: Long): Int = {
     require(k >= 1 && probedCandidates >= 0,
       s"k=$k must be >= 1 and probedCandidates=$probedCandidates >= 0")
-    math.max(k.toLong,
-      math.min(probedCandidates, math.max(8L * k, probedCandidates / 20L)))
-      .toInt
+    // clamped BEFORE the narrowing: at the corpus scales the docstring
+    // sizes probedCandidates for, 5% of the probed mass exceeds 2³¹ and
+    // a bare .toInt would wrap to a negative (or silently tiny) depth
+    math.min(Int.MaxValue.toLong,
+      math.max(k.toLong,
+        math.min(probedCandidates,
+          math.max(8L * k, probedCandidates / 20L)))).toInt
   }
 
   /** Probe the published PQ index: ADC candidate scoring over the

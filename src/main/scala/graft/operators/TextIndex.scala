@@ -195,22 +195,35 @@ object TextIndex {
       })
   }
 
+  /** Per-version layout cache: the bucket count is IMMUTABLE within an
+    * index version (build writes it once, compact copies it), so the
+    * one-row `_layout` read happens once per resolved version dir —
+    * never a Spark job per search on the hot path. Keyed by the
+    * version-dir path: a rebuild resolves to a new dir and therefore a
+    * fresh entry; stale keys for retired versions are harmless. */
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Refuse an `nBuckets` that disagrees with the stored layout — the
     * frozen hash routes every posting AND every search through
     * `token-hash % nBuckets`, so a mismatched value prunes to the wrong
     * buckets and answers EMPTY with no error. Indexes built before the
-    * `_layout` companion existed validate nothing (as before). */
+    * `_layout` companion existed validate nothing (as before; cached
+    * as -1 so the absence check is also paid once per version). */
   private def requireBuckets(wh: Warehouse, name: String,
                              nBuckets: Int): Unit = {
-    val lp = new Path(s"${wh.dataPath(name)}/_layout")
-    if (fs(wh, lp).exists(lp)) {
-      val stored = wh.spark.read.parquet(lp.toString)
+    val key = s"${wh.dataPath(name)}/_layout"
+    val stored = layoutCache.computeIfAbsent(key, { k =>
+      val lp = new Path(k)
+      if (!fs(wh, lp).exists(lp)) -1L
+      else wh.spark.read.parquet(k)
         .select(col("n_buckets")).head().getLong(0)
+    })
+    if (stored >= 0L)
       require(stored == nBuckets.toLong,
         s"index '$name' was built with nBuckets = $stored, got " +
           s"$nBuckets — a mismatched bucket count routes searches to " +
           "the wrong partitions and silently answers empty")
-    }
   }
 
   /** Incremental maintenance: index a batch of NEW documents without a

@@ -382,6 +382,10 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.recommendedRerank(5, 100L) == 40) // 8k floor again
     assert(IvfIndex.recommendedRerank(5, 20L) == 20) // capped at mass
     assert(IvfIndex.recommendedRerank(5, 0L) == 5) // never below k
+    // 100 TB-scale probed mass must clamp, never wrap the Int
+    assert(IvfIndex.recommendedRerank(5, Long.MaxValue) == Int.MaxValue)
+    assert(IvfIndex.recommendedRerank(5, 60_000_000_000L) ==
+      Int.MaxValue) // 5% of 60e9 = 3e9 > 2^31 — the wrap-negative band
     intercept[IllegalArgumentException] {
       IvfIndex.recommendedRerank(0, 100L)
     }
@@ -447,13 +451,18 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.delete(wh, Seq(5L).toDF("vec_id"), "vec_id", "giv")
     assert(IvfIndex.readHealth(wh, "giv").isEmpty,
       "a sub-gate delete must stale the stamp, not scan the index")
-    // the deferred re-measure sees the tombstone; a 2-id batch then
-    // folds (2 >= 2) and equals a fresh re-measure
+    // the deferred re-measure sees the tombstone; a 2-id batch is STILL
+    // under the exact ratio (2×10000 < 20001 — the gate must not round
+    // down), a 3-id batch clears it and folds ≡ a fresh re-measure
     IvfIndex.analyzeHealth(wh, "giv")
     IvfIndex.delete(wh, Seq(6L, 7L).toDF("vec_id"), "vec_id", "giv")
+    assert(IvfIndex.readHealth(wh, "giv").isEmpty,
+      "a just-under-ratio delete must still stale the stamp")
+    IvfIndex.analyzeHealth(wh, "giv")
+    IvfIndex.delete(wh, Seq(8L, 9L, 10L).toDF("vec_id"), "vec_id", "giv")
     val maintained = IvfIndex.readHealth(wh, "giv")
     assert(maintained.nonEmpty, "an at-gate delete must fold")
-    assert(maintained.get.select("dead_rows").head().getLong(0) == 3L)
+    assert(maintained.get.select("dead_rows").head().getLong(0) == 6L)
     assert(maintained.get.select("dead_rows").head().getLong(0) ==
       IvfIndex.analyzeHealth(wh, "giv")
         .select("dead_rows").head().getLong(0))
