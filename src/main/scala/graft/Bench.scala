@@ -102,6 +102,16 @@ object Bench {
         name -> sec
       } catch {
         case e: Throwable =>
+          // tenancy evidence on the FAILURE path too: adjudicating
+          // whether an error/timeout was co-tenant load is exactly when
+          // the sidecar matters. task_sec sums whatever stages completed
+          // before the throw; -1 marks "none completed" apart from a
+          // legitimately-zero trivial query.
+          Thread.sleep(200)
+          val done = stages.toArray(Array.empty[(Int, Int, Long, Long, Long)])
+          val taskSec =
+            if (done.isEmpty) -1.0 else done.map(_._3).sum / 1000.0
+          evidence += name -> (ld, taskSec)
           errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           name -> -1.0
       }

@@ -155,10 +155,13 @@ object IvfIndex {
       // (exactly the pre-fold behavior).
       val pre = freshCells(wh, name).filter { cells =>
         val total = cells.map(c => c._2 + c._3).sum
-        // multiplied form, not integer division: `n >= total / ratio`
-        // rounds the gate DOWN (a 9999-entry index would fold on every
-        // 1-row delete; a 19999-entry one at half the documented ratio)
-        n * MinDeleteFoldRatio >= total
+        // ceil division, not the multiplied form: `n * ratio >= total`
+        // overflows Long past ~9.2e14 tombstoned ids and silently flips
+        // the comparison, and the truncated `n >= total / ratio` rounds
+        // the gate DOWN (a 9999-entry index would fold on every 1-row
+        // delete). Rounding total/ratio UP keeps the documented
+        // semantics at any scale.
+        n >= (total + MinDeleteFoldRatio - 1) / MinDeleteFoldRatio
       }
       val deadDelta = pre.map { _ =>
         val idName = wh.read(name).columns.head
@@ -577,22 +580,52 @@ object IvfIndex {
     *
     * On margin-starved corpora low recall at shallow depth is candidate
     * STARVATION, not a quantizer plateau — the curve is still steep at
-    * 512 and the same index reads 0.968 at 1024. Budget
-    * max(8·k, ~5% of the probed candidate mass) before blaming or
-    * re-training the quantizer; `probedCandidates` ≈ live_rows ×
+    * 512 (≈10% of the 5000-candidate probed mass, 0.696) and only
+    * flattens at 1024 (≈20%, 0.968); 5% (250) reads ~0.42, starved.
+    * Budget max(8·k, ~25% of the probed candidate mass) before blaming
+    * or re-training the quantizer — a quarter of the probed mass sits
+    * on the measured curve's flat shoulder for the HARD case, which is
+    * what an automatic depth must size for (a margin-rich corpus wastes
+    * some exact-cosine rerank at that depth; a hand-tuned shallow value
+    * can always be passed explicitly). `probedCandidates` ≈ live_rows ×
     * nprobe / nlist, both read from the stored `_health` row at
-    * metadata cost. [[probePq]]'s `rerank = 64` default suits easy
+    * metadata cost — [[probePq]]/[[knnJoinPq]] do exactly that when
+    * called with `rerank = 0`. The `rerank = 64` default suits easy
     * (well-separated) corpora only. */
   def recommendedRerank(k: Int, probedCandidates: Long): Int = {
     require(k >= 1 && probedCandidates >= 0,
       s"k=$k must be >= 1 and probedCandidates=$probedCandidates >= 0")
     // clamped BEFORE the narrowing: at the corpus scales the docstring
-    // sizes probedCandidates for, 5% of the probed mass exceeds 2³¹ and
+    // sizes probedCandidates for, 25% of the probed mass exceeds 2³¹ and
     // a bare .toInt would wrap to a negative (or silently tiny) depth
     math.min(Int.MaxValue.toLong,
       math.max(k.toLong,
         math.min(probedCandidates,
-          math.max(8L * k, probedCandidates / 20L)))).toInt
+          math.max(8L * k, probedCandidates / 4L)))).toInt
+  }
+
+  /** The effective rerank depth for a probe: the caller's explicit value
+    * when positive, else ([[recommendedRerank]]) sized from the stored
+    * `_health` row — live_rows × nprobe / nlist probed candidates, read
+    * at metadata cost when the stamp is fresh (one bounded re-measure
+    * that persists otherwise, so the next auto probe is metadata
+    * again). */
+  private def resolveRerank(wh: Warehouse, name: String, rerank: Int,
+                            k: Int, nprobe: Int, nlist: Int): Int = {
+    require(rerank == 0 || rerank >= k,
+      s"rerank=$rerank must be >= k=$k (or 0 for automatic sizing)")
+    if (rerank > 0) rerank
+    else {
+      lazy val c = IndexAdvice.census(wh, name) // ONE listing, shared
+      val live = readHealthWith(wh, name, c)
+        .getOrElse(analyzeHealthWith(wh, name, c))
+        .select(col("live_rows")).head().getLong(0)
+      // BigInt product: live × nprobe overflows Long within the corpus
+      // scales this sizes for; the quotient is ≤ live, so the narrowing
+      // back is exact
+      recommendedRerank(k,
+        (BigInt(live) * math.min(nprobe, nlist) / nlist).toLong)
+    }
   }
 
   /** Probe the published PQ index: ADC candidate scoring over the
@@ -606,7 +639,10 @@ object IvfIndex {
     * The `rerank = 64` default is tuned for easy (well-separated)
     * corpora; on anisotropic/margin-starved ones it STARVES recall —
     * see [[recommendedRerank]] for the measured curve and the sizing
-    * rule (≥ ~5% of the probed candidate mass).
+    * rule. `rerank = 0` sizes the depth AUTOMATICALLY from the stored
+    * `_health` row (live_rows × nprobe / nlist probed candidates at
+    * metadata cost) — the auto depth reproduces the measured ≥0.9
+    * recall floor on the anisotropic fixture with no hand-passed 1024.
     *
     * `filter` constrains the search to entries matching a predicate over
     * the layout's attribute columns ([[buildPq]] `attrCols`) — applied
@@ -620,11 +656,11 @@ object IvfIndex {
               k: Int = 5, nprobe: Int = 8, rerank: Int = 64,
               filter: Option[org.apache.spark.sql.Column] = None)
       : DataFrame = {
-    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val version = wh.currentVersion(name).getOrElse(
       throw new IllegalStateException(s"IVF+PQ index '$name' was never built"))
     val vdir = s"${wh.root}/$name/_versions/$version"
     val cents = loadCentroids(wh, vdir)
+    val eff = resolveRerank(wh, name, rerank, k, nprobe, cents.length)
     val books = loadBooks(wh, vdir)
     val m = books.length
     val ksub = books.head.length
@@ -640,9 +676,16 @@ object IvfIndex {
         SignatureExpressions.pqLut(col("qv"), Seq(cents)).as("cell_dots"),
         qLut.as("lut"),
         SignatureExpressions.ivfAssign(col("qv"), cents, nprobe).as("cells"))
+    // each exploded probe row needs exactly ONE of its nlist cell dots —
+    // select it at explode time so the materialized probe frame (and the
+    // scoring join, when demoted to a salted shuffle) carries one double
+    // per row instead of the full nlist array
     val probes = graft.functions.Generates.explodeOnce(
         qTables, Seq(col("query_id"), col("cell_dots"), col("lut")),
         col("cells"), "cell")
+      .select(col("query_id"),
+        element_at(col("cell_dots"), col("cell") + 1).as("cell_dot"),
+        col("lut"), col("cell"))
       .transform(Exec.materialize)
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -660,10 +703,10 @@ object IvfIndex {
     val adc = cellJoin(wh, codes, probes, "neighbor_id", cents.length)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (element_at(col("cell_dots"), col("cell") + 1) +
+        (col("cell_dot") +
           SignatureExpressions.pqAdc(col("lut"), col("code"), m, ksub))
           .as("adc"))
-    val cand = Similarity.rankTopK(adc, rerank, "adc")
+    val cand = Similarity.rankTopK(adc, eff, "adc")
       .select("query_id", "neighbor_id")
     val rer = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
@@ -778,9 +821,10 @@ object IvfIndex {
     * where [[probePq]]'s bounded-probe-set contract — a driver-collected
     * `IN` cell literal and broadcast rerank candidates — stops fitting).
     *
-    *  - ADC pass: each query carries its per-query tables (nlist cell
-    *    dots + the m×ksub LUT) onto its `nprobe` exploded probe rows,
-    *    and ONE [[cellJoin]] against the cell-clustered codes scores
+    *  - ADC pass: each query carries its per-query tables (ONE cell dot
+    *    — selected from the nlist array at explode time — plus the
+    *    m×ksub LUT) onto its `nprobe` exploded probe rows, and ONE
+    *    [[cellJoin]] against the cell-clustered codes scores
     *    candidates — broadcast when the query side happens to be small,
     *    salted to bounded width when it is not. Shipping the LUT per
     *    probe row costs nprobe×(m·ksub) doubles per query but amortizes
@@ -810,11 +854,11 @@ object IvfIndex {
                 rerank: Int = 64,
                 filter: Option[org.apache.spark.sql.Column] = None)
       : DataFrame = {
-    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val version = wh.currentVersion(name).getOrElse(
       throw new IllegalStateException(s"IVF+PQ index '$name' was never built"))
     val vdir = s"${wh.root}/$name/_versions/$version"
     val cents = loadCentroids(wh, vdir)
+    val eff = resolveRerank(wh, name, rerank, k, nprobe, cents.length)
     val books = loadBooks(wh, vdir)
     val m = books.length
     val ksub = books.head.length
@@ -829,6 +873,11 @@ object IvfIndex {
       if (rotation.isEmpty) SignatureExpressions.pqLut(col("qv"), books)
       else SignatureExpressions.pqLut(
         SignatureExpressions.vecRotate(col("qv"), rotation), books)
+    // one cell dot per exploded probe row (see probePq): the salted ADC
+    // join replicates probe rows `factor` times, so shaving nlist−1
+    // doubles per row trims the shuffle at exactly the corpus-sized
+    // query scales this variant exists for (the LUT still dominates —
+    // this is a trim, not a structural change)
     val probes = graft.functions.Generates.explodeOnce(
       q.select(col("query_id"),
         SignatureExpressions.pqLut(col("qv"), Seq(cents)).as("cell_dots"),
@@ -837,6 +886,9 @@ object IvfIndex {
           .as("cells")),
       Seq(col("query_id"), col("cell_dots"), col("lut")), col("cells"),
       "cell")
+      .select(col("query_id"),
+        element_at(col("cell_dots"), col("cell") + 1).as("cell_dot"),
+        col("lut"), col("cell"))
     val codes = liveOnly(wh, vdir,
       wh.readVersion(name, version)
         .filter(filter.getOrElse(lit(true))) // pushed into the code scan
@@ -847,10 +899,10 @@ object IvfIndex {
     val adc = cellJoin(wh, codes, probes, "neighbor_id", cents.length)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (element_at(col("cell_dots"), col("cell") + 1) +
+        (col("cell_dot") +
           SignatureExpressions.pqAdc(col("lut"), col("code"), m, ksub))
           .as("adc"))
-    val cand = Similarity.rankTopK(adc, rerank, "adc")
+    val cand = Similarity.rankTopK(adc, eff, "adc")
       .select("query_id", "neighbor_id")
     val rer = cand
       .join(corpus.select(col(idCol).as("neighbor_id"),

@@ -196,34 +196,75 @@ object TextIndex {
   }
 
   /** Per-version layout cache: the bucket count is IMMUTABLE within an
-    * index version (build writes it once, compact copies it), so the
-    * one-row `_layout` read happens once per resolved version dir —
-    * never a Spark job per search on the hot path. Keyed by the
-    * version-dir path: a rebuild resolves to a new dir and therefore a
-    * fresh entry; stale keys for retired versions are harmless. */
+    * index version (build writes it once, compact/rebuild write the new
+    * version's), so the one-row `_layout` read happens once per
+    * resolved version dir — never a Spark job per search on the hot
+    * path. Keyed by the version-dir path: a rebuild resolves to a new
+    * dir and therefore a fresh entry. BOUNDED: inserting a version's
+    * entry evicts the same table's retired-version keys (only the
+    * current version's entry is ever consulted again), so a long-lived
+    * driver rebuilding/compacting many indexes never leaks cache
+    * entries. */
   private val layoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Refuse an `nBuckets` that disagrees with the stored layout — the
-    * frozen hash routes every posting AND every search through
-    * `token-hash % nBuckets`, so a mismatched value prunes to the wrong
-    * buckets and answers EMPTY with no error. Indexes built before the
-    * `_layout` companion existed validate nothing (as before; cached
-    * as -1 so the absence check is also paid once per version). */
-  private def requireBuckets(wh: Warehouse, name: String,
-                             nBuckets: Int): Unit = {
+  /** The stored bucket count for the CURRENT version (−1 when the index
+    * predates the `_layout` companion), cached per version dir. */
+  private def layoutOf(wh: Warehouse, name: String): Long = {
     val key = s"${wh.dataPath(name)}/_layout"
-    val stored = layoutCache.computeIfAbsent(key, { k =>
-      val lp = new Path(k)
-      if (!fs(wh, lp).exists(lp)) -1L
-      else wh.spark.read.parquet(k)
-        .select(col("n_buckets")).head().getLong(0)
-    })
-    if (stored >= 0L)
-      require(stored == nBuckets.toLong,
-        s"index '$name' was built with nBuckets = $stored, got " +
-          s"$nBuckets — a mismatched bucket count routes searches to " +
-          "the wrong partitions and silently answers empty")
+    val cached = layoutCache.get(key)
+    if (cached != null) cached.longValue()
+    else {
+      val lp = new Path(key)
+      val v: Long =
+        if (!fs(wh, lp).exists(lp)) -1L
+        else wh.spark.read.parquet(key)
+          .select(col("n_buckets")).head().getLong(0)
+      // evict the same table's other (retired-version) keys before
+      // inserting — the eviction runs outside any compute-function so
+      // the map is never mutated re-entrantly; a racing thread at worst
+      // re-reads one one-row parquet
+      val prefix = key.indexOf("/_versions/") match {
+        case -1 => key
+        case i => key.substring(0, i) + "/"
+      }
+      val it = layoutCache.keySet.iterator
+      while (it.hasNext) {
+        val k = it.next()
+        if (k != key && k.startsWith(prefix)) it.remove()
+      }
+      layoutCache.put(key, v)
+      v
+    }
+  }
+
+  /** Resolve the bucket count every search/append/reindex routes
+    * through. `nBuckets = 0` (the default everywhere but [[build]])
+    * resolves it FROM the stored `_layout` — the index is
+    * self-describing, so callers need not carry the build-time constant
+    * around; an index predating the marker refuses the omission loudly
+    * (guessing would prune to the wrong buckets and silently answer
+    * empty). An EXPLICIT count is validated against the stored layout
+    * exactly as before — a wrong value refuses, a pre-marker index
+    * validates nothing (unchanged legacy behavior). */
+  private def resolveBuckets(wh: Warehouse, name: String,
+                             nBuckets: Int): Int = {
+    require(nBuckets >= 0, s"nBuckets must be >= 0 (0 = resolve from " +
+      s"the stored _layout), got $nBuckets")
+    val stored = layoutOf(wh, name)
+    if (nBuckets == 0) {
+      require(stored >= 0L,
+        s"index '$name' predates the self-describing _layout marker — " +
+          "pass the nBuckets it was built with explicitly")
+      stored.toInt
+    } else {
+      if (stored >= 0L)
+        require(stored == nBuckets.toLong,
+          s"index '$name' was built with nBuckets = $stored, got " +
+            s"$nBuckets — a mismatched bucket count routes searches to " +
+            "the wrong partitions and silently answers empty")
+      nBuckets
+    }
   }
 
   /** Incremental maintenance: index a batch of NEW documents without a
@@ -236,15 +277,15 @@ object TextIndex {
     * silently break phrase search on the new docs). */
   def append(wh: Warehouse, newDocs: DataFrame, idCol: String,
              textCol: String, name: String = "text_index",
-             nBuckets: Int = 64): Unit = {
+             nBuckets: Int = 0): Unit = {
     // ONE materialization feeds both writes: newDocs may be
     // non-deterministic (a sample, a limit, a first-wins dedup) and two
     // independent actions over a lazy frame could compute doclen rows
     // and postings from DIFFERENT row sets, skewing BM25's N/avgdl
-    requireBuckets(wh, name, nBuckets)
+    val nb = resolveBuckets(wh, name, nBuckets)
     val toks = graft.engine.Exec.materialize(
       tokenize(newDocs, idCol, textCol, attrColsOf(wh, name)))
-    appendToks(wh, toks, name, nBuckets, nextSeq(wh, name))
+    appendToks(wh, toks, name, nb, nextSeq(wh, name))
   }
 
   /** The write half of [[append]]/[[reindex]] over an already-pinned
@@ -363,7 +404,7 @@ object TextIndex {
     * for a manual compaction. */
   def streamingIndex(wh: Warehouse, docs: DataFrame, idCol: String,
                      textCol: String, checkpoint: String,
-                     name: String = "text_index", nBuckets: Int = 64,
+                     name: String = "text_index", nBuckets: Int = 0,
                      maintainEvery: Int = 0,
                      maxDeadFraction: Double = DefaultMaxDeadFraction,
                      maxTombstoneBloat: Double = DefaultMaxTombstoneBloat,
@@ -455,19 +496,19 @@ object TextIndex {
     * the two sees the doc deleted — transiently absent, never stale). */
   def reindex(wh: Warehouse, changedDocs: DataFrame, idCol: String,
               textCol: String, name: String = "text_index",
-              nBuckets: Int = 64): Unit = {
+              nBuckets: Int = 0): Unit = {
     // pin the tokenized batch ONCE: the tombstone ids and the appended
     // postings must come from the same row set (a non-deterministic
     // batch evaluated twice could tombstone one set and append another),
     // and the generation resolves once — one doclen frontier scan per
     // reindex instead of delete's + append's separate scans
-    requireBuckets(wh, name, nBuckets)
+    val nb = resolveBuckets(wh, name, nBuckets)
     val toks = graft.engine.Exec.materialize(
       tokenize(changedDocs, idCol, textCol, attrColsOf(wh, name)))
     val cut = nextSeq(wh, name)
     deleteAt(wh, toks.select(col("doc_id")), name, cut,
       onlyExisting = true)
-    appendToks(wh, toks, name, nBuckets, cut)
+    appendToks(wh, toks, name, nb, cut)
   }
 
   /** Ranked retrieval FROM the index: BM25 top-k over the query terms'
@@ -479,7 +520,7 @@ object TextIndex {
     * side is touched exactly once (the doclen join); everything else is
     * bounded by Σ df(term). */
   def searchRanked(wh: Warehouse, terms: Seq[String],
-                   name: String = "text_index", nBuckets: Int = 64,
+                   name: String = "text_index", nBuckets: Int = 0,
                    k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
                    filter: Option[Column] = None): DataFrame = {
     import graft.functions.TopKAggregate
@@ -487,9 +528,9 @@ object TextIndex {
     require(toks.nonEmpty && toks.forall(_.nonEmpty),
       s"searchRanked needs non-blank terms, got $terms")
     require(k >= 1, s"k must be >= 1, got $k")
-    requireBuckets(wh, name, nBuckets)
+    val nb = resolveBuckets(wh, name, nBuckets)
     val buckets = toks
-      .map(t => Sampling.hashBucketOf(t, "tix", nBuckets).toInt).distinct
+      .map(t => Sampling.hashBucketOf(t, "tix", nb).toInt).distinct
     // `filter` constrains retrieval to the sub-corpus matching a
     // predicate over the doclen attribute columns ([[build]] attrCols):
     // a pushed filter on the docs-sized metadata scan, after which N,
@@ -562,7 +603,7 @@ object TextIndex {
     * adjacency sweep. Repeated terms are handled per-offset. Requires a
     * positional index ([[build]] `positions = true`). */
   def searchPhrase(wh: Warehouse, phrase: Seq[String],
-                   name: String = "text_index", nBuckets: Int = 64,
+                   name: String = "text_index", nBuckets: Int = 0,
                    filter: Option[Column] = None): DataFrame = {
     val toks = phrase.map(normTerm)
     require(toks.nonEmpty && toks.forall(_.nonEmpty),
@@ -570,9 +611,9 @@ object TextIndex {
     require(hasPositions(wh, name),
       s"index '$name' was built with positions = false — phrase search " +
         "needs stored position lists; rebuild with positions = true")
-    requireBuckets(wh, name, nBuckets)
+    val nb = resolveBuckets(wh, name, nBuckets)
     val buckets = toks
-      .map(t => Sampling.hashBucketOf(t, "tix", nBuckets).toInt).distinct
+      .map(t => Sampling.hashBucketOf(t, "tix", nb).toInt).distinct
     val posts = graft.engine.Exec.materialize(liveOnly(wh, name,
       wh.read(name)
         .filter(col("bucket").isin(buckets: _*) &&
@@ -612,16 +653,16 @@ object TextIndex {
     * AND-semantics run as one |terms|-bounded count aggregate per doc.
     * Duplicate query terms collapse; empty/blank terms are refused. */
   def searchAll(wh: Warehouse, terms: Seq[String],
-                name: String = "text_index", nBuckets: Int = 64,
+                name: String = "text_index", nBuckets: Int = 0,
                 filter: Option[Column] = None): DataFrame = {
     val toks = terms.map(normTerm).distinct
     require(toks.nonEmpty && toks.forall(_.nonEmpty),
       s"searchAll needs non-blank terms, got $terms")
-    requireBuckets(wh, name, nBuckets)
+    val nb = resolveBuckets(wh, name, nBuckets)
     // Int literals so the partition filter needs no cast (a cast can
     // defeat static pruning)
     val buckets = toks
-      .map(t => Sampling.hashBucketOf(t, "tix", nBuckets).toInt).distinct
+      .map(t => Sampling.hashBucketOf(t, "tix", nb).toInt).distinct
     val hits = liveOnly(wh, name,
       wh.read(name)
         .filter(col("bucket").isin(buckets: _*) &&
@@ -660,7 +701,7 @@ object TextIndex {
     * per doc — the only change is the `>= minMatch` gate); returns
     * (doc_id, n_matched) so callers can rank by match count. */
   def searchAny(wh: Warehouse, terms: Seq[String],
-                name: String = "text_index", nBuckets: Int = 64,
+                name: String = "text_index", nBuckets: Int = 0,
                 minMatch: Int = 1,
                 filter: Option[Column] = None): DataFrame = {
     val toks = terms.map(normTerm).distinct
@@ -669,9 +710,9 @@ object TextIndex {
     require(minMatch >= 1 && minMatch <= toks.size,
       s"minMatch must be in [1, ${toks.size}] (distinct terms), " +
         s"got $minMatch")
-    requireBuckets(wh, name, nBuckets)
+    val nb = resolveBuckets(wh, name, nBuckets)
     val buckets = toks
-      .map(t => Sampling.hashBucketOf(t, "tix", nBuckets).toInt).distinct
+      .map(t => Sampling.hashBucketOf(t, "tix", nb).toInt).distinct
     val hits = liveOnly(wh, name,
       wh.read(name)
         .filter(col("bucket").isin(buckets: _*) &&

@@ -1829,7 +1829,7 @@ object ExtendedQueries {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
         "doc_id", "text", "tix", nBuckets = 64)
       graft.operators.TextIndex.searchAll(wh, Seq("merge", "vector"),
-        "tix", nBuckets = 64).orderBy(col("doc_id"))
+        "tix").orderBy(col("doc_id"))
     }),
 
     // ── phrase search from the stored positions: docs where the terms
@@ -1844,7 +1844,7 @@ object ExtendedQueries {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
         "doc_id", "text", "tix", nBuckets = 64)
       graft.operators.TextIndex.searchPhrase(wh, Seq("merge", "vector"),
-        "tix", nBuckets = 64).orderBy(col("doc_id"))
+        "tix").orderBy(col("doc_id"))
     }),
 
     // ── ranked retrieval FROM the persisted index: BM25 computed from
@@ -1860,7 +1860,7 @@ object ExtendedQueries {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
         "doc_id", "text", "tix", nBuckets = 64)
       graft.operators.TextIndex.searchRanked(wh,
-        Seq("spark", "join", "vector"), "tix", nBuckets = 64, k = 20)
+        Seq("spark", "join", "vector"), "tix", k = 20)
     }),
 
     // ── the NIGHTLY MAINTENANCE capstone, composing the round's tier end
@@ -1953,16 +1953,16 @@ object ExtendedQueries {
         docs.filter(col("doc_id") % 10 === 3)
           .select(col("doc_id"),
             lit("refreshed crawl payload").as("text")),
-        "doc_id", "text", "tix", nBuckets = 64)
+        "doc_id", "text", "tix")
       // purge: every doc_id ≡ 7 (mod 10) leaves the corpus
       graft.operators.TextIndex.delete(wh,
         docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")),
         "doc_id", "tix")
       val mv = graft.operators.TextIndex.searchAll(wh,
-          Seq("merge", "vector"), "tix", nBuckets = 64)
+          Seq("merge", "vector"), "tix")
         .withColumn("probe", lit("merge_vector"))
       val rc = graft.operators.TextIndex.searchAll(wh,
-          Seq("refreshed", "crawl"), "tix", nBuckets = 64)
+          Seq("refreshed", "crawl"), "tix")
         .withColumn("probe", lit("refreshed_crawl"))
       mv.unionByName(rc).orderBy(col("probe"), col("doc_id"))
     }),
@@ -1983,16 +1983,16 @@ object ExtendedQueries {
         docs.filter(col("doc_id") % 10 === 3)
           .select(col("doc_id"),
             lit("refreshed crawl payload").as("text")),
-        "doc_id", "text", "tix", nBuckets = 64)
+        "doc_id", "text", "tix")
       graft.operators.TextIndex.delete(wh,
         docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")),
         "doc_id", "tix")
       graft.operators.TextIndex.compact(wh, "tix")
       val mv = graft.operators.TextIndex.searchAll(wh,
-          Seq("merge", "vector"), "tix", nBuckets = 64)
+          Seq("merge", "vector"), "tix")
         .withColumn("probe", lit("merge_vector"))
       val rc = graft.operators.TextIndex.searchAll(wh,
-          Seq("refreshed", "crawl"), "tix", nBuckets = 64)
+          Seq("refreshed", "crawl"), "tix")
         .withColumn("probe", lit("refreshed_crawl"))
       mv.unionByName(rc).orderBy(col("probe"), col("doc_id"))
     }),
@@ -2020,7 +2020,7 @@ object ExtendedQueries {
         docs.filter(col("doc_id") % 10 === 3)
           .select(col("doc_id"),
             lit("refreshed crawl payload").as("text")),
-        "doc_id", "text", "tix", nBuckets = 64)
+        "doc_id", "text", "tix")
       TextIndex.delete(wh,
         docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")),
         "doc_id", "tix")
@@ -2033,11 +2033,9 @@ object ExtendedQueries {
         maxDeadFraction = 0.1)
       require(after == IndexAdvice.Healthy,
         s"compacted index must read Healthy, got $after")
-      val mv = TextIndex.searchAll(wh, Seq("merge", "vector"), "tix",
-          nBuckets = 64)
+      val mv = TextIndex.searchAll(wh, Seq("merge", "vector"), "tix")
         .withColumn("probe", lit("merge_vector"))
-      val rc = TextIndex.searchAll(wh, Seq("refreshed", "crawl"), "tix",
-          nBuckets = 64)
+      val rc = TextIndex.searchAll(wh, Seq("refreshed", "crawl"), "tix")
         .withColumn("probe", lit("refreshed_crawl"))
       mv.unionByName(rc).orderBy(col("probe"), col("doc_id"))
     }),
@@ -2054,10 +2052,10 @@ object ExtendedQueries {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
         "doc_id", "text", "tix", nBuckets = 64)
       val any = graft.operators.TextIndex.searchAny(wh,
-          Seq("merge", "vector"), "tix", nBuckets = 64, minMatch = 1)
+          Seq("merge", "vector"), "tix", minMatch = 1)
         .withColumn("probe", lit("any_merge_vector"))
       val kofn = graft.operators.TextIndex.searchAny(wh,
-          Seq("merge", "vector", "spark"), "tix", nBuckets = 64,
+          Seq("merge", "vector", "spark"), "tix",
           minMatch = 2)
         .withColumn("probe", lit("two_of_mvs"))
       any.unionByName(kofn).orderBy(col("probe"), col("doc_id"))
@@ -2081,7 +2079,7 @@ object ExtendedQueries {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
         "doc_id", "text", "tix", nBuckets = 64)
       val lex = graft.operators.TextIndex.searchRanked(wh,
-          Seq("spark", "join", "vector"), "tix", nBuckets = 64, k = 50)
+          Seq("spark", "join", "vector"), "tix", k = 50)
         .select(col("doc_id").as("id"), col("rank"))
       val emb = Td(s, dir, "embeddings")
       graft.operators.IvfIndex.build(wh,
@@ -2110,7 +2108,7 @@ object ExtendedQueries {
         "doc_id", "text", "tix", nBuckets = 64,
         attrCols = Seq("lang"))
       graft.operators.TextIndex.searchRanked(wh,
-        Seq("spark", "join", "vector"), "tix", nBuckets = 64, k = 20,
+        Seq("spark", "join", "vector"), "tix", k = 20,
         filter = Some(col("lang") === "en"))
     }),
 
@@ -2127,11 +2125,11 @@ object ExtendedQueries {
         "doc_id", "text", "tix", nBuckets = 64,
         attrCols = Seq("lang"))
       val any = graft.operators.TextIndex.searchAny(wh,
-          Seq("merge", "vector"), "tix", nBuckets = 64, minMatch = 1,
+          Seq("merge", "vector"), "tix", minMatch = 1,
           filter = Some(col("lang") === "fr"))
         .withColumn("probe", lit("any_fr"))
       val kofn = graft.operators.TextIndex.searchAny(wh,
-          Seq("merge", "vector", "spark"), "tix", nBuckets = 64,
+          Seq("merge", "vector", "spark"), "tix",
           minMatch = 2, filter = Some(col("lang") === "de"))
         .withColumn("probe", lit("two_of_three_de"))
       any.unionByName(kofn).orderBy(col("probe"), col("doc_id"))
@@ -2152,13 +2150,13 @@ object ExtendedQueries {
       graft.operators.TextIndex.build(wh, docs, "doc_id", "text", "tix",
         nBuckets = 64, attrCols = Seq("lang"))
       val filtered = graft.operators.TextIndex.searchPhrase(wh,
-        Seq("merge", "vector"), "tix", nBuckets = 64,
+        Seq("merge", "vector"), "tix",
         filter = Some(col("lang") === "en"))
       graft.operators.TextIndex.build(wh,
         docs.filter(col("lang") === "en"), "doc_id", "text", "sub",
         nBuckets = 64)
       val sub = graft.operators.TextIndex.searchPhrase(wh,
-        Seq("merge", "vector"), "sub", nBuckets = 64)
+        Seq("merge", "vector"), "sub")
       require(filtered.select("doc_id").except(sub.select("doc_id"))
           .unionByName(sub.select("doc_id")
             .except(filtered.select("doc_id")))
@@ -2202,7 +2200,7 @@ object ExtendedQueries {
       val drift = s.range(60L * docs.count())
         .select((col("id") + 1000000L).as("doc_id"),
           lit("driftbeta driftdelta driftepsilon driftzeta").as("text"))
-      TextIndex.append(wh, drift, "doc_id", "text", "tix", nBuckets = 64)
+      TextIndex.append(wh, drift, "doc_id", "text", "tix")
       // the append FOLDED its per-bucket deltas into the stored
       // evidence, so the drifted reading is already metadata
       // (re-measure fallback guards a stale stamp only)
@@ -2230,8 +2228,8 @@ object ExtendedQueries {
         maxBucketSkew = gate)
       require(rebuilt == IndexAdvice.Healthy,
         s"the re-bucketed layout must read Healthy, got $rebuilt")
-      TextIndex.searchAll(wh, Seq("merge", "vector"), "tix",
-        nBuckets = 8).orderBy(col("doc_id"))
+      TextIndex.searchAll(wh, Seq("merge", "vector"), "tix")
+        .orderBy(col("doc_id"))
     }),
 
     // ── NDCG@10 evidence per source: the ranking document LENGTH

@@ -374,13 +374,18 @@ class JoinPolicySpec extends SparkSpec {
     // speculative duplicates, and a cached-partition eviction would
     // legitimately re-evaluate the UDF even though the input was pinned
     // once — so the exact-equality form can fail spuriously. The pin
-    // guarantee bounds evaluations to AT MOST one extra full pass; the
-    // un-pinned failure mode this test exists to catch (every
-    // appendAnalyzed action re-running the source) reads >= 3 passes.
-    assert(evals.value >= batchLanded && evals.value <= 2L * batchLanded,
+    // guarantee bounds evaluations to AT MOST one extra full pass per
+    // independent re-evaluation source — and task retries and
+    // cached-partition evictions are independent, so on a contended box
+    // they can compound past a single extra pass. The un-pinned failure
+    // mode this test exists to catch (every appendAnalyzed action
+    // re-running the source) reads >= 3 full passes, so the upper bound
+    // sits AT that documented threshold instead of flaking below it.
+    assert(evals.value >= batchLanded && evals.value < 3L * batchLanded,
       s"batch evaluated ${evals.value} row-passes for $batchLanded " +
         "landed rows — appendAnalyzed must pin its input (one pass, " +
-        "at most one retry/eviction re-pass)")
+        "bounded retry/eviction re-passes strictly below the un-pinned " +
+        "3-pass signature)")
     def statsRow() = {
       val st = wh.readSketchStats("nd", "k").get
       val hot = st.select(explode(col("hot")).as("e"))

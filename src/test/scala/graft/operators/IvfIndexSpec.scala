@@ -372,20 +372,23 @@ class IvfIndexSpec extends SparkSpec {
   }
 
   test("recommendedRerank encodes the measured curve's sizing rule: " +
-      "~5% of probed candidate mass, floored at 8k, never past the " +
+      "~25% of probed candidate mass, floored at 8k, never past the " +
       "mass itself, never below k") {
     // the AnnRecall anchors: 20k corpus, nprobe 16 / nlist 64 -> probed
-    // mass 5000; 5% = 250 sits on the steep part of the measured curve
-    // (0.416@256), 8k dominates for small sweeps
-    assert(IvfIndex.recommendedRerank(5, 5000L) == 250)
-    assert(IvfIndex.recommendedRerank(100, 5000L) == 800) // 8k floor
+    // mass 5000; 25% = 1250 sits past the measured curve's 0.968@1024
+    // knee (the ≥0.9 flat shoulder an AUTOMATIC depth must land on —
+    // 512 ≈ 10% reads 0.696, 250 ≈ 5% reads 0.416, both starved),
+    // 8k dominates for small sweeps
+    assert(IvfIndex.recommendedRerank(5, 5000L) == 1250)
+    assert(IvfIndex.recommendedRerank(100, 5000L) == 1250)
+    assert(IvfIndex.recommendedRerank(100, 2000L) == 800) // 8k floor
     assert(IvfIndex.recommendedRerank(5, 100L) == 40) // 8k floor again
     assert(IvfIndex.recommendedRerank(5, 20L) == 20) // capped at mass
     assert(IvfIndex.recommendedRerank(5, 0L) == 5) // never below k
     // 100 TB-scale probed mass must clamp, never wrap the Int
     assert(IvfIndex.recommendedRerank(5, Long.MaxValue) == Int.MaxValue)
-    assert(IvfIndex.recommendedRerank(5, 60_000_000_000L) ==
-      Int.MaxValue) // 5% of 60e9 = 3e9 > 2^31 — the wrap-negative band
+    assert(IvfIndex.recommendedRerank(5, 12_000_000_000L) ==
+      Int.MaxValue) // 25% of 12e9 = 3e9 > 2^31 — the wrap-negative band
     intercept[IllegalArgumentException] {
       IvfIndex.recommendedRerank(0, 100L)
     }

@@ -656,6 +656,52 @@ class TextIndexSpec extends SparkSpec {
       nBuckets = 8).as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("nBuckets resolves FROM the stored _layout when omitted: every " +
+      "search/maintenance path answers without the build-time constant, " +
+      "a rebuild at a new granularity re-resolves, and a pre-marker " +
+      "index refuses the omission loudly") {
+    val wh = freshWh
+    val docs = Seq((1L, "merge vector tables"), (2L, "spark joins"),
+      (3L, "vector merge ops")).toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tixr", nBuckets = 8)
+    // all six paths, no nBuckets anywhere
+    assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixr")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(TextIndex.searchAny(wh, Seq("spark", "tables"), "tixr")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(TextIndex.searchRanked(wh, Seq("vector"), "tixr")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(TextIndex.searchPhrase(wh, Seq("merge", "vector"), "tixr")
+      .as[Long].collect().toSeq == Seq(1L))
+    TextIndex.append(wh, Seq((4L, "vector merge fresh"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixr")
+    TextIndex.reindex(wh, Seq((2L, "now a vector merge doc"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixr")
+    assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixr")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // a rebuild at a DIFFERENT granularity re-resolves transparently
+    TextIndex.build(wh, docs, "doc_id", "text", "tixr", nBuckets = 2)
+    assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixr")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // an explicit WRONG count still refuses (unchanged contract)
+    val e = intercept[IllegalArgumentException](
+      TextIndex.searchAll(wh, Seq("merge"), "tixr", nBuckets = 16))
+    assert(e.getMessage.contains("nBuckets = 2"), e.getMessage)
+    // pre-marker index: omission refuses loudly instead of guessing
+    TextIndex.build(wh, docs, "doc_id", "text", "tixold", nBuckets = 8)
+    val lp = new org.apache.hadoop.fs.Path(
+      s"${wh.dataPath("tixold")}/_layout")
+    lp.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(lp, true)
+    val e2 = intercept[IllegalArgumentException](
+      TextIndex.searchAll(wh, Seq("merge"), "tixold"))
+    assert(e2.getMessage.contains("predates"), e2.getMessage)
+    // ...while the explicit legacy call still answers, validated by
+    // nothing (pre-marker behavior unchanged)
+    assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixold",
+      nBuckets = 8).as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("incremental text health: appends fold doclen + per-bucket " +
       "posting deltas (maintained equals a re-measure), deletes stale " +
       "the stamp, compact folds at metadata cost") {
