@@ -28,9 +28,14 @@ object IndexAdvice {
   case object Compact extends IndexAdvice
 
   /** Structural drift a compaction cannot fix (cell occupancy skewed
-    * far past the trained layout): re-train with `build`/`buildPq`.
-    * `maintain()` SURFACES this but never executes it — a rebuild needs
-    * the corpus and the training parameters, which only the caller has. */
+    * far past the trained layout): re-train/re-bucket. `maintain()`
+    * SURFACES this by default and EXECUTES it with
+    * `executeRebuild = true` — `TextIndex.rebuild` re-buckets the live
+    * postings at a granularity chosen from the stored occupancy
+    * evidence, `IvfIndex.rebuild` re-trains the plain-vector layout
+    * from its own live entries at observed mass. Only a coded (PQ)
+    * layout still needs the caller (its codes cannot re-train a
+    * quantizer — re-run `buildPq` over the corpus). */
   case object Rebuild extends IndexAdvice
 
   /** One metadata-only pass over an index's resolved version directory:

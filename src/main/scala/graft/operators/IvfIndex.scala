@@ -1117,18 +1117,62 @@ object IvfIndex {
     else IndexAdvice.Healthy
   }
 
+  /** Execute the REBUILD arm from the index itself — for the
+    * PLAIN-vector layout, whose entries carry the original vectors: the
+    * live entries re-train the coarse quantizer at observed mass (the
+    * greedy D²-weighted k-means++ init grants dense drift regions
+    * centroids in proportion to the distortion they carry — the exact
+    * fix for the occupancy skew that fires the Rebuild trigger) and the
+    * re-assigned corpus republishes atomically through [[build]], so
+    * the engine no longer needs the caller for the re-train. The
+    * training sample is hash-ordered by id, so rebuilding from the
+    * index's own live rows trains THE SAME centroids a
+    * `build(corpus ∪ appended)` over the equivalent row set would.
+    * `nlist = 0` keeps the trained granularity (the Rebuild trigger is
+    * mass that MOVED, not grew; the nlist ~ √N sizing lever stays with
+    * callers who scaled the corpus). A CODED (PQ) layout refuses
+    * loudly — 12-byte codes cannot re-train a quantizer; re-run
+    * [[buildPq]] over the corpus. Health is re-measured onto the fresh
+    * version (one column-pruned (id, seq, cell) pass — the cell mapping
+    * changed, so no fold applies), keeping post-rebuild advice at
+    * metadata cost. Returns the published version. */
+  def rebuild(wh: Warehouse, name: String = "ivf_index", nlist: Int = 0,
+              seed: Long = 42L): String = {
+    val version = wh.currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"index '$name' was never built"))
+    val vdir = s"${wh.root}/$name/_versions/$version"
+    val df = wh.readVersion(name, version)
+    require(!df.columns.contains("code"),
+      s"index '$name' is a coded (PQ) layout — its 12-byte entries " +
+        "cannot re-train a quantizer; re-run buildPq over the corpus")
+    val idName = df.columns.head // build selects the id first...
+    val vecName = df.columns(1) // ...and the vector second
+    val cents0 = loadCentroids(wh, vdir)
+    val live = liveOnly(wh, vdir, df, idName).drop("cell")
+    val attrs = live.columns.toSeq
+      .filterNot(c => c == idName || c == vecName)
+    val out = build(wh, live, idName, vecName, cents0.head.length,
+      if (nlist > 0) nlist else cents0.length, name, seed, attrs)
+    analyzeHealth(wh, name)
+    out
+  }
+
   /** Consult [[maintenanceAdvice]] and ACT on it — the one call a
     * nightly maintenance job needs per vector index. Compact advice is
-    * executed; Rebuild advice is RETURNED but not executed (a rebuild
-    * needs the corpus and training parameters only the caller has —
-    * act on the return value). */
+    * executed; Rebuild advice is returned, and with `executeRebuild`
+    * also EXECUTED via [[rebuild]] for the plain-vector layout (a coded
+    * layout's rebuild needs the corpus — [[rebuild]] refuses it loudly,
+    * which is why the default stays surface-only). */
   def maintain(wh: Warehouse, name: String,
                maxDeadFraction: Double = DefaultMaxDeadFraction,
                maxTombstoneBloat: Double = DefaultMaxTombstoneBloat,
-               maxCellSkew: Double = DefaultMaxCellSkew): IndexAdvice = {
+               maxCellSkew: Double = DefaultMaxCellSkew,
+               executeRebuild: Boolean = false): IndexAdvice = {
     val a = maintenanceAdvice(wh, name, maxDeadFraction,
       maxTombstoneBloat, maxCellSkew)
     if (a == IndexAdvice.Compact) compact(wh, name)
+    else if (a == IndexAdvice.Rebuild && executeRebuild)
+      rebuild(wh, name)
     a
   }
 }

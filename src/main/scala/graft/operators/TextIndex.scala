@@ -300,11 +300,11 @@ object TextIndex {
     * an append adds only live generations, so the dead axes are
     * untouched) instead of staling the stamp: a crawl-ingest stream's
     * [[maintenanceAdvice]] then stays metadata-cost across any number
-    * of appends. Deletes and reindexes stale the stamp as before —
-    * their newly-dead POSTING mass per bucket would need a posting
-    * scan the delete path doesn't otherwise pay (unlike [[IvfIndex]]'s
-    * delete, whose existing-ids gate already scans the entry ids), so
-    * the next advice re-measures once and re-persists. */
+    * of appends. Deletes and reindexes fold too when the batch clears
+    * the [[MinDeleteFoldRatio]] size gate (their newly-dead posting
+    * mass per bucket needs one column-pruned posting pass — see
+    * [[deleteAt]]); below it they stale the stamp and the next advice
+    * re-measures once and re-persists. */
   private def appendToks(wh: Warehouse, toks: DataFrame, name: String,
                          nBuckets: Int, seq: Long): Unit = {
     val pre = freshHealth(wh, name)
@@ -373,11 +373,51 @@ object TextIndex {
     // (every search's cuts join lists this dir; one file per shuffle
     // partition per call was the old shape), a corpus-shaped delete set
     // keeps bounded multi-task writers
-    if (n > 0L)
+    if (n > 0L) {
+      // capture health + the newly-dead masses BEFORE the tombstone
+      // write: the deltas must count rows live under the CURRENT cuts
+      // (the new cut would make them all read dead), and the capture's
+      // census stamp must predate the file change. The per-bucket
+      // posting delta is the one cost the append fold never pays — a
+      // column-pruned (doc_id, seq, bucket) pass, exactly the scan
+      // [[analyzeHealth]] does — so it is size-gated like [[IvfIndex]]'s
+      // delete fold: it runs only while stored health is fresh AND the
+      // batch is at least 1/MinDeleteFoldRatio of the doclen
+      // generations. A re-crawl stream of micro-batches below the gate
+      // stales the stamp instead (one re-measure per advice
+      // consultation — the pre-fold behavior); a bulk purge folds and
+      // keeps advice at metadata cost.
+      val pre = freshHealth(wh, name).filter { case (live, dead, _) =>
+        n >= (live + dead + MinDeleteFoldRatio - 1) / MinDeleteFoldRatio
+      }
+      val deltas = pre.map { _ =>
+        val ddl = liveOnly(wh, name,
+          wh.spark.read.parquet(doclenPath(wh, name))
+            .select(col("doc_id"), col("seq")))
+          .join(toTomb, Seq("doc_id"), "left_semi").count()
+        val db = liveOnly(wh, name,
+          wh.read(name).select(col("doc_id"), col("seq"), col("bucket")))
+          .join(toTomb, Seq("doc_id"), "left_semi")
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        (ddl, db)
+      }
       toTomb.withColumn("cut", lit(cut))
         .repartition(IndexAdvice.companionShards(n))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(deletesPath(wh, name))
+      pre.foreach { case (live, dead, buckets) =>
+        val (ddl, db) = deltas.get
+        // buckets whose every posting died disappear, matching the
+        // re-measure's live-only census (the skew mean is over buckets
+        // HOLDING live postings)
+        val folded = buckets
+          .map { case (b, m) => (b, m - db.getOrElse(b, 0L)) }
+          .filter(_._2 > 0L)
+        persistHealth(wh, name, live - ddl, dead + ddl, folded,
+          IndexAdvice.census(wh, name))
+      }
+    }
   }
 
   /** Continuous indexing: a streaming crawl becomes searchable batch by
@@ -486,6 +526,100 @@ object TextIndex {
       persistHealth(wh, name, nDl, 0L, buckets,
         IndexAdvice.census(wh, name))
     }
+    out
+  }
+
+  /** The granularity the OBSERVED posting-mass distribution calls for:
+    * the LARGEST divisor of the current bucket count whose PREDICTED
+    * live skew clears the gate (largest preserves the most pruning).
+    * The prediction is EXACT, not a heuristic: a token's bucket is
+    * `hash % B`, and for any divisor B′ of B, `hash % B′ ==
+    * (hash % B) % B′` — so the per-bucket live masses at B′ are a pure
+    * regrouping of the stored `_health_buckets` table, computed
+    * driver-side over ≤ nBuckets rows, and the post-rebuild measured
+    * skew equals the prediction by construction. Coarsening is always
+    * sufficient for the Rebuild trigger's failure mode (a few dominant
+    * terms whose atomic posting lists no finer split can spread): at
+    * B′ = 1 the skew is 1.0 by definition, so a gate above 1 always
+    * has a clearing divisor. */
+  private[operators] def chooseBuckets(current: Int,
+                                       buckets: Seq[(Int, Long)],
+                                       maxBucketSkew: Double): Int = {
+    require(current >= 1 && maxBucketSkew > 1.0,
+      s"need current >= 1 and a skew gate above 1.0, got " +
+        s"($current, $maxBucketSkew)")
+    (1 to current).reverse.filter(current % _ == 0).find { b =>
+      val folded = buckets.groupBy(_._1 % b).values
+        .map(_.map(_._2).sum).filter(_ > 0L)
+      folded.isEmpty || {
+        val mean = folded.sum.toDouble / folded.size
+        folded.max / mean < maxBucketSkew
+      }
+    }.getOrElse(1)
+  }
+
+  /** Execute the REBUILD arm from the index itself — the policy loop's
+    * last caller burden folded into the engine: when occupancy drift
+    * breaks the frozen hash layout's pruning premise (the
+    * [[DefaultMaxBucketSkew]] trigger), this re-buckets the LIVE
+    * postings at the granularity [[chooseBuckets]] derives from the
+    * stored `_health_buckets` evidence and republishes atomically —
+    * same discipline as [[compact]] (live rows only, doclen reconciled,
+    * fresh version carries no `_deletes`), with the bucket column
+    * recomputed through the frozen token hash at the new count and the
+    * new `_layout` marker riding the version dir. The corpus is never
+    * re-tokenized: postings carry their tokens, so a re-bucket is
+    * index-sized I/O, not a corpus scan ([[build]] is only needed when
+    * the TOKENIZER changes). Health folds at metadata cost — the new
+    * per-bucket masses are the exact hash-space regroup of the stored
+    * ones, so the rebuilt index's advice stays metadata-cost and reads
+    * Healthy at the gate that fired. Returns the published version. */
+  def rebuild(wh: Warehouse, name: String = "text_index",
+              maxBucketSkew: Double = DefaultMaxBucketSkew): String = {
+    import wh.spark.implicits._
+    val current = layoutOf(wh, name)
+    require(current >= 1L,
+      s"index '$name' predates the self-describing _layout marker — a " +
+        "re-bucket needs the stored granularity; run build() over the " +
+        "corpus instead")
+    val pre = freshHealth(wh, name).getOrElse {
+      analyzeHealthWith(wh, name, IndexAdvice.census(wh, name))
+      freshHealth(wh, name).get
+    }
+    val (_, _, buckets) = pre
+    val nb = chooseBuckets(current.toInt, buckets, maxBucketSkew)
+    // rewrite FROM the index: live postings re-bucketed through the
+    // frozen hash at the chosen count, doclen reconciled exactly like
+    // compact (torn-append dl>0 generations with no postings drop,
+    // legitimate dl=0 rows survive)
+    val live = liveOnly(wh, name, wh.read(name))
+      .withColumn("bucket",
+        Sampling.hashBucket(col("token"), "tix", nb).cast("int"))
+    val dlLive = liveOnly(wh, name,
+      wh.spark.read.parquet(doclenPath(wh, name)))
+    val gens = live.select(col("doc_id"), col("seq")).distinct()
+    val dl = graft.engine.Exec.materialize(
+      dlLive.filter(col("dl") === 0).unionByName(
+        dlLive.filter(col("dl") > 0)
+          .join(gens, Seq("doc_id", "seq"), "left_semi")))
+    val nDl = dl.count()
+    val out = wh.publish(
+      live.repartition(IndexAdvice.shufflePartitions(wh), col("bucket")),
+      name, partitionCols = Seq("bucket"),
+      beforeSwap = vdir => {
+        Seq(nb.toLong).toDF("n_buckets")
+          .coalesce(1).write.parquet(s"$vdir/_layout")
+        dl.repartition(IndexAdvice.companionShards(nDl))
+          .write.parquet(s"$vdir/_doclen")
+      })
+    // metadata-cost fold: the new buckets' masses are the exact
+    // regroup of the captured evidence (see chooseBuckets), dead mass
+    // zeroes, doclen count is the reconciled one
+    val folded = buckets.groupBy(_._1 % nb).toSeq
+      .map { case (b, ms) => (b, ms.map(_._2).sum) }
+      .filter(_._2 > 0L).sorted
+    persistHealth(wh, name, nDl, 0L, folded,
+      IndexAdvice.census(wh, name))
     out
   }
 
@@ -725,6 +859,13 @@ object TextIndex {
     attrGate(wh, name, hits, filter)
   }
 
+  /** A delete's health fold runs only when the tombstone batch is at
+    * least 1/this of the index's doclen generations — below that, the
+    * fold's column-pruned per-bucket posting pass per call costs more
+    * than the single re-measure the stale stamp defers to (see
+    * [[deleteAt]]; the [[IvfIndex.MinDeleteFoldRatio]] discipline). */
+  val MinDeleteFoldRatio = 10000L
+
   /** Compaction trigger: compact when at least this fraction of doclen
     * generations are tombstone-dead (each dead generation holds dead
     * postings in proportion — the doclen companion is the docs-sized
@@ -925,17 +1066,23 @@ object TextIndex {
   /** Consult [[maintenanceAdvice]] and ACT on it — the one call a
     * nightly maintenance job needs per text index. Returns the advice
     * it acted on (Healthy = nothing to do; Compact = compacted;
-    * Rebuild = SURFACED only, never executed — a rebuild needs the
-    * corpus and a bucket granularity chosen against the observed
-    * term-mass distribution, which only the caller has). */
+    * Rebuild = surfaced, and with `executeRebuild` also EXECUTED via
+    * [[rebuild]] — the granularity comes from the stored occupancy
+    * evidence, so the engine no longer needs the caller for the
+    * re-bucket; the default stays surface-only because a rebuild is
+    * index-sized I/O a scheduler may want to place, and a pre-marker
+    * index cannot self-describe its hash). */
   def maintain(wh: Warehouse, name: String = "text_index",
                maxDeadFraction: Double = DefaultMaxDeadFraction,
                maxTombstoneBloat: Double = DefaultMaxTombstoneBloat,
-               maxBucketSkew: Double = DefaultMaxBucketSkew)
+               maxBucketSkew: Double = DefaultMaxBucketSkew,
+               executeRebuild: Boolean = false)
       : IndexAdvice = {
     val a = maintenanceAdvice(wh, name, maxDeadFraction,
       maxTombstoneBloat, maxBucketSkew)
     if (a == IndexAdvice.Compact) compact(wh, name)
+    else if (a == IndexAdvice.Rebuild && executeRebuild)
+      rebuild(wh, name, maxBucketSkew)
     a
   }
 }

@@ -2215,15 +2215,21 @@ object ExtendedQueries {
         maxBucketSkew = gate)
       require(drifted == IndexAdvice.Rebuild,
         s"the dominant-term drift must read Rebuild, got $drifted")
-      // maintain() SURFACES Rebuild and must leave the index untouched
+      // maintain() SURFACES Rebuild by default, leaving the index
+      // untouched...
       val v0 = wh.currentVersion("tix")
       require(TextIndex.maintain(wh, "tix", maxBucketSkew = gate) ==
         IndexAdvice.Rebuild && wh.currentVersion("tix") == v0,
         "maintain must surface Rebuild without executing it")
-      // the CALLER executes the rebuild: re-bucket the full corpus at
-      // the coarser granularity the observed mass distribution calls for
-      TextIndex.build(wh, docs.unionByName(drift), "doc_id", "text",
-        "tix", nBuckets = 8)
+      // ...and EXECUTES it with the opt-in: one engine call — rebuild()
+      // re-buckets the live postings at the granularity chooseBuckets
+      // derives from the stored per-bucket evidence (an exact
+      // hash-space regroup, so the rebuilt skew equals the prediction
+      // and clears the gate that fired by construction)
+      require(TextIndex.maintain(wh, "tix", maxBucketSkew = gate,
+          executeRebuild = true) == IndexAdvice.Rebuild &&
+          wh.currentVersion("tix") != v0,
+        "maintain(executeRebuild = true) must execute the re-bucket")
       val rebuilt = TextIndex.maintenanceAdvice(wh, "tix",
         maxBucketSkew = gate)
       require(rebuilt == IndexAdvice.Healthy,

@@ -772,14 +772,20 @@ object ScaleQueries {
         maxCellSkew = skewGate)
       require(drifted == IndexAdvice.Rebuild,
         s"the 6x circle append must read Rebuild, got $drifted")
-      // maintain() SURFACES Rebuild and must leave the index untouched
+      // maintain() SURFACES Rebuild by default, leaving the index
+      // untouched...
       val v0 = wh.currentVersion("riv")
       require(IvfIndex.maintain(wh, "riv", maxCellSkew = skewGate) ==
         IndexAdvice.Rebuild && wh.currentVersion("riv") == v0,
         "maintain must surface Rebuild without executing it")
-      // the CALLER executes the rebuild: re-train over the full corpus
-      IvfIndex.build(wh, emb.unionByName(arc), "vec_id", "embedding",
-        dim = 64, nlist = 64, name = "riv")
+      // ...and EXECUTES it with the opt-in: one engine call — rebuild()
+      // re-trains from the index's own live vectors at observed mass
+      // (the sample is hash-ordered by id, so the centroids match a
+      // caller-side build over emb ∪ arc exactly)
+      require(IvfIndex.maintain(wh, "riv", maxCellSkew = skewGate,
+          executeRebuild = true) == IndexAdvice.Rebuild &&
+          wh.currentVersion("riv") != v0,
+        "maintain(executeRebuild = true) must execute the rebuild")
       val rebuilt = IvfIndex.maintenanceAdvice(wh, "riv",
         maxCellSkew = skewGate)
       require(rebuilt == IndexAdvice.Healthy,

@@ -746,6 +746,87 @@ class IvfIndexSpec extends SparkSpec {
     assert(got == Seq(3L), got.toString)
   }
 
+  test("rebuild executes the Rebuild arm from the index's own live " +
+      "vectors: the re-trained skew clears the gate that fired, " +
+      "tombstones compact away, probes answer for both generations, " +
+      "and a coded layout refuses loudly") {
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 400, dim = dim)
+    IvfIndex.build(wh, corpus, "vec_id", "embedding", dim, nlist = 16,
+      name = "rbi")
+    val freshSkew = IvfIndex.analyzeHealth(wh, "rbi")
+      .select("cell_skew").head().getDouble(0)
+    // the q207 drift plant at spec scale: 6x the corpus swept around a
+    // great circle (Gram-Schmidt plane of two corpus vectors) — under
+    // the ORIGINAL layout that mass lands in the few cells near the
+    // plane; a re-train at observed mass spreads it (SPREADABLE drift,
+    // unlike duplicate mass, which no quantizer can split)
+    val ends = corpus.filter(col("vec_id").isin(1L, 2L)).orderBy("vec_id")
+      .select("embedding").collect()
+    val r1 = ends(0).getSeq[Float](0).map(_.toDouble).toArray
+    val r2 = ends(1).getSeq[Float](0).map(_.toDouble).toArray
+    def norm(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val u1 = norm(r1)
+    val d12 = u1.indices.map(i => u1(i) * r2(i)).sum
+    val u2 = norm(Array.tabulate(dim)(i => r2(i) - d12 * u1(i)))
+    val bundle = (0 until 2400).map { i =>
+      val th = 2.0 * math.Pi * i / 2400.0
+      (10000L + i, u1.indices.map(t =>
+        (u1(t) * math.cos(th) + u2(t) * math.sin(th)).toFloat))
+    }.toDF("vec_id", "embedding")
+    IvfIndex.append(wh, bundle, "vec_id", "embedding", "rbi")
+    IvfIndex.delete(wh, Seq(399L).toDF("vec_id"), "vec_id", "rbi")
+    val skew = IvfIndex.readHealth(wh, "rbi")
+      .getOrElse(IvfIndex.analyzeHealth(wh, "rbi"))
+      .select("cell_skew").head().getDouble(0)
+    // q207's derived gate: 60% of the drifted reading, sanity-checked
+    // against the fresh one
+    val gate = skew * 0.6
+    require(freshSkew < gate && skew >= 2.0 * freshSkew,
+      s"plant sanity: fresh $freshSkew, drifted $skew, gate $gate")
+    require(IvfIndex.maintenanceAdvice(wh, "rbi", maxCellSkew = gate) ==
+      IndexAdvice.Rebuild, "plant sanity: drift must fire Rebuild")
+    val v0ver = wh.currentVersion("rbi")
+    assert(IvfIndex.maintain(wh, "rbi", maxCellSkew = gate,
+      executeRebuild = true) == IndexAdvice.Rebuild)
+    assert(wh.currentVersion("rbi") != v0ver, "rebuild must publish")
+    // the re-trained layout clears the gate (mass-aware D² init grants
+    // the bundle its own centroids), evidence is fresh, dead mass gone
+    val h = IvfIndex.readHealth(wh, "rbi")
+    assert(h.nonEmpty, "rebuild must leave fresh health")
+    val row = h.get.select("cell_skew", "dead_fraction", "live_rows")
+      .head()
+    assert(row.getDouble(0) < gate,
+      s"re-trained skew ${row.getDouble(0)} must clear $gate")
+    assert(row.getDouble(1) == 0.0, "tombstones must compact away")
+    assert(row.getLong(2) == 2799L, row.toString) // 400 - 1 + 2400
+    // probes answer for BOTH generations; the deleted id stays dead
+    val got = IvfIndex.probe(wh,
+        corpus.filter(col("vec_id") === 3L)
+          .unionByName(bundle.filter(col("vec_id") === 10007L))
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")),
+        "vec_id", "embedding", "rbi", k = 1, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    assert(got(100003L) == 3L && got(110007L) == 10007L, got.toString)
+    assert(IvfIndex.probe(wh,
+        corpus.filter(col("vec_id") === 399L)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")),
+        "vec_id", "embedding", "rbi", k = 1, nprobe = 8)
+      .filter(col("neighbor_id") === 399L).count() == 0L,
+      "a tombstoned id must not resurface through a rebuild")
+    // the coded layout cannot re-train from its own entries — refused
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "rbpq")
+    val e = intercept[IllegalArgumentException](IvfIndex.rebuild(wh, "rbpq"))
+    assert(e.getMessage.contains("coded"), e.getMessage)
+  }
+
   test("reindexPq writes no tombstones for brand-new ids; a mixed " +
       "batch tombstones only the ids that existed") {
     val wh = freshWh

@@ -656,6 +656,82 @@ class TextIndexSpec extends SparkSpec {
       nBuckets = 8).as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("chooseBuckets picks the LARGEST divisor whose predicted skew " +
+      "clears the gate, and the prediction is the exact hash-space " +
+      "regroup of the stored per-bucket masses") {
+    // 8 buckets, mass concentrated in buckets 1 and 5 (which MERGE at
+    // any divisor of 4 or below: 1 % 4 == 5 % 4 == 1)
+    val b = Seq(0 -> 10L, 1 -> 100L, 2 -> 10L, 3 -> 10L, 4 -> 10L,
+      5 -> 100L, 6 -> 10L, 7 -> 10L)
+    // at 8: occupied mean 260/8 = 32.5, max 100 -> skew ~3.08
+    // at 4: masses (20, 200, 20, 20), mean 65, max 200 -> skew ~3.08
+    // at 2: (40, 220), mean 130 -> ~1.69;  at 1: 1.0
+    assert(TextIndex.chooseBuckets(8, b, 4.0) == 8) // already clears
+    assert(TextIndex.chooseBuckets(8, b, 3.0) == 2) // 8 and 4 both fail
+    assert(TextIndex.chooseBuckets(8, b, 1.5) == 1) // only even-out wins
+    // a gate at/below 1.0 is unsatisfiable by definition — refused
+    intercept[IllegalArgumentException](TextIndex.chooseBuckets(8, b, 1.0))
+    // empty evidence (no live postings): any granularity clears
+    assert(TextIndex.chooseBuckets(8, Nil, 2.0) == 8)
+  }
+
+  test("rebuild executes the Rebuild arm from the index itself: the " +
+      "re-bucketed skew equals the prediction, answers are preserved " +
+      "across both generations, tombstones compact away, and " +
+      "maintain(executeRebuild) closes the loop in one call") {
+    val wh = freshWh
+    // 40 docs of even vocabulary + a dominant-term flood
+    val docs = (1L to 40L).map(i => (i, s"alpha$i beta$i merge vector"))
+      .toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tixrb", nBuckets = 16)
+    val drift = (1L to 400L).map(i => (1000L + i, "driftomega driftpsi"))
+      .toDF("doc_id", "text")
+    TextIndex.append(wh, drift, "doc_id", "text", "tixrb")
+    // tombstone a few docs so the rebuild also proves the compaction
+    TextIndex.delete(wh, Seq(39L, 40L).toDF("doc_id"), "doc_id", "tixrb")
+    val skew = TextIndex.readHealth(wh, "tixrb")
+      .getOrElse(TextIndex.analyzeHealth(wh, "tixrb"))
+      .select("bucket_skew").head().getDouble(0)
+    val gate = skew * 0.9 // fires on the planted dominance
+    require(TextIndex.maintenanceAdvice(wh, "tixrb",
+      maxBucketSkew = gate) == IndexAdvice.Rebuild)
+    val v0 = wh.currentVersion("tixrb")
+    assert(TextIndex.maintain(wh, "tixrb", maxBucketSkew = gate,
+      executeRebuild = true) == IndexAdvice.Rebuild)
+    assert(wh.currentVersion("tixrb") != v0, "rebuild must publish")
+    // the rebuilt reading clears the gate that fired, is FRESH (the
+    // fold rode the rebuild), and equals a full re-measure
+    val h = TextIndex.readHealth(wh, "tixrb")
+    assert(h.nonEmpty, "rebuild must leave fresh health")
+    val hRow = h.get.select("bucket_skew", "dead_fraction", "n_buckets")
+      .head()
+    assert(hRow.getDouble(0) < gate,
+      s"rebuilt skew ${hRow.getDouble(0)} must clear $gate")
+    assert(hRow.getDouble(1) == 0.0, "tombstones must compact away")
+    val re = TextIndex.analyzeHealth(wh, "tixrb")
+      .select("bucket_skew", "dead_fraction", "n_buckets").head()
+    assert(hRow.toSeq == re.toSeq,
+      s"folded ${hRow.toSeq} != re-measured ${re.toSeq}")
+    // answers preserved across generations; deleted docs stay dead;
+    // the new granularity resolves from _layout with no constant
+    assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixrb")
+      .as[Long].collect().sorted.toSeq == (1L to 38L), "base generation")
+    assert(TextIndex.searchAll(wh, Seq("driftomega"), "tixrb")
+      .count() == 400L, "drift generation")
+    // positions survive the re-bucket (postings republish as-is)
+    assert(TextIndex.searchPhrase(wh, Seq("merge", "vector"), "tixrb")
+      .count() == 38L)
+    // a pre-marker index refuses the engine rebuild loudly
+    TextIndex.build(wh, docs, "doc_id", "text", "tixpre", nBuckets = 8)
+    val lp = new org.apache.hadoop.fs.Path(
+      s"${wh.dataPath("tixpre")}/_layout")
+    lp.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(lp, true)
+    val e = intercept[IllegalArgumentException](
+      TextIndex.rebuild(wh, "tixpre"))
+    assert(e.getMessage.contains("predates"), e.getMessage)
+  }
+
   test("nBuckets resolves FROM the stored _layout when omitted: every " +
       "search/maintenance path answers without the build-time constant, " +
       "a rebuild at a new granularity re-resolves, and a pre-marker " +
@@ -727,12 +803,24 @@ class TextIndexSpec extends SparkSpec {
     assert(got == all(TextIndex.analyzeHealth(wh, "tixf")),
       s"maintained $got != re-measured")
     assert(got(0) == 45L && got(1) == 0L, got.toString)
-    // a delete STALES the stamp (its newly-dead posting mass would need
-    // a posting scan the delete path doesn't otherwise pay)
-    TextIndex.delete(wh, Seq(45L).toDF("doc_id"), "doc_id", "tixf")
-    assert(TextIndex.readHealth(wh, "tixf").isEmpty,
-      "a delete must stale the stamp")
-    TextIndex.analyzeHealth(wh, "tixf") // re-seed over the tombstone
+    // a delete-heavy sequence FOLDS too (the 45-generation index sits
+    // far under MinDeleteFoldRatio, so every batch clears the gate):
+    // newly-dead doclen generations move live -> dead and the per-bucket
+    // posting delta subtracts — field-for-field what a re-measure reads
+    TextIndex.delete(wh, Seq(45L, 44L).toDF("doc_id"), "doc_id", "tixf")
+    val afterD = TextIndex.readHealth(wh, "tixf")
+    assert(afterD.nonEmpty, "a gate-clearing delete must fold, not stale")
+    val gotD = all(afterD.get)
+    assert(gotD == all(TextIndex.analyzeHealth(wh, "tixf")),
+      s"post-delete maintained $gotD != re-measured")
+    assert(gotD(0) == 43L && gotD(1) == 2L, gotD.toString)
+    // ...and a reindex (tombstone + append at one cut) folds BOTH halves
+    TextIndex.reindex(wh, Seq((1L, "replaced body"), (2L, "also new"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixf")
+    val afterR = TextIndex.readHealth(wh, "tixf")
+    assert(afterR.nonEmpty, "a reindex must fold, not stale")
+    assert(all(afterR.get) == all(TextIndex.analyzeHealth(wh, "tixf")),
+      "post-reindex maintained != re-measured")
     // compact folds: dead zeroes, buckets carry over, stamp fresh
     TextIndex.compact(wh, "tixf")
     val afterC = TextIndex.readHealth(wh, "tixf")
