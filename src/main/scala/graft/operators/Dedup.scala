@@ -548,6 +548,62 @@ object Dedup {
     corpus.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental SemDeDup ADMISSION through the persistent coded index —
+    * the crawl-ingest shape at 100 TB: a NEW batch of arrivals is
+    * admitted only where no semantic near-duplicate ALREADY LIVES in the
+    * index, survivors append into the index (health folds, so
+    * maintenance advice stays metadata-cost across any number of
+    * batches), and the next batch dedups against them too. This is the
+    * [[minHashLSHAgainst]] incremental discipline over embeddings: the
+    * corpus is indexed exactly once, each arriving batch queries only
+    * itself — [[IvfIndex.knnJoinPq]] with the BATCH as the query side
+    * (no driver cell collect, no broadcast contract; the nightly
+    * corpus-vs-itself [[semDedupIndexed]] pass is what this replaces for
+    * steady-state ingestion). An arrival is a duplicate when its rank-1
+    * indexed neighbor reads at or above `threshold` cosine — rank 1 is
+    * the maximal cosine, so k = 1 decides existence exactly at the
+    * index's operating point (recall follows nprobe/rerank like every
+    * ANN consumer; an exact copy always survives the ADC pass, the
+    * q212 contract).
+    *
+    * `corpus` supplies the exact vectors of the ALREADY-INDEXED ids for
+    * the rerank (the warehouse table the admitted rows land in — it
+    * must cover every live indexed id, or a candidate silently drops
+    * from the rerank and a duplicate could slip). Contract mirrors the
+    * index's own ingestion discipline: arrival ids are FRESH (an id
+    * reused from the index would self-exclude from its own near-dup
+    * check), and near-dups WITHIN one batch admit together — dedupe the
+    * batch against itself first ([[semDedupIndexed]] over the batch, or
+    * upstream last-wins) when arrivals can collide in-batch, exactly as
+    * [[minHashLSHAgainst]] documents for signatures.
+    *
+    * The batch is pinned ONCE at entry (the kNN query side, the
+    * anti-join, and the append must see the same row set even for a
+    * non-deterministic source) and the admitted rows pin once more
+    * before the append so the returned frame never re-runs the kNN
+    * join. Returns the admitted rows of `batch`, original columns. */
+  def semDedupAdmit(wh: graft.engine.Warehouse, batch: DataFrame,
+                    corpus: DataFrame, idCol: String, vecCol: String,
+                    name: String = "ivfpq_index",
+                    threshold: Double = 0.95, nprobe: Int = 8,
+                    rerank: Int = 64): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val pinned = Exec.materialize(batch)
+    val nn = IvfIndex.knnJoinPq(wh, pinned, corpus, idCol, vecCol, name,
+      k = 1, nprobe = nprobe, rerank = rerank)
+    val dupIds = nn.filter(col("cosine") >= threshold)
+      .select(col("query_id").as(idCol)).distinct()
+    val admitted = Exec.materialize(
+      pinned.join(dupIds, Seq(idCol), "left_anti"))
+    // an all-duplicates batch admits nothing — skip the append entirely
+    // (a zero-row append would still touch the version dir and stale
+    // the health stamp for nothing)
+    if (!admitted.isEmpty)
+      IvfIndex.appendPq(wh, admitted, idCol, vecCol, name)
+    admitted
+  }
+
   /** Benchmark decontamination: drop every corpus document that shares at
     * least one word k-gram with the benchmark/eval set — the standard
     * guard against test-set leakage into training data.

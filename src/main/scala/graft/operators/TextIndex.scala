@@ -516,9 +516,12 @@ object TextIndex {
       partitionCols = Seq("bucket"),
       beforeSwap = vdir => {
         val lp = new Path(s"${wh.dataPath(name)}/_layout")
+        // raw file copy — the marker is immutable, a Spark round-trip
+        // per compaction was pure job-count overhead
         if (fs(wh, lp).exists(lp))
-          wh.spark.read.parquet(lp.toString)
-            .coalesce(1).write.parquet(s"$vdir/_layout")
+          org.apache.hadoop.fs.FileUtil.copy(fs(wh, lp), lp, fs(wh, lp),
+            new Path(s"$vdir/_layout"), false,
+            wh.spark.sessionState.newHadoopConf())
         dl.repartition(IndexAdvice.companionShards(nDl))
           .write.parquet(s"$vdir/_doclen")
       })
@@ -950,6 +953,31 @@ object TextIndex {
   private def bucketsPath(wh: Warehouse, name: String) =
     s"${wh.dataPath(name)}/_health_buckets"
 
+  /** Driver-side snapshot of the last health evidence THIS driver
+    * persisted — the [[IvfIndex]] healthCache discipline: keyed by
+    * table path, validated by the census stamp, so per-mutation
+    * evidence reads cost one metadata listing and zero Spark jobs
+    * while nothing changed; any file change misses to disk. Summary is
+    * (live, dead, deadFraction, livePostings, maxBucket, nBuckets,
+    * bucketSkew, deletesBytes, dataBytes). */
+  private final case class HealthSnapshot(nFiles: Long, totalBytes: Long,
+      buckets: Seq[(Int, Long)],
+      summary: (Long, Long, Double, Long, Long, Long, Double, Long, Long))
+  private val healthCache =
+    new java.util.concurrent.ConcurrentHashMap[String, HealthSnapshot]()
+
+  /** The one-row `_health` frame for a snapshot — what [[persistHealth]]
+    * wrote, rebuilt locally so a cache hit never re-reads parquet. */
+  private def healthDf(wh: Warehouse, s: HealthSnapshot): DataFrame = {
+    import wh.spark.implicits._
+    Seq((s.summary._1, s.summary._2, s.summary._3, s.summary._4,
+        s.summary._5, s.summary._6, s.summary._7, s.summary._8,
+        s.summary._9, s.nFiles, s.totalBytes))
+      .toDF("live_rows", "dead_rows", "dead_fraction", "live_postings",
+        "max_bucket_postings", "n_buckets", "bucket_skew",
+        "deletes_bytes", "data_bytes", "n_files", "census_bytes")
+  }
+
   /** Persist the health evidence PAIR: the per-bucket (bucket, live
     * postings) table (`_health_buckets`, ≤ nBuckets rows — the state
     * append folds update) and the one-row `_health` summary, both
@@ -971,15 +999,16 @@ object TextIndex {
     buckets.toDF("bucket", "live").coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(bucketsPath(wh, name))
-    val row = Seq((liveRows, deadRows, deadFraction, livePostings,
-        maxBucket, nBuckets, bucketSkew, c.deletesBytes,
-        c.dataBytes, c.nFiles, c.totalBytes))
-      .toDF("live_rows", "dead_rows", "dead_fraction", "live_postings",
-        "max_bucket_postings", "n_buckets", "bucket_skew",
-        "deletes_bytes", "data_bytes", "n_files", "census_bytes")
+    val snap = HealthSnapshot(c.nFiles, c.totalBytes, buckets,
+      (liveRows, deadRows, deadFraction, livePostings, maxBucket,
+        nBuckets, bucketSkew, c.deletesBytes, c.dataBytes))
+    val row = healthDf(wh, snap)
     row.coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"${wh.dataPath(name)}/_health")
+    // snapshot AFTER both writes land: the census excludes /_health
+    // paths, so the stamp `c` still describes the on-disk state
+    healthCache.put(s"${wh.root}/$name", snap)
     row // the local row IS what was stored — no read-back needed
   }
 
@@ -990,14 +1019,21 @@ object TextIndex {
     * nothing otherwise. */
   private def freshHealth(wh: Warehouse, name: String)
       : Option[(Long, Long, Seq[(Int, Long)])] = {
-    val bp = new Path(bucketsPath(wh, name))
-    readHealthWith(wh, name, IndexAdvice.census(wh, name)).flatMap { df =>
-      if (!fs(wh, bp).exists(bp)) None // summary from an older engine
-      else {
-        val r = df.select(col("live_rows"), col("dead_rows")).head()
-        Some((r.getLong(0), r.getLong(1),
-          wh.spark.read.parquet(bp.toString).collect()
-            .map(x => (x.getInt(0), x.getLong(1))).toSeq))
+    val c = IndexAdvice.census(wh, name)
+    val hit = healthCache.get(s"${wh.root}/$name")
+    if (hit != null && hit.nFiles == c.nFiles &&
+        hit.totalBytes == c.totalBytes)
+      Some((hit.summary._1, hit.summary._2, hit.buckets)) // zero jobs
+    else {
+      val bp = new Path(bucketsPath(wh, name))
+      readHealthWith(wh, name, c).flatMap { df =>
+        if (!fs(wh, bp).exists(bp)) None // summary from an older engine
+        else {
+          val r = df.select(col("live_rows"), col("dead_rows")).head()
+          Some((r.getLong(0), r.getLong(1),
+            wh.spark.read.parquet(bp.toString).collect()
+              .map(x => (x.getInt(0), x.getLong(1))).toSeq))
+        }
       }
     }
   }
@@ -1019,17 +1055,23 @@ object TextIndex {
     val hp = new Path(s"${wh.dataPath(name)}/_health")
     if (!fs(wh, hp).exists(hp)) None
     else {
-      val df = wh.spark.read.parquet(hp.toString)
-      // a row persisted by an engine predating the bucket-skew signal
-      // reads as stale (re-measure once, persist the full evidence)
-      if (!df.schema.fieldNames.contains("bucket_skew")) None
+      val cc = c // force the by-name census exactly once
+      val hit = healthCache.get(s"${wh.root}/$name")
+      if (hit != null && hit.nFiles == cc.nFiles &&
+          hit.totalBytes == cc.totalBytes)
+        Some(healthDf(wh, hit)) // rebuilt locally — no parquet read
       else {
-        val stamp = df.select(col("n_files"), col("census_bytes")).head()
-        val cc = c // force the by-name census exactly once
-        if (stamp.getLong(0) != cc.nFiles ||
-            stamp.getLong(1) != cc.totalBytes)
-          None
-        else Some(df)
+        val df = wh.spark.read.parquet(hp.toString)
+        // a row persisted by an engine predating the bucket-skew signal
+        // reads as stale (re-measure once, persist the full evidence)
+        if (!df.schema.fieldNames.contains("bucket_skew")) None
+        else {
+          val stamp = df.select(col("n_files"), col("census_bytes")).head()
+          if (stamp.getLong(0) != cc.nFiles ||
+              stamp.getLong(1) != cc.totalBytes)
+            None
+          else Some(df)
+        }
       }
     }
   }

@@ -870,6 +870,52 @@ object ScaleQueries {
         .select("vec_id").orderBy("vec_id")
     }),
 
+    // ── incremental SemDeDup ADMISSION — the crawl-ingest shape q215's
+    //    nightly pass can't serve: each NEW batch dedups against the
+    //    persistent coded index (knnJoinPq, queries = the batch only),
+    //    survivors append and the NEXT batch dedups against them too.
+    //    The plant splits the table into three generations: gen0 builds
+    //    the index; batch 1 = the gen1 arrivals + re-crawled copies of
+    //    gen0 (offset ids); batch 2 = the gen2 arrivals + copies of the
+    //    BATCH-1 admits (the cross-batch case — their originals entered
+    //    the index one batch ago) + more gen0 copies. Exactly the first
+    //    generation of every vector survives (max natural off-diagonal
+    //    cosine 0.60 < the 0.99 gate, measured at every SF), so the
+    //    final corpus is the embeddings table verbatim ──
+    "q217_semdedup_admission" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-adm").toString)
+      val emb = Td(s, dir, "embeddings").select("vec_id", "embedding")
+      val gen0 = emb.filter(col("vec_id") % 3 === 0)
+      IvfIndex.buildPq(wh, gen0, "vec_id", "embedding", dim = 64,
+        nlist = 64, m = 8, ksub = 64, name = "adm_idx")
+      val b1 = emb.filter(col("vec_id") % 3 === 1)
+        .unionByName(gen0.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 500000L).as("vec_id"),
+            col("embedding")))
+      val adm1 = graft.operators.Dedup.semDedupAdmit(wh, b1, gen0,
+        "vec_id", "embedding", "adm_idx", threshold = 0.99,
+        rerank = 192)
+      require(adm1.filter(col("vec_id") >= 500000L).isEmpty,
+        "batch-1 re-crawled copies must be dropped against the index")
+      val corpus1 = gen0.unionByName(adm1)
+      val b2 = emb.filter(col("vec_id") % 3 === 2)
+        .unionByName(emb.filter(col("vec_id") % 3 === 1 &&
+            col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 600000L).as("vec_id"),
+            col("embedding")))
+        .unionByName(gen0.filter(col("vec_id") % 11 === 0)
+          .select((col("vec_id") + 700000L).as("vec_id"),
+            col("embedding")))
+      val adm2 = graft.operators.Dedup.semDedupAdmit(wh, b2, corpus1,
+        "vec_id", "embedding", "adm_idx", threshold = 0.99,
+        rerank = 192)
+      require(adm2.filter(col("vec_id") >= 500000L).isEmpty,
+        "batch-2 copies (including cross-batch dups of batch-1 " +
+          "admits) must be dropped against the grown index")
+      corpus1.unionByName(adm2).select("vec_id").orderBy("vec_id")
+    }),
+
     // ── two-stage PQ ANN on planted probes: an exact copy must survive
     //    the 8-byte ADC candidate pass (its code equals its original's,
     //    so its ADC score is the query's own maximal reconstruction — a
@@ -1633,6 +1679,14 @@ object ScaleQueries {
     // component contains its (smaller-id) original, so the survivors
     // are the original corpus verbatim
     "q215_semdedup_indexed" ->
+      "SELECT vec_id FROM embeddings ORDER BY vec_id",
+
+    // q217: admission keeps exactly the FIRST generation of every
+    // vector — every planted copy (offset ids) finds its already-
+    // indexed original at cosine 1 and is dropped, every fresh arrival
+    // admits (max natural cosine 0.60 < 0.99), so the final corpus is
+    // the embeddings table verbatim
+    "q217_semdedup_admission" ->
       "SELECT vec_id FROM embeddings ORDER BY vec_id",
 
     // q206: the planted grp-0 contract under an attribute filter — with

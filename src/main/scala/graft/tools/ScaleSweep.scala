@@ -398,7 +398,11 @@ object ScaleSweep {
         "q215_semdedup_indexed",
         // round 10e: hard negatives through the coded index at the
         // exact operating point — the q136 ranking, index access path
-        "q216_hard_negatives_indexed")
+        "q216_hard_negatives_indexed",
+        // round 11: incremental SemDeDup admission — each batch is the
+        // query side of one index-served kNN join (salted when big),
+        // survivors append with folded health; nothing corpus-vs-corpus
+        "q217_semdedup_admission")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -721,6 +721,67 @@ class IvfIndexSpec extends SparkSpec {
         "embedding", k = 4, dupThreshold = 0.95)))
   }
 
+  test("semDedupAdmit: arrivals dedup against the INDEX, survivors " +
+      "append and the next batch dedups against them too (cross-batch), " +
+      "an all-duplicates batch admits nothing, and folded health stays " +
+      "fresh across the whole ingest") {
+    import graft.operators.Dedup
+    val wh = freshWh
+    val dim = 16
+    // seeded Gaussian vectors: natural cosines concentrate near 0, so
+    // the only near-dups are planted exact copies
+    val rnd = new scala.util.Random(43)
+    def gauss(ids: Range) = ids
+      .map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val gen0 = gauss(0 until 100)
+    IvfIndex.buildPq(wh, gen0, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "adm")
+    IvfIndex.analyzeHealth(wh, "adm") // seed the folded evidence
+    // batch 1: 50 fresh + 20 copies of gen0 (offset ids, extra column
+    // rides through untouched)
+    val fresh1 = gauss(100 until 150)
+    val b1 = fresh1.unionByName(gen0.filter(col("vec_id") < 20L)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")))
+      .withColumn("src", concat(lit("crawl-"), col("vec_id")))
+    val adm1 = Dedup.semDedupAdmit(wh, b1, gen0, "vec_id", "embedding",
+      "adm", threshold = 0.99, rerank = 64)
+    assert(adm1.columns.toSeq == b1.columns.toSeq, "columns preserved")
+    assert(adm1.select("vec_id").as[Long].collect().toSet ==
+      (100L until 150L).toSet, "copies dropped, fresh admitted")
+    // batch 2: 30 fresh + copies of BATCH-1 admits (their originals
+    // entered the index one batch ago — the cross-batch case)
+    val corpus1 = gen0.unionByName(adm1.select("vec_id", "embedding"))
+    val b2 = gauss(150 until 180)
+      .unionByName(fresh1.filter(col("vec_id") < 110L)
+        .select((col("vec_id") + 2000L).as("vec_id"), col("embedding")))
+    val adm2 = Dedup.semDedupAdmit(wh, b2, corpus1, "vec_id",
+      "embedding", "adm", threshold = 0.99, rerank = 64)
+    assert(adm2.select("vec_id").as[Long].collect().toSet ==
+      (150L until 180L).toSet, "cross-batch dups dropped")
+    // an ALL-duplicates batch admits nothing and leaves the index alone
+    val v0 = wh.currentVersion("adm")
+    val adm3 = Dedup.semDedupAdmit(wh,
+      gen0.filter(col("vec_id") < 10L)
+        .select((col("vec_id") + 3000L).as("vec_id"), col("embedding")),
+      corpus1, "vec_id", "embedding", "adm", threshold = 0.99,
+      rerank = 64)
+    assert(adm3.isEmpty && wh.currentVersion("adm") == v0)
+    // the appends folded: the stored evidence is fresh and equals a
+    // re-measure (advice across the whole ingest was metadata-cost)
+    val h = IvfIndex.readHealth(wh, "adm")
+    assert(h.nonEmpty, "admission appends must fold health, not stale")
+    assert(h.get.select("live_rows").head().getLong(0) == 180L)
+    // the admitted corpus probes correctly end to end
+    val got = IvfIndex.probePq(wh,
+        gauss(160 until 161).select((col("vec_id") + 9000L).as("vec_id"),
+          col("embedding")),
+        corpus1.unionByName(adm2.select("vec_id", "embedding")),
+        "vec_id", "embedding", "adm", k = 1, nprobe = 8, rerank = 64)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got.nonEmpty, "the grown index must answer probes")
+  }
+
   test("maintenance policy works on the PLAIN flavor too: churn fires " +
       "Compact, maintain acts, probes answer through the compacted index") {
     val wh = freshWh

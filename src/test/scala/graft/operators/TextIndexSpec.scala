@@ -527,11 +527,16 @@ class TextIndexSpec extends SparkSpec {
     val v0 = wh.currentVersion("tixh")
     assert(TextIndex.maintain(wh, "tixh") == IndexAdvice.Healthy)
     assert(wh.currentVersion("tixh") == v0)
-    // churn: 2 of 10 docs re-crawl -> 2 dead of 12 doclen generations
+    // churn: 2 of 10 docs re-crawl -> 2 dead of 12 doclen generations.
+    // The reindex FOLDS its tombstone + append deltas (the batch clears
+    // the MinDeleteFoldRatio gate on a 10-generation index), so the
+    // stored row stays FRESH and already reads the churned numbers
     TextIndex.reindex(wh, Seq((1L, "refreshed one"), (2L, "refreshed two"))
       .toDF("doc_id", "text"), "doc_id", "text", "tixh", nBuckets = 8)
-    // the stored row is STALE the moment the index changed
-    assert(TextIndex.readHealth(wh, "tixh").isEmpty)
+    val folded = TextIndex.readHealth(wh, "tixh")
+    assert(folded.nonEmpty, "a gate-clearing reindex must fold")
+    assert(math.abs(folded.get.select("dead_fraction").head().getDouble(0)
+      - 2.0 / 12.0) < 1e-12)
     val h1 = TextIndex.analyzeHealth(wh, "tixh")
       .select("dead_fraction", "deletes_bytes", "data_bytes").head()
     assert(math.abs(h1.getDouble(0) - 2.0 / 12.0) < 1e-12)
