@@ -32,9 +32,18 @@ object AnnRecall {
     * index at rerank 1024 — measured 0.968, floor-asserted at 0.9 so
     * the recovered headroom cannot silently regress. The 100 TB
     * guidance this encodes: on margin-starved (anisotropic, dense)
-    * corpora, budget rerank ≥ 5% of the probed candidate mass before
-    * touching the quantizer. */
+    * corpora, budget rerank on the order of a quarter of the probed
+    * candidate mass before touching the quantizer
+    * ([[graft.operators.IvfIndex.recommendedRerank]]). */
   val AnisoLearnedDeepFloor = 0.9
+
+  /** The AUTOMATIC depth (`probePq(rerank = 0)`): sized from the stored
+    * `_health` row via `recommendedRerank` — live_rows × nprobe / nlist
+    * = 5000 probed candidates here, so auto = 1250, past the measured
+    * curve's 0.968@1024 knee. Floor-asserted at the deep floor: the
+    * engine-chosen depth must reproduce the recovered recall with no
+    * hand-passed 1024. */
+  val AnisoAutoFloor = 0.9
 
   /** Deterministic multi-Gaussian fixture: `n` vectors in `dim`
     * dimensions drawn around `clusters` unit-norm centers with relative
@@ -232,6 +241,22 @@ object AnnRecall {
         OpqMode.Learned(6))
       println(f"===== ann-recall [aniso deep] rerank=1024 " +
         f"ivfpq_learned=$deep%.3f")
+      // the AUTO depth through the PERSISTENT index: probePq(rerank = 0)
+      // reads live_rows off the stored _health row and sizes the depth
+      // itself (recommendedRerank) — the engine must land on the flat
+      // shoulder with no hand-passed constant
+      val wh = new graft.engine.Warehouse(spark,
+        java.nio.file.Files.createTempDirectory("annrecall-auto").toString)
+      graft.operators.IvfIndex.buildPq(wh, c, "vec_id", "embedding", dim,
+        nlist = nlist, m = 8, ksub = 256, sampleSize = sample,
+        name = "aniso_pq", opq = OpqMode.Learned(6))
+      val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding", k)
+        .localCheckpoint()
+      val auto = Similarity.recallAtK(
+        graft.operators.IvfIndex.probePq(wh, q, c, "vec_id", "embedding",
+          "aniso_pq", k = k, nprobe = nprobe, rerank = 0), exact, k)
+      println(f"===== ann-recall [aniso auto] rerank=auto " +
+        f"ivfpq_learned=$auto%.3f")
       c.unpersist(); q.unpersist()
       if (assertFloor) {
         assert(bal >= plain - 0.1 && rot >= plain - 0.1,
@@ -246,6 +271,10 @@ object AnnRecall {
         assert(deep >= AnisoLearnedDeepFloor,
           f"learned-OPQ deep-rerank recall regressed to $deep%.3f " +
             f"(floor $AnisoLearnedDeepFloor%.2f)")
+        assert(auto >= AnisoAutoFloor,
+          f"the AUTO rerank depth starved recall to $auto%.3f " +
+            f"(floor $AnisoAutoFloor%.2f) — probePq(rerank = 0) must " +
+            "reproduce the deep operating point from stored evidence")
       }
     }
   }

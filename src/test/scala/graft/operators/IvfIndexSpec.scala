@@ -721,6 +721,36 @@ class IvfIndexSpec extends SparkSpec {
         "embedding", k = 4, dupThreshold = 0.95)))
   }
 
+  test("rerank = 0 sizes the depth automatically from the stored " +
+      "health evidence: rows equal an explicit probe at the " +
+      "recommendedRerank depth, on both probePq and knnJoinPq") {
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 400, dim = dim)
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "auto")
+    val queries = AnnRecall.queryFixture(spark, 10, dim)
+    // live 400, nprobe 8 = nlist -> probed mass 400; auto depth =
+    // max(8k, 400/4) = 100
+    val depth = IvfIndex.recommendedRerank(2, 400L)
+    assert(depth == 100, depth.toString)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(rows(IvfIndex.probePq(wh, queries, corpus, "vec_id",
+        "embedding", "auto", k = 2, nprobe = 8, rerank = 0)) ==
+      rows(IvfIndex.probePq(wh, queries, corpus, "vec_id", "embedding",
+        "auto", k = 2, nprobe = 8, rerank = depth)))
+    assert(rows(IvfIndex.knnJoinPq(wh, queries, corpus, "vec_id",
+        "embedding", "auto", k = 2, nprobe = 8, rerank = 0)) ==
+      rows(IvfIndex.knnJoinPq(wh, queries, corpus, "vec_id", "embedding",
+        "auto", k = 2, nprobe = 8, rerank = depth)))
+    // a positive depth below k still refuses loudly
+    intercept[IllegalArgumentException](IvfIndex.probePq(wh, queries,
+      corpus, "vec_id", "embedding", "auto", k = 2, nprobe = 8,
+      rerank = 1))
+  }
+
   test("semDedupAdmit: arrivals dedup against the INDEX, survivors " +
       "append and the next batch dedups against them too (cross-batch), " +
       "an all-duplicates batch admits nothing, and folded health stays " +
