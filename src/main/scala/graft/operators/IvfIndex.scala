@@ -653,19 +653,23 @@ object IvfIndex {
   /** The effective rerank depth for a probe: the caller's explicit value
     * when positive, else ([[recommendedRerank]]) sized from the stored
     * `_health` row — live_rows × nprobe / nlist probed candidates, read
-    * at metadata cost when the stamp is fresh (one bounded re-measure
-    * that persists otherwise, so the next auto probe is metadata
-    * again). */
+    * at metadata cost when the stamp is fresh. On a STALE stamp the
+    * depth sizes from the raw entry count instead (a parquet
+    * footer-metadata count — no column scan, and crucially NO persisted
+    * side effect: a probe is a serving path, and re-measuring health
+    * here would write into the version dir, racing the
+    * single-maintainer discipline the mutation paths rely on; counting
+    * dead entries only DEEPENS the depth, the conservative
+    * direction). */
   private def resolveRerank(wh: Warehouse, name: String, rerank: Int,
                             k: Int, nprobe: Int, nlist: Int): Int = {
     require(rerank == 0 || rerank >= k,
       s"rerank=$rerank must be >= k=$k (or 0 for automatic sizing)")
     if (rerank > 0) rerank
     else {
-      lazy val c = IndexAdvice.census(wh, name) // ONE listing, shared
-      val live = readHealthWith(wh, name, c)
-        .getOrElse(analyzeHealthWith(wh, name, c))
-        .select(col("live_rows")).head().getLong(0)
+      val live = readHealthWith(wh, name, IndexAdvice.census(wh, name))
+        .map(_.select(col("live_rows")).head().getLong(0))
+        .getOrElse(wh.read(name).count())
       // BigInt product: live × nprobe overflows Long within the corpus
       // scales this sizes for; the quotient is ≤ live, so the narrowing
       // back is exact
