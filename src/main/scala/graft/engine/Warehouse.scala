@@ -984,6 +984,37 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .start()
   }
 
+  /** Replay-IDEMPOTENT single-batch append — the per-micro-batch
+    * primitive underneath [[streamingAppend]], exposed for foreachBatch
+    * sinks composed OUTSIDE this class (the admission sink pairs it
+    * with an index mutation): the batch stages under the table dir and
+    * lands via the promote marker protocol, so a replayed `batchId`
+    * promotes NOTHING and the table never sees a batch twice. Schema
+    * alignment and partition handling match [[streamingAppend]]'s
+    * per-batch behavior, resolved per call (a sink that must pin them
+    * at stream start uses [[streamingAppend]] itself). */
+  def appendStreamBatch(bdf: DataFrame, name: String,
+                        batchId: Long): Unit = {
+    val p = dataPath(name)
+    val parts = partitioningMarker(p).map(_._1)
+    val expected: Option[StructType] =
+      if (new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+            .exists(new Path(p))) Some(readPath(p).schema)
+      else None
+    val aligned = expected match {
+      case Some(sch) => alignToSchema(bdf, sch, name)
+      case None => bdf
+    }
+    val staging = s"$p/_stream_staging/b$batchId"
+    val w = aligned.write.mode(SaveMode.Overwrite)
+    (parts match {
+      case Some(ps) => w.partitionBy(ps: _*)
+      case None => w
+    }).parquet(staging)
+    promoteStaged(staging, p, batchId)
+    ()
+  }
+
   /** Incremental aggregate view maintenance — a streaming MATERIALIZED
     * VIEW over mergeable aggregates (sum/count/min/max). Each micro-batch
     * is pre-aggregated down to its |groups| PARTIAL rows and landed via

@@ -604,6 +604,75 @@ object Dedup {
     admitted
   }
 
+  /** Continuous ADMISSION: an arrival stream becomes the deduplicated
+    * corpus batch by batch — [[semDedupAdmit]] as a self-maintaining
+    * sink. Each micro-batch dedups against the persistent coded index
+    * ([[IvfIndex.knnJoinPq]], queries = the batch only), survivors land
+    * in BOTH the index and the `corpusTable` (the exact-vector side
+    * every future rerank needs), and the next batch dedups against
+    * them. Build the index and publish the day-0 corpus table first
+    * (both may be empty).
+    *
+    * Effectively-once under foreachBatch's at-least-once replay, by
+    * construction at each of the three steps:
+    *  - the admission DECISION replays stably: an arrival is
+    *    self-excluded from its own near-dup check by id, so a replayed
+    *    survivor does not match its previously-landed self (batch-
+    *    internal near-dups that landed on the first attempt read as
+    *    already-admitted on replay — they were admitted together by the
+    *    batch-internal contract, and staying admitted IS convergence);
+    *  - the corpus lands FIRST via [[Warehouse.appendStreamBatch]]'s
+    *    promote-marker protocol (a replayed id promotes nothing — no
+    *    double rows; corpus rows without index entries are harmless,
+    *    they are rerank vectors, never candidates — which is why this
+    *    ordering and not the reverse);
+    *  - the index lands via [[IvfIndex.reindexPq]], NOT appendPq: a
+    *    replayed survivor tombstones its previous attempt's entries, so
+    *    the index converges instead of duplicating (the
+    *    [[IvfIndex.streamingIndexPq]] discipline composed with
+    *    admission).
+    *
+    * A batch carrying the same id twice is refused loudly (dedupe
+    * upstream, last-wins); with `maintainEvery > 0` the sink consults
+    * the maintenance policy every that-many batches and compacts when
+    * it fires, so re-admission churn bounds its own tombstone growth. */
+  def streamingAdmit(wh: graft.engine.Warehouse, arrivals: DataFrame,
+                     idCol: String, vecCol: String, checkpoint: String,
+                     name: String = "ivfpq_index",
+                     corpusTable: String = "corpus_vectors",
+                     threshold: Double = 0.95, nprobe: Int = 8,
+                     rerank: Int = 64, maintainEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pinned = Exec.materialize(batch)
+        val n = pinned.count()
+        if (n > 0) {
+          require(pinned.select(col(idCol)).distinct().count() == n,
+            s"streamingAdmit: a micro-batch carries duplicate " +
+              s"'$idCol' rows — dedupe upstream (last-wins) before " +
+              "admission")
+          val nn = IvfIndex.knnJoinPq(wh, pinned, wh.read(corpusTable),
+            idCol, vecCol, name, k = 1, nprobe = nprobe, rerank = rerank)
+          val dupIds = nn.filter(col("cosine") >= threshold)
+            .select(col("query_id").as(idCol)).distinct()
+          val admitted = Exec.materialize(
+            pinned.join(dupIds, Seq(idCol), "left_anti"))
+          if (!admitted.isEmpty) {
+            wh.appendStreamBatch(admitted, corpusTable, batchId)
+            IvfIndex.reindexPq(wh, admitted, idCol, vecCol, name)
+          }
+        }
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+          IvfIndex.maintain(wh, name)
+        ()
+      }
+      .start()
+  }
+
   /** Benchmark decontamination: drop every corpus document that shares at
     * least one word k-gram with the benchmark/eval set — the standard
     * guard against test-set leakage into training data.

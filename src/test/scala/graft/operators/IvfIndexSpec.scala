@@ -812,6 +812,57 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.nonEmpty, "the grown index must answer probes")
   }
 
+  test("streamingAdmit: the admission sink dedups each micro-batch " +
+      "against the index, survivors land in BOTH the index and the " +
+      "corpus table, cross-batch dups drop, and the batch-landing " +
+      "primitive is replay-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = freshWh
+    val dim = 16
+    val rnd = new scala.util.Random(47)
+    def gauss(ids: Range) = ids
+      .map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val gen0 = gauss(0 until 100)
+    val gen0Df = gen0.toDF("vec_id", "embedding")
+    IvfIndex.buildPq(wh, gen0Df, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "sadm")
+    wh.publish(gen0Df, "sadm_corpus")
+    val fresh1 = gauss(100 until 150)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = Dedup.streamingAdmit(wh,
+      stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      Files.createTempDirectory("sadm-ckpt").toString, "sadm",
+      "sadm_corpus", threshold = 0.99, rerank = 64)
+    try {
+      // batch 1: 50 fresh + 20 re-crawled copies of gen0 (offset ids)
+      stream.addData(fresh1 ++ gen0.take(20).map { case (i, v) =>
+        (i + 1000L, v) }: _*)
+      q.processAllAvailable()
+      assert(wh.read("sadm_corpus").select("vec_id").as[Long]
+        .collect().toSet == (0L until 150L).toSet,
+        "batch-1 copies dropped, fresh admitted to the corpus table")
+      // batch 2: 30 fresh + cross-batch copies of batch-1 admits
+      stream.addData(gauss(150 until 180) ++ fresh1.take(10).map {
+        case (i, v) => (i + 2000L, v) }: _*)
+      q.processAllAvailable()
+      assert(wh.read("sadm_corpus").select("vec_id").as[Long]
+        .collect().toSet == (0L until 180L).toSet,
+        "cross-batch dups dropped against the grown index")
+      // the index landed the same survivors (one entry per id, no dups)
+      assert(wh.read("sadm").select("vec_id").distinct().count() == 180L)
+      assert(wh.read("sadm").count() == 180L)
+    } finally q.stop()
+    // the landing primitive alone: a replayed batch id promotes NOTHING
+    val before = wh.read("sadm_corpus").count()
+    val extra = gauss(9000 until 9005).toDF("vec_id", "embedding")
+    wh.appendStreamBatch(extra, "sadm_corpus", 777L)
+    wh.appendStreamBatch(extra, "sadm_corpus", 777L) // replay
+    assert(wh.read("sadm_corpus").count() == before + 5L,
+      "a replayed batch id must land nothing twice")
+  }
+
   test("maintenance policy works on the PLAIN flavor too: churn fires " +
       "Compact, maintain acts, probes answer through the compacted index") {
     val wh = freshWh
