@@ -112,15 +112,29 @@ object Dedup {
   def minHashLSHAgainst(newDocs: DataFrame, idCol: String, textCol: String,
                         existingSigs: DataFrame, threshold: Double = 0.5,
                         k: Int = 3, numHashes: Int = 64, rowsPerBand: Int = 4,
-                        seed: Long = 42L): DataFrame = {
+                        seed: Long = 42L): DataFrame =
+    lshAgainstSigs(
+      minHashSignatures(newDocs, idCol, textCol, k, numHashes, seed),
+      existingSigs, threshold, numHashes, rowsPerBand)
+
+  /** The band-join core of [[minHashLSHAgainst]] over ALREADY-computed
+    * new-side signatures — shared with [[minHashAdmit]], whose admitted
+    * signatures must be the very rows the decision used (recomputing
+    * them could diverge on a non-deterministic batch). Same-id pairs
+    * are excluded: an arrival is never its own near-dup, which is what
+    * lets a REPLAYED admission batch (its signatures already landed)
+    * re-decide identically instead of self-matching at agreement 1. */
+  private def lshAgainstSigs(newSigs: DataFrame, existingSigs: DataFrame,
+                             threshold: Double, numHashes: Int,
+                             rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val nBands = numHashes / rowsPerBand
-    val newSigs = minHashSignatures(newDocs, idCol, textCol, k, numHashes, seed)
     val a = bandKeys(newSigs, nBands, rowsPerBand)
       .select(col("id").as("new_id"), col("b"), col("key"))
     val e = bandKeys(existingSigs, nBands, rowsPerBand)
       .select(col("id").as("existing_id"), col("b"), col("key"))
     val cand = a.join(e, Seq("b", "key"))
+      .filter(col("new_id") =!= col("existing_id"))
       .select("new_id", "existing_id").distinct()
     cand
       .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_a")),
@@ -131,6 +145,44 @@ object Dedup {
         graft.functions.SignatureExpressions
           .sigAgreement(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup ADMISSION for text — [[semDedupAdmit]]'s
+    * signature-table sibling, closing the q74 loop: a NEW batch
+    * signatures only itself, band-joins against the STORED signature
+    * table, arrivals with an existing near-dup at or above `threshold`
+    * agreement are dropped, and the survivors' SIGNATURES append to the
+    * table — so the next batch dedups against them too and the corpus
+    * text is never re-signatured. Returns the admitted rows of `batch`,
+    * original columns.
+    *
+    * Day-0: publish the corpus signatures once
+    * (`wh.publish(minHashSignatures(corpus, …), sigTable)`); pass the
+    * same (k, numHashes, seed) here — signatures from different
+    * parameters never collide meaningfully. Contract mirrors
+    * [[semDedupAdmit]]: arrival ids are fresh, and near-dups WITHIN one
+    * batch admit together (dedupe the batch against itself first when
+    * arrivals can collide in-batch). The admitted signatures are the
+    * very rows the decision used — pinned once, never recomputed. */
+  def minHashAdmit(wh: graft.engine.Warehouse, batch: DataFrame,
+                   idCol: String, textCol: String,
+                   sigTable: String = "corpus_sigs",
+                   threshold: Double = 0.5, k: Int = 3,
+                   numHashes: Int = 64, rowsPerBand: Int = 4,
+                   seed: Long = 42L): DataFrame = {
+    val pinned = Exec.materialize(batch)
+    val newSigs = Exec.materialize(
+      minHashSignatures(pinned, idCol, textCol, k, numHashes, seed))
+    val dupIds = lshAgainstSigs(newSigs, wh.read(sigTable), threshold,
+      numHashes, rowsPerBand)
+      .select(col("new_id").as(idCol)).distinct()
+    val admitted = Exec.materialize(
+      pinned.join(dupIds, Seq(idCol), "left_anti"))
+    // an all-duplicates batch grows the signature table by nothing
+    if (!admitted.isEmpty)
+      wh.append(newSigs.join(admitted.select(col(idCol).as("id")),
+        Seq("id"), "left_semi"), sigTable)
+    admitted
   }
 
   /** 64-bit SimHash per document: one scalar [[graft.functions.SimHashExpr]]

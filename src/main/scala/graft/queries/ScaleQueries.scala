@@ -916,6 +916,32 @@ object ScaleQueries {
       corpus1.unionByName(adm2).select("vec_id").orderBy("vec_id")
     }),
 
+    // ── incremental near-dup ADMISSION for text — q217's shape over the
+    //    STORED SIGNATURE table (the q74 loop, closed): each generation
+    //    batch signatures only itself, band-joins the stored table,
+    //    arrivals with an existing near-dup at >= 0.5 agreement drop,
+    //    survivors' signatures append so the NEXT generation dedups
+    //    against them too. The documents corpus carries PLANTED
+    //    near-dups across the generation splits, so real drops happen
+    //    at every SF and the oracle replays the full two-step admission
+    //    in SQL (the banded screen has total recall at this threshold —
+    //    the q30/q74 argument) ──
+    "q218_minhash_admission" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-madm").toString)
+      val docs = Td(s, dir, "documents").select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val gen0 = docs.filter(col("doc_id") % 3 === 0)
+      wh.publish(graft.operators.Dedup.minHashSignatures(gen0,
+        "doc_id", "text"), "msig")
+      val adm1 = graft.operators.Dedup.minHashAdmit(wh,
+        docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", "msig")
+      val adm2 = graft.operators.Dedup.minHashAdmit(wh,
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", "msig")
+      gen0.select("doc_id").unionByName(adm1.select("doc_id"))
+        .unionByName(adm2.select("doc_id")).orderBy("doc_id")
+    }),
+
     // ── two-stage PQ ANN on planted probes: an exact copy must survive
     //    the 8-byte ADC candidate pass (its code equals its original's,
     //    so its ADC score is the query's own maximal reconstruction — a
@@ -1680,6 +1706,36 @@ object ScaleQueries {
     // are the original corpus verbatim
     "q215_semdedup_indexed" ->
       "SELECT vec_id FROM embeddings ORDER BY vec_id",
+
+    // q218: the two-step admission replayed in SQL — generation 1
+    // admits where no gen-0 signature agrees at >= 0.5, generation 2
+    // admits where no (gen-0 ∪ admitted-gen-1) signature does; the
+    // banded screen has total recall at this threshold on this corpus
+    // (q30/q74's verified argument), so the engine's banded path and
+    // the oracle's all-pairs NOT EXISTS agree exactly
+    "q218_minhash_admission" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM tok),
+         |hs AS (SELECT doc_id,
+         |         list_distinct(list_transform(s, x -> ${md5Word1("x")}))
+         |         AS hh FROM sh),
+         |sig AS (SELECT doc_id, ${minhashSigSql(64, 42L)} AS sig FROM hs),
+         |dup1 AS (SELECT DISTINCT s.doc_id FROM sig s, sig e
+         |         WHERE s.doc_id % 3 = 1 AND e.doc_id % 3 = 0
+         |           AND CAST(len(list_filter(range(1, 65),
+         |             i -> s.sig[i] = e.sig[i])) AS DOUBLE) / 64 >= 0.5),
+         |adm1 AS (SELECT doc_id FROM sig WHERE doc_id % 3 = 1
+         |         AND doc_id NOT IN (SELECT doc_id FROM dup1)),
+         |base1 AS (SELECT doc_id FROM sig WHERE doc_id % 3 = 0
+         |          UNION ALL SELECT doc_id FROM adm1),
+         |dup2 AS (SELECT DISTINCT s.doc_id FROM sig s, sig e, base1 b
+         |         WHERE s.doc_id % 3 = 2 AND e.doc_id = b.doc_id
+         |           AND CAST(len(list_filter(range(1, 65),
+         |             i -> s.sig[i] = e.sig[i])) AS DOUBLE) / 64 >= 0.5),
+         |adm2 AS (SELECT doc_id FROM sig WHERE doc_id % 3 = 2
+         |         AND doc_id NOT IN (SELECT doc_id FROM dup2))
+         |SELECT doc_id FROM base1 UNION ALL SELECT doc_id FROM adm2
+         |ORDER BY doc_id""".stripMargin,
 
     // q217: admission keeps exactly the FIRST generation of every
     // vector — every planted copy (offset ids) finds its already-

@@ -402,7 +402,11 @@ object ScaleSweep {
         // round 11: incremental SemDeDup admission — each batch is the
         // query side of one index-served kNN join (salted when big),
         // survivors append with folded health; nothing corpus-vs-corpus
-        "q217_semdedup_admission")
+        "q217_semdedup_admission",
+        // round 11b: the same admission discipline over the stored
+        // MinHash signature table — batch-only signaturing, band join
+        // against the table, survivors' signatures append
+        "q218_minhash_admission")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -22,6 +22,39 @@ class DedupSpec extends SparkSpec {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("minHashAdmit: arrivals dedup against the STORED signature " +
+      "table, survivors' signatures append so the next batch dedups " +
+      "against them (cross-batch), an all-duplicates batch grows " +
+      "nothing") {
+    val wh = new graft.engine.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("madm").toString)
+    wh.publish(Dedup.minHashSignatures(
+      docs.filter(col("doc_id") <= 2L), "doc_id", "text"), "msig")
+    // batch 1: 4 is an exact dup of stored 1 (dropped); 3 is fresh
+    val b1 = docs.filter(col("doc_id").isin(3L, 4L))
+      .withColumn("src", lit("crawl"))
+    val adm1 = Dedup.minHashAdmit(wh, b1, "doc_id", "text", "msig")
+    assert(adm1.columns.toSeq == b1.columns.toSeq, "columns preserved")
+    assert(adm1.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    assert(wh.read("msig").count() == 3L,
+      "only the survivor's signature appends")
+    // batch 2: a copy of batch-1's ADMITTED doc 3 — the cross-batch
+    // case — drops; 5 is fresh
+    val b2 = Seq((103L,
+        "completely different content about spark query engines and shuffles"))
+      .toDF("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") === 5L))
+    val adm2 = Dedup.minHashAdmit(wh, b2, "doc_id", "text", "msig")
+    assert(adm2.select("doc_id").as[Long].collect().toSeq == Seq(5L))
+    // an ALL-duplicates batch admits nothing and appends nothing
+    val n = wh.read("msig").count()
+    val adm3 = Dedup.minHashAdmit(wh,
+      docs.filter(col("doc_id") === 1L)
+        .select((col("doc_id") + 500L).as("doc_id"), col("text")),
+      "doc_id", "text", "msig")
+    assert(adm3.isEmpty && wh.read("msig").count() == n)
+  }
+
   test("connectedComponents labels chains, triangles, and isolated pairs") {
     // components: {1,2,3,4} (chain + extra edge), {10,11,12} (triangle),
     // {20,21} (isolated pair)
