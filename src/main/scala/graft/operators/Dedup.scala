@@ -629,6 +629,22 @@ object Dedup {
     * upstream last-wins) when arrivals can collide in-batch, exactly as
     * [[minHashLSHAgainst]] documents for signatures.
     *
+    * With `scoreCol` the admission is QUALITY-AWARE — the
+    * upgrade-on-re-crawl shape: an arrival whose nearest indexed
+    * near-dup it OUTSCORES replaces it (the incumbent tombstones via
+    * [[IvfIndex.delete]], the arrival admits), while an arrival at or
+    * below the incumbent's score drops as before — [[bestLosers]]'
+    * keep-the-cleanest-copy selection applied at ingestion time, so a
+    * re-crawl that fixed OCR noise or truncation upgrades the corpus
+    * instead of bouncing off it. Ties keep the incumbent (stability:
+    * a byte-identical re-crawl must not churn the index). The decision
+    * is made against the NEAREST indexed near-dup (rank 1 — the one the
+    * arrival most directly duplicates); both `batch` and `corpus` must
+    * carry `scoreCol`. A caller maintaining a separate corpus TABLE
+    * should note replaced incumbents stay in it harmlessly (stale rows
+    * are rerank vectors only, never candidates — the index is the
+    * source of truth) until its own compaction.
+    *
     * The batch is pinned ONCE at entry (the kNN query side, the
     * anti-join, and the append must see the same row set even for a
     * non-deterministic source) and the admitted rows pin once more
@@ -638,14 +654,36 @@ object Dedup {
                     corpus: DataFrame, idCol: String, vecCol: String,
                     name: String = "ivfpq_index",
                     threshold: Double = 0.95, nprobe: Int = 8,
-                    rerank: Int = 64): DataFrame = {
+                    rerank: Int = 64,
+                    scoreCol: Option[String] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val pinned = Exec.materialize(batch)
     val nn = IvfIndex.knnJoinPq(wh, pinned, corpus, idCol, vecCol, name,
       k = 1, nprobe = nprobe, rerank = rerank)
-    val dupIds = nn.filter(col("cosine") >= threshold)
-      .select(col("query_id").as(idCol)).distinct()
+    val hits = nn.filter(col("cosine") >= threshold)
+    val dupIds = scoreCol match {
+      case None => hits.select(col("query_id").as(idCol)).distinct()
+      case Some(sc) =>
+        // pinned: the scored hit set feeds BOTH the incumbent
+        // tombstones and the drop ids — one kNN evaluation, not two
+        val scored = Exec.materialize(hits
+          .join(pinned.select(col(idCol).as("query_id"),
+            col(sc).cast("double").as("__bs")), Seq("query_id"))
+          .join(corpus.select(col(idCol).as("neighbor_id"),
+            col(sc).cast("double").as("__cs")), Seq("neighbor_id")))
+        val replaced = scored.filter(col("__bs") > col("__cs"))
+          .select(col("neighbor_id").as(idCol)).distinct()
+        // tombstone the outscored incumbents BEFORE the survivors
+        // append (both are metadata-cost index mutations; the appended
+        // generation carries seq == the tombstone cut, so order only
+        // affects which write a crash strands — a stranded tombstone
+        // re-resolves on the batch's retry)
+        if (!replaced.isEmpty)
+          IvfIndex.delete(wh, replaced, idCol, name)
+        scored.filter(col("__bs") <= col("__cs"))
+          .select(col("query_id").as(idCol)).distinct()
+    }
     val admitted = Exec.materialize(
       pinned.join(dupIds, Seq(idCol), "left_anti"))
     // an all-duplicates batch admits nothing — skip the append entirely
@@ -687,7 +725,9 @@ object Dedup {
     * A batch carrying the same id twice is refused loudly (dedupe
     * upstream, last-wins); with `maintainEvery > 0` the sink consults
     * the maintenance policy every that-many batches and compacts when
-    * it fires, so re-admission churn bounds its own tombstone growth. */
+    * it fires, so re-admission churn bounds its own tombstone growth.
+    * (Sink admission is score-blind; quality-aware replacement is the
+    * batch API's `scoreCol` mode — see [[semDedupAdmit]].) */
   def streamingAdmit(wh: graft.engine.Warehouse, arrivals: DataFrame,
                      idCol: String, vecCol: String, checkpoint: String,
                      name: String = "ivfpq_index",

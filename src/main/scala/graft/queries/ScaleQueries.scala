@@ -916,6 +916,46 @@ object ScaleQueries {
       corpus1.unionByName(adm2).select("vec_id").orderBy("vec_id")
     }),
 
+    // ── QUALITY-AWARE admission — upgrade-on-re-crawl: arrivals are
+    //    re-crawls of indexed documents, carrying a quality score. A
+    //    re-crawl that OUTSCORES its nearest indexed near-dup replaces
+    //    it (incumbent tombstoned, arrival admitted); one at or below
+    //    drops. The plant re-crawls %4==0 at quality+1 (all upgrade)
+    //    and %4==1 at quality−1 (all drop); the probe branch then
+    //    proves the replacement end to end — probing an upgraded
+    //    vector returns the COPY's id, never the tombstoned original ──
+    "q219_admission_upgrade" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-upg").toString)
+      val emb = Td(s, dir, "embeddings").select("vec_id", "embedding")
+        .withColumn("quality", (col("vec_id") % 7).cast("double"))
+      IvfIndex.buildPq(wh, emb, "vec_id", "embedding", dim = 64,
+        nlist = 64, m = 8, ksub = 64, name = "upg_idx")
+      val batch = emb.filter(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + 500000L).as("vec_id"),
+            col("embedding"), (col("quality") + 1.0).as("quality"))
+        .unionByName(emb.filter(col("vec_id") % 4 === 1)
+          .select((col("vec_id") + 500000L).as("vec_id"),
+            col("embedding"), (col("quality") - 1.0).as("quality")))
+      val admitted = graft.operators.Dedup.semDedupAdmit(wh, batch, emb,
+        "vec_id", "embedding", "upg_idx", threshold = 0.99,
+        rerank = 192, scoreCol = Some("quality"))
+      val probes = emb.filter(col("vec_id") % 4 === 0 &&
+          col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+      val served = IvfIndex.probePq(wh, probes,
+          emb.select("vec_id", "embedding")
+            .unionByName(admitted.select("vec_id", "embedding")),
+          "vec_id", "embedding", "upg_idx", k = 1, nprobe = 8,
+          rerank = 192)
+        .filter(col("rank") === 1)
+      admitted.select(lit("admitted").as("branch"),
+          col("vec_id").as("a"), lit(null).cast("long").as("b"))
+        .unionByName(served.select(lit("probe").as("branch"),
+          col("query_id").as("a"), col("neighbor_id").as("b")))
+        .orderBy(col("branch"), col("a"))
+    }),
+
     // ── incremental near-dup ADMISSION for text — q217's shape over the
     //    STORED SIGNATURE table (the q74 loop, closed): each generation
     //    batch signatures only itself, band-joins the stored table,
@@ -1706,6 +1746,20 @@ object ScaleQueries {
     // are the original corpus verbatim
     "q215_semdedup_indexed" ->
       "SELECT vec_id FROM embeddings ORDER BY vec_id",
+
+    // q219: the upgrade plant is fully deterministic — %4==0 re-crawls
+    // outscore their incumbents (admitted), %4==1 re-crawls don't
+    // (dropped); probing an upgraded vector must return the copy's id
+    // because the incumbent is tombstoned (identical vectors, dead
+    // original — any other answer is a tombstone leak or a lost upgrade)
+    "q219_admission_upgrade" ->
+      """SELECT 'admitted' AS branch, vec_id + 500000 AS a,
+        |  CAST(NULL AS BIGINT) AS b
+        |FROM embeddings WHERE vec_id % 4 = 0
+        |UNION ALL
+        |SELECT 'probe', vec_id + 900000, vec_id + 500000
+        |FROM embeddings WHERE vec_id % 4 = 0 AND vec_id % 3 = 0
+        |ORDER BY branch, a""".stripMargin,
 
     // q218: the two-step admission replayed in SQL — generation 1
     // admits where no gen-0 signature agrees at >= 0.5, generation 2

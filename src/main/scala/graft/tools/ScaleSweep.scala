@@ -406,7 +406,11 @@ object ScaleSweep {
         // round 11b: the same admission discipline over the stored
         // MinHash signature table — batch-only signaturing, band join
         // against the table, survivors' signatures append
-        "q218_minhash_admission")
+        "q218_minhash_admission",
+        // round 11c: quality-aware admission — outscored incumbents
+        // tombstone at metadata cost, upgrades append; the probe branch
+        // exercises the replacement through the serving path
+        "q219_admission_upgrade")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]

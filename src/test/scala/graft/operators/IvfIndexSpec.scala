@@ -863,6 +863,58 @@ class IvfIndexSpec extends SparkSpec {
       "a replayed batch id must land nothing twice")
   }
 
+  test("semDedupAdmit with scoreCol: an outscoring re-crawl REPLACES " +
+      "its incumbent (tombstoned, arrival admitted), an outscored one " +
+      "drops, and a TIE keeps the incumbent — stability under " +
+      "byte-identical re-crawls") {
+    import graft.operators.Dedup
+    val wh = freshWh
+    val dim = 16
+    val rnd = new scala.util.Random(53)
+    def gauss(ids: Range) = ids
+      .map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val gen0 = gauss(0 until 60).toDF("vec_id", "embedding")
+      .withColumn("q", lit(5.0))
+    IvfIndex.buildPq(wh, gen0, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "upg")
+    // re-crawls of ids 0/1/2 at quality 9 (upgrade), 10/11 at 1
+    // (drop), 20 at 5 (tie -> incumbent keeps); 1 fresh arrival
+    val batch = gen0.filter(col("vec_id") < 3L)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"),
+          lit(9.0).as("q"))
+      .unionByName(gen0.filter(col("vec_id").isin(10L, 11L))
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"),
+          lit(1.0).as("q")))
+      .unionByName(gen0.filter(col("vec_id") === 20L)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"),
+          lit(5.0).as("q")))
+      .unionByName(gauss(9000 until 9001).toDF("vec_id", "embedding")
+        .withColumn("q", lit(2.0)))
+    val admitted = Dedup.semDedupAdmit(wh, batch, gen0, "vec_id",
+      "embedding", "upg", threshold = 0.99, rerank = 64,
+      scoreCol = Some("q"))
+    assert(admitted.select("vec_id").as[Long].collect().toSet ==
+      Set(1000L, 1001L, 1002L, 9000L),
+      "upgrades + fresh admit; outscored and tied re-crawls drop")
+    // the replaced incumbents are DEAD: probing an upgraded vector
+    // returns the copy; a kept incumbent (tie) still answers itself
+    val fullCorpus = gen0.select("vec_id", "embedding")
+      .unionByName(admitted.select("vec_id", "embedding"))
+    val got = IvfIndex.probePq(wh,
+        gen0.filter(col("vec_id").isin(0L, 20L))
+          .select((col("vec_id") + 77000L).as("vec_id"),
+            col("embedding")),
+        fullCorpus, "vec_id", "embedding", "upg", k = 1, nprobe = 8,
+        rerank = 64)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    assert(got(77000L) == 1000L,
+      s"the tombstoned incumbent must not serve: $got")
+    assert(got(77020L) == 20L,
+      s"a tie keeps the incumbent serving: $got")
+  }
+
   test("maintenance policy works on the PLAIN flavor too: churn fires " +
       "Compact, maintain acts, probes answer through the compacted index") {
     val wh = freshWh
