@@ -107,6 +107,12 @@ object Dedup {
     * signatures were built with — signatures from different parameters
     * never collide meaningfully.
     *
+    * ALL pairs at or above threshold are returned, including same-id
+    * pairs: a stable-id crawl pipeline re-crawling doc X finds X's own
+    * stored signature at agreement 1 (often exactly the pair it wants).
+    * Only [[minHashAdmit]] excludes same-id pairs — there an arrival's
+    * own landed signature must not veto its replayed admission.
+    *
     * @return (new_id, existing_id, est_jaccard) with agreement ≥ threshold
     */
   def minHashLSHAgainst(newDocs: DataFrame, idCol: String, textCol: String,
@@ -115,18 +121,24 @@ object Dedup {
                         seed: Long = 42L): DataFrame =
     lshAgainstSigs(
       minHashSignatures(newDocs, idCol, textCol, k, numHashes, seed),
-      existingSigs, threshold, numHashes, rowsPerBand)
+      existingSigs, threshold, numHashes, rowsPerBand,
+      excludeSameId = false)
 
   /** The band-join core of [[minHashLSHAgainst]] over ALREADY-computed
     * new-side signatures — shared with [[minHashAdmit]], whose admitted
     * signatures must be the very rows the decision used (recomputing
-    * them could diverge on a non-deterministic batch). Same-id pairs
-    * are excluded: an arrival is never its own near-dup, which is what
-    * lets a REPLAYED admission batch (its signatures already landed)
-    * re-decide identically instead of self-matching at agreement 1. */
+    * them could diverge on a non-deterministic batch).
+    *
+    * `excludeSameId` drops pairs where the arrival id equals the stored
+    * id — the ADMISSION discipline only: an arrival is never its own
+    * near-dup, which is what lets a REPLAYED admission batch (its
+    * signatures already landed) re-decide identically instead of
+    * self-matching at agreement 1. [[minHashLSHAgainst]] keeps same-id
+    * pairs (a stable-id re-crawl pipeline wants them). */
   private def lshAgainstSigs(newSigs: DataFrame, existingSigs: DataFrame,
                              threshold: Double, numHashes: Int,
-                             rowsPerBand: Int): DataFrame = {
+                             rowsPerBand: Int,
+                             excludeSameId: Boolean): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val nBands = numHashes / rowsPerBand
     val a = bandKeys(newSigs, nBands, rowsPerBand)
@@ -134,7 +146,8 @@ object Dedup {
     val e = bandKeys(existingSigs, nBands, rowsPerBand)
       .select(col("id").as("existing_id"), col("b"), col("key"))
     val cand = a.join(e, Seq("b", "key"))
-      .filter(col("new_id") =!= col("existing_id"))
+      .filter(if (excludeSameId) col("new_id") =!= col("existing_id")
+        else lit(true))
       .select("new_id", "existing_id").distinct()
     cand
       .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_a")),
@@ -147,10 +160,48 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  private def fsOf(wh: graft.engine.Warehouse,
+                   p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(wh.spark.sessionState.newHadoopConf())
+
+  private def replacedPath(wh: graft.engine.Warehouse, sigTable: String) =
+    s"${wh.dataPath(sigTable)}/_replaced"
+
+  /** The LIVE rows of a signature table: the stored rows minus
+    * incumbents a quality-aware [[minHashAdmit]] replaced (their ids
+    * accumulate in a `_replaced` companion riding the table's data
+    * directory — underscore-invisible to plain scans, metadata-cost to
+    * write, applied physically only by [[compactSigs]]). Every consumer
+    * of the table routes through this — a replaced incumbent must stop
+    * matching arrivals the moment its replacement lands. Costs one
+    * metadata existence check when no replacement ever happened. */
+  def liveSignatures(wh: graft.engine.Warehouse,
+                     sigTable: String = "corpus_sigs"): DataFrame = {
+    val df = wh.read(sigTable)
+    val rp = new org.apache.hadoop.fs.Path(replacedPath(wh, sigTable))
+    if (!fsOf(wh, rp).exists(rp)) df
+    else df.join(graft.engine.JoinPolicy.broadcastIfSmall(
+        wh.spark.read.parquet(rp.toString).distinct()),
+      Seq("id"), "left_anti")
+  }
+
+  /** Apply accumulated replacements physically: republish the signature
+    * table as its live rows only (one atomic versioned publish — the
+    * fresh version carries no `_replaced` companion). Table-sized I/O,
+    * the same cost class as the band join every admission batch already
+    * pays over this table; run it when the replaced set's anti-join
+    * side has grown past comfort. */
+  def compactSigs(wh: graft.engine.Warehouse,
+                  sigTable: String = "corpus_sigs"): Unit = {
+    wh.publish(liveSignatures(wh, sigTable), sigTable)
+    ()
+  }
+
   /** Incremental near-dup ADMISSION for text — [[semDedupAdmit]]'s
     * signature-table sibling, closing the q74 loop: a NEW batch
     * signatures only itself, band-joins against the STORED signature
-    * table, arrivals with an existing near-dup at or above `threshold`
+    * table ([[liveSignatures]] — replaced incumbents never match),
+    * arrivals with an existing near-dup at or above `threshold`
     * agreement are dropped, and the survivors' SIGNATURES append to the
     * table — so the next batch dedups against them too and the corpus
     * text is never re-signatured. Returns the admitted rows of `batch`,
@@ -163,25 +214,109 @@ object Dedup {
     * [[semDedupAdmit]]: arrival ids are fresh, and near-dups WITHIN one
     * batch admit together (dedupe the batch against itself first when
     * arrivals can collide in-batch). The admitted signatures are the
-    * very rows the decision used — pinned once, never recomputed. */
+    * very rows the decision used — pinned once, never recomputed.
+    *
+    * With `scoreCol` the admission is QUALITY-AWARE — the
+    * upgrade-on-re-crawl shape over text, mirroring [[semDedupAdmit]]'s:
+    * each matched arrival is decided against its TOP stored near-dup
+    * (max agreement, ties toward the smallest stored id — the signature
+    * analogue of the rank-1 nearest). An arrival that OUTSCORES that
+    * incumbent replaces it (the incumbent's signature rows stop
+    * matching — the q219 tombstone discipline over the signature
+    * table); one at or below drops. Ties keep the incumbent, so a
+    * byte-identical re-crawl never churns the table. Both `batch` and
+    * the signature table must carry `scoreCol` (day-0: join the scores
+    * onto the published signatures); a missing or null score refuses
+    * loudly — a silently-skipped decision would admit a duplicate
+    * without tombstoning its incumbent.
+    *
+    * RETRY-SAFE by construction, in both modes — a replayed batch
+    * converges instead of compounding: the decision is stable (an
+    * arrival's own landed signature is self-excluded by id, a replaced
+    * incumbent is already dead so it matches nothing), the replacement
+    * set re-derives empty, and the survivors' signatures land via a
+    * left-anti against the table's existing ids, so nothing appends
+    * twice. A crash between the replacement write and the signature
+    * append converges too, in either order: a landed replacement just
+    * stops the incumbent matching one batch early; a landed signature
+    * without its replacement re-derives the replacement on retry (the
+    * incumbent is still live and still outscored). */
   def minHashAdmit(wh: graft.engine.Warehouse, batch: DataFrame,
                    idCol: String, textCol: String,
                    sigTable: String = "corpus_sigs",
                    threshold: Double = 0.5, k: Int = 3,
                    numHashes: Int = 64, rowsPerBand: Int = 4,
-                   seed: Long = 42L): DataFrame = {
+                   seed: Long = 42L,
+                   scoreCol: Option[String] = None): DataFrame = {
     val pinned = Exec.materialize(batch)
     val newSigs = Exec.materialize(
       minHashSignatures(pinned, idCol, textCol, k, numHashes, seed))
-    val dupIds = lshAgainstSigs(newSigs, wh.read(sigTable), threshold,
-      numHashes, rowsPerBand)
-      .select(col("new_id").as(idCol)).distinct()
+    val stored = liveSignatures(wh, sigTable)
+    val hits = lshAgainstSigs(newSigs, stored, threshold, numHashes,
+      rowsPerBand, excludeSameId = true)
+    val dupIds = scoreCol match {
+      case None => hits.select(col("new_id").as(idCol)).distinct()
+      case Some(sc) =>
+        require(wh.read(sigTable).columns.contains(sc),
+          s"quality-aware admission needs the signature table " +
+            s"'$sigTable' to carry '$sc' (join the scores onto the " +
+            "published signatures at day-0)")
+        import graft.functions.TopKAggregate
+        // the TOP stored near-dup per arrival: max agreement, ties
+        // toward the smallest stored id — one bounded top-1 aggregate,
+        // batch-sized (the bestLosers selection shape)
+        val top = Exec.materialize(hits.groupBy(col("new_id"))
+          .agg(TopKAggregate.topKStructs(
+            struct(col("est_jaccard"), col("existing_id")), 1,
+            desc = Seq(false, true)).as("t"))
+          .select(col("new_id"),
+            element_at(col("t"), 1).getField("existing_id")
+              .as("existing_id")))
+        val nTop = top.count()
+        val scored = Exec.materialize(top
+          .join(pinned.select(col(idCol).as("new_id"),
+            col(sc).cast("double").as("__bs")), Seq("new_id"))
+          .join(stored.select(col("id").as("existing_id"),
+            col(sc).cast("double").as("__cs")), Seq("existing_id")))
+        require(scored.count() == nTop &&
+            scored.filter(col("__bs").isNull || col("__cs").isNull)
+              .isEmpty,
+          "quality-aware admission: every matched arrival and its " +
+            s"incumbent must carry a non-null '$sc' — a missing score " +
+            "would silently admit a duplicate without tombstoning its " +
+            "incumbent")
+        val replaced = scored.filter(col("__bs") > col("__cs"))
+          .select(col("existing_id").as("id")).distinct()
+        // tombstone the outscored incumbents BEFORE the survivors'
+        // signatures land (the q219 write order); a replayed batch
+        // re-derives an empty replacement set, so the companion never
+        // grows twice for one decision
+        val nRep = replaced.count()
+        if (nRep > 0L)
+          replaced.repartition(IndexAdvice.companionShards(nRep))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(replacedPath(wh, sigTable))
+        scored.filter(col("__bs") <= col("__cs"))
+          .select(col("new_id").as(idCol)).distinct()
+    }
     val admitted = Exec.materialize(
       pinned.join(dupIds, Seq(idCol), "left_anti"))
-    // an all-duplicates batch grows the signature table by nothing
-    if (!admitted.isEmpty)
-      wh.append(newSigs.join(admitted.select(col(idCol).as("id")),
-        Seq("id"), "left_semi"), sigTable)
+    // an all-duplicates batch grows the signature table by nothing;
+    // the left-anti against the table's OWN ids makes a replayed
+    // batch's append a no-op (retry safety — the decision above is
+    // already stable, this keeps the table from bloating)
+    if (!admitted.isEmpty) {
+      val sigRows = newSigs
+        .join(admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .join(wh.read(sigTable).select(col("id")), Seq("id"), "left_anti")
+      val out = scoreCol match {
+        case None => sigRows
+        case Some(sc) =>
+          sigRows.join(pinned.select(col(idCol).as("id"), col(sc)),
+            Seq("id"))
+      }
+      if (!out.isEmpty) wh.append(out, sigTable)
+    }
     admitted
   }
 
@@ -640,10 +775,23 @@ object Dedup {
     * a byte-identical re-crawl must not churn the index). The decision
     * is made against the NEAREST indexed near-dup (rank 1 — the one the
     * arrival most directly duplicates); both `batch` and `corpus` must
-    * carry `scoreCol`. A caller maintaining a separate corpus TABLE
-    * should note replaced incumbents stay in it harmlessly (stale rows
-    * are rerank vectors only, never candidates — the index is the
-    * source of truth) until its own compaction.
+    * carry `scoreCol`. A NULL score (either side) refuses loudly — a
+    * silently-skipped decision would ADMIT the arrival without
+    * tombstoning its incumbent. The WORSE corpus failure is a missing
+    * neighbor ROW: it drops at the rerank join inside the kNN (upstream
+    * of any score comparison), the arrival reads as fresh, and a
+    * duplicate silently enters the index — which is why the quality
+    * path should run `validateCorpus` (at least on its first batch and
+    * after corpus surgery). A caller maintaining a separate corpus
+    * TABLE should note replaced incumbents stay in it harmlessly (stale
+    * rows are rerank vectors only, never candidates — the index is the
+    * source of truth) until [[compactCorpus]] drops them.
+    *
+    * `validateCorpus` checks the coverage contract up front — one
+    * bounded left-anti of the index's live ids against `corpus`,
+    * refusing with the missing-id count. Opt-in because the check is an
+    * index-id-column scan per batch; run it on the first batch of a
+    * pipeline (or after corpus-table surgery), not per micro-batch.
     *
     * The batch is pinned ONCE at entry (the kNN query side, the
     * anti-join, and the append must see the same row set even for a
@@ -655,9 +803,19 @@ object Dedup {
                     name: String = "ivfpq_index",
                     threshold: Double = 0.95, nprobe: Int = 8,
                     rerank: Int = 64,
-                    scoreCol: Option[String] = None): DataFrame = {
+                    scoreCol: Option[String] = None,
+                    validateCorpus: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    if (validateCorpus) {
+      val missing = IvfIndex.liveIds(wh, name)
+        .join(corpus.select(col(idCol).as("id")), Seq("id"), "left_anti")
+        .count()
+      require(missing == 0L,
+        s"corpus does not cover $missing live indexed ids — an " +
+          "uncovered id silently drops from the rerank and a duplicate " +
+          "of it would admit; pass the table the admitted rows land in")
+    }
     val pinned = Exec.materialize(batch)
     val nn = IvfIndex.knnJoinPq(wh, pinned, corpus, idCol, vecCol, name,
       k = 1, nprobe = nprobe, rerank = rerank)
@@ -665,24 +823,7 @@ object Dedup {
     val dupIds = scoreCol match {
       case None => hits.select(col("query_id").as(idCol)).distinct()
       case Some(sc) =>
-        // pinned: the scored hit set feeds BOTH the incumbent
-        // tombstones and the drop ids — one kNN evaluation, not two
-        val scored = Exec.materialize(hits
-          .join(pinned.select(col(idCol).as("query_id"),
-            col(sc).cast("double").as("__bs")), Seq("query_id"))
-          .join(corpus.select(col(idCol).as("neighbor_id"),
-            col(sc).cast("double").as("__cs")), Seq("neighbor_id")))
-        val replaced = scored.filter(col("__bs") > col("__cs"))
-          .select(col("neighbor_id").as(idCol)).distinct()
-        // tombstone the outscored incumbents BEFORE the survivors
-        // append (both are metadata-cost index mutations; the appended
-        // generation carries seq == the tombstone cut, so order only
-        // affects which write a crash strands — a stranded tombstone
-        // re-resolves on the batch's retry)
-        if (!replaced.isEmpty)
-          IvfIndex.delete(wh, replaced, idCol, name)
-        scored.filter(col("__bs") <= col("__cs"))
-          .select(col("query_id").as(idCol)).distinct()
+        scoredDupIds(wh, hits, pinned, corpus, idCol, sc, name)
     }
     val admitted = Exec.materialize(
       pinned.join(dupIds, Seq(idCol), "left_anti"))
@@ -692,6 +833,61 @@ object Dedup {
     if (!admitted.isEmpty)
       IvfIndex.appendPq(wh, admitted, idCol, vecCol, name)
     admitted
+  }
+
+  /** The quality-aware decision core shared by [[semDedupAdmit]] and
+    * [[streamingAdmit]]: join the ≥-threshold hits with both sides'
+    * scores, REFUSE on a null score or a hit the joins lose (the
+    * silent-wrong mode — an unmatched hit would admit without
+    * tombstoning its incumbent; a neighbor missing from `corpus`
+    * entirely never reaches here — it drops at the kNN's rerank join,
+    * the `validateCorpus` case), tombstone the outscored incumbents,
+    * and return the drop ids (arrivals at or below their incumbent's
+    * score). The hit set is pinned so ONE kNN evaluation feeds both
+    * the tombstones and the drop ids. */
+  private def scoredDupIds(wh: graft.engine.Warehouse, hits: DataFrame,
+                           pinned: DataFrame, corpus: DataFrame,
+                           idCol: String, sc: String,
+                           name: String): DataFrame = {
+    val ph = Exec.materialize(hits)
+    val nHits = ph.count()
+    val scored = Exec.materialize(ph
+      .join(pinned.select(col(idCol).as("query_id"),
+        col(sc).cast("double").as("__bs")), Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(sc).cast("double").as("__cs")), Seq("neighbor_id")))
+    require(scored.count() == nHits &&
+        scored.filter(col("__bs").isNull || col("__cs").isNull).isEmpty,
+      s"quality-aware admission: every matched neighbor id must appear " +
+        s"in `corpus` with a non-null '$sc' (and every arrival must " +
+        s"score non-null) — a missing score would silently admit a " +
+        "duplicate without tombstoning its incumbent")
+    val replaced = scored.filter(col("__bs") > col("__cs"))
+      .select(col("neighbor_id").as(idCol)).distinct()
+    // tombstone the outscored incumbents BEFORE the survivors
+    // append (both are metadata-cost index mutations; the appended
+    // generation carries seq == the tombstone cut, so order only
+    // affects which write a crash strands — a stranded tombstone
+    // re-resolves on the batch's retry)
+    if (!replaced.isEmpty)
+      IvfIndex.delete(wh, replaced, idCol, name)
+    scored.filter(col("__bs") <= col("__cs"))
+      .select(col("query_id").as(idCol)).distinct()
+  }
+
+  /** Corpus-table hygiene for quality-aware admission pipelines: drop
+    * every row whose id is no longer LIVE in the index (replaced
+    * incumbents accrete as stale-score rerank rows — harmless for
+    * serving, wrong the moment anything trusts their scores). One
+    * atomic versioned republish; afterwards the corpus table's ids are
+    * exactly [[IvfIndex.liveIds]]. Corpus-table-sized I/O — schedule it
+    * like a compaction, not per batch. */
+  def compactCorpus(wh: graft.engine.Warehouse, corpusTable: String,
+                    idCol: String, name: String = "ivfpq_index"): Unit = {
+    wh.publish(wh.read(corpusTable).join(
+      IvfIndex.liveIds(wh, name).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi"), corpusTable)
+    ()
   }
 
   /** Continuous ADMISSION: an arrival stream becomes the deduplicated
@@ -726,14 +922,30 @@ object Dedup {
     * upstream, last-wins); with `maintainEvery > 0` the sink consults
     * the maintenance policy every that-many batches and compacts when
     * it fires, so re-admission churn bounds its own tombstone growth.
-    * (Sink admission is score-blind; quality-aware replacement is the
-    * batch API's `scoreCol` mode — see [[semDedupAdmit]].) */
+    *
+    * With `scoreCol` the sink is QUALITY-AWARE — [[semDedupAdmit]]'s
+    * upgrade-on-re-crawl decision, continuous: an arrival that
+    * outscores its nearest indexed near-dup tombstones it and admits
+    * (both `arrivals` and the corpus table must carry `scoreCol`; the
+    * admitted rows land with their scores, so future incumbents score
+    * from the table itself). The effectively-once argument EXTENDS to
+    * the upgrade path: the incumbent tombstones BEFORE the corpus and
+    * index writes, so a replayed batch re-decides against an
+    * already-dead incumbent — the arrival reads fresh, admits again,
+    * the corpus promote-marker lands nothing twice, and reindexPq
+    * tombstones the arrival's own previous attempt; the replacement
+    * set re-derives EMPTY on replay (no live hit), so the tombstone
+    * never compounds. A crash between the tombstone and the admission
+    * writes converges the same way on retry. Replaced incumbents stay
+    * in the corpus table as stale rerank rows until [[compactCorpus]]
+    * (schedule it with `maintainEvery`'s cadence or coarser). */
   def streamingAdmit(wh: graft.engine.Warehouse, arrivals: DataFrame,
                      idCol: String, vecCol: String, checkpoint: String,
                      name: String = "ivfpq_index",
                      corpusTable: String = "corpus_vectors",
                      threshold: Double = 0.95, nprobe: Int = 8,
-                     rerank: Int = 64, maintainEvery: Int = 0)
+                     rerank: Int = 64, maintainEvery: Int = 0,
+                     scoreCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
@@ -747,10 +959,15 @@ object Dedup {
             s"streamingAdmit: a micro-batch carries duplicate " +
               s"'$idCol' rows — dedupe upstream (last-wins) before " +
               "admission")
-          val nn = IvfIndex.knnJoinPq(wh, pinned, wh.read(corpusTable),
+          val corpus = wh.read(corpusTable)
+          val nn = IvfIndex.knnJoinPq(wh, pinned, corpus,
             idCol, vecCol, name, k = 1, nprobe = nprobe, rerank = rerank)
-          val dupIds = nn.filter(col("cosine") >= threshold)
-            .select(col("query_id").as(idCol)).distinct()
+          val hits = nn.filter(col("cosine") >= threshold)
+          val dupIds = scoreCol match {
+            case None => hits.select(col("query_id").as(idCol)).distinct()
+            case Some(sc) =>
+              scoredDupIds(wh, hits, pinned, corpus, idCol, sc, name)
+          }
           val admitted = Exec.materialize(
             pinned.join(dupIds, Seq(idCol), "left_anti"))
           if (!admitted.isEmpty) {

@@ -1257,22 +1257,124 @@ object IvfIndex {
     out
   }
 
+  /** The LIVE ids of the index — entries surviving the tombstone cuts,
+    * as a one-column `id` frame from a column-pruned entry scan. The
+    * bounded contract surface for corpus-side hygiene
+    * ([[graft.operators.Dedup.compactCorpus]]), coverage validation
+    * ([[graft.operators.Dedup.semDedupAdmit]] `validateCorpus`), and
+    * [[rebuildPq]]'s refusal check. Works on both layouts. */
+  def liveIds(wh: Warehouse, name: String): DataFrame = {
+    val df = wh.read(name)
+    val idName = df.columns.head // build/buildPq select the id first
+    liveOnly(wh, wh.dataPath(name),
+      df.select(col(idName).as("id"), col("seq")), "id")
+  }
+
+  /** Execute the REBUILD arm for the CODED (PQ) layout — the production
+    * index at 100 TB, whose 12-byte entries cannot re-train a quantizer
+    * from themselves ([[rebuild]] refuses them): the exact vectors come
+    * from `corpus`, the table the index ALREADY requires as every
+    * probe's rerank companion, so the rebuild asks for nothing the
+    * pipeline doesn't keep. The live entry ids (and their layout
+    * attributes) join against the corpus vectors, the coarse quantizer,
+    * codebooks, and — when the retiring version carried one — the OPQ
+    * rotation all RE-TRAIN at observed mass (the same hash-ordered
+    * bounded sample [[buildPq]] draws, so the rebuild trains the same
+    * quantizers a caller-side `buildPq` over the equivalent (id,
+    * vector) set would), and the re-encoded corpus republishes
+    * atomically through [[buildPq]]. Structural parameters default to
+    * the retiring layout's (`nlist`/`m`/`ksub` = 0 keeps them — the
+    * Rebuild trigger is mass that MOVED, not grew); a rotation-carrying
+    * index re-trains with learned OPQ unless `opq` overrides (the
+    * learned mode subsumes the cheaper rotation modes at rebuild time,
+    * when a full re-train is being paid for anyway).
+    *
+    * The corpus-coverage contract is LOUD: every live id must join
+    * exactly one corpus vector, or the call refuses with the counts — a
+    * hole would silently SHRINK the index, a duplicate would
+    * double-index it. Health is re-measured onto the fresh version (the
+    * cell mapping changed, no fold applies), keeping post-rebuild
+    * advice at metadata cost. Returns the published version. */
+  def rebuildPq(wh: Warehouse, corpus: DataFrame, idCol: String,
+                vecCol: String, name: String = "ivfpq_index",
+                nlist: Int = 0, m: Int = 0, ksub: Int = 0,
+                trainIters: Int = 4, sampleSize: Int = 4096,
+                seed: Long = 42L,
+                opq: Option[Similarity.OpqMode] = None): String = {
+    val version = wh.currentVersion(name).getOrElse(
+      throw new IllegalStateException(s"index '$name' was never built"))
+    val vdir = s"${wh.root}/$name/_versions/$version"
+    val df = wh.readVersion(name, version)
+    require(df.columns.contains("code"),
+      s"index '$name' is a plain-vector layout — rebuild() re-trains " +
+        "it from its own entries; rebuildPq is for coded layouts")
+    val idName = df.columns.head // buildPq selects the id first
+    val cents0 = loadCentroids(wh, vdir)
+    val books0 = loadBooks(wh, vdir)
+    val rot0 = loadRotation(wh, vdir)
+    val attrs = df.columns.toSeq.filterNot(c =>
+      c == idName || c == "cell" || c == "code" || c == "seq")
+    // live (id, attrs) from the index — attributes ride the LAYOUT, so
+    // the corpus only owes (id, vector); pinned because the coverage
+    // check and the join both consume it
+    val liveEntries = Exec.materialize(liveOnly(wh, vdir,
+      df.select((idName +: attrs :+ "seq").map(col): _*), idName))
+    val src = Exec.materialize(liveEntries.join(
+      corpus.select(col(idCol).as(idName), col(vecCol)), Seq(idName)))
+    val nLive = liveEntries.count()
+    val nSrc = src.count()
+    require(nSrc == nLive,
+      s"rebuildPq: corpus rows joined to $nSrc of $nLive live index " +
+        "ids — the corpus table must cover every live id exactly once " +
+        "(a hole would silently shrink the index; a duplicate id would " +
+        "double-index it)")
+    val out = buildPq(wh, src, idName, vecCol, cents0.head.length,
+      if (nlist > 0) nlist else cents0.length,
+      if (m > 0) m else books0.length,
+      if (ksub > 0) ksub else books0.head.length,
+      trainIters, sampleSize, name, seed,
+      opq.getOrElse(
+        if (rot0.nonEmpty) Similarity.OpqMode.Learned()
+        else Similarity.OpqMode.Off),
+      attrs)
+    analyzeHealth(wh, name)
+    out
+  }
+
+  /** The corpus source a coded-layout rebuild re-trains from — the
+    * exact-vector table (and its id/vector column names) every PQ
+    * probe already uses as the rerank side. Passed to [[maintain]] so
+    * `executeRebuild` can close the policy loop on the production
+    * layout. */
+  final case class PqRebuildSource(corpus: DataFrame, idCol: String,
+                                   vecCol: String)
+
   /** Consult [[maintenanceAdvice]] and ACT on it — the one call a
     * nightly maintenance job needs per vector index. Compact advice is
     * executed; Rebuild advice is returned, and with `executeRebuild`
-    * also EXECUTED via [[rebuild]] for the plain-vector layout (a coded
-    * layout's rebuild needs the corpus — [[rebuild]] refuses it loudly,
-    * which is why the default stays surface-only). */
+    * also EXECUTED — via [[rebuild]] for the plain-vector layout, via
+    * [[rebuildPq]] for the coded layout when `rebuildSource` supplies
+    * the corpus table (the rerank companion every PQ pipeline already
+    * keeps). A coded index WITHOUT a source returns the Rebuild advice
+    * UN-executed instead of throwing: a nightly job enabling the flag
+    * across a fleet must surface the advice for its PQ indexes, not
+    * crash on the first one — the loud refusal is [[rebuild]]'s, for
+    * direct calls. */
   def maintain(wh: Warehouse, name: String,
                maxDeadFraction: Double = DefaultMaxDeadFraction,
                maxTombstoneBloat: Double = DefaultMaxTombstoneBloat,
                maxCellSkew: Double = DefaultMaxCellSkew,
-               executeRebuild: Boolean = false): IndexAdvice = {
+               executeRebuild: Boolean = false,
+               rebuildSource: Option[PqRebuildSource] = None)
+      : IndexAdvice = {
     val a = maintenanceAdvice(wh, name, maxDeadFraction,
       maxTombstoneBloat, maxCellSkew)
     if (a == IndexAdvice.Compact) compact(wh, name)
-    else if (a == IndexAdvice.Rebuild && executeRebuild)
-      rebuild(wh, name)
+    else if (a == IndexAdvice.Rebuild && executeRebuild) {
+      if (!wh.read(name).columns.contains("code")) rebuild(wh, name)
+      else rebuildSource.foreach(s =>
+        rebuildPq(wh, s.corpus, s.idCol, s.vecCol, name))
+    }
     a
   }
 }

@@ -561,6 +561,34 @@ object TextIndex {
     }.getOrElse(1)
   }
 
+  /** [[chooseBuckets]] plus a NON-DIVISOR fallback for poorly-factored
+    * counts: the exact-prediction fold only works along divisors, and a
+    * count like 61 (divisors 1 and 61) would jump straight to B′ = 1 —
+    * destroying partition pruning for every subsequent search — when
+    * the skew may be nothing deeper than several mid-weight terms
+    * hashing into one unlucky bucket. When the best clearing divisor
+    * sacrifices more than 4× pruning granularity AND the current count
+    * is not already a power of two (a power of two has divisors at
+    * every granularity, so its prediction failing at current/4 means
+    * deep coarsening is genuinely required — trust it), re-bucket at
+    * the largest power of two below `current` instead: a different
+    * modulus re-rolls every token's bucket, spreading hash-collision
+    * skew, and the well-factored result gives every FUTURE fold a rich
+    * divisor chain. The price of leaving prediction space is honest:
+    * the caller must MEASURE post-rebuild health (second tuple element
+    * false = no exact fold exists). If the dominance was a single
+    * atomic posting list the measured skew re-fires Rebuild and the
+    * next round coarsens along the power of two's divisors — exact
+    * folds from then on, converging at worst to B′ = 1 exactly where
+    * the divisor path would have started. */
+  private[operators] def chooseBucketsOrFallback(current: Int,
+      buckets: Seq[(Int, Long)], maxBucketSkew: Double): (Int, Boolean) = {
+    val bd = chooseBuckets(current, buckets, maxBucketSkew)
+    val pow2 = Integer.highestOneBit(current)
+    if (bd.toLong * 4 >= current.toLong || pow2 == current) (bd, true)
+    else (pow2, false)
+  }
+
   /** Execute the REBUILD arm from the index itself — the policy loop's
     * last caller burden folded into the engine: when occupancy drift
     * breaks the frozen hash layout's pruning premise (the
@@ -576,7 +604,11 @@ object TextIndex {
     * the TOKENIZER changes). Health folds at metadata cost — the new
     * per-bucket masses are the exact hash-space regroup of the stored
     * ones, so the rebuilt index's advice stays metadata-cost and reads
-    * Healthy at the gate that fired. Returns the published version. */
+    * Healthy at the gate that fired. A poorly-factored count whose best
+    * clearing divisor would destroy pruning re-buckets at a nearby
+    * power of two instead and pays one measured re-analyze — the
+    * [[chooseBucketsOrFallback]] contract. Returns the published
+    * version. */
   def rebuild(wh: Warehouse, name: String = "text_index",
               maxBucketSkew: Double = DefaultMaxBucketSkew): String = {
     import wh.spark.implicits._
@@ -590,7 +622,8 @@ object TextIndex {
       freshHealth(wh, name).get
     }
     val (_, _, buckets) = pre
-    val nb = chooseBuckets(current.toInt, buckets, maxBucketSkew)
+    val (nb, exactFold) =
+      chooseBucketsOrFallback(current.toInt, buckets, maxBucketSkew)
     // rewrite FROM the index: live postings re-bucketed through the
     // frozen hash at the chosen count, doclen reconciled exactly like
     // compact (torn-append dl>0 generations with no postings drop,
@@ -615,14 +648,22 @@ object TextIndex {
         dl.repartition(IndexAdvice.companionShards(nDl))
           .write.parquet(s"$vdir/_doclen")
       })
-    // metadata-cost fold: the new buckets' masses are the exact
-    // regroup of the captured evidence (see chooseBuckets), dead mass
-    // zeroes, doclen count is the reconciled one
-    val folded = buckets.groupBy(_._1 % nb).toSeq
-      .map { case (b, ms) => (b, ms.map(_._2).sum) }
-      .filter(_._2 > 0L).sorted
-    persistHealth(wh, name, nDl, 0L, folded,
-      IndexAdvice.census(wh, name))
+    if (exactFold) {
+      // metadata-cost fold: the new buckets' masses are the exact
+      // regroup of the captured evidence (see chooseBuckets), dead mass
+      // zeroes, doclen count is the reconciled one
+      val folded = buckets.groupBy(_._1 % nb).toSeq
+        .map { case (b, ms) => (b, ms.map(_._2).sum) }
+        .filter(_._2 > 0L).sorted
+      persistHealth(wh, name, nDl, 0L, folded,
+        IndexAdvice.census(wh, name))
+    } else
+      // non-divisor fallback: `hash % nb` is NOT a regroup of
+      // `hash % current`, so no exact prediction exists — pay the ONE
+      // measured re-analyze the fallback contract promises
+      // (chooseBucketsOrFallback), keeping post-rebuild advice at
+      // metadata cost from here on
+      analyzeHealthWith(wh, name, IndexAdvice.census(wh, name))
     out
   }
 

@@ -304,6 +304,110 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(7L -> a))
   }
 
+  test("minHashLSHAgainst keeps SAME-ID pairs: a stable-id re-crawl " +
+      "finds its own stored signature at agreement 1") {
+    val sigs = Dedup.minHashSignatures(docs.filter($"doc_id" <= 2),
+      "doc_id", "text")
+    // re-crawl of doc 1 under ITS OWN id — the stable-id pipeline shape
+    val recrawl = docs.filter($"doc_id" === 1L)
+    val out = Dedup.minHashLSHAgainst(recrawl, "doc_id", "text", sigs,
+        threshold = 0.5)
+      .select("new_id", "existing_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(out.exists(p => p._1 == 1L && p._2 == 1L && p._3 == 1.0),
+      s"the same-id pair must be reported: ${out.toSeq}")
+  }
+
+  test("minHashAdmit is replay-idempotent: a retried batch re-decides " +
+      "identically and appends nothing twice") {
+    val wh = new graft.engine.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("madm-r").toString)
+    wh.publish(Dedup.minHashSignatures(
+      docs.filter($"doc_id" <= 2L), "doc_id", "text"), "rsig")
+    val b = docs.filter($"doc_id".isin(3L, 4L)) // 3 fresh, 4 dup of 1
+    val adm1 = Dedup.minHashAdmit(wh, b, "doc_id", "text", "rsig")
+      .select("doc_id").as[Long].collect().toSet
+    val n1 = wh.read("rsig").count()
+    // the REPLAY: same batch again (its signatures already landed) —
+    // the self-id exclusion keeps doc 3 from vetoing itself, the
+    // left-anti append lands nothing
+    val adm2 = Dedup.minHashAdmit(wh, b, "doc_id", "text", "rsig")
+      .select("doc_id").as[Long].collect().toSet
+    assert(adm1 == Set(3L) && adm2 == Set(3L),
+      s"replay must re-decide identically: $adm1 vs $adm2")
+    assert(wh.read("rsig").count() == n1,
+      "a replayed batch must append no signature twice")
+  }
+
+  test("minHashAdmit with scoreCol: an outscoring re-crawl REPLACES " +
+      "its top incumbent in the signature table, an outscored one " +
+      "drops, a TIE keeps the incumbent, and compactSigs applies the " +
+      "replacements physically") {
+    val wh = new graft.engine.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("madm-q").toString)
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today", 5.0),
+      (3L, "completely different content about spark query engines and shuffles", 5.0),
+      (5L, "another unrelated text mentioning vectors embeddings and cosine space", 5.0)
+    ).toDF("doc_id", "text", "quality")
+    wh.publish(Dedup.minHashSignatures(base, "doc_id", "text")
+      .join(base.select($"doc_id".as("id"), $"quality"), Seq("id")),
+      "qsig")
+    val batch = Seq(
+      // re-crawl of 1 at +1: upgrade — 1's signature replaced
+      (1001L, "the quick brown fox jumps over the lazy dog near the river bank today", 6.0),
+      // re-crawl of 3 at −1: drops
+      (1003L, "completely different content about spark query engines and shuffles", 4.0),
+      // byte-identical re-crawl of 5 at the SAME score: tie keeps the
+      // incumbent — no churn
+      (1005L, "another unrelated text mentioning vectors embeddings and cosine space", 5.0),
+      // fresh arrival
+      (1007L, "entirely novel sentences speaking of glaciers moraines and drumlins", 2.0)
+    ).toDF("doc_id", "text", "quality")
+    val adm = Dedup.minHashAdmit(wh, batch, "doc_id", "text", "qsig",
+        scoreCol = Some("quality"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(adm == Set(1001L, 1007L),
+      s"upgrade + fresh admit; outscored and tie drop: $adm")
+    val live = Dedup.liveSignatures(wh, "qsig").select("id").as[Long]
+      .collect().toSet
+    assert(live == Set(3L, 5L, 1001L, 1007L),
+      s"the replaced incumbent must be dead in the live view: $live")
+    // a SECOND batch re-crawling the upgraded doc at a score between
+    // old and new must bounce off the UPGRADE's score (6.0), proving
+    // the replacement is visible to later decisions
+    val b2 = Seq((2001L,
+      "the quick brown fox jumps over the lazy dog near the river bank today",
+      5.5)).toDF("doc_id", "text", "quality")
+    val adm2 = Dedup.minHashAdmit(wh, b2, "doc_id", "text", "qsig",
+        scoreCol = Some("quality"))
+    assert(adm2.isEmpty,
+      "a re-crawl outscored by the UPGRADED incumbent must drop")
+    // compactSigs republishes live-only; the fresh version carries no
+    // _replaced companion and answers identically
+    Dedup.compactSigs(wh, "qsig")
+    assert(wh.read("qsig").select("id").as[Long].collect().toSet == live)
+    val rp = new org.apache.hadoop.fs.Path(
+      s"${wh.dataPath("qsig")}/_replaced")
+    assert(!rp.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(rp), "the compacted version must start clean")
+    // a NULL incumbent score refuses instead of silently deciding
+    val nbase = Seq((9L,
+      "some reference passage regarding owls herons and kestrels",
+      null.asInstanceOf[java.lang.Double]))
+      .toDF("doc_id", "text", "quality")
+    wh.publish(Dedup.minHashSignatures(nbase, "doc_id", "text")
+      .join(nbase.select($"doc_id".as("id"), $"quality"), Seq("id")),
+      "nsig")
+    val e = intercept[IllegalArgumentException](
+      Dedup.minHashAdmit(wh,
+        Seq((3009L,
+          "some reference passage regarding owls herons and kestrels",
+          7.0)).toDF("doc_id", "text", "quality"),
+        "doc_id", "text", "nsig", scoreCol = Some("quality")))
+    assert(e.getMessage.contains("non-null"), e.getMessage)
+  }
+
   test("jaccardJoinExact: candidate generation is equi-join only — no " +
       "cartesian/nested-loop anywhere in the plan") {
     val docs = (1L to 40L).map(i =>

@@ -1161,4 +1161,271 @@ class IvfIndexSpec extends SparkSpec {
       "idx", k = 3, nprobe = 4)
     assert(fresh.count() == before) // same queries, k unchanged
   }
+
+  test("rebuildPq executes the Rebuild arm for the CODED layout from " +
+      "the corpus table: quantizers re-train at observed mass, the " +
+      "re-trained skew clears the gate, tombstones compact away, and " +
+      "probes answer for both generations") {
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 400, dim = dim)
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 16,
+      m = 8, ksub = 64, name = "rpq")
+    val freshSkew = IvfIndex.analyzeHealth(wh, "rpq")
+      .select("cell_skew").head().getDouble(0)
+    // the q207 circle plant at spec scale (see the plain-layout rebuild
+    // test above): 6x the corpus around a great circle
+    val ends = corpus.filter(col("vec_id").isin(1L, 2L)).orderBy("vec_id")
+      .select("embedding").collect()
+    val r1 = ends(0).getSeq[Float](0).map(_.toDouble).toArray
+    val r2 = ends(1).getSeq[Float](0).map(_.toDouble).toArray
+    def norm(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val u1 = norm(r1)
+    val d12 = u1.indices.map(i => u1(i) * r2(i)).sum
+    val u2 = norm(Array.tabulate(dim)(i => r2(i) - d12 * u1(i)))
+    val bundle = (0 until 2400).map { i =>
+      val th = 2.0 * math.Pi * i / 2400.0
+      (10000L + i, u1.indices.map(t =>
+        (u1(t) * math.cos(th) + u2(t) * math.sin(th)).toFloat))
+    }.toDF("vec_id", "embedding")
+    IvfIndex.appendPq(wh, bundle, "vec_id", "embedding", "rpq")
+    IvfIndex.delete(wh, Seq(399L).toDF("vec_id"), "vec_id", "rpq")
+    val skew = IvfIndex.readHealth(wh, "rpq")
+      .getOrElse(IvfIndex.analyzeHealth(wh, "rpq"))
+      .select("cell_skew").head().getDouble(0)
+    val gate = skew * 0.6
+    require(freshSkew < gate && skew >= 2.0 * freshSkew,
+      s"plant sanity: fresh $freshSkew, drifted $skew, gate $gate")
+    require(IvfIndex.maintenanceAdvice(wh, "rpq", maxCellSkew = gate) ==
+      IndexAdvice.Rebuild, "plant sanity: drift must fire Rebuild")
+    // the rerank companion the rebuild re-trains from — minus the
+    // tombstoned id's row (rebuildPq joins LIVE ids only, so extra
+    // corpus rows are fine; the live side drives)
+    val companion = corpus.select("vec_id", "embedding").unionByName(bundle)
+    val v0 = wh.currentVersion("rpq")
+    // coded + executeRebuild + NO source: the advice SURFACES without
+    // executing (and without throwing — the fleet-nightly contract)
+    assert(IvfIndex.maintain(wh, "rpq", maxCellSkew = gate,
+      executeRebuild = true) == IndexAdvice.Rebuild)
+    assert(wh.currentVersion("rpq") == v0,
+      "a coded index without a rebuildSource must stay untouched")
+    // with the source, ONE maintain call closes the loop
+    assert(IvfIndex.maintain(wh, "rpq", maxCellSkew = gate,
+      executeRebuild = true,
+      rebuildSource = Some(IvfIndex.PqRebuildSource(companion,
+        "vec_id", "embedding"))) == IndexAdvice.Rebuild)
+    assert(wh.currentVersion("rpq") != v0, "rebuildPq must publish")
+    val h = IvfIndex.readHealth(wh, "rpq")
+    assert(h.nonEmpty, "rebuildPq must leave fresh health")
+    val row = h.get.select("cell_skew", "dead_fraction", "live_rows")
+      .head()
+    assert(row.getDouble(0) < gate,
+      s"re-trained skew ${row.getDouble(0)} must clear $gate")
+    assert(row.getDouble(1) == 0.0, "tombstones must compact away")
+    assert(row.getLong(2) == 2799L, row.toString) // 400 - 1 + 2400
+    // probes answer for BOTH generations through the re-trained
+    // quantizers; the tombstoned id stays dead across the rebuild
+    val got = IvfIndex.probePq(wh,
+        corpus.filter(col("vec_id") === 3L)
+          .unionByName(bundle.filter(col("vec_id") === 10007L))
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")),
+        companion, "vec_id", "embedding", "rpq", k = 1, nprobe = 8,
+        rerank = 256)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    assert(got(100003L) == 3L && got(110007L) == 10007L, got.toString)
+    assert(IvfIndex.probePq(wh,
+        corpus.filter(col("vec_id") === 399L)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")),
+        companion, "vec_id", "embedding", "rpq", k = 1, nprobe = 8,
+        rerank = 256)
+      .filter(col("neighbor_id") === 399L).count() == 0L,
+      "a tombstoned id must not resurface through a PQ rebuild")
+  }
+
+  test("rebuildPq refuses an under-covering corpus loudly (a hole " +
+      "would silently shrink the index) and a plain layout") {
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 200, dim = dim)
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "rcv")
+    val e = intercept[IllegalArgumentException](
+      IvfIndex.rebuildPq(wh, corpus.filter(col("vec_id") < 150L),
+        "vec_id", "embedding", "rcv"))
+    assert(e.getMessage.contains("cover every live id"), e.getMessage)
+    // a corpus carrying duplicate ids refuses too (double-indexing)
+    val e2 = intercept[IllegalArgumentException](
+      IvfIndex.rebuildPq(wh, corpus.unionByName(
+          corpus.filter(col("vec_id") < 5L)),
+        "vec_id", "embedding", "rcv"))
+    assert(e2.getMessage.contains("exactly once"), e2.getMessage)
+    IvfIndex.build(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      name = "rcv_plain")
+    val e3 = intercept[IllegalArgumentException](
+      IvfIndex.rebuildPq(wh, corpus, "vec_id", "embedding", "rcv_plain"))
+    assert(e3.getMessage.contains("plain-vector"), e3.getMessage)
+  }
+
+  test("rebuildPq re-trains the OPQ rotation when the retiring version " +
+      "carried one — planted copies reproduce their originals through " +
+      "the re-learned transform") {
+    val wh = freshWh
+    val dim = 32
+    val corpus = AnnRecall.clusteredFixture(spark, n = 800, dim = dim,
+      decay = 0.85)
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "ropq", opq = Similarity.OpqMode.Balance)
+    IvfIndex.rebuildPq(wh, corpus, "vec_id", "embedding", "ropq")
+    // the re-published version must carry a rotation artifact (learned
+    // at rebuild), and the full ADC + transformed-LUT path must agree
+    // with it: every planted copy pins its original at rank 1
+    val rp = new org.apache.hadoop.fs.Path(
+      s"${wh.dataPath("ropq")}/_rotation")
+    assert(rp.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(rp), "a rotation-carrying index must re-train its OPQ")
+    val probes = corpus.filter($"vec_id" % 40 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val top1 = IvfIndex.probePq(wh, probes, corpus, "vec_id",
+        "embedding", "ropq", k = 1, nprobe = 2, rerank = 192)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    assert(top1.nonEmpty && top1.forall { case (q, nb) =>
+      nb == q - 100000L }, top1.toString)
+  }
+
+  test("compactCorpus drops exactly the tombstoned ids from the " +
+      "rerank companion table") {
+    import graft.operators.Dedup
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 200, dim = dim)
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "cc_idx")
+    wh.publish(corpus, "cc_corpus")
+    IvfIndex.delete(wh, Seq(3L, 7L, 11L).toDF("vec_id"), "vec_id",
+      "cc_idx")
+    Dedup.compactCorpus(wh, "cc_corpus", "vec_id", "cc_idx")
+    val kept = wh.read("cc_corpus").select("vec_id").as[Long]
+      .collect().toSet
+    assert(kept == (0L until 200L).toSet -- Set(3L, 7L, 11L),
+      s"compacted corpus must be exactly the live index ids")
+    assert(IvfIndex.liveIds(wh, "cc_idx").count() == 197L)
+  }
+
+  test("semDedupAdmit validateCorpus refuses an under-covering corpus " +
+      "with the missing-id count; scoreCol mode refuses a coverage " +
+      "hole and null scores instead of silently admitting") {
+    import graft.operators.Dedup
+    val wh = freshWh
+    val dim = 16
+    val rnd = new scala.util.Random(59)
+    def gauss(ids: Range) = ids
+      .map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val gen0 = gauss(0 until 80).toDF("vec_id", "embedding")
+      .withColumn("q", lit(5.0))
+    IvfIndex.buildPq(wh, gen0, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "vc")
+    val batch = gauss(9000 until 9005).toDF("vec_id", "embedding")
+      .withColumn("q", lit(1.0))
+    // under-covering corpus + validateCorpus: refused up front
+    val e = intercept[IllegalArgumentException](
+      Dedup.semDedupAdmit(wh, batch, gen0.filter($"vec_id" < 50L),
+        "vec_id", "embedding", "vc", threshold = 0.99, rerank = 64,
+        validateCorpus = true))
+    assert(e.getMessage.contains("does not cover 30"), e.getMessage)
+    // a full corpus validates clean and admits as before
+    val adm = Dedup.semDedupAdmit(wh, batch, gen0, "vec_id",
+      "embedding", "vc", threshold = 0.99, rerank = 64,
+      validateCorpus = true)
+    assert(adm.count() == 5L)
+    // scoreCol decision path: a coverage hole drops the incumbent at
+    // the RERANK join (upstream of any score comparison) and the
+    // arrival would silently admit without a tombstone — which is
+    // exactly why the quality path should run validateCorpus
+    val recrawl = gen0.filter($"vec_id" === 0L)
+      .select(($"vec_id" + 7000L).as("vec_id"), $"embedding",
+        lit(9.0).as("q"))
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.semDedupAdmit(wh, recrawl,
+        gen0.filter($"vec_id" =!= 0L)
+          .unionByName(adm.select("vec_id", "embedding", "q")),
+        "vec_id", "embedding", "vc",
+        threshold = 0.99, rerank = 64, scoreCol = Some("q"),
+        validateCorpus = true))
+    assert(e2.getMessage.contains("does not cover 1"), e2.getMessage)
+    // a NULL incumbent score survives the rerank (the id is covered)
+    // and must refuse at the decision, not silently admit
+    val e3 = intercept[IllegalArgumentException](
+      Dedup.semDedupAdmit(wh, recrawl,
+        gen0.withColumn("q", when($"vec_id" === 0L,
+          lit(null).cast("double")).otherwise($"q")),
+        "vec_id", "embedding", "vc",
+        threshold = 0.99, rerank = 64, scoreCol = Some("q")))
+    assert(e3.getMessage.contains("non-null"), e3.getMessage)
+  }
+
+  test("streamingAdmit with scoreCol: an outscoring re-crawl upgrades " +
+      "THROUGH the sink (incumbent tombstoned, arrival admitted), an " +
+      "outscored one drops, and a replayed landing lands nothing twice") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = freshWh
+    val dim = 16
+    val rnd = new scala.util.Random(61)
+    def gauss(ids: Range) = ids
+      .map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val gen0 = gauss(0 until 80)
+    val gen0Df = gen0.toDF("vec_id", "embedding")
+      .withColumn("q", lit(5.0))
+    IvfIndex.buildPq(wh, gen0Df, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "sq")
+    wh.publish(gen0Df, "sq_corpus")
+    val stream = MemoryStream[(Long, Array[Float], Double)]
+    val q = Dedup.streamingAdmit(wh,
+      stream.toDF().toDF("vec_id", "embedding", "q"), "vec_id",
+      "embedding", Files.createTempDirectory("sq-ckpt").toString, "sq",
+      "sq_corpus", threshold = 0.99, rerank = 64,
+      scoreCol = Some("q"))
+    try {
+      // batch 1: re-crawls of 0/1 at q=9 (upgrade), of 10 at q=1
+      // (drop), one fresh arrival
+      stream.addData(
+        (1000L, gen0(0)._2, 9.0), (1001L, gen0(1)._2, 9.0),
+        (1010L, gen0(10)._2, 1.0),
+        (9000L, Array.fill(dim)(rnd.nextGaussian().toFloat), 2.0))
+      q.processAllAvailable()
+      val live1 = IvfIndex.liveIds(wh, "sq").as[Long].collect().toSet
+      assert(live1 == ((0L until 80L).toSet -- Set(0L, 1L)) ++
+        Set(1000L, 1001L, 9000L), s"upgrades replace, outscored drops: " +
+        s"${live1.toSeq.sorted}")
+      // batch 2: a re-crawl of the BATCH-1 upgrade at a LOWER score
+      // must bounce off the upgraded incumbent (scores come from the
+      // corpus table the sink itself maintains)
+      stream.addData((2000L, gen0(0)._2, 7.0))
+      q.processAllAvailable()
+      val live2 = IvfIndex.liveIds(wh, "sq").as[Long].collect().toSet
+      assert(live2 == live1, "a lower-scored re-crawl of an upgraded " +
+        "arrival must drop against the corpus-table score")
+      // ...and one at a HIGHER score upgrades the upgrade
+      stream.addData((2001L, gen0(0)._2, 11.0))
+      q.processAllAvailable()
+      val live3 = IvfIndex.liveIds(wh, "sq").as[Long].collect().toSet
+      assert(live3 == live1 - 1000L + 2001L, live3.toSeq.sorted.toString)
+    } finally q.stop()
+    // the landing primitive stays replay-idempotent with scores riding
+    val before = wh.read("sq_corpus").count()
+    val extra = gauss(9100 until 9103).toDF("vec_id", "embedding")
+      .withColumn("q", lit(3.0))
+    wh.appendStreamBatch(extra, "sq_corpus", 555L)
+    wh.appendStreamBatch(extra, "sq_corpus", 555L) // replay
+    assert(wh.read("sq_corpus").count() == before + 3L)
+  }
 }

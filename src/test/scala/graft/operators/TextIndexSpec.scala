@@ -680,6 +680,76 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.chooseBuckets(8, Nil, 2.0) == 8)
   }
 
+  test("chooseBucketsOrFallback: a rich divisor chain stays on the " +
+      "exact-fold path; a poorly-factored count falls back to the " +
+      "largest power of two below it; a power of two trusts its own " +
+      "prediction even when it coarsens deep") {
+    // rich chain (8): the divisor answer is kept, exact fold
+    val even = Seq(0 -> 10L, 1 -> 100L, 2 -> 10L, 3 -> 10L, 4 -> 10L,
+      5 -> 100L, 6 -> 10L, 7 -> 10L)
+    assert(TextIndex.chooseBucketsOrFallback(8, even, 3.0) == (2, true))
+    // poorly factored (61, divisors 1 and 61): the divisor path would
+    // jump to 1 — fallback picks 32 and demands a measured re-analyze
+    val hot61 = Seq(0 -> 500L) ++ (1 until 61).map(_ -> 5L)
+    assert(TextIndex.chooseBucketsOrFallback(61, hot61, 8.0) ==
+      (32, false))
+    // a power of two whose prediction says only B'=1 clears: trust it
+    // (divisors exist at every granularity — the coarsening is real)
+    assert(TextIndex.chooseBucketsOrFallback(8, even, 1.5) == (1, true))
+    // a divisor within 4x granularity is kept even on an odd count
+    assert(TextIndex.chooseBucketsOrFallback(12, Seq(0 -> 10L), 1e9) ==
+      (12, true))
+  }
+
+  test("rebuild falls back to a well-factored bucket count for a " +
+      "poorly-factored layout: the prime-count index re-buckets to " +
+      "> 1 bucket, the MEASURED post-rebuild skew clears the gate, " +
+      "and searches answer through the new granularity") {
+    val wh = freshWh
+    // base corpus of even vocabulary at a PRIME bucket count
+    val base = (1L to 30L).map(i => (i, s"alpha$i beta$i merge vector"))
+      .toDF("doc_id", "text")
+    TextIndex.build(wh, base, "doc_id", "text", "tixp", nBuckets = 13)
+    // the flood: many DISTINCT tokens that all hash into one bucket at
+    // B=13 (selected through the engine's own frozen hash, so the
+    // plant is deterministic) — mid-weight collision skew, the exact
+    // failure mode a modulus re-roll spreads
+    val hotToks = Iterator.from(0).map(i => s"hot$i")
+      .filter(t => Sampling.hashBucketOf(t, "tix", 13) == 0L)
+      .take(120).toSeq
+    val flood = hotToks.zipWithIndex.map { case (t, i) =>
+      (1000L + i, t) }.toDF("doc_id", "text")
+    TextIndex.append(wh, flood, "doc_id", "text", "tixp")
+    val skew = TextIndex.readHealth(wh, "tixp")
+      .getOrElse(TextIndex.analyzeHealth(wh, "tixp"))
+      .select("bucket_skew").head().getDouble(0)
+    val gate = skew * 0.9
+    require(TextIndex.maintenanceAdvice(wh, "tixp",
+      maxBucketSkew = gate) == IndexAdvice.Rebuild, "plant sanity")
+    assert(TextIndex.maintain(wh, "tixp", maxBucketSkew = gate,
+      executeRebuild = true) == IndexAdvice.Rebuild)
+    // the fallback re-bucketed at 8 (highestOneBit(13)), NOT 1 — the
+    // divisor path would have destroyed pruning
+    val h = TextIndex.readHealth(wh, "tixp")
+    assert(h.nonEmpty, "the measured re-analyze must persist health")
+    val hRow = h.get.select("bucket_skew", "n_buckets").head()
+    assert(hRow.getLong(1) > 1L, "fallback must keep > 1 bucket")
+    assert(hRow.getDouble(0) < gate,
+      s"measured post-rebuild skew ${hRow.getDouble(0)} must clear " +
+        s"$gate")
+    // the persisted evidence IS a re-measure (no fold exists for a
+    // non-divisor — the two must agree exactly)
+    val re = TextIndex.analyzeHealth(wh, "tixp")
+      .select("bucket_skew", "n_buckets").head()
+    assert(hRow.toSeq == re.toSeq)
+    // searches resolve the new count from _layout and answer across
+    // both generations
+    assert(TextIndex.searchAll(wh, Seq("merge", "vector"), "tixp")
+      .as[Long].collect().sorted.toSeq == (1L to 30L))
+    assert(TextIndex.searchAll(wh, Seq(hotToks.head), "tixp")
+      .as[Long].collect().toSeq == Seq(1000L))
+  }
+
   test("rebuild executes the Rebuild arm from the index itself: the " +
       "re-bucketed skew equals the prediction, answers are preserved " +
       "across both generations, tombstones compact away, and " +
