@@ -982,6 +982,130 @@ object ScaleQueries {
         .unionByName(adm2.select("doc_id")).orderBy("doc_id")
     }),
 
+    // ── the REBUILD arm executed end to end on the CODED layout — the
+    //    q207 policy loop closed for the PRODUCTION index: the same
+    //    great-circle drift plant fires Rebuild on an IVF+PQ index, a
+    //    coded index WITHOUT a corpus source only SURFACES the advice
+    //    (the fleet-nightly contract — no crash, no mutation), and ONE
+    //    maintain(executeRebuild, rebuildSource) call re-trains
+    //    centroids AND codebooks from the rerank companion table at
+    //    observed mass, republishes, and reads Healthy. The oracle pins
+    //    the rebuilt index's answers for BOTH generations through the
+    //    re-trained quantizers (q207's oracle shape) ──
+    "q220_ivfpq_rebuild_policy" -> ((s, dir) => {
+      import graft.operators.IndexAdvice
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-rpq").toString)
+      val emb = Td(s, dir, "embeddings").select("vec_id", "embedding")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      IvfIndex.buildPq(wh, emb, "vec_id", "embedding", dim = 64,
+        nlist = 64, m = 8, ksub = 64, name = "rpq")
+      val fresh = IvfIndex.maintenanceAdvice(wh, "rpq")
+      require(fresh == IndexAdvice.Healthy,
+        s"a fresh coded index must read Healthy at the default gate, " +
+          s"got $fresh")
+      val freshSkew = IvfIndex.readHealth(wh, "rpq").get
+        .select("cell_skew").head().getDouble(0)
+      // the q207 drift plant: 6x the corpus swept around a great circle
+      val ends = emb.filter(col("vec_id").isin(1L, 2L)).orderBy("vec_id")
+        .select("embedding").collect()
+      val r1 = ends(0).getSeq[Float](0).map(_.toDouble).toArray
+      val r2 = ends(1).getSeq[Float](0).map(_.toDouble).toArray
+      def norm(v: Array[Double]) = {
+        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+      }
+      val u1 = norm(r1)
+      val d12 = u1.indices.map(i => u1(i) * r2(i)).sum
+      val u2 = norm(Array.tabulate(u1.length)(i => r2(i) - d12 * u1(i)))
+      val a = 6L * emb.count()
+      val theta = col("id").cast("double") / lit(a.toDouble) *
+        lit(2.0 * math.Pi)
+      val arc = s.range(a).select((col("id") + 200000L).as("vec_id"),
+        zip_with(typedLit(u1.toSeq), typedLit(u2.toSeq),
+          (x, y) => (x * cos(theta) + y * sin(theta)).cast("float"))
+          .as("embedding"))
+      IvfIndex.appendPq(wh, arc, "vec_id", "embedding", "rpq")
+      val driftSkew = IvfIndex.readHealth(wh, "rpq")
+        .getOrElse(IvfIndex.analyzeHealth(wh, "rpq"))
+        .select("cell_skew").head().getDouble(0)
+      require(driftSkew >= 2.0 * freshSkew,
+        s"plant sanity: the circle append must at least double the " +
+          s"live cell skew, got $freshSkew -> $driftSkew")
+      val skewGate = 0.6 * driftSkew
+      require(freshSkew < skewGate,
+        s"derived gate $skewGate must sit above the fresh $freshSkew")
+      // coded + executeRebuild + NO source: the advice surfaces
+      // UN-executed — a nightly job enabling the flag fleet-wide must
+      // not crash on its PQ indexes (nor mutate them)
+      val v0 = wh.currentVersion("rpq")
+      require(IvfIndex.maintain(wh, "rpq", maxCellSkew = skewGate,
+          executeRebuild = true) == IndexAdvice.Rebuild &&
+          wh.currentVersion("rpq") == v0,
+        "a coded index without a rebuildSource must surface Rebuild " +
+          "untouched")
+      // ...and ONE call with the rerank companion closes the loop:
+      // quantizers re-train from (emb ∪ arc) at observed mass
+      val companion = emb.unionByName(arc)
+      require(IvfIndex.maintain(wh, "rpq", maxCellSkew = skewGate,
+          executeRebuild = true,
+          rebuildSource = Some(IvfIndex.PqRebuildSource(companion,
+            "vec_id", "embedding"))) == IndexAdvice.Rebuild &&
+          wh.currentVersion("rpq") != v0,
+        "maintain(executeRebuild, rebuildSource) must execute rebuildPq")
+      val rebuilt = IvfIndex.maintenanceAdvice(wh, "rpq",
+        maxCellSkew = skewGate)
+      require(rebuilt == IndexAdvice.Healthy,
+        s"the re-trained coded layout must read Healthy, got $rebuilt")
+      // probes from BOTH generations answer through the re-trained
+      // quantizers (q207's probe set; rerank 1024 keeps the original
+      // inside the ADC candidate cut even where hundreds of adjacent
+      // circle points share its exact (cell, code) and tie its score)
+      val probes = emb.filter(col("vec_id") % 30 === 0)
+        .unionByName(arc.filter((col("vec_id") - 200000L) % 97 === 0 &&
+          col("vec_id") =!= 200000L))
+        .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+      IvfIndex.probePq(wh, probes, companion, "vec_id", "embedding",
+          "rpq", k = 1, nprobe = 8, rerank = 1024)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+    }),
+
+    // ── QUALITY-AWARE text admission — q219's upgrade-on-re-crawl over
+    //    the SIGNATURE table: every stored doc scores 5.0; re-crawls of
+    //    %4==0 arrive at 6.0 (ALL upgrade — each replaces its top
+    //    stored near-dup, the q219 tombstone discipline applied to
+    //    signature rows) and %4==1 at 4.0 (ALL drop). The oracle
+    //    replays the full replacement in SQL: per arrival the top match
+    //    by (agreement DESC, stored id ASC) — banded recall is total at
+    //    this threshold (the q218 argument), so the engine's candidate
+    //    set and the oracle's all-pairs agree — and the live signature
+    //    table afterwards is exactly (all docs − replaced incumbents)
+    //    ∪ admitted arrivals ──
+    "q221_minhash_admission_upgrade" -> ((s, dir) => {
+      val wh = new graft.engine.Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-mupg").toString)
+      val docs = Td(s, dir, "documents").select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val scored = docs.withColumn("quality", lit(5.0))
+      wh.publish(graft.operators.Dedup.minHashSignatures(docs,
+          "doc_id", "text")
+        .join(scored.select(col("doc_id").as("id"), col("quality")),
+          Seq("id")), "qsig")
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text"),
+            lit(6.0).as("quality"))
+        .unionByName(docs.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text"),
+            lit(4.0).as("quality")))
+      val admitted = graft.operators.Dedup.minHashAdmit(wh, batch,
+        "doc_id", "text", "qsig", scoreCol = Some("quality"))
+      admitted.select(lit("admitted").as("branch"),
+          col("doc_id").as("id"))
+        .unionByName(graft.operators.Dedup.liveSignatures(wh, "qsig")
+          .select(lit("live").as("branch"), col("id")))
+        .orderBy(col("branch"), col("id"))
+    }),
+
     // ── two-stage PQ ANN on planted probes: an exact copy must survive
     //    the 8-byte ADC candidate pass (its code equals its original's,
     //    so its ADC score is the query's own maximal reconstruction — a
@@ -1790,6 +1914,61 @@ object ScaleQueries {
          |         AND doc_id NOT IN (SELECT doc_id FROM dup2))
          |SELECT doc_id FROM base1 UNION ALL SELECT doc_id FROM adm2
          |ORDER BY doc_id""".stripMargin,
+
+    // q220: the q207 oracle shape on the CODED layout — the REBUILT
+    // index answers for BOTH generations (base planted ids and the
+    // drift circle's stride ids) through the re-trained centroids AND
+    // codebooks; circle size is 6 x |embeddings|, enumerated from the
+    // table itself, i = 0 excluded (it coincides with vec 1's direction)
+    "q220_ivfpq_rebuild_policy" ->
+      """WITH r AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn
+        |           FROM embeddings),
+        |arc AS (SELECT rn * 6 + j AS i
+        |        FROM r CROSS JOIN range(0, 6) t(j))
+        |SELECT vec_id + 500000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id % 30 = 0
+        |UNION ALL
+        |SELECT 200000 + i + 500000 AS query_id,
+        |  200000 + i AS neighbor_id
+        |FROM arc WHERE i % 97 = 0 AND i > 0""".stripMargin,
+
+    // q221: the replacement replayed in SQL — every arrival is an
+    // exact copy of a stored doc, so it always matches (agreement 1
+    // with its source at least); its TOP match is the stored doc with
+    // max agreement (ties -> smallest id), and since every stored score
+    // is 5.0, the 6.0 arrivals ALL upgrade (their top incumbents leave
+    // the live set) and the 4.0 arrivals all drop. Banded recall is
+    // total at 0.5 on this corpus (the q218 argument), so the
+    // all-pairs top match here IS the engine's
+    "q221_minhash_admission_upgrade" ->
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM tok),
+         |hs AS (SELECT doc_id,
+         |         list_distinct(list_transform(s, x -> ${md5Word1("x")}))
+         |         AS hh FROM sh),
+         |sig AS (SELECT doc_id, ${minhashSigSql(64, 42L)} AS sig FROM hs),
+         |arr AS (SELECT doc_id AS src, doc_id + 500000 AS new_id,
+         |          CASE WHEN doc_id % 4 = 0 THEN 6.0 ELSE 4.0 END AS bs
+         |        FROM documents WHERE doc_id % 4 IN (0, 1)),
+         |cand AS (SELECT a.new_id, a.bs, e.doc_id AS eid,
+         |           CAST(len(list_filter(range(1, 65),
+         |             i -> s.sig[i] = e.sig[i])) AS DOUBLE) / 64 AS ag
+         |         FROM arr a
+         |         JOIN sig s ON s.doc_id = a.src
+         |         JOIN sig e ON CAST(len(list_filter(range(1, 65),
+         |             i -> s.sig[i] = e.sig[i])) AS DOUBLE) / 64 >= 0.5),
+         |top AS (SELECT new_id, bs, eid FROM cand
+         |        QUALIFY row_number() OVER (PARTITION BY new_id
+         |          ORDER BY ag DESC, eid ASC) = 1),
+         |rep AS (SELECT DISTINCT eid FROM top WHERE bs > 5.0),
+         |adm AS (SELECT new_id FROM top WHERE bs > 5.0)
+         |SELECT 'admitted' AS branch, new_id AS id FROM adm
+         |UNION ALL
+         |SELECT 'live', doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT eid FROM rep)
+         |UNION ALL
+         |SELECT 'live', new_id FROM adm
+         |ORDER BY branch, id""".stripMargin,
 
     // q217: admission keeps exactly the FIRST generation of every
     // vector — every planted copy (offset ids) finds its already-

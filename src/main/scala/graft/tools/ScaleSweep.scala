@@ -410,7 +410,17 @@ object ScaleSweep {
         // round 11c: quality-aware admission — outscored incumbents
         // tombstone at metadata cost, upgrades append; the probe branch
         // exercises the replacement through the serving path
-        "q219_admission_upgrade")
+        "q219_admission_upgrade",
+        // round 12: the Rebuild arm executed on the CODED layout — one
+        // maintain(executeRebuild, rebuildSource) re-trains centroids
+        // and codebooks from the rerank companion at observed mass;
+        // the decision sequence is REQUIREd at every scale
+        "q220_ivfpq_rebuild_policy",
+        // round 12b: quality-aware TEXT admission — the top stored
+        // near-dup decides, outscored incumbents leave the live
+        // signature view through the _replaced companion at metadata
+        // cost, upgrades' signatures append
+        "q221_minhash_admission_upgrade")
     def gb(b: Long) = b / 1024.0 / 1024.0
 
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
