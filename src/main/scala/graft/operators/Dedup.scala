@@ -320,6 +320,82 @@ object Dedup {
     admitted
   }
 
+  /** Continuous TEXT admission — [[minHashAdmit]] as a self-maintaining
+    * sink, the signature-table twin of [[streamingAdmit]]: each
+    * micro-batch signatures only itself, dedups against the stored
+    * table, survivors land in BOTH the signature table (so the next
+    * batch dedups against them) and `corpusTable` (the admitted
+    * documents themselves — [[Warehouse.appendStreamBatch]]'s
+    * promote-marker protocol). Publish the day-0 corpus and signature
+    * tables first (both may be empty frames with the right schema).
+    * With `scoreCol` the sink is quality-aware: an outscoring re-crawl
+    * replaces its top stored near-dup ([[minHashAdmit]]'s upgrade
+    * semantics), and the corpus table accretes the replaced incumbents
+    * as stale rows until the periodic hygiene pass drops them.
+    *
+    * Effectively-once under foreachBatch's at-least-once replay comes
+    * almost for free here, because [[minHashAdmit]] is retry-safe BY
+    * CONSTRUCTION (stable decision via self-id exclusion and
+    * `_replaced` tombstones; left-anti signature appends): a replayed
+    * batch re-decides identically, appends no signature twice, and the
+    * corpus landing is the replay-idempotent promote-marker append. A
+    * crash between the signature and corpus writes converges on the
+    * replay — the re-decision returns the same admitted rows and only
+    * the missing write lands.
+    *
+    * With `compactEvery > 0`, every that-many batches the sink applies
+    * accumulated replacements physically when any exist: the corpus
+    * table republishes to the live signature ids (the stale-score rows
+    * drop) and [[compactSigs]] clears the `_replaced` companion — both
+    * table-sized rewrites, which is why they run on a cadence rather
+    * than per batch. A batch carrying the same id twice is refused
+    * loudly (dedupe upstream, last-crawl-wins). */
+  def streamingMinHashAdmit(wh: graft.engine.Warehouse,
+                            arrivals: DataFrame, idCol: String,
+                            textCol: String, checkpoint: String,
+                            sigTable: String = "corpus_sigs",
+                            corpusTable: String = "corpus_docs",
+                            threshold: Double = 0.5, k: Int = 3,
+                            numHashes: Int = 64, rowsPerBand: Int = 4,
+                            seed: Long = 42L,
+                            scoreCol: Option[String] = None,
+                            compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    arrivals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pinned = Exec.materialize(batch)
+        val n = pinned.count()
+        if (n > 0) {
+          require(pinned.select(col(idCol)).distinct().count() == n,
+            s"streamingMinHashAdmit: a micro-batch carries duplicate " +
+              s"'$idCol' rows — dedupe upstream (last-crawl-wins) " +
+              "before admission")
+          val admitted = minHashAdmit(wh, pinned, idCol, textCol,
+            sigTable, threshold, k, numHashes, rowsPerBand, seed,
+            scoreCol)
+          if (!admitted.isEmpty)
+            wh.appendStreamBatch(admitted, corpusTable, batchId)
+        }
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          val rp = new org.apache.hadoop.fs.Path(
+            replacedPath(wh, sigTable))
+          if (fsOf(wh, rp).exists(rp)) {
+            // corpus first: its live-id semi-join reads the replaced
+            // set through liveSignatures; once compactSigs clears the
+            // companion the same read would already BE live-only
+            wh.publish(wh.read(corpusTable).join(
+              liveSignatures(wh, sigTable)
+                .select(col("id").as(idCol)), Seq(idCol), "left_semi"),
+              corpusTable)
+            compactSigs(wh, sigTable)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** 64-bit SimHash per document: one scalar [[graft.functions.SimHashExpr]]
     * over the token array — single pass, no explode, no shuffle. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -408,6 +408,67 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("non-null"), e.getMessage)
   }
 
+  test("streamingMinHashAdmit: the TEXT admission sink dedups each " +
+      "micro-batch against the signature table, upgrades replace " +
+      "through the sink, survivors land in the corpus table, and the " +
+      "compactEvery hygiene pass applies replacements physically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = new graft.engine.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("smadm").toString)
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today", 5.0),
+      (3L, "completely different content about spark query engines and shuffles", 5.0),
+      (5L, "another unrelated text mentioning vectors embeddings and cosine space", 5.0)
+    ).toDF("doc_id", "text", "quality")
+    wh.publish(Dedup.minHashSignatures(base, "doc_id", "text")
+      .join(base.select($"doc_id".as("id"), $"quality"), Seq("id")),
+      "ssig")
+    wh.publish(base, "sdocs")
+    val stream = MemoryStream[(Long, String, Double)]
+    val q = Dedup.streamingMinHashAdmit(wh,
+      stream.toDF().toDF("doc_id", "text", "quality"), "doc_id", "text",
+      java.nio.file.Files.createTempDirectory("smadm-ck").toString,
+      "ssig", "sdocs", scoreCol = Some("quality"), compactEvery = 2)
+    try {
+      // batch 1: re-crawl of 1 at 6.0 (upgrade), of 3 at 4.0 (drop),
+      // one fresh doc
+      stream.addData(
+        (1001L, "the quick brown fox jumps over the lazy dog near the river bank today", 6.0),
+        (1003L, "completely different content about spark query engines and shuffles", 4.0),
+        (1007L, "entirely novel sentences speaking of glaciers moraines and drumlins", 2.0))
+      q.processAllAvailable()
+      val live1 = Dedup.liveSignatures(wh, "ssig").select("id")
+        .as[Long].collect().toSet
+      assert(live1 == Set(3L, 5L, 1001L, 1007L),
+        s"upgrade replaces, outscored drops, fresh admits: $live1")
+      assert(wh.read("sdocs").select("doc_id").as[Long].collect().toSet
+        == Set(1L, 3L, 5L, 1001L, 1007L),
+        "survivors land in the corpus table (incumbent still stale)")
+      // batch 2: a re-crawl of the batch-1 UPGRADE at a lower score
+      // bounces off the upgraded incumbent's 6.0; a fresh doc admits —
+      // and the compactEvery=2 pass then applies the replacement
+      stream.addData(
+        (2001L, "the quick brown fox jumps over the lazy dog near the river bank today", 5.5),
+        (2009L, "fresh prose on basalt columns and glacial erratics in the valley", 1.0))
+      q.processAllAvailable()
+      val live2 = Dedup.liveSignatures(wh, "ssig").select("id")
+        .as[Long].collect().toSet
+      assert(live2 == live1 + 2009L,
+        s"the lower-scored re-crawl must bounce off the upgrade: $live2")
+      // hygiene ran: the _replaced companion is gone and the corpus
+      // table is exactly the live signature ids (stale row dropped)
+      val rp = new org.apache.hadoop.fs.Path(
+        s"${wh.dataPath("ssig")}/_replaced")
+      assert(!rp.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(rp), "compactSigs must have cleared the companion")
+      assert(wh.read("sdocs").select("doc_id").as[Long].collect().toSet
+        == live2, "the corpus table must compact to the live ids")
+      assert(wh.read("ssig").select("id").as[Long].collect().toSet
+        == live2)
+    } finally q.stop()
+  }
+
   test("jaccardJoinExact: candidate generation is equi-join only — no " +
       "cartesian/nested-loop anywhere in the plan") {
     val docs = (1L to 40L).map(i =>
