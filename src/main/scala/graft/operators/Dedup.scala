@@ -1014,14 +1014,18 @@ object Dedup {
     * never compounds. A crash between the tombstone and the admission
     * writes converges the same way on retry. Replaced incumbents stay
     * in the corpus table as stale rerank rows until [[compactCorpus]]
-    * (schedule it with `maintainEvery`'s cadence or coarser). */
+    * drops them — `compactCorpusEvery > 0` runs that hygiene pass
+    * every that-many batches (a corpus-table-sized republish, so a
+    * cadence, never per batch; [[streamingMinHashAdmit]]'s
+    * `compactEvery` discipline). */
   def streamingAdmit(wh: graft.engine.Warehouse, arrivals: DataFrame,
                      idCol: String, vecCol: String, checkpoint: String,
                      name: String = "ivfpq_index",
                      corpusTable: String = "corpus_vectors",
                      threshold: Double = 0.95, nprobe: Int = 8,
                      rerank: Int = 64, maintainEvery: Int = 0,
-                     scoreCol: Option[String] = None)
+                     scoreCol: Option[String] = None,
+                     compactCorpusEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
@@ -1053,6 +1057,9 @@ object Dedup {
         }
         if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
           IvfIndex.maintain(wh, name)
+        if (compactCorpusEvery > 0 &&
+            (batchId + 1) % compactCorpusEvery == 0)
+          compactCorpus(wh, corpusTable, idCol, name)
         ()
       }
       .start()

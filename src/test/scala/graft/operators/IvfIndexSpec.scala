@@ -1393,7 +1393,7 @@ class IvfIndexSpec extends SparkSpec {
       stream.toDF().toDF("vec_id", "embedding", "q"), "vec_id",
       "embedding", Files.createTempDirectory("sq-ckpt").toString, "sq",
       "sq_corpus", threshold = 0.99, rerank = 64,
-      scoreCol = Some("q"))
+      scoreCol = Some("q"), compactCorpusEvery = 3)
     try {
       // batch 1: re-crawls of 0/1 at q=9 (upgrade), of 10 at q=1
       // (drop), one fresh arrival
@@ -1419,6 +1419,12 @@ class IvfIndexSpec extends SparkSpec {
       q.processAllAvailable()
       val live3 = IvfIndex.liveIds(wh, "sq").as[Long].collect().toSet
       assert(live3 == live1 - 1000L + 2001L, live3.toSeq.sorted.toString)
+      // batch 3 hit the compactCorpusEvery=3 cadence: the corpus table
+      // compacted to exactly the live index ids (stale replaced rows —
+      // 0, 1, 1000 — dropped)
+      assert(wh.read("sq_corpus").select("vec_id").as[Long]
+        .collect().toSet == live3,
+        "the hygiene cadence must compact the corpus table to live ids")
     } finally q.stop()
     // the landing primitive stays replay-idempotent with scores riding
     val before = wh.read("sq_corpus").count()
