@@ -190,11 +190,61 @@ object Dedup {
     * fresh version carries no `_replaced` companion). Table-sized I/O,
     * the same cost class as the band join every admission batch already
     * pays over this table; run it when the replaced set's anti-join
-    * side has grown past comfort. */
+    * side has grown past comfort — or let [[maintainSigs]] decide. */
   def compactSigs(wh: graft.engine.Warehouse,
                   sigTable: String = "corpus_sigs"): Unit = {
     wh.publish(liveSignatures(wh, sigTable), sigTable)
     ()
+  }
+
+  /** Replaced-fraction gate for signature-table compaction: a rewrite
+    * is earned when at least this fraction of the table's rows are
+    * replaced incumbents. A REPLACED row costs every future admission
+    * its anti-join build side and its dead band keys, so the axis is
+    * ROWS, not bytes (replaced ids are 8 bytes against ~0.5 KB
+    * signature rows — a byte ratio would never fire). */
+  val DefaultMaxReplacedFraction = 0.25
+
+  /** The hygiene POLICY for a quality-aware signature table — the
+    * [[IvfIndex.maintenanceAdvice]] discipline applied to the one
+    * companion this table has: Compact when the distinct `_replaced`
+    * ids reach `maxReplacedFraction` of the table's stored rows,
+    * Healthy otherwise (including when no replacement ever happened —
+    * one metadata existence check). Both counts are parquet
+    * footer-metadata reads, never a column scan. */
+  def sigMaintenanceAdvice(wh: graft.engine.Warehouse,
+                           sigTable: String = "corpus_sigs",
+                           maxReplacedFraction: Double =
+                             DefaultMaxReplacedFraction): IndexAdvice = {
+    require(maxReplacedFraction > 0.0,
+      s"maxReplacedFraction must be positive, got $maxReplacedFraction")
+    val rp = new org.apache.hadoop.fs.Path(replacedPath(wh, sigTable))
+    if (!fsOf(wh, rp).exists(rp)) IndexAdvice.Healthy
+    else {
+      // distinct: one incumbent can be re-recorded across retried
+      // batches; the anti-join cost follows distinct ids
+      val replaced = wh.spark.read.parquet(rp.toString)
+        .distinct().count()
+      val total = wh.read(sigTable).count()
+      if (total > 0L &&
+          replaced.toDouble / total >= maxReplacedFraction)
+        IndexAdvice.Compact
+      else IndexAdvice.Healthy
+    }
+  }
+
+  /** Consult [[sigMaintenanceAdvice]] and ACT on it — Compact advice
+    * executes [[compactSigs]]. The one call a nightly job (or the
+    * streaming sink's `compactEvery` cadence) needs per signature
+    * table; a below-gate replaced set stays as metadata instead of
+    * forcing a table-sized rewrite for a handful of ids. */
+  def maintainSigs(wh: graft.engine.Warehouse,
+                   sigTable: String = "corpus_sigs",
+                   maxReplacedFraction: Double =
+                     DefaultMaxReplacedFraction): IndexAdvice = {
+    val a = sigMaintenanceAdvice(wh, sigTable, maxReplacedFraction)
+    if (a == IndexAdvice.Compact) compactSigs(wh, sigTable)
+    a
   }
 
   /** Incremental near-dup ADMISSION for text — [[semDedupAdmit]]'s
@@ -343,13 +393,16 @@ object Dedup {
     * replay — the re-decision returns the same admitted rows and only
     * the missing write lands.
     *
-    * With `compactEvery > 0`, every that-many batches the sink applies
-    * accumulated replacements physically when any exist: the corpus
-    * table republishes to the live signature ids (the stale-score rows
-    * drop) and [[compactSigs]] clears the `_replaced` companion — both
-    * table-sized rewrites, which is why they run on a cadence rather
-    * than per batch. A batch carrying the same id twice is refused
-    * loudly (dedupe upstream, last-crawl-wins). */
+    * With `compactEvery > 0`, every that-many batches the sink CONSULTS
+    * [[sigMaintenanceAdvice]] (footer-metadata counts) and, when the
+    * replaced fraction earns it, applies accumulated replacements
+    * physically: the corpus table republishes to the live signature ids
+    * (the stale-score rows drop) and [[compactSigs]] clears the
+    * `_replaced` companion — both table-sized rewrites, which is why a
+    * POLICY decides and the cadence only sets how often it is asked
+    * (the [[streamingAdmit]] `maintainEvery` discipline). A batch
+    * carrying the same id twice is refused loudly (dedupe upstream,
+    * last-crawl-wins). */
   def streamingMinHashAdmit(wh: graft.engine.Warehouse,
                             arrivals: DataFrame, idCol: String,
                             textCol: String, checkpoint: String,
@@ -359,7 +412,9 @@ object Dedup {
                             numHashes: Int = 64, rowsPerBand: Int = 4,
                             seed: Long = 42L,
                             scoreCol: Option[String] = None,
-                            compactEvery: Int = 0)
+                            compactEvery: Int = 0,
+                            maxReplacedFraction: Double =
+                              DefaultMaxReplacedFraction)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     arrivals.writeStream
       .option("checkpointLocation", checkpoint)
@@ -377,19 +432,17 @@ object Dedup {
           if (!admitted.isEmpty)
             wh.appendStreamBatch(admitted, corpusTable, batchId)
         }
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          val rp = new org.apache.hadoop.fs.Path(
-            replacedPath(wh, sigTable))
-          if (fsOf(wh, rp).exists(rp)) {
-            // corpus first: its live-id semi-join reads the replaced
-            // set through liveSignatures; once compactSigs clears the
-            // companion the same read would already BE live-only
-            wh.publish(wh.read(corpusTable).join(
-              liveSignatures(wh, sigTable)
-                .select(col("id").as(idCol)), Seq(idCol), "left_semi"),
-              corpusTable)
-            compactSigs(wh, sigTable)
-          }
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+            sigMaintenanceAdvice(wh, sigTable, maxReplacedFraction) ==
+              IndexAdvice.Compact) {
+          // corpus first: its live-id semi-join reads the replaced
+          // set through liveSignatures; once compactSigs clears the
+          // companion the same read would already BE live-only
+          wh.publish(wh.read(corpusTable).join(
+            liveSignatures(wh, sigTable)
+              .select(col("id").as(idCol)), Seq(idCol), "left_semi"),
+            corpusTable)
+          compactSigs(wh, sigTable)
         }
         ()
       }

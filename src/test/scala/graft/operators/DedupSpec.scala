@@ -383,8 +383,14 @@ class DedupSpec extends SparkSpec {
         scoreCol = Some("quality"))
     assert(adm2.isEmpty,
       "a re-crawl outscored by the UPGRADED incumbent must drop")
-    // compactSigs republishes live-only; the fresh version carries no
-    // _replaced companion and answers identically
+    // hygiene POLICY: 1 replaced id against 5 stored rows reads
+    // Healthy at the default 0.25 gate — no table rewrite for a
+    // handful of ids — while a tighter gate fires and EXECUTES
+    assert(Dedup.sigMaintenanceAdvice(wh, "qsig") == IndexAdvice.Healthy)
+    assert(Dedup.maintainSigs(wh, "qsig", maxReplacedFraction = 0.2) ==
+      IndexAdvice.Compact)
+    // the policy-fired compaction republished live-only; a second
+    // explicit compaction is a no-op on the answers
     Dedup.compactSigs(wh, "qsig")
     assert(wh.read("qsig").select("id").as[Long].collect().toSet == live)
     val rp = new org.apache.hadoop.fs.Path(
@@ -426,10 +432,13 @@ class DedupSpec extends SparkSpec {
       "ssig")
     wh.publish(base, "sdocs")
     val stream = MemoryStream[(Long, String, Double)]
+    // a pristine table reads Healthy at any gate (no _replaced at all)
+    assert(Dedup.sigMaintenanceAdvice(wh, "ssig") == IndexAdvice.Healthy)
     val q = Dedup.streamingMinHashAdmit(wh,
       stream.toDF().toDF("doc_id", "text", "quality"), "doc_id", "text",
       java.nio.file.Files.createTempDirectory("smadm-ck").toString,
-      "ssig", "sdocs", scoreCol = Some("quality"), compactEvery = 2)
+      "ssig", "sdocs", scoreCol = Some("quality"), compactEvery = 2,
+      maxReplacedFraction = 0.1)
     try {
       // batch 1: re-crawl of 1 at 6.0 (upgrade), of 3 at 4.0 (drop),
       // one fresh doc
