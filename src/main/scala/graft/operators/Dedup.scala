@@ -169,33 +169,85 @@ object Dedup {
 
   /** The LIVE rows of a signature table: the stored rows minus
     * incumbents a quality-aware [[minHashAdmit]] replaced (their ids
-    * accumulate in a `_replaced` companion riding the table's data
-    * directory — underscore-invisible to plain scans, metadata-cost to
-    * write, applied physically only by [[compactSigs]]). Every consumer
-    * of the table routes through this — a replaced incumbent must stop
-    * matching arrivals the moment its replacement lands. Costs one
-    * metadata existence check when no replacement ever happened. */
+    * accumulate in a `_replaced` companion of (id, token) rows riding
+    * the table's data directory — underscore-invisible to plain scans,
+    * metadata-cost to write, applied physically only by
+    * [[compactSigs]]). Every consumer of the table routes through
+    * this — a replaced incumbent must stop matching arrivals the
+    * moment its replacement lands. Costs one metadata existence check
+    * when no replacement ever happened. */
   def liveSignatures(wh: graft.engine.Warehouse,
                      sigTable: String = "corpus_sigs"): DataFrame = {
     val df = wh.read(sigTable)
     val rp = new org.apache.hadoop.fs.Path(replacedPath(wh, sigTable))
     if (!fsOf(wh, rp).exists(rp)) df
     else df.join(graft.engine.JoinPolicy.broadcastIfSmall(
-        wh.spark.read.parquet(rp.toString).distinct()),
+        wh.spark.read.parquet(rp.toString).select("id").distinct()),
       Seq("id"), "left_anti")
+  }
+
+  /** The stored-signature view an admission DECISION reads: the table
+    * minus incumbents replaced by OTHER batches. Replacements recorded
+    * under THIS batch's token stay VISIBLE — a replayed batch must
+    * re-derive its decision against the pre-batch state, not against
+    * the half-written effects of its own first attempt: an arrival
+    * whose incumbent it already replaced would otherwise re-decide
+    * against its SECOND-nearest stored near-dup and could flip from
+    * admit to drop, stranding the tombstone and losing the upgrade.
+    * The token is a pure function of the batch's id set, so the replay
+    * derives the same one; a 64-bit collision with a foreign batch at
+    * worst resurrects a dead incumbent for ONE decision — a
+    * conservative drop, never corruption. Rows with a null token
+    * (none are written by this engine) read as foreign. */
+  private def decisionSignatures(wh: graft.engine.Warehouse,
+                                 sigTable: String,
+                                 myToken: Long): DataFrame = {
+    val df = wh.read(sigTable)
+    val rp = new org.apache.hadoop.fs.Path(replacedPath(wh, sigTable))
+    if (!fsOf(wh, rp).exists(rp)) df
+    else df.join(graft.engine.JoinPolicy.broadcastIfSmall(
+        wh.spark.read.parquet(rp.toString)
+          .filter(col("token").isNull || col("token") =!= myToken)
+          .select("id").distinct()),
+      Seq("id"), "left_anti")
+  }
+
+  /** Republish `df` as `table`'s new version CARRYING the stream replay
+    * markers (`_stream_promoted`/`_stream_attempt`) into it as raw file
+    * copies — the [[graft.operators.IvfIndex.compact]] artifact-copy
+    * discipline. Every hygiene rewrite of a table that streaming sinks
+    * also land batches into MUST route through this: the markers live
+    * inside the version dir, so a bare republish would discard them and
+    * a micro-batch replayed after the rewrite (crash before its
+    * checkpoint committed) would re-promote into the fresh version —
+    * the table would see the batch twice, breaking the sinks'
+    * effectively-once contract. Partitioning is preserved. */
+  private def publishKeepingMarkers(wh: graft.engine.Warehouse,
+                                    df: DataFrame, table: String): Unit = {
+    val p = wh.dataPath(table) // resolved BEFORE the swap — the old dir
+    wh.publish(df, table, partitionCols = wh.partitioningOf(table),
+      beforeSwap = vdir =>
+        Seq("_stream_promoted", "_stream_attempt").foreach { m =>
+          val src = new org.apache.hadoop.fs.Path(s"$p/$m")
+          if (fsOf(wh, src).exists(src))
+            org.apache.hadoop.fs.FileUtil.copy(fsOf(wh, src), src,
+              fsOf(wh, src), new org.apache.hadoop.fs.Path(s"$vdir/$m"),
+              false, wh.spark.sessionState.newHadoopConf())
+        })
+    ()
   }
 
   /** Apply accumulated replacements physically: republish the signature
     * table as its live rows only (one atomic versioned publish — the
-    * fresh version carries no `_replaced` companion). Table-sized I/O,
-    * the same cost class as the band join every admission batch already
-    * pays over this table; run it when the replaced set's anti-join
-    * side has grown past comfort — or let [[maintainSigs]] decide. */
+    * fresh version carries no `_replaced` companion, and any stream
+    * replay markers ride into it so a replayed batch still lands
+    * nothing twice). Table-sized I/O, the same cost class as the band
+    * join every admission batch already pays over this table; run it
+    * when the replaced set's anti-join side has grown past comfort —
+    * or let [[maintainSigs]] decide. */
   def compactSigs(wh: graft.engine.Warehouse,
-                  sigTable: String = "corpus_sigs"): Unit = {
-    wh.publish(liveSignatures(wh, sigTable), sigTable)
-    ()
-  }
+                  sigTable: String = "corpus_sigs"): Unit =
+    publishKeepingMarkers(wh, liveSignatures(wh, sigTable), sigTable)
 
   /** Replaced-fraction gate for signature-table compaction: a rewrite
     * is earned when at least this fraction of the table's rows are
@@ -210,8 +262,10 @@ object Dedup {
     * companion this table has: Compact when the distinct `_replaced`
     * ids reach `maxReplacedFraction` of the table's stored rows,
     * Healthy otherwise (including when no replacement ever happened —
-    * one metadata existence check). Both counts are parquet
-    * footer-metadata reads, never a column scan. */
+    * one metadata existence check). The table-rows count is a parquet
+    * footer-metadata read; the replaced count deduplicates the
+    * companion's id column — a scan of the (replaced-set-sized, tiny
+    * by the time this matters) companion, never of the table. */
   def sigMaintenanceAdvice(wh: graft.engine.Warehouse,
                            sigTable: String = "corpus_sigs",
                            maxReplacedFraction: Double =
@@ -281,16 +335,22 @@ object Dedup {
     * without tombstoning its incumbent.
     *
     * RETRY-SAFE by construction, in both modes — a replayed batch
-    * converges instead of compounding: the decision is stable (an
-    * arrival's own landed signature is self-excluded by id, a replaced
-    * incumbent is already dead so it matches nothing), the replacement
-    * set re-derives empty, and the survivors' signatures land via a
-    * left-anti against the table's existing ids, so nothing appends
-    * twice. A crash between the replacement write and the signature
-    * append converges too, in either order: a landed replacement just
-    * stops the incumbent matching one batch early; a landed signature
-    * without its replacement re-derives the replacement on retry (the
-    * incumbent is still live and still outscored). */
+    * re-derives the SAME decision against the pre-batch state and
+    * converges instead of compounding, whatever landed on the first
+    * attempt: (1) the whole batch's ids are excluded from the stored
+    * DECISION side, so arrivals' own landed signatures — including
+    * each other's, the in-batch near-dup case — never veto the
+    * replay; (2) replacements are recorded under the batch's TOKEN
+    * (a pure function of its id set) and [[decisionSignatures]] keeps
+    * THIS batch's replacements visible to its own replay, so an
+    * arrival whose incumbent already tombstoned re-decides against
+    * that same incumbent instead of flipping to its second-nearest
+    * near-dup; (3) survivors' signatures land via a left-anti against
+    * the table's existing ids, so nothing appends twice (a replayed
+    * replacement appends a duplicate (id, token) row — everything
+    * reads the companion through distinct). Any single crash point —
+    * after the replacement write, after the signature append, or
+    * between them — therefore replays to the completed state. */
   def minHashAdmit(wh: graft.engine.Warehouse, batch: DataFrame,
                    idCol: String, textCol: String,
                    sigTable: String = "corpus_sigs",
@@ -301,7 +361,16 @@ object Dedup {
     val pinned = Exec.materialize(batch)
     val newSigs = Exec.materialize(
       minHashSignatures(pinned, idCol, textCol, k, numHashes, seed))
-    val stored = liveSignatures(wh, sigTable)
+    // the batch token: order-independent fold of the id set — the
+    // replay derives the same one (see decisionSignatures)
+    val myToken = newSigs.select(xxhash64(col("id")).as("__h"))
+      .agg(expr("bit_xor(__h)")).head().getLong(0)
+    // decision side: minus OTHER batches' replacements, minus THIS
+    // batch's own ids (fresh on a first run — the anti-join is a
+    // no-op; on a replay it hides the batch's landed signatures, so
+    // in-batch near-dups that admitted together stay admitted)
+    val stored = decisionSignatures(wh, sigTable, myToken)
+      .join(newSigs.select(col("id")), Seq("id"), "left_anti")
     val hits = lshAgainstSigs(newSigs, stored, threshold, numHashes,
       rowsPerBand, excludeSameId = true)
     val dupIds = scoreCol match {
@@ -338,12 +407,14 @@ object Dedup {
         val replaced = scored.filter(col("__bs") > col("__cs"))
           .select(col("existing_id").as("id")).distinct()
         // tombstone the outscored incumbents BEFORE the survivors'
-        // signatures land (the q219 write order); a replayed batch
-        // re-derives an empty replacement set, so the companion never
-        // grows twice for one decision
+        // signatures land (the q219 write order); the rows carry this
+        // batch's token so the batch's own replay still SEES them as
+        // live for its decision (a replayed write appends duplicate
+        // rows — harmless, the companion is read through distinct)
         val nRep = replaced.count()
         if (nRep > 0L)
-          replaced.repartition(IndexAdvice.companionShards(nRep))
+          replaced.withColumn("token", lit(myToken))
+            .repartition(IndexAdvice.companionShards(nRep))
             .write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(replacedPath(wh, sigTable))
         scored.filter(col("__bs") <= col("__cs"))
@@ -437,9 +508,12 @@ object Dedup {
               IndexAdvice.Compact) {
           // corpus first: its live-id semi-join reads the replaced
           // set through liveSignatures; once compactSigs clears the
-          // companion the same read would already BE live-only
-          wh.publish(wh.read(corpusTable).join(
-            liveSignatures(wh, sigTable)
+          // companion the same read would already BE live-only. Both
+          // rewrites carry the stream replay markers into the fresh
+          // version — a batch replayed after this pass must still
+          // read as already-landed
+          publishKeepingMarkers(wh,
+            wh.read(corpusTable).join(liveSignatures(wh, sigTable)
               .select(col("id").as(idCol)), Seq(idCol), "left_semi"),
             corpusTable)
           compactSigs(wh, sigTable)
@@ -948,19 +1022,42 @@ object Dedup {
     val pinned = Exec.materialize(batch)
     val nn = IvfIndex.knnJoinPq(wh, pinned, corpus, idCol, vecCol, name,
       k = 1, nprobe = nprobe, rerank = rerank)
+    // neighbors INSIDE the batch are excluded from the decision: fresh
+    // ids make this a no-op on a first run; on a REPLAY it hides the
+    // batch's own landed entries, so in-batch near-dups that admitted
+    // together stay admitted instead of vetoing each other
     val hits = nn.filter(col("cosine") >= threshold)
-    val dupIds = scoreCol match {
-      case None => hits.select(col("query_id").as(idCol)).distinct()
+      .join(pinned.select(col(idCol).as("neighbor_id")),
+        Seq("neighbor_id"), "left_anti")
+    val (dupIds, replaced) = scoreCol match {
+      case None =>
+        (hits.select(col("query_id").as(idCol)).distinct(), None)
       case Some(sc) =>
-        scoredDupIds(wh, hits, pinned, corpus, idCol, sc, name)
+        val (d, r) = scoredDecision(wh, hits, pinned, corpus, idCol, sc)
+        (d, Some(r))
     }
     val admitted = Exec.materialize(
       pinned.join(dupIds, Seq(idCol), "left_anti"))
     // an all-duplicates batch admits nothing — skip the append entirely
     // (a zero-row append would still touch the version dir and stale
-    // the health stamp for nothing)
+    // the health stamp for nothing). Survivors land via reindexPq, NOT
+    // appendPq, and the outscored incumbents tombstone LAST: a retried
+    // batch's re-appended survivors then tombstone their own previous
+    // attempt (never duplicate entries), and every single crash point
+    // replays to the completed state — the decision re-derives
+    // identically because the batch's own entries are hidden from it
+    // and the incumbent stays decision-visible until the final write.
+    // (The transient window where an upgrade and its incumbent are
+    // both live is the reindex window every index mutation already
+    // has; a retry AFTER full completion converges state-wise too,
+    // though its RETURNED admitted set may omit rows the first attempt
+    // already indexed — callers landing the return value elsewhere
+    // should do so idempotently, as the streaming sink's
+    // promote-marker append is.)
     if (!admitted.isEmpty)
-      IvfIndex.appendPq(wh, admitted, idCol, vecCol, name)
+      IvfIndex.reindexPq(wh, admitted, idCol, vecCol, name)
+    replaced.foreach(r =>
+      if (!r.isEmpty) IvfIndex.delete(wh, r, idCol, name))
     admitted
   }
 
@@ -970,14 +1067,15 @@ object Dedup {
     * silent-wrong mode — an unmatched hit would admit without
     * tombstoning its incumbent; a neighbor missing from `corpus`
     * entirely never reaches here — it drops at the kNN's rerank join,
-    * the `validateCorpus` case), tombstone the outscored incumbents,
-    * and return the drop ids (arrivals at or below their incumbent's
-    * score). The hit set is pinned so ONE kNN evaluation feeds both
-    * the tombstones and the drop ids. */
-  private def scoredDupIds(wh: graft.engine.Warehouse, hits: DataFrame,
-                           pinned: DataFrame, corpus: DataFrame,
-                           idCol: String, sc: String,
-                           name: String): DataFrame = {
+    * the `validateCorpus` case). Returns (drop ids — arrivals at or
+    * below their incumbent's score; replaced ids — the outscored
+    * incumbents, which the CALLER tombstones after its admission
+    * writes land, the crash-convergent order). The hit set is pinned
+    * so ONE kNN evaluation feeds both. */
+  private def scoredDecision(wh: graft.engine.Warehouse, hits: DataFrame,
+                             pinned: DataFrame, corpus: DataFrame,
+                             idCol: String, sc: String)
+      : (DataFrame, DataFrame) = {
     val ph = Exec.materialize(hits)
     val nHits = ph.count()
     val scored = Exec.materialize(ph
@@ -991,33 +1089,27 @@ object Dedup {
         s"in `corpus` with a non-null '$sc' (and every arrival must " +
         s"score non-null) — a missing score would silently admit a " +
         "duplicate without tombstoning its incumbent")
-    val replaced = scored.filter(col("__bs") > col("__cs"))
-      .select(col("neighbor_id").as(idCol)).distinct()
-    // tombstone the outscored incumbents BEFORE the survivors
-    // append (both are metadata-cost index mutations; the appended
-    // generation carries seq == the tombstone cut, so order only
-    // affects which write a crash strands — a stranded tombstone
-    // re-resolves on the batch's retry)
-    if (!replaced.isEmpty)
-      IvfIndex.delete(wh, replaced, idCol, name)
-    scored.filter(col("__bs") <= col("__cs"))
-      .select(col("query_id").as(idCol)).distinct()
+    (scored.filter(col("__bs") <= col("__cs"))
+        .select(col("query_id").as(idCol)).distinct(),
+      scored.filter(col("__bs") > col("__cs"))
+        .select(col("neighbor_id").as(idCol)).distinct())
   }
 
   /** Corpus-table hygiene for quality-aware admission pipelines: drop
     * every row whose id is no longer LIVE in the index (replaced
     * incumbents accrete as stale-score rerank rows — harmless for
     * serving, wrong the moment anything trusts their scores). One
-    * atomic versioned republish; afterwards the corpus table's ids are
-    * exactly [[IvfIndex.liveIds]]. Corpus-table-sized I/O — schedule it
-    * like a compaction, not per batch. */
+    * atomic versioned republish carrying any stream replay markers
+    * (the sinks land batches into this table — a marker-less rewrite
+    * would let a replayed batch double-land); afterwards the corpus
+    * table's ids are exactly [[IvfIndex.liveIds]]. Corpus-table-sized
+    * I/O — schedule it like a compaction, not per batch. */
   def compactCorpus(wh: graft.engine.Warehouse, corpusTable: String,
-                    idCol: String, name: String = "ivfpq_index"): Unit = {
-    wh.publish(wh.read(corpusTable).join(
-      IvfIndex.liveIds(wh, name).select(col("id").as(idCol)),
-      Seq(idCol), "left_semi"), corpusTable)
-    ()
-  }
+                    idCol: String, name: String = "ivfpq_index"): Unit =
+    publishKeepingMarkers(wh,
+      wh.read(corpusTable).join(
+        IvfIndex.liveIds(wh, name).select(col("id").as(idCol)),
+        Seq(idCol), "left_semi"), corpusTable)
 
   /** Continuous ADMISSION: an arrival stream becomes the deduplicated
     * corpus batch by batch — [[semDedupAdmit]] as a self-maintaining
@@ -1058,19 +1150,20 @@ object Dedup {
     * (both `arrivals` and the corpus table must carry `scoreCol`; the
     * admitted rows land with their scores, so future incumbents score
     * from the table itself). The effectively-once argument EXTENDS to
-    * the upgrade path: the incumbent tombstones BEFORE the corpus and
-    * index writes, so a replayed batch re-decides against an
-    * already-dead incumbent — the arrival reads fresh, admits again,
-    * the corpus promote-marker lands nothing twice, and reindexPq
-    * tombstones the arrival's own previous attempt; the replacement
-    * set re-derives EMPTY on replay (no live hit), so the tombstone
-    * never compounds. A crash between the tombstone and the admission
-    * writes converges the same way on retry. Replaced incumbents stay
-    * in the corpus table as stale rerank rows until [[compactCorpus]]
-    * drops them — `compactCorpusEvery > 0` runs that hygiene pass
-    * every that-many batches (a corpus-table-sized republish, so a
-    * cadence, never per batch; [[streamingMinHashAdmit]]'s
-    * `compactEvery` discipline). */
+    * the upgrade path through the WRITE ORDER: corpus (promote-marker,
+    * idempotent), then index via reindexPq (a replayed survivor
+    * tombstones its own previous attempt), then the incumbent
+    * tombstones LAST — so a crash at any earlier point replays with
+    * the incumbent still decision-visible and the upgrade re-derives
+    * identically (tombstoning FIRST would let the replay re-decide
+    * against a second-nearest near-dup, possibly dropping the arrival
+    * and stranding the tombstone); the batch's own landed entries are
+    * hidden from its replay's decision, so in-batch near-dups stay
+    * co-admitted. Replaced incumbents stay in the corpus table as
+    * stale rerank rows until [[compactCorpus]] drops them —
+    * `compactCorpusEvery > 0` runs that hygiene pass every that-many
+    * batches (a corpus-table-sized republish, so a cadence, never per
+    * batch; [[streamingMinHashAdmit]]'s `compactEvery` discipline). */
   def streamingAdmit(wh: graft.engine.Warehouse, arrivals: DataFrame,
                      idCol: String, vecCol: String, checkpoint: String,
                      name: String = "ivfpq_index",
@@ -1095,11 +1188,18 @@ object Dedup {
           val corpus = wh.read(corpusTable)
           val nn = IvfIndex.knnJoinPq(wh, pinned, corpus,
             idCol, vecCol, name, k = 1, nprobe = nprobe, rerank = rerank)
+          // batch-internal neighbors excluded — the semDedupAdmit
+          // replay-stability discipline (no-op on fresh ids)
           val hits = nn.filter(col("cosine") >= threshold)
-          val dupIds = scoreCol match {
-            case None => hits.select(col("query_id").as(idCol)).distinct()
+            .join(pinned.select(col(idCol).as("neighbor_id")),
+              Seq("neighbor_id"), "left_anti")
+          val (dupIds, replaced) = scoreCol match {
+            case None =>
+              (hits.select(col("query_id").as(idCol)).distinct(), None)
             case Some(sc) =>
-              scoredDupIds(wh, hits, pinned, corpus, idCol, sc, name)
+              val (d, r) =
+                scoredDecision(wh, hits, pinned, corpus, idCol, sc)
+              (d, Some(r))
           }
           val admitted = Exec.materialize(
             pinned.join(dupIds, Seq(idCol), "left_anti"))
@@ -1107,6 +1207,13 @@ object Dedup {
             wh.appendStreamBatch(admitted, corpusTable, batchId)
             IvfIndex.reindexPq(wh, admitted, idCol, vecCol, name)
           }
+          // outscored incumbents tombstone LAST: a crash at any
+          // earlier point replays with the incumbent still
+          // decision-visible, so the upgrade re-derives instead of
+          // flipping to a second-nearest near-dup and stranding the
+          // tombstone (see semDedupAdmit's ordering argument)
+          replaced.foreach(r =>
+            if (!r.isEmpty) IvfIndex.delete(wh, r, idCol, name))
         }
         if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
           IvfIndex.maintain(wh, name)

@@ -1323,11 +1323,17 @@ object IvfIndex {
       corpus.select(col(idCol).as(idName), col(vecCol)), Seq(idName)))
     val nLive = liveEntries.count()
     val nSrc = src.count()
-    require(nSrc == nLive,
-      s"rebuildPq: corpus rows joined to $nSrc of $nLive live index " +
-        "ids — the corpus table must cover every live id exactly once " +
-        "(a hole would silently shrink the index; a duplicate id would " +
-        "double-index it)")
+    // the DISTINCT joined-id count catches each defect independently:
+    // a bare nSrc == nLive would pass when a missing live id and a
+    // duplicated corpus id cancel out — exactly the silent shrink +
+    // double-index the check exists to prevent
+    val nDistinct = src.select(col(idName)).distinct().count()
+    require(nDistinct == nLive && nSrc == nDistinct,
+      s"rebuildPq: corpus rows joined to $nSrc rows over $nDistinct " +
+        s"distinct ids against $nLive live index ids — the corpus " +
+        "table must cover every live id exactly once (a hole would " +
+        "silently shrink the index; a duplicate id would double-index " +
+        "it)")
     val out = buildPq(wh, src, idName, vecCol, cents0.head.length,
       if (nlist > 0) nlist else cents0.length,
       if (m > 0) m else books0.length,

@@ -339,6 +339,69 @@ class DedupSpec extends SparkSpec {
       "a replayed batch must append no signature twice")
   }
 
+  test("minHashAdmit replay: in-batch near-dups that admitted together " +
+      "STAY admitted on replay (the batch's own landed signatures are " +
+      "hidden from its re-decision)") {
+    val wh = new graft.engine.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("madm-ib").toString)
+    wh.publish(Dedup.minHashSignatures(
+      docs.filter($"doc_id" === 3L), "doc_id", "text"), "ibsig")
+    // two near-identical arrivals — by contract they admit together
+    val b = Seq(
+      (21L, "a shared passage about larch forests bending in autumn wind today"),
+      (22L, "a shared passage about larch forests bending in autumn wind now"))
+      .toDF("doc_id", "text")
+    val adm1 = Dedup.minHashAdmit(wh, b, "doc_id", "text", "ibsig")
+      .select("doc_id").as[Long].collect().toSet
+    assert(adm1 == Set(21L, 22L), s"in-batch near-dups co-admit: $adm1")
+    val n1 = wh.read("ibsig").count()
+    // the REPLAY: without the batch-id exclusion each arrival's landed
+    // signature would veto the other and both would drop
+    val adm2 = Dedup.minHashAdmit(wh, b, "doc_id", "text", "ibsig")
+      .select("doc_id").as[Long].collect().toSet
+    assert(adm2 == Set(21L, 22L),
+      s"replayed in-batch near-dups must stay admitted: $adm2")
+    assert(wh.read("ibsig").count() == n1)
+  }
+
+  test("minHashAdmit quality-mode replay: the upgrade decision " +
+      "re-derives against the PRE-BATCH state (the batch's own " +
+      "replacements stay visible to its replay via the batch token)") {
+    val wh = new graft.engine.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("madm-rt").toString)
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today", 5.0),
+      (3L, "completely different content about spark query engines and shuffles", 5.0)
+    ).toDF("doc_id", "text", "quality")
+    wh.publish(Dedup.minHashSignatures(base, "doc_id", "text")
+      .join(base.select($"doc_id".as("id"), $"quality"), Seq("id")),
+      "rtsig")
+    val batch = Seq((1001L,
+      "the quick brown fox jumps over the lazy dog near the river bank today",
+      6.0)).toDF("doc_id", "text", "quality")
+    val adm1 = Dedup.minHashAdmit(wh, batch, "doc_id", "text", "rtsig",
+        scoreCol = Some("quality"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(adm1 == Set(1001L))
+    val live1 = Dedup.liveSignatures(wh, "rtsig").select("id")
+      .as[Long].collect().toSet
+    assert(live1 == Set(3L, 1001L), s"incumbent 1 replaced: $live1")
+    // the REPLAY: incumbent 1 is dead in the PUBLIC view, but the
+    // batch's replay must still decide against it (its replacement
+    // carries this batch's token) — the decision, the live view, and
+    // the companion's distinct ids must all be unchanged
+    val rp = new org.apache.hadoop.fs.Path(
+      s"${wh.dataPath("rtsig")}/_replaced")
+    val adm2 = Dedup.minHashAdmit(wh, batch, "doc_id", "text", "rtsig",
+        scoreCol = Some("quality"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(adm2 == Set(1001L), s"replay must re-admit the upgrade: $adm2")
+    assert(Dedup.liveSignatures(wh, "rtsig").select("id")
+      .as[Long].collect().toSet == live1)
+    assert(spark.read.parquet(rp.toString).select("id").distinct()
+      .count() == 1L, "the companion's distinct replaced set is stable")
+  }
+
   test("minHashAdmit with scoreCol: an outscoring re-crawl REPLACES " +
       "its top incumbent in the signature table, an outscored one " +
       "drops, a TIE keeps the incumbent, and compactSigs applies the " +

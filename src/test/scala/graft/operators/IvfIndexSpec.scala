@@ -1319,6 +1319,64 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.liveIds(wh, "cc_idx").count() == 197L)
   }
 
+  test("semDedupAdmit replay converges: a retried batch re-derives the " +
+      "same admission (its own landed entries are hidden from the " +
+      "decision), survivors land via reindexPq so entries never " +
+      "duplicate, and a quality upgrade replays cleanly") {
+    import graft.operators.Dedup
+    val wh = freshWh
+    val dim = 16
+    val rnd = new scala.util.Random(67)
+    def gauss(ids: Range) = ids
+      .map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val gen0 = gauss(0 until 60).toDF("vec_id", "embedding")
+      .withColumn("q", lit(5.0))
+    IvfIndex.buildPq(wh, gen0, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "rply")
+    // score-blind: one fresh arrival + one in-batch near-dup PAIR
+    val pairVec = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val batch = (Seq((9000L, pairVec), (9001L, pairVec)) ++
+      gauss(9100 until 9101)).toDF("vec_id", "embedding")
+      .withColumn("q", lit(2.0))
+    val adm1 = Dedup.semDedupAdmit(wh, batch, gen0, "vec_id",
+        "embedding", "rply", threshold = 0.99, rerank = 64)
+      .select("vec_id").as[Long].collect().toSet
+    assert(adm1 == Set(9000L, 9001L, 9100L),
+      s"in-batch near-dups co-admit by contract: $adm1")
+    // the REPLAY: without hiding the batch's own entries, 9000/9001
+    // would veto each other (and every arrival would veto itself)
+    val corpus1 = gen0.unionByName(batch)
+    val adm2 = Dedup.semDedupAdmit(wh, batch, corpus1, "vec_id",
+        "embedding", "rply", threshold = 0.99, rerank = 64)
+      .select("vec_id").as[Long].collect().toSet
+    assert(adm2 == adm1, s"replay must re-derive the admission: $adm2")
+    // reindexPq landing: the replayed survivors tombstoned their first
+    // attempt — one LIVE entry per id, never duplicates
+    assert(IvfIndex.liveIds(wh, "rply").as[Long].collect().toSet ==
+      (0L until 60L).toSet ++ adm1)
+    assert(IvfIndex.liveIds(wh, "rply").count() == 63L)
+    // quality upgrade replay: the simple (single-near-dup) case — the
+    // retry re-admits the upgrade and the index state is unchanged
+    val up = gen0.filter($"vec_id" === 7L)
+      .select(($"vec_id" + 5000L).as("vec_id"), $"embedding",
+        lit(9.0).as("q"))
+    val u1 = Dedup.semDedupAdmit(wh, up, corpus1, "vec_id", "embedding",
+        "rply", threshold = 0.99, rerank = 64, scoreCol = Some("q"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(u1 == Set(5007L))
+    val liveAfter = IvfIndex.liveIds(wh, "rply").as[Long].collect().toSet
+    assert(!liveAfter.contains(7L) && liveAfter.contains(5007L))
+    val u2 = Dedup.semDedupAdmit(wh, up,
+        corpus1.unionByName(up.select("vec_id", "embedding")
+          .withColumn("q", lit(9.0))),
+        "vec_id", "embedding", "rply", threshold = 0.99, rerank = 64,
+        scoreCol = Some("q"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(u2 == Set(5007L), s"upgrade replay must converge: $u2")
+    assert(IvfIndex.liveIds(wh, "rply").as[Long].collect().toSet ==
+      liveAfter)
+  }
+
   test("semDedupAdmit validateCorpus refuses an under-covering corpus " +
       "with the missing-id count; scoreCol mode refuses a coverage " +
       "hole and null scores instead of silently admitting") {
