@@ -503,6 +503,12 @@ object Multimodal {
     media.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // Hann window hoisted per TASK: the per-sample coefficient is a
+        // pure function of (i, frameSize), so tabulating it once changes
+        // no bits — it was previously recomputed (one cos per sample) for
+        // every frame of every asset, the hottest loop of the operator
+        val win = Array.tabulate(frameSize)(i =>
+          0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (frameSize - 1))))
         it.map { case (id, bytes) =>
           decodePcm(bytes) match {
             case None =>
@@ -519,10 +525,7 @@ object Multimodal {
                 val off = f * hop
                 var i = 0
                 while (i < frameSize) {
-                  // Hann window
-                  val w = 0.5 * (1.0 - math.cos(
-                    2.0 * math.Pi * i / (frameSize - 1)))
-                  re(i) = samples(off + i) * w
+                  re(i) = samples(off + i) * win(i)
                   im(i) = 0.0
                   i += 1
                 }

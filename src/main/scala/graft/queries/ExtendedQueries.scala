@@ -481,13 +481,18 @@ object ExtendedQueries {
           (id, graft.multimodal.Multimodal.encodeSineWav(sr, frames,
             bin.toDouble * sr / frameSize))
         }.toDF("asset_id", "payload")
-      graft.multimodal.Multimodal
+      // materialize the (tiny) per-asset feature rows BEFORE the global
+      // sort: orderBy's range partitioner runs a SAMPLING pass over its
+      // child, which would otherwise execute the synth+FFT subtree a
+      // second time (measured: two ~32-task stages of 91 s and 74 s task
+      // time for one spectrogram pass — guide §7.2 "duplicated subtrees")
+      graft.engine.Exec.materialize(graft.multimodal.Multimodal
         .audioSpectrogram(media, frameSize, hop, bands = 8)
         .select(col("asset_id"), col("n_frames"),
           (array_position(col("band_energy"),
             array_max(col("band_energy"))) - 1).cast("int")
             .as("dominant_band"),
-          col("ok"))
+          col("ok")))
         .orderBy(col("asset_id"))
     }),
 

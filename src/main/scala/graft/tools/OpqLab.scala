@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * the driver surface. */
 object OpqLab {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = graft.engine.SessionDefaults.withLocalIo(SparkSession.builder()).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

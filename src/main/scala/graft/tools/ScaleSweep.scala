@@ -182,7 +182,7 @@ object ScaleSweep {
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALED_DIR", "/tmp/graft_scaled")
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = graft.engine.SessionDefaults.withLocalIo(SparkSession.builder()).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
