@@ -28,13 +28,28 @@ import graft.engine.Exec
   * shuffle — contributions combine map-side, so shuffle rows are bounded
   * by |distinct dst per partition|, not |edges|. The edge list and node
   * set materialize ONCE ([[Exec.materialize]] — cluster-safe past the
-  * size threshold) and every iteration's rank vector materializes to keep
-  * lineage depth constant; state per iteration is |nodes| rows of 16
-  * bytes, never collected to the driver.
+  * size threshold) and the rank vector materializes on a fixed cadence
+  * ([[MaterializeEvery]]) to keep lineage depth bounded without paying
+  * one eager checkpoint job per iteration; state per iteration is
+  * |nodes| rows of 16 bytes, never collected to the driver.
   */
 object Graph {
 
   val Ppm = 1000000L
+
+  /** Materialize every this-many iterates (and rely on the caller's
+    * terminal action for the rest): one eager localCheckpoint JOB per
+    * iteration was the dominant fixed cost of a short power iteration —
+    * the 5-iteration PageRank paid 5 extra driver round-trips to pin
+    * 16-byte-per-node vectors — while a cadence of 4 still bounds
+    * lineage depth (≤ 4 join+agg layers between cuts) for long runs.
+    * Results are identical either way: materialization is an execution
+    * boundary, never a semantic one (iterates are exact integer
+    * functions of the edge set). */
+  private val MaterializeEvery = 4
+
+  private def maybeMaterialize(df: DataFrame, iter: Int): DataFrame =
+    if (iter % MaterializeEvery == 0) Exec.materialize(df) else df
 
   /** Bucketed staging target for the prepared edge list. The default
     * (unstaged) iterate re-exchanges the degree-annotated edge list on
@@ -164,7 +179,8 @@ object Graph {
     * only the |nodes|-sized label vector moves), one `(node, label)`
     * count with map-side partials, one argmax agg whose state is each
     * node's distinct neighbor-label set, then a node-keyed update.
-    * Iterates are materialized so lineage depth stays constant. */
+    * Iterates materialize on the [[MaterializeEvery]] cadence so
+    * lineage depth stays bounded at one checkpoint job per 4 rounds. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int,
                        staging: Option[EdgeStage] = None): DataFrame = {
@@ -176,7 +192,7 @@ object Graph {
       .union(e0.select(col("b").as("src"), col("a").as("dst")))
     val (ed, nodes) = prepare(sym, "src", "dst", staging)
     var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // Neighbor votes come from the edge join; the node's own single
       // vote unions in AFTER it, straight from the label vector. Order
       // matters for the plan: a union(ed, self-loops) BEFORE the join
@@ -196,10 +212,10 @@ object Graph {
         .agg(min(struct((-col("__c")).as("__nc"), col("label").as("__l")))
           .as("__m"))
         .select(col("node"), col("__m.__l").as("__new"))
-      labels = Exec.materialize(
+      labels = maybeMaterialize(
         labels.join(win, Seq("node"), "left")
           .select(col("node"),
-            coalesce(col("__new"), col("label")).as("label")))
+            coalesce(col("__new"), col("label")).as("label")), i)
     }
     labels.select("node", "label")
   }
@@ -241,13 +257,13 @@ object Graph {
       .groupBy("node").agg(sum(col("h")).as("h"))
     var h = Exec.materialize(nodes.join(f, Seq("node"), "left")
       .select(col("node"), coalesce(col("h"), lit(0L)).as("h")))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val msg = ed
         .join(h.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("h")).as("__in"))
-      h = Exec.materialize(nodes.join(msg, Seq("node"), "left")
-        .select(col("node"), coalesce(col("__in"), lit(0L)).as("h")))
+      h = maybeMaterialize(nodes.join(msg, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__in"), lit(0L)).as("h")), i)
     }
     h
   }
@@ -280,17 +296,17 @@ object Graph {
     require(dampingPpm >= 0 && dampingPpm <= Ppm,
       s"damping must sit in [0, $Ppm] ppm, got $dampingPpm")
     var ranks = r0
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ed
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank_ppm div __deg")).as("__in"))
-      ranks = Exec.materialize(
+      ranks = maybeMaterialize(
         based.join(contrib, Seq("node"), "left")
           .select(col("node"),
             (col("__base") +
               expr(s"($dampingPpm * coalesce(__in, 0L)) div $Ppm"))
-              .as("rank_ppm")))
+              .as("rank_ppm")), i)
     }
     ranks.select(col("node"), col("rank_ppm"))
   }

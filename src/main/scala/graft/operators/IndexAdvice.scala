@@ -70,6 +70,47 @@ object IndexAdvice {
   private[operators] def companionShards(n: Long): Int =
     if (n <= 50000L) 1 else math.max(2L, n / 500000L + 1L).toInt
 
+  /** Write a metadata-scale sidecar (health evidence, layout markers)
+    * as ONE driver-written file — no Spark job, no commit protocol, no
+    * task scheduling. The maintenance composites are fixed-overhead
+    * bound (q204: 122 jobs for milliseconds of real work), and every
+    * health fold previously paid TWO coalesce(1) parquet write jobs;
+    * a bounded ≤nlist-row evidence table does not need an executor.
+    * Crash discipline: write `<path>.tmp`, then rename over the target
+    * (delete-first when present) — a crash between the steps leaves the
+    * old file or none, both of which read as stale/absent and trigger
+    * the bounded re-measure, never wrong evidence. */
+  private[operators] def writeSidecar(wh: Warehouse, path: String,
+                                      body: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(wh.spark.sessionState.newHadoopConf())
+    val tmp = new Path(path + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"sidecar rename failed: $tmp -> $p")
+  }
+
+  /** Read a sidecar written by [[writeSidecar]]; None when absent. */
+  private[operators] def readSidecar(wh: Warehouse,
+                                     path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(wh.spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) None
+      else {
+        val buf = new Array[Byte](st.getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0L, buf) finally in.close()
+        Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+  }
+
   private[operators] def census(wh: Warehouse, name: String): Census = {
     val base = new Path(wh.dataPath(name))
     val fs = base.getFileSystem(wh.spark.sessionState.newHadoopConf())

@@ -42,13 +42,40 @@ object IvfIndex {
   private def fs(wh: Warehouse, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(wh.spark.sessionState.newHadoopConf())
 
+  /** Census-stamped cache of the entry-generation frontier (the highest
+    * `seq` any current entry carries), keyed by table path: the scan
+    * stays the source of truth — a cache entry is served ONLY while the
+    * version dir's file census is byte-identical to the stamp, so any
+    * foreign mutation misses to a re-scan — but the mutation paths THIS
+    * driver runs know the frontier they just wrote and re-stamp it,
+    * turning the per-mutation frontier scan into a metadata listing
+    * (the healthCache discipline applied to `seq`). */
+  private val seqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, Long)]() // path -> (nFiles, totalBytes, maxSeq)
+
+  private def stampSeq(wh: Warehouse, name: String, maxSeq: Long): Unit = {
+    val c = IndexAdvice.census(wh, name)
+    seqCache.put(s"${wh.root}/$name", (c.nFiles, c.totalBytes, maxSeq))
+  }
+
   /** The next entry generation: one past the highest `seq` any current
     * entry carries — derived from the index DATA itself (one
     * column-pruned scan at maintenance time; a side counter file could
-    * drift after a crash, the data cannot). */
+    * drift after a crash, the data cannot), served from the
+    * census-stamped [[seqCache]] when nothing changed since this driver
+    * last wrote or scanned the frontier. */
   private def nextSeq(wh: Warehouse, name: String): Long = {
-    val r = wh.read(name).agg(max(col("seq"))).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+    val c = IndexAdvice.census(wh, name)
+    val key = s"${wh.root}/$name"
+    val hit = seqCache.get(key)
+    if (hit != null && hit._1 == c.nFiles && hit._2 == c.totalBytes)
+      hit._3 + 1L
+    else {
+      val r = wh.read(name).agg(max(col("seq"))).head()
+      val m = if (r.isNullAt(0)) -1L else r.getLong(0)
+      seqCache.put(key, (c.nFiles, c.totalBytes, m))
+      m + 1L
+    }
   }
 
   /** Drop tombstoned entries: an entry survives unless a `_deletes` row
@@ -178,6 +205,10 @@ object IvfIndex {
         .parquet(s"${wh.dataPath(name)}/_deletes")
       pre.foreach(cells =>
         foldHealth(wh, name, cells, Map.empty, deadDelta.get))
+      // the tombstone write moved the census but not the entry frontier
+      // — re-stamp a cached value so the next nextSeq stays job-free
+      val prev = seqCache.get(s"${wh.root}/$name")
+      if (prev != null) stampSeq(wh, name, prev._3)
     }
   }
 
@@ -311,6 +342,7 @@ object IvfIndex {
     pre.foreach(cells => foldHealth(wh, name,
       cells.collect { case (cl, l, _) if l > 0L => (cl, l, 0L) },
       Map.empty, Map.empty))
+    stampSeq(wh, name, 0L) // compaction resets every generation to 0
     out
   }
 
@@ -382,11 +414,13 @@ object IvfIndex {
           .as("cell"): _*)
       .withColumn("seq", lit(0L))
       .repartition(IndexAdvice.shufflePartitions(wh), col("cell"))
-    wh.publish(assigned, name, partitionCols = Seq("cell"),
+    val out = wh.publish(assigned, name, partitionCols = Seq("cell"),
       beforeSwap = vdir =>
         cents.zipWithIndex.map { case (c, i) => (i, c) }
           .toDF("cell", "centroid")
           .coalesce(1).write.parquet(s"$vdir/_centroids"))
+    stampSeq(wh, name, 0L) // a fresh build's entries all carry seq 0
+    out
   }
 
   /** Incrementally add vectors WITHOUT retraining: assign against the
@@ -426,6 +460,7 @@ object IvfIndex {
       // tasks × cells
       .repartition(IndexAdvice.shufflePartitions(wh), col("cell"))
     appendFolding(wh, assigned, name)
+    stampSeq(wh, name, seq) // this driver KNOWS the new frontier
   }
 
   /** The write half of [[appendAt]]/[[appendPqAt]]: land the assigned
@@ -498,7 +533,7 @@ object IvfIndex {
         col("enc.cell").as("cell") :+ col("enc.code").as("code"): _*)
       .withColumn("seq", lit(0L))
       .repartition(IndexAdvice.shufflePartitions(wh), col("cell")) // writer-side cell clustering (see build)
-    wh.publish(enc, name, partitionCols = Seq("cell"),
+    val out = wh.publish(enc, name, partitionCols = Seq("cell"),
       beforeSwap = vdir => {
         cents.zipWithIndex.map { case (c, i) => (i, c) }
           .toDF("cell", "centroid")
@@ -512,6 +547,8 @@ object IvfIndex {
             .toDF("row", "coeffs")
             .coalesce(1).write.parquet(s"$vdir/_rotation")
       })
+    stampSeq(wh, name, 0L) // a fresh build's entries all carry seq 0
+    out
   }
 
   /** The frozen quantizer artifacts riding in an index version dir —
@@ -612,6 +649,7 @@ object IvfIndex {
       .withColumn("seq", lit(seq))
       .repartition(IndexAdvice.shufflePartitions(wh), col("cell")) // batch cell clustering (see appendAt)
     appendFolding(wh, enc, name)
+    stampSeq(wh, name, seq) // this driver KNOWS the new frontier
   }
 
   /** Rerank-depth guidance distilled from the measured recall curve
@@ -667,8 +705,8 @@ object IvfIndex {
       s"rerank=$rerank must be >= k=$k (or 0 for automatic sizing)")
     if (rerank > 0) rerank
     else {
-      val live = readHealthWith(wh, name, IndexAdvice.census(wh, name))
-        .map(_.select(col("live_rows")).head().getLong(0))
+      val live = freshSnapshot(wh, name, IndexAdvice.census(wh, name))
+        .map(_.summary._1)
         .getOrElse(wh.read(name).count())
       // BigInt product: live × nprobe overflows Long within the corpus
       // scales this sizes for; the quotient is ≤ live, so the narrowing
@@ -1003,7 +1041,14 @@ object IvfIndex {
     analyzeHealthWith(wh, name, IndexAdvice.census(wh, name))
 
   private def analyzeHealthWith(wh: Warehouse, name: String,
-                                c: IndexAdvice.Census): DataFrame = {
+                                c: IndexAdvice.Census): DataFrame =
+    healthDf(wh, measureHealth(wh, name, c))
+
+  /** The bounded health re-measure: one column-pruned entry scan,
+    * persisted, returned as the snapshot (so policy consumers never
+    * round-trip through a local DataFrame job). */
+  private def measureHealth(wh: Warehouse, name: String,
+                            c: IndexAdvice.Census): HealthSnapshot = {
     val df = wh.read(name)
     val idName = df.columns.head // build/buildPq select the id first
     val dp = new org.apache.hadoop.fs.Path(s"${wh.dataPath(name)}/_deletes")
@@ -1029,8 +1074,65 @@ object IvfIndex {
         r.getLong(2))).toSeq, c)
   }
 
-  private def cellsPath(wh: Warehouse, name: String) =
-    s"${wh.dataPath(name)}/_health_cells"
+  private def healthPath(wh: Warehouse, name: String) =
+    s"${wh.dataPath(name)}/_health"
+
+  /** TEST HOOK: drop every driver-side evidence cache (health snapshots,
+    * seq frontier) — simulates a fresh driver against the same stored
+    * index, forcing the sidecar-parse and frontier-rescan paths. */
+  private[operators] def forgetDriverState(): Unit = {
+    healthCache.clear()
+    seqCache.clear()
+  }
+
+  /** The summary tuple from its inputs — ONE function shared by the
+    * write path and the sidecar read-back, so both derive bit-identical
+    * doubles from the same stored integers. */
+  private def summarize(cells: Seq[(Int, Long, Long)], nlist: Long,
+                        deletesBytes: Long, dataBytes: Long)
+      : (Long, Long, Double, Long, Long, Long, Long, Double) = {
+    val liveRows = cells.map(_._2).sum
+    val deadRows = cells.map(_._3).sum
+    val total = liveRows + deadRows
+    val maxCell = if (cells.isEmpty) 0L else cells.map(_._2).max
+    val meanCell = if (nlist == 0L) 0.0 else liveRows.toDouble / nlist
+    val skew = if (meanCell == 0.0) 1.0 else maxCell / meanCell
+    val deadFraction = if (total == 0L) 0.0 else deadRows.toDouble / total
+    (liveRows, deadRows, deadFraction, deletesBytes, dataBytes, nlist,
+      maxCell, skew)
+  }
+
+  /** Serialize/parse the `_health` sidecar — a driver-written key=value
+    * file ([[IndexAdvice.writeSidecar]]): health folds run on EVERY
+    * index mutation, and each previously paid two coalesce(1) parquet
+    * write JOBS for ≤ nlist rows of evidence. Bounded by construction,
+    * so the driver writes it the way it already writes manifests. */
+  private def renderHealth(s: HealthSnapshot): String = {
+    val sb = new StringBuilder("v=2\n")
+    sb ++= s"n_files=${s.nFiles}\ncensus_bytes=${s.totalBytes}\n"
+    sb ++= s"deletes_bytes=${s.summary._4}\ndata_bytes=${s.summary._5}\n"
+    sb ++= s"nlist=${s.summary._6}\n"
+    sb ++= s.cells.map(c => s"${c._1}:${c._2}:${c._3}")
+      .mkString("cells=", ",", "\n")
+    sb.toString
+  }
+
+  private def parseHealth(body: String): Option[HealthSnapshot] = {
+    val kv = body.linesIterator.map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+    if (!kv.get("v").contains("2")) None
+    else {
+      val cells = kv.getOrElse("cells", "").split(",").toSeq
+        .filter(_.nonEmpty).map { t =>
+          val Array(c, l, d) = t.split(":", 3)
+          (c.toInt, l.toLong, d.toLong)
+        }
+      val sum = summarize(cells, kv("nlist").toLong,
+        kv("deletes_bytes").toLong, kv("data_bytes").toLong)
+      Some(HealthSnapshot(kv("n_files").toLong, kv("census_bytes").toLong,
+        cells, sum))
+    }
+  }
 
   /** Driver-side snapshot of the last health evidence THIS driver
     * persisted, keyed by table path and validated by the census stamp —
@@ -1085,51 +1187,41 @@ object IvfIndex {
     * act on while suppressing the compaction that CURES the reading. */
   private def persistHealth(wh: Warehouse, name: String,
                             cells: Seq[(Int, Long, Long)],
-                            c: IndexAdvice.Census): DataFrame = {
-    import wh.spark.implicits._
-    val liveRows = cells.map(_._2).sum
-    val deadRows = cells.map(_._3).sum
-    val total = liveRows + deadRows
-    val maxCell = if (cells.isEmpty) 0L else cells.map(_._2).max
-    val nlist = nlistOf(wh, name)
-    val meanCell = if (nlist == 0L) 0.0 else liveRows.toDouble / nlist
-    val skew = if (meanCell == 0.0) 1.0 else maxCell / meanCell
-    val deadFraction = if (total == 0L) 0.0 else deadRows.toDouble / total
-    cells.sorted.toDF("cell", "live", "dead").coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(cellsPath(wh, name))
+                            c: IndexAdvice.Census): HealthSnapshot = {
     val snap = HealthSnapshot(c.nFiles, c.totalBytes, cells.sorted,
-      (liveRows, deadRows, deadFraction, c.deletesBytes, c.dataBytes,
-        nlist, maxCell, skew))
-    val row = healthDf(wh, snap)
-    row.coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"${wh.dataPath(name)}/_health")
-    // snapshot AFTER both writes land: the census excludes /_health
-    // paths, so the stamp `c` still describes the on-disk state
+      summarize(cells, nlistOf(wh, name), c.deletesBytes, c.dataBytes))
+    // ONE driver-written sidecar instead of two coalesce(1) parquet
+    // write jobs — the census excludes /_health paths, so persisting
+    // never stales the stamp `c` it carries
+    IndexAdvice.writeSidecar(wh, healthPath(wh, name), renderHealth(snap))
     healthCache.put(s"${wh.root}/$name", snap)
-    row // the local row IS what was stored — no read-back needed
+    snap // the snapshot IS what was stored — no read-back needed
   }
 
-  /** The stored per-cell health table, ONLY when the `_health` summary
-    * is fresh for the current census AND the cells companion exists —
-    * the captured state an incremental fold starts from. Costs one
-    * metadata listing when a health row exists, nothing otherwise. */
+  /** The stored per-cell health table, ONLY when the `_health` sidecar
+    * is fresh for the current census — the captured state an
+    * incremental fold starts from. Costs one metadata listing (plus a
+    * driver-side sidecar read on a cold cache), zero Spark jobs. */
   private def freshCells(wh: Warehouse,
-                         name: String): Option[Seq[(Int, Long, Long)]] = {
-    val c = IndexAdvice.census(wh, name)
-    val hit = healthCache.get(s"${wh.root}/$name")
+                         name: String): Option[Seq[(Int, Long, Long)]] =
+    freshSnapshot(wh, name, IndexAdvice.census(wh, name)).map(_.cells)
+
+  /** The health snapshot iff fresh for census `c`: the driver cache
+    * when its stamp matches, else the parsed `_health` sidecar when ITS
+    * stamp matches (another driver's fold — adopt it into the cache),
+    * else None (stale/absent — caller re-measures). */
+  private def freshSnapshot(wh: Warehouse, name: String,
+                            c: IndexAdvice.Census): Option[HealthSnapshot] = {
+    val key = s"${wh.root}/$name"
+    val hit = healthCache.get(key)
     if (hit != null && hit.nFiles == c.nFiles &&
         hit.totalBytes == c.totalBytes)
-      Some(hit.cells) // one listing, zero Spark jobs
-    else {
-      val cp = new org.apache.hadoop.fs.Path(cellsPath(wh, name))
-      readHealthWith(wh, name, c).flatMap { _ =>
-        if (!fs(wh, cp).exists(cp)) None // summary from an older engine
-        else Some(wh.spark.read.parquet(cp.toString).collect()
-          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq)
-      }
-    }
+      Some(hit) // one listing, zero Spark jobs, zero reads
+    else
+      IndexAdvice.readSidecar(wh, healthPath(wh, name))
+        .flatMap(parseHealth)
+        .filter(s => s.nFiles == c.nFiles && s.totalBytes == c.totalBytes)
+        .map { s => healthCache.put(key, s); s }
   }
 
   /** Fold a batch's per-cell deltas into captured health evidence and
@@ -1170,23 +1262,9 @@ object IvfIndex {
   private def readHealthWith(wh: Warehouse, name: String,
                              c: => IndexAdvice.Census)
       : Option[DataFrame] = {
-    val hp = new org.apache.hadoop.fs.Path(s"${wh.dataPath(name)}/_health")
+    val hp = new org.apache.hadoop.fs.Path(healthPath(wh, name))
     if (!fs(wh, hp).exists(hp)) None
-    else {
-      val cc = c // force the by-name census exactly once
-      val hit = healthCache.get(s"${wh.root}/$name")
-      if (hit != null && hit.nFiles == cc.nFiles &&
-          hit.totalBytes == cc.totalBytes)
-        Some(healthDf(wh, hit)) // rebuilt locally — no parquet read
-      else {
-        val df = wh.spark.read.parquet(hp.toString)
-        val stamp = df.select(col("n_files"), col("census_bytes")).head()
-        if (stamp.getLong(0) != cc.nFiles ||
-            stamp.getLong(1) != cc.totalBytes)
-          None
-        else Some(df)
-      }
-    }
+    else freshSnapshot(wh, name, c).map(healthDf(wh, _))
   }
 
   /** The maintenance POLICY: what should happen to this index NOW, from
@@ -1202,14 +1280,10 @@ object IvfIndex {
                         maxTombstoneBloat: Double = DefaultMaxTombstoneBloat,
                         maxCellSkew: Double = DefaultMaxCellSkew)
       : IndexAdvice = {
-    lazy val c = IndexAdvice.census(wh, name) // ONE listing, shared
-    val h = readHealthWith(wh, name, c)
-      .getOrElse(analyzeHealthWith(wh, name, c))
-      .select(col("dead_fraction"), col("deletes_bytes"),
-        col("data_bytes"), col("cell_skew"))
-      .head()
-    val (deadF, delB, datB, skew) =
-      (h.getDouble(0), h.getLong(1), h.getLong(2), h.getDouble(3))
+    val c = IndexAdvice.census(wh, name) // ONE listing, shared
+    val s = freshSnapshot(wh, name, c)
+      .getOrElse(measureHealth(wh, name, c)).summary
+    val (deadF, delB, datB, skew) = (s._3, s._4, s._5, s._8)
     if (skew >= maxCellSkew) IndexAdvice.Rebuild
     else if (deadF >= maxDeadFraction ||
         (datB > 0L && delB.toDouble / datB >= maxTombstoneBloat))

@@ -66,15 +66,40 @@ object TextIndex {
   def hasPositions(wh: Warehouse, name: String): Boolean =
     wh.read(name).schema.fieldNames.contains("pos")
 
+  /** Census-stamped cache of the doclen generation frontier, keyed by
+    * table path — the [[IvfIndex]] seqCache discipline: served only
+    * while the version dir's file census is byte-identical to the
+    * stamp (any foreign mutation misses to a re-scan), re-stamped by
+    * the mutation paths this driver runs, which know the frontier they
+    * just wrote. */
+  private val seqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, Long)]() // path -> (nFiles, totalBytes, maxSeq)
+
+  private def stampSeq(wh: Warehouse, name: String, maxSeq: Long): Unit = {
+    val c = IndexAdvice.census(wh, name)
+    seqCache.put(s"${wh.root}/$name", (c.nFiles, c.totalBytes, maxSeq))
+  }
+
   /** The next posting generation number: one past the highest `seq` any
     * doclen row carries. A column-pruned scan of the (docs-sized, never
     * postings-sized) doclen companion — batch-operation cost, derived
     * from the data itself so it can never drift from what was actually
-    * written (a side counter file could). */
+    * written (a side counter file could) — served from the
+    * census-stamped [[seqCache]] when nothing changed since this driver
+    * last wrote or scanned the frontier. */
   private def nextSeq(wh: Warehouse, name: String): Long = {
-    val r = wh.spark.read.parquet(doclenPath(wh, name))
-      .agg(max(col("seq"))).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+    val c = IndexAdvice.census(wh, name)
+    val key = s"${wh.root}/$name"
+    val hit = seqCache.get(key)
+    if (hit != null && hit._1 == c.nFiles && hit._2 == c.totalBytes)
+      hit._3 + 1L
+    else {
+      val r = wh.spark.read.parquet(doclenPath(wh, name))
+        .agg(max(col("seq"))).head()
+      val m = if (r.isNullAt(0)) -1L else r.getLong(0)
+      seqCache.put(key, (c.nFiles, c.totalBytes, m))
+      m + 1L
+    }
   }
 
   private def tokenize(docs: DataFrame, idCol: String, textCol: String,
@@ -177,7 +202,7 @@ object TextIndex {
     // would collapse a byte-small posting exchange to one serial
     // writer. Cost is one posting-sized shuffle at build; bucket size
     // stays bounded by the layout's own nBuckets sizing lever.
-    wh.publish(postingsOf(toks, nBuckets, seq = 0L, positions)
+    val out = wh.publish(postingsOf(toks, nBuckets, seq = 0L, positions)
         .repartition(IndexAdvice.shufflePartitions(wh), col("bucket")), name,
       partitionCols = Seq("bucket"),
       beforeSwap = vdir => {
@@ -193,6 +218,8 @@ object TextIndex {
             .as("dl") +: lit(0L).as("seq") +: attrCols.map(col): _*)
           .write.parquet(s"$vdir/_doclen")
       })
+    stampSeq(wh, name, 0L) // a fresh build's rows all carry seq 0
+    out
   }
 
   /** Per-version layout cache: the bucket count is IMMUTABLE within an
@@ -341,6 +368,7 @@ object TextIndex {
       persistHealth(wh, name, live + nDocs, dead, merged,
         IndexAdvice.census(wh, name))
     }
+    stampSeq(wh, name, seq) // this driver KNOWS the new frontier
   }
 
   /** Tombstone documents: every posting and doclen row any of `docIds`
@@ -417,6 +445,9 @@ object TextIndex {
         persistHealth(wh, name, live - ddl, dead + ddl, folded,
           IndexAdvice.census(wh, name))
       }
+      // the tombstone write moved the census but not the doclen frontier
+      val prev = seqCache.get(s"${wh.root}/$name")
+      if (prev != null) stampSeq(wh, name, prev._3)
     }
   }
 
@@ -529,6 +560,9 @@ object TextIndex {
       persistHealth(wh, name, nDl, 0L, buckets,
         IndexAdvice.census(wh, name))
     }
+    // NO seq stamp: unlike IvfIndex.compact, the text rewrite preserves
+    // each row's generation (doclen reconciliation joins on (doc_id,
+    // seq)) — the next frontier consult re-scans the fresh doclen once
     out
   }
 
@@ -664,6 +698,8 @@ object TextIndex {
       // (chooseBucketsOrFallback), keeping post-rebuild advice at
       // metadata cost from here on
       analyzeHealthWith(wh, name, IndexAdvice.census(wh, name))
+    // NO seq stamp: the re-bucket preserves row generations (see
+    // compact) — the next frontier consult re-scans the fresh doclen
     out
   }
 
@@ -958,7 +994,15 @@ object TextIndex {
     analyzeHealthWith(wh, name, IndexAdvice.census(wh, name))
 
   private def analyzeHealthWith(wh: Warehouse, name: String,
-                                c: IndexAdvice.Census): DataFrame = {
+                                c: IndexAdvice.Census): DataFrame =
+    healthDf(wh, measureHealth(wh, name, c))
+
+  /** The bounded health re-measure: one doclen pass plus one
+    * column-pruned posting pass, persisted, returned as the snapshot
+    * (policy consumers never round-trip through a local DataFrame
+    * job). */
+  private def measureHealth(wh: Warehouse, name: String,
+                            c: IndexAdvice.Census): HealthSnapshot = {
     import wh.spark.implicits._
     val dlv = wh.spark.read.parquet(doclenPath(wh, name))
     val dp = new Path(deletesPath(wh, name))
@@ -991,8 +1035,68 @@ object TextIndex {
     persistHealth(wh, name, liveRows, deadRows, perBucket, c)
   }
 
-  private def bucketsPath(wh: Warehouse, name: String) =
-    s"${wh.dataPath(name)}/_health_buckets"
+  private def healthPath(wh: Warehouse, name: String) =
+    s"${wh.dataPath(name)}/_health"
+
+  /** TEST HOOK: drop every driver-side evidence cache (health snapshots,
+    * seq frontier) — simulates a fresh driver against the same stored
+    * index, forcing the sidecar-parse and frontier-rescan paths. */
+  private[operators] def forgetDriverState(): Unit = {
+    healthCache.clear()
+    seqCache.clear()
+  }
+
+  /** The summary tuple from its inputs — ONE function shared by the
+    * write path and the sidecar read-back, so both derive bit-identical
+    * doubles from the same stored integers. */
+  private def summarize(liveRows: Long, deadRows: Long,
+                        buckets: Seq[(Int, Long)], deletesBytes: Long,
+                        dataBytes: Long)
+      : (Long, Long, Double, Long, Long, Long, Double, Long, Long) = {
+    val deadFraction =
+      if (liveRows + deadRows == 0L) 0.0
+      else deadRows.toDouble / (liveRows + deadRows)
+    val livePostings = buckets.map(_._2).sum
+    val maxBucket = if (buckets.isEmpty) 0L else buckets.map(_._2).max
+    val nBuckets = buckets.length.toLong
+    val meanBucket =
+      if (nBuckets == 0L) 0.0 else livePostings.toDouble / nBuckets
+    val bucketSkew = if (meanBucket == 0.0) 1.0 else maxBucket / meanBucket
+    (liveRows, deadRows, deadFraction, livePostings, maxBucket, nBuckets,
+      bucketSkew, deletesBytes, dataBytes)
+  }
+
+  /** Serialize/parse the `_health` sidecar — one driver-written
+    * key=value file ([[IndexAdvice.writeSidecar]]) instead of two
+    * coalesce(1) parquet write JOBS per health fold (bounded ≤ nBuckets
+    * rows of evidence; the maintenance composites are fixed-overhead
+    * bound). */
+  private def renderHealth(s: HealthSnapshot): String = {
+    val sb = new StringBuilder("v=2\n")
+    sb ++= s"n_files=${s.nFiles}\ncensus_bytes=${s.totalBytes}\n"
+    sb ++= s"live_rows=${s.summary._1}\ndead_rows=${s.summary._2}\n"
+    sb ++= s"deletes_bytes=${s.summary._8}\ndata_bytes=${s.summary._9}\n"
+    sb ++= s.buckets.map(b => s"${b._1}:${b._2}")
+      .mkString("buckets=", ",", "\n")
+    sb.toString
+  }
+
+  private def parseHealth(body: String): Option[HealthSnapshot] = {
+    val kv = body.linesIterator.map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+    if (!kv.get("v").contains("2")) None
+    else {
+      val buckets = kv.getOrElse("buckets", "").split(",").toSeq
+        .filter(_.nonEmpty).map { t =>
+          val Array(b, n) = t.split(":", 2)
+          (b.toInt, n.toLong)
+        }
+      val sum = summarize(kv("live_rows").toLong, kv("dead_rows").toLong,
+        buckets, kv("deletes_bytes").toLong, kv("data_bytes").toLong)
+      Some(HealthSnapshot(kv("n_files").toLong, kv("census_bytes").toLong,
+        buckets, sum))
+    }
+  }
 
   /** Driver-side snapshot of the last health evidence THIS driver
     * persisted — the [[IvfIndex]] healthCache discipline: keyed by
@@ -1026,31 +1130,15 @@ object TextIndex {
     * census excludes, so persisting health never stales its own stamp. */
   private def persistHealth(wh: Warehouse, name: String, liveRows: Long,
                             deadRows: Long, buckets: Seq[(Int, Long)],
-                            c: IndexAdvice.Census): DataFrame = {
-    import wh.spark.implicits._
-    val deadFraction =
-      if (liveRows + deadRows == 0L) 0.0
-      else deadRows.toDouble / (liveRows + deadRows)
-    val livePostings = buckets.map(_._2).sum
-    val maxBucket = if (buckets.isEmpty) 0L else buckets.map(_._2).max
-    val nBuckets = buckets.length.toLong
-    val meanBucket =
-      if (nBuckets == 0L) 0.0 else livePostings.toDouble / nBuckets
-    val bucketSkew = if (meanBucket == 0.0) 1.0 else maxBucket / meanBucket
-    buckets.toDF("bucket", "live").coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(bucketsPath(wh, name))
+                            c: IndexAdvice.Census): HealthSnapshot = {
     val snap = HealthSnapshot(c.nFiles, c.totalBytes, buckets,
-      (liveRows, deadRows, deadFraction, livePostings, maxBucket,
-        nBuckets, bucketSkew, c.deletesBytes, c.dataBytes))
-    val row = healthDf(wh, snap)
-    row.coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"${wh.dataPath(name)}/_health")
-    // snapshot AFTER both writes land: the census excludes /_health
-    // paths, so the stamp `c` still describes the on-disk state
+      summarize(liveRows, deadRows, buckets, c.deletesBytes, c.dataBytes))
+    // ONE driver-written sidecar instead of two coalesce(1) parquet
+    // write jobs — the census excludes /_health paths, so persisting
+    // never stales the stamp `c` it carries
+    IndexAdvice.writeSidecar(wh, healthPath(wh, name), renderHealth(snap))
     healthCache.put(s"${wh.root}/$name", snap)
-    row // the local row IS what was stored — no read-back needed
+    snap // the snapshot IS what was stored — no read-back needed
   }
 
   /** The stored evidence an append's fold starts from — (live doclen
@@ -1059,24 +1147,26 @@ object TextIndex {
     * companion exists. One metadata listing when a health row exists,
     * nothing otherwise. */
   private def freshHealth(wh: Warehouse, name: String)
-      : Option[(Long, Long, Seq[(Int, Long)])] = {
-    val c = IndexAdvice.census(wh, name)
-    val hit = healthCache.get(s"${wh.root}/$name")
+      : Option[(Long, Long, Seq[(Int, Long)])] =
+    freshSnapshot(wh, name, IndexAdvice.census(wh, name))
+      .map(s => (s.summary._1, s.summary._2, s.buckets))
+
+  /** The health snapshot iff fresh for census `c`: the driver cache
+    * when its stamp matches, else the parsed `_health` sidecar when ITS
+    * stamp matches (another driver's fold — adopt it into the cache),
+    * else None (stale/absent — caller re-measures). */
+  private def freshSnapshot(wh: Warehouse, name: String,
+                            c: IndexAdvice.Census): Option[HealthSnapshot] = {
+    val key = s"${wh.root}/$name"
+    val hit = healthCache.get(key)
     if (hit != null && hit.nFiles == c.nFiles &&
         hit.totalBytes == c.totalBytes)
-      Some((hit.summary._1, hit.summary._2, hit.buckets)) // zero jobs
-    else {
-      val bp = new Path(bucketsPath(wh, name))
-      readHealthWith(wh, name, c).flatMap { df =>
-        if (!fs(wh, bp).exists(bp)) None // summary from an older engine
-        else {
-          val r = df.select(col("live_rows"), col("dead_rows")).head()
-          Some((r.getLong(0), r.getLong(1),
-            wh.spark.read.parquet(bp.toString).collect()
-              .map(x => (x.getInt(0), x.getLong(1))).toSeq))
-        }
-      }
-    }
+      Some(hit) // one listing, zero Spark jobs, zero reads
+    else
+      IndexAdvice.readSidecar(wh, healthPath(wh, name))
+        .flatMap(parseHealth)
+        .filter(s => s.nFiles == c.nFiles && s.totalBytes == c.totalBytes)
+        .map { s => healthCache.put(key, s); s }
   }
 
   /** The stored health row — None when never analyzed on this version
@@ -1093,28 +1183,9 @@ object TextIndex {
   private def readHealthWith(wh: Warehouse, name: String,
                              c: => IndexAdvice.Census)
       : Option[DataFrame] = {
-    val hp = new Path(s"${wh.dataPath(name)}/_health")
+    val hp = new Path(healthPath(wh, name))
     if (!fs(wh, hp).exists(hp)) None
-    else {
-      val cc = c // force the by-name census exactly once
-      val hit = healthCache.get(s"${wh.root}/$name")
-      if (hit != null && hit.nFiles == cc.nFiles &&
-          hit.totalBytes == cc.totalBytes)
-        Some(healthDf(wh, hit)) // rebuilt locally — no parquet read
-      else {
-        val df = wh.spark.read.parquet(hp.toString)
-        // a row persisted by an engine predating the bucket-skew signal
-        // reads as stale (re-measure once, persist the full evidence)
-        if (!df.schema.fieldNames.contains("bucket_skew")) None
-        else {
-          val stamp = df.select(col("n_files"), col("census_bytes")).head()
-          if (stamp.getLong(0) != cc.nFiles ||
-              stamp.getLong(1) != cc.totalBytes)
-            None
-          else Some(df)
-        }
-      }
-    }
+    else freshSnapshot(wh, name, c).map(healthDf(wh, _))
   }
 
   /** The maintenance POLICY: what should happen to this index NOW, from
@@ -1131,14 +1202,10 @@ object TextIndex {
                         maxTombstoneBloat: Double = DefaultMaxTombstoneBloat,
                         maxBucketSkew: Double = DefaultMaxBucketSkew)
       : IndexAdvice = {
-    lazy val c = IndexAdvice.census(wh, name) // ONE listing, shared
-    val h = readHealthWith(wh, name, c)
-      .getOrElse(analyzeHealthWith(wh, name, c))
-      .select(col("dead_fraction"), col("deletes_bytes"),
-        col("data_bytes"), col("bucket_skew"))
-      .head()
-    val (deadF, delB, datB, skew) =
-      (h.getDouble(0), h.getLong(1), h.getLong(2), h.getDouble(3))
+    val c = IndexAdvice.census(wh, name) // ONE listing, shared
+    val s = freshSnapshot(wh, name, c)
+      .getOrElse(measureHealth(wh, name, c)).summary
+    val (deadF, delB, datB, skew) = (s._3, s._8, s._9, s._7)
     if (skew >= maxBucketSkew) IndexAdvice.Rebuild
     else if (deadF >= maxDeadFraction ||
         (datB > 0L && delB.toDouble / datB >= maxTombstoneBloat))

@@ -1492,4 +1492,57 @@ class IvfIndexSpec extends SparkSpec {
     wh.appendStreamBatch(extra, "sq_corpus", 555L) // replay
     assert(wh.read("sq_corpus").count() == before + 3L)
   }
+
+  test("health sidecar + seq frontier survive a driver restart: a " +
+      "fresh driver adopts the stored evidence without re-measuring, " +
+      "and mutations re-derive the generation frontier from the data") {
+    val wh = freshWh
+    val dim = 16
+    val corpus = AnnRecall.clusteredFixture(spark, n = 300, dim = dim)
+    IvfIndex.buildPq(wh, corpus, "vec_id", "embedding", dim, nlist = 8,
+      m = 8, ksub = 64, name = "fdr")
+    val h0 = IvfIndex.analyzeHealth(wh, "fdr")
+      .select("live_rows", "dead_rows", "nlist", "cell_skew").head()
+    // simulate a fresh driver: every in-memory evidence cache dropped
+    IvfIndex.forgetDriverState()
+    val adopted = IvfIndex.readHealth(wh, "fdr")
+    assert(adopted.nonEmpty,
+      "a fresh driver must adopt the stored sidecar, not read stale")
+    val h1 = adopted.get
+      .select("live_rows", "dead_rows", "nlist", "cell_skew").head()
+    assert(h1.getLong(0) == h0.getLong(0) &&
+      h1.getLong(1) == h0.getLong(1) && h1.getLong(2) == h0.getLong(2) &&
+      h1.getDouble(3) == h0.getDouble(3),
+      "sidecar read-back must reproduce the persisted evidence exactly")
+    // frontier: a post-restart DELETE must still kill every prior
+    // generation — a lost (too-low) frontier would write a cut at or
+    // below the live generations and the purged id would keep serving
+    // its own vector (the q200 leak-probe shape: rerank against the
+    // ORIGINAL corpus so a leaked candidate survives at cosine 1)
+    val old5 = corpus.filter(col("vec_id") === 5L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    IvfIndex.forgetDriverState()
+    IvfIndex.delete(wh, Seq(5L).toDF("vec_id"), "vec_id", "fdr")
+    val leaked = IvfIndex.probePq(wh,
+        Seq((900005L, old5)).toDF("vec_id", "embedding"),
+        corpus, "vec_id", "embedding", "fdr",
+        k = 3, nprobe = 8, rerank = 512)
+      .filter(col("neighbor_id") === 5L)
+    assert(leaked.isEmpty,
+      "a post-restart delete must tombstone the live generation — a " +
+        "lost frontier would leave the purged id serving its own vector")
+    // and a second fold on the adopted evidence stays consistent with a
+    // full re-measure
+    IvfIndex.forgetDriverState()
+    val folded = IvfIndex.readHealth(wh, "fdr")
+    if (folded.nonEmpty) {
+      val f = folded.get.select("live_rows", "dead_rows").head()
+      IvfIndex.forgetDriverState()
+      val remeasured = IvfIndex.analyzeHealth(wh, "fdr")
+        .select("live_rows", "dead_rows").head()
+      assert(f.getLong(0) == remeasured.getLong(0) &&
+        f.getLong(1) == remeasured.getLong(1),
+        "adopted+folded evidence must equal a from-scratch re-measure")
+    }
+  }
 }
