@@ -169,6 +169,10 @@ object Quality {
                      binWidth: Double, k: Double = 3.0): DataFrame = {
     import graft.operators.Percentiles.histogramPercentiles
     val rows = df.filter(col(valueCol).isNotNull)
+    // NOTE (r12): pinning med/dev here was tried and MEASURED SLOWER —
+    // the deviation frame's two consumers already share the scan's
+    // exchange files, so a checkpoint write costs more than the map
+    // work it saves (task-sec 1.6 → 2.7). Left lazy on evidence.
     val med = histogramPercentiles(rows, keys, valueCol, binWidth,
       Seq("med" -> 0.5)).select((keys.map(col) :+ col("med")): _*)
     val dev = rows.join(JoinPolicy.broadcastIfSmall(med), keys)

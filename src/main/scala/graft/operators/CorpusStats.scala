@@ -108,8 +108,14 @@ object CorpusStats {
         round(lit(1000.0) *
           (log((col("__n") + 1).cast("double") / (col("df") + 1)) + 1.0))
           .cast("long").as("wq"))
-    val postings = tf.join(kept, Seq("term"))
-      .select(col("id"), col("term"), (col("tf") * col("wq")).as("w"))
+    // postings feed FIVE consumers (both sides of the dot self-join and
+    // the norms used on both join sides): left lazy, each consumer
+    // re-derives the tokenize→tf→df→cap pipeline — only the shuffle
+    // files get reused, the final aggregates and the cap join re-run
+    // per consumer (the q33 pathology). One materialization, five reads.
+    val postings = graft.engine.Exec.materialize(
+      tf.join(kept, Seq("term"))
+        .select(col("id"), col("term"), (col("tf") * col("wq")).as("w")))
     val norms = postings.groupBy(col("id"))
       .agg(sum(col("w") * col("w")).as("norm2"))
     val dots = postings.as("a")
