@@ -954,6 +954,102 @@ case class CompressionRatioExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Seeded JL sign projection in exact integer arithmetic — the scalar
+  * twin of the composed `transform(sequence…) / aggregate(sequence…)`
+  * formulation in [[graft.functions.VectorFunctions.jlProjectQ]]: each
+  * input coordinate quantizes to the 1e-6 grid
+  * (`math.floor(x·1e6 + 0.5).toLong`, identical to SQL
+  * `floor(cast(x as double) * 1e6 + 0.5)` on any engine), then each
+  * output coordinate is the integer dot with a ±1 Rademacher row from
+  * [[graft.functions.VectorFunctions.jlSigns]]. Integer arithmetic is
+  * exact in any order, so the values are bit-identical to the HOF form —
+  * but one tight JVM loop per row replaces outDim × dim interpreted
+  * lambda steps (two `element_at` calls each), which measured as the
+  * heaviest parallel compute in the whole bench (q140: 160 task-seconds
+  * at sf0.1 for 2 000 rows × 8×64 multiply-adds of real work). */
+case class JlProjectQExpr(child: Expression, dim: Int, outDim: Int,
+                          seed: Long)
+    extends UnaryExpression {
+  require(dim >= 1 && outDim >= 1, "dim and outDim must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "jl_project_q"
+
+  // the same md5-word-parity matrix the SQL oracles replay, tabulated
+  // once per expression instance (signs(j*dim + i) = row j, coord i)
+  @transient private lazy val signs: Array[Int] =
+    graft.functions.VectorFunctions.jlSigns(dim, outDim, seed)
+
+  def compute(a: ArrayData): ArrayData = {
+    val v = VecArgs.toDoubles(a, VecArgs.elemType(child), "jl_project_q")
+    if (v.length < dim)
+      throw new IllegalArgumentException(
+        s"jl_project_q: vector has ${v.length} coords, expected >= $dim")
+    // quantize once (the HOF form's xq array), then outDim integer dots
+    val xq = new Array[Long](dim)
+    var i = 0
+    while (i < dim) { xq(i) = math.floor(v(i) * 1e6 + 0.5).toLong; i += 1 }
+    val out = new Array[Any](outDim)
+    var j = 0
+    while (j < outDim) {
+      val base = j * dim
+      var s = 0L
+      i = 0
+      while (i < dim) { s += xq(i) * signs(base + i); i += 1 }
+      out(j) = Long.box(s)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jlProjectQ", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Σ weights(b) over a bucket-id array — the hashed-feature margin's
+  * lookup sum as one JVM loop. Bit-identical to the composed
+  * `aggregate(bks, 0L, (acc, b) => acc + element_at(table, b + 1))`
+  * (integer addition, same order, same values); the weight table rides
+  * inside the expression as a `Seq` literal so two plans built from the
+  * same trained model stay semantically equal. The composed form
+  * interpreted one lambda step + one `element_at` per feature occurrence
+  * per document — the hot path of classifier training (per iteration)
+  * and scoring (q132: 30+ task-seconds at sf0.1, most of it here). */
+case class BucketWeightSumExpr(child: Expression, weights: Seq[Long])
+    extends UnaryExpression {
+  require(weights.nonEmpty, "weights must be non-empty")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bucket_weight_sum"
+
+  @transient private lazy val w: Array[Long] = weights.toArray
+
+  def compute(a: ArrayData): Long = {
+    val bs = a.toIntArray()
+    var s = 0L
+    var i = 0
+    while (i < bs.length) { s += w(bs(i)); i += 1 }
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bucketWeightSum", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object SignatureExpressions {
   import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
 
@@ -1013,4 +1109,10 @@ object SignatureExpressions {
 
   def vecRotate(v: Column, matrix: Seq[Seq[Double]]): Column =
     toCol(VecRotateExpr(toExpr(v), matrix))
+
+  def jlProjectQ(v: Column, dim: Int, outDim: Int, seed: Long): Column =
+    toCol(JlProjectQExpr(toExpr(v), dim, outDim, seed))
+
+  def bucketWeightSum(bks: Column, weights: Seq[Long]): Column =
+    toCol(BucketWeightSumExpr(toExpr(bks), weights))
 }

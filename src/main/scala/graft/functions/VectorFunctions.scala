@@ -38,18 +38,16 @@ object VectorFunctions {
     * dot with a ±1 sign row — exact in any order, a SQL auditor replays
     * every value. Divide by 1e6·sqrt(outDim) for the real-valued JL
     * embedding; distance work (cosine/ANN bucketing) is scale-free, so
-    * most callers stay in the integer domain. Pure column algebra over
-    * an inlined sign literal — zero shuffle, no md5 at row time. */
+    * most callers stay in the integer domain. Backed by the scalar
+    * [[JlProjectQExpr]] — one tight JVM loop over the tabulated sign
+    * matrix per row, zero shuffle, no md5 at row time; bit-identical to
+    * the composed `transform`/`aggregate` formulation (exact integer
+    * arithmetic, same quantization), which interpreted outDim × dim
+    * lambda steps per row and measured as the heaviest parallel compute
+    * in the bench (q140). */
   def jlProjectQ(v: Column, dim: Int, outDim: Int, seed: Long = 42L): Column = {
     require(dim >= 1 && outDim >= 1, "dim and outDim must be >= 1")
-    val signs = jlSigns(dim, outDim, seed)
-    val s = typedlit(signs.toSeq)
-    val xq = transform(v, x =>
-      floor(x.cast("double") * 1e6 + lit(0.5)).cast("long"))
-    transform(sequence(lit(0), lit(outDim - 1)), j =>
-      aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (acc, i) =>
-        acc + element_at(xq, i + 1) *
-          element_at(s, j * dim + i + 1).cast("long")))
+    SignatureExpressions.jlProjectQ(v, dim, outDim, seed)
   }
 
   /** Squared L2 norm. */

@@ -65,11 +65,16 @@ object Classifier {
   }
 
   /** Margin from an already-hashed bucket array (the training loop's
-    * form — hashing paid once, iterations lookup-only). */
+    * form — hashing paid once, iterations lookup-only). The weight-table
+    * lookup sum runs as the scalar
+    * [[graft.functions.BucketWeightSumExpr]] — one JVM loop per document
+    * instead of one interpreted `aggregate` lambda step + `element_at`
+    * per feature occurrence (the measured hot path of both training
+    * iterations and scoring); integer addition in the same order, so
+    * margins are bit-identical. */
   private[operators] def marginFromBuckets(bks: Column, m: LogisticModel): Column = {
-    val table = typedlit(m.weights.toSeq)
-    val sumW = aggregate(bks, lit(0L), (acc, b) =>
-      acc + element_at(table, b + 1))
+    val sumW = graft.functions.SignatureExpressions.bucketWeightSum(
+      bks, m.weights.toSeq)
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
     val n = greatest(size(bks).cast("long"), lit(1L))
     lit(m.bias) + toCol(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
@@ -112,14 +117,13 @@ object Classifier {
     var bias = 0L
     var it = 0
     while (it < iters) {
-      val table = typedlit(w.toSeq)
       val nf = greatest(size(col("__bk")), lit(1))
       val margin = lit(bias) +
         org.apache.spark.sql.GraftColumnBridge.column(
           org.apache.spark.sql.catalyst.expressions.IntegralDivide(
             org.apache.spark.sql.GraftColumnBridge.expression(
-              aggregate(col("__bk"), lit(0L),
-                (acc, b) => acc + element_at(table, b + 1))),
+              graft.functions.SignatureExpressions.bucketWeightSum(
+                col("__bk"), w.toSeq)),
             org.apache.spark.sql.GraftColumnBridge.expression(nf.cast("long"))))
       // quantized residuals, in the explicit floor(x·1e6 + 0.5) form —
       // Scala math.round and SQL round disagree on negative halves.
@@ -132,23 +136,25 @@ object Classifier {
           lit(0.5)).cast("long").as("__r"),
         floor((p - col("__y").cast("double")) * 1e6 + lit(0.5))
           .cast("long").as("__rb"))
-      // ONE explode + groupBy job per iteration: each doc fans out to one
-      // sentinel row (bucket = `buckets`, carrying the bias residual) plus
-      // one row per feature occurrence (carrying the normalized residual)
-      // — all gradients, bias included, come back in a single <= buckets+1
-      // row collect
-      val entries = concat(
-        array(struct(lit(buckets).as("bucket"), col("__rb").as("v"))),
-        transform(col("__bk"), b =>
-          struct(b.as("bucket"), col("__r").as("v"))))
-      val grads = resid.select(explode(entries).as("e"))
-        .groupBy(col("e.bucket").as("bucket")).agg(sum(col("e.v")).as("g"))
-        .collect() // <= buckets + 1 rows — bounded by construction
-      grads.foreach { r =>
-        val b = r.getInt(0)
-        val step = math.floor(lrRate * r.getLong(1) / n + 0.5).toLong
-        if (b == buckets) bias -= step else w(b) -= step
+      // ONE flat-array aggregate job per iteration: every bucket's
+      // gradient (bias included, in the sentinel cell) accumulates in a
+      // tight per-task loop and comes back as a single buckets+1-cell
+      // array — the explode-per-feature-occurrence + hash-aggregate
+      // formulation this replaced allocated one struct and probed the
+      // aggregate map once PER OCCURRENCE per iteration (the measured
+      // iteration cost). Same long sums in a different order — integer
+      // addition is exact, so the trained weights are bit-identical
+      // (cells that never occur read 0, whose update step floor(0 + .5)
+      // is 0 — exactly the old sparse rows' no-op).
+      val g = resid.select(graft.functions.GradientAggregate.gradientSum(
+          col("__bk"), col("__r"), col("__rb"), buckets).as("g"))
+        .head().getSeq[Long](0)
+      var b = 0
+      while (b < buckets) {
+        w(b) -= math.floor(lrRate * g(b) / n + 0.5).toLong
+        b += 1
       }
+      bias -= math.floor(lrRate * g(buckets) / n + 0.5).toLong
       if (sys.env.contains("GRAFT_LR_DEBUG"))
         System.err.println(s"[lr-debug] iter=$it bias=$bias " +
           s"wNonZero=${w.count(_ != 0L)} wSum=${w.sum}")

@@ -31,6 +31,31 @@ class JlProjectionSpec extends SparkSpec {
     assert(signs.forall(s => s == 1 || s == -1) && signs.distinct.length == 2)
   }
 
+  test("scalar JlProjectQExpr is bit-identical to the composed HOF form") {
+    // the r13 kernel swap: the composed transform/aggregate formulation
+    // this expression replaced must agree value-for-value on every row
+    val rng = new scala.util.Random(11)
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(dim)(rng.nextFloat() * 4 - 2)))
+    val df = rows.toDF("id", "v").repartition(5)
+    val signs = VectorFunctions.jlSigns(dim, outDim, seed = 42L)
+    val s = typedlit(signs.toSeq)
+    val xq = transform($"v", x =>
+      floor(x.cast("double") * 1e6 + lit(0.5)).cast("long"))
+    val hof = transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (acc, i) =>
+        acc + element_at(xq, i + 1) *
+          element_at(s, j * dim + i + 1).cast("long")))
+    val both = df.select($"id",
+        VectorFunctions.jlProjectQ($"v", dim, outDim).as("fast"),
+        hof.as("slow"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"HOF/native divergence for id ${r.getLong(0)}")
+    }
+  }
+
   test("JL property sanity: relative distances roughly preserved at outDim 16") {
     // not a tight bound — a smoke check that the projection is a real JL
     // map (correlated inputs stay correlated, orthogonal-ish stay apart)

@@ -48,6 +48,51 @@ class ClassifierSpec extends SparkSpec {
     assert(s1 == s13)
   }
 
+  test("scalar bucketWeightSum margin is bit-identical to the composed HOF form") {
+    // the r13 kernel swap: the interpreted aggregate/element_at lookup
+    // sum this expression replaced must agree margin-for-margin
+    val df = plantedFixture(50).repartition(7)
+    val m = Classifier.trainLogistic(df, "text", "label",
+      buckets = 128, iters = 3, lrRate = 2.0)
+    val bks = graft.functions.FeatureHash.featureBuckets(
+      $"text", m.salt, m.buckets, m.useBigrams)
+    val table = typedlit(m.weights.toSeq)
+    val hofSum = aggregate(bks, lit(0L), (acc, b) =>
+      acc + element_at(table, b + 1))
+    val fastSum = graft.functions.SignatureExpressions.bucketWeightSum(
+      bks, m.weights.toSeq)
+    val rows = df.select($"id", hofSum.as("slow"), fastSum.as("fast"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"weight-sum divergence for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("gradientSum aggregate equals the explode/groupBy formulation") {
+    // the r13 iteration swap: per-bucket and bias gradient sums must
+    // match the exploded sparse rows cell-for-cell
+    val buckets = 32
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 60).map { i =>
+      val bks = Array.fill(1 + rng.nextInt(12))(rng.nextInt(buckets))
+      (bks, rng.nextLong() % 1000L, rng.nextLong() % 1000L)
+    }
+    val df = rows.toDF("__bk", "__r", "__rb").repartition(7)
+    val entries = concat(
+      array(struct(lit(buckets).as("bucket"), $"__rb".as("v"))),
+      transform($"__bk", b => struct(b.as("bucket"), $"__r".as("v"))))
+    val slow = df.select(explode(entries).as("e"))
+      .groupBy($"e.bucket".as("bucket")).agg(sum($"e.v").as("g"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val fast = df.select(graft.functions.GradientAggregate.gradientSum(
+        $"__bk", $"__r", $"__rb", buckets).as("g"))
+      .head().getSeq[Long](0)
+    (0 to buckets).foreach { b =>
+      assert(fast(b) == slow.getOrElse(b, 0L), s"gradient cell $b diverges")
+    }
+  }
+
   test("empty text scores exactly the bias; prob is σ(margin)") {
     val df = plantedFixture(20)
     val m = Classifier.trainLogistic(df, "text", "label",
