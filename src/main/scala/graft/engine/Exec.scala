@@ -66,6 +66,85 @@ object Exec {
     }
   }
 
+  /** [[materialize]] + aggregate evidence in ONE action: the metric
+    * columns ride the pinning job via the Observation API, so the
+    * count()/isEmpty()/head() companions the mutation paths previously
+    * ran as separate (trivial but gap-bounded) Spark jobs cost nothing.
+    * The index-maintenance and admission composites are fixed-overhead
+    * bound at bench scale (~60 jobs for seconds of real work) and every
+    * job carries scheduler+planning latency — this is the §1.2 "don't
+    * run work you can get for free" lever applied to evidence scalars.
+    * Metrics are any non-distinct aggregates (counts, sums, collect_set
+    * over bounded domains). Values observe the rows as materialized —
+    * exactly the frame every consumer reads. */
+  def materializeObserved(df: DataFrame,
+                          metrics: Map[String, org.apache.spark.sql.Column])
+      : (DataFrame, Map[String, Any]) = {
+    require(metrics.nonEmpty, "materializeObserved needs a metric")
+    val obs = new org.apache.spark.sql.Observation(
+      s"mat_${UUID.randomUUID().toString.take(8)}")
+    val cols = metrics.map { case (n, c) => c.as(n) }.toSeq
+    val pinned = materialize(df.observe(obs, cols.head, cols.tail: _*))
+    // PropagateEmptyRelation can prune an observed plan outright (a
+    // provably-empty frame), in which case no metric ever lands and
+    // obs.get is an empty map — recompute over the PINNED rows (the
+    // same row set) on that rare path
+    val got = obs.get
+    val m = if (got.nonEmpty) got else {
+      val row = pinned.agg(cols.head, cols.tail: _*).head()
+      metrics.keys.map(n => n -> row.getAs[Any](n)).toMap
+    }
+    (pinned, m)
+  }
+
+  /** [[materialize]] returning the row count from the SAME job. */
+  def materializeCounted(df: DataFrame): (DataFrame, Long) = {
+    val (pinned, m) = materializeObserved(df,
+      Map("n" -> org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))))
+    (pinned, m("n").asInstanceOf[Long])
+  }
+
+  /** [[materialize]] unless `df` is ALREADY pinned rows — a
+    * deterministic projection/filter over a prior materialization (or
+    * literal rows), which every consumer re-reads from storage at scan
+    * cost with nothing upstream to re-derive. The admission paths pin a
+    * batch once and pass slices of it through knnJoinPq/reindexPq, each
+    * of which defensively materializes its input; re-pinning a pinned
+    * frame is one full copy job for zero protection (the rows are
+    * already stable — the non-determinism contract those sites guard is
+    * about UNPINNED inputs). */
+  def materializeIfNeeded(df: DataFrame): DataFrame =
+    if (isPinned(df.queryExecution.analyzed)) df else materialize(df)
+
+  private def isPinned(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case p: Project =>
+        p.projectList.forall(_.deterministic) && isPinned(p.child)
+      case f: Filter => f.condition.deterministic && isPinned(f.child)
+      case s: SubqueryAlias => isPinned(s.child)
+      case _: LocalRelation => true
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        // the durable-path staging parquet (see materialize): stable
+        // rows by construction; any OTHER relation is a live table a
+        // caller may be snapshotting against concurrent writes
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val staging = new Path(h.sparkSession.conf.get(StagingDirKey,
+              s"${System.getProperty("java.io.tmpdir")}/graft-staging"))
+              .toUri.getPath
+            h.location.rootPaths.nonEmpty &&
+              h.location.rootPaths.forall(
+                _.toUri.getPath.startsWith(staging))
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
   /** In-flight pipeline metrics via Spark's Observation API: attach
     * aggregate expressions (row counts, null counts, min/max watermarks)
     * that are computed DURING whatever action consumes the returned

@@ -45,9 +45,21 @@ class FastLocalFs extends RawLocalFileSystem {
   private def nioStatus(f: java.io.File): FileStatus = {
     val p = Paths.get(f.getPath)
     // follow links — the stock DeprecatedRawLocalFileStatus derives from
-    // java.io.File, which follows symlinks; match it
-    val attrs = Files.readAttributes(p,
+    // java.io.File, which follows symlinks; match it.
+    // NIO throws nio.NoSuchFileException when the file vanishes between
+    // an exists()/list() and this read — that is NOT a
+    // java.io.FileNotFoundException, and Hadoop's FileSystem contract
+    // (and Spark's InMemoryFileIndex, which tolerates concurrently-
+    // vanishing files by catching FNFE) branches on FNFE; rethrow as
+    // the contract type so concurrent churn (_temporary cleanup,
+    // streaming checkpoints) degrades exactly as the stock FS does
+    val attrs = try Files.readAttributes(p,
       classOf[java.nio.file.attribute.PosixFileAttributes])
+    catch {
+      case _: java.nio.file.NoSuchFileException =>
+        throw new java.io.FileNotFoundException(
+          s"File ${f.getPath} does not exist")
+    }
     val perm = new FsPermission(fsPermBits(attrs.permissions()))
     new FileStatus(
       if (attrs.isDirectory) 0L else attrs.size(),
@@ -97,7 +109,14 @@ class FastLocalFs extends RawLocalFileSystem {
       if (names == null)
         throw new java.io.IOException(s"Error accessing $p")
       java.util.Arrays.sort(names.asInstanceOf[Array[Object]])
-      names.map(n => nioStatus(new java.io.File(f, n)))
+      // an entry deleted between list() and its attribute read simply
+      // drops from the listing — the stock lazy-permission status never
+      // touched the file until an attribute was read, so a vanished
+      // entry must not fail the whole listing
+      names.flatMap { n =>
+        try Some(nioStatus(new java.io.File(f, n)))
+        catch { case _: java.io.FileNotFoundException => None }
+      }
     }
   }
 

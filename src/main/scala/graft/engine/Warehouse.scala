@@ -1479,9 +1479,13 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // BOTH sides must clear the gate: the manifest accumulates rows for
     // files later compacted away, so its row count is NOT bounded by the
     // live file count — a 100-file table can carry a 10^7-row manifest.
-    // The count is a parquet-footer metadata read, not a data scan.
-    if (actual.length <= gate && manifest.count() <= gate) {
-      val rows = manifest.collect() // bounded by the gate (both counted)
+    // The gate probe is a limit(gate+1) collect — bounded memory either
+    // way, and the same ONE job serves as the driver path's full read
+    // (the separate count-then-collect paid two jobs per consultation).
+    val probe = if (actual.length <= gate)
+      manifest.limit(gate + 1).collect() else null
+    if (probe != null && probe.length <= gate) {
+      val rows = probe // the full manifest — it fit under the gate
       def norm(s: String) = new Path(s).toUri.getPath
       val known = rows.map(r => norm(r.getString(0))).toSet
       val actualSet = actual.toSet
@@ -1629,17 +1633,36 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   /** The persisted sketch statistics of `table.c` — None when never
     * analyzed on this version or STALE (the data-file census moved since
     * the analyze; see [[analyzeSketches]]'s freshness contract). */
-  def readSketchStats(table: String, c: String): Option[DataFrame] = {
+  def readSketchStats(table: String, c: String): Option[DataFrame] =
+    readLocalStatRow(table, s"_stats/$c")
+
+  /** Read a one-row stats companion, returning it as LOCAL rows
+    * (LocalRelation): the stat consumers chain several heads/selects
+    * over the row (geometry, census, estimate arithmetic), and each of
+    * those over a parquet-backed frame is its own tiny-but-gap-bounded
+    * Spark job — over local rows they fold driver-side
+    * (ConvertToLocalRelation) and cost zero jobs. One collect replaces
+    * the census head AND every downstream read; the rows, schema, and
+    * every Catalyst expression evaluated over them are unchanged. */
+  private def readLocalStatRow(table: String,
+                               rel: String): Option[DataFrame] = {
     val p = dataPath(table)
-    val sp = new Path(s"$p/_stats/$c")
+    val sp = new Path(s"$p/$rel")
     if (!fs(sp).exists(sp)) None
     else {
       val df = spark.read.parquet(sp.toString)
-      val census = df.select(col("n_files"), col("data_bytes")).head()
-      val files = listDataFiles(new Path(p))
-      if (census.getLong(0) != files.size.toLong ||
-          census.getLong(1) != files.map(_.getLen).sum) None
-      else Some(df)
+      val rows = df.collect()
+      if (rows.isEmpty) None
+      else {
+        val census = rows.head
+        val nfIdx = df.schema.fieldIndex("n_files")
+        val tbIdx = df.schema.fieldIndex("data_bytes")
+        val files = listDataFiles(new Path(p))
+        if (census.getLong(nfIdx) != files.size.toLong ||
+            census.getLong(tbIdx) != files.map(_.getLen).sum) None
+        else Some(spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df.schema))
+      }
     }
   }
 
@@ -1679,10 +1702,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val batch = Exec.materialize(df)
     // detach the old stats rows from their files BEFORE the append
     // moves the census (and before Overwrite replaces the directory)
+    // readSketchStats/readHistogram return LOCAL rows — already
+    // detached from their files, no materialize job needed
     val preserved = cols.map { c =>
-      c -> Exec.materialize(readSketchStats(table, c).getOrElse(sys.error(
+      c -> readSketchStats(table, c).getOrElse(sys.error(
         s"appendAnalyzed: no CURRENT sketch stats for '$table.$c' — " +
-          "run analyzeSketches first, or append() then analyzeSketches()")))
+          "run analyzeSketches first, or append() then analyzeSketches()"))
     }
     // histograms maintain OPPORTUNISTICALLY (unlike the required sketch
     // stats): any CURRENT histogram on a maintained column is preserved
@@ -1693,7 +1718,7 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     // rewritten, and the moved file census withdraws it (re-analyze to
     // re-pin the domain — the one case maintenance cannot cover).
     val preservedHist = cols.flatMap { c =>
-      readHistogram(table, c).map(h => c -> Exec.materialize(h))
+      readHistogram(table, c).map(h => c -> h)
     }
     append(batch, table)
     val p = dataPath(table)
@@ -1719,9 +1744,19 @@ final class Warehouse(val spark: SparkSession, val root: String) {
           graft.functions.Hll.rankCol(col(c).cast("string"), "stats"),
           HllM).as(s"__hll_$i"),
         count(col(c)).as(s"__nv_$i"))
+    } ++ preservedHist.zipWithIndex.flatMap { case ((c, _), i) => Seq(
+      // histogram domain probes ride the SAME single batch pass —
+      // previously one min/max agg job per maintained histogram
+      min(col(c).cast("long")).as(s"__hlo_$i"),
+      max(col(c).cast("long")).as(s"__hhi_$i"))
     } :+ count(lit(1)).as("__nr")
-    val batchRow = Exec.materialize(
-      batch.agg(batchAggs.head, batchAggs.tail: _*))
+    // collected to LOCAL rows: every per-column merge write and domain
+    // check below reads the row driver-side, zero extra jobs
+    val batchRow = {
+      val aggDf = batch.agg(batchAggs.head, batchAggs.tail: _*)
+      spark.createDataFrame(
+        java.util.Arrays.asList(aggDf.collect(): _*), aggDf.schema)
+    }
     geos.zipWithIndex.foreach { case ((c, old, depth, width, cap), i) =>
       old.select(col("cms").as("cms_a"), col("hot").as("hot_a"),
           col("hll").as("hll_a"),
@@ -1745,13 +1780,14 @@ final class Warehouse(val spark: SparkSession, val root: String) {
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$p/_stats/$c")
     }
-    preservedHist.foreach { case (c, old) =>
+    preservedHist.zipWithIndex.foreach { case ((c, old), i) =>
       val geo = old.select(col("bins"), col("v_min"), col("v_max"),
         col("bin_w")).head()
       val (bins, vmin, vmax, w) =
         (geo.getInt(0), geo.getLong(1), geo.getLong(2), geo.getLong(3))
-      val mm = batch.agg(min(col(c).cast("long")).as("lo"),
-        max(col(c).cast("long")).as("hi")).head()
+      // the domain probe rode the shared batch aggregate (no extra job)
+      val mm = batchRow.select(col(s"__hlo_$i").as("lo"),
+        col(s"__hhi_$i").as("hi")).head()
       val inDomain = mm.isNullAt(0) || // all-null batch adds no mass
         (mm.getLong(0) >= vmin && mm.getLong(1) <= vmax)
       if (inDomain) {
@@ -1831,19 +1867,8 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   /** The persisted histogram of `table.c` — None when never analyzed on
     * this version or stale under the file-census contract. */
-  def readHistogram(table: String, c: String): Option[DataFrame] = {
-    val p = dataPath(table)
-    val sp = new Path(s"$p/_stats_hist/$c")
-    if (!fs(sp).exists(sp)) None
-    else {
-      val df = spark.read.parquet(sp.toString)
-      val census = df.select(col("n_files"), col("data_bytes")).head()
-      val files = listDataFiles(new Path(p))
-      if (census.getLong(0) != files.size.toLong ||
-          census.getLong(1) != files.map(_.getLen).sum) None
-      else Some(df)
-    }
-  }
+  def readHistogram(table: String, c: String): Option[DataFrame] =
+    readLocalStatRow(table, s"_stats_hist/$c")
 
   /** Point-lookup data skipping, part 1: per-FILE Bloom filters over a
     * high-cardinality key — the complement of [[buildZoneMap]] (min/max
@@ -1989,26 +2014,45 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     val normExpr = regexp_replace(col("file"),
       lit("^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"), lit(""))
     def compactDir(dir: Path): (String, Long, Long) = {
-      val manifest = spark.read.parquet(dir.toString)
-      val before = manifest.count()
-      val live = manifest
-        .join(actualDf, normExpr === col("__live"), "left_semi")
-      val after = live.count()
       val f = fs(dir)
-      if (after == 0) {
-        // every indexed file vanished: an empty manifest dir can be
-        // schema-unreadable — drop the manifest entirely (no manifest =
-        // no pruning, the correct conservative answer)
-        f.delete(dir, true)
-        return (dir.toString, before, 0L)
-      }
       val staging = new Path(dir.getParent, s"_${dir.getName}.compact.tmp")
       val aside = new Path(dir.getParent, s"_${dir.getName}.old")
       if (f.exists(staging)) f.delete(staging, true)
       if (f.exists(aside)) f.delete(aside, true)
+      // ONE job: the before/after row counts ride the staging write as
+      // Observation metrics (the semi-join consumes every manifest row,
+      // so both counts land) — previously two count jobs per manifest
+      val obs = new org.apache.spark.sql.Observation(
+        s"compact_${dir.getName.take(20)}_${java.util.UUID.randomUUID()
+          .toString.take(8)}")
+      val manifest = spark.read.parquet(dir.toString)
+        .observe(obs, count(lit(1)).as("before"))
+      val live = manifest
+        .join(actualDf, normExpr === col("__live"), "left_semi")
       // the staging write MATERIALIZES the filtered manifest before the
       // source dir is touched — ordering is what makes this safe
-      live.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val obsL = new org.apache.spark.sql.Observation(
+        s"compactL_${dir.getName.take(20)}_${java.util.UUID.randomUUID()
+          .toString.take(8)}")
+      live.observe(obsL, count(lit(1)).as("after"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      // PropagateEmptyRelation can prune an observed subtree outright
+      // (e.g. every data file vanished → empty semi-join build side),
+      // in which case the metric never lands and obs.get returns an
+      // empty map — fall back to the counting job only on that rare path
+      val before = obs.get.get("before").map(_.asInstanceOf[Long])
+        .getOrElse(spark.read.parquet(dir.toString).count())
+      val after = obsL.get.get("after").map(_.asInstanceOf[Long])
+        .getOrElse(live.count())
+      if (after == 0) {
+        // every indexed file vanished: an empty manifest dir can be
+        // schema-unreadable — drop the manifest entirely (no manifest =
+        // no pruning, the correct conservative answer); the just-staged
+        // empty rewrite is garbage either way
+        f.delete(staging, true)
+        f.delete(dir, true)
+        return (dir.toString, before, 0L)
+      }
       // rename the live dir ASIDE (not delete) before promoting staging:
       // a crash between the two renames leaves the manifest recoverable
       // in `_<key>.old` instead of permanently dropping pruning (readers

@@ -359,12 +359,17 @@ object Dedup {
                    seed: Long = 42L,
                    scoreCol: Option[String] = None): DataFrame = {
     val pinned = Exec.materialize(batch)
-    val newSigs = Exec.materialize(
-      minHashSignatures(pinned, idCol, textCol, k, numHashes, seed))
-    // the batch token: order-independent fold of the id set — the
-    // replay derives the same one (see decisionSignatures)
-    val myToken = newSigs.select(xxhash64(col("id")).as("__h"))
-      .agg(expr("bit_xor(__h)")).head().getLong(0)
+    // the batch token (order-independent fold of the id set — the replay
+    // derives the same one, see decisionSignatures) rides the signature
+    // pinning job as an Observation metric instead of a head() job
+    val (newSigs, sigM) = Exec.materializeObserved(
+      minHashSignatures(pinned, idCol, textCol, k, numHashes, seed),
+      Map("token" -> expr("bit_xor(xxhash64(id))")))
+    val myToken = sigM("token") match {
+      case l: Long => l
+      case _ => 0L // empty batch: every downstream set is empty, the
+                   // token never reaches storage — any value works
+    }
     // decision side: minus OTHER batches' replacements, minus THIS
     // batch's own ids (fresh on a first run — the anti-join is a
     // no-op; on a replay it hides the batch's landed signatures, so
@@ -384,49 +389,55 @@ object Dedup {
         // the TOP stored near-dup per arrival: max agreement, ties
         // toward the smallest stored id — one bounded top-1 aggregate,
         // batch-sized (the bestLosers selection shape)
-        val top = Exec.materialize(hits.groupBy(col("new_id"))
+        val (top, nTop) = Exec.materializeCounted(hits
+          .groupBy(col("new_id"))
           .agg(TopKAggregate.topKStructs(
             struct(col("est_jaccard"), col("existing_id")), 1,
             desc = Seq(false, true)).as("t"))
           .select(col("new_id"),
             element_at(col("t"), 1).getField("existing_id")
               .as("existing_id")))
-        val nTop = top.count()
-        val scored = Exec.materialize(top
+        // evidence scalars ride the pinning job (see scoredDecision)
+        val (scored, m) = Exec.materializeObserved(top
           .join(pinned.select(col(idCol).as("new_id"),
             col(sc).cast("double").as("__bs")), Seq("new_id"))
           .join(stored.select(col("id").as("existing_id"),
-            col(sc).cast("double").as("__cs")), Seq("existing_id")))
-        require(scored.count() == nTop &&
-            scored.filter(col("__bs").isNull || col("__cs").isNull)
-              .isEmpty,
+            col(sc).cast("double").as("__cs")), Seq("existing_id")),
+          Map("n" -> count(lit(1)),
+            "n_null" -> count(when(col("__bs").isNull ||
+              col("__cs").isNull, 1)),
+            "n_up" -> count(when(col("__bs") > col("__cs"), 1))))
+        require(m("n") == nTop && m("n_null") == 0L,
           "quality-aware admission: every matched arrival and its " +
             s"incumbent must carry a non-null '$sc' — a missing score " +
             "would silently admit a duplicate without tombstoning its " +
             "incumbent")
-        val replaced = scored.filter(col("__bs") > col("__cs"))
-          .select(col("existing_id").as("id")).distinct()
         // tombstone the outscored incumbents BEFORE the survivors'
         // signatures land (the q219 write order); the rows carry this
         // batch's token so the batch's own replay still SEES them as
         // live for its decision (a replayed write appends duplicate
-        // rows — harmless, the companion is read through distinct)
-        val nRep = replaced.count()
-        if (nRep > 0L)
-          replaced.withColumn("token", lit(myToken))
-            .repartition(IndexAdvice.companionShards(nRep))
+        // rows — harmless, the companion is read through distinct).
+        // Shards size from the observed upgrade ROW count — an upper
+        // bound on the distinct incumbents, identical below the
+        // one-file threshold and multi-file either way above it
+        val nUp = m("n_up").asInstanceOf[Long]
+        if (nUp > 0L)
+          scored.filter(col("__bs") > col("__cs"))
+            .select(col("existing_id").as("id")).distinct()
+            .withColumn("token", lit(myToken))
+            .repartition(IndexAdvice.companionShards(nUp))
             .write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(replacedPath(wh, sigTable))
         scored.filter(col("__bs") <= col("__cs"))
           .select(col("new_id").as(idCol)).distinct()
     }
-    val admitted = Exec.materialize(
+    val (admitted, nAdmitted) = Exec.materializeCounted(
       pinned.join(dupIds, Seq(idCol), "left_anti"))
     // an all-duplicates batch grows the signature table by nothing;
     // the left-anti against the table's OWN ids makes a replayed
     // batch's append a no-op (retry safety — the decision above is
     // already stable, this keeps the table from bloating)
-    if (!admitted.isEmpty) {
+    if (nAdmitted > 0L) {
       val sigRows = newSigs
         .join(admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
         .join(wh.read(sigTable).select(col("id")), Seq("id"), "left_anti")
@@ -436,7 +447,10 @@ object Dedup {
           sigRows.join(pinned.select(col(idCol).as("id"), col(sc)),
             Seq("id"))
       }
-      if (!out.isEmpty) wh.append(out, sigTable)
+      // pin + count in one job, append reads the pinned rows — the
+      // emptiness probe no longer re-derives the anti-join plan
+      val (outP, nOut) = Exec.materializeCounted(out)
+      if (nOut > 0L) wh.append(outP, sigTable)
     }
     admitted
   }
@@ -490,8 +504,7 @@ object Dedup {
     arrivals.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pinned = Exec.materialize(batch)
-        val n = pinned.count()
+        val (pinned, n) = Exec.materializeCounted(batch)
         if (n > 0) {
           require(pinned.select(col(idCol)).distinct().count() == n,
             s"streamingMinHashAdmit: a micro-batch carries duplicate " +
@@ -1042,10 +1055,11 @@ object Dedup {
       case None =>
         (hits.select(col("query_id").as(idCol)).distinct(), None)
       case Some(sc) =>
-        val (d, r) = scoredDecision(wh, hits, pinned, corpus, idCol, sc)
-        (d, Some(r))
+        scoredDecision(wh, hits, pinned, corpus, idCol, sc)
     }
-    val admitted = Exec.materialize(
+    // the admit count rides the pinning job (Observation) — the
+    // emptiness gates below cost no extra Spark jobs
+    val (admitted, nAdmitted) = Exec.materializeCounted(
       pinned.join(dupIds, Seq(idCol), "left_anti"))
     // an all-duplicates batch admits nothing — skip the append entirely
     // (a zero-row append would still touch the version dir and stale
@@ -1063,10 +1077,11 @@ object Dedup {
     // already indexed — callers landing the return value elsewhere
     // should do so idempotently, as the streaming sink's
     // promote-marker append is.)
-    if (!admitted.isEmpty)
+    if (nAdmitted > 0L)
       IvfIndex.reindexPq(wh, admitted, idCol, vecCol, name)
-    replaced.foreach(r =>
-      if (!r.isEmpty) IvfIndex.delete(wh, r, idCol, name))
+    // scoredDecision returns the replaced side only when it SAW >0
+    // outscored incumbents (observed on its own pinning job)
+    replaced.foreach(r => IvfIndex.delete(wh, r, idCol, name))
     admitted
   }
 
@@ -1077,31 +1092,39 @@ object Dedup {
     * tombstoning its incumbent; a neighbor missing from `corpus`
     * entirely never reaches here — it drops at the kNN's rerank join,
     * the `validateCorpus` case). Returns (drop ids — arrivals at or
-    * below their incumbent's score; replaced ids — the outscored
-    * incumbents, which the CALLER tombstones after its admission
-    * writes land, the crash-convergent order). The hit set is pinned
-    * so ONE kNN evaluation feeds both. */
+    * below their incumbent's score; the replaced incumbents as Some
+    * only when at least one arrival outscored — the CALLER tombstones
+    * them after its admission writes land, the crash-convergent order,
+    * and skips the tombstone path without an emptiness job when None).
+    * The hit set is pinned so ONE kNN evaluation feeds both; every
+    * evidence scalar (hit count, null-score refusal, upgrade count)
+    * rides the two pinning jobs as Observation metrics instead of
+    * count()/isEmpty() companion jobs. */
   private def scoredDecision(wh: graft.engine.Warehouse, hits: DataFrame,
                              pinned: DataFrame, corpus: DataFrame,
                              idCol: String, sc: String)
-      : (DataFrame, DataFrame) = {
-    val ph = Exec.materialize(hits)
-    val nHits = ph.count()
-    val scored = Exec.materialize(ph
+      : (DataFrame, Option[DataFrame]) = {
+    val (ph, nHits) = Exec.materializeCounted(hits)
+    val (scored, m) = Exec.materializeObserved(ph
       .join(pinned.select(col(idCol).as("query_id"),
         col(sc).cast("double").as("__bs")), Seq("query_id"))
       .join(corpus.select(col(idCol).as("neighbor_id"),
-        col(sc).cast("double").as("__cs")), Seq("neighbor_id")))
-    require(scored.count() == nHits &&
-        scored.filter(col("__bs").isNull || col("__cs").isNull).isEmpty,
+        col(sc).cast("double").as("__cs")), Seq("neighbor_id")),
+      Map("n" -> count(lit(1)),
+        "n_null" -> count(when(col("__bs").isNull || col("__cs").isNull, 1)),
+        "n_up" -> count(when(col("__bs") > col("__cs"), 1))))
+    require(m("n") == nHits && m("n_null") == 0L,
       s"quality-aware admission: every matched neighbor id must appear " +
         s"in `corpus` with a non-null '$sc' (and every arrival must " +
         s"score non-null) — a missing score would silently admit a " +
         "duplicate without tombstoning its incumbent")
+    val replaced =
+      if (m("n_up").asInstanceOf[Long] == 0L) None
+      else Some(scored.filter(col("__bs") > col("__cs"))
+        .select(col("neighbor_id").as(idCol)).distinct())
     (scored.filter(col("__bs") <= col("__cs"))
         .select(col("query_id").as(idCol)).distinct(),
-      scored.filter(col("__bs") > col("__cs"))
-        .select(col("neighbor_id").as(idCol)).distinct())
+      replaced)
   }
 
   /** Corpus-table hygiene for quality-aware admission pipelines: drop
@@ -1187,8 +1210,7 @@ object Dedup {
     arrivals.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pinned = Exec.materialize(batch)
-        val n = pinned.count()
+        val (pinned, n) = Exec.materializeCounted(batch)
         if (n > 0) {
           require(pinned.select(col(idCol)).distinct().count() == n,
             s"streamingAdmit: a micro-batch carries duplicate " +
@@ -1206,13 +1228,11 @@ object Dedup {
             case None =>
               (hits.select(col("query_id").as(idCol)).distinct(), None)
             case Some(sc) =>
-              val (d, r) =
-                scoredDecision(wh, hits, pinned, corpus, idCol, sc)
-              (d, Some(r))
+              scoredDecision(wh, hits, pinned, corpus, idCol, sc)
           }
-          val admitted = Exec.materialize(
+          val (admitted, nAdmitted) = Exec.materializeCounted(
             pinned.join(dupIds, Seq(idCol), "left_anti"))
-          if (!admitted.isEmpty) {
+          if (nAdmitted > 0L) {
             wh.appendStreamBatch(admitted, corpusTable, batchId)
             IvfIndex.reindexPq(wh, admitted, idCol, vecCol, name)
           }
@@ -1220,9 +1240,9 @@ object Dedup {
           // earlier point replays with the incumbent still
           // decision-visible, so the upgrade re-derives instead of
           // flipping to a second-nearest near-dup and stranding the
-          // tombstone (see semDedupAdmit's ordering argument)
-          replaced.foreach(r =>
-            if (!r.isEmpty) IvfIndex.delete(wh, r, idCol, name))
+          // tombstone (see semDedupAdmit's ordering argument);
+          // scoredDecision returns Some only when >0 outscored
+          replaced.foreach(r => IvfIndex.delete(wh, r, idCol, name))
         }
         if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
           IvfIndex.maintain(wh, name)

@@ -29,28 +29,15 @@ import org.apache.spark.sql.types.LongType
 object Fuzzy {
 
   /** All variants of `s` with up to `maxDist` (1 or 2) single-character
-    * deletions, the string itself included, de-duplicated. Pure
-    * higher-order array expressions — distributed, no UDF.
-    */
-  private[operators] def deletionVariants(s: Column, maxDist: Int): Column = {
-    // delete 1-based position i from s
-    def del1(str: Column, i: Column): Column =
-      concat(str.substr(lit(1), i - 1), str.substr(i + 1, length(str)))
-    // sequence(1, 0) counts DOWN — guard the empty string
-    def positions(str: Column): Column =
-      when(length(str) >= 1, sequence(lit(1), length(str)))
-        .otherwise(array().cast("array<int>"))
-    val singles = transform(positions(s), i => del1(s, i))
-    val keys = maxDist match {
-      case 1 => concat(array(s), singles)
-      case 2 =>
-        // ordered pairs i < j: delete j first so i's index is unshifted
-        val doubles = flatten(transform(positions(s), i =>
-          transform(filter(positions(s), j => j > i), j => del1(del1(s, j), i))))
-        concat(array(s), singles, doubles)
-    }
-    array_distinct(keys)
-  }
+    * deletions, the string itself included, de-duplicated. Backed by the
+    * scalar [[graft.functions.DeletionVariantsExpr]] — one JVM loop per
+    * row through the same UTF8String slicing primitives the composed
+    * substr/concat HOF formulation evaluated, so the variant strings and
+    * their order are bit-identical; the HOF form interpreted O(len)
+    * (t=1) / O(len²) (t=2) lambda steps per row and was the measured
+    * per-row cost of every resolution path. */
+  private[operators] def deletionVariants(s: Column, maxDist: Int): Column =
+    graft.functions.FuzzyExpressions.deletionVariants(s, maxDist)
 
   /** Self-join `df` on `lev(strCol_a, strCol_b) <= maxDist` (1 or 2).
     * Returns the canonical pairs `(id_a < id_b, dist)` — exact: every

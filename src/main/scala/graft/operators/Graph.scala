@@ -208,14 +208,18 @@ object Graph {
         .union(labels.select(col("node"), col("label")))
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
-      val win = votes.groupBy("node")
-        .agg(min(struct((-col("__c")).as("__nc"), col("label").as("__l")))
-          .as("__m"))
-        .select(col("node"), col("__m.__l").as("__new"))
+      // the self-vote row guarantees EVERY label-vector node appears in
+      // `votes` (and neighbor votes only hit endpoint nodes, all of
+      // which the vector carries), so the argmax covers exactly the
+      // node set — the old left-join-back-with-coalesce fallback could
+      // never fire. Dropping it removes one join per round AND the
+      // third reference to the label vector, so the un-materialized
+      // plan between checkpoint cuts grows 2^k instead of 3^k.
       labels = maybeMaterialize(
-        labels.join(win, Seq("node"), "left")
-          .select(col("node"),
-            coalesce(col("__new"), col("label")).as("label")), i)
+        votes.groupBy("node")
+          .agg(min(struct((-col("__c")).as("__nc"), col("label").as("__l")))
+            .as("__m"))
+          .select(col("node"), col("__m.__l").as("label")), i)
     }
     labels.select("node", "label")
   }

@@ -43,14 +43,21 @@ object IndexAdvice {
     * entries), the `_deletes` tombstone companion, and everything else
     * (doclen, centroids, codebooks, manifests). The stored health row
     * (`_health`, excluded here so writing it never moves its own census)
-    * is stamped with (nFiles, totalBytes) and withdrawn the moment any
-    * file changes — the same freshness discipline as the sketch-stats
-    * catalog, so advice can never be served from pre-maintenance
-    * evidence. Listing is proportional to file COUNT, never data size:
-    * "index health without scanning" at 100 TB.
+    * is stamped with (nFiles, totalBytes, maxMtime) and withdrawn the
+    * moment any file changes — the same freshness discipline as the
+    * sketch-stats catalog, so advice can never be served from
+    * pre-maintenance evidence. `maxMtime` (the newest file's
+    * modification time) closes the byte-alias hole a two-field stamp
+    * left open: a foreign rewrite that lands the identical file count
+    * AND byte total still moves the stamp. Listing is proportional to
+    * file COUNT, never data size: "index health without scanning" at
+    * 100 TB.
     */
   final case class Census(nFiles: Long, totalBytes: Long, dataBytes: Long,
-                          deletesBytes: Long)
+                          deletesBytes: Long, maxMtime: Long) {
+    /** The freshness stamp — what caches and sidecars compare. */
+    def stamp: (Long, Long, Long) = (nFiles, totalBytes, maxMtime)
+  }
 
   /** Explicit shuffle-partition count for writer-side clustering — a
     * bare `repartition(col)` invites AQE to coalesce a byte-small
@@ -116,18 +123,20 @@ object IndexAdvice {
     val fs = base.getFileSystem(wh.spark.sessionState.newHadoopConf())
     val it = fs.listFiles(base, true)
     var n = 0L; var total = 0L; var data = 0L; var dels = 0L
+    var mtime = 0L
     val prefix = base.toUri.getPath
     while (it.hasNext) {
       val s = it.next()
       val rel = s.getPath.toUri.getPath.stripPrefix(prefix)
       if (!rel.startsWith("/_health")) {
         n += 1; total += s.getLen
+        if (s.getModificationTime > mtime) mtime = s.getModificationTime
         if (rel.startsWith("/_deletes")) dels += s.getLen
         // a data file lives under no underscore-prefixed dir and is not
         // itself underscore-named (_SUCCESS)
         else if (!rel.split('/').exists(_.startsWith("_"))) data += s.getLen
       }
     }
-    Census(n, total, data, dels)
+    Census(n, total, data, dels, mtime)
   }
 }

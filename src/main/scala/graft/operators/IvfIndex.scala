@@ -51,11 +51,11 @@ object IvfIndex {
     * turning the per-mutation frontier scan into a metadata listing
     * (the healthCache discipline applied to `seq`). */
   private val seqCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, Long, Long)]() // path -> (nFiles, totalBytes, maxSeq)
+    String, ((Long, Long, Long), Long)]() // path -> (census stamp, maxSeq)
 
   private def stampSeq(wh: Warehouse, name: String, maxSeq: Long): Unit = {
     val c = IndexAdvice.census(wh, name)
-    seqCache.put(s"${wh.root}/$name", (c.nFiles, c.totalBytes, maxSeq))
+    seqCache.put(s"${wh.root}/$name", (c.stamp, maxSeq))
   }
 
   /** The next entry generation: one past the highest `seq` any current
@@ -68,12 +68,12 @@ object IvfIndex {
     val c = IndexAdvice.census(wh, name)
     val key = s"${wh.root}/$name"
     val hit = seqCache.get(key)
-    if (hit != null && hit._1 == c.nFiles && hit._2 == c.totalBytes)
-      hit._3 + 1L
+    if (hit != null && hit._1 == c.stamp)
+      hit._2 + 1L
     else {
       val r = wh.read(name).agg(max(col("seq"))).head()
       val m = if (r.isNullAt(0)) -1L else r.getLong(0)
-      seqCache.put(key, (c.nFiles, c.totalBytes, m))
+      seqCache.put(key, (c.stamp, m))
       m + 1L
     }
   }
@@ -155,14 +155,15 @@ object IvfIndex {
   private def deleteAt(wh: Warehouse, ids: DataFrame, name: String,
                        cut: Long, onlyExisting: Boolean): Unit = {
     val base = ids.distinct()
-    val toTomb = Exec.materialize(
+    // the tombstone count rides the pinning job (Observation) — no
+    // separate count() job per mutation
+    val (toTomb, n) = Exec.materializeCounted(
       if (!onlyExisting) base
       else {
         val idName = wh.read(name).columns.head
         base.join(wh.read(name).select(col(idName).as("id")), Seq("id"),
           "left_semi")
       })
-    val n = toTomb.count()
     // size-aware file-in (see TextIndex.deleteAt): small batches land
     // as one file-pair, corpus-shaped delete sets keep bounded
     // multi-task writers
@@ -199,6 +200,15 @@ object IvfIndex {
           .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
       }
+      // validate the cached frontier against the PRE-write census: a
+      // foreign write landing between the caller's nextSeq() and here
+      // would otherwise be absorbed under the fresh post-write census
+      // with a stale maxSeq (and a too-low frontier makes a later
+      // delete cut miss newer generations). On mismatch the cache
+      // entry drops and the next nextSeq re-scans. Single-writer
+      // remains the documented contract; this closes the window a
+      // cooperating-but-interleaved second maintainer would hit.
+      val preWrite = IndexAdvice.census(wh, name)
       toTomb.withColumn("cut", lit(cut))
         .repartition(IndexAdvice.companionShards(n))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -207,8 +217,11 @@ object IvfIndex {
         foldHealth(wh, name, cells, Map.empty, deadDelta.get))
       // the tombstone write moved the census but not the entry frontier
       // — re-stamp a cached value so the next nextSeq stays job-free
-      val prev = seqCache.get(s"${wh.root}/$name")
-      if (prev != null) stampSeq(wh, name, prev._3)
+      val key = s"${wh.root}/$name"
+      val prev = seqCache.get(key)
+      if (prev != null && prev._1 == preWrite.stamp)
+        stampSeq(wh, name, prev._2)
+      else if (prev != null) seqCache.remove(key)
     }
   }
 
@@ -220,7 +233,7 @@ object IvfIndex {
     * resolves once — one frontier scan per reindex, not two. */
   def reindex(wh: Warehouse, changed: DataFrame, idCol: String,
               vecCol: String, name: String = "ivf_index"): Unit = {
-    val pinned = Exec.materialize(changed.select(col(idCol) +:
+    val pinned = Exec.materializeIfNeeded(changed.select(col(idCol) +:
       col(vecCol) +: attrColsOf(wh, name, idCol, vecCol).map(col): _*))
     val cut = nextSeq(wh, name)
     deleteAt(wh, pinned.select(col(idCol).as("id")), name, cut,
@@ -232,8 +245,11 @@ object IvfIndex {
     * shared generation, over one pinned batch. */
   def reindexPq(wh: Warehouse, changed: DataFrame, idCol: String,
                 vecCol: String, name: String = "ivfpq_index"): Unit =
+    // IfNeeded: the admission paths hand in a slice of a frame they
+    // already pinned — re-pinning stable rows is one full copy job for
+    // zero snapshot protection
     reindexPqPinned(wh,
-      Exec.materialize(changed.select(col(idCol) +: col(vecCol) +:
+      Exec.materializeIfNeeded(changed.select(col(idCol) +: col(vecCol) +:
         attrColsOf(wh, name, idCol, vecCol).map(col): _*)),
       idCol, vecCol, name)
 
@@ -284,10 +300,9 @@ object IvfIndex {
         // pin only the columns the index consumes (id, vector, and any
         // layout attributes) — the count, the duplicate check, and the
         // reindex share this ONE copy
-        val pinned = Exec.materialize(
+        val (pinned, n) = Exec.materializeCounted(
           batch.select(col(idCol) +: col(vecCol) +:
             attrColsOf(wh, name, idCol, vecCol).map(col): _*))
-        val n = pinned.count()
         if (n > 0) {
           require(pinned.select(col(idCol)).distinct().count() == n,
             s"streamingIndexPq: a micro-batch carries duplicate " +
@@ -768,15 +783,17 @@ object IvfIndex {
     // select it at explode time so the materialized probe frame (and the
     // scoring join, when demoted to a salted shuffle) carries one double
     // per row instead of the full nlist array
-    val probes = graft.functions.Generates.explodeOnce(
+    // the probed-cell set (bounded by nlist) rides the probe pinning
+    // job as a collect_set metric — no separate distinct+collect job
+    val (probes, probeM) = Exec.materializeObserved(
+      graft.functions.Generates.explodeOnce(
         qTables, Seq(col("query_id"), col("cell_dots"), col("lut")),
         col("cells"), "cell")
       .select(col("query_id"),
         element_at(col("cell_dots"), col("cell") + 1).as("cell_dot"),
-        col("lut"), col("cell"))
-      .transform(Exec.materialize)
-    val probedCells = probes.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+        col("lut"), col("cell")),
+      Map("cells" -> collect_set(col("cell"))))
+    val probedCells = probeM("cells").asInstanceOf[Seq[Int]]
     val codes = liveOnly(wh, vdir,
       wh.readVersion(name, version)
         .filter(col("cell").isin(probedCells: _*))
@@ -830,15 +847,16 @@ object IvfIndex {
     // materialize: the assignment feeds both the collected cell set
     // and the candidate join — without it the whole query-side pipeline
     // (and its source scan) would execute twice
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        SignatureExpressions.ivfAssign(col(vecCol), cents, nprobe).as("cells"))
-      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
-      .transform(Exec.materialize)
     // the probe set is small by contract: its distinct cells are a bounded
     // literal set, which reaches the scan as a static PartitionFilter —
-    // only those directories are listed or read
-    val probedCells = q.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // only those directories are listed or read. The cell set rides the
+    // probe pinning job as a collect_set metric (no separate collect job)
+    val (q, probeM) = Exec.materializeObserved(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        SignatureExpressions.ivfAssign(col(vecCol), cents, nprobe).as("cells"))
+      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell")),
+      Map("cells" -> collect_set(col("cell"))))
+    val probedCells = probeM("cells").asInstanceOf[Seq[Int]]
     val corpus = liveOnly(wh, vdir,
       wh.readVersion(name, version)
         .filter(col("cell").isin(probedCells: _*))
@@ -952,9 +970,11 @@ object IvfIndex {
     // pinned ONCE: the probe explosion and the rerank join must see the
     // same row set even for a non-deterministic query frame (and the
     // query-side scan runs once, not twice); Exec.materialize stages a
-    // corpus-sized frame to parquet, so no broadcast/driver contract
-    val q = Exec.materialize(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv")))
+    // corpus-sized frame to parquet, so no broadcast/driver contract.
+    // IfNeeded: admission callers hand in a slice of an already-pinned
+    // batch — stable rows need no second copy job
+    val q = Exec.materializeIfNeeded(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv")))
     val qLut =
       if (rotation.isEmpty) SignatureExpressions.pqLut(col("qv"), books)
       else SignatureExpressions.pqLut(
@@ -1108,8 +1128,9 @@ object IvfIndex {
     * write JOBS for ≤ nlist rows of evidence. Bounded by construction,
     * so the driver writes it the way it already writes manifests. */
   private def renderHealth(s: HealthSnapshot): String = {
-    val sb = new StringBuilder("v=2\n")
+    val sb = new StringBuilder("v=3\n")
     sb ++= s"n_files=${s.nFiles}\ncensus_bytes=${s.totalBytes}\n"
+    sb ++= s"census_mtime=${s.maxMtime}\n"
     sb ++= s"deletes_bytes=${s.summary._4}\ndata_bytes=${s.summary._5}\n"
     sb ++= s"nlist=${s.summary._6}\n"
     sb ++= s.cells.map(c => s"${c._1}:${c._2}:${c._3}")
@@ -1117,22 +1138,27 @@ object IvfIndex {
     sb.toString
   }
 
-  private def parseHealth(body: String): Option[HealthSnapshot] = {
-    val kv = body.linesIterator.map(_.split("=", 2))
-      .collect { case Array(k, v) => k -> v }.toMap
-    if (!kv.get("v").contains("2")) None
-    else {
-      val cells = kv.getOrElse("cells", "").split(",").toSeq
-        .filter(_.nonEmpty).map { t =>
-          val Array(c, l, d) = t.split(":", 3)
-          (c.toInt, l.toLong, d.toLong)
-        }
-      val sum = summarize(cells, kv("nlist").toLong,
-        kv("deletes_bytes").toLong, kv("data_bytes").toLong)
-      Some(HealthSnapshot(kv("n_files").toLong, kv("census_bytes").toLong,
-        cells, sum))
-    }
-  }
+  /** Try-wrapped end to end: a structurally bad sidecar (missing key,
+    * malformed cell triple, non-numeric value — e.g. a torn or foreign
+    * write) must read as None and trigger the bounded re-measure, never
+    * crash maintenance. A v!=3 version reads as stale the same way. */
+  private def parseHealth(body: String): Option[HealthSnapshot] =
+    scala.util.Try {
+      val kv = body.linesIterator.map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      if (!kv.get("v").contains("3")) None
+      else {
+        val cells = kv.getOrElse("cells", "").split(",").toSeq
+          .filter(_.nonEmpty).map { t =>
+            val Array(c, l, d) = t.split(":", 3)
+            (c.toInt, l.toLong, d.toLong)
+          }
+        val sum = summarize(cells, kv("nlist").toLong,
+          kv("deletes_bytes").toLong, kv("data_bytes").toLong)
+        Some(HealthSnapshot(kv("n_files").toLong, kv("census_bytes").toLong,
+          kv("census_mtime").toLong, cells, sum))
+      }
+    }.toOption.flatten
 
   /** Driver-side snapshot of the last health evidence THIS driver
     * persisted, keyed by table path and validated by the census stamp —
@@ -1145,7 +1171,7 @@ object IvfIndex {
     * summary tuple is (live, dead, deadFraction, deletesBytes,
     * dataBytes, nlist, maxCell, skew). */
   private final case class HealthSnapshot(nFiles: Long, totalBytes: Long,
-      cells: Seq[(Int, Long, Long)],
+      maxMtime: Long, cells: Seq[(Int, Long, Long)],
       summary: (Long, Long, Double, Long, Long, Long, Long, Double))
   private val healthCache =
     new java.util.concurrent.ConcurrentHashMap[String, HealthSnapshot]()
@@ -1173,7 +1199,7 @@ object IvfIndex {
   }
 
   /** Persist the health evidence PAIR: the per-cell (cell, live, dead)
-    * table (`_health_cells`, ≤ nlist rows — the state incremental folds
+    * table (in the `_health` sidecar, ≤ nlist cells — the state incremental folds
     * update) and the one-row `_health` summary derived from it, both
     * stamped with census `c`. Both companions share the `/_health` path
     * prefix the census excludes, so persisting health never stales its
@@ -1188,7 +1214,8 @@ object IvfIndex {
   private def persistHealth(wh: Warehouse, name: String,
                             cells: Seq[(Int, Long, Long)],
                             c: IndexAdvice.Census): HealthSnapshot = {
-    val snap = HealthSnapshot(c.nFiles, c.totalBytes, cells.sorted,
+    val snap = HealthSnapshot(c.nFiles, c.totalBytes, c.maxMtime,
+      cells.sorted,
       summarize(cells, nlistOf(wh, name), c.deletesBytes, c.dataBytes))
     // ONE driver-written sidecar instead of two coalesce(1) parquet
     // write jobs — the census excludes /_health paths, so persisting
@@ -1215,12 +1242,13 @@ object IvfIndex {
     val key = s"${wh.root}/$name"
     val hit = healthCache.get(key)
     if (hit != null && hit.nFiles == c.nFiles &&
-        hit.totalBytes == c.totalBytes)
+        hit.totalBytes == c.totalBytes && hit.maxMtime == c.maxMtime)
       Some(hit) // one listing, zero Spark jobs, zero reads
     else
       IndexAdvice.readSidecar(wh, healthPath(wh, name))
         .flatMap(parseHealth)
-        .filter(s => s.nFiles == c.nFiles && s.totalBytes == c.totalBytes)
+        .filter(s => s.nFiles == c.nFiles && s.totalBytes == c.totalBytes &&
+          s.maxMtime == c.maxMtime)
         .map { s => healthCache.put(key, s); s }
   }
 
@@ -1391,12 +1419,10 @@ object IvfIndex {
     // live (id, attrs) from the index — attributes ride the LAYOUT, so
     // the corpus only owes (id, vector); pinned because the coverage
     // check and the join both consume it
-    val liveEntries = Exec.materialize(liveOnly(wh, vdir,
+    val (liveEntries, nLive) = Exec.materializeCounted(liveOnly(wh, vdir,
       df.select((idName +: attrs :+ "seq").map(col): _*), idName))
-    val src = Exec.materialize(liveEntries.join(
+    val (src, nSrc) = Exec.materializeCounted(liveEntries.join(
       corpus.select(col(idCol).as(idName), col(vecCol)), Seq(idName)))
-    val nLive = liveEntries.count()
-    val nSrc = src.count()
     // the DISTINCT joined-id count catches each defect independently:
     // a bare nSrc == nLive would pass when a missing live id and a
     // duplicated corpus id cancel out — exactly the silent shrink +

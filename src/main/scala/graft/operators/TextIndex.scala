@@ -73,11 +73,11 @@ object TextIndex {
     * the mutation paths this driver runs, which know the frontier they
     * just wrote. */
   private val seqCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, Long, Long)]() // path -> (nFiles, totalBytes, maxSeq)
+    String, ((Long, Long, Long), Long)]() // path -> (census stamp, maxSeq)
 
   private def stampSeq(wh: Warehouse, name: String, maxSeq: Long): Unit = {
     val c = IndexAdvice.census(wh, name)
-    seqCache.put(s"${wh.root}/$name", (c.nFiles, c.totalBytes, maxSeq))
+    seqCache.put(s"${wh.root}/$name", (c.stamp, maxSeq))
   }
 
   /** The next posting generation number: one past the highest `seq` any
@@ -91,13 +91,13 @@ object TextIndex {
     val c = IndexAdvice.census(wh, name)
     val key = s"${wh.root}/$name"
     val hit = seqCache.get(key)
-    if (hit != null && hit._1 == c.nFiles && hit._2 == c.totalBytes)
-      hit._3 + 1L
+    if (hit != null && hit._1 == c.stamp)
+      hit._2 + 1L
     else {
       val r = wh.spark.read.parquet(doclenPath(wh, name))
         .agg(max(col("seq"))).head()
       val m = if (r.isNullAt(0)) -1L else r.getLong(0)
-      seqCache.put(key, (c.nFiles, c.totalBytes, m))
+      seqCache.put(key, (c.stamp, m))
       m + 1L
     }
   }
@@ -310,9 +310,9 @@ object TextIndex {
     // independent actions over a lazy frame could compute doclen rows
     // and postings from DIFFERENT row sets, skewing BM25's N/avgdl
     val nb = resolveBuckets(wh, name, nBuckets)
-    val toks = graft.engine.Exec.materialize(
+    val (toks, nDocs) = graft.engine.Exec.materializeCounted(
       tokenize(newDocs, idCol, textCol, attrColsOf(wh, name)))
-    appendToks(wh, toks, name, nb, nextSeq(wh, name))
+    appendToks(wh, toks, name, nb, nextSeq(wh, name), nDocs)
   }
 
   /** The write half of [[append]]/[[reindex]] over an already-pinned
@@ -333,7 +333,7 @@ object TextIndex {
     * [[deleteAt]]); below it they stale the stamp and the next advice
     * re-measures once and re-persists. */
   private def appendToks(wh: Warehouse, toks: DataFrame, name: String,
-                         nBuckets: Int, seq: Long): Unit = {
+                         nBuckets: Int, seq: Long, nDocs: Long): Unit = {
     val pre = freshHealth(wh, name)
     // size-aware doclen landing: nextSeq and every ranked search scan
     // this companion, and a long-lived stream would otherwise leave
@@ -342,9 +342,10 @@ object TextIndex {
     // corpus-sized BUILD write keeps natural parallelism untouched)
     // attrs ride along exactly as the tokenized frame carries them (its
     // tokenize call derived them from the stored doclen schema)
+    // nDocs rode the caller's pinning job (materializeCounted) — no
+    // count() job per append
     val attrs = toks.columns.toSeq
       .filterNot(c => c == "doc_id" || c == "__toks")
-    val nDocs = toks.count()
     toks.select(col("doc_id") +: size(col("__toks")).cast("long")
         .as("dl") +: lit(seq).as("seq") +: attrs.map(col): _*)
       .repartition(IndexAdvice.companionShards(nDocs))
@@ -392,11 +393,12 @@ object TextIndex {
   private def deleteAt(wh: Warehouse, ids: DataFrame, name: String,
                        cut: Long, onlyExisting: Boolean): Unit = {
     val base = ids.distinct()
-    val toTomb = graft.engine.Exec.materialize(
+    // the tombstone count rides the pinning job (Observation) — no
+    // separate count() job per mutation
+    val (toTomb, n) = graft.engine.Exec.materializeCounted(
       if (!onlyExisting) base
       else base.join(wh.spark.read.parquet(doclenPath(wh, name))
         .select(col("doc_id")), Seq("doc_id"), "left_semi"))
-    val n = toTomb.count()
     // size-aware file-in: a small tombstone batch lands as ONE file-pair
     // (every search's cuts join lists this dir; one file per shuffle
     // partition per call was the old shape), a corpus-shaped delete set
@@ -430,6 +432,10 @@ object TextIndex {
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
         (ddl, db)
       }
+      // validate the cached frontier against the PRE-write census (see
+      // IvfIndex.deleteAt): a foreign write landing after the caller's
+      // nextSeq() must invalidate, not be absorbed under a stale maxSeq
+      val preWrite = IndexAdvice.census(wh, name)
       toTomb.withColumn("cut", lit(cut))
         .repartition(IndexAdvice.companionShards(n))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -446,8 +452,11 @@ object TextIndex {
           IndexAdvice.census(wh, name))
       }
       // the tombstone write moved the census but not the doclen frontier
-      val prev = seqCache.get(s"${wh.root}/$name")
-      if (prev != null) stampSeq(wh, name, prev._3)
+      val key = s"${wh.root}/$name"
+      val prev = seqCache.get(key)
+      if (prev != null && prev._1 == preWrite.stamp)
+        stampSeq(wh, name, prev._2)
+      else if (prev != null) seqCache.remove(key)
     }
   }
 
@@ -484,8 +493,7 @@ object TextIndex {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pinned = graft.engine.Exec.materialize(batch)
-        val n = pinned.count()
+        val (pinned, n) = graft.engine.Exec.materializeCounted(batch)
         if (n > 0) {
           require(pinned.select(col(idCol)).distinct().count() == n,
             s"streamingIndex: a micro-batch carries duplicate '$idCol' " +
@@ -536,11 +544,10 @@ object TextIndex {
     // sharding because every ranked search, nextSeq, and deleteAt's
     // existing-ids probe lists this dir — the rewrite is the moment to
     // fix companion file counts too, not regrow them shuffle-wide
-    val dl = graft.engine.Exec.materialize(
+    val (dl, nDl) = graft.engine.Exec.materializeCounted(
       dlLive.filter(col("dl") === 0).unionByName(
         dlLive.filter(col("dl") > 0)
           .join(gens, Seq("doc_id", "seq"), "left_semi")))
-    val nDl = dl.count()
     // the rewrite is the moment to fix file counts, not inherit them
     val out = wh.publish(
       live.repartition(IndexAdvice.shufflePartitions(wh), col("bucket")), name,
@@ -572,7 +579,7 @@ object TextIndex {
     * The prediction is EXACT, not a heuristic: a token's bucket is
     * `hash % B`, and for any divisor B′ of B, `hash % B′ ==
     * (hash % B) % B′` — so the per-bucket live masses at B′ are a pure
-    * regrouping of the stored `_health_buckets` table, computed
+    * regrouping of the stored `_health` sidecar buckets, computed
     * driver-side over ≤ nBuckets rows, and the post-rebuild measured
     * skew equals the prediction by construction. Coarsening is always
     * sufficient for the Rebuild trigger's failure mode (a few dominant
@@ -628,7 +635,7 @@ object TextIndex {
     * breaks the frozen hash layout's pruning premise (the
     * [[DefaultMaxBucketSkew]] trigger), this re-buckets the LIVE
     * postings at the granularity [[chooseBuckets]] derives from the
-    * stored `_health_buckets` evidence and republishes atomically —
+    * stored `_health` sidecar bucket evidence and republishes atomically —
     * same discipline as [[compact]] (live rows only, doclen reconciled,
     * fresh version carries no `_deletes`), with the bucket column
     * recomputed through the frozen token hash at the new count and the
@@ -668,11 +675,10 @@ object TextIndex {
     val dlLive = liveOnly(wh, name,
       wh.spark.read.parquet(doclenPath(wh, name)))
     val gens = live.select(col("doc_id"), col("seq")).distinct()
-    val dl = graft.engine.Exec.materialize(
+    val (dl, nDl) = graft.engine.Exec.materializeCounted(
       dlLive.filter(col("dl") === 0).unionByName(
         dlLive.filter(col("dl") > 0)
           .join(gens, Seq("doc_id", "seq"), "left_semi")))
-    val nDl = dl.count()
     val out = wh.publish(
       live.repartition(IndexAdvice.shufflePartitions(wh), col("bucket")),
       name, partitionCols = Seq("bucket"),
@@ -717,12 +723,12 @@ object TextIndex {
     // and the generation resolves once — one doclen frontier scan per
     // reindex instead of delete's + append's separate scans
     val nb = resolveBuckets(wh, name, nBuckets)
-    val toks = graft.engine.Exec.materialize(
+    val (toks, nDocs) = graft.engine.Exec.materializeCounted(
       tokenize(changedDocs, idCol, textCol, attrColsOf(wh, name)))
     val cut = nextSeq(wh, name)
     deleteAt(wh, toks.select(col("doc_id")), name, cut,
       onlyExisting = true)
-    appendToks(wh, toks, name, nb, cut)
+    appendToks(wh, toks, name, nb, cut, nDocs)
   }
 
   /** Ranked retrieval FROM the index: BM25 top-k over the query terms'
@@ -1072,8 +1078,9 @@ object TextIndex {
     * rows of evidence; the maintenance composites are fixed-overhead
     * bound). */
   private def renderHealth(s: HealthSnapshot): String = {
-    val sb = new StringBuilder("v=2\n")
+    val sb = new StringBuilder("v=3\n")
     sb ++= s"n_files=${s.nFiles}\ncensus_bytes=${s.totalBytes}\n"
+    sb ++= s"census_mtime=${s.maxMtime}\n"
     sb ++= s"live_rows=${s.summary._1}\ndead_rows=${s.summary._2}\n"
     sb ++= s"deletes_bytes=${s.summary._8}\ndata_bytes=${s.summary._9}\n"
     sb ++= s.buckets.map(b => s"${b._1}:${b._2}")
@@ -1081,22 +1088,26 @@ object TextIndex {
     sb.toString
   }
 
-  private def parseHealth(body: String): Option[HealthSnapshot] = {
-    val kv = body.linesIterator.map(_.split("=", 2))
-      .collect { case Array(k, v) => k -> v }.toMap
-    if (!kv.get("v").contains("2")) None
-    else {
-      val buckets = kv.getOrElse("buckets", "").split(",").toSeq
-        .filter(_.nonEmpty).map { t =>
-          val Array(b, n) = t.split(":", 2)
-          (b.toInt, n.toLong)
-        }
-      val sum = summarize(kv("live_rows").toLong, kv("dead_rows").toLong,
-        buckets, kv("deletes_bytes").toLong, kv("data_bytes").toLong)
-      Some(HealthSnapshot(kv("n_files").toLong, kv("census_bytes").toLong,
-        buckets, sum))
-    }
-  }
+  /** Try-wrapped end to end (see IvfIndex.parseHealth): a structurally
+    * bad sidecar reads as None — the bounded re-measure — never a
+    * maintenance crash. */
+  private def parseHealth(body: String): Option[HealthSnapshot] =
+    scala.util.Try {
+      val kv = body.linesIterator.map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      if (!kv.get("v").contains("3")) None
+      else {
+        val buckets = kv.getOrElse("buckets", "").split(",").toSeq
+          .filter(_.nonEmpty).map { t =>
+            val Array(b, n) = t.split(":", 2)
+            (b.toInt, n.toLong)
+          }
+        val sum = summarize(kv("live_rows").toLong, kv("dead_rows").toLong,
+          buckets, kv("deletes_bytes").toLong, kv("data_bytes").toLong)
+        Some(HealthSnapshot(kv("n_files").toLong, kv("census_bytes").toLong,
+          kv("census_mtime").toLong, buckets, sum))
+      }
+    }.toOption.flatten
 
   /** Driver-side snapshot of the last health evidence THIS driver
     * persisted — the [[IvfIndex]] healthCache discipline: keyed by
@@ -1106,7 +1117,7 @@ object TextIndex {
     * (live, dead, deadFraction, livePostings, maxBucket, nBuckets,
     * bucketSkew, deletesBytes, dataBytes). */
   private final case class HealthSnapshot(nFiles: Long, totalBytes: Long,
-      buckets: Seq[(Int, Long)],
+      maxMtime: Long, buckets: Seq[(Int, Long)],
       summary: (Long, Long, Double, Long, Long, Long, Double, Long, Long))
   private val healthCache =
     new java.util.concurrent.ConcurrentHashMap[String, HealthSnapshot]()
@@ -1124,14 +1135,14 @@ object TextIndex {
   }
 
   /** Persist the health evidence PAIR: the per-bucket (bucket, live
-    * postings) table (`_health_buckets`, ≤ nBuckets rows — the state
+    * postings) table (in the `_health` sidecar, ≤ nBuckets rows — the state
     * append folds update) and the one-row `_health` summary, both
     * stamped with census `c`. Both share the `/_health` path prefix the
     * census excludes, so persisting health never stales its own stamp. */
   private def persistHealth(wh: Warehouse, name: String, liveRows: Long,
                             deadRows: Long, buckets: Seq[(Int, Long)],
                             c: IndexAdvice.Census): HealthSnapshot = {
-    val snap = HealthSnapshot(c.nFiles, c.totalBytes, buckets,
+    val snap = HealthSnapshot(c.nFiles, c.totalBytes, c.maxMtime, buckets,
       summarize(liveRows, deadRows, buckets, c.deletesBytes, c.dataBytes))
     // ONE driver-written sidecar instead of two coalesce(1) parquet
     // write jobs — the census excludes /_health paths, so persisting
@@ -1160,12 +1171,13 @@ object TextIndex {
     val key = s"${wh.root}/$name"
     val hit = healthCache.get(key)
     if (hit != null && hit.nFiles == c.nFiles &&
-        hit.totalBytes == c.totalBytes)
+        hit.totalBytes == c.totalBytes && hit.maxMtime == c.maxMtime)
       Some(hit) // one listing, zero Spark jobs, zero reads
     else
       IndexAdvice.readSidecar(wh, healthPath(wh, name))
         .flatMap(parseHealth)
-        .filter(s => s.nFiles == c.nFiles && s.totalBytes == c.totalBytes)
+        .filter(s => s.nFiles == c.nFiles && s.totalBytes == c.totalBytes &&
+          s.maxMtime == c.maxMtime)
         .map { s => healthCache.put(key, s); s }
   }
 

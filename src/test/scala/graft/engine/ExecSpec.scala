@@ -49,6 +49,61 @@ class ExecSpec extends SparkSpec {
     assert(m.queryExecution.optimizedPlan.toString != df.queryExecution.optimizedPlan.toString)
   }
 
+  test("materializeCounted/Observed: the count rides the pinning job on " +
+      "BOTH storage paths, values exact") {
+    // localCheckpoint path
+    val (m1, n1) = Exec.materializeCounted(fixture.filter(col("id") > 1))
+    assert(n1 == 2L && m1.count() == 2L)
+    // metrics beyond the count
+    val (m2, mm) = Exec.materializeObserved(fixture,
+      Map("n" -> count(lit(1)), "ids" -> collect_set(col("id"))))
+    assert(mm("n") == 3L)
+    assert(mm("ids").asInstanceOf[Seq[Long]].toSet == Set(1L, 2L, 3L))
+    assert(m2.count() == 3L)
+    // durable (staging parquet) path
+    val staging = java.nio.file.Files.createTempDirectory("graft-exec-mc").toString
+    spark.conf.set(Exec.MaxLocalBytesKey, "0")
+    spark.conf.set(Exec.StagingDirKey, staging)
+    try {
+      val (m3, n3) = Exec.materializeCounted(fixture.filter(col("id") < 3))
+      assert(n3 == 2L && m3.count() == 2L)
+    } finally {
+      spark.conf.unset(Exec.MaxLocalBytesKey)
+      spark.conf.unset(Exec.StagingDirKey)
+    }
+  }
+
+  test("materializeIfNeeded: skips a deterministic slice of a pinned frame, " +
+      "re-pins anything else") {
+    val pinned = Exec.materialize(fixture)
+    // a deterministic projection of pinned rows is already stable — no copy
+    val slice = pinned.select(col("id"), col("name")).filter(col("id") > 1)
+    assert(Exec.materializeIfNeeded(slice) eq slice)
+    // a non-deterministic projection must re-pin
+    val rnd = pinned.select(col("id"), rand().as("r"))
+    assert(!(Exec.materializeIfNeeded(rnd) eq rnd))
+    // an aggregation must re-pin
+    val agg = pinned.groupBy(col("name")).count()
+    assert(!(Exec.materializeIfNeeded(agg) eq agg))
+    // a staged-parquet materialization also counts as pinned
+    val staging = java.nio.file.Files.createTempDirectory("graft-exec-in").toString
+    spark.conf.set(Exec.MaxLocalBytesKey, "0")
+    spark.conf.set(Exec.StagingDirKey, staging)
+    try {
+      val staged = Exec.materialize(fixture)
+      val sliced = staged.select(col("id"))
+      assert(Exec.materializeIfNeeded(sliced) eq sliced)
+    } finally {
+      spark.conf.unset(Exec.MaxLocalBytesKey)
+      spark.conf.unset(Exec.StagingDirKey)
+    }
+    // a raw (non-staging) relation is NOT pinned — it may be a live table
+    val tmp = java.nio.file.Files.createTempDirectory("graft-exec-raw").toString
+    fixture.write.mode("overwrite").parquet(s"$tmp/t")
+    val live = spark.read.parquet(s"$tmp/t")
+    assert(!(Exec.materializeIfNeeded(live) eq live))
+  }
+
   test("materialize: past the size threshold it stages to parquet, same rows+schema") {
     val staging = java.nio.file.Files.createTempDirectory("graft-exec-spec").toString
     spark.conf.set(Exec.MaxLocalBytesKey, "0") // force the durable path

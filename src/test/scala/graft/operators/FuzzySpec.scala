@@ -188,4 +188,39 @@ class FuzzySpec extends SparkSpec {
     assert(got._1 == Seq(""))
     assert(got._2.toSet == Set("x", ""))
   }
+
+  test("scalar deletionVariants is order- and value-identical to the HOF form") {
+    // the r13 kernel swap: the composed substr/concat formulation this
+    // replaced must agree element-for-element IN ORDER (array_distinct
+    // keeps first occurrence), including multi-byte code points and a
+    // surrogate pair
+    def hof(s: org.apache.spark.sql.Column, maxDist: Int) = {
+      def del1(str: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+        concat(str.substr(lit(1), i - 1), str.substr(i + 1, length(str)))
+      def positions(str: org.apache.spark.sql.Column) =
+        when(length(str) >= 1, sequence(lit(1), length(str)))
+          .otherwise(array().cast("array<int>"))
+      val singles = transform(positions(s), i => del1(s, i))
+      val keys = maxDist match {
+        case 1 => concat(array(s), singles)
+        case 2 =>
+          val doubles = flatten(transform(positions(s), i =>
+            transform(filter(positions(s), j => j > i),
+              j => del1(del1(s, j), i))))
+          concat(array(s), singles, doubles)
+      }
+      array_distinct(keys)
+    }
+    val rows = Seq("kitten", "aa", "abcab", "héllo", "日本語テキスト",
+      "a😀b", "x", "", "ZUEHLSDORFF 0042")
+      .toDF("s")
+    Seq(1, 2).foreach { t =>
+      val got = rows.select($"s", hof($"s", t).as("slow"),
+          Fuzzy.deletionVariants($"s", t).as("fast"))
+        .as[(String, Seq[String], Seq[String])].collect()
+      got.foreach { case (s, slow, fast) =>
+        assert(slow == fast, s"variant divergence for '$s' at t=$t")
+      }
+    }
+  }
 }

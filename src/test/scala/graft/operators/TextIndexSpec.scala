@@ -1011,4 +1011,67 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.searchAll(wh, Seq("alpha"), "tix2", nBuckets = 4)
       .as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("health sidecar + seq frontier survive a driver restart: a fresh " +
+      "driver adopts the stored evidence, and a post-restart delete " +
+      "still purges the live generation (the IvfIndex restart contract)") {
+    val wh = freshWh
+    val docs = (1L to 12L).map(i => (i, s"alpha beta doc$i"))
+      .toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tixfd", nBuckets = 8)
+    val h0 = TextIndex.analyzeHealth(wh, "tixfd")
+      .select("live_rows", "dead_rows", "bucket_skew").head()
+    // simulate a fresh driver: every in-memory evidence cache dropped
+    TextIndex.forgetDriverState()
+    val adopted = TextIndex.readHealth(wh, "tixfd")
+    assert(adopted.nonEmpty,
+      "a fresh driver must adopt the stored sidecar, not read stale")
+    val h1 = adopted.get
+      .select("live_rows", "dead_rows", "bucket_skew").head()
+    assert(h1.getLong(0) == h0.getLong(0) &&
+      h1.getLong(1) == h0.getLong(1) &&
+      h1.getDouble(2) == h0.getDouble(2),
+      "sidecar read-back must reproduce the persisted evidence exactly")
+    // frontier: a post-restart delete must tombstone the LIVE generation
+    // — a lost (too-low) frontier would write a cut at or below it and
+    // the purged doc would keep matching searches. doc 3 was re-indexed
+    // first so its generation sits above the build's seq 0.
+    TextIndex.reindex(wh, Seq((3L, "alpha beta refreshed"))
+      .toDF("doc_id", "text"), "doc_id", "text", "tixfd", nBuckets = 8)
+    TextIndex.forgetDriverState()
+    TextIndex.delete(wh, Seq(3L).toDF("doc_id"), "doc_id", "tixfd")
+    assert(!TextIndex.searchAll(wh, Seq("alpha"), "tixfd", nBuckets = 8)
+      .as[Long].collect().contains(3L),
+      "a post-restart delete must cover generations written before the " +
+        "restart — a lost frontier would leave the purged doc searchable")
+  }
+
+  test("census stamp catches a same-size foreign rewrite: identical file " +
+      "count and byte total with a newer mtime reads STALE") {
+    val wh = freshWh
+    val docs = (1L to 6L).map(i => (i, s"alpha beta doc$i"))
+      .toDF("doc_id", "text")
+    TextIndex.build(wh, docs, "doc_id", "text", "tixmt", nBuckets = 4)
+    TextIndex.analyzeHealth(wh, "tixmt")
+    assert(TextIndex.readHealth(wh, "tixmt").nonEmpty)
+    // foreign same-size rewrite: rewrite one doclen parquet file with
+    // its own bytes — file count and byte total unchanged, content
+    // byte-identical, but it is a WRITE a (nFiles, totalBytes)-only
+    // stamp could never see. The mtime axis must withdraw the evidence.
+    val dlDir = new java.io.File(
+      s"${wh.dataPath("tixmt")}/_doclen")
+    val part = dlDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Thread.sleep(50) // ensure the rewrite lands on a later mtime tick
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    java.nio.file.Files.write(part.toPath, bytes)
+    // in-memory cache AND the sidecar both carry the old stamp
+    assert(TextIndex.readHealth(wh, "tixmt").isEmpty,
+      "a same-size foreign rewrite must read stale (mtime moved)")
+    TextIndex.forgetDriverState()
+    assert(TextIndex.readHealth(wh, "tixmt").isEmpty,
+      "the stored sidecar must also read stale against the moved mtime")
+    // a re-analyze re-pins the evidence under the new census
+    TextIndex.analyzeHealth(wh, "tixmt")
+    assert(TextIndex.readHealth(wh, "tixmt").nonEmpty)
+  }
 }
