@@ -70,6 +70,17 @@ object Bench {
           org.apache.spark.sql.functions.col("h")))
         .write.format("noop").mode("overwrite").save()
       SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      // warm the n-gram-precision shape (shingle explode → per-doc gram
+      // counts → left join → clipped sums): its generated aggregate was
+      // the one cold-JIT outlier in the driver's bench — 73 task-sec
+      // cold vs 12.5 warm for the same q190 stage (r12 verdict item 9;
+      // a cold driver charged ~20 s of JIT to the query). Tiny synthetic
+      // input, same expression shapes, still untimed.
+      val wdocs = spark.range(4000).selectExpr("id",
+        "concat(repeat('warm gram text ', 3), cast(id % 7 AS string)) AS text")
+      graft.operators.CorpusStats.ngramPrecision(wdocs, wdocs,
+          "id", "text", n = 2)
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val sidecar = new StringBuilder
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -30,18 +30,16 @@ object Overlap {
   def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 k: Int = 256, salt: String = "kmv"): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    import graft.functions.TopKAggregate
-    val hashed = df
-      .select(groupCols.map(col) :+
+    // ONE bounded aggregate (graft.functions.KmvAgg): k-smallest-distinct
+    // is associative, so the previous distinct() — a full shuffle of
+    // every hashed value — proved nothing the ≤k-element state doesn't
+    // already guarantee, and the map-side partials ship ≤k longs per
+    // group per partition. Array values identical (ascending k smallest
+    // distinct of the same hash multiset).
+    df.select(groupCols.map(col) :+
         Sampling.hashWord(col(valueCol), salt).as("__h"): _*)
-      .distinct() // k smallest DISTINCT hashes — duplicates carry no info
-    hashed.groupBy(groupCols.map(col): _*)
-      .agg(TopKAggregate.topKStructs(struct(col("__h")), k,
-        // flipped: the heap's "largest" = the k SMALLEST hash values
-        desc = Seq(true)).as("__top"))
-      .withColumn("kmv",
-        sort_array(transform(col("__top"), s => s.getField("__h"))))
-      .drop("__top")
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.KmvAggregate.kmv(col("__h"), k).as("kmv"))
   }
 
   private val HashSpace = (1L << 32).toDouble

@@ -62,6 +62,30 @@ class OverlapSpec extends SparkSpec {
     assert(math.abs(row._3 - 500.0) / 500.0 < 0.3, s"inter=${row._3}")
   }
 
+  test("bounded KMV aggregate equals the distinct+topK formulation, " +
+      "duplicates and partitioning included") {
+    // the r13 shuffle-removal swap: k smallest DISTINCT of the hash
+    // multiset must be identical whether duplicates collapse in a
+    // distinct() exchange first or inside the bounded aggregate state
+    val k = 16
+    val rows = ((1L to 200L) ++ (1L to 200L) ++ (50L to 80L))
+      .map(v => ((v % 3).toInt, v))
+    val df = rows.toDF("g", "v").repartition(7)
+    val slow = {
+      import graft.functions.TopKAggregate
+      df.select($"g", Sampling.hashWord($"v", "kmv").as("__h")).distinct()
+        .groupBy($"g")
+        .agg(TopKAggregate.topKStructs(struct($"__h"), k,
+          desc = Seq(true)).as("__top"))
+        .withColumn("kmv",
+          sort_array(transform($"__top", s => s.getField("__h"))))
+        .select($"g", $"kmv").as[(Int, Seq[Long])].collect().toMap
+    }
+    val fast = Overlap.kmvSketch(df, Seq("g"), "v", k)
+      .select($"g", $"kmv").as[(Int, Seq[Long])].collect().toMap
+    assert(fast == slow)
+  }
+
   test("disjoint sets overlap at zero; identical sets at one") {
     val a = sketchOf(1L to 800L)
     val c = sketchOf(100001L to 100800L)

@@ -62,13 +62,17 @@ class QueryPlanSpec extends SparkSpec {
       s"scoring must not aggregate the corpus:\n$p")
   }
 
-  test("q128 kmv sketch: distinct + bounded heap, no per-group sort") {
+  test("q128 kmv sketch: one bounded aggregate, no distinct exchange, " +
+      "no per-group sort") {
     val p = plan("q128_kmv_distinct")
-    // the k-smallest selection is the heap aggregate — a window/sort
-    // formulation would serialize each group's full distinct set
-    assert(p.contains("topk_structs"), s"bounded heap expected:\n$p")
+    // the k-smallest-DISTINCT selection is ONE bounded aggregate (r13:
+    // KmvAgg) — the former distinct() exchange shuffled every hashed
+    // value to prove nothing the ≤k-element state doesn't guarantee,
+    // and a window/sort formulation would serialize each group's full
+    // distinct set
+    assert(p.contains("kmv"), s"bounded kmv aggregate expected:\n$p")
     assert(!p.contains("Window"), s"no window sort expected:\n$p")
-    assert(exchanges(p) <= 2, s"distinct + group shuffles only:\n$p")
+    assert(exchanges(p) <= 1, s"the group shuffle only:\n$p")
   }
 
   test("q111 rolling window: single range-frame window, one user shuffle") {
